@@ -1,0 +1,780 @@
+"""Core lazy expression layer: ``Table`` / ``ColExpr`` / ``Reduction``.
+
+Design (SURVEY.md §7): *wrap, don't reimplement*.  The reference builds an
+immutable hash-consed expression tree with eager datashape inference
+(blaze/expr/core.py:121-157, blaze/expr/expressions.py:167-180) and lowers
+it per backend via multipledispatch.  Here the "tree" IS the lazily-built
+``pyspark.sql.DataFrame`` lineage — Catalyst is the optimizer (column
+pruning, predicate pushdown, fusion: blaze/expr/optimize.py is subsumed,
+see SURVEY.md §4.1) — and this layer adds what Blaze added over raw
+backends: eager schema validation, NumPy/Pandas-flavored semantics
+(ddof=0, non-null count, Monday=0 weekday), and the interactive API
+(``.peek()``, ``__len__``, ``.str``/``.dt`` accessors).
+
+Everything stays JVM-side (`pyspark.sql.functions`) except ``map``/``apply``
+which are explicit user-Python escape hatches lowered to Arrow-batched
+pandas UDFs (reference Map/Apply: blaze/expr/expressions.py:695-791).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import schema as _s
+
+__all__ = [
+    "Table",
+    "ColExpr",
+    "Reduction",
+    "by",
+    "merge",
+    "transform",
+    "summary",
+    "join",
+    "concat",
+    "coalesce",
+    "shift",
+]
+
+
+def _dtype_of(df: DataFrame, col: Column) -> T.DataType:
+    """Eager type inference for an arbitrary Column — mirrors the
+    reference's construction-time ``_dshape`` memoization
+    (blaze/expr/expressions.py:167-180).  Spark analyzes the plan without
+    executing it, so this is metadata-only."""
+    return df.select(col).schema[0].dataType
+
+
+class ColExpr:
+    """A scalar/elementwise expression over one table — the analogue of a
+    1-D Blaze expression (Field, arithmetic, comparisons, .str/.dt methods;
+    reference: blaze/expr/expressions.py:362-400, blaze/expr/arithmetic.py).
+
+    Wraps a ``pyspark.sql.Column`` plus its owning ``Table`` so that
+    reductions and filters know their source, and carries an eagerly
+    inferred dtype for NumPy-style promotion checks.
+    """
+
+    def __init__(self, table: "Table", col: Column, name: str | None = None,
+                 dtype: T.DataType | None = None):
+        self._table = table
+        self._col = col
+        self._name = name or "expr"
+        self.__dtype = dtype
+
+    # -- metadata ---------------------------------------------------------
+    @property
+    def col(self) -> Column:
+        return self._col
+
+    @property
+    def dtype(self) -> T.DataType:
+        if self.__dtype is None:
+            self.__dtype = _dtype_of(self._table.df, self._col)
+        return self.__dtype
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def __repr__(self) -> str:
+        return f"<ColExpr {self._name}: {self.dtype.simpleString()}>"
+
+    # -- construction helpers --------------------------------------------
+    def _make(self, col: Column, name: str | None = None,
+              dtype: T.DataType | None = None) -> "ColExpr":
+        return ColExpr(self._table, col, name or self._name, dtype)
+
+    @staticmethod
+    def _lift(other: Any) -> Column:
+        if isinstance(other, ColExpr):
+            return other._col
+        return F.lit(other)
+
+    def _binop(self, other: Any, fn: Callable[[Column, Column], Column],
+               name: str) -> "ColExpr":
+        if isinstance(other, ColExpr):
+            # eager promotion check (reference _mkbin forces result dshape
+            # at construction — blaze/expr/arithmetic.py:316-331)
+            if _s.is_numeric(self.dtype) and _s.is_numeric(other.dtype):
+                _s.promote(self.dtype, other.dtype)
+        return self._make(fn(self._col, self._lift(other)), name, None)
+
+    # -- arithmetic (blaze/expr/arithmetic.py:62-235) ----------------------
+    def __add__(self, o):
+        return self._binop(o, lambda a, b: a + b, f"{self._name}_add")
+
+    def __radd__(self, o):
+        return self._make(self._lift(o) + self._col, f"{self._name}_add", None)
+
+    def __sub__(self, o):
+        return self._binop(o, lambda a, b: a - b, f"{self._name}_sub")
+
+    def __rsub__(self, o):
+        return self._make(self._lift(o) - self._col, f"{self._name}_sub", None)
+
+    def __mul__(self, o):
+        return self._binop(o, lambda a, b: a * b, f"{self._name}_mul")
+
+    def __rmul__(self, o):
+        return self._make(self._lift(o) * self._col, f"{self._name}_mul", None)
+
+    def __truediv__(self, o):
+        # int / int -> float64 always (blaze/expr/arithmetic.py:189-196);
+        # Spark's `/` already returns double — matches.
+        return self._binop(o, lambda a, b: a / b, f"{self._name}_div")
+
+    def __rtruediv__(self, o):
+        return self._make(self._lift(o) / self._col, f"{self._name}_div", None)
+
+    def __floordiv__(self, o):
+        # int // int keeps max-width integer (blaze/expr/arithmetic.py:199-210);
+        # reference SQL lowers to floor(a/b) cast back (blaze/compute/sql.py:459-470)
+        other_dt = o.dtype if isinstance(o, ColExpr) else None
+        out = F.floor(self._col / self._lift(o))
+        if _s.is_integral(self.dtype) and (other_dt is None or _s.is_integral(other_dt)):
+            tgt = self.dtype if other_dt is None else _s.max_integral(self.dtype, other_dt)
+            out = out.cast(tgt)
+        return self._make(out, f"{self._name}_floordiv", None)
+
+    def __mod__(self, o):
+        return self._binop(o, lambda a, b: a % b, f"{self._name}_mod")
+
+    def __pow__(self, o):
+        return self._binop(o, lambda a, b: a ** b, f"{self._name}_pow")
+
+    def __neg__(self):
+        return self._make(-self._col, f"{self._name}_neg", self.dtype)
+
+    # -- comparisons / boolean (blaze/expr/arithmetic.py:345-410) ----------
+    def _cmp(self, o, fn, name):
+        if isinstance(o, ColExpr):
+            _s.check_comparable(self.dtype, o.dtype)
+        return self._make(fn(self._col, self._lift(o)), name, T.BooleanType())
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._cmp(o, lambda a, b: a == b, "eq")
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._cmp(o, lambda a, b: a != b, "ne")
+
+    def __lt__(self, o):
+        return self._cmp(o, lambda a, b: a < b, "lt")
+
+    def __le__(self, o):
+        return self._cmp(o, lambda a, b: a <= b, "le")
+
+    def __gt__(self, o):
+        return self._cmp(o, lambda a, b: a > b, "gt")
+
+    def __ge__(self, o):
+        return self._cmp(o, lambda a, b: a >= b, "ge")
+
+    def __and__(self, o):
+        return self._make(self._col & self._lift(o), "and", T.BooleanType())
+
+    def __or__(self, o):
+        return self._make(self._col | self._lift(o), "or", T.BooleanType())
+
+    def __invert__(self):
+        return self._make(~self._col, "not", T.BooleanType())
+
+    # -- null / nan handling (NumPy-flavored; SURVEY.md §4.4) --------------
+    def isnan(self):
+        return self._make(F.isnan(self._col), "isnan", T.BooleanType())
+
+    def notnull(self):
+        return self._make(self._col.isNotNull(), "notnull", T.BooleanType())
+
+    def isnull(self):
+        return self._make(self._col.isNull(), "isnull", T.BooleanType())
+
+    # -- membership (reference IsIn: blaze/expr/collections.py:868-911) ----
+    def isin(self, values: Iterable[Any]):
+        return self._make(self._col.isin(list(values)), "isin", T.BooleanType())
+
+    # -- glob-style like (blaze/expr/strings.py:57-83; translated to SQL
+    #    %/_ at blaze/compute/sql.py:1276-1278) ---------------------------
+    def like(self, pattern: str):
+        sql_pat = pattern.replace("*", "%").replace("?", "_")
+        return self._make(self._col.like(sql_pat), "like", T.BooleanType())
+
+    # -- casting (Coerce: blaze/expr/expressions.py:794-818) ---------------
+    def coerce(self, to: str | T.DataType):
+        dt = to if isinstance(to, T.DataType) else _parse_dtype(to)
+        return self._make(self._col.cast(dt), self._name, dt)
+
+    cast = coerce
+
+    def label(self, name: str):
+        """Rename (Label: blaze/expr/expressions.py:574-612)."""
+        return self._make(self._col.alias(name), name, self.__dtype)
+
+    def fillna(self, value: Any):
+        return self._make(F.coalesce(self._col, F.lit(value)), self._name, None)
+
+    # -- per-element Python map (blaze/expr/expressions.py:695-751) --------
+    def map(self, fn: Callable, schema: str | T.DataType):
+        """Arbitrary per-element Python function, user-supplied result type
+        required (as in the reference).  Lowered to an Arrow-batched pandas
+        UDF, NOT a row-at-a-time Python UDF — ~10-100x faster at scale."""
+        dt = schema if isinstance(schema, T.DataType) else _parse_dtype(schema)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _mapped(s):
+            return s.map(fn)
+
+        # real (non-stringified) annotations so pyspark infers SERIES->SERIES
+        _mapped.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_mapped, dt)
+        return self._make(udf(self._col), f"{self._name}_map", dt)
+
+    # -- shift / lag (blaze/expr/collections.py:914-950) -------------------
+    def shift(self, n: int, order_by, partition_by=None):
+        """lag/lead by ``n``.  The reference relies on implicit row order
+        (pandas data.shift — blaze/compute/pandas.py:866-868); Spark has no
+        row order, so an explicit ``order_by`` is REQUIRED (SURVEY.md §4.4).
+        Lowered to F.lag/F.lead over a Window — same as the reference's SQL
+        backend (blaze/compute/sql.py:1667-1669)."""
+        w = Window.orderBy(*_cols(order_by))
+        if partition_by is not None:
+            w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+        fn = F.lag(self._col, n) if n > 0 else F.lead(self._col, -n)
+        return self._make(fn.over(w), f"{self._name}_shift", self.dtype)
+
+    # -- reductions (blaze/expr/reductions.py) -----------------------------
+    def sum(self):
+        # widens int32 -> int64 (blaze/expr/reductions.py:111-113); Spark
+        # F.sum already returns LongType for integrals — matches.
+        return Reduction(self._table, F.sum(self._col), f"{self._name}_sum")
+
+    def min(self):
+        return Reduction(self._table, F.min(self._col), f"{self._name}_min")
+
+    def max(self):
+        return Reduction(self._table, F.max(self._col), f"{self._name}_max")
+
+    def mean(self):
+        # mean -> float64 (blaze/expr/reductions.py:124-138)
+        return Reduction(self._table, F.avg(self._col), f"{self._name}_mean")
+
+    def var(self, unbiased: bool = False):
+        # DEFAULT ddof=0 (NumPy convention, NOT Spark's var_samp default;
+        # blaze/expr/reductions.py:138-191)
+        fn = F.var_samp if unbiased else F.var_pop
+        return Reduction(self._table, fn(self._col), f"{self._name}_var")
+
+    def std(self, unbiased: bool = False):
+        fn = F.stddev_samp if unbiased else F.stddev_pop
+        return Reduction(self._table, fn(self._col), f"{self._name}_std")
+
+    def count(self):
+        # NON-NULL count (blaze/expr/reductions.py:194-197)
+        return Reduction(self._table, F.count(self._col), f"{self._name}_count")
+
+    def nunique(self):
+        # exact distinct (blaze/expr/reductions.py:200-201); Catalyst plans
+        # this as expand+two-phase agg — scales.  approx_nunique is the
+        # opt-in sketch fast path (extension, not in reference).
+        return Reduction(self._table, F.countDistinct(self._col),
+                         f"{self._name}_nunique")
+
+    def approx_nunique(self, rsd: float = 0.05):
+        return Reduction(self._table, F.approx_count_distinct(self._col, rsd),
+                         f"{self._name}_approx_nunique")
+
+    def nelements(self):
+        # counts rows INCLUDING nulls (blaze/expr/reductions.py:204-219)
+        return Reduction(self._table, F.count(F.lit(1)), "nelements")
+
+    def any(self):
+        # reference SQL rewrites any -> sum(int)!=0 (blaze/compute/sql.py:
+        # 1488-1509); Spark has native bool_or — cleaner, same semantics.
+        return Reduction(self._table, F.bool_or(self._col), f"{self._name}_any")
+
+    def all(self):
+        return Reduction(self._table, F.bool_and(self._col), f"{self._name}_all")
+
+    def vnorm(self, ord: int = 2):
+        # vector p-norm composed of primitives (blaze/expr/reductions.py:299-314)
+        p = float(ord)
+        return Reduction(
+            self._table,
+            F.pow(F.sum(F.pow(F.abs(self._col), F.lit(p))), F.lit(1.0 / p)),
+            f"{self._name}_vnorm",
+        )
+
+    # -- accessors ----------------------------------------------------------
+    @property
+    def str(self):
+        from .functions.strings import StrAccessor
+        return StrAccessor(self)
+
+    @property
+    def dt(self):
+        from .functions.datetime import DtAccessor
+        return DtAccessor(self)
+
+    # -- interactive --------------------------------------------------------
+    def to_table(self) -> "Table":
+        return Table(self._table.df.select(self._col.alias(self._name)))
+
+    def peek(self, n: int = 10):
+        return self.to_table().peek(n)
+
+    def compute(self):
+        return self.to_table().compute()
+
+    def __hash__(self):  # __eq__ overridden for expressions
+        return id(self)
+
+    def __bool__(self):
+        raise TypeError(
+            "ColExpr truth value is ambiguous (lazy expression); "
+            "use & | ~ for boolean logic"
+        )
+
+
+class Reduction:
+    """A 0-D (scalar) expression: the result of a full-column reduction
+    (reference: blaze/expr/reductions.py:26-100).  Usable standalone
+    (``.compute()`` triggers a Spark job) or as a named aggregate inside
+    ``by``/``summary``.  Partial/final decomposition (reference split()
+    machinery, blaze/expr/split.py) is Catalyst's own physical planning —
+    partial agg -> shuffle -> final HashAggregate, no code here."""
+
+    def __init__(self, table: "Table", agg: Column, name: str):
+        self._table = table
+        self._agg = agg
+        self._name = name
+
+    @property
+    def col(self) -> Column:
+        return self._agg
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def label(self, name: str) -> "Reduction":
+        return Reduction(self._table, self._agg, name)
+
+    def to_table(self) -> "Table":
+        return Table(self._table.df.agg(self._agg.alias(self._name)))
+
+    def compute(self):
+        return self._table.df.agg(self._agg.alias(self._name)).collect()[0][0]
+
+    def __repr__(self):
+        return f"<Reduction {self._name}>"
+
+    def __int__(self):
+        return int(self.compute())
+
+    def __float__(self):
+        return float(self.compute())
+
+
+class Table:
+    """A lazy tabular collection — dshape ``var * {f1: t1, ...}``
+    (reference Symbol/BoundSymbol: blaze/expr/expressions.py:310-338,
+    blaze/expr/literal.py:47-123).  Thin immutable wrapper over a
+    ``pyspark.sql.DataFrame`` plan; every method returns a new Table.
+    Nothing executes until ``compute``/``peek``/``__len__``/``into``."""
+
+    def __init__(self, df: DataFrame, name: str | None = None):
+        self._df = df
+        self._name = name or "table"
+
+    # -- metadata -----------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._df.schema
+
+    @property
+    def fields(self) -> list[str]:
+        return list(self._df.columns)
+
+    columns = fields
+
+    @property
+    def dshape(self) -> str:
+        """datashape-style repr: ``var * {name: string, amount: int64}``."""
+        inner = ", ".join(f"{f.name}: {f.dataType.simpleString()}"
+                          for f in self._df.schema.fields)
+        return "var * {" + inner + "}"
+
+    def __repr__(self):
+        return f"<Table {self._name}: {self.dshape}>"
+
+    # -- field access (blaze/expr/expressions.py:362-456) --------------------
+    def __getattr__(self, name: str):
+        if not name.startswith("_") and name in self._df.columns:
+            return ColExpr(self, F.col(name), name,
+                           self._df.schema[name].dataType)
+        raise AttributeError(name)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.__getattr__(key)
+        if isinstance(key, (list, tuple)):
+            # Projection (blaze/expr/expressions.py:403-456)
+            return Table(self._df.select(*key), self._name)
+        if isinstance(key, ColExpr):
+            # Selection: predicate must be boolean
+            # (blaze/expr/expressions.py:518-571)
+            if not _s.is_boolean(key.dtype):
+                raise TypeError("selection predicate must be boolean")
+            return Table(self._df.filter(key.col), self._name)
+        if isinstance(key, slice):
+            # Slice (blaze/expr/expressions.py:488-515): nondeterministic
+            # without a preceding sort — same caveat the reference SQL
+            # backend raises (blaze/compute/sql.py:1618-1652)
+            start = key.start or 0
+            if key.stop is None:
+                return Table(self._df.offset(start), self._name)
+            return Table(self._df.offset(start).limit(key.stop - start),
+                         self._name)
+        raise TypeError(f"cannot index Table with {type(key)}")
+
+    # -- projection-family ops -----------------------------------------------
+    def drop_field(self, *names: str):
+        """Complement projection (blaze/expr/expressions.py:982-1023)."""
+        return Table(self._df.drop(*names), self._name)
+
+    def relabel(self, **renames: str):
+        """Rename many (ReLabel: blaze/expr/expressions.py:615-692)."""
+        return Table(self._df.withColumnsRenamed(renames), self._name)
+
+    def transform(self, **cols):
+        """Add/replace columns (blaze/expr/collections.py:503-537)."""
+        return Table(
+            self._df.withColumns({k: _as_col(v) for k, v in cols.items()}),
+            self._name,
+        )
+
+    # -- ordering / limiting (blaze/expr/collections.py:80-356) ---------------
+    def sort(self, *keys, ascending: bool = True):
+        cols = [_as_col(k) for k in keys] or [F.col(c) for c in self.columns]
+        if not ascending:
+            cols = [c.desc() for c in cols]
+        return Table(self._df.orderBy(*cols), self._name)
+
+    def head(self, n: int = 10):
+        # with a preceding sort Catalyst plans TakeOrderedAndProject (top-k:
+        # no global sort materialized) — exactly the scale-safe plan.
+        return Table(self._df.limit(n), self._name)
+
+    def tail(self, n: int = 10, sort_keys=None, ascending: bool = True):
+        """Last n.  Reference rewrite: invert sort -> head -> re-sort
+        (blaze/compute/sql.py:1523-1546).  Requires explicit sort keys on an
+        unordered engine."""
+        if sort_keys is None:
+            raise ValueError("tail on Spark requires explicit sort keys")
+        keys = sort_keys if isinstance(sort_keys, (list, tuple)) else [sort_keys]
+        cols = [_as_col(k) for k in keys]
+        inv = [c.desc() if ascending else c.asc() for c in cols]
+        fwd = [c.asc() if ascending else c.desc() for c in cols]
+        return Table(self._df.orderBy(*inv).limit(n).orderBy(*fwd), self._name)
+
+    def sample(self, frac: float | None = None, n: int | None = None,
+               seed: int | None = None):
+        """Random sample (blaze/expr/collections.py:319-356).  frac ->
+        df.sample (scan-local, scale-free); exact-n -> order by rand, limit
+        (reference SQL strategy blaze/compute/sql.py:1046-1052 — a top-k at
+        scale, not a full sort)."""
+        if frac is not None:
+            return Table(self._df.sample(fraction=frac, seed=seed), self._name)
+        if n is not None:
+            return Table(self._df.orderBy(F.rand(seed)).limit(n), self._name)
+        raise ValueError("sample needs frac or n")
+
+    def distinct(self, on=None, keep_first_by=None):
+        """Dedup (blaze/expr/collections.py:176-252).  ``on`` keeps first row
+        per key — pandas semantics.  Spark's dropDuplicates keeps an
+        ARBITRARY row, so deterministic keep-first needs an explicit order:
+        row_number() window (SURVEY.md §4.4)."""
+        if on is None:
+            return Table(self._df.distinct(), self._name)
+        on = on if isinstance(on, (list, tuple)) else [on]
+        if keep_first_by is None:
+            return Table(self._df.dropDuplicates(list(on)), self._name)
+        order = keep_first_by if isinstance(keep_first_by, (list, tuple)) else [keep_first_by]
+        w = Window.partitionBy(*[_as_col(c) for c in on]).orderBy(
+            *[_as_col(c) for c in order])
+        return Table(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"),
+            self._name,
+        )
+
+    # -- whole-table Python escape hatch (Apply:
+    #    blaze/expr/expressions.py:754-791; splittable=True == per-partition,
+    #    RDD mapPartitions in reference blaze/compute/spark.py:120-128) ------
+    def apply(self, fn: Callable, schema: str | T.StructType,
+              splittable: bool = True):
+        """fn: pandas.DataFrame -> pandas.DataFrame per Arrow batch.
+        splittable=True -> mapInPandas (distributed); False -> single
+        partition first (whole-collection semantics)."""
+        df = self._df if splittable else self._df.coalesce(1)
+
+        def _gen(batches):
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return Table(df.mapInPandas(_gen, schema=schema), self._name)
+
+    # -- reductions over whole table -----------------------------------------
+    def count(self) -> "Reduction":
+        return Reduction(self, F.count(F.lit(1)), "count")
+
+    def nrows(self) -> int:
+        return self._df.count()
+
+    def __len__(self):
+        # interactive __len__ -> count() (blaze/interactive.py:167-175)
+        return self._df.count()
+
+    # -- caching (CachedDataset: blaze/cached.py:17-58) ------------------------
+    def cache(self):
+        return Table(self._df.cache(), self._name)
+
+    def persist(self, *a, **k):
+        return Table(self._df.persist(*a, **k), self._name)
+
+    # -- execution / interop (odo/into: blaze/compute/core.py:370-382) ---------
+    def compute(self):
+        """Materialize to pandas (the reference's 'core' return type,
+        blaze/compute/core.py:541-562)."""
+        return self._df.toPandas()
+
+    to_pandas = compute
+
+    def peek(self, n: int = 10):
+        """repr/peek computes head(n) only (blaze/interactive.py:35-141)."""
+        return self._df.limit(n).toPandas()
+
+    def into(self, target: str, fmt: str = "parquet", mode: str = "overwrite",
+             **options):
+        """Materialize to a sink (odo(expr, target) analogue)."""
+        self._df.write.format(fmt).mode(mode).options(**options).save(target)
+        return target
+
+    def explain(self, mode: str = "formatted"):
+        return self._df.explain(mode)
+
+    def hint(self, name: str, *params):
+        """Planner hint passthrough (e.g. 'broadcast') — scale knob."""
+        return Table(self._df.hint(name, *params), self._name)
+
+    def repartition(self, *args):
+        return Table(self._df.repartition(*args), self._name)
+
+
+# ---------------------------------------------------------------------------
+# free functions (the reference's expression constructors)
+# ---------------------------------------------------------------------------
+
+def _as_col(v) -> Column:
+    if isinstance(v, ColExpr):
+        return v.col
+    if isinstance(v, Reduction):
+        return v.col
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):
+        return F.col(v)
+    return F.lit(v)
+
+
+def _cols(v) -> list[Column]:
+    if isinstance(v, (list, tuple)):
+        return [_as_col(x) for x in v]
+    return [_as_col(v)]
+
+
+def by(grouper, **reductions: Reduction) -> Table:
+    """Split-apply-combine (reference By:
+    blaze/expr/split_apply_combine.py:28-88).  Schema = grouper fields then
+    apply fields.  Lowered to groupBy().agg() — Catalyst plans map-side
+    partial aggregation + shuffle + final merge (the reference's split()
+    algebra, blaze/expr/split.py:83-276, for free)."""
+    if isinstance(grouper, ColExpr):
+        table, gcols = grouper._table, [grouper.col.alias(grouper.name)]
+    elif isinstance(grouper, (list, tuple)):
+        table = grouper[0]._table
+        gcols = [g.col.alias(g.name) for g in grouper]
+    elif isinstance(grouper, Table):
+        table, gcols = grouper, [F.col(c) for c in grouper.columns]
+    else:
+        raise TypeError("grouper must be ColExpr, list thereof, or Table")
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    return Table(table.df.groupBy(*gcols).agg(*aggs))
+
+
+def count_values(col: ColExpr, sort: bool = True) -> Table:
+    """Value counts desc (blaze/expr/split_apply_combine.py:91-101)."""
+    out = col._table.df.groupBy(col.col.alias(col.name)).agg(
+        F.count(F.lit(1)).alias("count"))
+    if sort:
+        out = out.orderBy(F.col("count").desc())
+    return Table(out)
+
+
+def summary(**reductions: Reduction) -> Table:
+    """Named multi-reduction record (blaze/expr/reductions.py:226-296)."""
+    first = next(iter(reductions.values()))
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    return Table(first._table.df.agg(*aggs))
+
+
+def merge(*cols, **named) -> Table:
+    """Zip columns side by side (blaze/expr/collections.py:377-500)."""
+    all_exprs = list(cols) + [c.label(n) for n, c in named.items()]
+    table = next(e._table for e in all_exprs if isinstance(e, ColExpr))
+    sel = []
+    for e in all_exprs:
+        if isinstance(e, ColExpr):
+            sel.append(e.col.alias(e.name))
+        elif isinstance(e, Table):
+            sel.extend(F.col(c) for c in e.columns)
+    return Table(table.df.select(*sel))
+
+
+def transform(t: Table, **cols) -> Table:
+    return t.transform(**cols)
+
+
+def coalesce(*exprs) -> ColExpr:
+    """SQL COALESCE (blaze/expr/expressions.py:876-933); Catalyst
+    constant-folds the known-null/non-null cases the reference special-cased."""
+    first = next(e for e in exprs if isinstance(e, ColExpr))
+    return first._make(F.coalesce(*[_as_col(e) for e in exprs]), "coalesce", None)
+
+
+def shift(col: ColExpr, n: int, order_by, partition_by=None) -> ColExpr:
+    return col.shift(n, order_by, partition_by)
+
+
+def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
+         how: str = "inner", suffixes: tuple[str, str] = ("_left", "_right"),
+         broadcast: bool | None = None) -> Table:
+    """Equi-join with the reference's schema algorithm
+    (blaze/expr/collections.py:612-771):
+
+    - default keys = sorted shared columns (collections.py:727-730)
+    - key dtypes must promote (collections.py:753-762) — checked eagerly
+    - output column order: keys, left non-keys, right non-keys
+    - non-key collisions suffixed ``_left``/``_right`` (collections.py:671-679)
+    - outer sides become nullable (optionification is automatic in Spark)
+
+    ``how`` extends the reference's {inner,left,right,outer} with Spark-free
+    semi/anti/cross (SURVEY.md §2.3 extensions).  ``broadcast=True`` hints
+    the small side — at 100 TB the dimension side of a star join must
+    broadcast, not shuffle; when None, AQE/Catalyst decides from stats.
+    """
+    if on_left is None:
+        on_left = sorted(set(lhs.columns) & set(rhs.columns))
+        if not on_left:
+            raise ValueError("no shared columns to join on")
+    if isinstance(on_left, str):
+        on_left = [on_left]
+    if on_right is None:
+        on_right = list(on_left)
+    if isinstance(on_right, str):
+        on_right = [on_right]
+    if len(on_left) != len(on_right):
+        raise ValueError("join key lists must have equal length")
+
+    how_map = {"inner": "inner", "left": "left", "right": "right",
+               "outer": "full", "full": "full", "semi": "left_semi",
+               "anti": "left_anti", "cross": "cross"}
+    if how not in how_map:
+        raise ValueError(f"unsupported join type: {how}")
+    spark_how = how_map[how]
+
+    # eager key-type promotion check (collections.py:753-762)
+    for lk, rk in zip(on_left, on_right):
+        lt = lhs.schema[lk].dataType
+        rt = rhs.schema[rk].dataType
+        if _s.is_numeric(lt) and _s.is_numeric(rt):
+            _s.promote(lt, rt)
+        else:
+            _s.check_comparable(lt, rt)
+
+    ldf, rdf = lhs.df.alias("__l"), rhs.df.alias("__r")
+    if broadcast:
+        rdf = F.broadcast(rdf)
+    cond = None
+    for lk, rk in zip(on_left, on_right):
+        c = F.col(f"__l.{lk}") == F.col(f"__r.{rk}")
+        cond = c if cond is None else (cond & c)
+    joined = ldf.join(rdf, cond, spark_how)
+
+    if spark_how in ("left_semi", "left_anti"):
+        return Table(joined)
+
+    # assemble output schema: keys (promoted/coalesced), then left non-key,
+    # then right non-key, with _left/_right suffixes on collisions
+    lnk = [c for c in lhs.columns if c not in on_left]
+    rnk = [c for c in rhs.columns if c not in on_right]
+    out = []
+    for lk, rk in zip(on_left, on_right):
+        if spark_how == "full":
+            out.append(F.coalesce(F.col(f"__l.{lk}"), F.col(f"__r.{rk}")).alias(lk))
+        elif spark_how == "right":
+            out.append(F.col(f"__r.{rk}").alias(lk))
+        else:
+            out.append(F.col(f"__l.{lk}").alias(lk))
+    for c in lnk:
+        name = c + suffixes[0] if c in rnk else c
+        out.append(F.col(f"__l.{c}").alias(name))
+    for c in rnk:
+        name = c + suffixes[1] if c in lnk else c
+        out.append(F.col(f"__r.{c}").alias(name))
+    return Table(joined.select(*out))
+
+
+def concat(lhs: Table, rhs: Table, *more: Table) -> Table:
+    """Vertical stack == UNION ALL (blaze/expr/collections.py:776-865;
+    SQL lowering blaze/compute/sql.py:309-317).  Equal measure enforced by
+    unionByName's analysis."""
+    out = lhs.df.unionByName(rhs.df)
+    for t in more:
+        out = out.unionByName(t.df)
+    return Table(out)
+
+
+_SIMPLE_DTYPES = {
+    "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+    "int64": T.LongType(), "int": T.LongType(),
+    "float32": T.FloatType(), "float64": T.DoubleType(), "real": T.DoubleType(),
+    "bool": T.BooleanType(), "string": T.StringType(), "str": T.StringType(),
+    "date": T.DateType(), "datetime": T.TimestampType(),
+    # unsigned ints widen (no unsigned in Spark — SURVEY.md §1.2)
+    "uint8": T.ShortType(), "uint16": T.IntegerType(), "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+}
+
+
+def _parse_dtype(s: str) -> T.DataType:
+    s = s.strip()
+    opt = s.startswith("?")
+    if opt:
+        s = s[1:]
+    if s in _SIMPLE_DTYPES:
+        return _SIMPLE_DTYPES[s]
+    # fall back to Spark DDL ("decimal(10,2)", "array<float>", ...)
+    return T._parse_datatype_string(s)  # type: ignore[attr-defined]

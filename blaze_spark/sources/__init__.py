@@ -1,0 +1,101 @@
+"""Sources & sinks: ``data()`` — the reference's resource/URI entry point
+(blaze/expr/literal.py:125-243; odo URI dispatch).
+
+URI-style strings resolve by extension/scheme; schema discovery is Spark's
+reader inference (the reference delegates to ``odo.discover``,
+blaze/expr/literal.py:166-198) with optional explicit ``schema=`` override.
+
+Scale notes: parquet/orc readers give Catalyst column pruning + predicate
+pushdown + partition pruning for free; CSV/JSON get projection pushdown.
+``spark.read.jdbc`` covers the reference's SQLAlchemy sources
+(blaze/compute/sql.py); HDF5/bcolz/PyTables chunked stores map to
+parquet/ORC (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core import Table
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".avro": "avro",
+    ".txt": "text",
+}
+
+
+def _infer_format(uri: str) -> str:
+    low = uri.lower().rstrip("/")
+    for ext, fmt in _EXT_FORMAT.items():
+        if low.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def data(source: Any, *, spark: SparkSession | None = None,
+         schema=None, fmt: str | None = None, name: str | None = None,
+         **options) -> Table:
+    """Bind a resource to a leaf (reference ``data()``/``literal``:
+    blaze/expr/literal.py:125-243).
+
+    Accepts:
+      - a path/URI string (format inferred from extension; override ``fmt``)
+      - ``jdbc:...`` URIs with ``dbtable=`` option (SQL sources)
+      - a ``pyspark.sql.DataFrame``
+      - a list of rows / pandas DataFrame (``spark.createDataFrame``)
+    """
+    if isinstance(source, Table):
+        return source
+    if isinstance(source, DataFrame):
+        return Table(source, name)
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession; pass spark=")
+
+    if isinstance(source, str):
+        if source.startswith("jdbc:"):
+            reader = spark.read.format("jdbc").option("url", source)
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            return Table(reader.load(), name)
+        f = fmt or _infer_format(source)
+        reader = spark.read.format(f)
+        if f == "csv":
+            options.setdefault("header", "true")
+            if schema is None:
+                options.setdefault("inferSchema", "true")
+            if source.lower().endswith(".tsv"):
+                options.setdefault("sep", "\t")
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return Table(reader.load(source), name or _basename(source))
+
+    # in-memory rows / pandas
+    return Table(spark.createDataFrame(source, schema=schema), name)
+
+
+def _basename(path: str) -> str:
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.split(".", 1)[0]
+
+
+def load_star(spark: SparkSession, sf_dir: str,
+              tables=("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings")) -> dict[str, Table]:
+    """Load the driver's TPC-H-ish star schema (TESTDATA.md) as Tables."""
+    return {t: data(f"{sf_dir}/{t}.parquet", spark=spark, name=t)
+            for t in tables}

@@ -1,0 +1,250 @@
+"""Core expression layer tests — modeled on the reference's canonical
+fixtures and assertions (blaze/compute/tests/test_pandas_compute.py,
+test_spark.py; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from blaze_spark import by, coalesce, concat, count_values, join, merge, summary
+
+
+def rows(t):
+    return sorted(tuple(r) for r in t.df.collect())
+
+
+# -- projection / selection -------------------------------------------------
+
+def test_field_access(t):
+    assert t.name.dtype == T.StringType()
+    assert rows(t[["name"]]) == [("Alice",), ("Alice",), ("Bob",)]
+
+
+def test_projection(t):
+    p = t[["name", "amount"]]
+    assert p.columns == ["name", "amount"]
+
+
+def test_selection(t):
+    assert rows(t[t.amount > 100]) == [("Bob", 200, 2)]
+
+
+def test_selection_requires_boolean(t):
+    with pytest.raises(TypeError):
+        t[t.amount + 1]
+
+
+def test_drop_field(t):
+    assert t.drop_field("id").columns == ["name", "amount"]
+
+
+def test_relabel(t):
+    assert t.relabel(name="person").columns == ["person", "amount", "id"]
+
+
+def test_transform(t):
+    t2 = t.transform(double=t.amount * 2)
+    assert rows(t2[["double"]]) == [(100,), (200,), (400,)]
+
+
+# -- arithmetic & promotion ---------------------------------------------------
+
+def test_div_is_float(t):
+    # int / int -> float (blaze/expr/arithmetic.py:189-196)
+    out = t.transform(r=t.amount / t.id)
+    assert dict(out.df.dtypes)["r"] == "double"
+
+
+def test_floordiv_stays_int(t):
+    # int // int keeps integer type (blaze/expr/arithmetic.py:199-210)
+    out = t.transform(r=t.amount // 7)
+    assert dict(out.df.dtypes)["r"] == "int"
+    assert rows(out[["r"]]) == [(7,), (14,), (28,)]
+
+
+def test_comparison_type_check(t):
+    with pytest.raises(TypeError):
+        _ = t.amount > t.name
+
+
+# -- reductions ----------------------------------------------------------------
+
+def test_sum_widens(t):
+    assert t.amount.sum().compute() == 350
+    assert t.amount.sum().to_table().schema[0].dataType == T.LongType()
+
+
+def test_mean_var_std_ddof0(t):
+    # default biased / ddof=0, NumPy convention (blaze/expr/reductions.py:138-191)
+    import numpy as np
+
+    vals = np.array([100, 200, 50])
+    assert t.amount.mean().compute() == pytest.approx(vals.mean())
+    assert t.amount.var().compute() == pytest.approx(vals.var())
+    assert t.amount.std().compute() == pytest.approx(vals.std())
+    assert t.amount.var(unbiased=True).compute() == pytest.approx(vals.var(ddof=1))
+
+
+def test_count_nonnull(spark):
+    from blaze_spark import data
+
+    nt = data([("a", 1), ("b", None), ("c", 3)], spark=spark,
+              schema="k string, v int")
+    assert nt.v.count().compute() == 2  # non-null (reductions.py:194-197)
+    assert nt.v.nelements().compute() == 3  # incl. nulls
+
+
+def test_nunique_any_all(t):
+    assert t.name.nunique().compute() == 2
+    assert (t.amount > 150).any().compute() is True
+    assert (t.amount > 150).all().compute() is False
+
+
+def test_summary(t):
+    out = summary(total=t.amount.sum(), n=t.amount.count()).compute()
+    assert out.iloc[0]["total"] == 350
+    assert out.iloc[0]["n"] == 3
+
+
+def test_vnorm(t):
+    import numpy as np
+
+    assert t.amount.vnorm(2).compute() == pytest.approx(
+        np.linalg.norm([100, 200, 50]))
+
+
+# -- by / count_values ---------------------------------------------------------
+
+def test_by(t):
+    out = by(t.name, total=t.amount.sum())
+    assert rows(out) == [("Alice", 150), ("Bob", 200)]
+
+
+def test_by_expression_grouper(t):
+    out = by((t.amount > 100).label("big"), n=t.amount.count())
+    assert rows(out) == [(False, 2), (True, 1)]
+
+
+def test_count_values(t):
+    out = count_values(t.name)
+    assert rows(out) == [("Alice", 2), ("Bob", 1)]
+
+
+# -- join ------------------------------------------------------------------------
+
+def test_join_default_keys(t, cities):
+    out = join(t, cities)
+    # column order: keys, left non-key, right non-key (collections.py:612-687)
+    assert out.columns == ["name", "amount", "id", "city"]
+    assert rows(out[["name", "city"]]) == [
+        ("Alice", "Austin"), ("Alice", "Austin"), ("Bob", "Boston")]
+
+
+def test_join_left_outer(spark, t):
+    from blaze_spark import data
+
+    part = data([("Alice", "x")], spark=spark, schema="name string, tag string")
+    out = join(t, part, "name", how="left")
+    got = rows(out[["name", "tag"]])
+    assert ("Bob", None) in got
+
+
+def test_join_semi_anti(t, cities):
+    semi = join(t, cities[cities.city == "Austin"], "name", how="semi")
+    assert {r[0] for r in rows(semi)} == {"Alice"}
+    anti = join(t, cities[cities.city == "Austin"], "name", how="anti")
+    assert {r[0] for r in rows(anti)} == {"Bob"}
+
+
+def test_join_suffixes(spark, t):
+    from blaze_spark import data
+
+    other = data([("Alice", 1)], spark=spark, schema="name string, amount int")
+    out = join(t, other, "name")
+    assert out.columns == ["name", "amount_left", "id", "amount_right"]
+
+
+# -- sort / head / tail / distinct / sample / slice -----------------------------
+
+def test_sort_head(t):
+    out = t.sort(t.amount, ascending=False).head(1)
+    assert rows(out) == [("Bob", 200, 2)]
+
+
+def test_tail(t):
+    out = t.tail(1, sort_keys="amount")
+    assert rows(out) == [("Bob", 200, 2)]
+
+
+def test_distinct(t):
+    assert len(t[["name"]].distinct()) == 2
+
+
+def test_distinct_on_keep_first(t):
+    out = t.distinct(on="name", keep_first_by="id")
+    assert rows(out) == [("Alice", 100, 1), ("Bob", 200, 2)]
+
+
+def test_slice(t):
+    sliced = t.sort(t.id)[1:3]
+    assert len(sliced) == 2
+
+
+def test_sample(t):
+    assert len(t.sample(n=2)) == 2
+    assert 0 <= len(t.sample(frac=0.5, seed=1)) <= 3
+
+
+# -- concat / isin / coalesce ----------------------------------------------------
+
+def test_concat(t):
+    assert len(concat(t, t)) == 6
+
+
+def test_isin(t):
+    assert len(t[t.name.isin(["Bob"])]) == 1
+
+
+def test_coalesce(spark):
+    from blaze_spark import data
+
+    nt = data([(None, 1), ("b", 2)], spark=spark, schema="k string, v int")
+    out = nt.transform(k2=coalesce(nt.k, nt.v.coerce("string")))
+    assert rows(out[["k2"]]) == [("1",), ("b",)]
+
+
+# -- merge / shift -----------------------------------------------------------------
+
+def test_merge(t):
+    out = merge(t.name, z=t.amount + t.id)
+    assert out.columns == ["name", "z"]
+
+
+def test_shift(t):
+    out = t.transform(prev=t.amount.shift(1, order_by=t.id))
+    assert rows(out[["id", "prev"]]) == [(1, None), (2, 100), (3, 200)]
+
+
+# -- map / apply -------------------------------------------------------------------
+
+def test_map_pandas_udf(t):
+    out = t.transform(m=t.amount.map(lambda x: x * 2 + 1, "int64"))
+    assert rows(out[["m"]]) == [(101,), (201,), (401,)]
+
+
+def test_apply_mapinpandas(t):
+    out = t.apply(lambda pdf: pdf[pdf.amount > 60][["name"]],
+                  schema="name string")
+    assert {r[0] for r in rows(out)} == {"Alice", "Bob"}
+
+
+# -- interactive --------------------------------------------------------------------
+
+def test_len_and_peek(t):
+    assert len(t) == 3
+    assert len(t.peek(2)) == 2
+
+
+def test_dshape_repr(t):
+    assert "name: string" in t.dshape

@@ -1,0 +1,168 @@
+"""String / datetime / math function tests (SURVEY.md §2.7).
+
+Semantics asserted against Python/pandas ground truth, mirroring the
+reference's per-backend operator tests (blaze/compute/tests/)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from blaze_spark.functions import math as M  # noqa: N812
+
+
+@pytest.fixture(scope="module")
+def st(spark):
+    from blaze_spark import data
+
+    return data(
+        [(" Alice Smith ", "a1b2", "hello world"),
+         ("BOB", "123", "Spam And Eggs")],
+        spark=spark,
+        schema="raw string, code string, phrase string",
+        name="st",
+    )
+
+
+@pytest.fixture(scope="module")
+def dtt(spark):
+    from blaze_spark import data
+
+    return data(
+        [(1, dt.datetime(2024, 3, 4, 10, 30, 45)),   # a Monday
+         (2, dt.datetime(2024, 12, 31, 23, 59, 59))],
+        spark=spark,
+        schema="id int, ts timestamp",
+        name="dtt",
+    )
+
+
+def one(t, expr, name="r"):
+    return t.transform(**{name: expr})[[name]].df.collect()
+
+
+def col(t, expr):
+    return [r[0] for r in one(t, expr)]
+
+
+# -- strings -------------------------------------------------------------------
+
+def test_str_basics(st):
+    assert col(st, st.raw.str.strip()) == ["Alice Smith", "BOB"]
+    assert col(st, st.raw.str.len()) == [13, 3]
+    assert col(st, st.raw.str.upper()) == [" ALICE SMITH ", "BOB"]
+    assert col(st, st.raw.str.lower()) == [" alice smith ", "bob"]
+    assert col(st, st.phrase.str.capitalize()) == ["Hello world", "Spam and eggs"]
+
+
+def test_str_predicates(st):
+    assert col(st, st.code.str.isalnum()) == [True, True]
+    assert col(st, st.code.str.isdigit()) == [False, True]
+    assert col(st, st.phrase.str.istitle()) == [False, True]
+
+
+def test_str_find(st):
+    # 0-based, -1 absent (blaze/compute/sql.py:1324-1327 strpos-1)
+    assert col(st, st.phrase.str.find("world")) == [6, -1]
+
+
+def test_str_replace_pad_slice(st):
+    assert col(st, st.phrase.str.replace("o", "0")) == [
+        "hell0 w0rld", "Spam And Eggs"]
+    assert col(st, st.code.str.pad(6, "left", "0")) == ["00a1b2", "000123"]
+    assert col(st, st.phrase.str.slice(0, 5)) == ["hello", "Spam "]
+    assert col(st, st.phrase.str[2:4]) == ["ll", "am"]
+
+
+def test_str_cat_null_propagates(spark):
+    from blaze_spark import data
+
+    nt = data([("a", None), ("b", "x")], spark=spark,
+              schema="l string, r string", name="nt")
+    # reference StrCat propagates null (blaze/expr/strings.py:222-288)
+    assert col(nt, nt.l.str.cat(nt.r, sep="-")) == [None, "b-x"]
+
+
+def test_like_glob(st):
+    assert col(st, st.phrase.like("hello*")) == [True, False]
+
+
+# -- datetime --------------------------------------------------------------------
+
+def test_dt_parts(dtt):
+    assert col(dtt, dtt.ts.dt.year()) == [2024, 2024]
+    assert col(dtt, dtt.ts.dt.month()) == [3, 12]
+    assert col(dtt, dtt.ts.dt.day()) == [4, 31]
+    assert col(dtt, dtt.ts.dt.hour()) == [10, 23]
+    assert col(dtt, dtt.ts.dt.quarter()) == [1, 4]
+
+
+def test_dayofweek_monday0(dtt):
+    # 2024-03-04 is a Monday -> 0; 2024-12-31 is a Tuesday -> 1
+    assert col(dtt, dtt.ts.dt.dayofweek()) == [0, 1]
+
+
+def test_dt_flags(dtt):
+    assert col(dtt, dtt.ts.dt.is_year_end()) == [False, True]
+    assert col(dtt, dtt.ts.dt.is_month_start()) == [False, False]
+    assert col(dtt, dtt.ts.dt.daysinmonth()) == [31, 31]
+
+
+def test_strftime(dtt):
+    assert col(dtt, dtt.ts.dt.strftime("%Y-%m-%d %H:%M")) == [
+        "2024-03-04 10:30", "2024-12-31 23:59"]
+
+
+def test_truncate_multiunit(dtt):
+    got = col(dtt, dtt.ts.dt.truncate(10, "minutes"))
+    assert got[0] == dt.datetime(2024, 3, 4, 10, 30)
+    assert got[1] == dt.datetime(2024, 12, 31, 23, 50)
+
+
+def test_truncate_month_returns_date(dtt):
+    got = col(dtt, dtt.ts.dt.truncate(1, "month"))
+    assert got == [dt.date(2024, 3, 1), dt.date(2024, 12, 1)]
+
+
+def test_dt_accessor_rejects_nondatetime(dtt):
+    with pytest.raises(TypeError):
+        dtt.id.dt  # noqa: B018
+
+
+# -- math -----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mt(spark):
+    from blaze_spark import data
+
+    return data([(4.0, -2.5), (9.0, 3.5)], spark=spark,
+                schema="x double, y double", name="mt")
+
+
+def test_math_unary(mt):
+    assert col(mt, M.sqrt(mt.x)) == [2.0, 3.0]
+    assert col(mt, M.abs_(mt.y)) == [2.5, 3.5]
+    got = col(mt, M.log(mt.x))
+    assert got[0] == pytest.approx(math.log(4.0))
+
+
+def test_math_intvalued(mt):
+    assert col(mt, M.floor(mt.y)) == [-3, 3]
+    assert col(mt, M.ceil(mt.y)) == [-2, 4]
+    assert col(mt, M.trunc(mt.y)) == [-2, 3]
+
+
+def test_math_binary(mt):
+    assert col(mt, M.copysign(mt.x, mt.y)) == [-4.0, 9.0]
+    assert col(mt, M.hypot(mt.x, mt.y))[1] == pytest.approx(math.hypot(9.0, 3.5))
+    assert col(mt, M.ldexp(mt.x, 2)) == [16.0, 36.0]
+    assert col(mt, M.greatest(mt.x, mt.y)) == [4.0, 9.0]
+    assert col(mt, M.least(mt.x, mt.y)) == [-2.5, 3.5]
+
+
+def test_truncate_precision(mt):
+    # x // p * p (blaze/expr/math.py:123-135)
+    assert col(mt, M.truncate(mt.y, 0.5)) == [-2.5, 3.5]
+    assert col(mt, M.truncate(mt.x + 0.3, 2)) == [4.0, 8.0]
