@@ -1,38 +1,937 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship TPC-H-Q1-style query at sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+(plus the LLM-pipeline extensions).  Each callable takes (spark, sf_dir)
+and returns a DataFrame built through the ``blaze_spark`` engine.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents.  Non-SQL-
+expressible ops (MinHash/SimHash LSH, random sampling, hyperplane LSH)
+have no oracle entry and get the driver's rows-only check.
+
+Conventions keeping the value-hash compare meaningful:
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (the two engines
+  sum doubles in different orders; rounding removes ulp noise);
+- integer widths are aligned (DuckDB sum(int)->hugeint is cast to BIGINT,
+  year()->BIGINT cast to INT, matching Spark's natural types);
+- timestamps are projected as DATE or formatted strings, never raw
+  (the events table is nanosecond-precision parquet; Spark scans it at
+  microsecond precision).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from blaze_spark import (  # noqa: E402
+    Table,
+    by,
+    coalesce,
+    concat,
+    count_values,
+    data,
+    join,
+    rollup,
+    summary,
+)
+from blaze_spark.pipeline import (  # noqa: E402
+    cosine_topk,
+    exact_dedup,
+    fingerprint,
+    language_id,
+    lsh_cosine_topk,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    normalized_dedup,
+    quality_features,
+    simhash_candidates,
+    token_stats,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
+    return data(f"{sf_dir}/{name}.parquet", spark=spark, name=name)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary via the engine at sf0.001."""
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (By/Reduction/Join/Sort/Head families)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li[li.l_shipdate <= "2000-12-01"]
+    out = by(
+        [f.l_returnflag, f.l_linestatus],
+        sum_qty=f.l_quantity.sum(),
+        sum_base_price=f.l_extendedprice.sum(),
+        sum_disc_price=(f.l_extendedprice * (1 - f.l_discount)).sum(),
+        avg_qty=f.l_quantity.mean(),
+        avg_price=f.l_extendedprice.mean(),
+        avg_disc=f.l_discount.mean(),
+        count_order=f.l_quantity.nelements(),
+    )
+    return out.transform(
+        sum_qty=out.sum_qty,
+        sum_base_price=F.round(out.sum_base_price.col, 2),
+        sum_disc_price=F.round(out.sum_disc_price.col, 4),
+        avg_qty=F.round(out.avg_qty.col, 4),
+        avg_price=F.round(out.avg_price.col, 4),
+        avg_disc=F.round(out.avg_disc.col, 4),
+    ).df
+
+
+def q03_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cf = c[c.c_mktsegment == "BUILDING"]
+    of = o[o.o_orderdate < "1998-03-15"]
+    lf = li[li.l_shipdate > "1998-03-15"]
+    j = join(join(cf, of, "c_custkey", "o_custkey"), lf,
+             "o_orderkey", "l_orderkey", broadcast=False)
+    g = by(
+        [j.o_orderkey, j.o_orderdate.dt.date().label("orderdate")],
+        revenue=(j.l_extendedprice * (1 - j.l_discount)).sum(),
+    )
+    top = g.transform(revenue=F.round(g.revenue.col, 4)).sort(
+        F.col("revenue").desc(), F.col("o_orderkey")).head(10)
+    return top.df
+
+
+def q05_local_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rf = r[r.r_name == "ASIA"]
+    j = join(n, rf, "n_regionkey", "r_regionkey", broadcast=True)
+    j = join(c, j, "c_nationkey", "n_nationkey", broadcast=True)
+    of = o[(o.o_orderdate >= "1996-01-01") & (o.o_orderdate < "1997-01-01")]
+    j = join(of, j, "o_custkey", "c_custkey")
+    j = join(li, j, "l_orderkey", "o_orderkey")
+    j = join(j, _suppkeyed(s), on_left=["l_suppkey", "c_nationkey"],
+             on_right=["s_suppkey", "s_nationkey"], broadcast=True)
+    g = by([j.n_name], revenue=(j.l_extendedprice * (1 - j.l_discount)).sum())
+    return g.transform(revenue=F.round(g.revenue.col, 4)).df
+
+
+def _suppkeyed(s):
+    return s
+
+
+def q06_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")
+           & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+           & (li.l_quantity < 24)]
+    out = summary(revenue=(f.l_extendedprice * f.l_discount).sum())
+    return out.transform(revenue=F.round(out.revenue.col, 4)).df
+
+
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    lf = li[li.l_returnflag == "R"]
+    j = join(lf, o, "l_orderkey", "o_orderkey")
+    j = join(j, c, "o_custkey", "c_custkey")
+    j = join(j, n, "c_nationkey", "n_nationkey", broadcast=True)
+    # joined key column takes the left name (o_custkey) — relabel back
+    g = by([j.o_custkey.label("c_custkey"), j.c_name, j.n_name],
+           revenue=(j.l_extendedprice * (1 - j.l_discount)).sum())
+    top = g.transform(revenue=F.round(g.revenue.col, 4)).sort(
+        F.col("revenue").desc(), F.col("c_custkey")).head(20)
+    return top.df
+
+
+# ---------------------------------------------------------------------------
+# projection / selection / row ops
+# ---------------------------------------------------------------------------
+
+def projection_selection(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    big = o[o.o_totalprice > 450000.0][["o_orderkey", "o_totalprice",
+                                        "o_orderstatus"]]
+    return big.transform(o_totalprice=F.round(F.col("o_totalprice"), 2)).df
+
+
+def transform_arithmetic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li[li.l_orderkey <= 50]
+    out = f.transform(
+        # round at/above the value's intrinsic decimal count: rounding below
+        # it creates exact .5 half-way cases where engines' rounding differs
+        charge=F.round((f.l_extendedprice * (1 - f.l_discount)
+                        * (1 + f.l_tax)).col, 6),
+        price_per_unit=F.round((f.l_extendedprice / f.l_quantity).col, 8),
+        qty_bucket=(f.l_quantity.coerce("int64") // 10).col,
+    )
+    return out[["l_orderkey", "l_linenumber", "charge", "price_per_unit",
+                "qty_bucket"]].df
+
+
+def intdiv_mod_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = by(
+        [(o.o_orderkey % 97).label("bucket")],
+        n=o.o_orderkey.nelements(),
+        ksum=(o.o_orderkey // 100).sum(),
+    )
+    return g.df
+
+
+def relabel_drop(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    out = c.relabel(c_name="customer_name", c_acctbal="balance") \
+        .drop_field("c_nationkey", "c_mktsegment")
+    f = out[out.balance > 9000.0]
+    return f.transform(balance=F.round(F.col("balance"), 2)).df
+
+
+def coalesce_fill(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # synthesize nulls deterministically: clear priority of odd orderkeys
+    withnull = o.transform(
+        prio=F.when(F.col("o_orderkey") % 2 == 1, None)
+        .otherwise(F.col("o_orderpriority")))
+    out = by(
+        [coalesce(withnull.prio, withnull.o_orderstatus).label("prio_or_status")],
+        n=withnull.o_orderkey.nelements(),
+    )
+    return out.df
+
+
+# ---------------------------------------------------------------------------
+# sort / head / tail / distinct / slice
+# ---------------------------------------------------------------------------
+
+def topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = o.sort(F.col("o_totalprice").desc(), F.col("o_orderkey")).head(25)
+    return top[["o_orderkey", "o_totalprice"]].transform(
+        o_totalprice=F.round(F.col("o_totalprice"), 2)).df
+
+
+def tail_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    # tail of a descending sort == 25 smallest (reference Tail rewrite:
+    # inverted sort -> head; blaze/compute/sql.py:1523-1546)
+    bottom = o.tail(25, sort_keys=["o_totalprice", "o_orderkey"],
+                    ascending=False)
+    return bottom.transform(o_totalprice=F.round(F.col("o_totalprice"), 2)).df
+
+
+def slice_offset(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    sl = o.sort(F.col("o_orderkey"))[100:150]
+    return sl[["o_orderkey", "o_custkey"]].df
+
+
+def distinct_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c[["c_mktsegment"]].distinct().df
+
+
+def first_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.distinct(on="o_custkey",
+                        keep_first_by=["o_orderdate", "o_orderkey"])
+    out = firsts[["o_custkey", "o_orderkey"]]
+    return out.df
+
+
+# ---------------------------------------------------------------------------
+# set ops / membership
+# ---------------------------------------------------------------------------
+
+def concat_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o[o.o_orderstatus == "F"][["o_orderkey", "o_orderstatus"]]
+    b = o[o.o_orderstatus == "O"][["o_orderkey", "o_orderstatus"]]
+    u = concat(a, b)
+    return by([u.o_orderstatus], n=u.o_orderkey.nelements()).df
+
+
+def isin_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = join(c, n, "c_nationkey", "n_nationkey", broadcast=True)
+    f = j[j.n_name.isin(["NATION_1", "NATION_7", "NATION_13", "NATION_24"])]
+    return by([f.n_name], n=f.c_custkey.nelements()).df
+
+
+# ---------------------------------------------------------------------------
+# aggregation families
+# ---------------------------------------------------------------------------
+
+def summary_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = summary(
+        sum_qty=li.l_quantity.sum(),
+        avg_price=li.l_extendedprice.mean(),
+        n_orders=li.l_orderkey.nunique(),
+        n_rows=li.l_orderkey.nelements(),
+        var_qty=li.l_quantity.var(),
+        std_qty=li.l_quantity.std(),
+    )
+    return out.transform(
+        avg_price=F.round(F.col("avg_price"), 4),
+        var_qty=F.round(F.col("var_qty"), 4),
+        std_qty=F.round(F.col("std_qty"), 4),
+    ).df
+
+
+def count_values_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return count_values(e.event_type).df
+
+
+def nunique_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    g = by([e.event_type],
+           users=e.user_id.nunique(),
+           n=e.event_id.nelements(),
+           total_value=e.value.sum())
+    return g.transform(total_value=F.round(F.col("total_value"), 2)).df
+
+
+def anyall_priorities(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return by(
+        [o.o_orderpriority],
+        any_big=(o.o_totalprice > 450000.0).any(),
+        all_positive=(o.o_totalprice > 1000.0).all(),
+    ).df
+
+
+def rollup_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = join(join(c, n, "c_nationkey", "n_nationkey", broadcast=True),
+             r, "n_regionkey", "r_regionkey", broadcast=True)
+    out = rollup([j.r_name, j.n_name],
+                 total_bal=j.c_acctbal.sum(),
+                 n=j.c_custkey.nelements())
+    return out.transform(total_bal=F.round(F.col("total_bal"), 2)).df
+
+
+# ---------------------------------------------------------------------------
+# join variants
+# ---------------------------------------------------------------------------
+
+def left_join_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"]
+    per_cust = by([urgent.o_custkey], n_urgent=urgent.o_orderkey.nelements())
+    j = join(c[["c_custkey"]], per_cust, "c_custkey", "o_custkey", how="left")
+    out = j.transform(n_urgent=F.coalesce(F.col("n_urgent"), F.lit(0)))
+    return out[["c_custkey", "n_urgent"]].df
+
+
+def semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"][["o_custkey"]]
+    s = join(c, urgent, "c_custkey", "o_custkey", how="semi")
+    return by([s.c_mktsegment], n=s.c_custkey.nelements()).df
+
+
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"][["o_custkey"]]
+    a = join(c, urgent, "c_custkey", "o_custkey", how="anti")
+    return a[["c_custkey", "c_mktsegment"]].df
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+def math_parts(spark, sf_dir):
+    from blaze_spark.functions import math as M
+
+    p = _t(spark, sf_dir, "part")
+    f = p[p.p_partkey <= 200]
+    out = f.transform(
+        sqrt_price=F.round(M.sqrt(f.p_retailprice).col, 4),
+        log_price=F.round(M.log(f.p_retailprice).col, 4),
+        ceil_price=M.ceil(f.p_retailprice).col,
+        abs_size=M.abs_(f.p_size - 25).col,
+    )
+    return out[["p_partkey", "sqrt_price", "log_price", "ceil_price",
+                "abs_size"]].df
+
+
+def string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    f = c[c.c_custkey <= 200]
+    out = f.transform(
+        upper_name=f.c_name.str.upper().col,
+        name_len=f.c_name.str.len().col,
+        first5=f.c_name.str.slice(0, 5).col,
+        tagged=f.c_name.str.cat(f.c_mktsegment, sep="-").col,
+        zero_pos=f.c_name.str.find("0").col,
+        stripped=f.c_name.str.replace("Customer#", "").col,
+    )
+    return out[["c_custkey", "upper_name", "name_len", "first5", "tagged",
+                "zero_pos", "stripped"]].df
+
+
+def like_glob_filter(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    f = c[c.c_name.like("*007*")]
+    return f[["c_custkey", "c_name"]].df
+
+
+def datetime_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o[o.o_orderkey <= 100]
+    out = f.transform(
+        y=f.o_orderdate.dt.year().col,
+        m=f.o_orderdate.dt.month().col,
+        d=f.o_orderdate.dt.day().col,
+        q=f.o_orderdate.dt.quarter().col,
+        dow=f.o_orderdate.dt.dayofweek().col,
+        doy=f.o_orderdate.dt.dayofyear().col,
+    )
+    return out[["o_orderkey", "y", "m", "d", "q", "dow", "doy"]].df
+
+
+def monthly_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = by([o.o_orderdate.dt.truncate(1, "month").label("month_start")],
+           n=o.o_orderkey.nelements(),
+           total=o.o_totalprice.sum())
+    return g.transform(total=F.round(F.col("total"), 2)).df
+
+
+def strftime_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = by([o.o_orderdate.dt.strftime("%Y-%m").label("ym")],
+           n=o.o_orderkey.nelements())
+    return g.df
+
+
+def json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = e.transform(k=F.get_json_object(F.col("props"), "$.k").cast("long"))
+    g = by([k.event_type], k_sum=k.k.sum(), k_max=k.k.max())
+    return g.df
+
+
+# ---------------------------------------------------------------------------
+# windowed / order-dependent ops
+# ---------------------------------------------------------------------------
+
+def lag_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 50]
+    out = f.transform(
+        prev_value=F.round(
+            f.value.shift(1, order_by="event_id", partition_by="user_id").col, 4),
+    )
+    out = out.transform(
+        delta=F.round(F.col("value") - F.col("prev_value"), 4),
+        value=F.round(F.col("value"), 4),
+    )
+    return out[["event_id", "user_id", "value", "prev_value", "delta"]].df
+
+
+def running_total_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 50]
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = f.transform(running=F.round(F.sum("value").over(w), 4))
+    return out[["event_id", "user_id", "running"]].df
+
+
+# ---------------------------------------------------------------------------
+# UDF escape hatches (Map / Apply) — pandas-UDF lowered
+# ---------------------------------------------------------------------------
+
+def map_udf_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li[li.l_orderkey <= 50]
+    out = f.transform(m=f.l_quantity.map(lambda x: x * 2 + 1, "float64"))
+    return out[["l_orderkey", "l_linenumber", "m"]].df
+
+
+def apply_batch_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+
+    def _batch(pdf):
+        sub = pdf[pdf.n_chars > 200]
+        return sub.assign(text_len=sub.text.str.len().astype("int32"))[
+            ["doc_id", "text_len"]]
+
+    return d.apply(_batch, schema="doc_id long, text_len int").df
+
+
+# ---------------------------------------------------------------------------
+# sampling (rows-only check: nondeterministic across engines)
+# ---------------------------------------------------------------------------
+
+def sample_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.sample(n=100, seed=42)[["o_orderkey", "o_totalprice"]].df
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).df
+
+
+def dedup_normalized_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return normalized_dedup(d).df
+
+
+def dedup_minhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(d, num_perm=32, bands=8).df
+
+
+def dedup_minhash_verified(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, num_perm=32, bands=8)
+    return ngram_jaccard_pairs(d, cand).df
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3).df
+
+
+def text_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = language_id(d)
+    return by([out.pred_lang], n=out.doc_id.nelements()).df
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = quality_features(d)
+    return out[["doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+                "stopword_ratio", "quality"]].df
+
+
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d, group_col="lang").df
+
+
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d)[["doc_id", "fingerprint"]].df
+
+
+def embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = Table(e.df.filter(F.col("vec_id") < 5))
+    return cosine_topk(e, queries, k=5).df
+
+
+def embedding_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = Table(e.df.filter(F.col("vec_id") < 5))
+    return lsh_cosine_topk(e, queries, k=5, n_planes=6).df
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_local_supplier": q05_local_supplier,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q10_returned_items": q10_returned_items,
+        "projection_selection": projection_selection,
+        "transform_arithmetic": transform_arithmetic,
+        "intdiv_mod_buckets": intdiv_mod_buckets,
+        "relabel_drop": relabel_drop,
+        "coalesce_fill": coalesce_fill,
+        "topk_orders": topk_orders,
+        "tail_orders": tail_orders,
+        "slice_offset": slice_offset,
+        "distinct_segments": distinct_segments,
+        "first_order_per_customer": first_order_per_customer,
+        "concat_union": concat_union,
+        "isin_nations": isin_nations,
+        "summary_lineitem": summary_lineitem,
+        "count_values_events": count_values_events,
+        "nunique_users": nunique_users,
+        "anyall_priorities": anyall_priorities,
+        "rollup_nation_revenue": rollup_nation_revenue,
+        "left_join_counts": left_join_counts,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "math_parts": math_parts,
+        "string_funcs": string_funcs,
+        "like_glob_filter": like_glob_filter,
+        "datetime_parts": datetime_parts,
+        "monthly_orders": monthly_orders,
+        "strftime_buckets": strftime_buckets,
+        "json_extract_events": json_extract_events,
+        "lag_events": lag_events,
+        "running_total_events": running_total_events,
+        "map_udf_quantity": map_udf_quantity,
+        "apply_batch_filter": apply_batch_filter,
+        "sample_orders": sample_orders,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_normalized_docs": dedup_normalized_docs,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_simhash_docs": dedup_simhash_docs,
+        "text_language_id": text_language_id,
+        "text_quality": text_quality,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+        "embedding_topk": embedding_topk,
+        "embedding_lsh_topk": embedding_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = r"\b(the|and|of|to|in|is)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_shipping_priority": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q05_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+                        JOIN customer ON c_nationkey = n_nationkey
+                        JOIN orders ON o_custkey = c_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+                        JOIN supplier ON s_suppkey = l_suppkey
+                                     AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q06_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "projection_selection": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_totalprice > 450000.0
+        """,
+        "transform_arithmetic": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+                   round(l_extendedprice / l_quantity, 8) AS price_per_unit,
+                   CAST(l_quantity AS BIGINT) // 10 AS qty_bucket
+            FROM lineitem WHERE l_orderkey <= 50
+        """,
+        "intdiv_mod_buckets": """
+            SELECT o_orderkey % 97 AS bucket,
+                   count(*) AS n,
+                   CAST(sum(o_orderkey // 100) AS BIGINT) AS ksum
+            FROM orders GROUP BY o_orderkey % 97
+        """,
+        "relabel_drop": """
+            SELECT c_custkey, c_name AS customer_name,
+                   round(c_acctbal, 2) AS balance
+            FROM customer WHERE c_acctbal > 9000.0
+        """,
+        "coalesce_fill": """
+            SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                                 ELSE o_orderpriority END,
+                            o_orderstatus) AS prio_or_status,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+        "tail_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 25
+        """,
+        "slice_offset": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "first_order_per_customer": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "concat_union": """
+            SELECT o_orderstatus, count(*) AS n FROM (
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+            ) GROUP BY o_orderstatus
+        """,
+        "isin_nations": """
+            SELECT n_name, count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1','NATION_7','NATION_13','NATION_24')
+            GROUP BY n_name
+        """,
+        "summary_lineitem": """
+            SELECT sum(l_quantity) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(*) AS n_rows,
+                   round(var_pop(l_quantity), 4) AS var_qty,
+                   round(stddev_pop(l_quantity), 4) AS std_qty
+            FROM lineitem
+        """,
+        "count_values_events": """
+            SELECT event_type, count(*) AS count
+            FROM events GROUP BY event_type
+        """,
+        "nunique_users": """
+            SELECT event_type, count(DISTINCT user_id) AS users,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "anyall_priorities": """
+            SELECT o_orderpriority,
+                   bool_or(o_totalprice > 450000.0) AS any_big,
+                   bool_and(o_totalprice > 1000.0) AS all_positive
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_nation_revenue": """
+            SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+                   count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "left_join_counts": """
+            SELECT c_custkey, coalesce(n_urgent, 0) AS n_urgent
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_urgent FROM orders
+                WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+            ) ON c_custkey = o_custkey
+        """,
+        "semi_join_customers": """
+            SELECT c_mktsegment, count(*) AS n FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "math_parts": """
+            SELECT p_partkey,
+                   round(sqrt(p_retailprice), 4) AS sqrt_price,
+                   round(ln(p_retailprice), 4) AS log_price,
+                   CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+                   abs(p_size - 25) AS abs_size
+            FROM part WHERE p_partkey <= 200
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   upper(c_name) AS upper_name,
+                   CAST(length(c_name) AS INT) AS name_len,
+                   substr(c_name, 1, 5) AS first5,
+                   c_name || '-' || c_mktsegment AS tagged,
+                   CAST(strpos(c_name, '0') AS INT) - 1 AS zero_pos,
+                   replace(c_name, 'Customer#', '') AS stripped
+            FROM customer WHERE c_custkey <= 200
+        """,
+        "like_glob_filter": """
+            SELECT c_custkey, c_name FROM customer WHERE c_name LIKE '%007%'
+        """,
+        "datetime_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(day(o_orderdate) AS INT) AS d,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+                   CAST(dayofyear(o_orderdate) AS INT) AS doy
+            FROM orders WHERE o_orderkey <= 100
+        """,
+        "monthly_orders": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "strftime_buckets": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+                   CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+            FROM events GROUP BY event_type
+        """,
+        "lag_events": """
+            SELECT event_id, user_id, round(value, 4) AS value,
+                   round(lag(value) OVER w, 4) AS prev_value,
+                   round(value - lag(value) OVER w, 4) AS delta
+            FROM events WHERE user_id <= 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "running_total_events": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+            FROM events WHERE user_id <= 50
+        """,
+        "map_udf_quantity": """
+            SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS m
+            FROM lineitem WHERE l_orderkey <= 50
+        """,
+        "apply_batch_filter": """
+            SELECT doc_id, CAST(length(text) AS INT) AS text_len
+            FROM documents WHERE n_chars > 200
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_normalized_docs": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "text_language_id": f"""
+            SELECT pred_lang, count(*) AS n FROM (
+                SELECT CASE
+                    WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                    WHEN de >= fr AND de > 0 THEN 'de'
+                    WHEN fr > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+                FROM (
+                    SELECT text,
+                        len(regexp_extract_all(lower(text), '{_EN}')) AS en,
+                        len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|y|en)\\b')) AS es,
+                        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+                        len(regexp_extract_all(lower(text), '\\b(le|les|et|des|est|une)\\b')) AS fr
+                    FROM documents)
+            ) GROUP BY pred_lang
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                   round(length(text) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
+                   round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) / length(text), 4) AS punct_ratio,
+                   round(len(regexp_extract_all(lower(text), '{_EN}')) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio,
+                   round((1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) / length(text))
+                         * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0), 4) AS quality
+            FROM documents
+        """,
+        "text_token_stats": """
+            SELECT lang,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(avg(nt), 4) AS avg_tokens,
+                   CAST(sum(nst) AS BIGINT) AS total_subtokens
+            FROM (
+                SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS nst
+                FROM documents)
+            GROUP BY lang
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+    }

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a count-collect (df.count()) so the full
+plan executes without driver-side row transfer dominating the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the TPC-H-shaped queries + heavy pipeline operators
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q06_revenue_forecast",
+    "q10_returned_items",
+    "summary_lineitem",
+    "rollup_nation_revenue",
+    "first_order_per_customer",
+    "lag_events",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "embedding_topk",
+    "text_quality",
+    "text_token_stats",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("blaze_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        # warm the reader metadata once, then time the execution
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "blaze_spark_headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

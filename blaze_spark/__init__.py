@@ -21,8 +21,10 @@ from .core import (  # noqa: F401
     coalesce,
     concat,
     count_values,
+    cube,
     join,
     merge,
+    rollup,
     shift,
     summary,
     transform,

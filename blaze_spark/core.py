@@ -38,6 +38,8 @@ __all__ = [
     "concat",
     "coalesce",
     "shift",
+    "rollup",
+    "cube",
 ]
 
 
@@ -631,6 +633,23 @@ def count_values(col: ColExpr, sort: bool = True) -> Table:
     if sort:
         out = out.orderBy(F.col("count").desc())
     return Table(out)
+
+
+def rollup(groupers, **reductions: Reduction) -> Table:
+    """Hierarchical grouping-sets aggregation — EXTENSION beyond the
+    reference (SURVEY.md §2.4: no cube/rollup in blaze; Spark has it free)."""
+    table = groupers[0]._table
+    gcols = [g.col.alias(g.name) for g in groupers]
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    return Table(table.df.rollup(*gcols).agg(*aggs))
+
+
+def cube(groupers, **reductions: Reduction) -> Table:
+    """All grouping-sets combinations — EXTENSION (SURVEY.md §2.4)."""
+    table = groupers[0]._table
+    gcols = [g.col.alias(g.name) for g in groupers]
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    return Table(table.df.cube(*gcols).agg(*aggs))
 
 
 def summary(**reductions: Reduction) -> Table:

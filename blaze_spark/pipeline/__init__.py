@@ -1,0 +1,34 @@
+"""Large-scale training-data pipeline operators — EXTENSIONS beyond the
+reference surface (BASELINE.json north_star): deduplication, similarity
+search, text analysis, multimodal column plumbing.
+
+All hot paths are JVM-side higher-order functions (transform/aggregate/
+zip_with) over arrays — no per-row Python.  Python appears only in the
+multimodal decode stubs (mapInPandas, Arrow-batched), where a real
+deployment would call image/audio codecs.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    normalized_dedup,
+    minhash_signatures,
+    minhash_candidates,
+    simhash,
+    simhash_candidates,
+    ngram_jaccard_pairs,
+)
+from .similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from .text import (  # noqa: F401
+    language_id,
+    quality_features,
+    token_stats,
+    fingerprint,
+)
+from .multimodal import (  # noqa: F401
+    IMAGE_SCHEMA,
+    AUDIO_SCHEMA,
+    attach_fake_binary,
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)

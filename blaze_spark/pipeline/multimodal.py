@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is stubbed:
+``decode_images(fake=True)`` produces deterministic fake pixels derived
+from the bytes; ``fake=False`` raises ``NotImplementedError`` where a real
+deployment would call PIL/libvips.  Everything around the stub — schemas,
+partition-preserving batch iteration, UDF signatures, output shapes — is
+real Spark plumbing and is tested.
+
+Scale notes: binary payloads dominate partition size, so
+``spark.sql.files.maxPartitionBytes`` should size scan partitions by bytes
+not rows; decode parallelism == partition count; feature extraction keeps
+the binary column OUT of its output (never carry payloads past the stage
+that needs them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("content", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+])
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("content", T.BinaryType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+def attach_fake_binary(t: Table, id_col: str = "doc_id",
+                       n_bytes: int = 256) -> Table:
+    """Deterministic fake payload column (sha-based bytes from the id) so
+    the binary pipeline is exercisable without real media files."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256)
+    body = F.repeat(payload, (n_bytes // 64) + 1)
+    return Table(
+        t.df.withColumn(
+            "image",
+            F.struct(
+                F.encode(F.substring(body, 1, n_bytes), "UTF-8").alias("content"),
+                (F.pmod(F.col(id_col), 512) + 32).cast("int").alias("width"),
+                (F.pmod(F.col(id_col) * 7, 512) + 32).cast("int").alias("height"),
+                F.lit("png").alias("format"),
+            ),
+        ),
+        t._name,
+    )
+
+
+def decode_images(t: Table, image_col: str = "image", id_col: str = "doc_id",
+                  fake: bool = True) -> Table:
+    """Decode binary -> (id, width, height, mean_intensity).  Arrow-batched
+    mapInPandas; one batch per Arrow chunk, partition-parallel."""
+    out_schema = (f"{id_col} long, width int, height int, "
+                  "mean_intensity double")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips — not in this container")
+            img = pdf[image_col]
+            # deterministic fake decode: mean byte value of the payload
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": [s["width"] for s in img],
+                "height": [s["height"] for s in img],
+                "mean_intensity": [
+                    float(sum(s["content"]) / max(len(s["content"]), 1))
+                    for s in img
+                ],
+            })
+
+    return Table(t.df.select(id_col, image_col).mapInPandas(_decode, out_schema),
+                 t._name)
+
+
+def extract_image_features(t: Table, image_col: str = "image",
+                           id_col: str = "doc_id", dim: int = 16) -> Table:
+    """Feature-extraction stub: deterministic pseudo-embedding from a sha256
+    of the payload (stands in for a vision-encoder pandas UDF).  Output
+    drops the binary column immediately — payloads never cross the next
+    shuffle."""
+    out_schema = f"{id_col} long, features array<float>"
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for s in pdf[image_col]:
+                digest = hashlib.sha256(bytes(s["content"])).digest()
+                feats.append([b / 255.0 for b in digest[:dim]])
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return Table(t.df.select(id_col, image_col).mapInPandas(_feat, out_schema),
+                 t._name)
+
+
+def sample_video_frames(t: Table, video_col: str = "video",
+                        id_col: str = "doc_id", every_ms: int = 1000,
+                        fake: bool = True) -> Table:
+    """Frame-sampling stub: emits (id, frame_idx, ts_ms) rows per sampled
+    frame.  Real decoding would use pyav/ffmpeg; the Spark-side shape —
+    one input row fanning out to N frame rows via mapInPandas — is real."""
+    out_schema = f"{id_col} long, frame_idx int, ts_ms long"
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real video decode requires ffmpeg")
+            rows = {"doc": [], "idx": [], "ts": []}
+            for did, dur in zip(pdf[id_col], pdf["duration_ms"]):
+                n = max(1, int(dur) // every_ms)
+                for i in range(n):
+                    rows["doc"].append(did)
+                    rows["idx"].append(i)
+                    rows["ts"].append(i * every_ms)
+            yield pd.DataFrame({id_col: rows["doc"], "frame_idx": rows["idx"],
+                                "ts_ms": rows["ts"]})
+
+    cols = [id_col, "duration_ms"]
+    return Table(t.df.select(*cols).mapInPandas(_frames, out_schema), t._name)

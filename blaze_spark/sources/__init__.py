@@ -70,6 +70,22 @@ def data(source: Any, *, spark: SparkSession | None = None,
                 reader = reader.option(k, v)
             return Table(reader.load(), name)
         f = fmt or _infer_format(source)
+        if f == "parquet":
+            ns_cols = _nanos_timestamp_cols(source)
+            if ns_cols:
+                # Spark cannot scan TIMESTAMP(NANOS) parquet; read the raw
+                # int64 nanos (legacy conf) and convert to microsecond
+                # timestamps scan-side.  Metadata-only footer sniff, no data
+                # read; conversion is a codegen'd projection.
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                from pyspark.sql import functions as F
+
+                df = spark.read.format("parquet").load(source)
+                df = df.withColumns({
+                    c: F.timestamp_micros((df[c] / 1000).cast("long"))
+                    for c in ns_cols
+                })
+                return Table(df, name or _basename(source))
         reader = spark.read.format(f)
         if f == "csv":
             options.setdefault("header", "true")
@@ -85,6 +101,29 @@ def data(source: Any, *, spark: SparkSession | None = None,
 
     # in-memory rows / pandas
     return Table(spark.createDataFrame(source, schema=schema), name)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer sniff only."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            files = glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                return []
+            target = files[0]
+        schema = pq.read_schema(target)
+        import pyarrow as pa
+
+        return [n for n, typ in zip(schema.names, schema.types)
+                if pa.types.is_timestamp(typ) and typ.unit == "ns"]
+    except Exception:
+        return []
 
 
 def _basename(path: str) -> str:

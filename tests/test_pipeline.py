@@ -1,0 +1,220 @@
+"""Tests for the LLM-data-pipeline operators (dedup / similarity / text /
+multimodal) on the driver's documents+embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark.pipeline import (
+    attach_fake_binary,
+    cosine_topk,
+    decode_images,
+    exact_dedup,
+    extract_image_features,
+    fingerprint,
+    language_id,
+    lsh_cosine_topk,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalized_dedup,
+    quality_features,
+    sample_video_frames,
+    simhash,
+    simhash_candidates,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(star):
+    return star["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(star):
+    return star["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents plus exact copies of 3 docs (new ids) — guarantees the
+    dedup operators have something to find."""
+    from blaze_spark import Table, concat
+    from pyspark.sql import functions as F
+
+    copies = Table(
+        docs.df.filter(F.col("doc_id") < 3)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return concat(docs, copies)
+
+
+def test_exact_dedup(docs_with_dups):
+    out = exact_dedup(docs_with_dups).df
+    dups = out.filter(out.n_copies > 1).collect()
+    assert len(dups) == 3
+    assert all(r.keeper_id < 3 for r in dups)
+
+
+def test_normalized_dedup_catches_case_change(spark, docs):
+    from blaze_spark import Table, concat
+    from pyspark.sql import functions as F
+
+    shouty = Table(
+        docs.df.filter(F.col("doc_id") < 2)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.upper(F.col("text")))
+    )
+    both = concat(docs, shouty)
+    assert exact_dedup(both).df.filter("n_copies > 1").count() == 0
+    assert normalized_dedup(both).df.filter("n_copies > 1").count() == 2
+
+
+def test_minhash_signature_shape(docs):
+    row = minhash_signatures(docs, num_perm=16).df.first()
+    assert len(row.signature) == 16
+
+
+def test_minhash_finds_exact_dups(docs_with_dups):
+    pairs = minhash_candidates(docs_with_dups, num_perm=16, bands=4).df.collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for i in range(3):
+        assert (i, i + 100000) in found
+    # exact copies have est_jaccard 1.0
+    byp = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    assert all(byp[(i, i + 100000)] == 1.0 for i in range(3))
+
+
+def test_ngram_jaccard_verifies(docs_with_dups):
+    cand = minhash_candidates(docs_with_dups, num_perm=16, bands=4)
+    verified = ngram_jaccard_pairs(docs_with_dups, cand).df.collect()
+    byp = {(r.doc_a, r.doc_b): r.jaccard for r in verified}
+    assert all(byp[(i, i + 100000)] == 1.0 for i in range(3))
+
+
+def test_simhash_dups_have_zero_hamming(docs_with_dups):
+    pairs = simhash_candidates(docs_with_dups, max_hamming=3).df.collect()
+    byp = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    for i in range(3):
+        assert byp.get((i, i + 100000)) == 0
+
+
+def test_simhash_values_stable(docs):
+    a = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash(docs).df.collect()}
+    b = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash(docs).df.collect()}
+    assert a == b
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in a.values())
+
+
+def test_cosine_topk(emb):
+    from blaze_spark import Table
+
+    queries = Table(emb.df.filter("vec_id < 3"))
+    out = cosine_topk(emb, queries, k=5).df.collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert -1.001 <= r.cosine <= 1.001
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+    from blaze_spark import Table
+
+    rows = emb.df.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items() if vid != 0
+    }
+    expected = sorted(sims, key=lambda k: (-sims[k], k))[:5]
+
+    queries = Table(emb.df.filter("vec_id = 0"))
+    got = [r.neighbor_id for r in
+           cosine_topk(emb, queries, k=5).df.orderBy("cosine", ascending=False).collect()]
+    assert set(got) == set(expected)
+
+
+def test_lsh_cosine_topk_runs(emb):
+    from blaze_spark import Table
+
+    queries = Table(emb.df.filter("vec_id < 3"))
+    out = lsh_cosine_topk(emb, queries, k=3, n_planes=4).df.collect()
+    # buckets may drop some neighbors (approximate); shape constraints hold
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert len(out) > 0
+
+
+def test_language_id_deterministic(docs):
+    out = language_id(docs).df
+    counts = {r.pred_lang: r.cnt for r in
+              out.groupBy("pred_lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert sum(counts.values()) == docs.df.count()
+    # vocabulary is English-ish word salad -> 'en' dominates
+    assert counts.get("en", 0) > 0
+
+
+def test_quality_features(docs):
+    row = quality_features(docs).df.first()
+    assert row.n_tokens > 0
+    assert 0 <= row.punct_ratio <= 1
+    assert 0 <= row.quality <= 1
+
+
+def test_token_stats_grouped(docs):
+    out = token_stats(docs, group_col="lang").df.collect()
+    assert {r.lang for r in out} == {"en", "es", "de", "fr", "zh"}
+    assert all(r.total_tokens > 0 for r in out)
+    assert all(r.total_subtokens >= r.total_tokens for r in out)
+
+
+def test_fingerprint_stable_under_case(spark):
+    from blaze_spark import data
+
+    t = data([(1, "Hello, World"), (2, "hello world"), (3, "different")],
+             spark=spark, schema="doc_id long, text string")
+    out = {r.doc_id: r.fingerprint for r in fingerprint(t).df.collect()}
+    assert out[1] == out[2] != out[3]
+
+
+# -- multimodal plumbing -------------------------------------------------------
+
+def test_image_pipeline(docs):
+    withbin = attach_fake_binary(docs.head(20))
+    assert "image" in withbin.columns
+    decoded = decode_images(withbin).df.collect()
+    assert len(decoded) == 20
+    assert all(r.mean_intensity > 0 for r in decoded)
+    assert all(32 <= r.width < 544 for r in decoded)
+
+
+def test_image_features_shape(docs):
+    withbin = attach_fake_binary(docs.head(5))
+    feats = extract_image_features(withbin, dim=8).df.collect()
+    assert all(len(r.features) == 8 for r in feats)
+    # binary column dropped from output
+    assert "image" not in extract_image_features(withbin).columns
+
+
+def test_real_decode_raises(docs):
+    withbin = attach_fake_binary(docs.head(2))
+    with pytest.raises(Exception):
+        decode_images(withbin, fake=False).df.collect()
+
+
+def test_video_frame_sampling(spark):
+    from blaze_spark import data
+
+    t = data([(1, 3500), (2, 900)], spark=spark,
+             schema="doc_id long, duration_ms long")
+    out = sample_video_frames(t).df.collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.ts_ms)
+    assert sorted(per_doc[1]) == [0, 1000, 2000]
+    assert per_doc[2] == [0]
