@@ -441,6 +441,104 @@ def json_extract_events(spark, sf_dir):
     return g.df
 
 
+def vnorm_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = summary(l2=li.l_quantity.vnorm(2), l1=li.l_quantity.vnorm(1))
+    return out.transform(l2=F.round(F.col("l2"), 4),
+                         l1=F.round(F.col("l1"), 4)).df
+
+
+def count_nonnull_semantics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # synthesize nulls: price only for even orderkeys; count() is NON-NULL
+    # count (blaze/expr/reductions.py:194-197), nelements counts all rows
+    t = o.transform(maybe_price=F.when(F.col("o_orderkey") % 2 == 0,
+                                       F.col("o_totalprice")))
+    g = by([t.o_orderstatus],
+           n_nonnull=t.maybe_price.count(),
+           n_rows=t.maybe_price.nelements(),
+           n_null=t.maybe_price.isnull().coerce("int64").sum())
+    return g.df
+
+
+def ship_latency(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = join(li, o, "l_orderkey", "o_orderkey")
+    lat = j.transform(lat_days=F.datediff(F.col("l_shipdate"),
+                                          F.col("o_orderdate")))
+    g = by([lat.o_orderpriority],
+           avg_latency=lat.lat_days.mean(),
+           max_latency=lat.lat_days.max())
+    return g.transform(avg_latency=F.round(F.col("avg_latency"), 4)).df
+
+
+def trunc_10min_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    b = e.transform(
+        bucket_epoch=(F.floor(F.unix_timestamp(F.col("ts")) / 600) * 600)
+        .cast("long"))
+    g = by([b.bucket_epoch], n=b.event_id.nelements())
+    f = g[g.n >= 5]
+    return f.df
+
+
+def string_predicates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = d[d.doc_id <= 100]
+    out = f.transform(
+        starts_key=f.text.str.startswith("key").col,
+        has_spark=f.text.str.contains("spark").col,
+        capped=f.text.str.slice(0, 20).col,
+        padded_lang=f.lang.str.pad(5, "right", "_").col,
+    )
+    return out[["doc_id", "starts_key", "has_spark", "capped",
+                "padded_lang"]].df
+
+
+def merge_columns(spark, sf_dir):
+    from blaze_spark import merge
+
+    s = _t(spark, sf_dir, "supplier")
+    # round before the int cast: Spark's double->long cast truncates toward
+    # zero while DuckDB's rounds; round(…, 0) first makes them agree
+    cents = (s.s_acctbal * 100)
+    out = merge(s.s_suppkey, s.s_name,
+                bal_cents=cents._make(F.round(cents.col, 0).cast("long"),
+                                      "bal_cents"))
+    return out.df
+
+
+def cube_order_stats(spark, sf_dir):
+    from blaze_spark import cube
+
+    o = _t(spark, sf_dir, "orders")
+    out = cube([o.o_orderstatus, o.o_orderpriority],
+               n=o.o_orderkey.nelements(),
+               total=o.o_totalprice.sum())
+    return out.transform(total=F.round(F.col("total"), 2)).df
+
+
+def rank_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    f = o[o.o_custkey <= 100]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    out = f.transform(rk=F.row_number().over(w))
+    top3 = out[out.rk <= 3]
+    return top3[["o_custkey", "o_orderkey", "rk"]].df
+
+
+def union_distinct_regions(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n[n.n_regionkey <= 2][["n_regionkey"]]
+    b = n[n.n_regionkey >= 1][["n_regionkey"]]
+    u = concat(a, b).distinct()
+    return u.df
+
+
 # ---------------------------------------------------------------------------
 # windowed / order-dependent ops
 # ---------------------------------------------------------------------------
@@ -604,6 +702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
         "json_extract_events": json_extract_events,
+        "vnorm_quantity": vnorm_quantity,
+        "count_nonnull_semantics": count_nonnull_semantics,
+        "ship_latency": ship_latency,
+        "trunc_10min_buckets": trunc_10min_buckets,
+        "string_predicates": string_predicates,
+        "merge_columns": merge_columns,
+        "cube_order_stats": cube_order_stats,
+        "rank_orders_per_customer": rank_orders_per_customer,
+        "union_distinct_regions": union_distinct_regions,
         "lag_events": lag_events,
         "running_total_events": running_total_events,
         "map_udf_quantity": map_udf_quantity,
@@ -843,6 +950,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
                    CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
             FROM events GROUP BY event_type
+        """,
+        "vnorm_quantity": """
+            SELECT round(sqrt(sum(l_quantity * l_quantity)), 4) AS l2,
+                   round(sum(abs(l_quantity)), 4) AS l1
+            FROM lineitem
+        """,
+        "count_nonnull_semantics": """
+            SELECT o_orderstatus,
+                   count(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END) AS n_nonnull,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_null
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "ship_latency": """
+            SELECT o_orderpriority,
+                   round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_latency,
+                   CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_latency
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "trunc_10min_buckets": """
+            SELECT bucket_epoch, count(*) AS n FROM (
+                SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_epoch
+                FROM events)
+            GROUP BY bucket_epoch HAVING count(*) >= 5
+        """,
+        "string_predicates": """
+            SELECT doc_id,
+                   starts_with(text, 'key') AS starts_key,
+                   contains(text, 'spark') AS has_spark,
+                   substr(text, 1, 20) AS capped,
+                   rpad(lang, 5, '_') AS padded_lang
+            FROM documents WHERE doc_id <= 100
+        """,
+        "merge_columns": """
+            SELECT s_suppkey, s_name,
+                   CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+            FROM supplier
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "rank_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+                FROM orders WHERE o_custkey <= 100)
+            WHERE rk <= 3
+        """,
+        "union_distinct_regions": """
+            SELECT DISTINCT n_regionkey FROM (
+                SELECT n_regionkey FROM nation WHERE n_regionkey <= 2
+                UNION ALL
+                SELECT n_regionkey FROM nation WHERE n_regionkey >= 1)
         """,
         "lag_events": """
             SELECT event_id, user_id, round(value, 4) AS value,

@@ -311,6 +311,18 @@ class ColExpr:
             f"{self._name}_vnorm",
         )
 
+    # -- FK hop: field access through a foreign-key column -------------------
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        fks = getattr(self._table, "_fks", {})
+        if self._name in fks:
+            ref, _ = fks[self._name]
+            if name in ref.columns:
+                joined = self._table.auto_join(f"{self._name}.{name}")
+                return joined[name]
+        raise AttributeError(name)
+
     # -- accessors ----------------------------------------------------------
     @property
     def str(self):
@@ -389,14 +401,66 @@ class Table:
     ``pyspark.sql.DataFrame`` plan; every method returns a new Table.
     Nothing executes until ``compute``/``peek``/``__len__``/``into``."""
 
-    def __init__(self, df: DataFrame, name: str | None = None):
+    def __init__(self, df: DataFrame, name: str | None = None,
+                 fks: dict | None = None):
         self._df = df
         self._name = name or "table"
+        # foreign-key registry: col -> (ref_table, ref_key).  The analogue
+        # of the reference's Map measure type (blaze/expr/collections.py:
+        # 720-721): field access through a FK auto-joins the referenced
+        # table (blaze/expr/expressions.py:188-193,236-244; SQL lowering
+        # blaze/compute/sql.py:272-276).
+        self._fks: dict = fks or {}
 
     # -- metadata -----------------------------------------------------------
     @property
     def df(self) -> DataFrame:
         return self._df
+
+    def _new(self, df: DataFrame) -> "Table":
+        """Subclass-preserving constructor (StreamTable ops stay streaming)."""
+        t = type(self)(df, self._name)
+        t._fks = dict(self._fks)
+        return t
+
+    # -- foreign keys (Map type: auto-join through a FK column) -------------
+    def with_fk(self, col: str, ref: "Table", ref_key: str) -> "Table":
+        """Declare ``col`` a foreign key into ``ref[ref_key]`` — the engine's
+        version of the reference's Map measure.  Enables ``auto_join`` and
+        attribute access through the key column."""
+        if col not in self.columns:
+            raise KeyError(col)
+        if ref_key not in ref.columns:
+            raise KeyError(ref_key)
+        t = self._new(self._df)
+        t._fks[col] = (ref, ref_key)
+        return t
+
+    def auto_join(self, *paths: str) -> "Table":
+        """Resolve ``"fk_col.ref_field"`` paths by broadcast-joining the
+        referenced dimension tables (dimensions broadcast: at 100 TB the
+        fact side never shuffles for a FK hop).  Adds the referenced fields
+        as columns."""
+        df = self._df
+        joined: set[str] = set()
+        adds: list[tuple[str, str]] = []
+        for p in paths:
+            fk_col, _, field = p.partition(".")
+            if fk_col not in self._fks:
+                raise KeyError(f"no foreign key declared on {fk_col}")
+            ref, ref_key = self._fks[fk_col]
+            if fk_col not in joined:
+                dim = ref.df.select(
+                    F.col(ref_key).alias(f"__fk_{fk_col}"),
+                    *[F.col(c) for c in ref.columns if c != ref_key])
+                df = df.join(F.broadcast(dim),
+                             df[fk_col] == dim[f"__fk_{fk_col}"], "left") \
+                    .drop(f"__fk_{fk_col}")
+                joined.add(fk_col)
+            adds.append((fk_col, field))
+        keep = list(self.columns) + [f for _, f in adds]
+        out = self._new(df.select(*dict.fromkeys(keep)))
+        return out
 
     @property
     def schema(self) -> T.StructType:
@@ -430,51 +494,48 @@ class Table:
             return self.__getattr__(key)
         if isinstance(key, (list, tuple)):
             # Projection (blaze/expr/expressions.py:403-456)
-            return Table(self._df.select(*key), self._name)
+            return self._new(self._df.select(*key))
         if isinstance(key, ColExpr):
             # Selection: predicate must be boolean
             # (blaze/expr/expressions.py:518-571)
             if not _s.is_boolean(key.dtype):
                 raise TypeError("selection predicate must be boolean")
-            return Table(self._df.filter(key.col), self._name)
+            return self._new(self._df.filter(key.col))
         if isinstance(key, slice):
             # Slice (blaze/expr/expressions.py:488-515): nondeterministic
             # without a preceding sort — same caveat the reference SQL
             # backend raises (blaze/compute/sql.py:1618-1652)
             start = key.start or 0
             if key.stop is None:
-                return Table(self._df.offset(start), self._name)
-            return Table(self._df.offset(start).limit(key.stop - start),
-                         self._name)
+                return self._new(self._df.offset(start))
+            return self._new(self._df.offset(start).limit(key.stop - start))
         raise TypeError(f"cannot index Table with {type(key)}")
 
     # -- projection-family ops -----------------------------------------------
     def drop_field(self, *names: str):
         """Complement projection (blaze/expr/expressions.py:982-1023)."""
-        return Table(self._df.drop(*names), self._name)
+        return self._new(self._df.drop(*names))
 
     def relabel(self, **renames: str):
         """Rename many (ReLabel: blaze/expr/expressions.py:615-692)."""
-        return Table(self._df.withColumnsRenamed(renames), self._name)
+        return self._new(self._df.withColumnsRenamed(renames))
 
     def transform(self, **cols):
         """Add/replace columns (blaze/expr/collections.py:503-537)."""
-        return Table(
-            self._df.withColumns({k: _as_col(v) for k, v in cols.items()}),
-            self._name,
-        )
+        return self._new(
+            self._df.withColumns({k: _as_col(v) for k, v in cols.items()}))
 
     # -- ordering / limiting (blaze/expr/collections.py:80-356) ---------------
     def sort(self, *keys, ascending: bool = True):
         cols = [_as_col(k) for k in keys] or [F.col(c) for c in self.columns]
         if not ascending:
             cols = [c.desc() for c in cols]
-        return Table(self._df.orderBy(*cols), self._name)
+        return self._new(self._df.orderBy(*cols))
 
     def head(self, n: int = 10):
         # with a preceding sort Catalyst plans TakeOrderedAndProject (top-k:
         # no global sort materialized) — exactly the scale-safe plan.
-        return Table(self._df.limit(n), self._name)
+        return self._new(self._df.limit(n))
 
     def tail(self, n: int = 10, sort_keys=None, ascending: bool = True):
         """Last n.  Reference rewrite: invert sort -> head -> re-sort
@@ -486,7 +547,7 @@ class Table:
         cols = [_as_col(k) for k in keys]
         inv = [c.desc() if ascending else c.asc() for c in cols]
         fwd = [c.asc() if ascending else c.desc() for c in cols]
-        return Table(self._df.orderBy(*inv).limit(n).orderBy(*fwd), self._name)
+        return self._new(self._df.orderBy(*inv).limit(n).orderBy(*fwd))
 
     def sample(self, frac: float | None = None, n: int | None = None,
                seed: int | None = None):
@@ -495,9 +556,9 @@ class Table:
         (reference SQL strategy blaze/compute/sql.py:1046-1052 — a top-k at
         scale, not a full sort)."""
         if frac is not None:
-            return Table(self._df.sample(fraction=frac, seed=seed), self._name)
+            return self._new(self._df.sample(fraction=frac, seed=seed))
         if n is not None:
-            return Table(self._df.orderBy(F.rand(seed)).limit(n), self._name)
+            return self._new(self._df.orderBy(F.rand(seed)).limit(n))
         raise ValueError("sample needs frac or n")
 
     def distinct(self, on=None, keep_first_by=None):
@@ -506,19 +567,17 @@ class Table:
         ARBITRARY row, so deterministic keep-first needs an explicit order:
         row_number() window (SURVEY.md §4.4)."""
         if on is None:
-            return Table(self._df.distinct(), self._name)
+            return self._new(self._df.distinct())
         on = on if isinstance(on, (list, tuple)) else [on]
         if keep_first_by is None:
-            return Table(self._df.dropDuplicates(list(on)), self._name)
+            return self._new(self._df.dropDuplicates(list(on)))
         order = keep_first_by if isinstance(keep_first_by, (list, tuple)) else [keep_first_by]
         w = Window.partitionBy(*[_as_col(c) for c in on]).orderBy(
             *[_as_col(c) for c in order])
-        return Table(
+        return self._new(
             self._df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn"),
-            self._name,
-        )
+            .drop("__rn"))
 
     # -- whole-table Python escape hatch (Apply:
     #    blaze/expr/expressions.py:754-791; splittable=True == per-partition,
@@ -536,7 +595,7 @@ class Table:
                 if out is not None and len(out):
                     yield out
 
-        return Table(df.mapInPandas(_gen, schema=schema), self._name)
+        return self._new(df.mapInPandas(_gen, schema=schema))
 
     # -- reductions over whole table -----------------------------------------
     def count(self) -> "Reduction":
@@ -551,10 +610,10 @@ class Table:
 
     # -- caching (CachedDataset: blaze/cached.py:17-58) ------------------------
     def cache(self):
-        return Table(self._df.cache(), self._name)
+        return self._new(self._df.cache())
 
     def persist(self, *a, **k):
-        return Table(self._df.persist(*a, **k), self._name)
+        return self._new(self._df.persist(*a, **k))
 
     # -- execution / interop (odo/into: blaze/compute/core.py:370-382) ---------
     def compute(self):
@@ -579,10 +638,10 @@ class Table:
 
     def hint(self, name: str, *params):
         """Planner hint passthrough (e.g. 'broadcast') — scale knob."""
-        return Table(self._df.hint(name, *params), self._name)
+        return self._new(self._df.hint(name, *params))
 
     def repartition(self, *args):
-        return Table(self._df.repartition(*args), self._name)
+        return self._new(self._df.repartition(*args))
 
 
 # ---------------------------------------------------------------------------

@@ -56,4 +56,9 @@ def uses_broadcast_join(t) -> bool:
 
 
 def codegen_stage_count(t) -> int:
-    return physical_plan(t).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen spans in the physical plan."""
+    import re
+
+    plan = physical_plan(t)
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    return len(ids)

@@ -1,0 +1,104 @@
+"""Structured Streaming surface tests: file stream -> windowed aggs ->
+memory sink with availableNow; results asserted against the equivalent
+batch computation (differential scheme, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.streaming import stream_data
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return stream_data(spark, f"{sf_dir}/events.parquet")
+
+
+def test_stream_tumbling_window_matches_batch(spark, sf_dir, events_stream):
+    st = (events_stream
+          .with_watermark("ts", "1 hour")
+          .by_window("ts", "6 hours",
+                     n=F.count(F.lit(1)),
+                     total=F.round(F.sum("value"), 4)))
+    st.to_memory("tumbling6h")
+    got = spark.table("tumbling6h").select(
+        F.col("window.start").alias("ws"), "n", "total").toPandas()
+
+    from blaze_spark import data
+
+    batch = data(f"{sf_dir}/events.parquet", spark=spark).df \
+        .groupBy(F.window("ts", "6 hours")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total")) \
+        .select(F.col("window.start").alias("ws"), "n", "total").toPandas()
+
+    g = got.sort_values("ws").reset_index(drop=True)
+    b = batch.sort_values("ws").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, b)
+
+
+def test_stream_sliding_window(spark, events_stream):
+    st = events_stream.by_window("ts", "12 hours", slide="6 hours",
+                                 n=F.count(F.lit(1)))
+    st.to_memory("sliding12h")
+    out = spark.table("sliding12h").toPandas()
+    assert len(out) > 0
+    assert out.n.sum() > 0
+
+
+def test_stream_session_window(spark, events_stream):
+    st = (events_stream
+          .with_watermark("ts", "1 hour")
+          .by_session("ts", "30 minutes", extra_keys=["user_id"],
+                      n=F.count(F.lit(1))))
+    st.to_memory("sessions", output_mode="append")
+    out = spark.table("sessions").toPandas()
+    assert len(out) > 0
+    assert (out.n >= 1).all()
+
+
+def test_stream_filter_transform_project(spark, events_stream):
+    st = events_stream[events_stream.event_type == "purchase"]
+    st = st.transform(v2=F.round(F.col("value") * 2, 4))
+    agg = st.by_window("ts", "24 hours", total_v2=F.sum("v2"))
+    agg.to_memory("purchases")
+    out = spark.table("purchases").toPandas()
+    assert len(out) > 0
+
+
+def test_stateful_apply_running_count(spark, events_stream):
+    """applyInPandasWithState: per-user running event count."""
+    import pandas as pd
+
+    def running_count(key, pdf_iter, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    limited = events_stream[events_stream.user_id <= 10]
+    st = limited.stateful_apply(
+        ["user_id"], running_count,
+        state_schema="n long", output_schema="user_id long, n_events long")
+    st.to_memory("running_counts", output_mode="update")
+    got = spark.table("running_counts").toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"user_id", "n_events"}
+    assert (got.n_events >= 1).all()
+
+
+def test_stream_parquet_sink(spark, sf_dir, tmp_path):
+    st = stream_data(spark, f"{sf_dir}/events.parquet")
+    flt = st[st.event_type == "error"]
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    flt.to_parquet(out_dir, ck)
+    written = spark.read.parquet(out_dir)
+    from blaze_spark import data
+
+    expected = data(f"{sf_dir}/events.parquet", spark=spark)
+    expected_n = expected[expected.event_type == "error"].nrows()
+    assert written.count() == expected_n
