@@ -1,0 +1,158 @@
+"""Interop: JSON expression trees + result caching.
+
+``from_tree``/``compute_tree`` reproduce the reference server's remote
+expression execution format — nested ``{'op': ..., 'args': [...]}`` dicts
+(blaze/server/server.py:411-477 ``to_tree``, 503-571 ``from_tree``, POSTed
+to /compute).  The op-name -> handler table is an explicit whitelist, the
+same hardening the reference applies with its trusted object hooks
+(blaze/server/serialization/object_hook_trusted.py) — arbitrary callables
+never resolve from the wire.
+
+``CachedTable`` is the ``CachedDataset`` analogue (blaze/cached.py:17-58):
+memoizes expr -> concrete result keyed by the DataFrame's semantic hash,
+plus Spark-side ``persist`` for plan reuse.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .core import ColExpr, Reduction, Table, by, concat, join, summary
+from .sources import data
+
+__all__ = ["from_tree", "compute_tree", "CachedTable"]
+
+
+def _expr(node: Any, t: Table) -> ColExpr:
+    """Evaluate a scalar-expression subtree against table ``t``."""
+    if isinstance(node, dict):
+        op = node["op"]
+        args = node.get("args", [])
+        if op == "field":
+            return t[args[0]]
+        if op == "lit":
+            return ColExpr(t, F.lit(args[0]), "lit")
+        if op in _BINOPS:
+            left, right = _expr_or_scalar(args[0], t), _expr_or_scalar(args[1], t)
+            return _BINOPS[op](left, right)
+        if op == "not":
+            return ~_expr(args[0], t)
+        if op == "isin":
+            return _expr(args[0], t).isin(args[1])
+        if op == "like":
+            return _expr(args[0], t).like(args[1])
+        raise ValueError(f"unknown expression op: {op}")
+    raise ValueError(f"bad expression node: {node!r}")
+
+
+def _expr_or_scalar(node: Any, t: Table):
+    if isinstance(node, dict):
+        return _expr(node, t)
+    return node  # python scalar; scalar_coerce is Spark's lit()
+
+
+_BINOPS = {
+    "add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b, "div": lambda a, b: a / b,
+    "floordiv": lambda a, b: a // b, "mod": lambda a, b: a % b,
+    "pow": lambda a, b: a ** b,
+    "eq": lambda a, b: a == b, "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b, "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b, "ge": lambda a, b: a >= b,
+    "and": lambda a, b: a & b, "or": lambda a, b: a | b,
+}
+
+_REDUCTIONS = {"sum", "min", "max", "mean", "var", "std", "count",
+               "nunique", "nelements", "any", "all"}
+
+
+def _reduction(node: dict, t: Table) -> Reduction:
+    op = node["op"]
+    if op not in _REDUCTIONS:
+        raise ValueError(f"unknown reduction: {op}")
+    col = _expr(node["args"][0], t)
+    return getattr(col, op)()
+
+
+def from_tree(tree: dict, *, spark: SparkSession | None = None,
+              datasets: dict[str, Table] | None = None) -> Table:
+    """Rebuild a Table from a serialized expression tree.
+
+    Leaves: ``{'op': 'data', 'args': [uri]}`` (resolved via sources.data)
+    or ``{'op': 'symbol', 'args': [name]}`` (resolved from ``datasets`` —
+    the server's registered-dataset namespace).
+    """
+    datasets = datasets or {}
+
+    def walk(node: dict) -> Table:
+        op, args = node["op"], node.get("args", [])
+        if op == "symbol":
+            if args[0] not in datasets:
+                raise KeyError(f"unknown dataset: {args[0]}")
+            return datasets[args[0]]
+        if op == "data":
+            return data(args[0], spark=spark)
+        child = walk(args[0])
+        if op == "projection":
+            return child[args[1]]
+        if op == "selection":
+            return child[_expr(args[1], child)]
+        if op == "head":
+            return child.head(args[1])
+        if op == "sort":
+            return child.sort(*args[1], ascending=args[2] if len(args) > 2 else True)
+        if op == "distinct":
+            return child.distinct(on=args[1] if len(args) > 1 else None)
+        if op == "relabel":
+            return child.relabel(**args[1])
+        if op == "transform":
+            cols = {k: _expr(v, child).col for k, v in args[1].items()}
+            return Table(child.df.withColumns(cols), child._name)
+        if op == "by":
+            groupers = [_expr(g, child).label(n) for n, g in args[1]]
+            reds = {n: _reduction(r, child) for n, r in args[2].items()}
+            return by(groupers, **reds)
+        if op == "summary":
+            reds = {n: _reduction(r, child) for n, r in args[1].items()}
+            return summary(**reds)
+        if op == "join":
+            right = walk(args[1])
+            return join(child, right, *args[2:])
+        if op == "concat":
+            return concat(child, walk(args[1]))
+        raise ValueError(f"unknown table op: {op}")
+
+    return walk(tree)
+
+
+def compute_tree(tree: dict, *, spark: SparkSession | None = None,
+                 datasets: dict[str, Table] | None = None):
+    """The /compute endpoint semantics: rebuild, execute, return pandas."""
+    return from_tree(tree, spark=spark, datasets=datasets).compute()
+
+
+class CachedTable:
+    """Memoizing wrapper (CachedDataset analogue, blaze/cached.py:17-58).
+
+    ``compute(table)`` returns a cached pandas result when an identical
+    plan (by Spark semantic hash) was computed before; ``persist=True``
+    additionally caches the distributed data for plan reuse."""
+
+    def __init__(self, persist: bool = False):
+        self._memo: dict[int, Any] = {}
+        self._persist = persist
+
+    def compute(self, t: Table):
+        key = t.df.semanticHash()
+        if key not in self._memo:
+            df = t.df
+            if self._persist:
+                df = df.persist()
+            self._memo[key] = df.toPandas()
+        return self._memo[key]
+
+    def __len__(self):
+        return len(self._memo)
