@@ -87,8 +87,15 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
     """
     datasets = datasets or {}
 
+    _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
+                  "sort", "distinct", "relabel", "transform", "by",
+                  "summary", "join", "concat"}
+
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
+        if op not in _TABLE_OPS:
+            # whitelist check BEFORE touching args: unknown ops fail fast
+            raise ValueError(f"unknown table op: {op}")
         if op == "symbol":
             if args[0] not in datasets:
                 raise KeyError(f"unknown dataset: {args[0]}")
