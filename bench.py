@@ -62,6 +62,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+    # warmup: absorb JVM/codegen/reader startup so per-query timings
+    # measure steady-state execution
+    qs["q06_revenue_forecast"](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

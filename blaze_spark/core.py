@@ -97,14 +97,37 @@ class ColExpr:
             return other._col
         return F.lit(other)
 
+    @staticmethod
+    def _scalar_dtype(v: Any) -> T.DataType | None:
+        # scalar_coerce analogue (blaze/expr/arithmetic.py:251-306)
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            # F.lit picks IntegerType when the value fits (matching Spark)
+            return T.IntegerType() if -2**31 <= v < 2**31 else T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+
     def _binop(self, other: Any, fn: Callable[[Column, Column], Column],
                name: str) -> "ColExpr":
-        if isinstance(other, ColExpr):
-            # eager promotion check (reference _mkbin forces result dshape
-            # at construction — blaze/expr/arithmetic.py:316-331)
-            if _s.is_numeric(self.dtype) and _s.is_numeric(other.dtype):
-                _s.promote(self.dtype, other.dtype)
-        return self._make(fn(self._col, self._lift(other)), name, None)
+        # eager promotion check (reference _mkbin forces result dshape at
+        # construction — blaze/expr/arithmetic.py:316-331); computing the
+        # result dtype locally also avoids a Spark analysis roundtrip per
+        # derived expression
+        out_dt = None
+        other_dt = (other.dtype if isinstance(other, ColExpr)
+                    else self._scalar_dtype(other))
+        if other_dt is not None and _s.is_numeric(self.dtype) \
+                and _s.is_numeric(other_dt):
+            out_dt = _s.promote(self.dtype, other_dt)
+            if name.endswith(("_div", "_pow")):
+                # Spark `/` and pow() always return double — matches the
+                # reference's Div rule (blaze/expr/arithmetic.py:189-196)
+                out_dt = T.DoubleType()
+        return self._make(fn(self._col, self._lift(other)), name, out_dt)
 
     # -- arithmetic (blaze/expr/arithmetic.py:62-235) ----------------------
     def __add__(self, o):

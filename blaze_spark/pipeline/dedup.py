@@ -78,28 +78,31 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
     rng = random.Random(seed)
     a = [rng.randrange(1, _P) for _ in range(num_perm)]
     b = [rng.randrange(0, _P) for _ in range(num_perm)]
-    ab = F.array(*[
-        F.struct(F.lit(ai).alias("a"), F.lit(bi).alias("b"))
-        for ai, bi in zip(a, b)
-    ])
 
-    hashes = F.transform(_shingles(F.col(text_col), shingle_k),
-                         lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    # single pass over the shingle hashes updating all num_perm mins at once
-    # — each shingle is hashed exactly once (project-collapse would otherwise
-    # inline the shingle construction into every permutation)
-    sig = F.aggregate(
-        hashes,
-        F.transform(F.sequence(F.lit(1), F.lit(num_perm)),
-                    lambda _: F.lit(_P).cast("long")),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(ab, lambda p: (p["a"] * h + p["b"]) % F.lit(_P)),
-            lambda x, y: F.least(x, y),
-        ),
-    )
+    # explode distinct shingle hashes, then one hash-aggregate computing all
+    # num_perm mins — fully whole-stage-codegen'd (array higher-order
+    # functions are interpreted per element and were ~10x slower here).
+    # Scale: rows of one doc are colocated in the scan partition, so
+    # Catalyst's map-side partial aggregation collapses the explosion back
+    # to one row per doc before the shuffle; the shuffle carries
+    # num_perm longs per doc.
+    hashes = F.array_distinct(
+        F.transform(_shingles(F.col(text_col), shingle_k),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_P))))
+    # spread the per-row-heavy shingling across all cores: a small file
+    # scans as one partition, and at scale this also levels doc-size skew
+    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    npart = t.df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart, "doc_id")
+    ex = src.select("doc_id", F.explode(hashes).alias("h"))
+    mins = [F.min((F.col("h") * F.lit(a[j]) + F.lit(b[j])) % F.lit(_P))
+            .alias(f"m{j}") for j in range(num_perm)]
+    agg = ex.groupBy("doc_id").agg(*mins)
     return Table(
-        t.df.select(F.col(id_col).alias("doc_id"), sig.alias("signature")),
+        agg.select("doc_id",
+                   F.array(*[F.col(f"m{j}") for j in range(num_perm)])
+                   .alias("signature")),
         t._name,
     )
 
@@ -175,8 +178,12 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     """Exact shingle-set Jaccard for candidate pairs only (verification
     stage after LSH) — array_intersect/array_union on distinct shingle
     hashes, joined twice against the docs table."""
-    docs = t.df.select(
-        F.col(id_col).alias("doc_id"),
+    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    npart = t.df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart, "doc_id")
+    docs = src.select(
+        "doc_id",
         F.array_distinct(
             F.transform(_shingles(F.col(text_col), shingle_k),
                         lambda s: F.xxhash64(s))
@@ -202,8 +209,12 @@ def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id") -> Table:
     xxhash64 values.  Explode tokens once, then 64 conditional sums in a
     single hash aggregation (partial agg map-side; the shuffle carries 64
     ints per doc)."""
-    toks = t.df.select(
-        F.col(id_col).alias("doc_id"),
+    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    npart = t.df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart, "doc_id")
+    toks = src.select(
+        "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
 
