@@ -143,6 +143,10 @@ class ColExpr:
         return self._make(self._lift(o) - self._col, f"{self._name}_sub", None)
 
     def __mul__(self, o):
+        # string * int = Repeat (reference blaze/expr/arithmetic.py:147-164)
+        if _s.is_string(self.dtype):
+            return self._make(F.repeat(self._col, self._lift(o)),
+                              f"{self._name}_repeat", T.StringType())
         return self._binop(o, lambda a, b: a * b, f"{self._name}_mul")
 
     def __rmul__(self, o):
@@ -167,6 +171,14 @@ class ColExpr:
         return self._make(out, f"{self._name}_floordiv", None)
 
     def __mod__(self, o):
+        # string % args = Interp/format (blaze/expr/arithmetic.py:223-235);
+        # the column IS the printf format, args fill the placeholders
+        if _s.is_string(self.dtype):
+            args = o if isinstance(o, (list, tuple)) else [o]
+            return self._make(
+                F.call_function("printf", self._col,
+                                *[self._lift(a) for a in args]),
+                f"{self._name}_interp", T.StringType())
         return self._binop(o, lambda a, b: a % b, f"{self._name}_mod")
 
     def __pow__(self, o):
@@ -649,6 +661,20 @@ class Table:
     def peek(self, n: int = 10):
         """repr/peek computes head(n) only (blaze/interactive.py:35-141)."""
         return self._df.limit(n).toPandas()
+
+    def __iter__(self):
+        """Row iterator (reference __iter__ -> odo into iterator,
+        blaze/compute/core.py:382).  Streams partitions to the driver one
+        at a time — no full collect."""
+        return self._df.toLocalIterator()
+
+    def create_index(self, *cols, name: str | None = None):
+        """Index creation (reference blaze/sql.py:11-73) — storage-layer
+        concern with no Spark analogue on parquet; clustering/Z-ordering
+        belongs to the table format (Delta/Iceberg).  Documented no-op."""
+        raise NotImplementedError(
+            "create_index is a storage-layer operation; use a table format "
+            "with clustering (Delta ZORDER / Iceberg sort orders) instead")
 
     def into(self, target: str, fmt: str = "parquet", mode: str = "overwrite",
              **options):

@@ -248,3 +248,26 @@ def test_len_and_peek(t):
 
 def test_dshape_repr(t):
     assert "name: string" in t.dshape
+
+
+def test_string_repeat_operator(t):
+    out = t.transform(r=t.name * 2)
+    assert ("BobBob",) in {tuple(r) for r in rows(out[["r"]])}
+
+
+def test_string_interp_operator(spark):
+    from blaze_spark import data
+
+    ft = data([("x=%d",), ("val: %s",)], spark=spark, schema="fmt string")
+    out = ft.transform(s=ft.fmt % 7)
+    assert {r[0] for r in rows(out[["s"]])} == {"x=7", "val: 7"}
+
+
+def test_table_iter(t):
+    names = sorted(r.name for r in t)
+    assert names == ["Alice", "Alice", "Bob"]
+
+
+def test_create_index_documented_unsupported(t):
+    with pytest.raises(NotImplementedError):
+        t.create_index("name")
