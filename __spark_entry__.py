@@ -369,6 +369,27 @@ def anti_join_customers(spark, sf_dir):
 # scalar function families
 # ---------------------------------------------------------------------------
 
+def full_outer_activity(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"]
+    low = o[o.o_orderpriority == "5-LOW"]
+    gu = by([urgent.o_custkey], n_urgent=urgent.o_orderkey.nelements())
+    gl = by([low.o_custkey], n_low=low.o_orderkey.nelements())
+    j = join(gu, gl, "o_custkey", "o_custkey", how="outer")
+    out = j.transform(n_urgent=F.coalesce(F.col("n_urgent"), F.lit(0)),
+                      n_low=F.coalesce(F.col("n_low"), F.lit(0)))
+    return out.df
+
+
+def intersect_except_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"][["o_custkey"]].distinct()
+    low = o[o.o_orderpriority == "5-LOW"][["o_custkey"]].distinct()
+    both = urgent.intersect(low).transform(tag=F.lit("both"))
+    only_urgent = urgent.except_(low).transform(tag=F.lit("urgent_only"))
+    return concat(both, only_urgent).df
+
+
 def math_parts(spark, sf_dir):
     from blaze_spark.functions import math as M
 
@@ -695,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_counts": left_join_counts,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
+        "full_outer_activity": full_outer_activity,
+        "intersect_except_customers": intersect_except_customers,
         "math_parts": math_parts,
         "string_funcs": string_funcs,
         "like_glob_filter": like_glob_filter,
@@ -904,6 +927,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
+        """,
+        "full_outer_activity": """
+            SELECT coalesce(u.o_custkey, l.o_custkey) AS o_custkey,
+                   coalesce(n_urgent, 0) AS n_urgent,
+                   coalesce(n_low, 0) AS n_low
+            FROM (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*) AS n_low FROM orders
+                  WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey) l
+            ON u.o_custkey = l.o_custkey
+        """,
+        "intersect_except_customers": """
+            SELECT o_custkey, 'both' AS tag FROM (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+            UNION ALL
+            SELECT o_custkey, 'urgent_only' AS tag FROM (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                EXCEPT
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
         """,
         "math_parts": """
             SELECT p_partkey,

@@ -662,6 +662,16 @@ class Table:
         """repr/peek computes head(n) only (blaze/interactive.py:35-141)."""
         return self._df.limit(n).toPandas()
 
+    def intersect(self, other: "Table") -> "Table":
+        """Set intersection — EXTENSION (absent in reference, SURVEY.md
+        §2.6; Spark has it natively)."""
+        return self._new(self._df.intersect(other.df))
+
+    def except_(self, other: "Table", keep_duplicates: bool = False) -> "Table":
+        """Set difference — EXTENSION (SURVEY.md §2.6)."""
+        fn = self._df.exceptAll if keep_duplicates else self._df.subtract
+        return self._new(fn(other.df))
+
     def __iter__(self):
         """Row iterator (reference __iter__ -> odo into iterator,
         blaze/compute/core.py:382).  Streams partitions to the driver one

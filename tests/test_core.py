@@ -271,3 +271,20 @@ def test_table_iter(t):
 def test_create_index_documented_unsupported(t):
     with pytest.raises(NotImplementedError):
         t.create_index("name")
+
+
+def test_join_full_outer(spark, t):
+    from blaze_spark import data, join
+
+    other = data([("Bob", "B"), ("Carol", "C")], spark=spark,
+                 schema="name string, tag string")
+    out = join(t, other, "name", how="outer")
+    names = {r[0] for r in rows(out[["name"]])}
+    assert names == {"Alice", "Bob", "Carol"}  # both unmatched sides survive
+
+
+def test_intersect_except(t, cities):
+    a = t[["name"]].distinct()
+    b = cities[cities.city == "Austin"][["name"]]
+    assert rows(a.intersect(b)) == [("Alice",)]
+    assert rows(a.except_(b)) == [("Bob",)]
