@@ -69,3 +69,38 @@ def test_nanos_parquet_handled(spark, sf_dir):
     # microsecond content survives
     row = e.sort(e.event_id).head(1).df.collect()[0]
     assert row.ts.microsecond > 0
+
+
+def test_partitioned_write_prunes(spark, star, tmp_path):
+    from blaze_spark import data
+    from blaze_spark.plans import physical_plan
+
+    path = str(tmp_path / "orders_parted")
+    star["orders"].transform().into(path, partition_by="o_orderstatus")
+    back = data(path, spark=spark)
+    q = back[back.o_orderstatus == "F"]
+    # partition pruning: only the F partition is read
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan
+    assert q.nrows() == star["orders"][
+        star["orders"].o_orderstatus == "F"].nrows()
+
+
+def test_bucketed_join_avoids_shuffle(spark, star, tmp_path):
+    from blaze_spark import Table, join
+    from blaze_spark.plans import physical_plan
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        star["orders"].into_table("orders_b", bucket_by="o_orderkey")
+        star["lineitem"].into_table("lineitem_b", bucket_by="l_orderkey")
+        ob = Table(spark.table("orders_b"))
+        lb = Table(spark.table("lineitem_b"))
+        j = join(lb, ob, "l_orderkey", "o_orderkey")
+        plan = physical_plan(j)
+        # both sides pre-bucketed on the key: no Exchange before the join
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
