@@ -589,6 +589,30 @@ def running_total_events(spark, sf_dir):
     return out[["event_id", "user_id", "running"]].df
 
 
+def asof_click_before_purchase(spark, sf_dir):
+    from blaze_spark.operators.joins_ext import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e[(e.event_type == "purchase") & (e.user_id <= 50)]
+    clicks = e[(e.event_type == "click") & (e.user_id <= 50)][
+        ["user_id", "event_id", "value"]]
+    out = asof_join(purchases, clicks, on="event_id", by="user_id",
+                    right_cols=["value"])
+    res = out.transform(
+        prior_click_value=F.round(F.col("value_right"), 4))
+    return res[["event_id", "user_id", "prior_click_value"]].df
+
+
+def percentile_prices(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = o.df.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+    return g
+
+
 # ---------------------------------------------------------------------------
 # UDF escape hatches (Map / Apply) — pandas-UDF lowered
 # ---------------------------------------------------------------------------
@@ -736,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_regions": union_distinct_regions,
         "lag_events": lag_events,
         "running_total_events": running_total_events,
+        "asof_click_before_purchase": asof_click_before_purchase,
+        "percentile_prices": percentile_prices,
         "map_udf_quantity": map_udf_quantity,
         "apply_batch_filter": apply_batch_filter,
         "sample_orders": sample_orders,
@@ -1065,6 +1091,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
             FROM events WHERE user_id <= 50
+        """,
+        "asof_click_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   round(c.value, 4) AS prior_click_value
+            FROM (SELECT * FROM events
+                  WHERE event_type = 'purchase' AND user_id <= 50) p
+            ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
+                            WHERE event_type = 'click' AND user_id <= 50) c
+            ON p.user_id = c.user_id AND p.event_id >= c.event_id
+        """,
+        "percentile_prices": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+            FROM orders GROUP BY o_orderstatus
         """,
         "map_udf_quantity": """
             SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS m
