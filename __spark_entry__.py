@@ -709,6 +709,36 @@ def embedding_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(e, queries, k=5, n_planes=6).df
 
 
+def embedding_neardup(spark, sf_dir):
+    from blaze_spark.pipeline import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    # exact path so the DuckDB oracle can mirror it; random embeddings make
+    # high-cosine pairs rare, so the threshold is modest
+    return embedding_neardup_pairs(e, threshold=0.5, exact=True).df
+
+
+def embedding_neardup_lsh(spark, sf_dir):
+    from blaze_spark.pipeline import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    # the scale path: hyperplane-signature buckets instead of all-pairs;
+    # 8 planes -> 256 buckets keeps within-bucket pair counts small
+    return embedding_neardup_pairs(e, threshold=0.5, exact=False,
+                                   n_planes=8).df
+
+
+def udaf_geomean(spark, sf_dir):
+    import numpy as np
+
+    from blaze_spark.core import udaf
+
+    o = _t(spark, sf_dir, "orders")
+    geomean = udaf(lambda s: float(np.exp(np.log(s).mean())), "float64")
+    g = by([o.o_orderstatus], gm=geomean(o.o_totalprice))
+    return g.transform(gm=F.round(F.col("gm"), 4)).df
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -776,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "embedding_topk": embedding_topk,
         "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "udaf_geomean": udaf_geomean,
     }
 
 
@@ -1170,6 +1203,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+        """,
+        "udaf_geomean": """
+            SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS gm
+            FROM orders GROUP BY o_orderstatus
         """,
         "embedding_topk": """
             WITH scored AS (

@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "dedup_minhash_docs",
     "dedup_simhash_docs",
     "embedding_topk",
+    "embedding_neardup_lsh",
+    "asof_click_before_purchase",
+    "percentile_prices",
     "text_quality",
     "text_token_stats",
 ]

@@ -778,6 +778,35 @@ def count_values(col: ColExpr, sort: bool = True) -> Table:
     return Table(out)
 
 
+def udaf(fn: Callable, schema: str | T.DataType) -> Callable[[ColExpr], Reduction]:
+    """Custom aggregate from a pandas function — the UDAF extension the
+    reference lacks (SURVEY.md §2.7: no UDAF concept beyond builtin
+    summaries).  ``fn(pandas.Series) -> scalar`` runs as an Arrow-batched
+    GROUPED_AGG pandas UDF; usable inside ``by``/``summary``.
+
+    Scale note: GROUPED_AGG ships each group's column to one executor —
+    prefer builtin aggregates when expressible; this is the escape hatch.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dt = schema if isinstance(schema, T.DataType) else _parse_dtype(schema)
+
+    def _agg(s):
+        return fn(s)
+
+    # Series -> scalar annotations make pyspark infer GROUPED_AGG
+    _agg.__annotations__ = {"s": pd.Series, "return": float
+                            if isinstance(dt, (T.DoubleType, T.FloatType))
+                            else int}
+    spark_fn = pandas_udf(_agg, dt)
+
+    def make(col: ColExpr) -> Reduction:
+        return Reduction(col._table, spark_fn(col.col), f"{col.name}_udaf")
+
+    return make
+
+
 def rollup(groupers, **reductions: Reduction) -> Table:
     """Hierarchical grouping-sets aggregation — EXTENSION beyond the
     reference (SURVEY.md §2.4: no cube/rollup in blaze; Spark has it free)."""

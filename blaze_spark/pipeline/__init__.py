@@ -17,7 +17,11 @@ from .dedup import (  # noqa: F401
     simhash_candidates,
     ngram_jaccard_pairs,
 )
-from .similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
 from .text import (  # noqa: F401
     language_id,
     quality_features,

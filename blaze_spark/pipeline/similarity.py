@@ -34,6 +34,42 @@ def _norm(a) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _signature_udf(planes: np.ndarray):
+    """Arrow-batched numpy signature: one (batch x dim) @ (dim x planes)
+    matmul per batch — the vectorized-pandas-UDF fast path for embedding
+    math (per-element JVM lambdas are ~10x slower here)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(s):
+        m = np.stack(s.to_numpy())            # (batch, dim)
+        bits = (m.astype(np.float64) @ planes.T) > 0   # (batch, n_planes)
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    _sig.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "long")
+
+
+def _pair_cosine_udf():
+    """Arrow-batched cosine for joined vector pairs — used on approximate
+    (rows-only) paths.  The oracle-checked exact paths keep the JVM
+    left-to-right ``aggregate`` so sums are bit-identical to DuckDB's."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
 def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = 4) -> Table:
@@ -66,6 +102,47 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
     return Table(out, "cosine_topk")
 
 
+def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_planes: int = 6, dim: int = 64, seed: int = 42,
+                            exact: bool = False,
+                            round_to: int | None = 4) -> Table:
+    """Embedding-cosine near-duplicate pairs: (a < b, cosine >= threshold).
+
+    Default path buckets by random-hyperplane signature first (near-
+    identical vectors share all sign bits with high probability) so the
+    pair enumeration is an equi-join, not an all-pairs product.
+    ``exact=True`` does the brute-force quadratic scoring — the oracle path
+    for small corpora."""
+    c = corpus.df.select(F.col(id_col).alias("vid"),
+                         F.col(vec_col).alias("v"),
+                         _norm(F.col(vec_col)).alias("n"))
+    if not exact:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        c = c.withColumn("sig", _signature_udf(planes)(F.col("v")))
+        join_cond = [F.col("l.sig") == F.col("r.sig")]
+    else:
+        join_cond = []
+
+    l, r = c.alias("l"), c.alias("r")
+    cond = F.col("l.vid") < F.col("r.vid")
+    for jc in join_cond:
+        cond = cond & jc
+    if exact:
+        cos = (_dot(F.col("l.v"), F.col("r.v"))
+               / (F.col("l.n") * F.col("r.n")))
+    else:
+        cos = _pair_cosine_udf()(F.col("l.v"), F.col("r.v"))
+    scored = l.join(r, cond).select(
+        F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
+        cos.alias("cosine"))
+    out = scored.filter(F.col("cosine") >= threshold)
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return Table(out, "embedding_neardup_pairs")
+
+
 def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8, dim: int = 64, seed: int = 42,
@@ -76,21 +153,10 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
     keyed by the signature (uniform, shuffle-friendly)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    sig_udf = _signature_udf(planes)
 
     def signature(vec) -> Column:
-        bits = [
-            (F.aggregate(
-                F.zip_with(vec,
-                           F.array(*[F.lit(float(x)) for x in planes[i]]),
-                           lambda a, b: a.cast("double") * b),
-                F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
-            for i in range(n_planes)
-        ]
-        sig = None
-        for i, b in enumerate(bits):
-            term = b * F.lit(1 << i)
-            sig = term if sig is None else sig + term
-        return sig
+        return sig_udf(vec)
 
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
@@ -103,8 +169,7 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", _pair_cosine_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))

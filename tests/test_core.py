@@ -288,3 +288,15 @@ def test_intersect_except(t, cities):
     b = cities[cities.city == "Austin"][["name"]]
     assert rows(a.intersect(b)) == [("Alice",)]
     assert rows(a.except_(b)) == [("Bob",)]
+
+
+def test_udaf_grouped_agg(t):
+    import numpy as np
+
+    from blaze_spark.core import udaf
+
+    geomean = udaf(lambda s: float(np.exp(np.log(s).mean())), "float64")
+    out = by(t.name, gm=geomean(t.amount))
+    got = {r.name: r.gm for r in out.df.collect()}
+    assert got["Alice"] == pytest.approx(np.exp((np.log(100) + np.log(50)) / 2))
+    assert got["Bob"] == pytest.approx(200.0)

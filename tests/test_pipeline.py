@@ -218,3 +218,20 @@ def test_video_frame_sampling(spark):
         per_doc.setdefault(r.doc_id, []).append(r.ts_ms)
     assert sorted(per_doc[1]) == [0, 1000, 2000]
     assert per_doc[2] == [0]
+
+
+def test_embedding_neardup_finds_planted_dup(spark, emb):
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import embedding_neardup_pairs
+
+    # plant a near-exact copy of vec 0 with a new id
+    copy = Table(emb.df.filter("vec_id = 0")
+                 .withColumn("vec_id", F.lit(900000).cast("long")))
+    both = concat(emb, copy)
+    for exact in (True, False):
+        pairs = embedding_neardup_pairs(both, threshold=0.99,
+                                        exact=exact).df.collect()
+        found = {(r.vec_a, r.vec_b) for r in pairs}
+        assert (0, 900000) in found, f"exact={exact}: {found}"
