@@ -589,6 +589,69 @@ def running_total_events(spark, sf_dir):
     return out[["event_id", "user_id", "running"]].df
 
 
+def q04_style_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: count orders per priority having some lineitem
+    shipped >60 days after the order date (EXISTS -> semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = join(li[["l_orderkey", "l_shipdate"]],
+             o[["o_orderkey", "o_orderdate"]], "l_orderkey", "o_orderkey")
+    lat = j.transform(lat_days=F.datediff(F.col("l_shipdate"),
+                                          F.col("o_orderdate")))
+    late_keys = lat[lat.lat_days > 60][["l_orderkey"]]
+    s = join(o, late_keys, "o_orderkey", "l_orderkey", how="semi")
+    return by([s.o_orderpriority], n_late=s.o_orderkey.nelements()).df
+
+
+def q18_style_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (agg -> filter -> join back)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = by([li.l_orderkey], total_qty=li.l_quantity.sum())
+    big = per_order[per_order.total_qty > 250.0]
+    j = join(big, o[["o_orderkey", "o_custkey", "o_totalprice"]],
+             "l_orderkey", "o_orderkey")
+    out = j.transform(o_totalprice=F.round(F.col("o_totalprice"), 2))
+    return out[["l_orderkey", "total_qty", "o_custkey", "o_totalprice"]].df
+
+
+def range_join_price_bands(spark, sf_dir):
+    from blaze_spark import data
+    from blaze_spark.operators.range_join import bucketed_range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = data(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 600000.0)],
+        spark=spark, schema="band string, lo double, hi double")
+    j = bucketed_range_join(o, bands, "o_totalprice", "lo", "hi",
+                            bucket_width=50000.0)
+    g = by([j.band], n=j.o_orderkey.nelements(),
+           total=j.o_totalprice.sum())
+    return g.transform(total=F.round(F.col("total"), 2)).df
+
+
+def grouped_apply_zscore(spark, sf_dir):
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 20]
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu, sd = pdf.value.mean(), pdf.value.std(ddof=0)
+        return pd.DataFrame({
+            "event_id": pdf.event_id,
+            "user_id": pdf.user_id,
+            "zscore": ((pdf.value - mu) / sd if sd > 0
+                       else pdf.value * 0.0).round(4),
+        })
+
+    out = f.grouped_apply("user_id", z,
+                          "event_id long, user_id long, zscore double")
+    return out.df
+
+
 def asof_click_before_purchase(spark, sf_dir):
     from blaze_spark.operators.joins_ext import asof_join
 
@@ -790,6 +853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_regions": union_distinct_regions,
         "lag_events": lag_events,
         "running_total_events": running_total_events,
+        "q04_style_late_orders": q04_style_late_orders,
+        "q18_style_large_orders": q18_style_large_orders,
+        "range_join_price_bands": range_join_price_bands,
+        "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
         "percentile_prices": percentile_prices,
         "map_udf_quantity": map_udf_quantity,
@@ -1124,6 +1191,39 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
             FROM events WHERE user_id <= 50
+        """,
+        "q04_style_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_late FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND date_diff('day', o_orderdate, l_shipdate) > 60)
+            GROUP BY o_orderpriority
+        """,
+        "q18_style_large_orders": """
+            SELECT l_orderkey, sum(l_quantity) AS total_qty,
+                   o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, o_custkey, o_totalprice
+            HAVING sum(l_quantity) > 250.0
+        """,
+        "range_join_price_bands": """
+            SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN (VALUES ('low', 0.0, 150000.0),
+                                     ('mid', 150000.0, 350000.0),
+                                     ('high', 350000.0, 600000.0))
+                 AS bands(band, lo, hi)
+            ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "grouped_apply_zscore": """
+            SELECT event_id, user_id,
+                   round(CASE WHEN stddev_pop(value) OVER w > 0
+                              THEN (value - avg(value) OVER w)
+                                   / (stddev_pop(value) OVER w)
+                              ELSE 0.0 END, 4) AS zscore
+            FROM events WHERE user_id <= 20
+            WINDOW w AS (PARTITION BY user_id)
         """,
         "asof_click_before_purchase": """
             SELECT p.event_id, p.user_id,

@@ -632,6 +632,20 @@ class Table:
 
         return self._new(df.mapInPandas(_gen, schema=schema))
 
+    def grouped_apply(self, key_cols, fn: Callable,
+                      schema: str | T.StructType) -> "Table":
+        """Per-group pandas function (``applyInPandas``) — grouped-table
+        UDF surface (the reference's By with a non-primitive apply falls
+        back to per-group recompute, blaze/compute/python.py:581-585; here
+        each group ships as one Arrow batch to one executor).
+
+        Scale note: a single giant group becomes one task — pre-aggregate
+        or salt if group sizes are unbounded."""
+        keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
+        keys = [k.name if isinstance(k, ColExpr) else k for k in keys]
+        return self._new(
+            self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
+
     # -- reductions over whole table -----------------------------------------
     def count(self) -> "Reduction":
         return Reduction(self, F.count(F.lit(1)), "count")
