@@ -127,14 +127,10 @@ def q05_local_supplier(spark, sf_dir):
     of = o[(o.o_orderdate >= "1996-01-01") & (o.o_orderdate < "1997-01-01")]
     j = join(of, j, "o_custkey", "c_custkey")
     j = join(li, j, "l_orderkey", "o_orderkey")
-    j = join(j, _suppkeyed(s), on_left=["l_suppkey", "c_nationkey"],
+    j = join(j, s, on_left=["l_suppkey", "c_nationkey"],
              on_right=["s_suppkey", "s_nationkey"], broadcast=True)
     g = by([j.n_name], revenue=(j.l_extendedprice * (1 - j.l_discount)).sum())
     return g.transform(revenue=F.round(g.revenue.col, 4)).df
-
-
-def _suppkeyed(s):
-    return s
 
 
 def q06_revenue_forecast(spark, sf_dir):
@@ -707,6 +703,19 @@ def sample_orders(spark, sf_dir):
     return o.sample(n=100, seed=42)[["o_orderkey", "o_totalprice"]].df
 
 
+def approx_sketches(spark, sf_dir):
+    """Sketch fast paths (rows-only: approximate by design) —
+    approx_count_distinct (HLL++) and percentile_approx (KLL-style)."""
+    e = _t(spark, sf_dir, "events")
+    g = by([e.event_type],
+           approx_users=e.user_id.approx_nunique(0.02))
+    g2 = Table(g.df.join(
+        e.df.groupBy("event_type").agg(
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median")),
+        "event_type"))
+    return g2.transform(approx_median=F.round(F.col("approx_median"), 4)).df
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -862,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_udf_quantity": map_udf_quantity,
         "apply_batch_filter": apply_batch_filter,
         "sample_orders": sample_orders,
+        "approx_sketches": approx_sketches,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_normalized_docs": dedup_normalized_docs,
         "dedup_minhash_docs": dedup_minhash_docs,

@@ -166,3 +166,30 @@ def test_truncate_precision(mt):
     # x // p * p (blaze/expr/math.py:123-135)
     assert col(mt, M.truncate(mt.y, 0.5)) == [-2.5, 3.5]
     assert col(mt, M.truncate(mt.x + 0.3, 2)) == [4.0, 8.0]
+
+
+# -- NaN vs NULL (NumPy-flavored distinction, SURVEY.md §4.4) -------------------
+
+def test_nan_vs_null_distinct(spark):
+    from blaze_spark import data
+
+    t = data([(1.0,), (float("nan"),), (None,)], spark=spark,
+             schema="x double", name="nn")
+    got = [(r.isnan, r.isnull) for r in
+           t.transform(isnan=t.x.isnan(), isnull=t.x.isnull())
+           .df.orderBy("x").collect()]
+    # Spark: isnan(NULL) -> NULL, isnull(NaN) -> false — the two
+    # predicates are NOT interchangeable (NumPy-flavored distinction)
+    vals = {(bool(a) if a is not None else None, b) for a, b in got}
+    assert (True, False) in vals     # the NaN row
+    assert (None, True) in vals or (False, True) in vals  # the NULL row
+
+
+def test_count_skips_null_not_nan(spark):
+    from blaze_spark import data
+
+    t = data([(1.0,), (float("nan"),), (None,)], spark=spark,
+             schema="x double")
+    # SQL count skips NULL but counts NaN (pandas count skips both) —
+    # engine follows SQL/Spark here; document the divergence
+    assert t.x.count().compute() == 2
