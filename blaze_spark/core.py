@@ -163,11 +163,16 @@ class ColExpr:
     def __floordiv__(self, o):
         # int // int keeps max-width integer (blaze/expr/arithmetic.py:199-210);
         # reference SQL lowers to floor(a/b) cast back (blaze/compute/sql.py:459-470)
-        other_dt = o.dtype if isinstance(o, ColExpr) else None
+        other_dt = (o.dtype if isinstance(o, ColExpr)
+                    else self._scalar_dtype(o))
         out = F.floor(self._col / self._lift(o))
         if _s.is_integral(self.dtype) and (other_dt is None or _s.is_integral(other_dt)):
             tgt = self.dtype if other_dt is None else _s.max_integral(self.dtype, other_dt)
             out = out.cast(tgt)
+        elif _s.is_floating(self.dtype) or (other_dt is not None
+                                            and _s.is_floating(other_dt)):
+            # float // x stays float (NumPy convention; F.floor yields long)
+            out = out.cast(T.DoubleType())
         return self._make(out, f"{self._name}_floordiv", None)
 
     def __mod__(self, o):
@@ -943,11 +948,14 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
             out.append(F.col(f"__r.{rk}").alias(lk))
         else:
             out.append(F.col(f"__l.{lk}").alias(lk))
+    key_names = set(on_left)
     for c in lnk:
         name = c + suffixes[0] if c in rnk else c
         out.append(F.col(f"__l.{c}").alias(name))
     for c in rnk:
-        name = c + suffixes[1] if c in lnk else c
+        # suffix on collision with a left non-key OR with an output key name
+        # (a right non-key may share the LEFT key's name without being a key)
+        name = c + suffixes[1] if (c in lnk or c in key_names) else c
         out.append(F.col(f"__r.{c}").alias(name))
     return Table(joined.select(*out))
 

@@ -320,3 +320,25 @@ def test_window_helpers(t):
     )
     got = rows(out[["id", "cs", "rn", "rm"]])
     assert got == [(1, 100, 1, 100.0), (2, 300, 2, 150.0), (3, 350, 3, 125.0)]
+
+
+def test_float_floordiv_stays_float(spark):
+    from blaze_spark import data
+
+    ft = data([(7.5,), (-7.5,)], spark=spark, schema="x double")
+    out = ft.transform(r=ft.x // 2)
+    assert dict(out.df.dtypes)["r"] == "double"
+    assert rows(out[["r"]]) == [(-4.0,), (3.0,)]
+
+
+def test_join_right_nonkey_collides_with_key_name(spark):
+    from blaze_spark import data, join
+
+    l = data([(1, "x")], spark=spark, schema="a int, c string")
+    r = data([("x", 9)], spark=spark, schema="b string, a int")
+    out = join(l, r, "a", "a")
+    assert out.columns == ["a", "c", "b"]
+    l2 = data([(1, "x")], spark=spark, schema="a int, c string")
+    r2 = data([("x", 9)], spark=spark, schema="c string, a int")
+    out2 = join(l2, r2, "c", "c")
+    assert out2.columns == ["c", "a_left", "a_right"]
