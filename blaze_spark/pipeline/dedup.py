@@ -246,7 +246,9 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs with Hamming distance <= max_hamming.  Pigeonhole:
     split 64 bits into 4 16-bit chunks; distance<=3 pairs share at least
     one exact chunk -> equi-join per chunk, verify with bit_count(xor)."""
-    sh = simhash(t, text_col, id_col).df
+    # persist: both sides of the chunk self-join read the signatures —
+    # without this the token-explode + 64-vote aggregation runs twice
+    sh = simhash(t, text_col, id_col).df.persist()
     chunks = sh.select(
         "doc_id", "sim_lo", "sim_hi",
         F.explode(F.array(

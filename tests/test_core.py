@@ -342,3 +342,20 @@ def test_join_right_nonkey_collides_with_key_name(spark):
     r2 = data([("x", 9)], spark=spark, schema="c string, a int")
     out2 = join(l2, r2, "c", "c")
     assert out2.columns == ["c", "a_left", "a_right"]
+
+
+def test_by_multikey_tbig(spark):
+    """Reference canonical tbig fixture: multi-key grouping
+    (blaze/compute/tests/test_pandas_compute.py:38-46)."""
+    from blaze_spark import by, data
+
+    tbig = data(
+        [("Alice", "F", 100, 1), ("Alice", "F", 100, 3),
+         ("Drew", "F", 100, 4), ("Drew", "M", 100, 5),
+         ("Drew", "M", 200, 5)],
+        spark=spark, schema="name string, sex string, amount int, id int",
+        name="tbig")
+    out = by([tbig.name, tbig.sex], total=tbig.amount.sum())
+    got = {(r.name, r.sex): r.total for r in out.df.collect()}
+    assert got == {("Alice", "F"): 200, ("Drew", "F"): 100,
+                   ("Drew", "M"): 300}
