@@ -601,6 +601,11 @@ class Table:
             return self._new(self._df.orderBy(F.rand(seed)).limit(n))
         raise ValueError("sample needs frac or n")
 
+    def sample_by(self, col: str, fractions: dict, seed: int | None = None):
+        """Stratified sampling — per-stratum fractions (EXTENSION; the
+        reference Sample is uniform only).  Scan-local, no shuffle."""
+        return self._new(self._df.sampleBy(col, fractions, seed))
+
     def distinct(self, on=None, keep_first_by=None):
         """Dedup (blaze/expr/collections.py:176-252).  ``on`` keeps first row
         per key — pandas semantics.  Spark's dropDuplicates keeps an

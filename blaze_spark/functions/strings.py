@@ -120,6 +120,13 @@ class StrAccessor:
     def __getitem__(self, s: slice):
         return self.slice(s.start or 0, s.stop)
 
+    # slice_replace (strings.py:195-220): replace [start, stop) with repl
+    def slice_replace(self, start: int, stop: int, repl: str):
+        return self._m(
+            F.concat(F.substring(self._c, 1, start), F.lit(repl),
+                     F.substring(self._c, stop + 1, 2147483646)),
+            "slice_replace", _STR)
+
     # StrCat — NULL-PROPAGATING concat (strings.py:222-288).  concat_ws
     # skips nulls; the reference propagates -> use F.concat which propagates.
     def cat(self, other, sep: str | None = None):

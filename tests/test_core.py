@@ -359,3 +359,11 @@ def test_by_multikey_tbig(spark):
     got = {(r.name, r.sex): r.total for r in out.df.collect()}
     assert got == {("Alice", "F"): 200, ("Drew", "F"): 100,
                    ("Drew", "M"): 300}
+
+
+def test_sample_by_stratified(star):
+    s = star["customer"].sample_by(
+        "c_mktsegment", {"BUILDING": 1.0, "MACHINERY": 0.0}, seed=7)
+    segs = {r.c_mktsegment for r in s[["c_mktsegment"]].distinct().df.collect()}
+    assert "MACHINERY" not in segs
+    assert "BUILDING" in segs

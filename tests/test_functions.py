@@ -193,3 +193,8 @@ def test_count_skips_null_not_nan(spark):
     # SQL count skips NULL but counts NaN (pandas count skips both) —
     # engine follows SQL/Spark here; document the divergence
     assert t.x.count().compute() == 2
+
+
+def test_slice_replace(st):
+    assert col(st, st.phrase.str.slice_replace(0, 5, "howdy")) == [
+        "howdy world", "howdyAnd Eggs"]
