@@ -612,6 +612,46 @@ def q18_style_large_orders(spark, sf_dir):
     return out[["l_orderkey", "total_qty", "o_custkey", "o_totalprice"]].df
 
 
+def q15_style_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the global-max revenue
+    (agg view -> max-over-view -> equality filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = by([li.l_suppkey],
+             total_rev=(li.l_extendedprice * (1 - li.l_discount)).sum())
+    rev = rev.transform(total_rev=F.round(F.col("total_rev"), 4))
+    mx = Table(rev.df.agg(F.max("total_rev").alias("mx")))
+    top = Table(rev.df.join(F.broadcast(mx.df),
+                            F.col("total_rev") == F.col("mx")).drop("mx"))
+    j = join(top, s[["s_suppkey", "s_name"]], "l_suppkey", "s_suppkey")
+    return j[["l_suppkey", "s_name", "total_rev"]].df
+
+
+def q11_style_important_nations(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose share exceeds a fraction of the global
+    total (HAVING sum > x * scalar subquery)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = join(c, n, "c_nationkey", "n_nationkey", broadcast=True)
+    per_nation = by([j.n_name], bal=j.c_acctbal.sum())
+    total = Table(per_nation.df.agg(F.sum("bal").alias("g")))
+    big = Table(per_nation.df.join(F.broadcast(total.df))
+                .filter(F.col("bal") > 0.04 * F.col("g")).drop("g"))
+    return big.transform(bal=F.round(F.col("bal"), 4)).df
+
+
+def q21_style_exists_chain(spark, sf_dir):
+    """TPC-H Q21 shape: customers WITH an urgent order and WITHOUT a low
+    order (EXISTS + NOT EXISTS -> semi then anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o[o.o_orderpriority == "1-URGENT"][["o_custkey"]]
+    low = o[o.o_orderpriority == "5-LOW"][["o_custkey"]]
+    s1 = join(c, urgent, "c_custkey", "o_custkey", how="semi")
+    s2 = join(s1, low, "c_custkey", "o_custkey", how="anti")
+    return by([s2.c_mktsegment], n=s2.c_custkey.nelements()).df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -864,6 +904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_events": running_total_events,
         "q04_style_late_orders": q04_style_late_orders,
         "q18_style_large_orders": q18_style_large_orders,
+        "q15_style_top_supplier": q15_style_top_supplier,
+        "q11_style_important_nations": q11_style_important_nations,
+        "q21_style_exists_chain": q21_style_exists_chain,
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
@@ -1216,6 +1259,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey, o_custkey, o_totalprice
             HAVING sum(l_quantity) > 250.0
+        """,
+        "q15_style_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+                FROM lineitem GROUP BY l_suppkey)
+            SELECT l_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "q11_style_important_nations": """
+            WITH per_nation AS (
+                SELECT n_name, sum(c_acctbal) AS bal
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name)
+            SELECT n_name, round(bal, 4) AS bal FROM per_nation
+            WHERE bal > 0.04 * (SELECT sum(bal) FROM per_nation)
+        """,
+        "q21_style_exists_chain": """
+            SELECT c_mktsegment, count(*) AS n FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '5-LOW')
+            GROUP BY c_mktsegment
         """,
         "range_join_price_bands": """
             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
