@@ -42,6 +42,22 @@ def strftime_to_java(fmt: str) -> str:
     return fmt
 
 
+def days_between(end, start):
+    """Whole days end-start (timedelta ``.days``; reference accessors at
+    blaze/expr/datetime.py:369-383)."""
+    return end._make(F.datediff(end.col, start.col), "days_between",
+                     T.IntegerType())
+
+
+def seconds_between(end, start):
+    """Seconds end-start (timedelta ``.total_seconds`` composition —
+    epoch arithmetic rather than interval casts, identical on any engine)."""
+    return end._make(
+        (F.unix_timestamp(end.col) - F.unix_timestamp(start.col))
+        .cast(T.LongType()),
+        "seconds_between", T.LongType())
+
+
 class DtAccessor:
     """Methods on date/datetime-typed expressions (dtype-gated dispatch, as
     blaze/expr/expressions.py:1026-1039 gates on dshape)."""

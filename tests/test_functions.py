@@ -198,3 +198,18 @@ def test_count_skips_null_not_nan(spark):
 def test_slice_replace(st):
     assert col(st, st.phrase.str.slice_replace(0, 5, "howdy")) == [
         "howdy world", "howdyAnd Eggs"]
+
+
+def test_timedelta_helpers(spark):
+    import datetime as _dt
+
+    from blaze_spark import data
+    from blaze_spark.functions.datetime import days_between, seconds_between
+
+    t = data([(_dt.datetime(2024, 1, 1, 0, 0, 0),
+               _dt.datetime(2024, 1, 3, 1, 0, 30))],
+             spark=spark, schema="a timestamp, b timestamp")
+    out = t.transform(d=days_between(t.b, t.a), s=seconds_between(t.b, t.a))
+    row = out.df.collect()[0]
+    assert row.d == 2
+    assert row.s == 2 * 86400 + 3630
