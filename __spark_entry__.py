@@ -840,6 +840,26 @@ def embedding_neardup_lsh(spark, sf_dir):
                                    n_planes=8).df
 
 
+def hypertable_orders(spark, sf_dir):
+    from blaze_spark import hypertable_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    out = hypertable_rollup(o, "o_orderdate",
+                            units=("year", "month"),
+                            n=o.o_orderkey.nelements(),
+                            total=o.o_totalprice.sum())
+    return out.transform(total=F.round(F.col("total"), 2)).df
+
+
+def ann_ivf_topk(spark, sf_dir):
+    from blaze_spark.pipeline.ivf import ivf_topk, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=3)
+    queries = Table(e.df.filter(F.col("vec_id") < 5))
+    return ivf_topk(e, queries, centroids, k=5, nprobe=4).df
+
+
 def udaf_geomean(spark, sf_dir):
     import numpy as np
 
@@ -929,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "udaf_geomean": udaf_geomean,
+        "hypertable_orders": hypertable_orders,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -1392,6 +1414,19 @@ def oracle_sql() -> dict[str, str]:
               AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+        """,
+        "hypertable_orders": """
+            WITH base AS (
+                SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS y,
+                       CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                       o_orderkey, o_totalprice
+                FROM orders)
+            SELECT CASE WHEN m IS NOT NULL THEN 'month'
+                        WHEN y IS NOT NULL THEN 'year'
+                        ELSE 'total' END AS grain,
+                   coalesce(CAST(coalesce(m, y) AS VARCHAR), 'ALL') AS bucket,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM base GROUP BY ROLLUP (y, m)
         """,
         "udaf_geomean": """
             SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS gm

@@ -848,6 +848,37 @@ def cube(groupers, **reductions: Reduction) -> Table:
     return Table(table.df.cube(*gcols).agg(*aggs))
 
 
+def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
+                      **reductions: Reduction) -> Table:
+    """Time-hierarchy continuous aggregate (the 'hypertable rollup' shape):
+    one pass produces aggregates at every granularity of the hierarchy via
+    GROUPING SETS — Spark's Expand feeds a single partial+final aggregation,
+    so the fact table is scanned once for all levels.
+
+    Output: one row per (unit, bucket) with ``grain`` naming the level.
+    """
+    df = t.df
+    trunc_cols = {u: F.to_date(F.date_trunc(u, F.col(ts_col))).alias(f"__{u}")
+                  for u in units}
+    df = df.select(*df.columns, *trunc_cols.values())
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    rolled = df.rollup(*[f"__{u}" for u in units]).agg(*aggs)
+    # label the grain by the deepest non-null level
+    grain = F.lit("total")
+    bucket = F.lit(None).cast(T.DateType())
+    for u in units:
+        grain = F.when(F.col(f"__{u}").isNotNull(), F.lit(u)).otherwise(grain)
+        bucket = F.when(F.col(f"__{u}").isNotNull(),
+                        F.col(f"__{u}")).otherwise(bucket)
+    # bucket as string with an ALL sentinel: NULL dates stringify
+    # differently across engines/arrow versions — sidestep entirely
+    out = rolled.select(
+        grain.alias("grain"),
+        F.coalesce(bucket.cast(T.StringType()), F.lit("ALL")).alias("bucket"),
+        *[F.col(name) for name in reductions])
+    return Table(out, "hypertable_rollup")
+
+
 def summary(**reductions: Reduction) -> Table:
     """Named multi-reduction record (blaze/expr/reductions.py:226-296)."""
     first = next(iter(reductions.values()))

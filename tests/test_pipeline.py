@@ -235,3 +235,38 @@ def test_embedding_neardup_finds_planted_dup(spark, emb):
                                         exact=exact).df.collect()
         found = {(r.vec_a, r.vec_b) for r in pairs}
         assert (0, 900000) in found, f"exact={exact}: {found}"
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF with generous nprobe recovers most brute-force neighbors."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline.ivf import ivf_topk, kmeans_fit
+
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    assert centroids.shape == (8, 64)
+
+    queries = Table(emb.df.filter("vec_id < 3"))
+    approx = ivf_topk(emb, queries, centroids, k=5, nprobe=4).df.collect()
+    exact = cosine_topk(emb, queries, k=5).df.collect()
+
+    ax = {(r.query_id, r.neighbor_id) for r in approx}
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    # recall@5 with half the cells probed should be well above chance
+    recall = len(ax & ex) / len(ex)
+    assert recall >= 0.5, f"recall {recall}: {ax} vs {ex}"
+    # every query returns exactly k or fewer (cells may be sparse)
+    per_q = {}
+    for r in approx:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_ivf_assign_covers_all(spark, emb):
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    centroids = kmeans_fit(emb, k=4, iters=2)
+    tagged = ivf_assign(emb, centroids)
+    assert tagged.df.filter("cell IS NULL").count() == 0
+    assert tagged.df.count() == emb.df.count()
+    cells = {r.cell for r in tagged.df.select("cell").distinct().collect()}
+    assert cells <= set(range(4))

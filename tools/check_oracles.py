@@ -29,10 +29,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
+            s = df[c].astype("datetime64[us]").astype(str)
+            df[c] = s.where(s != "NaT", None)
         elif df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: str(v) if v is not None else None)
+                lambda v: None if v is None or v is pd.NaT else str(v))
     return df.sort_values(by=list(df.columns), na_position="first") \
         .reset_index(drop=True)
 
