@@ -62,11 +62,13 @@ class ColExpr:
     """
 
     def __init__(self, table: "Table", col: Column, name: str | None = None,
-                 dtype: T.DataType | None = None):
+                 dtype: T.DataType | None = None, tree: dict | None = None):
         self._table = table
         self._col = col
         self._name = name or "expr"
         self.__dtype = dtype
+        # serialized form for to_tree (None = not serializable)
+        self._tree = tree
 
     # -- metadata ---------------------------------------------------------
     @property
@@ -127,7 +129,10 @@ class ColExpr:
                 # Spark `/` and pow() always return double — matches the
                 # reference's Div rule (blaze/expr/arithmetic.py:189-196)
                 out_dt = T.DoubleType()
-        return self._make(fn(self._col, self._lift(other)), name, out_dt)
+        tree = _binop_tree(_OPNAME.get(name.rsplit("_", 1)[-1]), self, other)
+        out = self._make(fn(self._col, self._lift(other)), name, out_dt)
+        out._tree = tree
+        return out
 
     # -- arithmetic (blaze/expr/arithmetic.py:62-235) ----------------------
     def __add__(self, o):
@@ -196,7 +201,9 @@ class ColExpr:
     def _cmp(self, o, fn, name):
         if isinstance(o, ColExpr):
             _s.check_comparable(self.dtype, o.dtype)
-        return self._make(fn(self._col, self._lift(o)), name, T.BooleanType())
+        out = self._make(fn(self._col, self._lift(o)), name, T.BooleanType())
+        out._tree = _binop_tree(name, self, o)
+        return out
 
     def __eq__(self, o):  # type: ignore[override]
         return self._cmp(o, lambda a, b: a == b, "eq")
@@ -217,10 +224,14 @@ class ColExpr:
         return self._cmp(o, lambda a, b: a >= b, "ge")
 
     def __and__(self, o):
-        return self._make(self._col & self._lift(o), "and", T.BooleanType())
+        out = self._make(self._col & self._lift(o), "and", T.BooleanType())
+        out._tree = _binop_tree("and", self, o)
+        return out
 
     def __or__(self, o):
-        return self._make(self._col | self._lift(o), "or", T.BooleanType())
+        out = self._make(self._col | self._lift(o), "or", T.BooleanType())
+        out._tree = _binop_tree("or", self, o)
+        return out
 
     def __invert__(self):
         return self._make(~self._col, "not", T.BooleanType())
@@ -394,6 +405,24 @@ class ColExpr:
         )
 
 
+_OPNAME = {"add": "add", "sub": "sub", "mul": "mul", "div": "div",
+           "floordiv": "floordiv", "mod": "mod", "pow": "pow"}
+
+
+def _binop_tree(op, left, right):
+    if op is None or left._tree is None:
+        return None
+    if isinstance(right, ColExpr):
+        if right._tree is None:
+            return None
+        rt = right._tree
+    elif isinstance(right, (int, float, str, bool)):
+        rt = right
+    else:
+        return None
+    return {"op": op, "args": [left._tree, rt]}
+
+
 class Reduction:
     """A 0-D (scalar) expression: the result of a full-column reduction
     (reference: blaze/expr/reductions.py:26-100).  Usable standalone
@@ -445,6 +474,9 @@ class Table:
                  fks: dict | None = None):
         self._df = df
         self._name = name or "table"
+        # serialized op tree for to_tree (None = not serializable); leaves
+        # are set by sources.data(); ops recorded by the methods below
+        self._tree: dict | None = None
         # foreign-key registry: col -> (ref_table, ref_key).  The analogue
         # of the reference's Map measure type (blaze/expr/collections.py:
         # 720-721): field access through a FK auto-joins the referenced
@@ -526,7 +558,8 @@ class Table:
     def __getattr__(self, name: str):
         if not name.startswith("_") and name in self._df.columns:
             return ColExpr(self, F.col(name), name,
-                           self._df.schema[name].dataType)
+                           self._df.schema[name].dataType,
+                           tree={"op": "field", "args": [name]})
         raise AttributeError(name)
 
     def __getitem__(self, key):
@@ -534,13 +567,21 @@ class Table:
             return self.__getattr__(key)
         if isinstance(key, (list, tuple)):
             # Projection (blaze/expr/expressions.py:403-456)
-            return self._new(self._df.select(*key))
+            out = self._new(self._df.select(*key))
+            if self._tree is not None:
+                out._tree = {"op": "projection",
+                             "args": [self._tree, list(key)]}
+            return out
         if isinstance(key, ColExpr):
             # Selection: predicate must be boolean
             # (blaze/expr/expressions.py:518-571)
             if not _s.is_boolean(key.dtype):
                 raise TypeError("selection predicate must be boolean")
-            return self._new(self._df.filter(key.col))
+            out = self._new(self._df.filter(key.col))
+            if self._tree is not None and key._tree is not None:
+                out._tree = {"op": "selection",
+                             "args": [self._tree, key._tree]}
+            return out
         if isinstance(key, slice):
             # Slice (blaze/expr/expressions.py:488-515): nondeterministic
             # without a preceding sort — same caveat the reference SQL
@@ -570,12 +611,19 @@ class Table:
         cols = [_as_col(k) for k in keys] or [F.col(c) for c in self.columns]
         if not ascending:
             cols = [c.desc() for c in cols]
-        return self._new(self._df.orderBy(*cols))
+        out = self._new(self._df.orderBy(*cols))
+        if self._tree is not None and all(isinstance(k, str) for k in keys):
+            out._tree = {"op": "sort",
+                         "args": [self._tree, list(keys), ascending]}
+        return out
 
     def head(self, n: int = 10):
         # with a preceding sort Catalyst plans TakeOrderedAndProject (top-k:
         # no global sort materialized) — exactly the scale-safe plan.
-        return self._new(self._df.limit(n))
+        out = self._new(self._df.limit(n))
+        if self._tree is not None:
+            out._tree = {"op": "head", "args": [self._tree, n]}
+        return out
 
     def tail(self, n: int = 10, sort_keys=None, ascending: bool = True):
         """Last n.  Reference rewrite: invert sort -> head -> re-sort

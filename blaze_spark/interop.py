@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .core import ColExpr, Reduction, Table, by, concat, join, summary
 from .sources import data
 
-__all__ = ["from_tree", "compute_tree", "CachedTable"]
+__all__ = ["from_tree", "to_tree", "compute_tree", "CachedTable"]
 
 
 def _expr(node: Any, t: Table) -> ColExpr:
@@ -139,6 +139,20 @@ def compute_tree(tree: dict, *, spark: SparkSession | None = None,
                  datasets: dict[str, Table] | None = None):
     """The /compute endpoint semantics: rebuild, execute, return pandas."""
     return from_tree(tree, spark=spark, datasets=datasets).compute()
+
+
+def to_tree(obj) -> dict:
+    """Serialize an engine-built expression to the JSON dialect that
+    ``from_tree`` evaluates (reference to_tree: blaze/server/server.py:
+    411-477).  Recording covers the leaf + projection/selection/sort/head
+    chain and scalar expressions; tables built by ops outside that set
+    raise (their plan lives in Spark lineage, not the dialect)."""
+    tree = getattr(obj, "_tree", None)
+    if tree is None:
+        raise ValueError(
+            "expression is not serializable to the tree dialect "
+            "(built from ops outside the recorded subset)")
+    return tree
 
 
 def sql(query: str, *, spark: SparkSession | None = None,

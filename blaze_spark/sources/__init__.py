@@ -85,7 +85,9 @@ def data(source: Any, *, spark: SparkSession | None = None,
                     c: F.timestamp_micros((df[c] / 1000).cast("long"))
                     for c in ns_cols
                 })
-                return Table(df, name or _basename(source))
+                t = Table(df, name or _basename(source))
+                t._tree = {"op": "data", "args": [source]}
+                return t
         reader = spark.read.format(f)
         if f == "csv":
             options.setdefault("header", "true")
@@ -97,7 +99,9 @@ def data(source: Any, *, spark: SparkSession | None = None,
             reader = reader.schema(schema)
         for k, v in options.items():
             reader = reader.option(k, str(v))
-        return Table(reader.load(source), name or _basename(source))
+        t = Table(reader.load(source), name or _basename(source))
+        t._tree = {"op": "data", "args": [source]}
+        return t
 
     # in-memory rows / pandas
     return Table(spark.createDataFrame(source, schema=schema), name)

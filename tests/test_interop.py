@@ -74,3 +74,28 @@ def test_cached_table(t):
     assert a is b
     cache.compute(t[t.amount > 100])
     assert len(cache) == 2
+
+
+def test_to_tree_roundtrip(spark, sf_dir):
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree, to_tree
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    q = o[o.o_totalprice > 400000.0][["o_orderkey", "o_orderstatus"]] \
+        .sort("o_orderkey").head(5)
+    tree = to_tree(q)
+    assert tree["op"] == "head"
+    rebuilt = from_tree(tree, spark=spark)
+    a = q.compute().reset_index(drop=True)
+    b = rebuilt.compute().reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_to_tree_unserializable_raises(spark, sf_dir):
+    from blaze_spark import by, data
+    from blaze_spark.interop import to_tree
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    g = by(o.o_orderstatus, n=o.o_orderkey.nelements())
+    with pytest.raises(ValueError):
+        to_tree(g)
