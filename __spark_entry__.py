@@ -652,6 +652,227 @@ def q21_style_exists_chain(spark, sf_dir):
     return by([s2.c_mktsegment], n=s2.c_custkey.nelements()).df
 
 
+def q02_style_min_bal_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated min — for each qualifying part, the
+    supplier(s) with the minimum account balance among those who shipped it
+    (distinct part-supplier bridge -> per-part min -> equality join back)."""
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    pf = p[(p.p_size < 5) & (p.p_type == "SMALL")][["p_partkey"]]
+    ps = li[["l_partkey", "l_suppkey"]].distinct()
+    j = join(ps, pf, "l_partkey", "p_partkey")
+    j = join(j, s[["s_suppkey", "s_name", "s_acctbal"]],
+             "l_suppkey", "s_suppkey")
+    mn = by([j.l_partkey], min_bal=j.s_acctbal.min())
+    jb = join(j, mn, "l_partkey", "l_partkey")
+    out = jb[jb.s_acctbal == jb.min_bal]
+    out = out.relabel(l_partkey="p_partkey")
+    return out[["p_partkey", "l_suppkey", "s_name", "s_acctbal"]].df
+
+
+def q07_style_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year
+    (lineitem-orders-customer-nation x supplier-nation, pair filter)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lf = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1998-01-01")]
+    cn = n.relabel(n_name="cust_nation")[["n_nationkey", "cust_nation"]]
+    sn = n.relabel(n_name="supp_nation")[["n_nationkey", "supp_nation"]]
+    cj = join(c[["c_custkey", "c_nationkey"]], cn,
+              "c_nationkey", "n_nationkey", broadcast=True)
+    sj = join(s[["s_suppkey", "s_nationkey"]], sn,
+              "s_nationkey", "n_nationkey", broadcast=True)
+    j = join(lf, o[["o_orderkey", "o_custkey"]], "l_orderkey", "o_orderkey")
+    j = join(j, cj, "o_custkey", "c_custkey")
+    j = join(j, sj, "l_suppkey", "s_suppkey")
+    pair = (((j.supp_nation == "NATION_1") & (j.cust_nation == "NATION_2"))
+            | ((j.supp_nation == "NATION_2") & (j.cust_nation == "NATION_1")))
+    f = j[pair]
+    f = f.transform(l_year=F.year(F.col("l_shipdate")))
+    g = by([f.supp_nation, f.cust_nation, f.l_year],
+           revenue=(f.l_extendedprice * (1 - f.l_discount)).sum())
+    return g.transform(revenue=F.round(F.col("revenue"), 4)).df
+
+
+def q08_style_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue among
+    ASIA customers per year (conditional sum / total sum)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rf = r[r.r_name == "ASIA"]
+    nr = join(n, rf, "n_regionkey", "r_regionkey", broadcast=True)
+    cj = join(c[["c_custkey", "c_nationkey"]], nr[["n_nationkey"]],
+              "c_nationkey", "n_nationkey", broadcast=True)
+    pf = p[p.p_type == "ECONOMY"][["p_partkey"]]
+    sn = n.relabel(n_name="supp_nation")[["n_nationkey", "supp_nation"]]
+    sj = join(s[["s_suppkey", "s_nationkey"]], sn,
+              "s_nationkey", "n_nationkey", broadcast=True)
+    of = o[(o.o_orderdate >= "1996-01-01") & (o.o_orderdate < "1998-01-01")]
+    j = join(li, pf, "l_partkey", "p_partkey")
+    j = join(j, of[["o_orderkey", "o_custkey", "o_orderdate"]],
+             "l_orderkey", "o_orderkey")
+    j = join(j, cj, "o_custkey", "c_custkey")
+    j = join(j, sj, "l_suppkey", "s_suppkey")
+    j = j.transform(
+        o_year=F.year(F.col("o_orderdate")),
+        rev=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        nation_rev=F.when(F.col("supp_nation") == "NATION_2",
+                          F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))).otherwise(F.lit(0.0)))
+    g = by([j.o_year], num=j.nation_rev.sum(), den=j.rev.sum())
+    g = g.transform(num=F.round(F.col("num"), 4),
+                    den=F.round(F.col("den"), 4))
+    g = g.transform(mkt_share=F.round(F.col("num") / F.col("den"), 6))
+    return g[["o_year", "mkt_share"]].df
+
+
+def q09_style_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year over parts whose
+    name matches a pattern (retailprice-based cost proxy; no partsupp)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pf = p[p.p_name.like("*ring*")][["p_partkey", "p_retailprice"]]
+    sn = n.relabel(n_name="nation")[["n_nationkey", "nation"]]
+    sj = join(s[["s_suppkey", "s_nationkey"]], sn,
+              "s_nationkey", "n_nationkey", broadcast=True)
+    j = join(li, pf, "l_partkey", "p_partkey")
+    j = join(j, sj, "l_suppkey", "s_suppkey")
+    j = j.transform(
+        o_year=F.year(F.col("l_shipdate")),
+        amount=F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1))
+    g = by([j.nation, j.o_year], profit=j.amount.sum())
+    return g.transform(profit=F.round(F.col("profit"), 4)).df
+
+
+def q13_style_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count
+    (left join -> per-customer count -> histogram of counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    of = o[o.o_orderstatus != "P"][["o_orderkey", "o_custkey"]]
+    j = join(c[["c_custkey"]], of, "c_custkey", "o_custkey", how="left")
+    per_c = by([j.c_custkey], c_count=j.o_orderkey.count())
+    return by([per_c.c_count], custdist=per_c.c_custkey.nelements()).df
+
+
+def q14_style_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: percentage of revenue from PROMO parts in a
+    six-month shipping window (conditional aggregate ratio)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    lf = li[(li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1997-07-01")]
+    j = join(lf, p[["p_partkey", "p_type"]], "l_partkey", "p_partkey")
+    j = j.transform(
+        rev=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        promo_rev=F.when(F.col("p_type") == "PROMO",
+                         F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).otherwise(F.lit(0.0)))
+    g = summary(promo=j.promo_rev.sum(), total=j.rev.sum())
+    g = g.transform(promo=F.round(F.col("promo"), 4),
+                    total=F.round(F.col("total"), 4))
+    g = g.transform(promo_share=F.round(F.lit(100.0) * F.col("promo")
+                                        / F.col("total"), 6))
+    return g[["promo_share"]].df
+
+
+def q16_style_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over the shipped part-supplier bridge, excluding one brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pf = p[(p.p_brand != "Brand#1")
+           & p.p_size.isin([1, 5, 9, 14, 19, 23, 36, 45])]
+    ps = li[["l_partkey", "l_suppkey"]].distinct()
+    j = join(ps, pf[["p_partkey", "p_brand", "p_type", "p_size"]],
+             "l_partkey", "p_partkey")
+    return by([j.p_brand, j.p_type, j.p_size],
+              supplier_cnt=j.l_suppkey.nunique()).df
+
+
+def q17_style_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly-average revenue from lineitems whose
+    quantity is below half the per-part average (correlated avg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pf = p[(p.p_type == "MEDIUM") & (p.p_size <= 25)][["p_partkey"]]
+    j = join(li[["l_partkey", "l_quantity", "l_extendedprice"]], pf,
+             "l_partkey", "p_partkey")
+    avg_q = by([j.l_partkey], avg_qty=j.l_quantity.mean())
+    jb = join(j, avg_q, "l_partkey", "l_partkey")
+    small = jb[jb.l_quantity < 0.5 * jb.avg_qty]
+    g = summary(total=small.l_extendedprice.sum())
+    g = g.transform(total=F.round(F.col("total"), 2))
+    return g.transform(avg_yearly=F.round(F.col("total") / F.lit(7.0), 4))[
+        ["avg_yearly"]].df
+
+
+def q19_style_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under OR-of-conjunctions predicates over
+    brand, size, and quantity (disjunctive pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = join(li, p[["p_partkey", "p_brand", "p_size"]],
+             "l_partkey", "p_partkey")
+    cond = (((j.p_brand == "Brand#2") & (j.p_size <= 10)
+             & (j.l_quantity >= 1) & (j.l_quantity <= 20))
+            | ((j.p_brand == "Brand#13") & (j.p_size <= 20)
+               & (j.l_quantity >= 10) & (j.l_quantity <= 30))
+            | ((j.p_brand == "Brand#25") & (j.p_size <= 30)
+               & (j.l_quantity >= 20) & (j.l_quantity <= 40)))
+    f = j[cond]
+    g = summary(revenue=(f.l_extendedprice * (1 - f.l_discount)).sum())
+    return g.transform(revenue=F.round(F.col("revenue"), 4)).df
+
+
+def q20_style_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped an above-average total
+    quantity of name-matched parts in 1996 (nested agg -> semi join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pf = p[p.p_name.like("small*")][["p_partkey"]]
+    lf = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    j = join(lf[["l_partkey", "l_suppkey", "l_quantity"]], pf,
+             "l_partkey", "p_partkey")
+    per_s = by([j.l_suppkey], qty=j.l_quantity.sum())
+    avg_t = Table(per_s.df.agg(F.avg("qty").alias("avg_qty")))
+    heavy = Table(per_s.df.join(F.broadcast(avg_t.df))
+                  .filter(F.col("qty") > F.col("avg_qty")).drop("avg_qty"))
+    out = join(s[["s_suppkey", "s_name", "s_acctbal"]], heavy,
+               "s_suppkey", "l_suppkey")
+    return out[["s_suppkey", "s_name", "qty"]].df
+
+
+def q22_style_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by nation (scalar subquery + anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c[c.c_acctbal > 0.0]
+    avg_t = Table(pos.df.agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+    rich = Table(c.df.join(F.broadcast(avg_t.df))
+                 .filter(F.col("c_acctbal") > F.col("avg_bal"))
+                 .drop("avg_bal"))
+    urgent = o[o.o_orderpriority == "1-URGENT"][["o_custkey"]]
+    idle = join(rich, urgent, "c_custkey", "o_custkey", how="anti")
+    g = by([idle.c_nationkey], numcust=idle.c_custkey.nelements(),
+           totacctbal=idle.c_acctbal.sum())
+    return g.transform(totacctbal=F.round(F.col("totacctbal"), 2)).df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -927,6 +1148,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_style_top_supplier": q15_style_top_supplier,
         "q11_style_important_nations": q11_style_important_nations,
         "q21_style_exists_chain": q21_style_exists_chain,
+        "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
+        "q07_style_nation_volume": q07_style_nation_volume,
+        "q08_style_market_share": q08_style_market_share,
+        "q09_style_product_profit": q09_style_product_profit,
+        "q13_style_order_distribution": q13_style_order_distribution,
+        "q14_style_promo_share": q14_style_promo_share,
+        "q16_style_supplier_cnt": q16_style_supplier_cnt,
+        "q17_style_small_qty_revenue": q17_style_small_qty_revenue,
+        "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
+        "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
+        "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
@@ -1306,6 +1538,148 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                               AND o_orderpriority = '5-LOW')
             GROUP BY c_mktsegment
+        """,
+        "q02_style_min_bal_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+                 j AS (
+                SELECT p_partkey, l_suppkey, s_name, s_acctbal
+                FROM ps
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE p_size < 5 AND p_type = 'SMALL'),
+                 mn AS (SELECT p_partkey AS mk, min(s_acctbal) AS min_bal
+                        FROM j GROUP BY p_partkey)
+            SELECT p_partkey, l_suppkey, s_name, s_acctbal
+            FROM j JOIN mn ON p_partkey = mk AND s_acctbal = min_bal
+        """,
+        "q07_style_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q08_style_market_share": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS rev,
+                       CASE WHEN sn.n_name = 'NATION_2'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS nation_rev
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= '1996-01-01'
+                  AND o_orderdate < '1998-01-01')
+            SELECT o_year,
+                   round(round(sum(nation_rev), 4)
+                         / round(sum(rev), 4), 6) AS mkt_share
+            FROM base GROUP BY o_year
+        """,
+        "q09_style_product_profit": """
+            SELECT sn.n_name AS nation,
+                   CAST(year(l_shipdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - l_quantity * p_retailprice * 0.1), 4) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_name LIKE '%ring%'
+            GROUP BY 1, 2
+        """,
+        "q13_style_order_distribution": """
+            WITH per_c AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN (
+                    SELECT o_orderkey, o_custkey FROM orders
+                    WHERE o_orderstatus <> 'P') ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_c GROUP BY c_count
+        """,
+        "q14_style_promo_share": """
+            WITH g AS (
+                SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END), 4) AS promo,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS total
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1997-01-01'
+                  AND l_shipdate < '1997-07-01')
+            SELECT round(100.0 * promo / total, 6) AS promo_share FROM g
+        """,
+        "q16_style_supplier_cnt": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_style_small_qty_revenue": """
+            WITH j AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'MEDIUM' AND p_size <= 25),
+                 a AS (SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+                       FROM j GROUP BY l_partkey)
+            SELECT round(round(sum(l_extendedprice), 2) / 7.0, 4)
+                       AS avg_yearly
+            FROM j JOIN a ON l_partkey = ak
+            WHERE l_quantity < 0.5 * avg_qty
+        """,
+        "q19_style_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#25' AND p_size <= 30
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q20_style_heavy_suppliers": """
+            WITH per_s AS (
+                SELECT l_suppkey, sum(l_quantity) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1997-01-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, qty
+            FROM supplier JOIN per_s ON s_suppkey = l_suppkey
+            WHERE qty > (SELECT avg(qty) FROM per_s)
+        """,
+        "q22_style_idle_rich_customers": """
+            WITH avg_bal AS (
+                SELECT round(avg(c_acctbal), 4) AS ab FROM customer
+                WHERE c_acctbal > 0.0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "range_join_price_bands": """
             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
