@@ -873,6 +873,55 @@ def q22_style_idle_rich_customers(spark, sf_dir):
     return g.transform(totacctbal=F.round(F.col("totacctbal"), 2)).df
 
 
+def pivot_status_by_priority(spark, sf_dir):
+    """Wide pivot (EXTENSION): order count + revenue per priority x status.
+    Explicit pivot values -> single-pass conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    pv = o.pivot("o_orderpriority", "o_orderstatus", ["O", "F", "P"],
+                 n=o.o_orderkey.count(), total=o.o_totalprice.sum())
+    fixes = {}
+    for st in ["O", "F", "P"]:
+        fixes[f"n_{st}"] = F.coalesce(F.col(f"n_{st}"), F.lit(0).cast("long"))
+        fixes[f"total_{st}"] = F.round(
+            F.coalesce(F.col(f"total_{st}"), F.lit(0.0)), 2)
+    return pv.transform(**fixes).df
+
+
+def unpivot_part_measures(spark, sf_dir):
+    """Long melt (EXTENSION): part size/retailprice into (measure, val)
+    rows — narrow scan-local expansion, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    pf = p[p.p_partkey <= 100][["p_partkey", "p_size", "p_retailprice"]]
+    return pf.unpivot("p_partkey", ["p_size", "p_retailprice"],
+                      "measure", "val").df
+
+
+def explode_embedding_dims(spark, sf_dir):
+    """posexplode an embedding array to (vec_id, dim, val) rows — the
+    row-wise form similarity sketches build on."""
+    e = _t(spark, sf_dir, "embeddings")
+    ef = e[e.vec_id <= 20][["vec_id", "embedding"]]
+    ex = ef.explode("embedding", alias="val", pos="dim")
+    exf = ex[ex.dim < 4]
+    return exf.transform(
+        val=F.round(F.col("val").cast("double"), 6))[
+        ["vec_id", "dim", "val"]].df
+
+
+def sessionize_user_events(spark, sf_dir):
+    """Batch sessionization: split each user's event stream on id gaps,
+    then per-session stats (lag + running-sum windows over ONE shuffle)."""
+    from blaze_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 30]
+    s = sessionize(f, "user_id", "event_id", gap=500)
+    return by([s.user_id, s.session_id],
+              n_events=s.event_id.nelements(),
+              first_event=s.event_id.min(),
+              last_event=s.event_id.max()).df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -1159,6 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
         "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
         "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_part_measures": unpivot_part_measures,
+        "explode_embedding_dims": explode_embedding_dims,
+        "sessionize_user_events": sessionize_user_events,
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
@@ -1680,6 +1733,56 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                           THEN o_totalprice END), 0.0), 2)
+                       AS total_O,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                           THEN o_totalprice END), 0.0), 2)
+                       AS total_F,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                           THEN o_totalprice END), 0.0), 2)
+                       AS total_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot_part_measures": """
+            SELECT p_partkey, 'p_size' AS measure,
+                   CAST(p_size AS DOUBLE) AS val
+            FROM part WHERE p_partkey <= 100
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
+            FROM part WHERE p_partkey <= 100
+        """,
+        "explode_embedding_dims": """
+            SELECT vec_id, CAST(ord - 1 AS INT) AS dim,
+                   round(CAST(v AS DOUBLE), 6) AS val
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings WHERE vec_id <= 20)
+            WHERE ord <= 4
+        """,
+        "sessionize_user_events": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id - lag(event_id) OVER
+                                 (PARTITION BY user_id ORDER BY event_id)
+                                 > 500
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WHERE user_id <= 30),
+                 s AS (
+                SELECT user_id, event_id,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM s GROUP BY user_id, session_id
         """,
         "range_join_price_bands": """
             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total

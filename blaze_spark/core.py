@@ -704,6 +704,65 @@ class Table:
         return self._new(
             self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
 
+    # -- reshape (EXTENSIONS — the reference has no pivot/melt/explode;
+    #    its arrays are numpy-only, blaze/expr/arrays.py:13-129) -------------
+    def pivot(self, index, pivot_col, values, **reductions) -> "Table":
+        """Wide pivot: ``groupBy(index).pivot(col, values).agg(...)``.
+
+        ``values`` is REQUIRED: explicit pivot values keep the plan
+        single-pass — without them Spark runs an eager ``distinct().collect``
+        over ``pivot_col`` (an extra full scan) before it can even plan.
+        At 100 TB that scan costs more than the pivot itself.
+
+        Output columns: index cols, then ``<agg>_<value>`` per (reduction,
+        pivot value) pair.  Physically one hash-aggregate: each pivot value
+        becomes a conditional agg expression, so partial aggregation and a
+        single shuffle on ``index`` apply as in any groupBy.
+        """
+        idx = index if isinstance(index, (list, tuple)) else [index]
+        idx = [c.name if isinstance(c, ColExpr) else c for c in idx]
+        pc = pivot_col.name if isinstance(pivot_col, ColExpr) else pivot_col
+        vals = list(values)
+        aggs = [r.col.alias(name) for name, r in reductions.items()]
+        out = (self._df.groupBy(*[F.col(c) for c in idx])
+               .pivot(pc, vals).agg(*aggs))
+        if len(aggs) == 1:
+            name = next(iter(reductions))
+            ren = {str(v): f"{name}_{v}" for v in vals}
+        else:
+            ren = {f"{v}_{name}": f"{name}_{v}"
+                   for v in vals for name in reductions}
+        return self._new(out.withColumnsRenamed(ren))
+
+    def unpivot(self, ids, value_cols, var_name: str = "variable",
+                value_name: str = "value") -> "Table":
+        """Long melt: ``df.unpivot`` — each row expands to
+        ``len(value_cols)`` rows.  Narrow (scan-local) op: no shuffle; value
+        columns are cast to their common promoted type by Spark."""
+        ids = ids if isinstance(ids, (list, tuple)) else [ids]
+        ids = [c.name if isinstance(c, ColExpr) else c for c in ids]
+        vcs = value_cols if isinstance(value_cols, (list, tuple)) else [value_cols]
+        vcs = [c.name if isinstance(c, ColExpr) else c for c in vcs]
+        return self._new(self._df.unpivot(ids, vcs, var_name, value_name))
+
+    def explode(self, col, alias: str | None = None,
+                pos: str | None = None, outer: bool = False) -> "Table":
+        """Array column -> one row per element (``F.explode``).  ``pos``
+        names an ordinality column (``posexplode``); ``outer`` keeps rows
+        with empty/null arrays.  Narrow op — rows multiply within the scan
+        partition, no shuffle; follow with ``repartition`` if the fan-out
+        is large and the next stage is per-row heavy."""
+        c = col.name if isinstance(col, ColExpr) else col
+        a = alias or c
+        if pos is not None:
+            fn = F.posexplode_outer if outer else F.posexplode
+            gen = fn(F.col(c)).alias(pos, a)
+        else:
+            fn = F.explode_outer if outer else F.explode
+            gen = fn(F.col(c)).alias(a)
+        keep = [x for x in self.fields if x != c]
+        return self._new(self._df.select(*keep, gen))
+
     # -- reductions over whole table -----------------------------------------
     def count(self) -> "Reduction":
         return Reduction(self, F.count(F.lit(1)), "count")

@@ -367,3 +367,52 @@ def test_sample_by_stratified(star):
     segs = {r.c_mktsegment for r in s[["c_mktsegment"]].distinct().df.collect()}
     assert "MACHINERY" not in segs
     assert "BUILDING" in segs
+
+
+def test_pivot_wide(spark):
+    from blaze_spark import data
+
+    t = data(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("a", "x", 4.0)],
+        spark=spark, schema="k string, p string, v double", name="pv")
+    out = t.pivot("k", "p", ["x", "y"], n=t.v.count(), total=t.v.sum())
+    rows = {r.k: r for r in out.df.collect()}
+    assert rows["a"].n_x == 2 and rows["a"].total_x == 5.0
+    assert rows["a"].n_y == 1 and rows["a"].total_y == 2.0
+    assert rows["b"].n_y is None  # absent cell -> null
+    assert sorted(out.fields) == ["k", "n_x", "n_y", "total_x", "total_y"]
+
+
+def test_unpivot_melt(spark):
+    from blaze_spark import data
+
+    t = data([(1, 10, 1.5), (2, 20, 2.5)], spark=spark,
+             schema="id int, a int, b double", name="up")
+    out = t.unpivot("id", ["a", "b"], "m", "val")
+    got = {(r.id, r.m): r.val for r in out.df.collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 1.5,
+                   (2, "a"): 20.0, (2, "b"): 2.5}
+
+
+def test_explode_pos_outer(spark):
+    from blaze_spark import data
+
+    t = data([(1, [10, 20]), (2, [])], spark=spark,
+             schema="id int, xs array<int>", name="ex")
+    inner = t.explode("xs", alias="x", pos="i")
+    assert [(r.id, r.i, r.x) for r in inner.sort("id", "i").df.collect()] \
+        == [(1, 0, 10), (1, 1, 20)]
+    outer = t.explode("xs", alias="x", pos="i", outer=True)
+    assert (2, None, None) in [(r.id, r.i, r.x) for r in outer.df.collect()]
+
+
+def test_sessionize_gaps(spark):
+    from blaze_spark import data
+    from blaze_spark.operators.sessionize import sessionize
+
+    t = data([("u", 1), ("u", 2), ("u", 100), ("u", 101), ("v", 5)],
+             spark=spark, schema="k string, seq long", name="sess")
+    out = sessionize(t, "k", "seq", gap=10)
+    got = {(r.k, r.seq): r.session_id for r in out.df.collect()}
+    assert got == {("u", 1): 0, ("u", 2): 0, ("u", 100): 1,
+                   ("u", 101): 1, ("v", 5): 0}
