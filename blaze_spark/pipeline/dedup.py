@@ -5,17 +5,18 @@ Scale design (the point of these at 100 TB):
 - **Exact / normalized**: hash-groupBy on an md5 fingerprint — one shuffle
   keyed by a uniformly distributed 128-bit hash (no skew), map-side partial
   aggregation free from Catalyst.
-- **MinHash+LSH**: signatures are computed scan-side with array
-  higher-order functions (transform/aggregate — pure JVM codegen, no
-  Python, no explode of the shingle set).  Only the (band, band-hash) keys
-  are exploded — `bands × rows`, tiny — and the candidate generation is an
-  equi-self-join on the band hash, which Catalyst executes as a shuffled
-  hash join keyed by uniform hashes.  Degenerate buckets (boilerplate
-  shingles shared by millions of docs) are capped with a count filter
-  before the join so one hot bucket can't quadratic-blow a partition.
-- **SimHash**: one explode over tokens then a 64-column conditional-sum
-  hash aggregation (partial agg; shuffle carries 64 ints per doc), pairs
-  via pigeonhole banding on 16-bit chunks.
+- **MinHash+LSH**: shingle hashes explode into a codegen'd 32-min hash
+  aggregation (map-side partial agg collapses back to one row per doc
+  before the shuffle).  Candidate generation is bucket-local: degenerate
+  buckets (boilerplate shared by millions of docs) are blacklisted via a
+  BROADCAST anti join (the count pass shuffles only the bucket keys), then
+  ONE groupBy gathers each bucket (size capped by ``max_bucket``) and the
+  i<j pairs are generated inside the array — no self-join, no second big
+  shuffle.
+- **SimHash**: one explode over tokens, then the 64 per-bit set-counts
+  packed as 16 lane-sums (4x16-bit counters per long, branchless; shuffle
+  carries 17 longs per doc); pairs via pigeonhole banding on 16-bit chunks
+  with the same broadcast-blacklist + in-bucket pairing as MinHash.
 - **n-gram Jaccard**: exact verification on candidate pairs only — never
   all-pairs.
 
@@ -35,6 +36,45 @@ from ..core import Table
 # Mersenne prime 2^31-1: (a*h+b) stays under 2^62 — no 64-bit overflow,
 # safe under ANSI arithmetic.
 _P = 2_147_483_647
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` ONLY when the scan would under-parallelize
+    (small/single-file inputs — one task does all the per-row-heavy work).
+
+    Metadata-only estimate: file list + local file sizes vs
+    ``maxPartitionBytes``.  Deliberately avoids ``df.rdd.getNumPartitions()``
+    — the RDD conversion compiles the physical plan on the driver (~1s per
+    call).  At scale (many files, or files larger than maxPartitionBytes)
+    the scan already parallelizes and no shuffle is added.
+    """
+    import os
+
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= npart:
+        return df
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                  .removesuffix("b"))
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    est = len(files)
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                sz = os.path.getsize(f.split(":", 1)[1])
+                est += max(0, (sz - 1) // mpb)
+            except OSError:
+                pass
+        else:
+            # remote store: size unknown without an FS call — assume the
+            # planner splits it; only tiny file COUNTS trigger a respread
+            est += 7
+    if est < npart:
+        return df.repartition(npart, key)
+    return df
 
 
 def _shingles(text: Column, k: int) -> Column:
@@ -91,18 +131,17 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
                     lambda s: F.pmod(F.xxhash64(s), F.lit(_P))))
     # spread the per-row-heavy shingling across all cores: a small file
     # scans as one partition, and at scale this also levels doc-size skew
-    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    npart = t.df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < npart:
-        src = src.repartition(npart, "doc_id")
+    src = _spread(
+        t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
     ex = src.select("doc_id", F.explode(hashes).alias("h"))
-    mins = [F.min((F.col("h") * F.lit(a[j]) + F.lit(b[j])) % F.lit(_P))
-            .alias(f"m{j}") for j in range(num_perm)]
+    # SQL-string expressions: one Py4J call per permutation (driver-side
+    # plan-build cost; see simhash note)
+    mins = [F.expr(f"min(((h * {a[j]}) + {b[j]}) % {_P})").alias(f"m{j}")
+            for j in range(num_perm)]
     agg = ex.groupBy("doc_id").agg(*mins)
+    sig = F.expr("array(" + ", ".join(f"m{j}" for j in range(num_perm)) + ")")
     return Table(
-        agg.select("doc_id",
-                   F.array(*[F.col(f"m{j}") for j in range(num_perm)])
-                   .alias("signature")),
+        agg.select("doc_id", sig.alias("signature")),
         t._name,
     )
 
@@ -119,10 +158,9 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     skew guard that keeps a hot bucket from going quadratic at scale.
     """
     r = num_perm // bands
-    # persist: the signature scan feeds the bucket-size stats, both sides of
-    # the self-join, and the est_jaccard comparison — without this the whole
-    # shingle+hash pipeline re-executes once per consumer (at 100 TB this is
-    # the difference between one corpus pass and five)
+    # persist: the signature pipeline (shingle -> hash -> 32 mins) feeds both
+    # the hot-bucket count pass and the pair generation — without this the
+    # whole corpus pass runs twice (at 100 TB: one pass vs two)
     sigs = minhash_signatures(t, text_col, id_col, num_perm, shingle_k,
                               seed).df.persist()
 
@@ -143,30 +181,43 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     ).select("doc_id", "signature", F.col("bk.band").alias("band"),
              F.col("bk.bhash").alias("bhash"))
 
-    band_entries = band_entries.persist()
-    # skew guard: cap bucket size
-    bucket_sizes = band_entries.groupBy("band", "bhash").count()
-    small = band_entries.join(
-        bucket_sizes.filter((F.col("count") > 1) & (F.col("count") <= max_bucket)),
-        ["band", "bhash"],
-    ).select("band", "bhash", "doc_id", "signature").persist()
+    # skew guard as a BROADCAST blacklist: the count pass shuffles only the
+    # (band, bhash) keys (map-side partial agg -> tiny), and buckets larger
+    # than max_bucket are by construction rare, so the blacklist broadcasts
+    # and the entries side never shuffles for the anti join.
+    hot = (band_entries.groupBy("band", "bhash")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > max_bucket).select("band", "bhash"))
+    cold = band_entries.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
 
-    l, rgt = small.alias("l"), small.alias("r")
+    # ONE shuffle gathers each bucket; pairs are generated inside the array
+    # (i<j combinations over the doc_id-sorted bucket) instead of a
+    # self-join — replaces the old entries⋈sizes join + self-join (two big
+    # shuffles of signature-carrying rows) with a single groupBy.  Bucket
+    # size is capped at max_bucket, so the collected array and its
+    # max_bucket^2/2 pair fan-out are bounded per task.
+    grouped = (cold.groupBy("band", "bhash")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("doc_id", "signature"))).alias("docs"))
+               .filter(F.size("docs") >= 2))
+
+    def _pair(x, y):
+        matches = F.size(F.filter(
+            F.zip_with(x["signature"], y["signature"],
+                       lambda p, q: (p == q).cast("int")),
+            lambda eq: eq == 1))
+        return F.struct(
+            x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+            (matches / F.lit(float(num_perm))).alias("est_jaccard"))
+
+    pair_arr = F.flatten(F.transform(
+        F.col("docs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+            lambda y: _pair(x, y))))
     pairs = (
-        l.join(rgt, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.bhash") == F.col("r.bhash"))
-               & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            (
-                F.size(F.filter(
-                    F.zip_with("l.signature", "r.signature",
-                               lambda x, y: (x == y).cast("int")),
-                    lambda eq: eq == 1))
-                / F.lit(float(num_perm))
-            ).alias("est_jaccard"),
-        )
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b", "pr.est_jaccard")
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
@@ -178,10 +229,8 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     """Exact shingle-set Jaccard for candidate pairs only (verification
     stage after LSH) — array_intersect/array_union on distinct shingle
     hashes, joined twice against the docs table."""
-    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    npart = t.df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < npart:
-        src = src.repartition(npart, "doc_id")
+    src = _spread(
+        t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
     docs = src.select(
         "doc_id",
         F.array_distinct(
@@ -204,37 +253,52 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     return Table(out, "ngram_jaccard_pairs")
 
 
-def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id") -> Table:
+def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id",
+            max_tokens: int = 65535) -> Table:
     """64-bit SimHash as two 32-bit halves (hi, lo) — bit-voting over token
-    xxhash64 values.  Explode tokens once, then 64 conditional sums in a
-    single hash aggregation (partial agg map-side; the shuffle carries 64
-    ints per doc)."""
-    src = t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    npart = t.df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < npart:
-        src = src.repartition(npart, "doc_id")
+    xxhash64 values.
+
+    Layout: tokens explode once, then the 64 per-bit set-counts are packed
+    into 16 lane-sum aggregates — each long carries four 16-bit counters,
+    and a token's contribution per lane is a branchless shift-mask-shift
+    (no ``when``).  The majority vote ``2*count > n`` is exactly the old
+    signed ±1 sum being positive, so signatures are bit-identical to the
+    64-column formulation while the agg state drops 64 longs -> 17 and the
+    per-row expression loses all branches.  The shuffle carries 17 longs
+    per doc (map-side partial agg).
+
+    ``max_tokens`` caps tokens per doc BEFORE the explode so a 16-bit lane
+    can never overflow (and bounds giant-doc skew); voting over a prefix is
+    the standard simhash practice for long docs.
+    """
+    src = _spread(
+        t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     toks = src.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+        F.explode(F.slice(tokens, 1, max_tokens)).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
 
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1,
-                   1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    # expressions built as SQL strings: one Py4J call per aggregate instead
+    # of ~20 Column-builder round trips each — plan construction drops from
+    # seconds to milliseconds (driver-side cost, paid per query)
+    def _lane(g: int) -> Column:
+        body = " + ".join(
+            f"((shiftrightunsigned(h, {4 * g + k}) & 1)"
+            + (f" * {1 << (16 * k)})" if k else ")")
+            for k in range(4))
+        return F.expr(f"sum({body})").alias(f"g{g}")
 
-    lo = None
-    hi = None
-    for b in range(32):
-        bit = (F.col(f"b{b}") > 0).cast("long") * F.lit(1 << b)
-        lo = bit if lo is None else lo + bit
-    for b in range(32, 64):
-        bit = (F.col(f"b{b}") > 0).cast("long") * F.lit(1 << (b - 32))
-        hi = bit if hi is None else hi + bit
+    agg = toks.groupBy("doc_id").agg(
+        *[_lane(g) for g in range(16)], F.count(F.lit(1)).alias("n"))
+
+    def _bit(p: int) -> str:
+        g, k = divmod(p, 4)
+        return (f"(cast((((shiftrightunsigned(g{g}, {16 * k}) & 65535) * 2)"
+                f" > n) as bigint) * {1 << (p % 32)})")
+
+    lo = F.expr(" + ".join(_bit(b) for b in range(32)))
+    hi = F.expr(" + ".join(_bit(b) for b in range(32, 64)))
     return Table(
         agg.select("doc_id", lo.alias("sim_lo"), hi.alias("sim_hi")),
         "simhash",
@@ -242,12 +306,17 @@ def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id") -> Table:
 
 
 def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3) -> Table:
+                       max_hamming: int = 3, max_bucket: int = 1000) -> Table:
     """Near-dup pairs with Hamming distance <= max_hamming.  Pigeonhole:
     split 64 bits into 4 16-bit chunks; distance<=3 pairs share at least
-    one exact chunk -> equi-join per chunk, verify with bit_count(xor)."""
-    # persist: both sides of the chunk self-join read the signatures —
-    # without this the token-explode + 64-vote aggregation runs twice
+    one exact chunk -> bucket per chunk, verify with bit_count(xor).
+
+    Same shuffle topology as ``minhash_candidates``: hot chunks (e.g. the
+    all-zeros chunk of near-empty docs) are blacklisted via a broadcast
+    anti join, then ONE groupBy gathers each bucket and pairs are generated
+    inside the array — no self-join."""
+    # persist: the token-explode + 64-vote aggregation feeds the hot-chunk
+    # count pass and the pair generation — one corpus pass, not two
     sh = simhash(t, text_col, id_col).df.persist()
     chunks = sh.select(
         "doc_id", "sim_lo", "sim_hi",
@@ -260,18 +329,29 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     ).select("doc_id", "sim_lo", "sim_hi",
              F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
 
-    l, r = chunks.alias("l"), chunks.alias("r")
-    ham = (
-        F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo")))
-        + F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi")))
-    )
+    hot = (chunks.groupBy("ci", "chunk")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > max_bucket).select("ci", "chunk"))
+    cold = chunks.join(F.broadcast(hot), ["ci", "chunk"], "left_anti")
+    grouped = (cold.groupBy("ci", "chunk")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("doc_id", "sim_lo", "sim_hi"))).alias("docs"))
+               .filter(F.size("docs") >= 2))
+
+    def _pair(x, y):
+        ham = (F.bit_count(x["sim_lo"].bitwiseXOR(y["sim_lo"]))
+               + F.bit_count(x["sim_hi"].bitwiseXOR(y["sim_hi"])))
+        return F.struct(x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"), ham.alias("hamming"))
+
+    pair_arr = F.flatten(F.transform(
+        F.col("docs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+            lambda y: _pair(x, y))))
     pairs = (
-        l.join(r, (F.col("l.ci") == F.col("r.ci"))
-               & (F.col("l.chunk") == F.col("r.chunk"))
-               & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-                ham.alias("hamming"))
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b", "pr.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
