@@ -127,3 +127,74 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream):
     agg.to_memory("deduped", output_mode="append")
     out = spark.table("deduped").toPandas()
     assert len(out) >= 0  # runs end-to-end; dedup specifics data-dependent
+
+
+def test_incremental_minhash_dedup_batches(spark, tmp_path):
+    """Cross-batch near-dup found via the signature store; in-batch pair
+    found via bucket pairing; unrelated docs produce no pairs."""
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight " * 3)
+    store = str(tmp_path / "store")
+    b1 = data([(1, base), (2, "completely different words " * 10)],
+              spark=spark, schema="doc_id long, text string", name="b1")
+    p1 = process_batch(b1, store)
+    assert p1.count() == 0  # no dups inside batch 1
+
+    near = base.replace("tonight", "today")  # near-dup of doc 1
+    b2 = data([(3, near), (4, near), (5, "unrelated corpus text " * 12)],
+              spark=spark, schema="doc_id long, text string", name="b2")
+    p2 = process_batch(b2, store)
+    got = {(r.new_doc, r.matched_doc) for r in p2.collect()}
+    assert (3, 1) in got  # cross-batch, via store probe
+    assert (4, 1) in got
+    assert (4, 3) in got  # in-batch pair
+    assert all(a != 5 and b != 5 for a, b in got)
+
+    # batch 3 sees docs from BOTH earlier batches in the store
+    b3 = data([(6, base)], spark=spark,
+              schema="doc_id long, text string", name="b3")
+    p3 = process_batch(b3, store)
+    matched = {r.matched_doc for r in p3.collect()}
+    assert {1, 3, 4} <= matched
+
+
+def test_incremental_dedup_streaming_wrapper(spark, tmp_path):
+    """foreachBatch wiring: run the streaming form over a file source."""
+    import time
+
+    from blaze_spark.streaming import stream_data
+    from blaze_spark.streaming.incremental_dedup import (
+        incremental_minhash_dedup)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    dup = "all work and no play makes jack a dull boy " * 8
+    pdf = pd.DataFrame({"doc_id": [10, 11, 12],
+                        "text": [dup, dup, "something else entirely " * 9]})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(pdf), src_dir / "part0.parquet")
+
+    st = stream_data(spark, str(src_dir), fmt="parquet",
+                     schema="doc_id long, text string")
+    q = incremental_minhash_dedup(
+        st, str(tmp_path / "store2"), str(tmp_path / "ckpt"),
+        str(tmp_path / "pairs"))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            import os
+            if os.path.isdir(tmp_path / "pairs") and any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(tmp_path / "pairs")):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    got = {(r.new_doc, r.matched_doc) for r in pairs.collect()}
+    assert (11, 10) in got
