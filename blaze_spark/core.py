@@ -715,9 +715,10 @@ class Table:
         At 100 TB that scan costs more than the pivot itself.
 
         Output columns: index cols, then ``<agg>_<value>`` per (reduction,
-        pivot value) pair.  Physically one hash-aggregate: each pivot value
-        becomes a conditional agg expression, so partial aggregation and a
-        single shuffle on ``index`` apply as in any groupBy.
+        pivot value) pair.  Physically a two-level aggregation: partial+final
+        by (index, pivot) first, then a PivotFirst aggregate by index over
+        the ALREADY-AGGREGATED rows — the second shuffle carries one row per
+        (index, pivot value) group, never input rows.  One scan either way.
         """
         idx = index if isinstance(index, (list, tuple)) else [index]
         idx = [c.name if isinstance(c, ColExpr) else c for c in idx]

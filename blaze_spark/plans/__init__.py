@@ -62,3 +62,10 @@ def codegen_stage_count(t) -> int:
     plan = physical_plan(t)
     ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
     return len(ids)
+
+
+def exchange_count(t) -> int:
+    """Number of shuffle (hash-partitioning) Exchanges in the plan —
+    broadcast exchanges excluded.  The first scale question for any
+    operator: how many times does the data cross the network?"""
+    return physical_plan(t).count("Arguments: hashpartitioning")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from blaze_spark import by, join
 from blaze_spark.plans import (
     codegen_stage_count,
+    exchange_count,
     physical_plan,
     pushed_filters,
     scan_columns,
@@ -75,3 +76,38 @@ def test_topk_is_take_ordered(star):
     plan = physical_plan(q)
     # top-k must not materialize a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_has_no_self_join_and_bounded_shuffles(star):
+    """Round-1 restructure pin: candidate generation is bucket-local —
+    no SortMergeJoin, one broadcast anti join, few exchanges."""
+    from blaze_spark.pipeline.dedup import minhash_candidates
+
+    q = minhash_candidates(star["documents"])
+    plan = physical_plan(q)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan or "LeftAnti" in plan, plan
+    # shuffles: hot-bucket count, bucket gather, pair dedup (+AQE reads)
+    assert exchange_count(q) <= 4, plan
+
+
+def test_sessionize_single_exchange(star):
+    """lag + running-sum share one partitioning: exactly one Exchange."""
+    from blaze_spark.operators.sessionize import sessionize
+
+    q = sessionize(star["events"], "user_id", "event_id", gap=500)
+    assert exchange_count(q) == 1, physical_plan(q)
+
+
+def test_pivot_single_scan_two_level_agg(star):
+    """Explicit pivot values -> ONE scan; Spark plans pivot as a two-level
+    aggregation (by (index, pivot) first, then PivotFirst by index over the
+    already-aggregated rows — the second shuffle carries group counts, not
+    input rows)."""
+    o = star["orders"]
+    q = o.pivot("o_orderpriority", "o_orderstatus", ["O", "F", "P"],
+                n=o.o_orderkey.count())
+    plan = physical_plan(q)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert exchange_count(q) <= 2, plan
