@@ -922,6 +922,35 @@ def sessionize_user_events(spark, sf_dir):
               last_event=s.event_id.max()).df
 
 
+def grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS ((priority,status),(priority),()) — one scan,
+    Expand feeds a single partial+final aggregation."""
+    from blaze_spark import grouping_sets
+
+    o = _t(spark, sf_dir, "orders")
+    g = grouping_sets(
+        [[o.o_orderpriority, o.o_orderstatus], [o.o_orderpriority], []],
+        n=o.o_orderkey.nelements(), total=o.o_totalprice.sum())
+    return g.transform(total=F.round(F.col("total"), 2)).df
+
+
+def rolling_range_user_values(spark, sf_dir):
+    """Value-based window frame: per-user trailing-500-event-ids running
+    sum + count (RANGE BETWEEN 500 PRECEDING AND CURRENT ROW).  Sum and
+    count are emitted rather than their quotient: a windowed mean rounds
+    nondeterministically across engines (no intrinsic decimal count)."""
+    from blaze_spark.functions import window as W
+
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 30]
+    rs = W.rolling_range(f.value, "sum", order_by=f.event_id,
+                         lower=-500, upper=0, partition_by=f.user_id)
+    rn = W.rolling_range(f.event_id, "count", order_by=f.event_id,
+                         lower=-500, upper=0, partition_by=f.user_id)
+    out = f.transform(trail_sum=F.round(rs.col, 4), n_trail=rn.col)
+    return out[["event_id", "user_id", "trail_sum", "n_trail"]].df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -1212,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_measures": unpivot_part_measures,
         "explode_embedding_dims": explode_embedding_dims,
         "sessionize_user_events": sessionize_user_events,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
+        "rolling_range_user_values": rolling_range_user_values,
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
@@ -1783,6 +1814,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(event_id) AS first_event, max(event_id) AS last_event
             FROM s GROUP BY user_id, session_id
+        """,
+        "grouping_sets_order_stats": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+        """,
+        "rolling_range_user_values": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 4) AS trail_sum,
+                   count(event_id) OVER w AS n_trail
+            FROM events WHERE user_id <= 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
         """,
         "range_join_price_bands": """
             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total

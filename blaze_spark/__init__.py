@@ -22,6 +22,7 @@ from .core import (  # noqa: F401
     concat,
     count_values,
     cube,
+    grouping_sets,
     hypertable_rollup,
     join,
     merge,

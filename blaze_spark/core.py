@@ -956,6 +956,30 @@ def cube(groupers, **reductions: Reduction) -> Table:
     return Table(table.df.cube(*gcols).agg(*aggs))
 
 
+def grouping_sets(sets, **reductions: Reduction) -> Table:
+    """Explicit GROUPING SETS — EXTENSION (SURVEY.md §2.4; ``rollup``/
+    ``cube`` are its fixed shapes).  ``sets`` is a list of lists of
+    ColExprs; empty inner list = grand total.  Lowered to the native
+    ``DataFrame.groupingSets`` (Spark >= 4.0): ONE scan feeds an Expand
+    that replicates each row per grouping set into a single partial+final
+    aggregation — not a union of per-set re-scans.  Non-grouped columns
+    are NULL in their set's rows, as in SQL."""
+    flat = [g for s in sets for g in s]
+    if not flat:
+        raise ValueError("grouping_sets needs at least one non-empty set")
+    table = flat[0]._table
+    seen: dict[str, ColExpr] = {}
+    for g in flat:
+        seen.setdefault(g.name, g)
+    set_names = [[F.col(g.name) for g in s] for s in sets]
+    aggs = [r.col.alias(name) for name, r in reductions.items()]
+    new_cols = [g.col.alias(g.name) for g in seen.values()
+                if g.name not in table.df.columns]
+    src = table.df.select("*", *new_cols) if new_cols else table.df
+    return Table(src.groupingSets(set_names,
+                                  *[F.col(n) for n in seen]).agg(*aggs))
+
+
 def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
                       **reductions: Reduction) -> Table:
     """Time-hierarchy continuous aggregate (the 'hypertable rollup' shape):

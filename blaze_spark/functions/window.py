@@ -62,3 +62,19 @@ def rolling_mean(col: ColExpr, order_by, window_rows: int,
         -(window_rows - 1), Window.currentRow)
     return col._make(F.avg(col.col).over(w), f"{col.name}_rolling_mean",
                      T.DoubleType())
+
+
+def rolling_range(col: ColExpr, agg: str, order_by, lower, upper=0,
+                  partition_by=None) -> ColExpr:
+    """VALUE-based frame (``RANGE BETWEEN lower PRECEDING AND upper
+    FOLLOWING`` on the order column) — e.g. "avg over the last 600 seconds"
+    rather than the last N rows.  ``order_by`` must be a single numeric/
+    temporal-epoch column; ``lower``/``upper`` are offsets in its units
+    (negative = preceding).  ``agg`` is any SQL aggregate name.
+
+    Scale: same single hash-partition + sort as any window; the range frame
+    is evaluated with a sliding pointer over the sorted run, not a rescan
+    per row."""
+    w = _window(order_by, partition_by).rangeBetween(lower, upper)
+    fn = getattr(F, agg)
+    return col._make(fn(col.col).over(w), f"{col.name}_rolling_{agg}", None)

@@ -416,3 +416,26 @@ def test_sessionize_gaps(spark):
     got = {(r.k, r.seq): r.session_id for r in out.df.collect()}
     assert got == {("u", 1): 0, ("u", 2): 0, ("u", 100): 1,
                    ("u", 101): 1, ("v", 5): 0}
+
+
+def test_grouping_sets(spark):
+    from blaze_spark import data, grouping_sets
+
+    t = data([("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+             spark=spark, schema="k string, p string, v int", name="gs")
+    out = grouping_sets([[t.k, t.p], [t.k], []], total=t.v.sum())
+    got = {(r.k, r.p): r.total for r in out.df.collect()}
+    assert got[("a", "x")] == 1 and got[("a", "y")] == 2
+    assert got[("a", None)] == 3 and got[("b", None)] == 4
+    assert got[(None, None)] == 7
+
+
+def test_rolling_range_frame(spark):
+    from blaze_spark import data
+    from blaze_spark.functions import window as W
+
+    t = data([(1, 10.0), (5, 20.0), (100, 40.0)],
+             spark=spark, schema="seq long, v double", name="rr")
+    rs = W.rolling_range(t.v, "sum", order_by=t.seq, lower=-10, upper=0)
+    got = {r.seq: r.s for r in t.transform(s=rs.col).df.collect()}
+    assert got == {1: 10.0, 5: 30.0, 100: 40.0}
