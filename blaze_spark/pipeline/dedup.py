@@ -157,13 +157,31 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     ``max_bucket`` drops degenerate buckets before the self-join — the
     skew guard that keeps a hot bucket from going quadratic at scale.
     """
-    r = num_perm // bands
     # persist: the signature pipeline (shingle -> hash -> 32 mins) feeds both
     # the hot-bucket count pass and the pair generation — without this the
     # whole corpus pass runs twice (at 100 TB: one pass vs two)
     sigs = minhash_signatures(t, text_col, id_col, num_perm, shingle_k,
                               seed).df.persist()
+    return Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
+                 "minhash_candidates")
 
+
+def lsh_band_pairs(sigs: DataFrame, num_perm: int, bands: int,
+                   max_bucket: int) -> DataFrame:
+    """Shared LSH candidate stage over (doc_id, signature) rows — used by
+    word-shingle MinHash, cross-lingual concept MinHash, and the
+    incremental in-batch path.
+
+    Topology (the no-self-join design): band entries explode narrowly from
+    the signatures; the skew guard is a BROADCAST blacklist (the count
+    pass shuffles only the (band, bhash) keys — map-side partial agg —
+    and buckets larger than ``max_bucket`` are by construction rare, so
+    the blacklist broadcasts and the entries side never shuffles for the
+    anti join); then ONE groupBy gathers each bucket and the i<j pairs
+    are generated inside the doc_id-sorted array with bounded
+    (max_bucket^2/2) fan-out per task.  Returns (doc_a, doc_b,
+    est_jaccard) with est = matching-component fraction."""
+    r = num_perm // bands
     band_entries = sigs.select(
         "doc_id", "signature",
         F.explode(
@@ -181,21 +199,11 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     ).select("doc_id", "signature", F.col("bk.band").alias("band"),
              F.col("bk.bhash").alias("bhash"))
 
-    # skew guard as a BROADCAST blacklist: the count pass shuffles only the
-    # (band, bhash) keys (map-side partial agg -> tiny), and buckets larger
-    # than max_bucket are by construction rare, so the blacklist broadcasts
-    # and the entries side never shuffles for the anti join.
     hot = (band_entries.groupBy("band", "bhash")
            .agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > max_bucket).select("band", "bhash"))
     cold = band_entries.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
 
-    # ONE shuffle gathers each bucket; pairs are generated inside the array
-    # (i<j combinations over the doc_id-sorted bucket) instead of a
-    # self-join — replaces the old entries⋈sizes join + self-join (two big
-    # shuffles of signature-carrying rows) with a single groupBy.  Bucket
-    # size is capped at max_bucket, so the collected array and its
-    # max_bucket^2/2 pair fan-out are bounded per task.
     grouped = (cold.groupBy("band", "bhash")
                .agg(F.array_sort(F.collect_list(
                    F.struct("doc_id", "signature"))).alias("docs"))
@@ -215,13 +223,12 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
         lambda x, i: F.transform(
             F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
             lambda y: _pair(x, y))))
-    pairs = (
+    return (
         grouped.select(F.explode(pair_arr).alias("pr"))
         .select("pr.doc_a", "pr.doc_b", "pr.est_jaccard")
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return Table(pairs, "minhash_candidates")
 
 
 def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",

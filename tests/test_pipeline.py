@@ -270,3 +270,52 @@ def test_ivf_assign_covers_all(spark, emb):
     assert tagged.df.count() == emb.df.count()
     cells = {r.cell for r in tagged.df.select("cell").distinct().collect()}
     assert cells <= set(range(4))
+
+
+def test_crosslingual_exact_dedup(spark):
+    """A 'translated' doc (every token mapped through the lexicon, word
+    order permuted) collides on concept_fingerprint; surface dedup won't."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.crosslingual import (
+        crosslingual_dedup, crosslingual_fingerprint)
+
+    en = "the cat sat on the mat"
+    es = "el gato sento on el mat"  # word-for-word via lexicon below
+    lex = data(
+        [("the", 1), ("el", 1), ("cat", 2), ("gato", 2), ("sat", 3),
+         ("sento", 3), ("on", 4), ("mat", 5)],
+        spark=spark, schema="token string, concept_id long", name="lex")
+    docs = data([(1, en), (2, es), (3, "totally different content")],
+                spark=spark, schema="doc_id long, text string", name="cd")
+    fp = crosslingual_fingerprint(docs, lex)
+    got = {r.doc_id: r.concept_fingerprint for r in fp.df.collect()}
+    assert got[1] == got[2]
+    assert got[3] != got[1]
+    out = crosslingual_dedup(docs, lex)
+    groups = {r.keeper_id: r.n_copies for r in out.df.collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_crosslingual_minhash_near_translation(spark):
+    """Partial translation overlap -> LSH candidate pair across languages."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.crosslingual import (
+        crosslingual_minhash_candidates)
+
+    base_en = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+               "juliet kilo lima mike november oscar papa")
+    # translate most tokens, drop/replace a couple (near-dup, not exact)
+    pairs = [(w, w.upper()) for w in base_en.split()]
+    lex_rows = [(w, i) for i, (w, _) in enumerate(pairs)]
+    lex_rows += [(u.lower() + "x", i) for i, (_, u) in enumerate(pairs)]
+    lex = data([(tok, cid) for tok, cid in lex_rows],
+               spark=spark, schema="token string, concept_id long",
+               name="lex2")
+    base_xx = " ".join(w + "x" for w in base_en.split()[:14]) + " zulu yankee"
+    docs = data([(1, base_en), (2, base_xx), (3, "noise " * 16)],
+                spark=spark, schema="doc_id long, text string", name="cd2")
+    out = crosslingual_minhash_candidates(docs, lex, bands=16, num_perm=32)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in out.df.collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] > 0.5
+    assert all(3 not in p for p in got)
