@@ -41,6 +41,13 @@ BENCH_QUERIES = [
     "percentile_prices",
     "text_quality",
     "text_token_stats",
+    "q08_style_market_share",
+    "q13_style_order_distribution",
+    "q17_style_small_qty_revenue",
+    "pivot_status_by_priority",
+    "grouping_sets_order_stats",
+    "sessionize_user_events",
+    "rolling_range_user_values",
 ]
 
 
