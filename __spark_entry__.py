@@ -951,6 +951,56 @@ def rolling_range_user_values(spark, sf_dir):
     return out[["event_id", "user_id", "trail_sum", "n_trail"]].df
 
 
+def fk_autojoin_supplier_region(spark, sf_dir):
+    """FK Map-type auto-join (reference Field-through-Map hop,
+    blaze/expr/expressions.py:188-193): supplier -> nation -> region via
+    declared foreign keys; dimensions ride as broadcasts."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = n.with_fk("n_regionkey", r, "r_regionkey") \
+        .auto_join("n_regionkey.r_name")
+    sn = s.with_fk("s_nationkey", nr, "n_nationkey") \
+        .auto_join("s_nationkey.n_name", "s_nationkey.r_name")
+    g = by([sn.r_name, sn.n_name], n_suppliers=sn.s_suppkey.nelements(),
+           total_bal=sn.s_acctbal.sum())
+    return g.transform(total_bal=F.round(F.col("total_bal"), 2)).df
+
+
+def sql_frontend_status_revenue(spark, sf_dir):
+    """SQL front-end: the same Catalyst plans through a SQL string
+    (reference SparkSQL backend, blaze/compute/sparksql.py:61-93)."""
+    from blaze_spark.interop import sql
+
+    o = _t(spark, sf_dir, "orders")
+    return sql(
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderstatus""",
+        spark=spark, orders=o).df
+
+
+def tree_dialect_big_orders(spark, sf_dir):
+    """Server expression-tree dialect (reference to_tree/from_tree,
+    blaze/server/server.py:411-477): a query shipped as JSON and rebuilt."""
+    from blaze_spark.interop import from_tree
+
+    tree = {
+        "op": "by",
+        "args": [
+            {"op": "selection", "args": [
+                {"op": "data", "args": [f"{sf_dir}/orders.parquet"]},
+                {"op": "gt", "args": [{"op": "field", "args": ["o_totalprice"]},
+                                      200000.0]}]},
+            [["o_orderpriority",
+              {"op": "field", "args": ["o_orderpriority"]}]],
+            {"n_big": {"op": "nelements",
+                       "args": [{"op": "field", "args": ["o_orderkey"]}]}},
+        ],
+    }
+    return from_tree(tree, spark=spark).df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -1243,6 +1293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_user_events": sessionize_user_events,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
+        "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
+        "sql_frontend_status_revenue": sql_frontend_status_revenue,
+        "tree_dialect_big_orders": tree_dialect_big_orders,
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
@@ -1829,6 +1882,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id <= 30
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+        """,
+        "fk_autojoin_supplier_region": """
+            SELECT r_name, n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "sql_frontend_status_revenue": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "tree_dialect_big_orders": """
+            SELECT o_orderpriority, count(*) AS n_big
+            FROM orders WHERE o_totalprice > 200000.0
+            GROUP BY o_orderpriority
         """,
         "range_join_price_bands": """
             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
