@@ -119,3 +119,27 @@ def ivf_topk(corpus: Table, queries: Table, centroids: np.ndarray, k: int = 5,
                    F.round("cosine", round_to).alias("cosine")
                    if round_to is not None else F.col("cosine")))
     return Table(out, "ivf_topk")
+
+
+def save_centroids(centroids: np.ndarray, path: str,
+                   spark=None) -> None:
+    """Persist the coarse quantizer as parquet (cell_id, centroid array) —
+    the index artifact an ingest pipeline fits once and reuses across
+    sessions/queries (refitting k-means per query would rescan the corpus).
+    """
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    df = spark.createDataFrame(rows, "cell_id int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(path: str, spark=None) -> np.ndarray:
+    """Reload a saved quantizer; rows ordered by cell_id so the matrix row
+    index IS the cell id (what ``ivf_assign``/``ivf_topk`` expect)."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    rows = spark.read.parquet(path).orderBy("cell_id").collect()
+    return np.array([r.centroid for r in rows], dtype=np.float64)

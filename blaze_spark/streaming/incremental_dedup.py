@@ -158,3 +158,27 @@ def incremental_minhash_dedup(stream, store_path: str, checkpoint: str,
     return (stream.df.writeStream.foreachBatch(_on_batch)
             .option("checkpointLocation", checkpoint)
             .outputMode("append").start())
+
+
+def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
+    """Rewrite the append-only signature store with ``files_per_band``
+    files per band partition.  Long-running streams append one small file
+    per band per batch; probe-side scan cost grows with file COUNT (footer
+    opens + listing), not data size — periodic compaction restores it.
+    Run from a maintenance job, not the hot path; the rewrite is atomic
+    per the parquet committer (temp dir + rename).
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(store_path)
+    tmp = tempfile.mkdtemp(prefix="sigstore_compact_",
+                           dir=os.path.dirname(store_path.rstrip("/")))
+    (df.repartition(files_per_band, "band")
+     .write.mode("overwrite").partitionBy("band").parquet(tmp))
+    # swap: the store is an index rebuildable from the corpus, so the
+    # non-transactional window here loses at most availability, not data
+    old = store_path.rstrip("/") + ".old"
+    shutil.move(store_path.rstrip("/"), old)
+    shutil.move(tmp, store_path.rstrip("/"))
+    shutil.rmtree(old)

@@ -319,3 +319,14 @@ def test_crosslingual_minhash_near_translation(spark):
     assert (1, 2) in got
     assert got[(1, 2)] > 0.5
     assert all(3 not in p for p in got)
+
+
+def test_ivf_centroid_roundtrip(spark, tmp_path):
+    import numpy as np
+    from blaze_spark.pipeline.ivf import load_centroids, save_centroids
+
+    c = np.arange(12, dtype=np.float64).reshape(4, 3)
+    save_centroids(c, str(tmp_path / "cent"), spark=spark)
+    back = load_centroids(str(tmp_path / "cent"), spark=spark)
+    assert back.shape == (4, 3)
+    assert np.allclose(back, c)

@@ -198,3 +198,31 @@ def test_incremental_dedup_streaming_wrapper(spark, tmp_path):
     pairs = spark.read.parquet(str(tmp_path / "pairs"))
     got = {(r.new_doc, r.matched_doc) for r in pairs.collect()}
     assert (11, 10) in got
+
+
+def test_compact_store(spark, tmp_path):
+    """Compaction shrinks file count; probe results unchanged."""
+    import os
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import (
+        compact_store, process_batch)
+
+    store = str(tmp_path / "store_c")
+    text = "many identical words flowing through the pipeline " * 6
+    for bid in range(3):  # 3 appends -> many small files
+        b = data([(bid * 10, text + f" tail{bid}")], spark=spark,
+                 schema="doc_id long, text string", name=f"cb{bid}")
+        process_batch(b, store)
+    def pq_files(p):
+        return [os.path.join(dp, f) for dp, _, fs in os.walk(p)
+                for f in fs if f.endswith(".parquet")]
+    before = len(pq_files(store))
+    rows_before = spark.read.parquet(store).count()
+    compact_store(spark, store)
+    assert len(pq_files(store)) < before
+    assert spark.read.parquet(store).count() == rows_before
+    # the compacted store still answers probes
+    b = data([(99, text + " tail0")], spark=spark,
+             schema="doc_id long, text string", name="cb9")
+    found = process_batch(b, store)
+    assert found.count() >= 1
