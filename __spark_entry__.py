@@ -1183,10 +1183,10 @@ def embedding_neardup_lsh(spark, sf_dir):
     from blaze_spark.pipeline import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    # the scale path: hyperplane-signature buckets instead of all-pairs;
-    # 8 planes -> 256 buckets keeps within-bucket pair counts small
-    return embedding_neardup_pairs(e, threshold=0.5, exact=False,
-                                   n_planes=8).df
+    # the scale path: multi-table hyperplane LSH (8 tables x 6 planes,
+    # OR-amplified) instead of all-pairs; ~0.6 recall at cos 0.55,
+    # ~0.98 at cos 0.9
+    return embedding_neardup_pairs(e, threshold=0.5, exact=False).df
 
 
 def hypertable_orders(spark, sf_dir):
