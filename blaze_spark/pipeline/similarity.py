@@ -188,30 +188,41 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
 
 def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 8, dim: int = 64, seed: int = 42,
-                    round_to: int | None = 4) -> Table:
-    """Approximate top-k: random-hyperplane signature buckets both sides;
-    exact cosine only within matching buckets.  Recall trades off with
-    ``n_planes``; at scale this replaces the crossJoin with an equi-join
-    keyed by the signature (uniform, shuffle-friendly)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig_udf = _signature_udf(planes)
+                    n_planes: int = 8, n_tables: int = 8, dim: int = 64,
+                    seed: int = 42, round_to: int | None = 4) -> Table:
+    """Approximate top-k: multi-table random-hyperplane LSH — each of
+    ``n_tables`` plane sets buckets both sides; a corpus row is scored for
+    a query if they collide in ANY table (OR-amplified recall, as in
+    ``embedding_neardup_pairs``).  At scale this replaces the crossJoin
+    with an equi-join keyed by (table, signature) — uniform,
+    shuffle-friendly — with the (small) query side broadcast.
 
-    def signature(vec) -> Column:
-        return sig_udf(vec)
+    Per-pair recall at cosine c is ``1-(1-p^n_planes)^n_tables`` with
+    ``p = 1 - arccos(c)/pi``: high for genuine near-duplicates (c>=0.9),
+    intentionally low for weak neighbors (random-vector top-k at c~0.35
+    is the adversarial case — use ``ivf_topk`` there: a trained coarse
+    quantizer prunes by actual data geometry, not random planes)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    sig_udf = _multi_signature_udf(planes, n_tables, n_planes)
 
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
                           _norm(F.col(vec_col)).alias("qn"),
-                          signature(F.col(vec_col)).alias("sig"))
+                          sig_udf(F.col(vec_col)).alias("sigs")) \
+        .select("query_id", "qv", "qn",
+                F.posexplode("sigs").alias("tbl", "sig"))
     c = corpus.df.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("cv"),
                          _norm(F.col(vec_col)).alias("cn"),
-                         signature(F.col(vec_col)).alias("sig"))
+                         sig_udf(F.col(vec_col)).alias("sigs")) \
+        .select("neighbor_id", "cv", "cn",
+                F.posexplode("sigs").alias("tbl", "sig"))
     scored = (
-        c.join(F.broadcast(q), "sig")
+        c.join(F.broadcast(q), ["tbl", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
         .withColumn("cosine", _pair_cosine_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
