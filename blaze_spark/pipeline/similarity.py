@@ -5,10 +5,11 @@
   loop).  The query side is broadcast — at 100 TB the corpus streams
   partition-local against an in-memory query block, and the global top-k is
   a TakeOrdered-style window per query, never a full sort.
-- :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH buckets
-  both sides, so each corpus row only scores against queries sharing a
-  bucket.  Deterministic hyperplanes from a seeded numpy RNG, shipped as
-  literal arrays (no UDF).
+- :func:`lsh_cosine_topk` / :func:`embedding_neardup_pairs` — the scale
+  path: MULTI-TABLE random-hyperplane LSH (OR-amplification), candidates
+  only within (table, signature) buckets; signatures are one Arrow-batched
+  numpy matmul per batch, deterministic from a seeded RNG.  Near-dup pair
+  generation reuses the no-self-join bucket topology of pipeline.dedup.
 """
 
 from __future__ import annotations
