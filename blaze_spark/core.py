@@ -607,12 +607,31 @@ class Table:
             self._df.withColumns({k: _as_col(v) for k, v in cols.items()}))
 
     # -- ordering / limiting (blaze/expr/collections.py:80-356) ---------------
-    def sort(self, *keys, ascending: bool = True):
-        cols = [_as_col(k) for k in keys] or [F.col(c) for c in self.columns]
-        if not ascending:
-            cols = [c.desc() for c in cols]
+    def sort(self, *keys, ascending=True):
+        """Sort (reference Sort: single global ``ascending``,
+        blaze/expr/collections.py:80-173).  EXTENSIONS: ``ascending`` may
+        be a per-key list of bools, and a key may be a ``(col, "desc")``
+        tuple — mixed-direction sorts without a second pass."""
+        def _dir(c: Column, asc) -> Column:
+            return c if asc else c.desc()
+
+        if isinstance(ascending, (list, tuple)):
+            if len(ascending) != len(keys):
+                raise ValueError("ascending list must match keys")
+            cols = [_dir(_as_col(k), a) for k, a in zip(keys, ascending)]
+        else:
+            cols = []
+            for k in keys:
+                if isinstance(k, tuple):
+                    c, d = k
+                    cols.append(_dir(_as_col(c), str(d).lower() != "desc"))
+                else:
+                    cols.append(_dir(_as_col(k), ascending))
+            if not cols:
+                cols = [_dir(F.col(c), ascending) for c in self.columns]
         out = self._new(self._df.orderBy(*cols))
-        if self._tree is not None and all(isinstance(k, str) for k in keys):
+        if self._tree is not None and isinstance(ascending, bool) \
+                and all(isinstance(k, str) for k in keys):
             out._tree = {"op": "sort",
                          "args": [self._tree, list(keys), ascending]}
         return out

@@ -439,3 +439,15 @@ def test_rolling_range_frame(spark):
     rs = W.rolling_range(t.v, "sum", order_by=t.seq, lower=-10, upper=0)
     got = {r.seq: r.s for r in t.transform(s=rs.col).df.collect()}
     assert got == {1: 10.0, 5: 30.0, 100: 40.0}
+
+
+def test_sort_mixed_directions(spark):
+    from blaze_spark import data
+
+    t = data([("a", 1), ("a", 2), ("b", 1)], spark=spark,
+             schema="k string, v int", name="srt")
+    rows = [(r.k, r.v) for r in t.sort(("k", "desc"), "v").df.collect()]
+    assert rows == [("b", 1), ("a", 1), ("a", 2)]
+    rows = [(r.k, r.v)
+            for r in t.sort("k", "v", ascending=[True, False]).df.collect()]
+    assert rows == [("a", 2), ("a", 1), ("b", 1)]
