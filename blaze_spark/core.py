@@ -652,8 +652,14 @@ class Table:
             raise ValueError("tail on Spark requires explicit sort keys")
         keys = sort_keys if isinstance(sort_keys, (list, tuple)) else [sort_keys]
         cols = [_as_col(k) for k in keys]
-        inv = [c.desc() if ascending else c.asc() for c in cols]
-        fwd = [c.asc() if ascending else c.desc() for c in cols]
+        if isinstance(ascending, (list, tuple)):
+            if len(ascending) != len(cols):
+                raise ValueError("ascending list must match sort_keys")
+            asc = list(ascending)
+        else:
+            asc = [ascending] * len(cols)
+        inv = [c.desc() if a else c.asc() for c, a in zip(cols, asc)]
+        fwd = [c.asc() if a else c.desc() for c, a in zip(cols, asc)]
         return self._new(self._df.orderBy(*inv).limit(n).orderBy(*fwd))
 
     def sample(self, frac: float | None = None, n: int | None = None,

@@ -451,3 +451,15 @@ def test_sort_mixed_directions(spark):
     rows = [(r.k, r.v)
             for r in t.sort("k", "v", ascending=[True, False]).df.collect()]
     assert rows == [("a", 2), ("a", 1), ("b", 1)]
+
+
+def test_tail_mixed_directions(spark):
+    from blaze_spark import data
+
+    t = data([("a", 1), ("a", 2), ("b", 1), ("b", 3)], spark=spark,
+             schema="k string, v int", name="tl")
+    out = [(r.k, r.v) for r in
+           t.tail(2, sort_keys=["k", "v"],
+                  ascending=[True, False]).df.collect()]
+    # full order under (k asc, v desc): (a,2),(a,1),(b,3),(b,1) -> last 2
+    assert out == [("b", 3), ("b", 1)]
