@@ -607,13 +607,27 @@ class Table:
             self._df.withColumns({k: _as_col(v) for k, v in cols.items()}))
 
     # -- ordering / limiting (blaze/expr/collections.py:80-356) ---------------
-    def sort(self, *keys, ascending=True):
+    def sort(self, *keys, ascending=True, na_position: str = "last"):
         """Sort (reference Sort: single global ``ascending``,
-        blaze/expr/collections.py:80-173).  EXTENSIONS: ``ascending`` may
-        be a per-key list of bools, and a key may be a ``(col, "desc")``
-        tuple — mixed-direction sorts without a second pass."""
+        blaze/expr/collections.py:80-173).  Nulls go LAST by default —
+        pandas semantics (the reference's pandas backend), not Spark's
+        asc_nulls_first; pass ``na_position="first"`` for SQL order.
+        EXTENSIONS: ``ascending`` may be a per-key list of bools, and a
+        key may be a ``(col, "desc")`` tuple — mixed-direction sorts
+        without a second pass."""
+        if na_position not in ("first", "last"):
+            raise ValueError("na_position must be 'first' or 'last'")
+        last = na_position == "last"
+
         def _dir(c: Column, asc) -> Column:
-            return c if asc else c.desc()
+            # a key that is already a SortOrder (user called .asc()/.desc())
+            # keeps its explicit direction — re-wrapping would nest
+            # SortOrder inside SortOrder, which Spark cannot codegen
+            if str(c).endswith(("NULLS FIRST'>", "NULLS LAST'>")):
+                return c
+            if asc:
+                return c.asc_nulls_last() if last else c.asc_nulls_first()
+            return c.desc_nulls_last() if last else c.desc_nulls_first()
 
         if isinstance(ascending, (list, tuple)):
             if len(ascending) != len(keys):

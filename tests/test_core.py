@@ -463,3 +463,16 @@ def test_tail_mixed_directions(spark):
                   ascending=[True, False]).df.collect()]
     # full order under (k asc, v desc): (a,2),(a,1),(b,3),(b,1) -> last 2
     assert out == [("b", 3), ("b", 1)]
+
+
+def test_sort_nulls_last_pandas_semantics(spark):
+    from blaze_spark import data
+
+    t = data([(1.0,), (None,), (0.5,)], spark=spark,
+             schema="v double", name="nl")
+    assert [r.v for r in t.sort("v").df.collect()] == [0.5, 1.0, None]
+    assert [r.v for r in t.sort("v", ascending=False).df.collect()] \
+        == [1.0, 0.5, None]
+    assert [r.v for r in
+            t.sort("v", na_position="first").df.collect()] \
+        == [None, 0.5, 1.0]
