@@ -133,3 +133,88 @@ def sample_video_frames(t: Table, video_col: str = "video",
 
     cols = [id_col, "duration_ms"]
     return Table(t.df.select(*cols).mapInPandas(_frames, out_schema), t._name)
+
+
+def resize_images(t: Table, width: int, height: int,
+                  image_col: str = "image", id_col: str = "doc_id",
+                  fake: bool = True) -> Table:
+    """Resize stub: binary in -> binary out with updated metadata (the
+    shape a real PIL/libvips resize UDF has: payload stays INSIDE the
+    mapInPandas stage, only the struct schema crosses).  Fake path keeps a
+    deterministic truncation/pad of the payload proportional to the pixel
+    change so output sizes are testable."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("image", IMAGE_SCHEMA),
+    ])
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not in this container")
+            out = []
+            for s in pdf[image_col]:
+                scale = (width * height) / max(s["width"] * s["height"], 1)
+                n = max(1, int(len(s["content"]) * min(scale, 1.0)))
+                content = bytes(s["content"])[:n]
+                out.append({"content": content, "width": width,
+                            "height": height, "format": s["format"]})
+            yield pd.DataFrame({id_col: pdf[id_col], "image": out})
+
+    return Table(t.df.select(id_col, image_col)
+                 .mapInPandas(_resize, out_schema), t._name)
+
+
+def attach_fake_audio(t: Table, id_col: str = "doc_id",
+                      n_bytes: int = 512) -> Table:
+    """Deterministic fake audio payload + metadata (AUDIO_SCHEMA)."""
+    payload = F.sha2(F.concat(F.col(id_col).cast("string"),
+                              F.lit("audio")), 256)
+    body = F.repeat(payload, (n_bytes // 64) + 1)
+    return Table(
+        t.df.withColumn(
+            "audio",
+            F.struct(
+                F.encode(F.substring(body, 1, n_bytes), "UTF-8")
+                .alias("content"),
+                F.lit(16000).cast("int").alias("sample_rate"),
+                (F.pmod(F.col(id_col), 2) + 1).cast("int")
+                .alias("n_channels"),
+                (F.pmod(F.col(id_col) * 37, 30000) + 1000).cast("long")
+                .alias("duration_ms"),
+            ),
+        ),
+        t._name,
+    )
+
+
+def extract_audio_features(t: Table, audio_col: str = "audio",
+                           id_col: str = "doc_id", n_mel: int = 8,
+                           fake: bool = True) -> Table:
+    """Audio feature stub: (id, duration_ms, rms, mel array) per clip —
+    stands in for a librosa/torchaudio pandas UDF.  Payload never leaves
+    the stage."""
+    out_schema = (f"{id_col} long, duration_ms long, rms double, "
+                  "mel array<float>")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg")
+            rows = {"id": [], "dur": [], "rms": [], "mel": []}
+            for s, did in zip(pdf[audio_col], pdf[id_col]):
+                body = bytes(s["content"])
+                rows["id"].append(did)
+                rows["dur"].append(int(s["duration_ms"]))
+                rows["rms"].append(
+                    (sum(b * b for b in body) / max(len(body), 1)) ** 0.5)
+                digest = hashlib.sha256(body).digest()
+                rows["mel"].append([b / 255.0 for b in digest[:n_mel]])
+            yield pd.DataFrame({id_col: rows["id"],
+                                "duration_ms": rows["dur"],
+                                "rms": rows["rms"], "mel": rows["mel"]})
+
+    return Table(t.df.select(id_col, audio_col)
+                 .mapInPandas(_feat, out_schema), t._name)

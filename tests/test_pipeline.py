@@ -330,3 +330,29 @@ def test_ivf_centroid_roundtrip(spark, tmp_path):
     back = load_centroids(str(tmp_path / "cent"), spark=spark)
     assert back.shape == (4, 3)
     assert np.allclose(back, c)
+
+
+def test_resize_images_shapes(spark, star):
+    from blaze_spark.pipeline.multimodal import (
+        attach_fake_binary, resize_images)
+
+    d = star["documents"].head(20)
+    img = attach_fake_binary(d)
+    out = resize_images(img, 64, 64).df.collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.image.width == 64 and r.image.height == 64
+        assert 0 < len(r.image.content) <= 256
+
+
+def test_audio_pipeline(spark, star):
+    from blaze_spark.pipeline.multimodal import (
+        attach_fake_audio, extract_audio_features)
+
+    d = star["documents"].head(10)
+    au = attach_fake_audio(d)
+    out = extract_audio_features(au, n_mel=4).df.collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r.mel) == 4 and all(0 <= v <= 1 for v in r.mel)
+        assert r.rms > 0 and r.duration_ms >= 1000
