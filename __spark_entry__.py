@@ -1001,6 +1001,23 @@ def tree_dialect_big_orders(spark, sf_dir):
     return from_tree(tree, spark=spark).df
 
 
+def window_edges_per_user(spark, sf_dir):
+    """first/last/nth window values: each user's first, latest, and
+    second event value over one partition-wide frame (single shuffle)."""
+    from blaze_spark.functions import window as W
+
+    e = _t(spark, sf_dir, "events")
+    f = e[e.user_id <= 30]
+    fv = W.first_value(f.value, order_by=f.event_id, partition_by=f.user_id)
+    lv = W.last_value(f.value, order_by=f.event_id, partition_by=f.user_id)
+    nv = W.nth_value(f.value, 2, order_by=f.event_id, partition_by=f.user_id)
+    out = f.transform(first_v=F.round(fv.col, 4),
+                      last_v=F.round(lv.col, 4),
+                      second_v=F.round(nv.col, 4))
+    g = out[["user_id", "first_v", "last_v", "second_v"]].distinct()
+    return g.df
+
+
 def range_join_price_bands(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.operators.range_join import bucketed_range_join
@@ -1293,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_user_events": sessionize_user_events,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
+        "window_edges_per_user": window_edges_per_user,
         "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
         "sql_frontend_status_revenue": sql_frontend_status_revenue,
         "tree_dialect_big_orders": tree_dialect_big_orders,
@@ -1882,6 +1900,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id <= 30
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+        """,
+        "window_edges_per_user": """
+            SELECT DISTINCT user_id,
+                   round(first_value(value) OVER w, 4) AS first_v,
+                   round(last_value(value) OVER w, 4) AS last_v,
+                   round(nth_value(value, 2) OVER w, 4) AS second_v
+            FROM events WHERE user_id <= 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
         "fk_autojoin_supplier_region": """
             SELECT r_name, n_name, count(*) AS n_suppliers,

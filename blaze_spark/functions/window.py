@@ -78,3 +78,31 @@ def rolling_range(col: ColExpr, agg: str, order_by, lower, upper=0,
     w = _window(order_by, partition_by).rangeBetween(lower, upper)
     fn = getattr(F, agg)
     return col._make(fn(col.col).over(w), f"{col.name}_rolling_{agg}", None)
+
+
+def first_value(col: ColExpr, order_by, partition_by=None,
+                ignore_nulls: bool = False) -> ColExpr:
+    """First value in the partition under ``order_by`` (whole-partition
+    frame, deterministic given a total order)."""
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return col._make(F.first(col.col, ignorenulls=ignore_nulls).over(w),
+                     f"{col.name}_first", col.dtype)
+
+
+def last_value(col: ColExpr, order_by, partition_by=None,
+               ignore_nulls: bool = False) -> ColExpr:
+    """Last value in the partition under ``order_by``."""
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return col._make(F.last(col.col, ignorenulls=ignore_nulls).over(w),
+                     f"{col.name}_last", col.dtype)
+
+
+def nth_value(col: ColExpr, n: int, order_by, partition_by=None) -> ColExpr:
+    """n-th value (1-based) in the partition under ``order_by``; null for
+    partitions with fewer rows."""
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return col._make(F.nth_value(col.col, n).over(w),
+                     f"{col.name}_nth{n}", col.dtype)

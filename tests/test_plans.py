@@ -111,3 +111,23 @@ def test_pivot_single_scan_two_level_agg(star):
     import re
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert exchange_count(q) <= 2, plan
+
+
+def test_tpch_shape_exchange_budgets(star, spark):
+    """Pin shuffle budgets for representative TPC-H shapes — a regression
+    here means a dimension stopped broadcasting or an agg lost its
+    partial phase."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "q01_pricing_summary": 1,   # single groupBy
+        "q06_revenue_forecast": 1,  # scan + global agg
+        "q05_local_supplier": 3,    # fact shuffle + agg (dims broadcast)
+        "q08_style_market_share": 4,
+    }
+    from blaze_spark.plans import exchange_count
+    for name, budget in budgets.items():
+        n = exchange_count(qs[name](spark, sf))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
