@@ -73,3 +73,31 @@ def test_fuzz_topk(spark, sf_dir, duck, k, asc):
         f"SELECT o_orderkey FROM orders ORDER BY o_totalprice {direction}, "
         f"o_orderkey LIMIT {k}").fetchall()]
     assert sorted(got) == sorted(exp)
+
+
+@given(
+    first_set=st.lists(st.sampled_from(GRP_COLS), min_size=1, max_size=2,
+                       unique=True),
+    with_total=st.booleans(),
+)
+@SETTINGS
+def test_fuzz_grouping_sets(spark, sf_dir, duck, first_set, with_total):
+    from blaze_spark import data, grouping_sets
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    sets = [[o[c] for c in first_set], [o[first_set[0]]]]
+    if with_total:
+        sets.append([])
+    out = grouping_sets(sets, n=o.o_orderkey.nelements(),
+                        mx=o.o_totalprice.max())
+    all_cols = list(dict.fromkeys(first_set))
+    got = {tuple(r[c] for c in all_cols): (r.n, r.mx)
+           for r in out.df.collect()}
+
+    sql_sets = ", ".join(
+        ["(" + ", ".join(first_set) + ")", f"({first_set[0]})"]
+        + (["()"] if with_total else []))
+    exp = {tuple(r[:len(all_cols)]): (r[-2], r[-1]) for r in duck.execute(
+        f"SELECT {', '.join(all_cols)}, count(*), max(o_totalprice) "
+        f"FROM orders GROUP BY GROUPING SETS ({sql_sets})").fetchall()}
+    assert got == exp
