@@ -43,6 +43,53 @@ __all__ = [
 ]
 
 
+class SortKey:
+    """Engine-level sort-direction wrapper (replaces Column-repr sniffing:
+    the reference tracks direction in the expression tree itself —
+    blaze/expr/collections.py:80-173 — not in backend internals).
+
+    Produced by ``ColExpr.asc()`` / ``ColExpr.desc()``; ``Table.sort``
+    consumes it directly, so direction/null placement never round-trips
+    through PySpark's (unstable) ``Column.__repr__``.
+    """
+
+    __slots__ = ("col", "ascending", "na_position")
+
+    def __init__(self, col: Column, ascending: bool = True,
+                 na_position: str | None = None):
+        self.col = col
+        self.ascending = ascending
+        self.na_position = na_position  # None = inherit sort()'s default
+
+    def spark_order(self, default_last: bool) -> Column:
+        last = (self.na_position == "last") if self.na_position is not None \
+            else default_last
+        if self.ascending:
+            return self.col.asc_nulls_last() if last else self.col.asc_nulls_first()
+        return self.col.desc_nulls_last() if last else self.col.desc_nulls_first()
+
+
+def _is_sort_order(c: Column) -> bool:
+    """True if a raw PySpark Column already carries a SortOrder expression
+    (user called ``F.col(x).desc()``).  Checks the underlying expression
+    CLASS — classic (Py4J) and Connect both — never the repr string."""
+    jc = getattr(c, "_jc", None)
+    if jc is not None:
+        # Spark 4 classic: Column wraps a ColumnNode (`node()`); Spark 3
+        # classic exposed the Catalyst expression (`expr()`).  Class-name
+        # check either way.
+        for accessor in ("node", "expr"):
+            try:
+                return getattr(jc, accessor)().getClass().getName() \
+                    .endswith("SortOrder")
+            except Exception:
+                continue
+    expr = getattr(c, "_expr", None)
+    if expr is not None:
+        return type(expr).__name__ == "SortOrder"
+    return False
+
+
 def _dtype_of(df: DataFrame, col: Column) -> T.DataType:
     """Eager type inference for an arbitrary Column — mirrors the
     reference's construction-time ``_dshape`` memoization
@@ -267,6 +314,13 @@ class ColExpr:
         """Rename (Label: blaze/expr/expressions.py:574-612)."""
         return self._make(self._col.alias(name), name, self.__dtype)
 
+    # -- sort direction (engine-level SortKey; see class docstring) --------
+    def asc(self, na_position: str | None = None) -> "SortKey":
+        return SortKey(self._col, True, na_position)
+
+    def desc(self, na_position: str | None = None) -> "SortKey":
+        return SortKey(self._col, False, na_position)
+
     def fillna(self, value: Any):
         return self._make(F.coalesce(self._col, F.lit(value)), self._name, None)
 
@@ -470,10 +524,19 @@ class Table:
     ``pyspark.sql.DataFrame`` plan; every method returns a new Table.
     Nothing executes until ``compute``/``peek``/``__len__``/``into``."""
 
+    _tokens = __import__("itertools").count()
+
     def __init__(self, df: DataFrame, name: str | None = None,
                  fks: dict | None = None):
         self._df = df
         self._name = name or "table"
+        # lineage: unique tokens of this table + every Table it was derived
+        # from.  Powers the reference's shared-ancestor validation on
+        # Selection/Merge (blaze/expr/expressions.py:518-571 "predicate must
+        # share a common subexpression") — fails fast with a clear message
+        # instead of a confusing Spark analysis error.
+        self._token = next(Table._tokens)
+        self._lineage: frozenset = frozenset((self._token,))
         # serialized op tree for to_tree (None = not serializable); leaves
         # are set by sources.data(); ops recorded by the methods below
         self._tree: dict | None = None
@@ -493,7 +556,11 @@ class Table:
         """Subclass-preserving constructor (StreamTable ops stay streaming)."""
         t = type(self)(df, self._name)
         t._fks = dict(self._fks)
+        t._lineage = self._lineage | {t._token}
         return t
+
+    def _shares_ancestor(self, other: "Table") -> bool:
+        return bool(self._lineage & other._lineage)
 
     # -- foreign keys (Map type: auto-join through a FK column) -------------
     def with_fk(self, col: str, ref: "Table", ref_key: str) -> "Table":
@@ -573,10 +640,15 @@ class Table:
                              "args": [self._tree, list(key)]}
             return out
         if isinstance(key, ColExpr):
-            # Selection: predicate must be boolean
-            # (blaze/expr/expressions.py:518-571)
+            # Selection: predicate must be boolean AND derive from this
+            # table (shared-ancestor rule, blaze/expr/expressions.py:518-571)
             if not _s.is_boolean(key.dtype):
                 raise TypeError("selection predicate must be boolean")
+            if not self._shares_ancestor(key._table):
+                raise TypeError(
+                    "selection predicate is built from a different table "
+                    f"({key._table._name!r}); predicate and table must "
+                    "share a common ancestor")
             out = self._new(self._df.filter(key.col))
             if self._tree is not None and key._tree is not None:
                 out._tree = {"op": "selection",
@@ -619,11 +691,16 @@ class Table:
             raise ValueError("na_position must be 'first' or 'last'")
         last = na_position == "last"
 
-        def _dir(c: Column, asc) -> Column:
-            # a key that is already a SortOrder (user called .asc()/.desc())
-            # keeps its explicit direction — re-wrapping would nest
-            # SortOrder inside SortOrder, which Spark cannot codegen
-            if str(c).endswith(("NULLS FIRST'>", "NULLS LAST'>")):
+        def _dir(k, asc) -> Column:
+            # engine-level direction wrapper: authoritative, no sniffing
+            if isinstance(k, SortKey):
+                return k.spark_order(last)
+            c = _as_col(k)
+            # a raw Column that is already a SortOrder (user called
+            # F.col(x).desc()) keeps its explicit direction — re-wrapping
+            # would nest SortOrder inside SortOrder, which Spark cannot
+            # codegen.  Detected by expression class, not repr.
+            if isinstance(k, Column) and _is_sort_order(c):
                 return c
             if asc:
                 return c.asc_nulls_last() if last else c.asc_nulls_first()
@@ -632,15 +709,15 @@ class Table:
         if isinstance(ascending, (list, tuple)):
             if len(ascending) != len(keys):
                 raise ValueError("ascending list must match keys")
-            cols = [_dir(_as_col(k), a) for k, a in zip(keys, ascending)]
+            cols = [_dir(k, a) for k, a in zip(keys, ascending)]
         else:
             cols = []
             for k in keys:
                 if isinstance(k, tuple):
                     c, d = k
-                    cols.append(_dir(_as_col(c), str(d).lower() != "desc"))
+                    cols.append(_dir(c, str(d).lower() != "desc"))
                 else:
-                    cols.append(_dir(_as_col(k), ascending))
+                    cols.append(_dir(k, ascending))
             if not cols:
                 cols = [_dir(F.col(c), ascending) for c in self.columns]
         out = self._new(self._df.orderBy(*cols))
@@ -903,6 +980,15 @@ class Table:
 # free functions (the reference's expression constructors)
 # ---------------------------------------------------------------------------
 
+def _derived(df: DataFrame, *parents: Table) -> Table:
+    """Build a Table whose lineage unions all parents' lineages (join,
+    concat, merge outputs are descendants of every input)."""
+    t = Table(df)
+    for p in parents:
+        t._lineage = t._lineage | p._lineage
+    return t
+
+
 def _as_col(v) -> Column:
     if isinstance(v, ColExpr):
         return v.col
@@ -937,7 +1023,7 @@ def by(grouper, **reductions: Reduction) -> Table:
     else:
         raise TypeError("grouper must be ColExpr, list thereof, or Table")
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return Table(table.df.groupBy(*gcols).agg(*aggs))
+    return _derived(table.df.groupBy(*gcols).agg(*aggs), table)
 
 
 def count_values(col: ColExpr, sort: bool = True) -> Table:
@@ -947,6 +1033,24 @@ def count_values(col: ColExpr, sort: bool = True) -> Table:
     if sort:
         out = out.orderBy(F.col("count").desc())
     return Table(out)
+
+
+def _py_scalar(dt: T.DataType) -> type:
+    """Python scalar type for a Spark dtype — used only as a pandas_udf
+    eval-type annotation (SERIES -> scalar == GROUPED_AGG)."""
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return float
+    if isinstance(dt, T.BooleanType):
+        return bool
+    if isinstance(dt, T.StringType):
+        return str
+    if isinstance(dt, T.BinaryType):
+        return bytes
+    if isinstance(dt, T.ArrayType):
+        return list
+    if isinstance(dt, T.MapType):
+        return dict
+    return int
 
 
 def udaf(fn: Callable, schema: str | T.DataType) -> Callable[[ColExpr], Reduction]:
@@ -966,10 +1070,10 @@ def udaf(fn: Callable, schema: str | T.DataType) -> Callable[[ColExpr], Reductio
     def _agg(s):
         return fn(s)
 
-    # Series -> scalar annotations make pyspark infer GROUPED_AGG
-    _agg.__annotations__ = {"s": pd.Series, "return": float
-                            if isinstance(dt, (T.DoubleType, T.FloatType))
-                            else int}
+    # Series -> scalar annotations make pyspark infer GROUPED_AGG; the
+    # return annotation must be a scalar type matching dt (a non-numeric
+    # UDAF — string/array/bool — mis-infers if hardcoded to int)
+    _agg.__annotations__ = {"s": pd.Series, "return": _py_scalar(dt)}
     spark_fn = pandas_udf(_agg, dt)
 
     def make(col: ColExpr) -> Reduction:
@@ -1054,20 +1158,30 @@ def summary(**reductions: Reduction) -> Table:
     """Named multi-reduction record (blaze/expr/reductions.py:226-296)."""
     first = next(iter(reductions.values()))
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return Table(first._table.df.agg(*aggs))
+    return _derived(first._table.df.agg(*aggs), first._table)
 
 
 def merge(*cols, **named) -> Table:
-    """Zip columns side by side (blaze/expr/collections.py:377-500)."""
+    """Zip columns side by side (blaze/expr/collections.py:377-500).
+    All inputs must share a common ancestor table (reference rule at
+    collections.py:431-439) — columns from unrelated tables fail fast."""
     all_exprs = list(cols) + [c.label(n) for n, c in named.items()]
-    table = next(e._table for e in all_exprs if isinstance(e, ColExpr))
+    table = next(e._table if isinstance(e, ColExpr) else e
+                 for e in all_exprs if isinstance(e, (ColExpr, Table)))
     sel = []
     for e in all_exprs:
         if isinstance(e, ColExpr):
+            if not table._shares_ancestor(e._table):
+                raise TypeError(
+                    f"merge column {e.name!r} is built from a different "
+                    "table; all merge inputs must share a common ancestor")
             sel.append(e.col.alias(e.name))
         elif isinstance(e, Table):
+            if not table._shares_ancestor(e):
+                raise TypeError(
+                    "merge tables do not share a common ancestor")
             sel.extend(F.col(c) for c in e.columns)
-    return Table(table.df.select(*sel))
+    return _derived(table.df.select(*sel), table)
 
 
 def transform(t: Table, **cols) -> Table:
@@ -1102,6 +1216,24 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
     the small side — at 100 TB the dimension side of a star join must
     broadcast, not shuffle; when None, AQE/Catalyst decides from stats.
     """
+    if how == "cross":
+        # Cartesian product: no keys, no condition (every shared column is
+        # a collision, suffixed).  Key inference must NOT run — a cross join
+        # of tables that happen to share a column name is still a full
+        # product, not an equi-join.
+        if on_left is not None or on_right is not None:
+            raise ValueError("cross join takes no join keys")
+        rdf = F.broadcast(rhs.df) if broadcast else rhs.df
+        joined = lhs.df.alias("__l").crossJoin(rdf.alias("__r"))
+        out = []
+        for c in lhs.columns:
+            name = c + suffixes[0] if c in rhs.columns else c
+            out.append(F.col(f"__l.{c}").alias(name))
+        for c in rhs.columns:
+            name = c + suffixes[1] if c in lhs.columns else c
+            out.append(F.col(f"__r.{c}").alias(name))
+        return _derived(joined.select(*out), lhs, rhs)
+
     if on_left is None:
         on_left = sorted(set(lhs.columns) & set(rhs.columns))
         if not on_left:
@@ -1117,7 +1249,7 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
 
     how_map = {"inner": "inner", "left": "left", "right": "right",
                "outer": "full", "full": "full", "semi": "left_semi",
-               "anti": "left_anti", "cross": "cross"}
+               "anti": "left_anti"}
     if how not in how_map:
         raise ValueError(f"unsupported join type: {how}")
     spark_how = how_map[how]
@@ -1141,7 +1273,7 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
     joined = ldf.join(rdf, cond, spark_how)
 
     if spark_how in ("left_semi", "left_anti"):
-        return Table(joined)
+        return _derived(joined, lhs, rhs)
 
     # assemble output schema: keys (promoted/coalesced), then left non-key,
     # then right non-key, with _left/_right suffixes on collisions
@@ -1164,7 +1296,7 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
         # (a right non-key may share the LEFT key's name without being a key)
         name = c + suffixes[1] if (c in lnk or c in key_names) else c
         out.append(F.col(f"__r.{c}").alias(name))
-    return Table(joined.select(*out))
+    return _derived(joined.select(*out), lhs, rhs)
 
 
 def concat(lhs: Table, rhs: Table, *more: Table) -> Table:
@@ -1174,7 +1306,7 @@ def concat(lhs: Table, rhs: Table, *more: Table) -> Table:
     out = lhs.df.unionByName(rhs.df)
     for t in more:
         out = out.unionByName(t.df)
-    return Table(out)
+    return _derived(out, lhs, rhs, *more)
 
 
 _SIMPLE_DTYPES = {
