@@ -122,5 +122,7 @@ def crosslingual_minhash_candidates(t: Table, lexicon: Table,
     sig = F.expr("array(" + ", ".join(f"m{j}" for j in range(num_perm)) + ")")
     sigs = (con.groupBy("doc_id").agg(*mins)
             .select("doc_id", sig.alias("signature"))).persist()
-    return Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
-                 "crosslingual_minhash_candidates")
+    from .dedup import scoped_persist
+    return scoped_persist(
+        Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
+              "crosslingual_minhash_candidates"), sigs)

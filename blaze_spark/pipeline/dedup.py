@@ -26,12 +26,29 @@ All-pairs anything is absent by construction.
 from __future__ import annotations
 
 import random
+import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import Table
+
+
+def scoped_persist(owner: Table, cached: DataFrame) -> Table:
+    """Tie a persisted intermediate's lifetime to the result Table: the
+    cached blocks are unpersisted (non-blocking) when ``owner`` is garbage
+    collected.  Callers that hold the result keep the cache (re-computes
+    stay cheap); dropping it frees executor memory instead of leaking
+    cached lineage for the life of the session (ADVICE r1)."""
+    def _release(c=cached):
+        try:
+            c.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(owner, _release)
+    return owner
 
 # Mersenne prime 2^31-1: (a*h+b) stays under 2^62 — no 64-bit overflow,
 # safe under ANSI arithmetic.
@@ -162,8 +179,9 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     # whole corpus pass runs twice (at 100 TB: one pass vs two)
     sigs = minhash_signatures(t, text_col, id_col, num_perm, shingle_k,
                               seed).df.persist()
-    return Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
-                 "minhash_candidates")
+    return scoped_persist(
+        Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
+              "minhash_candidates"), sigs)
 
 
 def lsh_band_pairs(sigs: DataFrame, num_perm: int, bands: int,
@@ -362,4 +380,4 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return Table(pairs, "simhash_candidates")
+    return scoped_persist(Table(pairs, "simhash_candidates"), sh)

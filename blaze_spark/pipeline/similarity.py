@@ -73,12 +73,29 @@ def _pair_cosine_udf():
 
 def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                round_to: int | None = 4) -> Table:
+                round_to: int | None = 4,
+                max_queries: int = 10_000) -> Table:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine) — self-matches excluded, ties
     broken by neighbor id (deterministic).
+
+    GUARD: this is the brute-force cartesian baseline — cost is
+    corpus x queries.  It is linear in the corpus only while the query side
+    broadcasts, so a query side larger than ``max_queries`` raises instead
+    of silently launching an all-pairs job; use :func:`lsh_cosine_topk` or
+    :func:`ivf.ivf_topk` for large query sets (approximate, bucketed).
+    Pass ``max_queries=None`` to skip the check (the count costs one cheap
+    ``limit(n+1)`` job).
     """
+    if max_queries is not None:
+        probe = queries.df.select(id_col).limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"cosine_topk query side exceeds max_queries={max_queries}: "
+                "brute-force scoring is corpus x queries. Use "
+                "lsh_cosine_topk/ivf_topk for large query sets, or pass "
+                "max_queries=None to force.")
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
                           _norm(F.col(vec_col)).alias("qn"))
@@ -207,23 +224,30 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
     planes = rng.standard_normal((n_tables * n_planes, dim))
     sig_udf = _multi_signature_udf(planes, n_tables, n_planes)
 
-    q = queries.df.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("qv"),
-                          _norm(F.col(vec_col)).alias("qn"),
-                          sig_udf(F.col(vec_col)).alias("sigs")) \
-        .select("query_id", "qv", "qn",
-                F.posexplode("sigs").alias("tbl", "sig"))
-    c = corpus.df.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("cv"),
-                         _norm(F.col(vec_col)).alias("cn"),
-                         sig_udf(F.col(vec_col)).alias("sigs")) \
-        .select("neighbor_id", "cv", "cn",
-                F.posexplode("sigs").alias("tbl", "sig"))
-    scored = (
-        c.join(F.broadcast(q), ["tbl", "sig"])
+    # Candidate generation carries IDS ONLY — vectors never ride the
+    # banding explode or the candidate-dedup shuffle (at dim=1024 a
+    # vector-carrying groupBy would shuffle O(pairs*dim) bytes; this
+    # topology shuffles O(pairs) ids and re-joins the vectors once,
+    # keyed by id).
+    q_sig = queries.df.select(F.col(id_col).alias("query_id"),
+                              sig_udf(F.col(vec_col)).alias("sigs")) \
+        .select("query_id", F.posexplode("sigs").alias("tbl", "sig"))
+    c_sig = corpus.df.select(F.col(id_col).alias("neighbor_id"),
+                             sig_udf(F.col(vec_col)).alias("sigs")) \
+        .select("neighbor_id", F.posexplode("sigs").alias("tbl", "sig"))
+    pairs = (
+        c_sig.join(F.broadcast(q_sig), ["tbl", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+        .select("query_id", "neighbor_id")
+        .distinct()                       # shuffle carries two ids per pair
+    )
+    cvec = corpus.df.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"))
+    qvec = queries.df.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+    scored = (
+        pairs.join(cvec, "neighbor_id")   # one id-keyed shuffle, O(pairs+corpus)
+        .join(F.broadcast(qvec), "query_id")
         .withColumn("cosine", _pair_cosine_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(

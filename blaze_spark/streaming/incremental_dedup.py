@@ -8,21 +8,36 @@ ANYTHING seen so far" without an O(corpus) rescan per batch.
 Design (Spark-first):
 
 - A persistent **signature store** (parquet) holds one row per
-  (doc_id, band, bhash, signature) — the LSH index.  It is written
-  partitioned by ``band`` so a batch probe prunes to the bands it needs.
+  (doc_id, band, bhash, signature) — the LSH index.  Layout:
+  ``store/ingest=<batch>/band=<b>/part-*.parquet``.  ``band`` is a
+  partition column so a batch probe prunes to the bands it needs;
+  ``ingest`` keys each batch's contribution to its own subdirectory,
+  written with mode=overwrite — a ``foreachBatch`` RETRY of the same
+  batch id replaces its subdirectory instead of appending duplicates
+  (exactly-once, matching the checkpoint contract).
 - Per micro-batch: signatures for the batch docs are computed exactly as
   in the batch path, then the batch's band entries probe the store with a
   **broadcast hash join** (the batch side is small by construction; the
   store side is scanned with partition pruning on ``band`` + the dynamic
   bhash filter the broadcast join provides).  In-batch duplicates are
   found with the same in-bucket pairing as the batch path.
-- The batch's entries are APPENDED to the store afterwards, so the store
-  is an append-only log — no read-modify-write, safe under the
-  exactly-once semantics of ``foreachBatch`` (re-run batches overwrite by
-  ``batch_id`` subdirectory).
+- Result pairs are **materialized through a per-batch parquet sink**
+  (``pairs/batch_id=<n>/``, mode=overwrite) and read back — NEVER
+  collected to the driver: a boilerplate-heavy batch can emit up to
+  ``max_bucket^2/2`` pairs per bucket, which is cluster data, not driver
+  memory.  Sink-first also freezes the result before the store append
+  below, so the lazy plan cannot re-list the store and double-count.
+- Existence/listing checks go through the Hadoop FileSystem API, so an
+  ``s3a://``/``hdfs://`` store probes correctly (a local ``os.listdir``
+  would silently see nothing and skip every probe).
 
 At 100 TB the store is the corpus-scale object; everything per-batch is
 proportional to batch size x matching buckets, never to the corpus.
+
+NOTE on checkpoints: batch ids restart at 0 with a FRESH checkpoint
+directory — as with any Spark streaming sink, checkpoint and store/pairs
+paths belong together; starting a new checkpoint against an old store
+would overwrite ``ingest=0``.
 
 No reference equivalent (its "streaming" is lazy iterators —
 SURVEY.md §1.1); green-field extension per the build plan (§7 M5).
@@ -30,13 +45,47 @@ SURVEY.md §1.1); green-field extension per the build plan (§7 M5).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core import Table
 from ..pipeline.dedup import minhash_signatures
+
+_PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any scheme Hadoop supports — file://, s3a://,
+    hdfs://.  The scheme-aware replacement for os.listdir (ADVICE r1)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _ingest_ids(spark, store_path: str) -> list[int]:
+    """Existing ingest=<n> partition ids in the store (empty if no store)."""
+    try:
+        fs, jpath = _hadoop_fs(spark, store_path)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("ingest="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+    except Exception:
+        # last resort (e.g. no JVM gateway): try the read and let the
+        # caller's empty-store branch handle failure
+        try:
+            spark.read.parquet(store_path).schema
+            return [0]
+        except Exception:
+            return []
 
 
 def _band_entries(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
@@ -68,29 +117,41 @@ def _est_jaccard(num_perm: int):
 def process_batch(batch: Table, store_path: str, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 32,
                   bands: int = 8, shingle_k: int = 5,
-                  seed: int = 42) -> DataFrame:
-    """One increment: probe the store with a batch of new docs, return
+                  seed: int = 42, batch_id: int | None = None,
+                  pairs_path: str | None = None) -> DataFrame:
+    """One increment: probe the store with a batch of new docs, emit
     near-dup candidate pairs (new_doc, matched_doc, est_jaccard;
     matched_doc may be a stored doc OR an earlier doc of the same batch),
-    then append the batch's band entries to the store.
+    then add the batch's band entries to the store.
 
-    Returns the MATERIALIZED pairs as a DataFrame (collected into a local
-    relation before the store is appended, so the result does not change
-    when the store does).
+    The pairs are written to ``<pairs_path>/batch_id=<n>/`` (default
+    ``<store_path>_pairs``) with mode=overwrite, then read back — the
+    returned DataFrame is backed by the sink, not driver memory, and a
+    retried batch replaces rather than duplicates its output.  The store
+    write is likewise keyed: ``<store_path>/ingest=<n>/`` (overwrite).
+
+    ``batch_id`` defaults to max(existing ingest ids)+1 for standalone
+    (non-streaming) callers; the streaming wrapper passes foreachBatch's
+    batch id for exactly-once retry semantics.
     """
     spark = batch.df.sparkSession
+    existing = _ingest_ids(spark, store_path)
+    if batch_id is None:
+        batch_id = (max(existing) + 1) if existing else 0
     sigs = minhash_signatures(batch, text_col, id_col, num_perm,
                               shingle_k, seed).df.persist()
     entries = _band_entries(sigs, num_perm, bands).persist()
     est = _est_jaccard(num_perm)
 
     # probe the persistent index: store-side scan prunes on band (partition
-    # column) and the broadcast join dynamically filters bhash
+    # column) and the broadcast join dynamically filters bhash.  A retried
+    # batch must not probe its own previous (failed) attempt: read only the
+    # ingest subdirectories that are not this batch's.
     pairs = []
-    if any(not f.startswith(".") and f != "_SUCCESS"
-           for f in (os.listdir(store_path)
-                     if os.path.isdir(store_path) else [])):
-        store = spark.read.parquet(store_path)
+    probe_ids = [i for i in existing if i != batch_id]
+    if probe_ids:
+        store = spark.read.option("basePath", store_path).parquet(
+            *[f"{store_path}/ingest={i}" for i in probe_ids])
         vs_store = (
             store.join(
                 F.broadcast(entries.withColumnsRenamed(
@@ -125,17 +186,21 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
         out = out.unionByName(p)
     out = (out.groupBy("new_doc", "matched_doc")
            .agg(F.max("est_jaccard").alias("est_jaccard")))
-    # materialize BEFORE mutating the store (a lazy plan could re-list the
-    # store directory after the append below and double-count).  Pair volume
-    # is near-dup hits per batch — small by nature; for batches where it
-    # isn't, write-to-sink-first instead.
-    result = spark.createDataFrame(out.collect(), out.schema)
+
+    # sink-first materialization: executors write the pairs, the driver
+    # never holds them; overwrite of the batch_id subdirectory makes a
+    # retry idempotent
+    sink_root = pairs_path or (store_path.rstrip("/") + "_pairs")
+    batch_dir = f"{sink_root}/batch_id={batch_id}"
+    out.write.mode("overwrite").parquet(batch_dir)
 
     (entries.select("doc_id", "band", "bhash", "signature")
-     .write.mode("append").partitionBy("band").parquet(store_path))
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{store_path}/ingest={batch_id}"))
     sigs.unpersist()
     entries.unpersist()
-    return result
+    # explicit schema: an empty result may have written no data files
+    return spark.read.schema(out.schema).parquet(batch_dir)
 
 
 def incremental_minhash_dedup(stream, store_path: str, checkpoint: str,
@@ -144,16 +209,16 @@ def incremental_minhash_dedup(stream, store_path: str, checkpoint: str,
                               bands: int = 8, shingle_k: int = 5,
                               seed: int = 42):
     """Streaming wrapper: for each micro-batch of documents, emit near-dup
-    pairs against everything seen so far to ``pairs_path`` (parquet) and
-    grow the signature store.  Uses ``foreachBatch`` — the probe/append
-    cycle above runs once per batch with exactly-once checkpointing."""
+    pairs against everything seen so far to ``pairs_path/batch_id=<n>/``
+    (parquet) and grow the signature store.  Uses ``foreachBatch`` with the
+    checkpoint's batch id keying both writes — a replayed batch overwrites
+    its own subdirectories (exactly-once end to end)."""
     def _on_batch(bdf: DataFrame, batch_id: int):
         if not bdf.head(1):
             return
-        found = process_batch(Table(bdf), store_path, text_col, id_col,
-                              num_perm, bands, shingle_k, seed)
-        (found.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(pairs_path))
+        process_batch(Table(bdf), store_path, text_col, id_col,
+                      num_perm, bands, shingle_k, seed,
+                      batch_id=batch_id, pairs_path=pairs_path)
 
     return (stream.df.writeStream.foreachBatch(_on_batch)
             .option("checkpointLocation", checkpoint)
@@ -161,21 +226,29 @@ def incremental_minhash_dedup(stream, store_path: str, checkpoint: str,
 
 
 def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
-    """Rewrite the append-only signature store with ``files_per_band``
-    files per band partition.  Long-running streams append one small file
-    per band per batch; probe-side scan cost grows with file COUNT (footer
-    opens + listing), not data size — periodic compaction restores it.
-    Run from a maintenance job, not the hot path; the rewrite is atomic
-    per the parquet committer (temp dir + rename).
-    """
+    """Rewrite the signature store with ``files_per_band`` files per band,
+    collapsing all ingest subdirectories into the highest existing ingest
+    id (so subsequent batch ids keep incrementing past it).  Long-running
+    streams write one small file per band per batch; probe-side scan cost
+    grows with file COUNT (footer opens + listing), not data size —
+    periodic compaction restores it.  Run from a maintenance job, not the
+    hot path.  The directory swap uses local-filesystem renames — for an
+    object store, orchestrate the swap with the store's own atomic-rename
+    primitive or a manifest."""
+    import os
     import shutil
     import tempfile
 
-    df = spark.read.parquet(store_path)
+    ids = _ingest_ids(spark, store_path)
+    if not ids:
+        return
+    keep = max(ids)
+    df = spark.read.parquet(store_path).drop("ingest")
     tmp = tempfile.mkdtemp(prefix="sigstore_compact_",
                            dir=os.path.dirname(store_path.rstrip("/")))
     (df.repartition(files_per_band, "band")
-     .write.mode("overwrite").partitionBy("band").parquet(tmp))
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{tmp}/ingest={keep}"))
     # swap: the store is an index rebuildable from the corpus, so the
     # non-transactional window here loses at most availability, not data
     old = store_path.rstrip("/") + ".old"

@@ -131,3 +131,36 @@ def test_tpch_shape_exchange_budgets(star, spark):
     for name, budget in budgets.items():
         n = exchange_count(qs[name](spark, sf))
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_lsh_cosine_topk_candidate_shuffle_is_id_only(star):
+    """VERDICT r1 perf fix pin: the candidate-dedup shuffle must not carry
+    embedding vectors — below the candidate Exchange only ids/signatures
+    flow; vectors are re-joined afterwards keyed by id."""
+    import re
+
+    from blaze_spark.pipeline.similarity import lsh_cosine_topk
+
+    e = star["embeddings"]
+    q = lsh_cosine_topk(e, e.head(3), k=2)
+    plan = physical_plan(q)
+    # the candidate-dedup Exchange partitions by (query_id, neighbor_id);
+    # its Input column list must contain no vector column
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(query_id[^\n]*neighbor_id[^\n]*",
+        plan)
+    assert blocks, plan
+    for cols in blocks:
+        assert "qv" not in cols and "cv" not in cols \
+            and "embedding" not in cols, cols
+
+
+def test_cosine_topk_guards_large_query_side(star):
+    import pytest
+
+    from blaze_spark.pipeline.similarity import cosine_topk
+
+    e = star["embeddings"]
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(e, e, k=2, max_queries=10)

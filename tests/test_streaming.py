@@ -188,9 +188,10 @@ def test_incremental_dedup_streaming_wrapper(spark, tmp_path):
         while time.time() < deadline:
             q.processAllAvailable()
             import os
-            if os.path.isdir(tmp_path / "pairs") and any(
-                    f.endswith(".parquet")
-                    for f in os.listdir(tmp_path / "pairs")):
+            found_file = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(tmp_path / "pairs") for f in fs)
+            if found_file:
                 break
             time.sleep(0.5)
     finally:
@@ -226,3 +227,45 @@ def test_compact_store(spark, tmp_path):
              schema="doc_id long, text string", name="cb9")
     found = process_batch(b, store)
     assert found.count() >= 1
+
+
+def test_incremental_dedup_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY (same batch_id) must overwrite, not duplicate,
+    both the signature store and the emitted pairs (ADVICE r1)."""
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    store = str(tmp_path / "store_r")
+    text = "rows of text that repeat through this entire document " * 6
+    b0 = data([(1, text), (2, text + " coda")], spark=spark,
+              schema="doc_id long, text string", name="rb0")
+    p_first = process_batch(b0, store, batch_id=0)
+    n_pairs_first = p_first.count()
+    store_rows_first = spark.read.parquet(store).count()
+
+    # replay the SAME batch id (simulated retry after failure)
+    p_retry = process_batch(b0, store, batch_id=0)
+    assert p_retry.count() == n_pairs_first
+    assert spark.read.parquet(store).count() == store_rows_first
+
+    # a genuinely new batch still sees batch-0 docs exactly once
+    b1 = data([(3, text)], spark=spark,
+              schema="doc_id long, text string", name="rb1")
+    p1 = process_batch(b1, store, batch_id=1)
+    matched = sorted((r.new_doc, r.matched_doc) for r in p1.collect())
+    assert matched == [(3, 1), (3, 2)]
+
+
+def test_incremental_dedup_pathological_batch_is_sink_backed(spark, tmp_path):
+    """A batch whose buckets go quadratic (60 near-identical docs ->
+    C(60,2)=1770 in-batch pairs) flows through the parquet sink, not
+    driver memory: the returned DataFrame is file-backed."""
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    text = "identical boilerplate text shared by every document here " * 5
+    docs = [(i, text) for i in range(60)]
+    b = data(docs, spark=spark, schema="doc_id long, text string", name="pb")
+    out = process_batch(b, str(tmp_path / "store_p"))
+    assert out.count() == 60 * 59 // 2
+    assert out.inputFiles()  # backed by the per-batch parquet sink
