@@ -1237,6 +1237,83 @@ def udaf_geomean(spark, sf_dir):
     return g.transform(gm=F.round(F.col("gm"), 4)).df
 
 
+# concept lexicon for the cross-lingual dedup contract query: synonym
+# groups over the testdata vocabulary mapping to shared concept ids;
+# mirrored verbatim as a VALUES clause in the oracle SQL
+_LEXICON = [
+    ("fast", 1), ("quick", 1), ("rapid", 1),
+    ("slow", 2), ("sluggish", 2),
+    ("small", 3), ("tiny", 3), ("little", 3),
+    ("table", 4), ("relation", 4),
+    ("row", 5), ("tuple", 5), ("record", 5),
+    ("column", 6), ("field", 6),
+    ("merge", 7), ("join", 7),
+    ("data", 8), ("information", 8),
+]
+
+
+def crosslingual_dedup_docs(spark, sf_dir):
+    """Cross-lingual dedup via concept fingerprints.  The fingerprint hash
+    itself is engine-specific (xxhash64), so the contract exports the
+    grouping SHAPE (keeper_id, n_copies) — identical iff the tokenize ->
+    lexicon-map -> concept-set -> group pipeline agrees with the oracle."""
+    from blaze_spark.pipeline.crosslingual import crosslingual_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    lex = data(_LEXICON, spark=spark,
+               schema="token string, concept_id long", name="lexicon")
+    out = crosslingual_dedup(d, lex)
+    return out.df.select("keeper_id", "n_copies")
+
+
+def multimodal_image_features(spark, sf_dir):
+    """Binary image column plumbing: attach deterministic payloads, decode
+    via Arrow-batched mapInPandas.  mean_intensity = mean byte of a 256-byte
+    payload — exact in double (sum/2^8), so no rounding is needed for the
+    value-hash compare."""
+    from blaze_spark.pipeline.multimodal import (attach_fake_binary,
+                                                 decode_images)
+
+    d = _t(spark, sf_dir, "documents")
+    out = decode_images(attach_fake_binary(d))
+    return out.df.select("doc_id", "width", "height", "mean_intensity")
+
+
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature plumbing: rms over a 512-byte payload (exact: sum of
+    squares / 2^9, then IEEE sqrt — correctly rounded in both engines)."""
+    from blaze_spark.pipeline.multimodal import (attach_fake_audio,
+                                                 extract_audio_features)
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_audio_features(attach_fake_audio(d))
+    return out.df.select("doc_id", "duration_ms", "rms")
+
+
+def incremental_dedup_batches(spark, sf_dir):
+    """Incremental (streaming-store) dedup contract: two deterministic
+    batches — batch 1 = even doc_ids; batch 2 = odd doc_ids plus copies of
+    the first 20 even docs under shifted ids.  Every copy must match its
+    original ACROSS batches via the signature store (est_jaccard 1.0).
+    Rows-only check: the store probe is not SQL-expressible."""
+    import tempfile
+
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.df.select("doc_id", "text")
+    b1 = Table(base.filter(F.col("doc_id") % 2 == 0))
+    copies = (base.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40))
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    b2 = Table(base.filter(F.col("doc_id") % 2 == 1).unionByName(copies))
+    store = tempfile.mkdtemp(prefix="incdedup_contract_") + "/store"
+    p1 = process_batch(b1, store, batch_id=0)
+    p2 = process_batch(b2, store, batch_id=1)
+    return (p1.unionByName(p2)
+            .select("new_doc", "matched_doc",
+                    F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1338,6 +1415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_geomean": udaf_geomean,
         "hypertable_orders": hypertable_orders,
         "ann_ivf_topk": ann_ivf_topk,
+        "crosslingual_dedup_docs": crosslingual_dedup_docs,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
+        "incremental_dedup_batches": incremental_dedup_batches,
     }
 
 
@@ -2067,5 +2148,69 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cosine DESC, neighbor_id) AS rn
                 FROM scored) WHERE rn <= 5
+        """,
+        # grouping is by concept SET: lexicon-mapped tokens merge to a
+        # concept id, OOV tokens stand for themselves; both engines
+        # canonicalize the set (sorted) before grouping, so group
+        # membership — hence (keeper_id, n_copies) — is engine-neutral
+        # even though the fingerprint hash itself is not.
+        "crosslingual_dedup_docs": """
+            WITH lex(token, concept_id) AS (VALUES
+                ('fast', 1), ('quick', 1), ('rapid', 1),
+                ('slow', 2), ('sluggish', 2),
+                ('small', 3), ('tiny', 3), ('little', 3),
+                ('table', 4), ('relation', 4),
+                ('row', 5), ('tuple', 5), ('record', 5),
+                ('column', 6), ('field', 6),
+                ('merge', 7), ('join', 7),
+                ('data', 8), ('information', 8)),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents),
+            con AS (
+                SELECT DISTINCT t.doc_id,
+                       coalesce('c' || CAST(l.concept_id AS VARCHAR),
+                                't' || t.tok) AS concept
+                FROM toks t LEFT JOIN lex l ON t.tok = lower(l.token)),
+            sets AS (
+                SELECT doc_id,
+                       string_agg(concept, ',' ORDER BY concept) AS cset
+                FROM con GROUP BY doc_id)
+            SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM sets GROUP BY cset
+        """,
+        # fake payload = first 256 chars of repeat(sha256-hex(doc_id), 5),
+        # UTF-8 encoded; mean_intensity = mean byte = sum(ascii)/2^8 —
+        # exact in IEEE double on both engines, no rounding needed
+        "multimodal_image_features": """
+            WITH payload AS (
+                SELECT doc_id,
+                       substr(repeat(sha256(CAST(doc_id AS VARCHAR)), 5),
+                              1, 256) AS body
+                FROM documents)
+            SELECT doc_id,
+                   CAST((doc_id % 512) + 32 AS INT) AS width,
+                   CAST(((doc_id * 7) % 512) + 32 AS INT) AS height,
+                   list_sum(list_transform(regexp_extract_all(body, '.'),
+                                           x -> ascii(x))) / 256.0
+                       AS mean_intensity
+            FROM payload
+        """,
+        # rms = sqrt(sum(byte^2)/2^9): exact division + correctly-rounded
+        # IEEE sqrt in both engines
+        "multimodal_audio_features": """
+            WITH payload AS (
+                SELECT doc_id,
+                       substr(repeat(sha256(CAST(doc_id AS VARCHAR) || 'audio'),
+                                     9), 1, 512) AS body
+                FROM documents)
+            SELECT doc_id,
+                   CAST((doc_id * 37) % 30000 + 1000 AS BIGINT) AS duration_ms,
+                   sqrt(list_sum(list_transform(regexp_extract_all(body, '.'),
+                                                x -> ascii(x) * ascii(x)))
+                        / 512.0) AS rms
+            FROM payload
         """,
     }
