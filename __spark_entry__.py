@@ -1237,6 +1237,29 @@ def udaf_geomean(spark, sf_dir):
     return g.transform(gm=F.round(F.col("gm"), 4)).df
 
 
+def order_latency_breakdown(spark, sf_dir):
+    """Interval/timedelta surface (reference blaze/expr/arithmetic.py:166-186:
+    datetime - datetime -> timedelta; accessors datetime.py:369-394):
+    synthesize a receipt timestamp per line, subtract timestamps, decompose
+    the interval with .dt.days()/.seconds()/.total_seconds() — including the
+    negative direction to pin pandas floor semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    off = ((F.col("l_orderkey") * 131 + F.col("l_linenumber")) % 200000)
+    t = li.transform(
+        recv_ts=F.col("l_shipdate") + F.make_dt_interval(
+            secs=off.cast("double")))
+    td = t.recv_ts - t.l_shipdate
+    ntd = t.l_shipdate - t.recv_ts
+    out = t.transform(
+        lat_days=td.dt.days(), lat_sec_comp=td.dt.seconds(),
+        lat_total_sec=td.dt.total_seconds(),
+        lat_total_us=td.dt.total_microseconds(),
+        neg_days=ntd.dt.days(), neg_sec_comp=ntd.dt.seconds())
+    return out[["l_orderkey", "l_linenumber", "lat_days", "lat_sec_comp",
+                "lat_total_sec", "lat_total_us", "neg_days",
+                "neg_sec_comp"]].df
+
+
 # concept lexicon for the cross-lingual dedup contract query: synonym
 # groups over the testdata vocabulary mapping to shared concept ids;
 # mirrored verbatim as a VALUES clause in the oracle SQL
@@ -1415,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_geomean": udaf_geomean,
         "hypertable_orders": hypertable_orders,
         "ann_ivf_topk": ann_ivf_topk,
+        "order_latency_breakdown": order_latency_breakdown,
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -2148,6 +2172,32 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cosine DESC, neighbor_id) AS rn
                 FROM scored) WHERE rn <= 5
+        """,
+        # interval decomposition mirrored through DuckDB's native interval
+        # type (epoch() of a timestamp difference); floor arithmetic mirrors
+        # the pandas day/second component semantics on both signs
+        "order_latency_breakdown": """
+            WITH t AS (
+                SELECT l_orderkey, l_linenumber, l_shipdate,
+                       l_shipdate + to_seconds(CAST(
+                           (l_orderkey * 131 + l_linenumber) % 200000
+                           AS BIGINT)) AS recv_ts
+                FROM lineitem),
+            d AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(epoch(recv_ts - l_shipdate) AS BIGINT) AS tot,
+                       CAST(epoch(l_shipdate - recv_ts) AS BIGINT) AS ntot
+                FROM t)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(tot / 86400.0) AS BIGINT) AS lat_days,
+                   tot - CAST(floor(tot / 86400.0) AS BIGINT) * 86400
+                       AS lat_sec_comp,
+                   tot AS lat_total_sec,
+                   tot * 1000000 AS lat_total_us,
+                   CAST(floor(ntot / 86400.0) AS BIGINT) AS neg_days,
+                   ntot - CAST(floor(ntot / 86400.0) AS BIGINT) * 86400
+                       AS neg_sec_comp
+            FROM d
         """,
         # grouping is by concept SET: lexicon-mapped tokens merge to a
         # concept id, OOV tokens stand for themselves; both engines

@@ -436,7 +436,13 @@ class ColExpr:
 
     @property
     def dt(self):
-        from .functions.datetime import DtAccessor
+        # pandas uses one '.dt' name for datetime AND timedelta accessors;
+        # so does the reference (blaze/expr/datetime.py:360-394) — dispatch
+        # on dtype: datetime -> DtAccessor, interval -> TimedeltaAccessor
+        from . import schema as _s
+        from .functions.datetime import DtAccessor, TimedeltaAccessor
+        if _s.is_interval(self.dtype):
+            return TimedeltaAccessor(self)
         return DtAccessor(self)
 
     # -- interactive --------------------------------------------------------

@@ -58,6 +58,69 @@ def seconds_between(end, start):
         "seconds_between", T.LongType())
 
 
+class TimedeltaAccessor:
+    """``.dt`` on a timedelta (interval) expression — the reference's
+    ``timedelta_ns`` accessor (blaze/expr/datetime.py:369-394: days /
+    seconds / nanoseconds / total_seconds, all int64), produced by
+    ``datetime - datetime`` (blaze/expr/arithmetic.py:166-186).
+
+    Component semantics are pandas': ``days`` floors (−1h30m → −1 day),
+    ``seconds`` is the in-day component in [0, 86399], ``microseconds``
+    the in-second component (EXTENSION), ``nanoseconds`` always 0 —
+    Spark intervals are microsecond-precision.  All JVM-side: the interval
+    decomposes via date_part, components recombine with long arithmetic.
+    """
+
+    _US_DAY = 86_400_000_000
+
+    def __init__(self, expr):
+        from .. import schema as _s
+        if not _s.is_interval(expr.dtype):
+            raise TypeError(
+                f"timedelta accessor requires interval dtype, got {expr.dtype}")
+        self._e = expr
+
+    def _m(self, col, name):
+        return self._e._make(col, f"{self._e.name}_{name}", T.LongType())
+
+    def _total_us(self):
+        c = self._e.col
+        whole = (F.date_part(F.lit("DAY"), c).cast("long") * 86400
+                 + F.date_part(F.lit("HOUR"), c).cast("long") * 3600
+                 + F.date_part(F.lit("MINUTE"), c).cast("long") * 60)
+        # SECOND is a signed decimal(8,6) — scale to µs exactly in decimal
+        frac_us = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        return whole * 1_000_000 + frac_us
+
+    def total_seconds(self):
+        """Whole seconds, truncated toward zero (reference dtype int64,
+        blaze/expr/datetime.py:372)."""
+        return self._m(self._e.col.cast("long"), "total_seconds")
+
+    def total_microseconds(self):
+        """EXTENSION: exact total length in µs (Spark's native precision)."""
+        return self._m(self._total_us(), "total_microseconds")
+
+    def days(self):
+        tus = self._total_us()
+        floored = (tus - F.pmod(tus, F.lit(self._US_DAY))) / self._US_DAY
+        return self._m(floored.cast("long"), "days")
+
+    def seconds(self):
+        tus = self._total_us()
+        return self._m((F.pmod(tus, F.lit(self._US_DAY)) / 1_000_000)
+                       .cast("long"), "seconds")
+
+    def microseconds(self):
+        return self._m(F.pmod(self._total_us(), F.lit(1_000_000))
+                       .cast("long"), "microseconds")
+
+    def nanoseconds(self):
+        """Always 0: Spark DayTimeIntervalType is µs-precision (the
+        reference's pandas backend had ns) — kept for API parity."""
+        return self._m(F.lit(0).cast("long"), "nanoseconds")
+
+
 class DtAccessor:
     """Methods on date/datetime-typed expressions (dtype-gated dispatch, as
     blaze/expr/expressions.py:1026-1039 gates on dshape)."""

@@ -45,6 +45,12 @@ def is_datetime(dt: T.DataType) -> bool:
     return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
+def is_interval(dt: T.DataType) -> bool:
+    """timedelta dtype (reference TimeDelta measure,
+    blaze/expr/arithmetic.py:166-186: datetime - datetime -> timedelta)."""
+    return isinstance(dt, T.DayTimeIntervalType)
+
+
 def max_integral(a: T.DataType, b: T.DataType) -> T.DataType:
     """Widest of two integer types (reference FloorDiv semantics:
     blaze/expr/arithmetic.py:199-210 — int // int keeps max-width integer)."""

@@ -9,6 +9,7 @@ import datetime as dt
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from blaze_spark.functions import math as M  # noqa: N812
 
@@ -213,3 +214,72 @@ def test_timedelta_helpers(spark):
     row = out.df.collect()[0]
     assert row.d == 2
     assert row.s == 2 * 86400 + 3630
+
+
+# -- timedelta surface (blaze/expr/arithmetic.py:166-186, datetime.py:369-394)
+
+@pytest.fixture(scope="module")
+def td_table(spark):
+    from blaze_spark import data
+
+    return data(
+        [(1, "2024-01-01 12:00:00", "2024-01-03 10:30:15.25"),
+         (2, "2024-01-01 10:00:00", "2024-01-01 08:30:00"),   # negative delta
+         (3, "2024-01-01 00:00:00", "2024-01-01 00:00:00")],  # zero
+        spark=spark,
+        schema="id int, a string, b string", name="td",
+    ).transform(a=F.to_timestamp("a"), b=F.to_timestamp("b"))
+
+
+def test_ts_sub_ts_is_interval(td_table):
+    from pyspark.sql import types as T
+
+    td = td_table.b - td_table.a
+    assert isinstance(td.dtype, T.DayTimeIntervalType)
+
+
+def test_timedelta_accessors_exact(td_table):
+    t = td_table
+    td = t.b - t.a
+    out = t.transform(
+        d=td.dt.days(), s=td.dt.seconds(), us=td.dt.microseconds(),
+        tot=td.dt.total_seconds(), ns=td.dt.nanoseconds(),
+    ).df.collect()
+    vals = {r.id: (r.d, r.s, r.us, r.tot, r.ns) for r in out}
+    # row 1: +1 day 22:30:15.25 -> floor/day-component semantics
+    assert vals[1] == (1, 81015, 250000, 167415, 0)
+    # row 2: -1h30m -> pandas floor: -1 day + 81000 s
+    assert vals[2] == (-1, 81000, 0, -5400, 0)
+    assert vals[3] == (0, 0, 0, 0, 0)
+
+
+def test_timedelta_matches_pandas_directly(td_table):
+    import pandas as pd
+
+    t = td_table
+    td = t.b - t.a
+    out = {r.id: r for r in t.transform(
+        d=td.dt.days(), s=td.dt.seconds(), us=td.dt.microseconds()
+    ).df.collect()}
+    for r in t.df.collect():
+        ptd = pd.Timedelta(r.b - r.a)
+        assert out[r.id].d == ptd.days, (r.id, ptd)
+        assert out[r.id].s == ptd.seconds
+        assert out[r.id].us == ptd.microseconds
+
+
+def test_ts_plus_interval_is_timestamp(td_table):
+    from pyspark.sql import types as T
+
+    t = td_table
+    td = t.b - t.a
+    back = t.a + td
+    assert isinstance(back.dtype, T.TimestampType)
+    rows = t.transform(back=back).df.collect()
+    for r in rows:
+        assert r.back == r.b
+
+
+def test_dt_accessor_rejects_non_temporal(t):
+    with pytest.raises(TypeError):
+        t.amount.dt
