@@ -411,9 +411,12 @@ def string_funcs(spark, sf_dir):
         tagged=f.c_name.str.cat(f.c_mktsegment, sep="-").col,
         zero_pos=f.c_name.str.find("0").col,
         stripped=f.c_name.str.replace("Customer#", "").col,
+        repl3=f.c_name.str.replace("0", "x", 3).col,       # count-limited
+        last4=f.c_name.str.slice(-4).col,                  # negative start
+        mid_neg=f.c_name.str.slice(9, -2).col,             # negative stop
     )
     return out[["c_custkey", "upper_name", "name_len", "first5", "tagged",
-                "zero_pos", "stripped"]].df
+                "zero_pos", "stripped", "repl3", "last4", "mid_neg"]].df
 
 
 def like_glob_filter(spark, sf_dir):
@@ -1658,7 +1661,12 @@ def oracle_sql() -> dict[str, str]:
                    substr(c_name, 1, 5) AS first5,
                    c_name || '-' || c_mktsegment AS tagged,
                    CAST(strpos(c_name, '0') AS INT) - 1 AS zero_pos,
-                   replace(c_name, 'Customer#', '') AS stripped
+                   replace(c_name, 'Customer#', '') AS stripped,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       c_name, '0', 'x'), '0', 'x'), '0', 'x') AS repl3,
+                   substr(c_name, greatest(length(c_name) - 3, 1)) AS last4,
+                   substr(c_name, 10,
+                          greatest(length(c_name) - 2 - 9, 0)) AS mid_neg
             FROM customer WHERE c_custkey <= 200
         """,
         "like_glob_filter": """

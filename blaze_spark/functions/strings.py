@@ -15,6 +15,12 @@ _BOOL = T.BooleanType()
 _STR = T.StringType()
 
 
+def _jquote(s: str) -> str:
+    """Quote a literal for use inside a Java regex (\\Q...\\E, with the
+    embedded-\\E escape dance)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 class StrAccessor:
     """Methods available on string-typed expressions, gated on dtype as the
     reference gates method dispatch on dshape
@@ -97,10 +103,21 @@ class StrAccessor:
     def find(self, sub: str):
         return self._m(F.instr(self._c, sub) - 1, "find", T.IntegerType())
 
-    # Replace(old, new) (strings.py:144-155); max arg unsupported (documented)
-    def replace(self, old: str, new: str):
-        return self._m(F.replace(self._c, F.lit(old), F.lit(new)),
-                       "replace", _STR)
+    # Replace(old, new, max) (strings.py:144-155).  ``max`` limits the
+    # replacement to the first N occurrences — python str.replace(count)
+    # semantics, still JVM-side: split on the literal pattern with
+    # limit=max+1 (the last piece keeps its remainder unsplit), rejoin
+    # with the replacement as separator.  No regex backtracking, no UDF.
+    def replace(self, old: str, new: str, max: int | None = None):
+        if old == "":
+            raise ValueError("replace 'old' must be non-empty")
+        if max is None or max < 0:      # python: negative count == all
+            return self._m(F.replace(self._c, F.lit(old), F.lit(new)),
+                           "replace", _STR)
+        if max == 0:
+            return self._m(self._c, "replace", _STR)
+        parts = F.split(self._c, _jquote(old), max + 1)
+        return self._m(F.array_join(parts, new), "replace", _STR)
 
     # Pad (strings.py:157-169)
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
@@ -110,21 +127,47 @@ class StrAccessor:
             return self._m(F.rpad(self._c, width, fillchar), "pad", _STR)
         raise ValueError("side must be left or right")
 
-    # StrSlice (strings.py:195-220) — python slice semantics, 0-based
-    def slice(self, start: int = 0, stop: int | None = None):
-        if start < 0 or (stop is not None and stop < 0):
-            raise ValueError("negative slice bounds unsupported")
-        length = (stop - start) if stop is not None else 2147483647
-        return self._m(F.substring(self._c, start + 1, length), "slice", _STR)
+    def _slice_idx(self, bound: int | None, default_col, length):
+        """Resolve one python slice bound to a 0-based clamp [0, len]."""
+        if bound is None:
+            return default_col
+        if bound >= 0:
+            return F.least(F.lit(bound), length)
+        return F.greatest(length + bound, F.lit(0))
+
+    # StrSlice (strings.py:195-220) — full python slice semantics, 0-based,
+    # NEGATIVE bounds included (relative to the string length, clamped)
+    def slice(self, start: int | None = 0, stop: int | None = None,
+              step: int | None = None):
+        if step not in (None, 1):
+            raise ValueError("string slice step must be 1")
+        start = start or 0
+        if start >= 0 and (stop is None or stop >= 0):
+            # fast path: no length() needed
+            length = (stop - start) if stop is not None else 2147483647
+            return self._m(F.substring(self._c, start + 1, max(length, 0)),
+                           "slice", _STR)
+        ln = F.length(self._c)
+        lo = self._slice_idx(start, F.lit(0), ln)
+        hi = self._slice_idx(stop, ln, ln)
+        return self._m(
+            F.substring(self._c, lo + 1, F.greatest(hi - lo, F.lit(0))),
+            "slice", _STR)
 
     def __getitem__(self, s: slice):
-        return self.slice(s.start or 0, s.stop)
+        return self.slice(s.start, s.stop, s.step)
 
-    # slice_replace (strings.py:195-220): replace [start, stop) with repl
-    def slice_replace(self, start: int, stop: int, repl: str):
+    # slice_replace (strings.py:202-208): replace [start, stop) with repl;
+    # python/pandas semantics incl. negative/None bounds
+    def slice_replace(self, start: int | None = None,
+                      stop: int | None = None, repl: str = ""):
+        ln = F.length(self._c)
+        lo = self._slice_idx(start or 0, F.lit(0), ln)
+        hi = self._slice_idx(stop, ln, ln)
+        hi = F.greatest(hi, lo)  # empty slice inserts at lo
         return self._m(
-            F.concat(F.substring(self._c, 1, start), F.lit(repl),
-                     F.substring(self._c, stop + 1, 2147483646)),
+            F.concat(F.substring(self._c, 1, lo), F.lit(repl),
+                     F.substring(self._c, hi + 1, 2147483646)),
             "slice_replace", _STR)
 
     # StrCat — NULL-PROPAGATING concat (strings.py:222-288).  concat_ws

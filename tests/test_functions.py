@@ -283,3 +283,65 @@ def test_ts_plus_interval_is_timestamp(td_table):
 def test_dt_accessor_rejects_non_temporal(t):
     with pytest.raises(TypeError):
         t.amount.dt
+
+
+# -- string parity round 2: count-limited replace, negative slices ----------
+
+@pytest.fixture(scope="module")
+def strs(spark):
+    from blaze_spark import data
+
+    return data(
+        [(1, "aXbXcXd"), (2, "hello world"), (3, "ab"), (4, ""),
+         (5, "X.X.X.X"), (6, "no match here")],
+        spark=spark, schema="id int, s string", name="strs")
+
+
+def _one(t, e):
+    return {r.id: r.v for r in t.transform(v=e).df.collect()}
+
+
+def test_replace_max_count(strs):
+    got = _one(strs, strs.s.str.replace("X", "-", 2))
+    for r in strs.df.collect():
+        assert got[r.id] == r.s.replace("X", "-", 2), r.s
+
+
+def test_replace_max_regex_metachars_are_literal(strs):
+    got = _one(strs, strs.s.str.replace(".", "!", 1))
+    for r in strs.df.collect():
+        assert got[r.id] == r.s.replace(".", "!", 1), r.s
+
+
+def test_replace_max_zero_and_negative(strs):
+    got0 = _one(strs, strs.s.str.replace("X", "-", 0))
+    gotn = _one(strs, strs.s.str.replace("X", "-", -1))
+    for r in strs.df.collect():
+        assert got0[r.id] == r.s
+        assert gotn[r.id] == r.s.replace("X", "-")
+
+
+def test_slice_negative_bounds(strs):
+    cases = [(-3, None), (None, -2), (-4, -1), (1, -1), (-100, 2),
+             (2, -100), (-1, None), (None, None)]
+    for start, stop in cases:
+        got = _one(strs, strs.s.str.slice(start, stop))
+        for r in strs.df.collect():
+            assert got[r.id] == r.s[start:stop], (start, stop, r.s)
+
+
+def test_slice_getitem_negative(strs):
+    got = _one(strs, strs.s.str[-5:-1])
+    for r in strs.df.collect():
+        assert got[r.id] == r.s[-5:-1]
+
+
+def test_slice_replace_negative_and_none(strs):
+    import pandas as pd
+
+    pdf = strs.df.toPandas().set_index("id")
+    for start, stop in [(1, 3), (None, 2), (-2, None), (None, None), (-4, -1)]:
+        got = _one(strs, strs.s.str.slice_replace(start, stop, "_"))
+        exp = pdf.s.str.slice_replace(start, stop, "_")
+        for i, v in exp.items():
+            assert got[i] == v, (start, stop, pdf.s[i])
