@@ -305,10 +305,18 @@ class ColExpr:
 
     # -- casting (Coerce: blaze/expr/expressions.py:794-818) ---------------
     def coerce(self, to: str | T.DataType):
+        """Runtime type CONVERSION — a Cast lands in the physical plan."""
         dt = to if isinstance(to, T.DataType) else _parse_dtype(to)
         return self._make(self._col.cast(dt), self._name, dt)
 
-    cast = coerce
+    def cast(self, to: str | T.DataType):
+        """Metadata-only type RE-DECLARATION (reference Cast,
+        blaze/expr/expressions.py:821-853: "this is only an expression time
+        operation").  Overrides the dtype the engine tracks for eager
+        checks/accessor gating — no conversion, no Cast node in the plan.
+        Use :meth:`coerce` to actually convert values."""
+        dt = to if isinstance(to, T.DataType) else _parse_dtype(to)
+        return self._make(self._col, self._name, dt)
 
     def label(self, name: str):
         """Rename (Label: blaze/expr/expressions.py:574-612)."""

@@ -545,3 +545,25 @@ def test_udaf_string_result(t):
     out = by(t.id.label("id"), big=longest(t.name))
     assert dict(out.df.dtypes)["big"] == "string"
     assert sorted(r["big"] for r in out.df.collect()) == ["Alice", "Alice", "Bob"]
+
+
+# -- cast vs coerce (blaze/expr/expressions.py:794-853) ----------------------
+
+def test_cast_is_metadata_only(t):
+    from blaze_spark.plans import physical_plan
+
+    c = t.amount.cast("int8")
+    assert c.dtype == T.ByteType()      # engine metadata re-declared
+    q = t.transform(y=c)
+    plan = physical_plan(q)
+    assert "cast(" not in plan.lower(), plan   # no runtime conversion
+    # values untouched (still the int32 data)
+    assert sorted(r.y for r in q.df.collect()) == [50, 100, 200]
+
+
+def test_coerce_adds_runtime_cast(t):
+    from blaze_spark.plans import physical_plan
+
+    q = t.transform(y=t.amount.coerce("double"))
+    assert "cast(" in physical_plan(q).lower()
+    assert dict(q.df.dtypes)["y"] == "double"
