@@ -78,12 +78,19 @@ def _reduction(node: dict, t: Table) -> Reduction:
 
 
 def from_tree(tree: dict, *, spark: SparkSession | None = None,
-              datasets: dict[str, Table] | None = None) -> Table:
+              datasets: dict[str, Table] | None = None,
+              allow_data_uris: bool = True) -> Table:
     """Rebuild a Table from a serialized expression tree.
 
     Leaves: ``{'op': 'data', 'args': [uri]}`` (resolved via sources.data)
     or ``{'op': 'symbol', 'args': [name]}`` (resolved from ``datasets`` —
     the server's registered-dataset namespace).
+
+    ``allow_data_uris=False`` (the server-side default) rejects ``data``
+    leaves: a deserialized tree may then only name pre-registered datasets,
+    never read arbitrary local/remote URIs (round-1 advice — the op
+    whitelist bounds which OPERATORS run, this bounds which RESOURCES are
+    readable).
     """
     datasets = datasets or {}
 
@@ -101,6 +108,10 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                 raise KeyError(f"unknown dataset: {args[0]}")
             return datasets[args[0]]
         if op == "data":
+            if not allow_data_uris:
+                raise PermissionError(
+                    "'data' leaves are disabled; reference registered "
+                    "datasets by name ('symbol') instead")
             return data(args[0], spark=spark)
         child = walk(args[0])
         if op == "projection":

@@ -1,0 +1,131 @@
+"""HTTP server: remote expression execution over the tree dialect.
+
+Endpoint parity with the reference server (blaze/server/server.py):
+
+- ``GET /datashape`` — datashape of the registered dataset namespace
+  (reference: server.py:403-408).
+- ``POST /compute`` — body ``{"expr": <tree>}`` in the ``interop`` JSON
+  dialect; response ``{"data": rows, "names": columns, "datashape": str}``
+  (reference compserver: server.py:578-671, response keys at 660-667).
+
+Implementation is stdlib ``http.server`` (ThreadingHTTPServer) — the
+reference used Flask; the transport is incidental, the contract is the
+tree dialect + response shape.
+
+Security posture (hardening beyond the reference, per round-1 advice):
+
+- the op whitelist of ``interop.from_tree`` bounds WHAT can run;
+- the ``data`` leaf (arbitrary URI reads) is DISABLED server-side by
+  default — remote trees may only reference datasets registered on the
+  server by name (``symbol`` leaves).  Pass ``allow_data_uris=True`` to
+  opt in (trusted networks only).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from .core import Table
+from .interop import from_tree
+
+__all__ = ["BlazeSparkServer"]
+
+
+class BlazeSparkServer:
+    """Serve registered Tables over HTTP (reference Server:
+    blaze/server/server.py:301-401).
+
+    >>> srv = BlazeSparkServer({"orders": orders_table}, spark)
+    >>> srv.start(port=0)      # 0 = ephemeral; srv.port has the real one
+    >>> # POST {"expr": {"op": "head", "args": [{"op": "symbol",
+    >>> #       "args": ["orders"]}, 5]}} to http://host:port/compute
+    >>> srv.stop()
+    """
+
+    def __init__(self, datasets: dict[str, Table],
+                 spark: SparkSession | None = None,
+                 allow_data_uris: bool = False):
+        self.datasets = dict(datasets)
+        self.spark = spark
+        self.allow_data_uris = allow_data_uris
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.port: int | None = None
+
+    # -- request handling ---------------------------------------------------
+    def _datashape(self) -> str:
+        inner = ", ".join(f"{name}: {t.dshape}"
+                          for name, t in self.datasets.items())
+        return "{" + inner + "}"
+
+    def _compute(self, payload: dict) -> dict:
+        if "expr" not in payload:
+            raise ValueError("payload must contain 'expr'")
+        t = from_tree(payload["expr"], spark=self.spark,
+                      datasets=self.datasets,
+                      allow_data_uris=self.allow_data_uris)
+        pdf = t.compute()
+        return {
+            "data": json.loads(pdf.to_json(orient="values",
+                                           date_format="iso")),
+            "names": list(pdf.columns),
+            "datashape": t.dshape,
+        }
+
+    def _make_handler(server_self):  # noqa: N805 — handler factory
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            def _send(self, code: int, body: dict | str):
+                raw = (json.dumps(body) if isinstance(body, dict)
+                       else body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "application/json"
+                                 if isinstance(body, dict) else "text/plain")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def do_GET(self):
+                if self.path.rstrip("/") == "/datashape":
+                    self._send(200, server_self._datashape())
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/compute":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    self._send(200, server_self._compute(payload))
+                except (ValueError, KeyError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # engine/Spark failure
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self, port: int = 6363, host: str = "127.0.0.1"):
+        """Start serving on a daemon thread; ``port=0`` picks an ephemeral
+        port (recorded on ``self.port``)."""
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

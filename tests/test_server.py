@@ -1,0 +1,124 @@
+"""HTTP server round-trip tests (reference blaze/server/server.py:403-477:
+/datashape + /compute over the tree dialect)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, star):
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"],
+                            "nation": star["nation"]}, spark)
+    srv.start(port=0)
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read().decode()
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_datashape_endpoint(server):
+    status, body = _get(server, "/datashape")
+    assert status == 200
+    assert "orders" in body and "o_orderkey" in body
+
+
+def test_compute_roundtrip_equals_local(server, star):
+    tree = {"op": "head", "args": [
+        {"op": "sort", "args": [
+            {"op": "selection", "args": [
+                {"op": "symbol", "args": ["orders"]},
+                {"op": "gt", "args": [
+                    {"op": "field", "args": ["o_totalprice"]}, 100000.0]}]},
+            ["o_orderkey"], True]},
+        5]}
+    status, body = _post(server, "/compute", {"expr": tree})
+    assert status == 200
+    assert body["names"][0] == "o_orderkey"
+
+    from blaze_spark.interop import from_tree
+
+    local = from_tree(tree, datasets={"orders": star["orders"]}).compute()
+    assert [r[0] for r in body["data"]] == list(local.o_orderkey)
+
+
+def test_compute_by_aggregation(server):
+    tree = {"op": "by", "args": [
+        {"op": "symbol", "args": ["orders"]},
+        [["status", {"op": "field", "args": ["o_orderstatus"]}]],
+        {"n": {"op": "count", "args": [{"op": "field", "args": ["o_orderkey"]}]}}]}
+    status, body = _post(server, "/compute", {"expr": tree})
+    assert status == 200
+    assert set(body["names"]) == {"status", "n"}
+    assert sum(r[body["names"].index("n")] for r in body["data"]) > 0
+
+
+def test_compute_rejects_data_uri_leaf(server):
+    tree = {"op": "head", "args": [
+        {"op": "data", "args": ["/etc/passwd"]}, 5]}
+    status, body = _post(server, "/compute", {"expr": tree})
+    assert status == 500 or status == 400
+    assert "data" in body["error"]
+
+
+def test_compute_rejects_unknown_op(server):
+    status, body = _post(server, "/compute", {"expr": {"op": "__import__",
+                                                       "args": ["os"]}})
+    assert status in (400, 500)
+
+
+def test_compute_unknown_symbol_404s_cleanly(server):
+    status, body = _post(server, "/compute", {"expr": {
+        "op": "symbol", "args": ["not_registered"]}})
+    assert status in (400, 500)
+    assert "not_registered" in body["error"]
+
+
+def test_bad_route(server):
+    status, _ = _get(server, "/datashape")
+    assert status == 200
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _get(server, "/nope")
+
+
+def test_tree_dialect_query_reachable_over_http(server, spark, star):
+    """The tree_dialect_big_orders contract query shape, over HTTP."""
+    import __spark_entry__ as entry
+
+    local = entry.tree_dialect_big_orders(spark, "/root/testdata/sf0.001")
+    # same expression, with the data-URI leaf swapped for the server's
+    # registered symbol (data leaves are rejected server-side)
+    tree = {"op": "by", "args": [
+        {"op": "selection", "args": [
+            {"op": "symbol", "args": ["orders"]},
+            {"op": "gt", "args": [
+                {"op": "field", "args": ["o_totalprice"]}, 200000.0]}]},
+        [["o_orderpriority", {"op": "field", "args": ["o_orderpriority"]}]],
+        {"n_big": {"op": "nelements",
+                   "args": [{"op": "field", "args": ["o_orderkey"]}]}}]}
+    status, body = _post(server, "/compute", {"expr": tree})
+    assert status == 200
+    got = sorted(map(tuple, body["data"]))
+    want = sorted(map(tuple, local.collect()))
+    assert got == want
