@@ -1240,6 +1240,37 @@ def udaf_geomean(spark, sf_dir):
     return g.transform(gm=F.round(F.col("gm"), 4)).df
 
 
+def array_ops_embeddings(spark, sf_dir):
+    """N-D array subset on ArrayType columns (reference blaze/expr/arrays.py
+    Transpose/TensorDot + axis reductions): per-row vector arithmetic,
+    python indexing, axis-aware sums, dot/norm — all JVM array HOFs,
+    mirrored by DuckDB list functions."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.embedding
+    scaled = v.arr * 2.0
+    t2 = e.transform(
+        dim=v.arr.size(),
+        first_val=v.arr[0].coerce("double"),
+        last_val=v.arr[-1].coerce("double"),
+        total=F.round(v.arr.sum().col, 4),
+        scaled_total=F.round(scaled.arr.sum().col, 4),
+        self_dot=F.round(v.arr.dot(v).col, 4),
+        nrm=F.round(v.arr.norm().col, 4),
+        # 2-D path: [v, reverse(v)] summed down axis 0 == v + reverse(v)
+        m=F.array(F.col("embedding"), F.reverse(F.col("embedding"))),
+    )
+    colsum = t2.m.arr.sum(axis=0)
+    # the compare harness hashes scalars, so the axis-0 result is exported
+    # as scalar probes: its first element and its total
+    out = t2.transform(
+        colsum0=F.round(F.element_at(colsum.col, 1), 4),
+        colsum_total=F.round(
+            F.aggregate(colsum.col, F.lit(0.0), lambda a, x: a + x), 4))
+    return out[["vec_id", "dim", "first_val", "last_val", "total",
+                "scaled_total", "self_dot", "nrm", "colsum0",
+                "colsum_total"]].df
+
+
 def order_latency_breakdown(spark, sf_dir):
     """Interval/timedelta surface (reference blaze/expr/arithmetic.py:166-186:
     datetime - datetime -> timedelta; accessors datetime.py:369-394):
@@ -1441,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_geomean": udaf_geomean,
         "hypertable_orders": hypertable_orders,
         "ann_ivf_topk": ann_ivf_topk,
+        "array_ops_embeddings": array_ops_embeddings,
         "order_latency_breakdown": order_latency_breakdown,
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
         "multimodal_image_features": multimodal_image_features,
@@ -2180,6 +2212,26 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cosine DESC, neighbor_id) AS rn
                 FROM scored) WHERE rn <= 5
+        """,
+        # array ops mirrored by DuckDB list functions; float32 -> double
+        # widening is exact on both engines, sums are left-to-right
+        "array_ops_embeddings": """
+            WITH b AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(v) AS INT) AS dim,
+                   v[1] AS first_val,
+                   v[-1] AS last_val,
+                   round(list_sum(v), 4) AS total,
+                   round(list_sum(list_transform(v, x -> x * 2.0)), 4)
+                       AS scaled_total,
+                   round(list_dot_product(v, v), 4) AS self_dot,
+                   round(sqrt(list_dot_product(v, v)), 4) AS nrm,
+                   round(v[1] + v[len(v)], 4) AS colsum0,
+                   round(list_sum(list_transform(
+                       range(1, len(v) + 1),
+                       i -> v[i] + v[len(v) - i + 1])), 4) AS colsum_total
+            FROM b
         """,
         # interval decomposition mirrored through DuckDB's native interval
         # type (epoch() of a timestamp difference); floor arithmetic mirrors

@@ -453,6 +453,11 @@ class ColExpr:
             return TimedeltaAccessor(self)
         return DtAccessor(self)
 
+    @property
+    def arr(self):
+        from .functions.arrays import ArrayAccessor
+        return ArrayAccessor(self)
+
     # -- interactive --------------------------------------------------------
     def to_table(self) -> "Table":
         return Table(self._table.df.select(self._col.alias(self._name)))
