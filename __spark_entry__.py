@@ -242,6 +242,13 @@ def slice_offset(spark, sf_dir):
     return sl[["o_orderkey", "o_custkey"]].df
 
 
+def slice_step(spark, sf_dir):
+    # stepped slice (reference Slice step, blaze/expr/expressions.py:488-499)
+    o = _t(spark, sf_dir, "orders")
+    sl = o.sort(F.col("o_orderkey"))[100:200:7]
+    return sl[["o_orderkey", "o_custkey"]].df
+
+
 def distinct_segments(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c[["c_mktsegment"]].distinct().df
@@ -1376,7 +1383,71 @@ def incremental_dedup_batches(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
+    # entries.  Rounds 1-2 sampled an identical 50, so everything added
+    # since had never produced a driver CORRECTNESS row (VERDICT r2 #2).
+    # Round 3 rotates: the never-checked 51 + new queries lead (oracle-able
+    # first, then the rows-only heavies); the 50 double-green r1/r2 queries
+    # close the dict (they stay green under tools/check_oracles.py).
     return {
+        # -- never driver-checked: TPC-H remainder ---------------------------
+        "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
+        "q07_style_nation_volume": q07_style_nation_volume,
+        "q08_style_market_share": q08_style_market_share,
+        "q09_style_product_profit": q09_style_product_profit,
+        "q13_style_order_distribution": q13_style_order_distribution,
+        "q14_style_promo_share": q14_style_promo_share,
+        "q16_style_supplier_cnt": q16_style_supplier_cnt,
+        "q17_style_small_qty_revenue": q17_style_small_qty_revenue,
+        "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
+        "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
+        "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
+        # -- never driver-checked: reshaping / windows / front-ends ----------
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_part_measures": unpivot_part_measures,
+        "explode_embedding_dims": explode_embedding_dims,
+        "sessionize_user_events": sessionize_user_events,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
+        "rolling_range_user_values": rolling_range_user_values,
+        "window_edges_per_user": window_edges_per_user,
+        "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
+        "sql_frontend_status_revenue": sql_frontend_status_revenue,
+        "tree_dialect_big_orders": tree_dialect_big_orders,
+        "range_join_price_bands": range_join_price_bands,
+        "grouped_apply_zscore": grouped_apply_zscore,
+        "asof_click_before_purchase": asof_click_before_purchase,
+        "percentile_prices": percentile_prices,
+        "map_udf_quantity": map_udf_quantity,
+        "apply_batch_filter": apply_batch_filter,
+        # -- never driver-checked: LLM-pipeline family (oracle-able) ---------
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_normalized_docs": dedup_normalized_docs,
+        "text_language_id": text_language_id,
+        "text_quality": text_quality,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+        "embedding_topk": embedding_topk,
+        "embedding_neardup": embedding_neardup,
+        "udaf_geomean": udaf_geomean,
+        "hypertable_orders": hypertable_orders,
+        "array_ops_embeddings": array_ops_embeddings,
+        "order_latency_breakdown": order_latency_breakdown,
+        "crosslingual_dedup_docs": crosslingual_dedup_docs,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
+        # -- new this round ---------------------------------------------------
+        "slice_step": slice_step,
+        # -- never driver-checked: rows-only heavies (random/LSH/ANN) ---------
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_simhash_docs": dedup_simhash_docs,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
+        "incremental_dedup_batches": incremental_dedup_batches,
+        # ==== driver sample boundary (~50) — below here: r1/r2 double-green ==
+        "sample_orders": sample_orders,
+        "approx_sketches": approx_sketches,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_local_supplier": q05_local_supplier,
@@ -1427,57 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_style_top_supplier": q15_style_top_supplier,
         "q11_style_important_nations": q11_style_important_nations,
         "q21_style_exists_chain": q21_style_exists_chain,
-        "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
-        "q07_style_nation_volume": q07_style_nation_volume,
-        "q08_style_market_share": q08_style_market_share,
-        "q09_style_product_profit": q09_style_product_profit,
-        "q13_style_order_distribution": q13_style_order_distribution,
-        "q14_style_promo_share": q14_style_promo_share,
-        "q16_style_supplier_cnt": q16_style_supplier_cnt,
-        "q17_style_small_qty_revenue": q17_style_small_qty_revenue,
-        "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
-        "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
-        "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "unpivot_part_measures": unpivot_part_measures,
-        "explode_embedding_dims": explode_embedding_dims,
-        "sessionize_user_events": sessionize_user_events,
-        "grouping_sets_order_stats": grouping_sets_order_stats,
-        "rolling_range_user_values": rolling_range_user_values,
-        "window_edges_per_user": window_edges_per_user,
-        "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
-        "sql_frontend_status_revenue": sql_frontend_status_revenue,
-        "tree_dialect_big_orders": tree_dialect_big_orders,
-        "range_join_price_bands": range_join_price_bands,
-        "grouped_apply_zscore": grouped_apply_zscore,
-        "asof_click_before_purchase": asof_click_before_purchase,
-        "percentile_prices": percentile_prices,
-        "map_udf_quantity": map_udf_quantity,
-        "apply_batch_filter": apply_batch_filter,
-        "sample_orders": sample_orders,
-        "approx_sketches": approx_sketches,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_normalized_docs": dedup_normalized_docs,
-        "dedup_minhash_docs": dedup_minhash_docs,
-        "dedup_minhash_verified": dedup_minhash_verified,
-        "dedup_simhash_docs": dedup_simhash_docs,
-        "text_language_id": text_language_id,
-        "text_quality": text_quality,
-        "text_token_stats": text_token_stats,
-        "text_fingerprint": text_fingerprint,
-        "embedding_topk": embedding_topk,
-        "embedding_lsh_topk": embedding_lsh_topk,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "udaf_geomean": udaf_geomean,
-        "hypertable_orders": hypertable_orders,
-        "ann_ivf_topk": ann_ivf_topk,
-        "array_ops_embeddings": array_ops_embeddings,
-        "order_latency_breakdown": order_latency_breakdown,
-        "crosslingual_dedup_docs": crosslingual_dedup_docs,
-        "multimodal_image_features": multimodal_image_features,
-        "multimodal_audio_features": multimodal_audio_features,
-        "incremental_dedup_batches": incremental_dedup_batches,
     }
 
 
@@ -1583,6 +1603,14 @@ def oracle_sql() -> dict[str, str]:
         "slice_offset": """
             SELECT o_orderkey, o_custkey FROM orders
             ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "slice_step": """
+            SELECT o_orderkey, o_custkey FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn > 100 AND rn <= 200 AND (rn - 101) % 7 = 0
+            ORDER BY o_orderkey
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "first_order_per_customer": """

@@ -27,6 +27,7 @@ from .core import (  # noqa: F401
     join,
     merge,
     rollup,
+    set_interactive_repr,
     shift,
     summary,
     transform,

@@ -40,7 +40,19 @@ __all__ = [
     "shift",
     "rollup",
     "cube",
+    "set_interactive_repr",
 ]
+
+# mutable cell so the toggle is visible to already-imported references
+_INTERACTIVE_REPR = [True]
+
+
+def set_interactive_repr(on: bool) -> None:
+    """Toggle auto-computing ``Table.__repr__`` (reference parity:
+    blaze/interactive.py renders head(11) via pandas).  Off = the cheap
+    one-line schema repr; prefer off in batch jobs where stray reprs in
+    logs would launch limited Spark jobs."""
+    _INTERACTIVE_REPR[0] = bool(on)
 
 
 class SortKey:
@@ -314,7 +326,13 @@ class ColExpr:
         blaze/expr/expressions.py:821-853: "this is only an expression time
         operation").  Overrides the dtype the engine tracks for eager
         checks/accessor gating — no conversion, no Cast node in the plan.
-        Use :meth:`coerce` to actually convert values."""
+        Use :meth:`coerce` to actually convert values.
+
+        .. versionchanged:: round 2
+           ``cast`` previously ALIASED :meth:`coerce` (runtime conversion).
+           It now matches the reference's expression-time semantics; code
+           that relied on ``.cast()`` converting values must call
+           ``.coerce()`` instead (see CHANGELOG.md)."""
         dt = to if isinstance(to, T.DataType) else _parse_dtype(to)
         return self._make(self._col, self._name, dt)
 
@@ -638,6 +656,22 @@ class Table:
         return "var * {" + inner + "}"
 
     def __repr__(self):
+        """Interactive repr: computes ``head(n+1)`` and renders through
+        pandas, exactly the reference's ``expr_repr``/``repr_tables``
+        (blaze/interactive.py:35-141) — a limited job (CollectLimit, no
+        full scan), with a '...' marker when rows remain.  Disable with
+        ``set_interactive_repr(False)`` (falls back to the schema line);
+        any failure (streaming plan, stopped session) also falls back."""
+        if _INTERACTIVE_REPR[0]:
+            try:
+                n = 10
+                pdf = self._df.limit(n + 1).toPandas()
+                s = repr(pdf.head(n))
+                if len(pdf) > n:
+                    s += "\n..."
+                return s
+            except Exception:
+                pass
         return f"<Table {self._name}: {self.dshape}>"
 
     # -- field access (blaze/expr/expressions.py:362-456) --------------------
@@ -678,9 +712,28 @@ class Table:
             # without a preceding sort — same caveat the reference SQL
             # backend raises (blaze/compute/sql.py:1618-1652)
             start = key.start or 0
-            if key.stop is None:
-                return self._new(self._df.offset(start))
-            return self._new(self._df.offset(start).limit(key.stop - start))
+            step = key.step
+            if step is not None and step < 1:
+                # the reference allows step "on many backends"; a negative
+                # step means a full reverse — express it with sort(desc)
+                raise ValueError(
+                    f"slice step must be >= 1, got {step}; reverse with an "
+                    "explicit descending sort instead")
+            out = self._df.offset(start)
+            if key.stop is not None:
+                out = out.limit(key.stop - start)
+            if step is not None and step != 1:
+                # every step-th positionally.  Offset/limit already lower
+                # to a single-stream GlobalLimit, so numbering that stream
+                # by arrival order (monotonically_increasing_id preserves
+                # it within the one partition) adds no extra exchange.
+                pos = F.row_number().over(
+                    Window.orderBy(F.monotonically_increasing_id()))
+                out = (out.withColumn("__blaze_pos", pos)
+                       .filter((F.col("__blaze_pos") - F.lit(1))
+                               % F.lit(step) == 0)
+                       .drop("__blaze_pos"))
+            return self._new(out)
         raise TypeError(f"cannot index Table with {type(key)}")
 
     # -- projection-family ops -----------------------------------------------

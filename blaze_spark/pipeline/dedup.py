@@ -35,19 +35,72 @@ from pyspark.sql import types as T
 from ..core import Table
 
 
-def scoped_persist(owner: Table, cached: DataFrame) -> Table:
-    """Tie a persisted intermediate's lifetime to the result Table: the
-    cached blocks are unpersisted (non-blocking) when ``owner`` is garbage
-    collected.  Callers that hold the result keep the cache (re-computes
-    stay cheap); dropping it frees executor memory instead of leaking
-    cached lineage for the life of the session (ADVICE r1)."""
-    def _release(c=cached):
-        try:
-            c.unpersist(False)
-        except Exception:
-            pass  # session already stopped
+def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
+    """Keep ``cached``'s persisted blocks alive for as long as ``holder``
+    is reachable.  ``holder`` must be the object the caller actually keeps
+    — the RESULT DataFrame, not the Table wrapper (VERDICT r2: entry
+    queries return ``.df`` and drop the Table immediately, so a
+    Table-keyed finalizer fired *before* the action ran and the corpus
+    pass executed twice).
 
-    weakref.finalize(owner, _release)
+    Mechanics: ``cached`` rides in ``holder._blaze_caches`` (refcount
+    keeps it alive as long as any holder lives; propagated through
+    derived results via ``carry_caches``), and the unpersist finalizer is
+    attached to ``cached`` ITSELF, firing exactly once when the last
+    holder drops it — the JVM handle is captured so the callback does not
+    need the Python wrapper it is finalizing."""
+    caches = getattr(holder, "_blaze_caches", None)
+    if caches is None:
+        caches = []
+        holder._blaze_caches = caches
+    if any(c is cached for c in caches):
+        return
+    caches.append(cached)
+    if getattr(cached, "_blaze_release_armed", False):
+        return  # finalizer already registered by another holder
+    try:
+        jdf = cached._jdf  # classic py4j session
+
+        def _release(j=jdf):
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(cached, _release)
+    except Exception:
+        # Spark Connect: no _jdf.  Fall back to releasing when the holder
+        # dies (the closure pins ``cached``, so cached-keyed finalization
+        # would never fire).  Multiple holders → multiple unpersist calls;
+        # idempotent.
+        def _release_connect(c=cached):
+            try:
+                c.unpersist(False)
+            except Exception:
+                pass
+
+        weakref.finalize(holder, _release_connect)
+    cached._blaze_release_armed = True
+
+
+def carry_caches(out: DataFrame, *upstreams: DataFrame) -> DataFrame:
+    """Propagate scoped caches from upstream result DataFrames onto a
+    derived result, so a chained operator (e.g. LSH candidates → n-gram
+    verify) keeps the signature cache alive until ITS caller is done."""
+    for src in upstreams:
+        for c in getattr(src, "_blaze_caches", ()):
+            _retain_cache(out, c)
+    return out
+
+
+def scoped_persist(owner: Table, cached: DataFrame) -> Table:
+    """Tie a persisted intermediate's lifetime to the result *DataFrame*
+    (``owner.df`` — the object callers keep after dropping the Table):
+    the cached blocks are unpersisted (non-blocking) once no result
+    referencing them remains.  Holding the result keeps re-computes
+    cheap; dropping it frees executor memory instead of leaking cached
+    lineage for the life of the session (ADVICE r1 + VERDICT r2 #1)."""
+    _retain_cache(owner.df, cached)
     return owner
 
 # Mersenne prime 2^31-1: (a*h+b) stays under 2^62 — no 64-bit overflow,
@@ -86,9 +139,17 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
             except OSError:
                 pass
         else:
-            # remote store: size unknown without an FS call — assume the
-            # planner splits it; only tiny file COUNTS trigger a respread
-            est += 7
+            # remote store: real size via the Hadoop FS (VERDICT r2 #6 —
+            # a guessed constant made many-small-remote-file stores skip
+            # the respread).  At most npart-1 stat calls by construction.
+            from ..fsutil import file_len
+
+            sz = file_len(spark, f)
+            if sz is not None:
+                est += max(0, (sz - 1) // mpb)
+            else:
+                # no FS handle (Connect): assume the planner splits it
+                est += 7
     if est < npart:
         return df.repartition(npart, key)
     return df
@@ -275,7 +336,9 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
             ).alias("jaccard"),
         )
     )
-    return Table(out, "ngram_jaccard_pairs")
+    # the candidate side may carry a scoped signature cache — keep it
+    # alive until THIS result is dropped (chained-op propagation)
+    return Table(carry_caches(out, c), "ngram_jaccard_pairs")
 
 
 def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id",

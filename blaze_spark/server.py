@@ -106,6 +106,10 @@ class BlazeSparkServer:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     self._send(200, server_self._compute(payload))
+                except PermissionError as e:
+                    # policy rejection (data-URI leaf while disabled) —
+                    # distinguishable from engine failure (ADVICE r2)
+                    self._send(403, {"error": str(e)})
                 except (ValueError, KeyError) as e:
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # engine/Spark failure

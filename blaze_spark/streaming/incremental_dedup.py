@@ -54,36 +54,44 @@ from ..pipeline.dedup import minhash_signatures
 _PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
 
 
-def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path) for any scheme Hadoop supports — file://, s3a://,
-    hdfs://.  The scheme-aware replacement for os.listdir (ADVICE r1)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+from ..fsutil import hadoop_fs as _hadoop_fs
+from ..fsutil import is_local_path
 
 
-def _ingest_ids(spark, store_path: str) -> list[int]:
-    """Existing ingest=<n> partition ids in the store (empty if no store)."""
+def _ingest_ids(spark, store_path: str,
+                complete_only: bool = False) -> list[int]:
+    """Existing ingest=<n> partition ids in the store (empty if no store).
+
+    ``complete_only`` keeps only subdirectories carrying a ``_SUCCESS``
+    marker — probe reads use it so a crashed prior attempt's half-written
+    directory is never scanned (ADVICE r2); id *allocation* sees all dirs
+    so a fresh default batch id never collides with a partial one."""
     try:
         fs, jpath = _hadoop_fs(spark, store_path)
         if not fs.exists(jpath):
             return []
         out = []
+        jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
             if name.startswith("ingest="):
                 try:
-                    out.append(int(name.split("=", 1)[1]))
+                    i = int(name.split("=", 1)[1])
                 except ValueError:
-                    pass
+                    continue
+                if complete_only and not fs.exists(
+                        jpath_cls(st.getPath(), "_SUCCESS")):
+                    continue
+                out.append(i)
         return out
     except Exception:
-        # last resort (e.g. no JVM gateway): try the read and let the
-        # caller's empty-store branch handle failure
+        # no JVM gateway (Spark Connect): derive ids through the Spark API
+        # from the ingest partition column — never guess (ADVICE r2: the
+        # old [0] fallback silently probed only ingest=0 and allocated the
+        # same default batch id forever)
         try:
-            spark.read.parquet(store_path).schema
-            return [0]
+            return sorted(int(r[0]) for r in spark.read.parquet(store_path)
+                          .select("ingest").distinct().collect())
         except Exception:
             return []
 
@@ -135,9 +143,12 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     batch id for exactly-once retry semantics.
     """
     spark = batch.df.sparkSession
-    existing = _ingest_ids(spark, store_path)
+    # id allocation sees every dir (never reuse a partial attempt's id by
+    # accident); probing below uses only _SUCCESS-complete dirs
+    all_ids = _ingest_ids(spark, store_path)
+    existing = _ingest_ids(spark, store_path, complete_only=True)
     if batch_id is None:
-        batch_id = (max(existing) + 1) if existing else 0
+        batch_id = (max(all_ids) + 1) if all_ids else 0
     sigs = minhash_signatures(batch, text_col, id_col, num_perm,
                               shingle_k, seed).df.persist()
     entries = _band_entries(sigs, num_perm, bands).persist()
@@ -239,6 +250,14 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
     import shutil
     import tempfile
 
+    if not is_local_path(store_path):
+        # VERDICT r2 #5: the swap below is os-level rename — refuse loudly
+        # on object stores instead of corrupting the index mid-swap
+        raise NotImplementedError(
+            f"compact_store swaps directories with local-filesystem renames;"
+            f" store scheme {store_path.split('://', 1)[0]!r} needs an atomic"
+            " manifest swap (rebuild the store from the corpus, or compact"
+            " with a copy-then-repoint job)")
     ids = _ingest_ids(spark, store_path)
     if not ids:
         return

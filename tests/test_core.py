@@ -5,9 +5,11 @@ test_spark.py; SURVEY.md §5)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from blaze_spark import by, coalesce, concat, count_values, join, merge, summary
+from blaze_spark.core import Table
 
 
 def rows(t):
@@ -191,6 +193,22 @@ def test_slice(t):
     assert len(sliced) == 2
 
 
+def test_slice_step(spark):
+    # reference Slice carries a step (blaze/expr/expressions.py:488-499):
+    # t[2:7:2].dshape == "3 * ..."
+    df = spark.range(0, 20).withColumnRenamed("id", "n")
+    t = Table(df, "nums").sort(F.col("n"))
+    assert [r.n for r in t[2:7:2].df.collect()] == [2, 4, 6]
+    assert [r.n for r in t[0:10:3].df.collect()] == [0, 3, 6, 9]
+    assert [r.n for r in t[15::2].df.collect()] == [15, 17, 19]
+    assert len(t[1:3:1]) == 2  # step=1 is the plain slice path
+
+
+def test_slice_negative_step_raises(t):
+    with pytest.raises(ValueError, match="step"):
+        t[::-1]
+
+
 def test_sample(t):
     assert len(t.sample(n=2)) == 2
     assert 0 <= len(t.sample(frac=0.5, seed=1)) <= 3
@@ -248,6 +266,27 @@ def test_len_and_peek(t):
 
 def test_dshape_repr(t):
     assert "name: string" in t.dshape
+
+
+def test_interactive_repr_auto_peeks(t, spark):
+    """Reference parity (blaze/interactive.py:35-141): repr computes a
+    LIMITED head and renders via pandas; >10 rows get a '...' marker."""
+    from blaze_spark import data, set_interactive_repr
+
+    s = repr(t)
+    assert "Alice" in s and "Bob" in s  # actual data, not the schema line
+    assert "..." not in s  # only 3 rows
+
+    big = data([(i,) for i in range(25)], spark=spark, schema="n int")
+    sb = repr(big)
+    assert sb.rstrip().endswith("...")  # truncated at head(11)
+    assert "24" not in sb  # the tail row was never rendered
+
+    try:
+        set_interactive_repr(False)
+        assert repr(t).startswith("<Table")  # schema-line fallback
+    finally:
+        set_interactive_repr(True)
 
 
 def test_string_repeat_operator(t):

@@ -356,3 +356,100 @@ def test_audio_pipeline(spark, star):
     for r in out:
         assert len(r.mel) == 4 and all(0 <= v <= 1 for v in r.mel)
         assert r.rms > 0 and r.duration_ms >= 1000
+
+
+# -- scoped_persist lifetime (VERDICT r2 #1 regression) ----------------------
+
+def _cache_jdf(df):
+    """py4j handle of the first scoped cache riding on a result df —
+    outlives the Python DataFrame wrapper, so persistence can be checked
+    after the wrapper is collected."""
+    caches = getattr(df, "_blaze_caches", [])
+    assert caches, "result should carry the signature cache"
+    return caches[0]._jdf
+
+
+def _is_persisted(jdf) -> bool:
+    return jdf.storageLevel().useMemory() or jdf.storageLevel().useDisk()
+
+
+def test_scoped_persist_survives_table_drop(docs_with_dups):
+    """The entry queries drop the Table and keep only .df; the signature
+    cache must still be persisted when the action finally runs, and be
+    released once the result df is dropped."""
+    import gc
+
+    df = minhash_candidates(docs_with_dups, num_perm=16, bands=4).df
+    gc.collect()  # the Table wrapper is gone — cache must not be
+    jdf = _cache_jdf(df)
+    assert _is_persisted(jdf), "cache unpersisted before the action ran"
+    assert df.count() >= 3
+    assert _is_persisted(jdf), "cache must survive materialization"
+    del df
+    gc.collect()
+    assert not _is_persisted(jdf), "dropping the result must release the cache"
+
+
+def test_scoped_persist_propagates_through_verify(docs_with_dups):
+    """Chained op: candidates -> ngram verify.  The verify result must keep
+    the signature cache alive even after the candidates Table is dropped."""
+    import gc
+
+    out = ngram_jaccard_pairs(
+        docs_with_dups,
+        minhash_candidates(docs_with_dups, num_perm=16, bands=4)).df
+    gc.collect()
+    jdf = _cache_jdf(out)
+    assert _is_persisted(jdf)
+    assert out.count() >= 3
+    del out
+    gc.collect()
+    assert not _is_persisted(jdf)
+
+
+def test_scoped_persist_simhash(docs_with_dups):
+    import gc
+
+    df = simhash_candidates(docs_with_dups, max_hamming=3).df
+    gc.collect()
+    jdf = _cache_jdf(df)
+    assert _is_persisted(jdf)
+    assert df.count() >= 3
+    del df
+    gc.collect()
+    assert not _is_persisted(jdf)
+
+
+# -- _spread remote sizing (VERDICT r2 #6) -----------------------------------
+
+def test_spread_respreads_many_small_remote_files(spark, docs, monkeypatch):
+    """A store of many SMALL remote files must still respread — the old
+    `est += 7` guess made 5+ remote files always skip the shuffle."""
+    from blaze_spark import fsutil
+    from blaze_spark.pipeline.dedup import _spread
+
+    df = docs.df
+    # fewer files than cores (local[4]) so the sizing path runs
+    remote = [f"s3a://bucket/part-{i:05d}.parquet" for i in range(2)]
+    monkeypatch.setattr(type(df), "inputFiles", lambda self: remote)
+    monkeypatch.setattr(fsutil, "file_len", lambda spark, p: 4096)
+    out = _spread(df, "doc_id")
+    assert out is not df, \
+        "tiny remote files must trigger a respread"
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan
+
+
+def test_spread_skips_large_remote_files(spark, docs, monkeypatch):
+    """Files larger than maxPartitionBytes already split at scan time —
+    no extra shuffle."""
+    from blaze_spark import fsutil
+    from blaze_spark.pipeline.dedup import _spread
+
+    df = docs.df
+    remote = [f"s3a://bucket/part-{i:05d}.parquet" for i in range(2)]
+    monkeypatch.setattr(type(df), "inputFiles", lambda self: remote)
+    monkeypatch.setattr(fsutil, "file_len",
+                        lambda spark, p: 2 * 1024 * 1024 * 1024)
+    out = _spread(df, "doc_id")
+    assert out is df, "large splittable remote files need no respread"

@@ -77,7 +77,8 @@ def test_compute_rejects_data_uri_leaf(server):
     tree = {"op": "head", "args": [
         {"op": "data", "args": ["/etc/passwd"]}, 5]}
     status, body = _post(server, "/compute", {"expr": tree})
-    assert status == 500 or status == 400
+    # policy rejection is 403 — distinguishable from engine failure (ADVICE r2)
+    assert status == 403
     assert "data" in body["error"]
 
 

@@ -142,3 +142,25 @@ def test_avro_gated(spark, t, tmp_path):
     from blaze_spark import data
     back = data(path, spark=spark)
     assert back.nrows() == 3
+
+
+def test_jdbc_roundtrip_derby(spark, t, tmp_path):
+    """data("jdbc:...") source path (reference SQLAlchemy sources,
+    blaze/compute/sql.py) against embedded Derby — the one JDBC engine on
+    Spark's default classpath (no external DB in this container).  Skips
+    with a named-jar message if Derby is ever absent."""
+    from blaze_spark import data
+
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    try:
+        t.df.write.format("jdbc").option("url", url) \
+            .option("dbtable", "accounts").mode("overwrite").save()
+    except Exception as e:  # pragma: no cover - classpath-dependent
+        pytest.skip(f"Derby JDBC driver unavailable (need derby*.jar): {e}")
+    back = data(url, spark=spark, dbtable="accounts")
+    assert back.nrows() == 3
+    assert sorted(back.columns) == ["AMOUNT", "ID", "NAME"] or \
+        sorted(c.lower() for c in back.columns) == ["amount", "id", "name"]
+    # predicate pushdown reaches the JDBC scan (filters become WHERE)
+    assert back[back.AMOUNT > 100].nrows() == 1 if "AMOUNT" in back.columns \
+        else back[back.amount > 100].nrows() == 1

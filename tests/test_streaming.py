@@ -229,6 +229,15 @@ def test_compact_store(spark, tmp_path):
     assert found.count() >= 1
 
 
+def test_compact_store_refuses_object_store(spark):
+    """The swap is os-level rename — non-local schemes must refuse loudly
+    instead of corrupting the index mid-swap (VERDICT r2 #5)."""
+    from blaze_spark.streaming.incremental_dedup import compact_store
+
+    with pytest.raises(NotImplementedError, match="s3a"):
+        compact_store(spark, "s3a://bucket/dedup_store")
+
+
 def test_incremental_dedup_retry_is_idempotent(spark, tmp_path):
     """A foreachBatch RETRY (same batch_id) must overwrite, not duplicate,
     both the signature store and the emitted pairs (ADVICE r1)."""
