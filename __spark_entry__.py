@@ -1210,10 +1210,23 @@ def embedding_neardup_lsh(spark, sf_dir):
     from blaze_spark.pipeline import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    # the scale path: multi-table hyperplane LSH (8 tables x 6 planes,
-    # OR-amplified) instead of all-pairs; ~0.6 recall at cos 0.55,
-    # ~0.98 at cos 0.9
-    return embedding_neardup_pairs(e, threshold=0.5, exact=False).df
+    # the scale path: multi-table hyperplane LSH at its design threshold
+    # (c>=0.9), with planes/tables auto-sized from the corpus count so
+    # bucket occupancy — and per-bucket pair cost — stays constant as the
+    # corpus grows (lsh_auto_params).  Random embeddings have ~no genuine
+    # pairs at c=0.9, so every 10th vector gets a planted deterministic
+    # near-copy (cosine ~0.998): found-pair count scales with the corpus
+    # and recall is exercised where the operator is meant to run.  The
+    # weak-threshold regime (c~0.5) is covered by the exact variant above
+    # and by ivf_topk — hyperplane LSH is documented as wrong there.
+    planted = Table(
+        e.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    corpus = concat(e, planted)
+    return embedding_neardup_pairs(corpus, threshold=0.9).df
 
 
 def hypertable_orders(spark, sf_dir):

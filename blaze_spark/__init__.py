@@ -32,6 +32,7 @@ from .core import (  # noqa: F401
     summary,
     transform,
 )
+from .cached import CachedTable, ExprCache, cached  # noqa: F401
 from .sources import data, load_star  # noqa: F401
 from . import functions  # noqa: F401
 

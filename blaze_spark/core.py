@@ -1054,10 +1054,20 @@ class Table:
 
 def _derived(df: DataFrame, *parents: Table) -> Table:
     """Build a Table whose lineage unions all parents' lineages (join,
-    concat, merge outputs are descendants of every input)."""
-    t = Table(df)
+    concat, merge outputs are descendants of every input).  Preserves the
+    subclass when every parent agrees (a CachedTable's by()/join() result
+    keeps consulting the shared memo; StreamTable results stay streaming) —
+    mixed-parent derivations fall back to the plain Table."""
+    cls = type(parents[0]) if parents and all(
+        type(p) is type(parents[0]) for p in parents) else Table
+    t = cls(df)
     for p in parents:
         t._lineage = t._lineage | p._lineage
+    # subclass-carried state: first parent wins (shared memo by design)
+    if parents:
+        xc = getattr(parents[0], "_xcache", None)
+        if xc is not None:
+            t._xcache = xc
     return t
 
 

@@ -52,6 +52,19 @@ def _signature_udf(planes: np.ndarray):
     return pandas_udf(_sig, "long")
 
 
+def _unrolled_dot(a_col: str, b_col: str, dim: int) -> Column:
+    """Codegen-friendly dot product for a KNOWN dim: one flat sum of
+    ``dim`` array-index products.  Catalyst higher-order functions
+    (aggregate/zip_with) are interpreted per element — on millions of
+    candidate pairs that measured ~10x slower than this unrolled form,
+    which whole-stage codegen compiles to straight-line Java.  Built as a
+    single SQL string: one Py4J round-trip regardless of dim."""
+    terms = "+".join(
+        f"CAST({a_col}[{i}] AS DOUBLE)*CAST({b_col}[{i}] AS DOUBLE)"
+        for i in range(dim))
+    return F.expr(terms)
+
+
 def _pair_cosine_udf():
     """Arrow-batched cosine for joined vector pairs — used on approximate
     (rows-only) paths.  The oracle-checked exact paths keep the JVM
@@ -138,9 +151,44 @@ def _multi_signature_udf(planes: np.ndarray, n_tables: int, n_planes: int):
     return pandas_udf(_sig, "array<long>")
 
 
+def lsh_auto_params(n_vectors: int, threshold: float = 0.9,
+                    recall: float = 0.95, target_bucket: int = 64,
+                    max_tables: int = 12) -> tuple[int, int]:
+    """(n_planes, n_tables) sized for a corpus of ``n_vectors``.
+
+    A FIXED plane count does not survive scale-up: bucket occupancy grows
+    linearly with N, so in-bucket i<j pair generation grows as N² (the sf1
+    bench measured 11x time for 10x vectors at n_planes=6).  Constant
+    occupancy requires ``n_planes = log2(N / target_bucket)``; the recall
+    lost to longer signatures is bought back with more OR-amplification
+    tables: ``1-(1-p^planes)^tables >= recall`` with
+    ``p = 1 - arccos(threshold)/pi``.  Candidate work then grows ~N^1.2
+    instead of N² (tables ~ (1/p)^planes ~ N^0.22 at c=0.9).
+
+    ``max_tables`` is a hard COST cap: every table adds a full corpus
+    explode + its bucket pairs, so unbounded recall-chasing re-creates the
+    quadratic blowup by other means (measured: recall 0.95 at c=0.5 asked
+    for 32+ tables and tripled the runtime).  When the cap binds, the
+    returned config delivers best-effort recall ``1-(1-p^planes)^max_tables``
+    — at weak thresholds (c <~ 0.7, where p^planes collapses) hyperplane
+    LSH is the wrong tool and ``ivf_topk`` is the documented scale path."""
+    import math
+
+    n_planes = max(4, min(16, math.ceil(
+        math.log2(max(2.0, n_vectors / target_bucket)))))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_all = p ** n_planes
+    if p_all >= 1.0:
+        return n_planes, 1
+    n_tables = max(2, min(max_tables, math.ceil(
+        math.log(1.0 - recall) / math.log(1.0 - p_all))))
+    return n_planes, n_tables
+
+
 def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_planes: int = 6, n_tables: int = 8,
+                            n_planes: int | None = None,
+                            n_tables: int | None = None,
                             dim: int = 64, seed: int = 42,
                             exact: bool = False, max_bucket: int = 2000,
                             round_to: int | None = 4) -> Table:
@@ -150,14 +198,16 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
     ``n_tables`` independent plane sets buckets the corpus by its
     ``n_planes``-bit sign signature; a pair is a candidate if it collides
     in ANY table.  Recall for a pair at cosine c is
-    ``1-(1-p^n_planes)^n_tables`` with ``p = 1 - arccos(c)/pi`` — at the
-    defaults, ~0.98 for c=0.9.  Candidate generation is the no-self-join
-    topology (see dedup.lsh_band_pairs): one groupBy per (table, sig)
-    bucket, i<j pairs + the exact cosine generated in-array JVM-side,
-    duplicates across tables collapsed by a final pair-keyed groupBy.
-    ``max_bucket`` blacklists degenerate buckets via broadcast anti join.
-    ``exact=True`` does the brute-force quadratic scoring — the oracle
-    path for small corpora."""
+    ``1-(1-p^n_planes)^n_tables`` with ``p = 1 - arccos(c)/pi``.
+    ``n_planes``/``n_tables`` default to :func:`lsh_auto_params` sized
+    from a corpus count, keeping bucket occupancy — and therefore
+    per-bucket pair cost — constant as the corpus grows.  Candidate
+    generation is the no-self-join topology (see dedup.lsh_band_pairs):
+    one groupBy per (table, sig) bucket, i<j pairs + the exact cosine
+    generated in-array JVM-side, duplicates across tables collapsed by a
+    final pair-keyed groupBy.  ``max_bucket`` blacklists degenerate
+    buckets via broadcast anti join.  ``exact=True`` does the brute-force
+    quadratic scoring — the oracle path for small corpora."""
     c = corpus.df.select(F.col(id_col).alias("vid"),
                          F.col(vec_col).alias("v"),
                          _norm(F.col(vec_col)).alias("n"))
@@ -169,35 +219,53 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
             F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
             cos.alias("cosine"))
     else:
+        if n_planes is None or n_tables is None:
+            # one count against the (pruned, id+vec only) corpus scan —
+            # cheap next to the signature pass it parameterizes
+            n = c.count()
+            auto_p, auto_t = lsh_auto_params(n, threshold)
+            n_planes = auto_p if n_planes is None else n_planes
+            n_tables = auto_t if n_tables is None else n_tables
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables * n_planes, dim))
         sig_udf = _multi_signature_udf(planes, n_tables, n_planes)
-        entries = (c.withColumn("sigs", sig_udf(F.col("v")))
-                   .select("vid", "v", "n",
-                           F.posexplode("sigs").alias("tbl", "sig")))
+        # ID-ONLY candidate topology (same as lsh_cosine_topk): vectors
+        # ride neither the banding explode nor the bucket groupBy, and the
+        # cosine is NOT computed per-pair inside array lambdas — Catalyst
+        # higher-order functions are interpreted, and an in-array
+        # aggregate() dot per candidate measured ~10x slower than scoring
+        # the re-joined pairs with one Arrow-batched numpy matmul.
+        entries = (c.select("vid", sig_udf(F.col("v")).alias("sigs"))
+                   .select("vid", F.posexplode("sigs").alias("tbl", "sig")))
         hot = (entries.groupBy("tbl", "sig")
                .agg(F.count(F.lit(1)).alias("cnt"))
                .filter(F.col("cnt") > max_bucket).select("tbl", "sig"))
         cold = entries.join(F.broadcast(hot), ["tbl", "sig"], "left_anti")
         grouped = (cold.groupBy("tbl", "sig")
-                   .agg(F.array_sort(F.collect_list(
-                       F.struct("vid", "v", "n"))).alias("docs"))
-                   .filter(F.size("docs") >= 2))
-
-        def _pair(x, y):
-            cos = _dot(x["v"], y["v"]) / (x["n"] * y["n"])
-            return F.struct(x["vid"].alias("vec_a"),
-                            y["vid"].alias("vec_b"), cos.alias("cosine"))
-
+                   .agg(F.array_sort(F.collect_list("vid")).alias("ids"))
+                   .filter(F.size("ids") >= 2))
         pair_arr = F.flatten(F.transform(
-            F.col("docs"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: _pair(x, y))))
-        scored = (grouped.select(F.explode(pair_arr).alias("pr"))
-                  .select("pr.vec_a", "pr.vec_b", "pr.cosine")
-                  .groupBy("vec_a", "vec_b")
-                  .agg(F.first("cosine").alias("cosine")))
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")))))
+        pairs = (grouped.select(F.explode(pair_arr).alias("pr"))
+                 .select("pr.vec_a", "pr.vec_b")
+                 .distinct())              # shuffle carries two ids per pair
+        # norms computed ONCE per vector (N rows), carried as one double
+        # through the id-keyed joins; the per-pair dot is unrolled JVM
+        # codegen for known dims, Arrow-batched numpy otherwise
+        av = c.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                      F.col("n").alias("na"))
+        bv = c.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                      F.col("n").alias("nb"))
+        joined = pairs.join(av, "vec_a").join(bv, "vec_b")
+        if dim is not None and dim <= 256:
+            cos = _unrolled_dot("va", "vb", dim) / (F.col("na") * F.col("nb"))
+        else:
+            cos = _pair_cosine_udf()(F.col("va"), F.col("vb"))
+        scored = (joined.withColumn("cosine", cos)
+                  .select("vec_a", "vec_b", "cosine"))
     out = scored.filter(F.col("cosine") >= threshold)
     if round_to is not None:
         out = out.withColumn("cosine", F.round("cosine", round_to))

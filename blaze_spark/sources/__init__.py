@@ -73,18 +73,25 @@ def data(source: Any, *, spark: SparkSession | None = None,
         if f == "parquet":
             ns_cols = _nanos_timestamp_cols(source)
             if ns_cols:
-                # Spark cannot scan TIMESTAMP(NANOS) parquet; read the raw
-                # int64 nanos (legacy conf) and convert to microsecond
+                # Spark cannot scan some TIMESTAMP(NANOS) parquet; read the
+                # raw int64 nanos (legacy conf) and convert to microsecond
                 # timestamps scan-side.  Metadata-only footer sniff, no data
-                # read; conversion is a codegen'd projection.
+                # read; conversion is a codegen'd projection.  Spark-4-written
+                # ns files load natively as TimestampType even under the
+                # conf, so convert ONLY the columns that actually came back
+                # as longs — dtype-gated, not sniff-trusted.
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 from pyspark.sql import functions as F
+                from pyspark.sql import types as T
 
                 df = spark.read.format("parquet").load(source)
-                df = df.withColumns({
+                conv = {
                     c: F.timestamp_micros((df[c] / 1000).cast("long"))
                     for c in ns_cols
-                })
+                    if isinstance(df.schema[c].dataType, T.LongType)
+                }
+                if conv:
+                    df = df.withColumns(conv)
                 t = Table(df, name or _basename(source))
                 t._tree = {"op": "data", "args": [source]}
                 return t

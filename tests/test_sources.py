@@ -164,3 +164,29 @@ def test_jdbc_roundtrip_derby(spark, t, tmp_path):
     # predicate pushdown reaches the JDBC scan (filters become WHERE)
     assert back[back.AMOUNT > 100].nrows() == 1 if "AMOUNT" in back.columns \
         else back[back.amount > 100].nrows() == 1
+
+
+def test_spark_written_nanos_parquet_loads_natively(spark, tmp_path):
+    """Spark 4 writes TimestampType as parquet timestamp[ns] and reads it
+    back natively even under the nanosAsLong conf — the ns footer-sniff
+    must convert ONLY columns that actually load as long (a sniff-trusted
+    /1000 on a TimestampType column was an AnalysisException; caught by
+    the sf1 bench)."""
+    import datetime
+
+    from blaze_spark import data
+
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2, 3, 4, 5, 678901))],
+        "id long, ts timestamp").write.parquet(path)
+    import pyarrow.parquet as pq
+    import glob
+    unit = {str(t) for t in
+            pq.read_schema(glob.glob(path + "/*.parquet")[0]).types
+            if "timestamp" in str(t)}
+    t = data(path, spark=spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    row = t.df.first()
+    assert row.ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 678901), \
+        f"file unit={unit}: value must survive the load untouched"
