@@ -20,7 +20,13 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
     embedding_neardup_pairs,
+    lsh_auto_params,
     lsh_cosine_topk,
+)
+from .cluster import (  # noqa: F401
+    canonical_docs,
+    connected_components,
+    dedup_clusters,
 )
 from .text import (  # noqa: F401
     language_id,

@@ -65,6 +65,11 @@ def _unrolled_dot(a_col: str, b_col: str, dim: int) -> Column:
     return F.expr(terms)
 
 
+def _unrolled_norm(col: str, dim: int) -> Column:
+    """L2 norm via the unrolled self-dot (see :func:`_unrolled_dot`)."""
+    return F.sqrt(_unrolled_dot(col, col, dim))
+
+
 def _pair_cosine_udf():
     """Arrow-batched cosine for joined vector pairs — used on approximate
     (rows-only) paths.  The oracle-checked exact paths keep the JVM
@@ -87,7 +92,7 @@ def _pair_cosine_udf():
 def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = 4,
-                max_queries: int = 10_000) -> Table:
+                max_queries: int = 10_000, dim: int | None = 64) -> Table:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine) — self-matches excluded, ties
@@ -109,17 +114,22 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 "brute-force scoring is corpus x queries. Use "
                 "lsh_cosine_topk/ivf_topk for large query sets, or pass "
                 "max_queries=None to force.")
+    nrm = (lambda col: _unrolled_norm(f"`{col}`", dim)) \
+        if dim is not None and dim <= 256 else (lambda col: _norm(F.col(col)))
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
-                          _norm(F.col(vec_col)).alias("qn"))
+                          nrm(vec_col).alias("qn"))
     c = corpus.df.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("cv"),
-                         _norm(F.col(vec_col)).alias("cn"))
+                         nrm(vec_col).alias("cn"))
+    # known-dim dot is the unrolled codegen form (fp-identical to the
+    # interpreted aggregate(): both accumulate left-to-right in double)
+    dot = (_unrolled_dot("qv", "cv", dim) if dim is not None and dim <= 256
+           else _dot(F.col("qv"), F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
@@ -152,31 +162,41 @@ def _multi_signature_udf(planes: np.ndarray, n_tables: int, n_planes: int):
 
 
 def lsh_auto_params(n_vectors: int, threshold: float = 0.9,
-                    recall: float = 0.95, target_bucket: int = 64,
+                    recall: float = 0.95, target_bucket: int = 8,
                     max_tables: int = 12) -> tuple[int, int]:
     """(n_planes, n_tables) sized for a corpus of ``n_vectors``.
 
     A FIXED plane count does not survive scale-up: bucket occupancy grows
-    linearly with N, so in-bucket i<j pair generation grows as N² (the sf1
-    bench measured 11x time for 10x vectors at n_planes=6).  Constant
-    occupancy requires ``n_planes = log2(N / target_bucket)``; the recall
-    lost to longer signatures is bought back with more OR-amplification
-    tables: ``1-(1-p^planes)^tables >= recall`` with
-    ``p = 1 - arccos(threshold)/pi``.  Candidate work then grows ~N^1.2
-    instead of N² (tables ~ (1/p)^planes ~ N^0.22 at c=0.9).
+    linearly with N, so bucket pair generation grows as N² (the sf1 bench
+    measured 11x time for 10x vectors at n_planes=6).  Constant occupancy
+    requires ``n_planes = log2(N / target_bucket)``; the recall lost to
+    longer signatures is bought back with more OR-amplification tables:
+    ``1-(1-p^planes)^tables >= recall``.  Candidate cost is
+    ``N x target_bucket x tables / 2`` pairs — LINEAR in N at fixed
+    occupancy (tables grows ~N^0.2), and every candidate pair costs a
+    ~2µs exact rescore, so occupancy is kept SMALL: target_bucket=64
+    measured 290 candidates/vector (6.4M pairs, 45-90 s at sf1) vs ~6x
+    fewer at the default 8 with the same found-pair set.
+
+    Recall is evaluated at the DESIGN cosine ``(1+threshold)/2`` — the
+    middle of the near-dup band — not at the threshold boundary: LSH
+    collision probability collapses exactly at the decision boundary
+    (the s-curve's knee), so sizing tables for boundary recall buys
+    quadratic cost for pairs the downstream exact-verify stage would
+    reject anyway.  Genuine near-dups (c well above threshold) keep
+    recall ~1; pairs AT the threshold get the curve's best effort.
 
     ``max_tables`` is a hard COST cap: every table adds a full corpus
     explode + its bucket pairs, so unbounded recall-chasing re-creates the
-    quadratic blowup by other means (measured: recall 0.95 at c=0.5 asked
-    for 32+ tables and tripled the runtime).  When the cap binds, the
-    returned config delivers best-effort recall ``1-(1-p^planes)^max_tables``
-    — at weak thresholds (c <~ 0.7, where p^planes collapses) hyperplane
-    LSH is the wrong tool and ``ivf_topk`` is the documented scale path."""
+    quadratic blowup by other means.  When the cap binds, hyperplane LSH
+    at this threshold is the wrong tool and ``ivf_topk`` is the documented
+    scale path."""
     import math
 
-    n_planes = max(4, min(16, math.ceil(
+    n_planes = max(4, min(24, math.ceil(
         math.log2(max(2.0, n_vectors / target_bucket)))))
-    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    design_c = (1.0 + threshold) / 2.0
+    p = 1.0 - math.acos(max(-1.0, min(1.0, design_c))) / math.pi
     p_all = p ** n_planes
     if p_all >= 1.0:
         return n_planes, 1
@@ -210,10 +230,19 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
     quadratic scoring — the oracle path for small corpora."""
     c = corpus.df.select(F.col(id_col).alias("vid"),
                          F.col(vec_col).alias("v"),
-                         _norm(F.col(vec_col)).alias("n"))
+                         (_unrolled_norm(f"`{vec_col}`", dim)
+                          if dim is not None and dim <= 256
+                          else _norm(F.col(vec_col))).alias("n"))
+    if not exact:
+        # the LSH path reads the corpus repeatedly (param count, signature
+        # pass, and the two vector re-joins) — persist ONCE, scoped to the
+        # returned result's lifetime (see dedup._retain_cache)
+        c = c.persist()
     if exact:
         l, r = c.alias("l"), c.alias("r")
-        cos = (_dot(F.col("l.v"), F.col("r.v"))
+        cos = ((_unrolled_dot("l.v", "r.v", dim)
+                if dim is not None and dim <= 256
+                else _dot(F.col("l.v"), F.col("r.v")))
                / (F.col("l.n") * F.col("r.n")))
         scored = l.join(r, F.col("l.vid") < F.col("r.vid")).select(
             F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
@@ -235,22 +264,32 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
         # higher-order functions are interpreted, and an in-array
         # aggregate() dot per candidate measured ~10x slower than scoring
         # the re-joined pairs with one Arrow-batched numpy matmul.
+        # entries is tiny (3 longs x N·tables) but costs an Arrow UDF pass
+        # over the corpus — persist so the hot-bucket count and the two
+        # sides of the pair self-join share one signature computation
         entries = (c.select("vid", sig_udf(F.col("v")).alias("sigs"))
-                   .select("vid", F.posexplode("sigs").alias("tbl", "sig")))
+                   .select("vid", F.posexplode("sigs").alias("tbl", "sig"))
+                   .persist())
         hot = (entries.groupBy("tbl", "sig")
                .agg(F.count(F.lit(1)).alias("cnt"))
                .filter(F.col("cnt") > max_bucket).select("tbl", "sig"))
         cold = entries.join(F.broadcast(hot), ["tbl", "sig"], "left_anti")
-        grouped = (cold.groupBy("tbl", "sig")
-                   .agg(F.array_sort(F.collect_list("vid")).alias("ids"))
-                   .filter(F.size("ids") >= 2))
-        pair_arr = F.flatten(F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")))))
-        pairs = (grouped.select(F.explode(pair_arr).alias("pr"))
-                 .select("pr.vec_a", "pr.vec_b")
+        # Pair generation is an ID-ONLY equi-self-join on (table, sig) —
+        # WholeStageCodegen end to end.  The in-array alternative
+        # (collect_list + transform i<j pairing) evaluates Catalyst
+        # lambdas INTERPRETED per emitted pair: at sf1's 6.5M candidates
+        # that measured 45 s vs ~8 s for this join, and the gap widens
+        # with scale.  Joining ids costs two shuffles of (id, tbl, sig)
+        # rows — O(N·tables) longs, never vectors — and the join output
+        # pipelines straight into the pair-dedup aggregation without
+        # materializing.  (dedup.lsh_band_pairs keeps the in-array form:
+        # shingle-text buckets stay tiny under its max_bucket, where the
+        # collect_list saves the second shuffle.)
+        pairs = (cold.alias("l")
+                 .join(cold.alias("r"), ["tbl", "sig"])
+                 .filter(F.col("l.vid") < F.col("r.vid"))
+                 .select(F.col("l.vid").alias("vec_a"),
+                         F.col("r.vid").alias("vec_b"))
                  .distinct())              # shuffle carries two ids per pair
         # norms computed ONCE per vector (N rows), carried as one double
         # through the id-keyed joins; the per-pair dot is unrolled JVM
@@ -269,6 +308,11 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
     out = scored.filter(F.col("cosine") >= threshold)
     if round_to is not None:
         out = out.withColumn("cosine", F.round("cosine", round_to))
+    if not exact:
+        from .dedup import _retain_cache
+
+        _retain_cache(out, c)
+        _retain_cache(out, entries)
     return Table(out, "embedding_neardup_pairs")
 
 
