@@ -92,7 +92,7 @@ def data(source: Any, *, spark: SparkSession | None = None,
                 }
                 if conv:
                     df = df.withColumns(conv)
-                t = Table(df, name or _basename(source))
+                t = Table(_normalize_ntz(df), name or _basename(source))
                 t._tree = {"op": "data", "args": [source]}
                 return t
         reader = spark.read.format(f)
@@ -106,12 +106,30 @@ def data(source: Any, *, spark: SparkSession | None = None,
             reader = reader.schema(schema)
         for k, v in options.items():
             reader = reader.option(k, str(v))
-        t = Table(reader.load(source), name or _basename(source))
+        t = Table(_normalize_ntz(reader.load(source)),
+                  name or _basename(source))
         t._tree = {"op": "data", "args": [source]}
         return t
 
     # in-memory rows / pandas
     return Table(spark.createDataFrame(source, schema=schema), name)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-zone TimestampType at the
+    source boundary.  Parquet written with isAdjustedToUTC=false (naive
+    timestamps — pandas/DuckDB default) reads as TIMESTAMP_NTZ under
+    Spark >= 3.4's inferTimestampNTZ; the engine's dtype surface (.dt
+    accessors, interval arithmetic, oracle comparisons) is defined over
+    TimestampType with the session zone pinned to UTC, where the cast is
+    value-preserving.  Metadata-only when no NTZ column exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    conv = {f.name: F.col(f.name).cast(T.TimestampType())
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)}
+    return df.withColumns(conv) if conv else df
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

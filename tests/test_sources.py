@@ -71,6 +71,49 @@ def test_nanos_parquet_handled(spark, sf_dir):
     assert row.ts.microsecond > 0
 
 
+def test_ntz_normalized_to_session_timestamp(spark, tmp_path):
+    """Naive (isAdjustedToUTC=false) parquet timestamps read as
+    TIMESTAMP_NTZ under Spark's inferTimestampNTZ; data() casts them to
+    session-zone TimestampType so the whole dtype surface (.dt, intervals,
+    oracle comparison) sees one timestamp type.  Session tz is UTC in
+    conftest, so values are preserved exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+
+    path = str(tmp_path / "ntz.parquet")
+    ts = datetime.datetime(2024, 5, 1, 12, 30, 45, 123456)
+    pq.write_table(
+        pa.table({"id": [1], "ts": pa.array([ts], pa.timestamp("us"))}),
+        path)
+    t = data(path, spark=spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    assert t.df.collect()[0].ts == ts
+
+
+def test_true_nanos_parquet_converted(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet (unreadable by some Spark scans) loads via
+    the nanosAsLong shim and comes back as microsecond TimestampType."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+
+    path = str(tmp_path / "ns.parquet")
+    ts = datetime.datetime(2024, 5, 1, 12, 30, 45, 123456)
+    pq.write_table(
+        pa.table({"id": [1], "ts": pa.array([ts], pa.timestamp("ns"))}),
+        path, store_schema=False)
+    t = data(path, spark=spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    assert t.df.collect()[0].ts == ts
+
+
 def test_partitioned_write_prunes(spark, star, tmp_path):
     from blaze_spark import data
     from blaze_spark.plans import physical_plan
