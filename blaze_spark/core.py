@@ -46,6 +46,10 @@ __all__ = [
 # mutable cell so the toggle is visible to already-imported references
 _INTERACTIVE_REPR = [True]
 
+# isin() value-count above which a direct selection lowers to a broadcast
+# left-semi join instead of an in-plan literal set (SURVEY §2.3 cliff)
+_ISIN_SEMI_THRESHOLD = 10_000
+
 
 def set_interactive_repr(on: bool) -> None:
     """Toggle auto-computing ``Table.__repr__`` (reference parity:
@@ -307,7 +311,25 @@ class ColExpr:
 
     # -- membership (reference IsIn: blaze/expr/collections.py:868-911) ----
     def isin(self, values: Iterable[Any]):
-        return self._make(self._col.isin(list(values)), "isin", T.BooleanType())
+        """Membership test.  Small sets lower to Catalyst ``In`` (codegen'd
+        hash-set probe).  Above ``_ISIN_SEMI_THRESHOLD`` values the
+        reference flags an In-literal cliff (SURVEY §2.3): a 10^6-branch
+        In bloats the plan, breaks codegen, and costs 10^6 py4j literal
+        calls just to build.  Large sets instead build ONE array literal
+        (``array_contains(lit(vals), col)`` — a single JVM call, compact
+        in the plan) and carry a marker; when the predicate is used
+        directly as a selection, the Table lowers it to a broadcast
+        LEFT SEMI join against the value set — the scalable form (hashed
+        build side, no plan bloat).  Composed predicates (``big_isin &
+        other``) keep the array_contains column, still compact and
+        correct."""
+        vals = list(values)
+        if len(vals) > _ISIN_SEMI_THRESHOLD:
+            out = self._make(F.array_contains(F.lit(vals), self._col),
+                             "isin", T.BooleanType())
+            out._isin_semi = (self._col, vals)
+            return out
+        return self._make(self._col.isin(vals), "isin", T.BooleanType())
 
     # -- glob-style like (blaze/expr/strings.py:57-83; translated to SQL
     #    %/_ at blaze/compute/sql.py:1276-1278) ---------------------------
@@ -702,6 +724,23 @@ class Table:
                     "selection predicate is built from a different table "
                     f"({key._table._name!r}); predicate and table must "
                     "share a common ancestor")
+            semi = getattr(key, "_isin_semi", None)
+            if semi is not None:
+                # large-set isin used directly as the selection: lower to
+                # a broadcast LEFT SEMI join — hashed build side, no
+                # giant literal in the plan (reference IsIn cliff,
+                # SURVEY §2.3).  Null keys never match, same as In.
+                src_col, vals = semi
+                spark = self._df.sparkSession
+                vdf = (spark.createDataFrame([(v,) for v in vals])
+                       .toDF("__isin_val").dropDuplicates())
+                out = self._new(self._df.join(
+                    F.broadcast(vdf), src_col == F.col("__isin_val"),
+                    "left_semi"))
+                if self._tree is not None and key._tree is not None:
+                    out._tree = {"op": "selection",
+                                 "args": [self._tree, key._tree]}
+                return out
             out = self._new(self._df.filter(key.col))
             if self._tree is not None and key._tree is not None:
                 out._tree = {"op": "selection",

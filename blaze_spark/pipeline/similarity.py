@@ -209,6 +209,7 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             n_planes: int | None = None,
                             n_tables: int | None = None,
+                            n_vectors: int | None = None,
                             dim: int = 64, seed: int = 42,
                             exact: bool = False, max_bucket: int = 2000,
                             round_to: int | None = 4) -> Table:
@@ -220,7 +221,8 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
     in ANY table.  Recall for a pair at cosine c is
     ``1-(1-p^n_planes)^n_tables`` with ``p = 1 - arccos(c)/pi``.
     ``n_planes``/``n_tables`` default to :func:`lsh_auto_params` sized
-    from a corpus count, keeping bucket occupancy — and therefore
+    from a corpus count (pass ``n_vectors`` to supply the count and skip
+    the sizing scan), keeping bucket occupancy — and therefore
     per-bucket pair cost — constant as the corpus grows.  Candidate
     generation is the no-self-join topology (see dedup.lsh_band_pairs):
     one groupBy per (table, sig) bucket, i<j pairs + the exact cosine
@@ -249,9 +251,10 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
             cos.alias("cosine"))
     else:
         if n_planes is None or n_tables is None:
-            # one count against the (pruned, id+vec only) corpus scan —
-            # cheap next to the signature pass it parameterizes
-            n = c.count()
+            # auto-size from the corpus count; ``n_vectors`` lets callers
+            # who know it (or can estimate it from catalog stats) skip the
+            # extra corpus pass — production paths should pass it
+            n = n_vectors if n_vectors is not None else c.count()
             auto_p, auto_t = lsh_auto_params(n, threshold)
             n_planes = auto_p if n_planes is None else n_planes
             n_tables = auto_t if n_tables is None else n_tables

@@ -57,7 +57,7 @@ def data(source: Any, *, spark: SparkSession | None = None,
     if isinstance(source, Table):
         return source
     if isinstance(source, DataFrame):
-        return Table(source, name)
+        return Table(_normalize_ntz(source), name)
 
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
@@ -68,7 +68,7 @@ def data(source: Any, *, spark: SparkSession | None = None,
             reader = spark.read.format("jdbc").option("url", source)
             for k, v in options.items():
                 reader = reader.option(k, v)
-            return Table(reader.load(), name)
+            return Table(_normalize_ntz(reader.load()), name)
         f = fmt or _infer_format(source)
         if f == "parquet":
             ns_cols = _nanos_timestamp_cols(source)
@@ -112,24 +112,80 @@ def data(source: Any, *, spark: SparkSession | None = None,
         return t
 
     # in-memory rows / pandas
-    return Table(spark.createDataFrame(source, schema=schema), name)
+    return Table(_normalize_ntz(spark.createDataFrame(source, schema=schema)),
+                 name)
+
+
+def _rewrite_ntz_type(dt):
+    """Recursively rewrite TIMESTAMP_NTZ to TimestampType inside any
+    struct/array/map nesting.  Returns (new_type, changed)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            new, ch = _rewrite_ntz_type(f.dataType)
+            changed |= ch
+            fields.append(T.StructField(f.name, new, f.nullable, f.metadata))
+        return (T.StructType(fields), True) if changed else (dt, False)
+    if isinstance(dt, T.ArrayType):
+        new, ch = _rewrite_ntz_type(dt.elementType)
+        return (T.ArrayType(new, dt.containsNull), True) if ch else (dt, False)
+    if isinstance(dt, T.MapType):
+        nk, ck = _rewrite_ntz_type(dt.keyType)
+        nv, cv = _rewrite_ntz_type(dt.valueType)
+        if ck or cv:
+            return T.MapType(nk, nv, dt.valueContainsNull), True
+        return dt, False
+    return dt, False
+
+
+def _rewrite_ntz_schema(schema):
+    """Schema-level NTZ -> TimestampType rewrite (for streaming sources,
+    whose schema must be declared before load)."""
+    new, _ = _rewrite_ntz_type(schema)
+    return new
+
+
+def _warn_if_non_utc(df: DataFrame) -> None:
+    """NTZ -> TimestampType is value-preserving only under a UTC session
+    zone; warn (don't fail) when a user session is zoned elsewhere."""
+    try:
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"casting TIMESTAMP_NTZ under session timeZone={tz!r}; naive "
+            "timestamps are interpreted in that zone — set "
+            "spark.sql.session.timeZone=UTC for value-preserving reads",
+            stacklevel=3)
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:
-    """Cast TIMESTAMP_NTZ columns to session-zone TimestampType at the
-    source boundary.  Parquet written with isAdjustedToUTC=false (naive
-    timestamps — pandas/DuckDB default) reads as TIMESTAMP_NTZ under
-    Spark >= 3.4's inferTimestampNTZ; the engine's dtype surface (.dt
-    accessors, interval arithmetic, oracle comparisons) is defined over
-    TimestampType with the session zone pinned to UTC, where the cast is
-    value-preserving.  Metadata-only when no NTZ column exists."""
+    """Cast TIMESTAMP_NTZ columns (including NTZ nested in struct/array/
+    map) to session-zone TimestampType at the source boundary.  Parquet
+    written with isAdjustedToUTC=false (naive timestamps — pandas/DuckDB
+    default) reads as TIMESTAMP_NTZ under Spark >= 3.4's
+    inferTimestampNTZ; the engine's dtype surface (.dt accessors, interval
+    arithmetic, oracle comparisons) is defined over TimestampType with the
+    session zone pinned to UTC, where the cast is value-preserving.
+    Metadata-only when no NTZ column exists."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
-    conv = {f.name: F.col(f.name).cast(T.TimestampType())
-            for f in df.schema.fields
-            if isinstance(f.dataType, T.TimestampNTZType)}
-    return df.withColumns(conv) if conv else df
+    conv = {}
+    for f in df.schema.fields:
+        new, changed = _rewrite_ntz_type(f.dataType)
+        if changed:
+            conv[f.name] = F.col(f.name).cast(new)
+    if not conv:
+        return df
+    _warn_if_non_utc(df)
+    return df.withColumns(conv)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

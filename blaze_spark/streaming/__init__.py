@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import ColExpr, Reduction, Table
-from ..sources import _nanos_timestamp_cols
+from ..sources import _nanos_timestamp_cols, _rewrite_ntz_schema
 
 __all__ = ["StreamTable", "stream_data", "stream_by_window"]
 
@@ -41,6 +41,13 @@ def stream_data(spark: SparkSession, path: str, fmt: str = "parquet",
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
+    # Naive-timestamp parquet sniffs as TIMESTAMP_NTZ under Spark >= 3.4's
+    # inferTimestampNTZ, and withWatermark rejects NTZ event-time columns
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Declare the stream schema
+    # with TimestampType instead — the parquet reader interprets the naive
+    # values in the session zone (pinned UTC => value-preserving), exactly
+    # matching the batch reader's _normalize_ntz cast.
+    schema = _rewrite_ntz_schema(schema)
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

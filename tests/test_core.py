@@ -606,3 +606,36 @@ def test_coerce_adds_runtime_cast(t):
     q = t.transform(y=t.amount.coerce("double"))
     assert "cast(" in physical_plan(q).lower()
     assert dict(q.df.dtypes)["y"] == "double"
+
+
+def test_isin_large_set_lowers_to_semi_join(spark, monkeypatch):
+    """Above _ISIN_SEMI_THRESHOLD, a direct isin selection becomes a
+    broadcast LEFT SEMI join (reference flags the In-literal cliff,
+    SURVEY §2.3) with identical semantics."""
+    from blaze_spark import core, data
+
+    t = data([(i, f"n{i}") for i in range(50)], spark=spark,
+             schema="id long, name string")
+    monkeypatch.setattr(core, "_ISIN_SEMI_THRESHOLD", 10)
+    big = [int(i) for i in range(0, 100, 2)]  # 50 values > threshold
+    sel = t[t.id.isin(big)]
+    plan = sel.df._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan, plan
+    assert sorted(r.id for r in sel.df.collect()) == list(range(0, 50, 2))
+    # below threshold stays a plain In filter — no join in the plan
+    small = t[t.id.isin([1, 2, 3])]
+    assert "LeftSemi" not in small.df._jdf.queryExecution().toString()
+    assert len(small) == 3
+
+
+def test_isin_large_set_composes_correctly(spark, monkeypatch):
+    """A large isin composed with another predicate keeps the compact
+    array_contains form and still filters correctly."""
+    from blaze_spark import core, data
+
+    t = data([(i, i % 2) for i in range(20)], spark=spark,
+             schema="id long, par long")
+    monkeypatch.setattr(core, "_ISIN_SEMI_THRESHOLD", 5)
+    pred = t.id.isin(list(range(0, 20, 2))) & (t.par == 0)
+    out = t[pred]
+    assert sorted(r.id for r in out.df.collect()) == list(range(0, 20, 2))

@@ -453,3 +453,20 @@ def test_spread_skips_large_remote_files(spark, docs, monkeypatch):
                         lambda spark, p: 2 * 1024 * 1024 * 1024)
     out = _spread(df, "doc_id")
     assert out is df, "large splittable remote files need no respread"
+
+
+def test_neardup_caller_supplied_count_skips_sizing_scan(spark, emb, monkeypatch):
+    """n_vectors= lets production callers skip the auto-sizing count()
+    pass (VERDICT r4 #6): with it supplied, no count job may run during
+    plan construction."""
+    from pyspark.sql import DataFrame
+
+    from blaze_spark.pipeline import embedding_neardup_pairs
+
+    def _no_count(self):
+        raise AssertionError("count() must not run when n_vectors is given")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    t = embedding_neardup_pairs(emb, threshold=0.9, n_vectors=500)
+    monkeypatch.undo()
+    assert t.df.columns == ["vec_a", "vec_b", "cosine"]

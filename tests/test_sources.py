@@ -233,3 +233,100 @@ def test_spark_written_nanos_parquet_loads_natively(spark, tmp_path):
     row = t.df.first()
     assert row.ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 678901), \
         f"file unit={unit}: value must survive the load untouched"
+
+
+@pytest.mark.parametrize("unit,utc", [
+    ("us", False),   # naive micros -> TIMESTAMP_NTZ -> normalized
+    ("us", True),    # UTC-adjusted micros -> TimestampType natively
+    ("ms", False),   # naive millis -> NTZ -> normalized
+    ("ns", False),   # naive nanos -> nanosAsLong shim path
+    ("ns", True),    # UTC nanos -> shim path, instant semantics
+])
+def test_source_tz_matrix(spark, tmp_path, unit, utc):
+    """Environment-drift seam: every (storage unit, tz-adjustment) parquet
+    variant must enter the engine as TimestampType with the value intact
+    under the UTC session zone (VERDICT r4 #4: the NTZ drift silently
+    broke streaming; this pins the seam)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+
+    path = str(tmp_path / f"tz_{unit}_{utc}.parquet")
+    ts = datetime.datetime(2024, 5, 1, 12, 30, 45, 123000)
+    arr = pa.array([ts], pa.timestamp(unit, tz="UTC" if utc else None))
+    pq.write_table(pa.table({"id": [1], "ts": arr}), path,
+                   store_schema=False)
+    t = data(path, spark=spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp", (unit, utc)
+    assert t.df.first().ts == ts, (unit, utc)
+
+
+def test_ntz_nested_in_struct_normalized(spark, tmp_path):
+    """NTZ nested inside struct/array must also be rewritten (ADVICE r4:
+    top-level-only left the dtype surface mixed for nested schemas)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+
+    path = str(tmp_path / "nested_ntz.parquet")
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    tbl = pa.table({
+        "id": [1],
+        "meta": pa.array([{"created": ts}],
+                         pa.struct([("created", pa.timestamp("us"))])),
+        "times": pa.array([[ts]], pa.list_(pa.timestamp("us"))),
+    })
+    pq.write_table(tbl, path)
+    t = data(path, spark=spark)
+    assert "timestamp_ntz" not in t.df.schema.simpleString()
+    row = t.df.first()
+    assert row.meta.created == ts
+    assert row.times[0] == ts
+
+
+def test_ntz_normalized_on_passthrough_paths(spark):
+    """DataFrame pass-through and in-memory createDataFrame paths apply
+    the same NTZ normalization as the file readers (ADVICE r4: same data,
+    same dtype regardless of entry path)."""
+    import datetime
+
+    from blaze_spark import data
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    df = spark.createDataFrame([(1, ts)], "id long, ts timestamp_ntz")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    t = data(df)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    assert t.df.first().ts == ts
+
+
+def test_ntz_cast_warns_on_non_utc_session(spark, tmp_path):
+    """The NTZ cast is value-preserving only under UTC; a zoned session
+    gets a warning at the data() boundary rather than a silent shift."""
+    import datetime
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+
+    path = str(tmp_path / "warn_ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([datetime.datetime(2024, 5, 1)],
+                                 pa.timestamp("us"))}), path)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            data(path, spark=spark)
+        assert any("timeZone" in str(x.message) for x in w)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
