@@ -282,6 +282,17 @@ def isin_nations(spark, sf_dir):
     return by([f.n_name], n=f.c_custkey.nelements()).df
 
 
+def isin_large_semijoin(spark, sf_dir):
+    """Large-set IsIn: 15k values trips the broadcast left-semi-join
+    fallback (reference flags the In-literal cliff, SURVEY §2.3; the plan
+    carries a hashed build side instead of a 15k-branch In)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o[o.o_custkey.isin([int(k) for k in range(0, 30000, 2)])]
+    g = by([f.o_orderstatus], n=f.o_orderkey.nelements(),
+           total=f.o_totalprice.sum())
+    return g.transform(total=F.round(g.total.col, 4)).df
+
+
 # ---------------------------------------------------------------------------
 # aggregation families
 # ---------------------------------------------------------------------------
@@ -1431,78 +1442,25 @@ def dedup_cluster_canonical(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
-    # entries.  Rounds 1-2 sampled an identical 50, so everything added
-    # since had never produced a driver CORRECTNESS row (VERDICT r2 #2).
-    # Round 3 rotates: the never-checked 51 + new queries lead (oracle-able
-    # first, then the rows-only heavies); the 50 double-green r1/r2 queries
-    # close the dict (they stay green under tools/check_oracles.py).
+    # entries.  Round 5 rotates again (VERDICT r4 #3): the 54 entries that
+    # were last driver-checked in r1/r2 — BEFORE the environment's Spark
+    # changed (the NTZ drift) — lead, so CORRECTNESS_r05 re-proves them
+    # under the current Spark; the 50 freshly green in r4 close the dict.
+    # Every entry stays green under tools/check_oracles.py (full registry).
     return {
-        # -- never driver-checked: TPC-H remainder ---------------------------
-        "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
-        "q07_style_nation_volume": q07_style_nation_volume,
-        "q08_style_market_share": q08_style_market_share,
-        "q09_style_product_profit": q09_style_product_profit,
-        "q13_style_order_distribution": q13_style_order_distribution,
-        "q14_style_promo_share": q14_style_promo_share,
-        "q16_style_supplier_cnt": q16_style_supplier_cnt,
-        "q17_style_small_qty_revenue": q17_style_small_qty_revenue,
-        "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
-        "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
-        "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
-        # -- never driver-checked: reshaping / windows / front-ends ----------
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "unpivot_part_measures": unpivot_part_measures,
-        "explode_embedding_dims": explode_embedding_dims,
-        "sessionize_user_events": sessionize_user_events,
-        "grouping_sets_order_stats": grouping_sets_order_stats,
-        "rolling_range_user_values": rolling_range_user_values,
-        "window_edges_per_user": window_edges_per_user,
-        "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
-        "sql_frontend_status_revenue": sql_frontend_status_revenue,
-        "tree_dialect_big_orders": tree_dialect_big_orders,
-        "range_join_price_bands": range_join_price_bands,
-        "grouped_apply_zscore": grouped_apply_zscore,
-        "asof_click_before_purchase": asof_click_before_purchase,
-        "percentile_prices": percentile_prices,
-        "map_udf_quantity": map_udf_quantity,
-        "apply_batch_filter": apply_batch_filter,
-        # -- never driver-checked: LLM-pipeline family (oracle-able) ---------
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_normalized_docs": dedup_normalized_docs,
-        "text_language_id": text_language_id,
-        "text_quality": text_quality,
-        "text_token_stats": text_token_stats,
-        "text_fingerprint": text_fingerprint,
-        "embedding_topk": embedding_topk,
-        "embedding_neardup": embedding_neardup,
-        "udaf_geomean": udaf_geomean,
-        "hypertable_orders": hypertable_orders,
-        "array_ops_embeddings": array_ops_embeddings,
-        "order_latency_breakdown": order_latency_breakdown,
-        "crosslingual_dedup_docs": crosslingual_dedup_docs,
-        "multimodal_image_features": multimodal_image_features,
-        "multimodal_audio_features": multimodal_audio_features,
         # -- new this round ---------------------------------------------------
-        "slice_step": slice_step,
-        "graph_components_docs": graph_components_docs,
-        # -- never driver-checked: rows-only heavies (random/LSH/ANN) ---------
-        "dedup_minhash_docs": dedup_minhash_docs,
-        "dedup_minhash_verified": dedup_minhash_verified,
-        "dedup_simhash_docs": dedup_simhash_docs,
-        "embedding_lsh_topk": embedding_lsh_topk,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "ann_ivf_topk": ann_ivf_topk,
-        # ==== driver sample boundary (~50) — below here: r1/r2 double-green
-        # (plus rows-only queries the judge verified locally) ================
-        "incremental_dedup_batches": incremental_dedup_batches,
-        "dedup_cluster_canonical": dedup_cluster_canonical,
-        "sample_orders": sample_orders,
-        "approx_sketches": approx_sketches,
+        "isin_large_semijoin": isin_large_semijoin,
+        # -- r1/r2-era: TPC-H core + op families (pre-drift, re-prove) --------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
+        "q04_style_late_orders": q04_style_late_orders,
         "q05_local_supplier": q05_local_supplier,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q10_returned_items": q10_returned_items,
+        "q11_style_important_nations": q11_style_important_nations,
+        "q15_style_top_supplier": q15_style_top_supplier,
+        "q18_style_large_orders": q18_style_large_orders,
+        "q21_style_exists_chain": q21_style_exists_chain,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
         "intdiv_mod_buckets": intdiv_mod_buckets,
@@ -1543,11 +1501,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_regions": union_distinct_regions,
         "lag_events": lag_events,
         "running_total_events": running_total_events,
-        "q04_style_late_orders": q04_style_late_orders,
-        "q18_style_large_orders": q18_style_large_orders,
-        "q15_style_top_supplier": q15_style_top_supplier,
-        "q11_style_important_nations": q11_style_important_nations,
-        "q21_style_exists_chain": q21_style_exists_chain,
+        # -- r1/r2-era rows-only + r3 additions (pre/mid-drift) ---------------
+        "incremental_dedup_batches": incremental_dedup_batches,
+        "dedup_cluster_canonical": dedup_cluster_canonical,
+        "sample_orders": sample_orders,
+        "approx_sketches": approx_sketches,
+        # ==== driver sample boundary (~50) — below here: green in r4's
+        # CORRECTNESS under the CURRENT Spark =================================
+        "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
+        "q07_style_nation_volume": q07_style_nation_volume,
+        "q08_style_market_share": q08_style_market_share,
+        "q09_style_product_profit": q09_style_product_profit,
+        "q13_style_order_distribution": q13_style_order_distribution,
+        "q14_style_promo_share": q14_style_promo_share,
+        "q16_style_supplier_cnt": q16_style_supplier_cnt,
+        "q17_style_small_qty_revenue": q17_style_small_qty_revenue,
+        "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
+        "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
+        "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_part_measures": unpivot_part_measures,
+        "explode_embedding_dims": explode_embedding_dims,
+        "sessionize_user_events": sessionize_user_events,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
+        "rolling_range_user_values": rolling_range_user_values,
+        "window_edges_per_user": window_edges_per_user,
+        "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
+        "sql_frontend_status_revenue": sql_frontend_status_revenue,
+        "tree_dialect_big_orders": tree_dialect_big_orders,
+        "range_join_price_bands": range_join_price_bands,
+        "grouped_apply_zscore": grouped_apply_zscore,
+        "asof_click_before_purchase": asof_click_before_purchase,
+        "percentile_prices": percentile_prices,
+        "map_udf_quantity": map_udf_quantity,
+        "apply_batch_filter": apply_batch_filter,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_normalized_docs": dedup_normalized_docs,
+        "text_language_id": text_language_id,
+        "text_quality": text_quality,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+        "embedding_topk": embedding_topk,
+        "embedding_neardup": embedding_neardup,
+        "udaf_geomean": udaf_geomean,
+        "hypertable_orders": hypertable_orders,
+        "array_ops_embeddings": array_ops_embeddings,
+        "order_latency_breakdown": order_latency_breakdown,
+        "crosslingual_dedup_docs": crosslingual_dedup_docs,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
+        "slice_step": slice_step,
+        "graph_components_docs": graph_components_docs,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_simhash_docs": dedup_simhash_docs,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -1690,6 +1700,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name IN ('NATION_1','NATION_7','NATION_13','NATION_24')
             GROUP BY n_name
+        """,
+        "isin_large_semijoin": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            WHERE o_custkey % 2 = 0 AND o_custkey >= 0 AND o_custkey < 30000
+            GROUP BY o_orderstatus
         """,
         "summary_lineitem": """
             SELECT sum(l_quantity) AS sum_qty,
