@@ -1196,6 +1196,24 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(d)[["doc_id", "fingerprint"]].df
 
 
+def training_set_prep(spark, sf_dir):
+    """End-to-end training-data prep — the composite a 100 TB corpus run
+    chains: language ID -> quality gate -> exact dedup (keep smallest
+    doc_id per normalized text) -> per-source token accounting.  One scan
+    feeds the whole plan: the filters are pushed into it, the dedup is one
+    window over the fingerprint key, and the final agg is map-side
+    partial.  No UDFs anywhere — every stage is built-in Column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    t = quality_features(language_id(d))
+    f = t[(t.pred_lang == "en") & (t.quality >= 0.3) & (t.n_tokens >= 10)]
+    fp = f.transform(fp=F.md5(F.trim(F.regexp_replace(
+        F.lower(F.col("text")), r"\s+", " "))))
+    kept = fp.distinct(on=["fp"], keep_first_by=["doc_id"])
+    g = by([kept.source], n_docs=kept.doc_id.nelements(),
+           total_tokens=kept.n_tokens.sum())
+    return g.sort("source").df
+
+
 def embedding_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = Table(e.df.filter(F.col("vec_id") < 5))
@@ -1450,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round ---------------------------------------------------
         "isin_large_semijoin": isin_large_semijoin,
+        "training_set_prep": training_set_prep,
         # -- r1/r2-era: TPC-H core + op families (pre-drift, re-prove) --------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -1707,6 +1726,41 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey % 2 = 0 AND o_custkey >= 0 AND o_custkey < 30000
             GROUP BY o_orderstatus
+        """,
+        "training_set_prep": """
+            WITH feat AS (
+                SELECT doc_id, source, text,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       round((1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) / length(text))
+                             * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0), 4) AS quality,
+                       CASE
+                           WHEN len(regexp_extract_all(text, '[\u4e00-\u9fff]')) > 0 THEN 'zh'
+                           WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                           WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                           WHEN de >= fr AND de > 0 THEN 'de'
+                           WHEN fr > 0 THEN 'fr'
+                           ELSE 'und' END AS pred_lang
+                FROM (
+                    SELECT *,
+                        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+                        len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|y|en)\\b')) AS es,
+                        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+                        len(regexp_extract_all(lower(text), '\\b(le|les|et|des|est|une)\\b')) AS fr
+                    FROM documents)
+            ),
+            filtered AS (
+                SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM feat
+                WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 10
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM filtered) WHERE rn = 1
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY source ORDER BY source
         """,
         "summary_lineitem": """
             SELECT sum(l_quantity) AS sum_qty,

@@ -360,7 +360,9 @@ class ColExpr:
 
     def label(self, name: str):
         """Rename (Label: blaze/expr/expressions.py:574-612)."""
-        return self._make(self._col.alias(name), name, self.__dtype)
+        out = self._make(self._col.alias(name), name, self.__dtype)
+        out._tree = self._tree  # a label renames; the expression is the same
+        return out
 
     # -- sort direction (engine-level SortKey; see class docstring) --------
     def asc(self, na_position: str | None = None) -> "SortKey":
@@ -403,41 +405,55 @@ class ColExpr:
         return self._make(fn.over(w), f"{self._name}_shift", self.dtype)
 
     # -- reductions (blaze/expr/reductions.py) -----------------------------
+    def _red(self, agg: Column, op: str, name: str | None = None) -> Reduction:
+        """Build a Reduction, recording its tree-dialect form when this
+        expression is itself serializable (server round-trip parity)."""
+        tree = ({"op": op, "args": [self._tree]}
+                if self._tree is not None else None)
+        return Reduction(self._table, agg, name or f"{self._name}_{op}",
+                         tree=tree)
+
     def sum(self):
         # widens int32 -> int64 (blaze/expr/reductions.py:111-113); Spark
         # F.sum already returns LongType for integrals — matches.
-        return Reduction(self._table, F.sum(self._col), f"{self._name}_sum")
+        return self._red(F.sum(self._col), "sum")
 
     def min(self):
-        return Reduction(self._table, F.min(self._col), f"{self._name}_min")
+        return self._red(F.min(self._col), "min")
 
     def max(self):
-        return Reduction(self._table, F.max(self._col), f"{self._name}_max")
+        return self._red(F.max(self._col), "max")
 
     def mean(self):
         # mean -> float64 (blaze/expr/reductions.py:124-138)
-        return Reduction(self._table, F.avg(self._col), f"{self._name}_mean")
+        return self._red(F.avg(self._col), "mean")
 
     def var(self, unbiased: bool = False):
         # DEFAULT ddof=0 (NumPy convention, NOT Spark's var_samp default;
-        # blaze/expr/reductions.py:138-191)
+        # blaze/expr/reductions.py:138-191).  The tree dialect carries no
+        # ddof — only the default form serializes.
         fn = F.var_samp if unbiased else F.var_pop
-        return Reduction(self._table, fn(self._col), f"{self._name}_var")
+        r = self._red(fn(self._col), "var")
+        if unbiased:
+            r._tree = None
+        return r
 
     def std(self, unbiased: bool = False):
         fn = F.stddev_samp if unbiased else F.stddev_pop
-        return Reduction(self._table, fn(self._col), f"{self._name}_std")
+        r = self._red(fn(self._col), "std")
+        if unbiased:
+            r._tree = None
+        return r
 
     def count(self):
         # NON-NULL count (blaze/expr/reductions.py:194-197)
-        return Reduction(self._table, F.count(self._col), f"{self._name}_count")
+        return self._red(F.count(self._col), "count")
 
     def nunique(self):
         # exact distinct (blaze/expr/reductions.py:200-201); Catalyst plans
         # this as expand+two-phase agg — scales.  approx_nunique is the
         # opt-in sketch fast path (extension, not in reference).
-        return Reduction(self._table, F.countDistinct(self._col),
-                         f"{self._name}_nunique")
+        return self._red(F.countDistinct(self._col), "nunique")
 
     def approx_nunique(self, rsd: float = 0.05):
         return Reduction(self._table, F.approx_count_distinct(self._col, rsd),
@@ -445,15 +461,15 @@ class ColExpr:
 
     def nelements(self):
         # counts rows INCLUDING nulls (blaze/expr/reductions.py:204-219)
-        return Reduction(self._table, F.count(F.lit(1)), "nelements")
+        return self._red(F.count(F.lit(1)), "nelements", "nelements")
 
     def any(self):
         # reference SQL rewrites any -> sum(int)!=0 (blaze/compute/sql.py:
         # 1488-1509); Spark has native bool_or — cleaner, same semantics.
-        return Reduction(self._table, F.bool_or(self._col), f"{self._name}_any")
+        return self._red(F.bool_or(self._col), "any")
 
     def all(self):
-        return Reduction(self._table, F.bool_and(self._col), f"{self._name}_all")
+        return self._red(F.bool_and(self._col), "all")
 
     def vnorm(self, ord: int = 2):
         # vector p-norm composed of primitives (blaze/expr/reductions.py:299-314)
@@ -522,6 +538,16 @@ _OPNAME = {"add": "add", "sub": "sub", "mul": "mul", "div": "div",
            "floordiv": "floordiv", "mod": "mod", "pow": "pow"}
 
 
+def _value_tree(v):
+    """Tree-dialect form of a transform value: a serializable ColExpr's
+    own tree, or a lit node for plain scalars; None = not serializable."""
+    if isinstance(v, ColExpr):
+        return v._tree
+    if isinstance(v, (int, float, str, bool)):
+        return {"op": "lit", "args": [v]}
+    return None
+
+
 def _binop_tree(op, left, right):
     if op is None or left._tree is None:
         return None
@@ -544,10 +570,13 @@ class Reduction:
     machinery, blaze/expr/split.py) is Catalyst's own physical planning —
     partial agg -> shuffle -> final HashAggregate, no code here."""
 
-    def __init__(self, table: "Table", agg: Column, name: str):
+    def __init__(self, table: "Table", agg: Column, name: str,
+                 tree: dict | None = None):
         self._table = table
         self._agg = agg
         self._name = name
+        # serialized form for to_tree (None = not serializable)
+        self._tree = tree
 
     @property
     def col(self) -> Column:
@@ -558,7 +587,7 @@ class Reduction:
         return self._name
 
     def label(self, name: str) -> "Reduction":
-        return Reduction(self._table, self._agg, name)
+        return Reduction(self._table, self._agg, name, tree=self._tree)
 
     def to_table(self) -> "Table":
         return Table(self._table.df.agg(self._agg.alias(self._name)))
@@ -782,12 +811,20 @@ class Table:
 
     def relabel(self, **renames: str):
         """Rename many (ReLabel: blaze/expr/expressions.py:615-692)."""
-        return self._new(self._df.withColumnsRenamed(renames))
+        out = self._new(self._df.withColumnsRenamed(renames))
+        if self._tree is not None:
+            out._tree = {"op": "relabel", "args": [self._tree, dict(renames)]}
+        return out
 
     def transform(self, **cols):
         """Add/replace columns (blaze/expr/collections.py:503-537)."""
-        return self._new(
+        out = self._new(
             self._df.withColumns({k: _as_col(v) for k, v in cols.items()}))
+        if self._tree is not None:
+            trees = {k: _value_tree(v) for k, v in cols.items()}
+            if all(t is not None for t in trees.values()):
+                out._tree = {"op": "transform", "args": [self._tree, trees]}
+        return out
 
     # -- ordering / limiting (blaze/expr/collections.py:80-356) ---------------
     def sort(self, *keys, ascending=True, na_position: str = "last"):
@@ -887,10 +924,16 @@ class Table:
         ARBITRARY row, so deterministic keep-first needs an explicit order:
         row_number() window (SURVEY.md §4.4)."""
         if on is None:
-            return self._new(self._df.distinct())
+            out = self._new(self._df.distinct())
+            if self._tree is not None:
+                out._tree = {"op": "distinct", "args": [self._tree]}
+            return out
         on = on if isinstance(on, (list, tuple)) else [on]
         if keep_first_by is None:
-            return self._new(self._df.dropDuplicates(list(on)))
+            out = self._new(self._df.dropDuplicates(list(on)))
+            if self._tree is not None and all(isinstance(c, str) for c in on):
+                out._tree = {"op": "distinct", "args": [self._tree, list(on)]}
+            return out
         order = keep_first_by if isinstance(keep_first_by, (list, tuple)) else [keep_first_by]
         w = Window.partitionBy(*[_as_col(c) for c in on]).orderBy(
             *[_as_col(c) for c in order])
@@ -960,7 +1003,15 @@ class Table:
         else:
             ren = {f"{v}_{name}": f"{name}_{v}"
                    for v in vals for name in reductions}
-        return self._new(out.withColumnsRenamed(ren))
+        res = self._new(out.withColumnsRenamed(ren))
+        if self._tree is not None:
+            rts = {n: r._tree for n, r in reductions.items()
+                   if isinstance(r, Reduction)}
+            if len(rts) == len(reductions) and \
+                    all(t is not None for t in rts.values()):
+                res._tree = {"op": "pivot",
+                             "args": [self._tree, idx, pc, vals, rts]}
+        return res
 
     def unpivot(self, ids, value_cols, var_name: str = "variable",
                 value_name: str = "value") -> "Table":
@@ -971,7 +1022,11 @@ class Table:
         ids = [c.name if isinstance(c, ColExpr) else c for c in ids]
         vcs = value_cols if isinstance(value_cols, (list, tuple)) else [value_cols]
         vcs = [c.name if isinstance(c, ColExpr) else c for c in vcs]
-        return self._new(self._df.unpivot(ids, vcs, var_name, value_name))
+        out = self._new(self._df.unpivot(ids, vcs, var_name, value_name))
+        if self._tree is not None:
+            out._tree = {"op": "unpivot",
+                         "args": [self._tree, ids, vcs, var_name, value_name]}
+        return out
 
     def explode(self, col, alias: str | None = None,
                 pos: str | None = None, outer: bool = False) -> "Table":
@@ -989,7 +1044,11 @@ class Table:
             fn = F.explode_outer if outer else F.explode
             gen = fn(F.col(c)).alias(a)
         keep = [x for x in self.fields if x != c]
-        return self._new(self._df.select(*keep, gen))
+        out = self._new(self._df.select(*keep, gen))
+        if self._tree is not None:
+            out._tree = {"op": "explode",
+                         "args": [self._tree, c, a, pos, bool(outer)]}
+        return out
 
     # -- reductions over whole table -----------------------------------------
     def count(self) -> "Reduction":
@@ -1144,7 +1203,19 @@ def by(grouper, **reductions: Reduction) -> Table:
     else:
         raise TypeError("grouper must be ColExpr, list thereof, or Table")
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return _derived(table.df.groupBy(*gcols).agg(*aggs), table)
+    out = _derived(table.df.groupBy(*gcols).agg(*aggs), table)
+    if table._tree is not None:
+        gs = ([grouper] if isinstance(grouper, ColExpr)
+              else list(grouper) if isinstance(grouper, (list, tuple))
+              else [table[c] for c in table.columns])
+        gts = [(g.name, g._tree) for g in gs]
+        rts = {n: r._tree for n, r in reductions.items()
+               if isinstance(r, Reduction)}
+        if len(rts) == len(reductions) and \
+                all(t is not None for _, t in gts) and \
+                all(t is not None for t in rts.values()):
+            out._tree = {"op": "by", "args": [table._tree, gts, rts]}
+    return out
 
 
 def count_values(col: ColExpr, sort: bool = True) -> Table:
@@ -1279,7 +1350,15 @@ def summary(**reductions: Reduction) -> Table:
     """Named multi-reduction record (blaze/expr/reductions.py:226-296)."""
     first = next(iter(reductions.values()))
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return _derived(first._table.df.agg(*aggs), first._table)
+    out = _derived(first._table.df.agg(*aggs), first._table)
+    tbl_tree = first._table._tree
+    if tbl_tree is not None:
+        rts = {n: r._tree for n, r in reductions.items()
+               if isinstance(r, Reduction)}
+        if len(rts) == len(reductions) and \
+                all(t is not None for t in rts.values()):
+            out._tree = {"op": "summary", "args": [tbl_tree, rts]}
+    return out
 
 
 def merge(*cols, **named) -> Table:

@@ -96,7 +96,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
 
     _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
                   "sort", "distinct", "relabel", "transform", "by",
-                  "summary", "join", "concat"}
+                  "summary", "join", "concat", "pivot", "unpivot",
+                  "explode"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -141,6 +142,17 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return join(child, right, *args[2:])
         if op == "concat":
             return concat(child, walk(args[1]))
+        if op == "pivot":
+            # args: [child, index_cols, pivot_col, values, {name: red_tree}]
+            reds = {n: _reduction(r, child) for n, r in args[4].items()}
+            return child.pivot(args[1], args[2], args[3], **reds)
+        if op == "unpivot":
+            # args: [child, ids, value_cols, var_name, value_name]
+            return child.unpivot(args[1], args[2], args[3], args[4])
+        if op == "explode":
+            # args: [child, col, alias, pos, outer]
+            return child.explode(args[1], alias=args[2], pos=args[3],
+                                 outer=args[4])
         raise ValueError(f"unknown table op: {op}")
 
     return walk(tree)

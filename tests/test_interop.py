@@ -92,10 +92,86 @@ def test_to_tree_roundtrip(spark, sf_dir):
 
 
 def test_to_tree_unserializable_raises(spark, sf_dir):
-    from blaze_spark import by, data
+    from blaze_spark import data
     from blaze_spark.interop import to_tree
 
     o = data(f"{sf_dir}/orders.parquet", spark=spark)
-    g = by(o.o_orderstatus, n=o.o_orderkey.nelements())
+    s = o.sample(frac=0.5, seed=1)  # random ops have no dialect form
     with pytest.raises(ValueError):
-        to_tree(g)
+        to_tree(s)
+
+
+def _roundtrip_equal(q, spark):
+    from blaze_spark.interop import from_tree, to_tree
+
+    tree = to_tree(q)
+    import json
+    json.dumps(tree)  # must be pure-JSON serializable (wire format)
+    rebuilt = from_tree(tree, spark=spark)
+    a = q.compute().reset_index(drop=True)
+    b = rebuilt.compute().reset_index(drop=True)
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    assert a.equals(b), f"\n{a}\nvs\n{b}"
+    return tree
+
+
+def test_to_tree_by_roundtrip(spark, sf_dir):
+    """by/summary/reductions now record their dialect form (ROADMAP r1 #3:
+    server round-trip parity beyond the projection/selection chain)."""
+    from blaze_spark import by, data
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    q = by(o.o_orderstatus, n=o.o_orderkey.nelements(),
+           total=o.o_totalprice.sum(), hi=o.o_totalprice.max())
+    tree = _roundtrip_equal(q, spark)
+    assert tree["op"] == "by"
+
+
+def test_to_tree_summary_roundtrip(spark, sf_dir):
+    from blaze_spark import data, summary
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    q = summary(n=o.o_orderkey.count(), avg=o.o_totalprice.mean())
+    assert _roundtrip_equal(q, spark)["op"] == "summary"
+
+
+def test_to_tree_distinct_relabel_transform_roundtrip(spark, sf_dir):
+    from blaze_spark import data
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    q = (o[["o_orderstatus", "o_orderpriority", "o_totalprice"]]
+         .transform(big=o.o_totalprice > 100000.0)
+         .relabel(o_orderstatus="status")
+         .distinct(on=["status", "o_orderpriority"]))
+    # dropDuplicates keeps an arbitrary row — compare keys only
+    from blaze_spark.interop import from_tree, to_tree
+
+    tree = to_tree(q)
+    rebuilt = from_tree(tree, spark=spark)
+    a = q.compute()[["status", "o_orderpriority"]].sort_values(
+        ["status", "o_orderpriority"]).reset_index(drop=True)
+    b = rebuilt.compute()[["status", "o_orderpriority"]].sort_values(
+        ["status", "o_orderpriority"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_to_tree_pivot_roundtrip(spark, sf_dir):
+    from blaze_spark import data
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark)
+    q = o.pivot("o_orderpriority", o.o_orderstatus, ["O", "F", "P"],
+                n=o.o_orderkey.nelements())
+    assert _roundtrip_equal(q, spark)["op"] == "pivot"
+
+
+def test_to_tree_unpivot_explode_roundtrip(spark, sf_dir):
+    from blaze_spark import data
+
+    p = data(f"{sf_dir}/part.parquet", spark=spark)
+    q = p.head(20).unpivot("p_partkey", ["p_size", "p_retailprice"])
+    assert _roundtrip_equal(q, spark)["op"] == "unpivot"
+
+    e = data(f"{sf_dir}/embeddings.parquet", spark=spark)
+    q2 = e.head(3).explode("embedding", alias="dim", pos="i")
+    assert _roundtrip_equal(q2, spark)["op"] == "explode"
