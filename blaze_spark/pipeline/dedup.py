@@ -155,15 +155,54 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
-def _shingles(text: Column, k: int) -> Column:
-    """Word k-shingles as an array (JVM-side; no explode)."""
-    tokens = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(tokens) - F.lit(k - 1)
-    return F.when(
+def _shingle_hash_parts(df: DataFrame, text_col: str,
+                        k: int) -> tuple[DataFrame, Column]:
+    """Distinct k-shingle hashes per doc, as (step_df, array_expr) — the
+    caller composes the expression into its OWN select (inline into an
+    explode(), or alias it as an array column).
+
+    Two placement rules, both measured at sf1 (50k docs, warm, local[32];
+    PLANS.md "Shingle-hash placement"):
+
+    1. The TOKEN-hash array must be its own projection (``step_df``):
+       array higher-order functions are interpreted and Catalyst does not
+       CSE a transform() referenced five times inside the outer lambda —
+       inlined, the token hashes are re-derived per shingle and the plan
+       runs 4x slower than the k-word-string form it replaces.
+    2. The SHINGLE array expression must be composed inline into the
+       consuming select: projecting it to a column first and feeding
+       ``explode(col)`` measured 26 s vs 0.5 s for the identical inline
+       generator — 50x.
+
+    With both respected this is 3.8x faster than string shingles
+    (2.3 s -> 0.6 s): each token is hashed ONCE, and k consecutive
+    token-hashes combine as one xxhash64 TUPLE — no k-word string is ever
+    built.  Docs shorter than k tokens fall back to one whole-row hash."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    step = df.select(
+        "doc_id",
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("__th"))
+    th = F.col("__th")
+    n = F.size(th) - F.lit(k - 1)
+    shingle = F.when(
         n > 0,
-        F.transform(F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.pmod(F.xxhash64(*[th[i + j] for j in range(k)]),
+                             F.lit(_P))),
+    ).otherwise(F.array(F.pmod(F.xxhash64(
+        F.concat_ws(",", F.transform(th, lambda x: x.cast("string")))),
+        F.lit(_P))))
+    return step, F.array_distinct(shingle)
+
+
+def _shingle_hash_df(df: DataFrame, text_col: str, k: int,
+                     out: str = "sh") -> DataFrame:
+    """(doc_id, <out>: array<long>) — column form of the shingle hashes,
+    for consumers that JOIN on the array (ngram Jaccard).  Explode
+    consumers must inline via :func:`_shingle_hash_parts` (rule 2)."""
+    step, sh = _shingle_hash_parts(df, text_col, k)
+    return step.select("doc_id", sh.alias(out))
 
 
 def exact_dedup(t: Table, text_col: str = "text", id_col: str = "doc_id") -> Table:
@@ -190,9 +229,11 @@ def normalized_dedup(t: Table, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 32, shingle_k: int = 5,
                        seed: int = 42) -> Table:
-    """MinHash signature per document: shingle → xxhash64 → k universal-hash
-    permutations → per-permutation min.  Entirely array HOFs — the shingle
-    set never leaves the row."""
+    """MinHash signature per document: token-hash tuples → shingle hashes
+    (see :func:`_shingle_hash_parts`) → num_perm universal-hash
+    permutations → per-permutation min.  The shingle set never leaves the
+    row: the explode's generator is inlined, and map-side partial
+    aggregation collapses it back to one row per doc before the shuffle."""
     rng = random.Random(seed)
     a = [rng.randrange(1, _P) for _ in range(num_perm)]
     b = [rng.randrange(0, _P) for _ in range(num_perm)]
@@ -204,14 +245,12 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
     # Catalyst's map-side partial aggregation collapses the explosion back
     # to one row per doc before the shuffle; the shuffle carries
     # num_perm longs per doc.
-    hashes = F.array_distinct(
-        F.transform(_shingles(F.col(text_col), shingle_k),
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(_P))))
     # spread the per-row-heavy shingling across all cores: a small file
     # scans as one partition, and at scale this also levels doc-size skew
     src = _spread(
         t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
-    ex = src.select("doc_id", F.explode(hashes).alias("h"))
+    step, sh = _shingle_hash_parts(src, text_col, shingle_k)
+    ex = step.select("doc_id", F.explode(sh).alias("h"))
     # SQL-string expressions: one Py4J call per permutation (driver-side
     # plan-build cost; see simhash note)
     mins = [F.expr(f"min(((h * {a[j]}) + {b[j]}) % {_P})").alias(f"m{j}")
@@ -317,13 +356,7 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     hashes, joined twice against the docs table."""
     src = _spread(
         t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
-    docs = src.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(_shingles(F.col(text_col), shingle_k),
-                        lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    )
+    docs = _shingle_hash_df(src, text_col, shingle_k)
     c = candidates.df
     out = (
         c.join(docs.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
