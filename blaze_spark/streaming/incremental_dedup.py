@@ -53,6 +53,60 @@ from ..pipeline.dedup import minhash_signatures
 
 _PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
 
+# Signature-function format of this code.  Bump whenever the signature
+# computation changes (shingle hashing, permutation scheme): signatures
+# from different formats NEVER match, so probing an old store would
+# silently miss every cross-batch duplicate.  "2" = r5 token-hash tuple
+# shingles (pipeline.dedup._shingle_hash_parts; "1" was k-word strings).
+_SIG_FORMAT = "2"
+
+
+def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
+    """Fail loudly on a store written by a different signature format;
+    stamp new stores.  Marker lives at ``<store>/_SIG_FORMAT`` (Hadoop FS
+    — works for remote schemes); best-effort when no JVM gateway."""
+    try:
+        fs, _ = _hadoop_fs(spark, store_path)
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            store_path.rstrip("/") + "/_SIG_FORMAT")
+        if fs.exists(marker):
+            stream = fs.open(marker)
+            try:
+                buf = []
+                b = stream.read()
+                while b != -1 and len(buf) < 16:
+                    buf.append(b & 0xFF)
+                    b = stream.read()
+                found = bytes(buf).decode("utf-8", "replace").strip()
+            finally:
+                stream.close()
+            if found != _SIG_FORMAT:
+                raise ValueError(
+                    f"signature store at {store_path!r} was written with "
+                    f"signature format {found!r}; this code produces format "
+                    f"{_SIG_FORMAT!r} — probing would silently miss every "
+                    "cross-batch duplicate.  Rebuild the store (re-ingest) "
+                    "or pin the engine version that wrote it.")
+        elif has_existing:
+            raise ValueError(
+                f"signature store at {store_path!r} has ingest batches but "
+                "no _SIG_FORMAT marker (pre-r5 store, k-word-string "
+                f"shingles); this code produces format {_SIG_FORMAT!r} — "
+                "rebuild the store (re-ingest) or pin the engine version "
+                "that wrote it.")
+        else:
+            out = fs.create(marker, True)
+            try:
+                out.write(bytearray(_SIG_FORMAT.encode()))
+            finally:
+                out.close()
+    except ValueError:
+        raise
+    except Exception:
+        # no JVM gateway (Connect) or FS quirk: marker is best-effort
+        pass
+
 
 from ..fsutil import hadoop_fs as _hadoop_fs
 from ..fsutil import is_local_path
@@ -147,6 +201,7 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     # accident); probing below uses only _SUCCESS-complete dirs
     all_ids = _ingest_ids(spark, store_path)
     existing = _ingest_ids(spark, store_path, complete_only=True)
+    _check_sig_format(spark, store_path, has_existing=bool(all_ids))
     if batch_id is None:
         batch_id = (max(all_ids) + 1) if all_ids else 0
     sigs = minhash_signatures(batch, text_col, id_col, num_perm,
@@ -268,6 +323,12 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
     (df.repartition(files_per_band, "band")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{tmp}/ingest={keep}"))
+    # carry the signature-format stamp into the rewritten store (the swap
+    # would otherwise orphan it and the next process_batch would refuse a
+    # marker-less non-empty store)
+    src_marker = os.path.join(store_path.rstrip("/"), "_SIG_FORMAT")
+    if os.path.exists(src_marker):
+        shutil.copy(src_marker, os.path.join(tmp, "_SIG_FORMAT"))
     # swap: the store is an index rebuildable from the corpus, so the
     # non-transactional window here loses at most availability, not data
     old = store_path.rstrip("/") + ".old"

@@ -303,3 +303,36 @@ def test_stream_ntz_schema_normalized(spark, tmp_path):
     agg.to_memory("ntz_stream_check")
     out = spark.table("ntz_stream_check").toPandas()
     assert out.n.sum() == 2
+
+
+def test_incremental_store_sig_format_guard(spark, tmp_path):
+    """r5 changed the shingle-hash function: signatures from a pre-r5
+    store never match new ones, so probing would silently miss every
+    cross-batch dup.  New stores get a _SIG_FORMAT stamp; a store with
+    batches but the wrong/missing stamp fails loudly."""
+    import pytest as _pytest
+
+    from blaze_spark import Table
+    from blaze_spark.streaming.incremental_dedup import (
+        _SIG_FORMAT, process_batch)
+
+    store = str(tmp_path / "store")
+    batch = Table(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "a completely different document about spark and parquet")],
+        "doc_id long, text string"))
+    process_batch(batch, store)
+    marker = tmp_path / "store" / "_SIG_FORMAT"
+    assert marker.read_text().strip() == _SIG_FORMAT
+
+    # simulate a store written by a different signature format (drop the
+    # Hadoop local-FS checksum shadow so the tampered marker stays readable)
+    marker.write_text("1")
+    (tmp_path / "store" / "._SIG_FORMAT.crc").unlink(missing_ok=True)
+    with _pytest.raises(ValueError, match="signature format"):
+        process_batch(batch, store, batch_id=1)
+
+    # missing marker on a non-empty store (pre-r5) also fails loudly
+    marker.unlink()
+    with _pytest.raises(ValueError, match="_SIG_FORMAT"):
+        process_batch(batch, store, batch_id=1)
