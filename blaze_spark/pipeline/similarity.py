@@ -52,24 +52,6 @@ def _signature_udf(planes: np.ndarray):
     return pandas_udf(_sig, "long")
 
 
-def _unrolled_dot(a_col: str, b_col: str, dim: int) -> Column:
-    """Codegen-friendly dot product for a KNOWN dim: one flat sum of
-    ``dim`` array-index products.  Catalyst higher-order functions
-    (aggregate/zip_with) are interpreted per element — on millions of
-    candidate pairs that measured ~10x slower than this unrolled form,
-    which whole-stage codegen compiles to straight-line Java.  Built as a
-    single SQL string: one Py4J round-trip regardless of dim."""
-    terms = "+".join(
-        f"CAST({a_col}[{i}] AS DOUBLE)*CAST({b_col}[{i}] AS DOUBLE)"
-        for i in range(dim))
-    return F.expr(terms)
-
-
-def _unrolled_norm(col: str, dim: int) -> Column:
-    """L2 norm via the unrolled self-dot (see :func:`_unrolled_dot`)."""
-    return F.sqrt(_unrolled_dot(col, col, dim))
-
-
 def _pair_cosine_udf():
     """Arrow-batched cosine for joined vector pairs — used on approximate
     (rows-only) paths.  The oracle-checked exact paths keep the JVM
@@ -104,7 +86,9 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
     of silently launching an all-pairs job; use :func:`lsh_cosine_topk` or
     :func:`ivf.ivf_topk` for large query sets (approximate, bucketed).
     Pass ``max_queries=None`` to skip the check (the count costs one cheap
-    ``limit(n+1)`` job).
+    ``limit(n+1)`` job).  ``dim`` is accepted for API compatibility but no
+    longer specializes the scoring (r5: the unrolled known-dim form lost
+    to the aggregate dot and was removed).
     """
     if max_queries is not None:
         probe = queries.df.select(id_col).limit(max_queries + 1).count()
@@ -114,18 +98,18 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 "brute-force scoring is corpus x queries. Use "
                 "lsh_cosine_topk/ivf_topk for large query sets, or pass "
                 "max_queries=None to force.")
-    nrm = (lambda col: _unrolled_norm(f"`{col}`", dim)) \
-        if dim is not None and dim <= 256 else (lambda col: _norm(F.col(col)))
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
-                          nrm(vec_col).alias("qn"))
+                          _norm(F.col(vec_col)).alias("qn"))
     c = corpus.df.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("cv"),
-                         nrm(vec_col).alias("cn"))
-    # known-dim dot is the unrolled codegen form (fp-identical to the
-    # interpreted aggregate(): both accumulate left-to-right in double)
-    dot = (_unrolled_dot("qv", "cv", dim) if dim is not None and dim <= 256
-           else _dot(F.col("qv"), F.col("cv")))
+                         _norm(F.col(vec_col)).alias("cn"))
+    # zip_with/aggregate dot: left-to-right double accumulation (DuckDB
+    # oracle-identical).  An unrolled per-index SQL form was tried and
+    # REVERTED: at dim=64 its 128-term expression tree leaves the codegen
+    # fast path and ran 3.5-4x slower than this one interpreted pass
+    # (measured at sf1, 100k and 723k pair shapes; r5).
+    dot = _dot(F.col("qv"), F.col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -232,9 +216,7 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
     quadratic scoring — the oracle path for small corpora."""
     c = corpus.df.select(F.col(id_col).alias("vid"),
                          F.col(vec_col).alias("v"),
-                         (_unrolled_norm(f"`{vec_col}`", dim)
-                          if dim is not None and dim <= 256
-                          else _norm(F.col(vec_col))).alias("n"))
+                         _norm(F.col(vec_col)).alias("n"))
     if not exact:
         # the LSH path reads the corpus repeatedly (param count, signature
         # pass, and the two vector re-joins) — persist ONCE, scoped to the
@@ -242,10 +224,7 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
         c = c.persist()
     if exact:
         l, r = c.alias("l"), c.alias("r")
-        cos = ((_unrolled_dot("l.v", "r.v", dim)
-                if dim is not None and dim <= 256
-                else _dot(F.col("l.v"), F.col("r.v")))
-               / (F.col("l.n") * F.col("r.n")))
+        cos = _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
         scored = l.join(r, F.col("l.vid") < F.col("r.vid")).select(
             F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
             cos.alias("cosine"))
@@ -295,17 +274,15 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
                          F.col("r.vid").alias("vec_b"))
                  .distinct())              # shuffle carries two ids per pair
         # norms computed ONCE per vector (N rows), carried as one double
-        # through the id-keyed joins; the per-pair dot is unrolled JVM
-        # codegen for known dims, Arrow-batched numpy otherwise
+        # through the id-keyed joins; the per-pair dot is the zip_with/
+        # aggregate form (see cosine_topk's note — the unrolled SQL
+        # variant measured 3.5x slower and was reverted in r5)
         av = c.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
                       F.col("n").alias("na"))
         bv = c.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
                       F.col("n").alias("nb"))
         joined = pairs.join(av, "vec_a").join(bv, "vec_b")
-        if dim is not None and dim <= 256:
-            cos = _unrolled_dot("va", "vb", dim) / (F.col("na") * F.col("nb"))
-        else:
-            cos = _pair_cosine_udf()(F.col("va"), F.col("vb"))
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         scored = (joined.withColumn("cosine", cos)
                   .select("vec_a", "vec_b", "cosine"))
     out = scored.filter(F.col("cosine") >= threshold)
