@@ -1480,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_style_top_supplier": q15_style_top_supplier,
         "q18_style_large_orders": q18_style_large_orders,
         "q21_style_exists_chain": q21_style_exists_chain,
+        "lag_events": lag_events,
+        "running_total_events": running_total_events,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
         "intdiv_mod_buckets": intdiv_mod_buckets,
@@ -1502,8 +1504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": anti_join_customers,
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
-        "math_parts": math_parts,
-        "string_funcs": string_funcs,
         "like_glob_filter": like_glob_filter,
         "datetime_parts": datetime_parts,
         "monthly_orders": monthly_orders,
@@ -1518,8 +1518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": cube_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
         "union_distinct_regions": union_distinct_regions,
-        "lag_events": lag_events,
-        "running_total_events": running_total_events,
+        # drift-immune (no timestamps) — below the ~50 sample boundary is
+        # fine; still covered by tools/check_oracles.py full-registry runs
+        "math_parts": math_parts,
+        "string_funcs": string_funcs,
         # -- r1/r2-era rows-only + r3 additions (pre/mid-drift) ---------------
         "incremental_dedup_batches": incremental_dedup_batches,
         "dedup_cluster_canonical": dedup_cluster_canonical,
