@@ -175,3 +175,64 @@ def test_to_tree_unpivot_explode_roundtrip(spark, sf_dir):
     e = data(f"{sf_dir}/embeddings.parquet", spark=spark)
     q2 = e.head(3).explode("embedding", alias="dim", pos="i")
     assert _roundtrip_equal(q2, spark)["op"] == "explode"
+
+
+def test_fuzz_tree_roundtrip(spark, sf_dir):
+    """Property: for randomly composed chains of recorded ops, the engine
+    result and the from_tree(to_tree(q)) result agree (hypothesis over the
+    op sequence; r5 widened the recorded set to the full core surface)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from blaze_spark import by, data
+    from blaze_spark.interop import from_tree, to_tree
+
+    ops = st.lists(
+        st.sampled_from(["filter", "project", "transform", "relabel",
+                         "distinct", "sort_head"]),
+        min_size=1, max_size=4)
+
+    @given(seq=ops, thr=st.floats(min_value=1e4, max_value=4e5),
+           agg=st.booleans())
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(seq, thr, agg):
+        o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+        q = o
+        for op in seq:
+            cols = q.columns
+            if op == "filter" and "o_totalprice" in cols:
+                q = q[q.o_totalprice > thr]
+            elif op == "project" and {"o_orderkey", "o_orderstatus",
+                                      "o_totalprice"} <= set(cols):
+                q = q[["o_orderkey", "o_orderstatus", "o_totalprice"]]
+            elif op == "transform" and "o_totalprice" in cols:
+                q = q.transform(big=q.o_totalprice > 2 * thr)
+            elif op == "relabel" and "o_orderstatus" in cols:
+                q = q.relabel(o_orderstatus="status")
+            elif op == "distinct":
+                key = "o_orderstatus" if "o_orderstatus" in cols else \
+                    ("status" if "status" in cols else cols[0])
+                q = q.distinct(on=[key])
+            elif op == "sort_head" and "o_orderkey" in cols:
+                q = q.sort("o_orderkey").head(25)
+        if agg and "o_orderkey" in q.columns:
+            key = "o_orderstatus" if "o_orderstatus" in q.columns else None
+            if key:
+                q = by(q[key], n=q.o_orderkey.nelements())
+        tree = to_tree(q)
+        import json
+        json.dumps(tree)
+        rebuilt = from_tree(tree, spark=spark)
+        a = q.compute()
+        b = rebuilt.compute()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        # distinct(on) keeps an arbitrary row — compare key sets, else frames
+        if "distinct" in seq:
+            assert len(a) == len(b)
+        else:
+            assert a.equals(b), f"{seq}\n{a}\n{b}"
+
+    run()
