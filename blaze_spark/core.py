@@ -725,6 +725,14 @@ class Table:
                 pass
         return f"<Table {self._name}: {self.dshape}>"
 
+    def __dir__(self):
+        """Tab-completion over columns (reference Expr.__dir__,
+        blaze/expr/expressions.py:216-226): standard attributes plus every
+        column name that is a valid Python identifier."""
+        base = list(super().__dir__())
+        base.extend(c for c in self._df.columns if c.isidentifier())
+        return sorted(set(base))
+
     # -- field access (blaze/expr/expressions.py:362-456) --------------------
     def __getattr__(self, name: str):
         if not name.startswith("_") and name in self._df.columns:

@@ -639,3 +639,11 @@ def test_isin_large_set_composes_correctly(spark, monkeypatch):
     pred = t.id.isin(list(range(0, 20, 2))) & (t.par == 0)
     out = t[pred]
     assert sorted(r.id for r in out.df.collect()) == list(range(0, 20, 2))
+
+
+def test_dir_lists_columns(t):
+    """Tab-completion parity (reference Expr.__dir__): column names that
+    are valid identifiers appear in dir(table)."""
+    d = dir(t)
+    assert "amount" in d and "name" in d
+    assert "sort" in d  # regular methods still listed
