@@ -514,6 +514,50 @@ class ColExpr:
         from .functions.arrays import ArrayAccessor
         return ArrayAccessor(self)
 
+    # -- 1-D collection ops (reference: every expression is a collection —
+    #    Field[Selection] at blaze/expr/expressions.py:518-571; head/
+    #    distinct/sort lower through the 1-column table) -------------------
+    def __getitem__(self, key):
+        """1-D selection: ``t.amount[t.amount > 100]`` filters this
+        column by a boolean predicate sharing its table ancestry."""
+        if not isinstance(key, ColExpr):
+            raise TypeError(
+                "column selection expects a boolean ColExpr predicate "
+                "(e.g. t.amount[t.amount > 0]); use .arr for array "
+                "element access")
+        if not _s.is_boolean(key.dtype):
+            raise TypeError("selection predicate must be boolean")
+        if not self._table._shares_ancestor(key._table):
+            raise TypeError(
+                "selection predicate is built from a different table; "
+                "predicate and column must share a common ancestor")
+        filtered = self._table._new(self._table.df.filter(key.col))
+        return ColExpr(filtered, self._col, self._name, self.dtype)
+
+    def __iter__(self):
+        # reference parity (blaze/expr/expressions.py:209-214): iterating
+        # a lazy expression is an error; iterate the computed result
+        raise TypeError(
+            "iteration over a lazy column expression is not supported; "
+            "iterate the computed result: iter(col.compute())")
+
+    def head(self, n: int = 10) -> "ColExpr":
+        """First ``n`` values (in the table's current order)."""
+        limited = self._table._new(self._table.df.limit(n))
+        return ColExpr(limited, self._col, self._name, self.dtype)
+
+    def distinct(self) -> "ColExpr":
+        """Distinct values of this column (1-D distinct,
+        blaze/expr/collections.py:176-252)."""
+        tb = self.to_table().distinct()
+        return ColExpr(tb, F.col(self._name), self._name, self.dtype)
+
+    def sort(self, ascending: bool = True) -> "ColExpr":
+        """This column's values sorted (1-D sort,
+        blaze/expr/collections.py:80-173)."""
+        tb = self.to_table().sort(self._name, ascending=ascending)
+        return ColExpr(tb, F.col(self._name), self._name, self.dtype)
+
     # -- interactive --------------------------------------------------------
     def to_table(self) -> "Table":
         return Table(self._table.df.select(self._col.alias(self._name)))
@@ -603,6 +647,52 @@ class Reduction:
 
     def __float__(self):
         return float(self.compute())
+
+    # -- scalar expression algebra (reference: reductions are 0-D exprs
+    #    composable with arithmetic, e.g. ``amount.sum() / amount.count()``
+    #    — blaze/expr/reductions.py + arithmetic dispatch).  Both sides
+    #    must reduce over the SAME underlying plan so the combination
+    #    stays ONE aggregation pass. -------------------------------------
+    def _combine(self, other, fn, name: str) -> "Reduction":
+        if isinstance(other, Reduction):
+            if other._table.df is not self._table.df:
+                raise TypeError(
+                    "cannot combine reductions over different tables in "
+                    "one scalar expression; compute them separately")
+            return Reduction(self._table, fn(self._agg, other._agg), name)
+        if isinstance(other, (int, float)) and not isinstance(other, bool):
+            return Reduction(self._table, fn(self._agg, F.lit(other)), name)
+        return NotImplemented
+
+    def __add__(self, o):
+        return self._combine(o, lambda a, b: a + b, f"{self._name}_add")
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._combine(o, lambda a, b: a - b, f"{self._name}_sub")
+
+    def __rsub__(self, o):
+        return self._combine(o, lambda a, b: b - a, f"{self._name}_rsub")
+
+    def __mul__(self, o):
+        return self._combine(o, lambda a, b: a * b, f"{self._name}_mul")
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        # NumPy promotion: / always lands in float64 (schema.py rules)
+        return self._combine(
+            o, lambda a, b: a.cast("double") / b.cast("double"),
+            f"{self._name}_div")
+
+    def __rtruediv__(self, o):
+        return self._combine(
+            o, lambda a, b: b.cast("double") / a.cast("double"),
+            f"{self._name}_rdiv")
+
+    def __neg__(self):
+        return Reduction(self._table, -self._agg, f"{self._name}_neg")
 
 
 class Table:
@@ -788,6 +878,13 @@ class Table:
             # without a preceding sort — same caveat the reference SQL
             # backend raises (blaze/compute/sql.py:1618-1652)
             start = key.start or 0
+            if start < 0 or (key.stop is not None and key.stop < 0):
+                # the reference's SQL backend raises the same refusal
+                # (blaze/compute/sql.py slice lowering): negative indices
+                # need the total length — a full count on unbounded data
+                raise ValueError(
+                    "negative slice indices are not supported on a lazy "
+                    "table; sort descending and take head(n) instead")
             step = key.step
             if step is not None and step < 1:
                 # the reference allows step "on many backends"; a negative

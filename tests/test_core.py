@@ -647,3 +647,37 @@ def test_dir_lists_columns(t):
     d = dir(t)
     assert "amount" in d and "name" in d
     assert "sort" in d  # regular methods still listed
+
+
+def test_column_1d_collection_ops(t):
+    """Reference parity: every expression is a collection — 1-D selection,
+    head, distinct, sort on a column (Field[Selection],
+    blaze/expr/expressions.py:518-571; collections head/distinct/sort)."""
+    assert sorted(t.amount[t.amount > 75].compute().amount) == [100, 200]
+    assert int(t.amount[t.amount > 75].count()) == 2
+    assert t.amount.sort().compute().amount.tolist() == [50, 100, 200]
+    assert sorted(t.name.distinct().compute().name) == ["Alice", "Bob"]
+    assert t.amount.distinct().sort().head(2).compute().amount.tolist() == [50, 100]
+    with pytest.raises(TypeError, match="boolean ColExpr"):
+        t.amount[0]
+    with pytest.raises(TypeError, match="iteration"):
+        iter(t.amount)
+
+
+def test_reduction_scalar_algebra(t):
+    """Reductions compose into scalar expressions — one aggregation pass
+    (reference: 0-D exprs with arithmetic, blaze/expr/reductions.py)."""
+    assert int(t.amount.sum() + 1) == 351
+    assert float(t.amount.sum() / t.amount.count()) == pytest.approx(350 / 3)
+    assert int(1000 - t.amount.sum()) == 650
+    assert int(-(-t.amount.sum())) == 350
+    assert int(2 * t.amount.max()) == 400
+    # different underlying plans refuse to combine
+    other = t[t.amount > 75]
+    with pytest.raises(TypeError, match="different tables"):
+        t.amount.sum() + other.amount.sum()
+
+
+def test_negative_slice_raises(t):
+    with pytest.raises(ValueError, match="negative slice"):
+        t[-2:]
