@@ -1089,6 +1089,24 @@ def asof_click_before_purchase(spark, sf_dir):
     return res[["event_id", "user_id", "prior_click_value"]].df
 
 
+def scalar_algebra_summary(spark, sf_dir):
+    """Reduction scalar algebra (r5): 0-D expressions composed with
+    arithmetic stay ONE aggregation pass — the manual mean (sum/count),
+    a range (max-min), and a scaled total land in a single .agg()."""
+    o = _t(spark, sf_dir, "orders")
+    price = o.o_totalprice
+    g = summary(
+        manual_mean=(price.sum() / price.count()),
+        price_range=(price.max() - price.min()),
+        half_total=(price.sum() / 2),
+    )
+    out = g.df
+    return out.select(
+        F.round("manual_mean", 4).alias("manual_mean"),
+        F.round("price_range", 4).alias("price_range"),
+        F.round("half_total", 4).alias("half_total"))
+
+
 def percentile_prices(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     g = o.df.groupBy("o_orderstatus").agg(
@@ -1469,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ---------------------------------------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
+        "scalar_algebra_summary": scalar_algebra_summary,
         # -- r1/r2-era: TPC-H core + op families (pre-drift, re-prove) --------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -1721,6 +1740,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name IN ('NATION_1','NATION_7','NATION_13','NATION_24')
             GROUP BY n_name
+        """,
+        "scalar_algebra_summary": """
+            SELECT round(sum(o_totalprice) / count(o_totalprice), 4) AS manual_mean,
+                   round(max(o_totalprice) - min(o_totalprice), 4) AS price_range,
+                   round(sum(o_totalprice) / 2, 4) AS half_total
+            FROM orders
         """,
         "isin_large_semijoin": """
             SELECT o_orderstatus, count(*) AS n,
