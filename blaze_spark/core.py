@@ -471,6 +471,16 @@ class ColExpr:
     def all(self):
         return self._red(F.bool_and(self._col), "all")
 
+    def truncate(self, *args, **kwargs):
+        """Dtype-dispatched truncate (reference: numeric
+        blaze/expr/math.py:123-135 ``x.truncate(10) == 120``; datetime
+        blaze/expr/datetime.py:221-360 ``ts.truncate(minutes=10)``)."""
+        if _s.is_datetime(self.dtype):
+            return self.dt.truncate(*args, **kwargs)
+        from .functions.math import truncate as _trunc
+
+        return _trunc(self, *args, **kwargs)
+
     def vnorm(self, ord: int = 2):
         # vector p-norm composed of primitives (blaze/expr/reductions.py:299-314)
         p = float(ord)

@@ -229,7 +229,15 @@ class DtAccessor:
 
     # DateTimeTruncate (datetime.py:203-254): measure=1 -> F.date_trunc;
     # general n*unit -> epoch floor arithmetic
-    def truncate(self, n: int = 1, unit: str = "day"):
+    def truncate(self, n: int = 1, unit: str = "day", **units):
+        """``truncate(10, "minutes")`` or the reference's kwargs dialect
+        ``truncate(minutes=10)`` (blaze/expr/datetime.py:221-360)."""
+        if units:
+            if len(units) != 1 or n != 1:
+                raise TypeError(
+                    "truncate takes either (n, unit) or ONE keyword like "
+                    "minutes=10")
+            unit, n = next(iter(units.items()))
         unit_l = unit.rstrip("s") if unit.endswith("s") else unit
         if n == 1 and unit_l in ("year", "month", "quarter", "week", "day",
                                  "hour", "minute", "second"):

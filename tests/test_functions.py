@@ -345,3 +345,25 @@ def test_slice_replace_negative_and_none(strs):
         exp = pdf.s.str.slice_replace(start, stop, "_")
         for i, v in exp.items():
             assert got[i] == v, (start, stop, pdf.s[i])
+
+
+def test_truncate_dtype_dispatch(spark):
+    """Expr.truncate dispatches on dtype (reference: numeric
+    blaze/expr/math.py:123-135, datetime blaze/expr/datetime.py:221-360 —
+    incl. the kwargs dialect truncate(minutes=10))."""
+    import datetime as dt
+
+    from blaze_spark import data, greatest, least, truncate
+
+    t = data([(123.0, dt.datetime(2024, 3, 4, 10, 37, 45))],
+             spark=spark, schema="x double, ts timestamp")
+    assert t.x.truncate(10).compute().iloc[0, 0] == 120
+    assert truncate(t.x, 50).compute().iloc[0, 0] == 100
+    got = t.ts.truncate(minutes=10).compute().iloc[0, 0]
+    assert got.minute == 30 and got.second == 0
+    assert t.ts.truncate(minutes=10).compute().equals(
+        t.ts.dt.truncate(10, "minutes").compute())
+    with pytest.raises(TypeError, match="ONE keyword"):
+        t.ts.truncate(minutes=10, hours=1)
+    assert greatest(t.x, 200.0).compute().iloc[0, 0] == 200.0
+    assert least(t.x, 50.0).compute().iloc[0, 0] == 50.0
