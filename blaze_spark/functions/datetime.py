@@ -165,6 +165,14 @@ class DtAccessor:
         return self._m((F.unix_micros(self._c) % 1_000_000).cast(T.LongType()),
                        "microsecond", T.LongType())
 
+    def nanosecond(self):
+        """Nanoseconds within the second (reference
+        blaze/expr/datetime.py:133).  Spark timestamps carry microsecond
+        precision, so this is the microsecond remainder scaled to ns —
+        the sub-microsecond part is always zero."""
+        return self._m(((F.unix_micros(self._c) % 1_000_000) * 1000)
+                       .cast(T.LongType()), "nanosecond", T.LongType())
+
     def date(self):
         return self._m(F.to_date(self._c), "date", T.DateType())
 

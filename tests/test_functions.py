@@ -367,3 +367,13 @@ def test_truncate_dtype_dispatch(spark):
         t.ts.truncate(minutes=10, hours=1)
     assert greatest(t.x, 200.0).compute().iloc[0, 0] == 200.0
     assert least(t.x, 50.0).compute().iloc[0, 0] == 50.0
+
+
+def test_dt_nanosecond(spark):
+    import datetime as dt
+
+    from blaze_spark import data
+
+    t = data([(dt.datetime(2024, 1, 1, 0, 0, 1, 123456),)],
+             spark=spark, schema="ts timestamp")
+    assert t.ts.dt.nanosecond().compute().iloc[0, 0] == 123456000
