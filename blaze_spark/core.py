@@ -1050,12 +1050,20 @@ class Table:
                 out._tree = {"op": "distinct", "args": [self._tree, list(on)]}
             return out
         order = keep_first_by if isinstance(keep_first_by, (list, tuple)) else [keep_first_by]
-        w = Window.partitionBy(*[_as_col(c) for c in on]).orderBy(
-            *[_as_col(c) for c in order])
+        # keep-first lowers to a min_by AGGREGATION, not a row_number
+        # window: an aggregation gets map-side partial merge, so a hot key
+        # (at 100 TB: one document duplicated across half the corpus, all
+        # landing on one fingerprint) combines locally instead of routing
+        # every copy to a single window task.  The struct comparison is
+        # lexicographic over the order keys — identical row choice to
+        # row_number()=1 whenever the order is total (add a unique
+        # tiebreaker key for determinism under ties, as with any sort).
+        row = F.min_by(
+            F.struct(*[F.col(c) for c in self._df.columns]),
+            F.struct(*[_as_col(c) for c in order]))
         return self._new(
-            self._df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn"))
+            self._df.groupBy(*[_as_col(c) for c in on])
+            .agg(row.alias("__r")).select("__r.*"))
 
     # -- whole-table Python escape hatch (Apply:
     #    blaze/expr/expressions.py:754-791; splittable=True == per-partition,
