@@ -681,3 +681,14 @@ def test_reduction_scalar_algebra(t):
 def test_negative_slice_raises(t):
     with pytest.raises(ValueError, match="negative slice"):
         t[-2:]
+
+
+def test_scalar_algebra_inside_by(t):
+    """Combined reductions are first-class aggregates — usable as by()
+    entries (manual per-group mean stays one agg pass)."""
+    from blaze_spark import by
+
+    out = {r[0]: r[1] for r in by(
+        t.name, avg_manual=t.amount.sum() / t.amount.count()).df.collect()}
+    assert out["Alice"] == pytest.approx(75.0)
+    assert out["Bob"] == pytest.approx(200.0)
