@@ -164,3 +164,15 @@ def test_cosine_topk_guards_large_query_side(star):
     e = star["embeddings"]
     with pytest.raises(ValueError, match="max_queries"):
         cosine_topk(e, e, k=2, max_queries=10)
+
+
+def test_keep_first_dedup_is_aggregation_not_window(spark, star):
+    """keep-first dedup must lower to a min_by aggregation (map-side
+    partial merge — skew-safe for hot dedup keys), never a row_number
+    window (routes every copy of a hot key to one task)."""
+    o = star["orders"]
+    kept = o.distinct(on="o_custkey",
+                      keep_first_by=["o_orderdate", "o_orderkey"])
+    plan = kept.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "min_by" in plan or "HashAggregate" in plan
