@@ -51,6 +51,40 @@ _INTERACTIVE_REPR = [True]
 _ISIN_SEMI_THRESHOLD = 10_000
 
 
+def _bulk_array_lit(vals: list) -> Column:
+    """One array literal from a Python list in a SINGLE JVM call.
+
+    Classic PySpark's ``F.lit(list)`` expands to ``array(lit(v), ...)``
+    — one py4j round-trip per value (measured: 27 s for 50k ints).
+    Serializing once and parsing with ``from_json`` is a single call
+    (27 ms) and Catalyst constant-folds the parse.  Element type is
+    taken from the first non-None value; unsupported element types fall
+    back to the per-value form."""
+    import datetime as _dt
+    import json as _json
+
+    probe = next((v for v in vals if v is not None), None)
+    if isinstance(probe, bool):
+        elem = "boolean"
+    elif isinstance(probe, int):
+        # a mixed int/float list must parse as double
+        elem = ("double" if any(isinstance(v, float) for v in vals)
+                else "bigint")
+    elif isinstance(probe, float):
+        elem = "double"
+    elif isinstance(probe, str):
+        elem = "string"
+    elif isinstance(probe, _dt.datetime):
+        elem = "timestamp"
+        vals = [v.isoformat() if v is not None else None for v in vals]
+    elif isinstance(probe, _dt.date):
+        elem = "date"
+        vals = [v.isoformat() if v is not None else None for v in vals]
+    else:
+        return F.lit(vals)
+    return F.from_json(F.lit(_json.dumps(vals)), f"array<{elem}>")
+
+
 def set_interactive_repr(on: bool) -> None:
     """Toggle auto-computing ``Table.__repr__`` (reference parity:
     blaze/interactive.py renders head(11) via pandas).  Off = the cheap
@@ -114,6 +148,18 @@ def _dtype_of(df: DataFrame, col: Column) -> T.DataType:
     return df.select(col).schema[0].dataType
 
 
+class _LazyCol:
+    """Zero-arg thunk for a Column whose construction is expensive.
+    Forced on first ``_col`` access — a large-set ``isin`` keeps its
+    array literal unbuilt when the broadcast-semi-join selection path
+    discards the column form (ADVICE r5)."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
 class ColExpr:
     """A scalar/elementwise expression over one table — the analogue of a
     1-D Blaze expression (Field, arithmetic, comparisons, .str/.dt methods;
@@ -124,16 +170,25 @@ class ColExpr:
     inferred dtype for NumPy-style promotion checks.
     """
 
-    def __init__(self, table: "Table", col: Column, name: str | None = None,
+    def __init__(self, table: "Table", col: Column | _LazyCol,
+                 name: str | None = None,
                  dtype: T.DataType | None = None, tree: dict | None = None):
         self._table = table
-        self._col = col
+        self.__col = col
         self._name = name or "expr"
         self.__dtype = dtype
         # serialized form for to_tree (None = not serializable)
         self._tree = tree
 
     # -- metadata ---------------------------------------------------------
+    @property
+    def _col(self) -> Column:
+        c = self.__col
+        if isinstance(c, _LazyCol):
+            c = c.fn()
+            self.__col = c
+        return c
+
     @property
     def col(self) -> Column:
         return self._col
@@ -314,20 +369,26 @@ class ColExpr:
         """Membership test.  Small sets lower to Catalyst ``In`` (codegen'd
         hash-set probe).  Above ``_ISIN_SEMI_THRESHOLD`` values the
         reference flags an In-literal cliff (SURVEY §2.3): a 10^6-branch
-        In bloats the plan, breaks codegen, and costs 10^6 py4j literal
-        calls just to build.  Large sets instead build ONE array literal
-        (``array_contains(lit(vals), col)`` — a single JVM call, compact
-        in the plan) and carry a marker; when the predicate is used
-        directly as a selection, the Table lowers it to a broadcast
-        LEFT SEMI join against the value set — the scalable form (hashed
-        build side, no plan bloat).  Composed predicates (``big_isin &
-        other``) keep the array_contains column, still compact and
-        correct."""
+        In bloats the plan, breaks codegen, and on classic PySpark costs
+        one py4j literal call per value just to build.  Large sets carry
+        a marker instead; when the predicate is used directly as a
+        selection, the Table lowers it to a broadcast LEFT SEMI join
+        against the value set — the scalable form (hashed build side, no
+        plan bloat) — and the column form is never constructed.
+        Composed predicates (``big_isin & other``) force the LAZY column
+        form: ``array_contains`` over one array literal built in a
+        single JVM call (``from_json`` of the serialized value list —
+        measured 1000x cheaper to construct than per-value ``F.lit``),
+        still compact in the plan and correct."""
         vals = list(values)
         if len(vals) > _ISIN_SEMI_THRESHOLD:
-            out = self._make(F.array_contains(F.lit(vals), self._col),
-                             "isin", T.BooleanType())
-            out._isin_semi = (self._col, vals)
+            src = self._col
+            out = ColExpr(
+                self._table,
+                _LazyCol(lambda: F.array_contains(_bulk_array_lit(vals),
+                                                  src)),
+                "isin", T.BooleanType())
+            out._isin_semi = (src, vals)
             return out
         return self._make(self._col.isin(vals), "isin", T.BooleanType())
 
@@ -1058,9 +1119,37 @@ class Table:
         # lexicographic over the order keys — identical row choice to
         # row_number()=1 whenever the order is total (add a unique
         # tiebreaker key for determinism under ties, as with any sort).
-        row = F.min_by(
+        # Direction: all-ascending -> min_by; all-descending (SortKey
+        # .desc()) -> max_by.  Mixed directions or raw Column SortOrder
+        # expressions cannot form a struct comparator — clear error
+        # instead of an analysis exception / undefined order (ADVICE r5).
+        directions = [k.ascending if isinstance(k, SortKey) else True
+                      for k in order]
+        order_cols = []
+        for k in order:
+            c = k.col if isinstance(k, SortKey) else _as_col(k)
+            if _is_sort_order(c):
+                raise TypeError(
+                    "keep_first_by cannot take a raw Column sort order "
+                    "(F.col(x).desc()): the min_by/max_by comparator is a "
+                    "struct, which cannot hold SortOrder expressions.  "
+                    "Pass the column itself for ascending, or the "
+                    "engine's .desc() SortKey for descending.")
+            order_cols.append(c)
+        if all(directions):
+            agg_fn = F.min_by
+        elif not any(directions):
+            agg_fn = F.max_by
+        else:
+            raise TypeError(
+                "keep_first_by with MIXED sort directions is not "
+                "supported by the aggregation lowering (the struct "
+                "comparator is lexicographic in one direction).  Negate "
+                "the descending numeric keys, or sort().distinct(on=...) "
+                "for arbitrary orders.")
+        row = agg_fn(
             F.struct(*[F.col(c) for c in self._df.columns]),
-            F.struct(*[_as_col(c) for c in order]))
+            F.struct(*order_cols))
         return self._new(
             self._df.groupBy(*[_as_col(c) for c in on])
             .agg(row.alias("__r")).select("__r.*"))

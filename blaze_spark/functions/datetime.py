@@ -166,12 +166,22 @@ class DtAccessor:
                        "microsecond", T.LongType())
 
     def nanosecond(self):
-        """Nanoseconds within the second (reference
-        blaze/expr/datetime.py:133).  Spark timestamps carry microsecond
-        precision, so this is the microsecond remainder scaled to ns —
-        the sub-microsecond part is always zero."""
+        """Sub-microsecond nanosecond component, 0-999 (reference
+        blaze/expr/datetime.py:133; pandas ``Series.dt.nanosecond``).
+        Spark timestamps carry microsecond precision, so this component
+        is always 0 — returned as a typed literal for parity rather
+        than pretending ns precision exists.  For nanoseconds *within
+        the second* use :meth:`nanoseconds_within_second`."""
+        return self._m(F.lit(0).cast(T.LongType()), "nanosecond",
+                       T.LongType())
+
+    def nanoseconds_within_second(self):
+        """Extension (not in the reference): the sub-second part of the
+        timestamp expressed in nanoseconds (microsecond remainder
+        scaled by 1000, since Spark stores microseconds)."""
         return self._m(((F.unix_micros(self._c) % 1_000_000) * 1000)
-                       .cast(T.LongType()), "nanosecond", T.LongType())
+                       .cast(T.LongType()), "nanoseconds_within_second",
+                       T.LongType())
 
     def date(self):
         return self._m(F.to_date(self._c), "date", T.DateType())

@@ -61,10 +61,34 @@ _PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
 _SIG_FORMAT = "2"
 
 
+def _mismatch_err(store_path: str, found: str) -> ValueError:
+    return ValueError(
+        f"signature store at {store_path!r} was written with "
+        f"signature format {found!r}; this code produces format "
+        f"{_SIG_FORMAT!r} — probing would silently miss every "
+        "cross-batch duplicate.  Rebuild the store (re-ingest) "
+        "or pin the engine version that wrote it.")
+
+
+def _unmarked_err(store_path: str) -> ValueError:
+    return ValueError(
+        f"signature store at {store_path!r} has ingest batches but "
+        "no _SIG_FORMAT marker (pre-r5 store, k-word-string "
+        f"shingles); this code produces format {_SIG_FORMAT!r} — "
+        "rebuild the store (re-ingest) or pin the engine version "
+        "that wrote it.")
+
+
 def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
     """Fail loudly on a store written by a different signature format;
-    stamp new stores.  Marker lives at ``<store>/_SIG_FORMAT`` (Hadoop FS
-    — works for remote schemes); best-effort when no JVM gateway."""
+    stamp new stores.  Marker lives at ``<store>/_SIG_FORMAT``.
+
+    Three tiers, so the guard never silently no-ops (ADVICE r5):
+    Hadoop FS via the JVM gateway (any scheme), plain file IO for local
+    paths on gateway-less sessions (Spark Connect), and a
+    ``spark.read.text`` probe for remote stores on Connect — where the
+    marker cannot be *written*, a ``warnings.warn`` records that the
+    store is left unstamped rather than pretending it was checked."""
     try:
         fs, _ = _hadoop_fs(spark, store_path)
         jvm = spark._jvm
@@ -82,30 +106,60 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
             finally:
                 stream.close()
             if found != _SIG_FORMAT:
-                raise ValueError(
-                    f"signature store at {store_path!r} was written with "
-                    f"signature format {found!r}; this code produces format "
-                    f"{_SIG_FORMAT!r} — probing would silently miss every "
-                    "cross-batch duplicate.  Rebuild the store (re-ingest) "
-                    "or pin the engine version that wrote it.")
+                raise _mismatch_err(store_path, found)
         elif has_existing:
-            raise ValueError(
-                f"signature store at {store_path!r} has ingest batches but "
-                "no _SIG_FORMAT marker (pre-r5 store, k-word-string "
-                f"shingles); this code produces format {_SIG_FORMAT!r} — "
-                "rebuild the store (re-ingest) or pin the engine version "
-                "that wrote it.")
+            raise _unmarked_err(store_path)
         else:
             out = fs.create(marker, True)
             try:
                 out.write(bytearray(_SIG_FORMAT.encode()))
             finally:
                 out.close()
+        return
     except ValueError:
         raise
     except Exception:
-        # no JVM gateway (Connect) or FS quirk: marker is best-effort
-        pass
+        pass  # no JVM gateway (Connect) — fall through to API-only tiers
+
+    if is_local_path(store_path):
+        import os
+        from urllib.parse import urlparse
+        local = urlparse(store_path).path or store_path
+        marker_p = os.path.join(local, "_SIG_FORMAT")
+        if os.path.exists(marker_p):
+            with open(marker_p, encoding="utf-8") as fh:
+                found = fh.read(16).strip()
+            if found != _SIG_FORMAT:
+                raise _mismatch_err(store_path, found)
+        elif has_existing:
+            raise _unmarked_err(store_path)
+        else:
+            os.makedirs(local, exist_ok=True)
+            with open(marker_p, "w", encoding="utf-8") as fh:
+                fh.write(_SIG_FORMAT)
+        return
+
+    # Remote store without a gateway: the marker can still be READ
+    # through the Spark API (text source reads a single file).
+    try:
+        rows = spark.read.text(
+            store_path.rstrip("/") + "/_SIG_FORMAT").collect()
+        found = next((r[0].strip() for r in rows if r[0].strip()), "")
+        if found != _SIG_FORMAT:
+            raise _mismatch_err(store_path, found)
+        return
+    except ValueError:
+        raise
+    except Exception:
+        pass  # marker absent (or unreadable)
+    if has_existing:
+        raise _unmarked_err(store_path)
+    import warnings
+    warnings.warn(
+        f"signature store at {store_path!r}: no JVM gateway and remote "
+        "scheme — the _SIG_FORMAT marker cannot be written from this "
+        "session; the store is left unstamped and future format checks "
+        "will treat it as pre-versioned.", stacklevel=3)
 
 
 from ..fsutil import hadoop_fs as _hadoop_fs

@@ -188,6 +188,22 @@ def test_distinct_on_keep_first(t):
     assert rows(out) == [("Alice", 100, 1), ("Bob", 200, 2)]
 
 
+def test_distinct_keep_last_via_desc_sortkey(t):
+    # SortKey .desc() order keys lower to max_by — keep-LAST semantics
+    out = t.distinct(on="name", keep_first_by=t.id.desc())
+    assert rows(out) == [("Alice", 50, 3), ("Bob", 200, 2)]
+
+
+def test_distinct_keep_first_rejects_bad_order_keys(t):
+    # mixed ascending/descending cannot form one struct comparator
+    with pytest.raises(TypeError, match="MIXED sort directions"):
+        t.distinct(on="name", keep_first_by=[t.id.asc(), t.amount.desc()])
+    # raw Column SortOrder would be an analysis error inside struct —
+    # caught up front with a pointer to SortKey
+    with pytest.raises(TypeError, match="SortKey"):
+        t.distinct(on="name", keep_first_by=F.col("id").desc())
+
+
 def test_slice(t):
     sliced = t.sort(t.id)[1:3]
     assert len(sliced) == 2
@@ -639,6 +655,40 @@ def test_isin_large_set_composes_correctly(spark, monkeypatch):
     pred = t.id.isin(list(range(0, 20, 2))) & (t.par == 0)
     out = t[pred]
     assert sorted(r.id for r in out.df.collect()) == list(range(0, 20, 2))
+
+
+def test_isin_large_set_literal_is_lazy(spark, monkeypatch):
+    """The array-literal column form of a large isin is built lazily and
+    in one JVM call: the direct-selection (semi-join) path must never
+    construct it (ADVICE r5 — per-value F.lit costs ~27 s at 50k)."""
+    from blaze_spark import core, data
+    from blaze_spark.core import _LazyCol
+
+    t = data([(i,) for i in range(30)], spark=spark, schema="id long")
+    monkeypatch.setattr(core, "_ISIN_SEMI_THRESHOLD", 10)
+    pred = t.id.isin(list(range(0, 60, 2)))
+    assert isinstance(pred._ColExpr__col, _LazyCol)
+    sel = t[pred]  # semi-join path discards the column form
+    assert isinstance(pred._ColExpr__col, _LazyCol), \
+        "selection path must not force the array literal"
+    assert sorted(r.id for r in sel.df.collect()) == list(range(0, 30, 2))
+    # forcing the column (composition) builds via ONE from_json literal
+    composed = t[pred & (t.id < 10)]
+    assert sorted(r.id for r in composed.df.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_bulk_array_lit_types(spark):
+    from blaze_spark.core import _bulk_array_lit
+
+    df = spark.range(1)
+    strs = df.select(_bulk_array_lit(["a", "b"]).alias("v")).first()[0]
+    assert strs == ["a", "b"]
+    mixed = df.select(_bulk_array_lit([1, 2.5]).alias("v")).first()[0]
+    assert mixed == [1.0, 2.5]
+    import datetime as dt
+    dates = df.select(
+        _bulk_array_lit([dt.date(2024, 1, 2)]).alias("v")).first()[0]
+    assert dates == [dt.date(2024, 1, 2)]
 
 
 def test_dir_lists_columns(t):

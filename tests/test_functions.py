@@ -376,4 +376,8 @@ def test_dt_nanosecond(spark):
 
     t = data([(dt.datetime(2024, 1, 1, 0, 0, 1, 123456),)],
              spark=spark, schema="ts timestamp")
-    assert t.ts.dt.nanosecond().compute().iloc[0, 0] == 123456000
+    # pandas parity: nanosecond is the 0-999 sub-microsecond component,
+    # always 0 at Spark's microsecond precision
+    assert t.ts.dt.nanosecond().compute().iloc[0, 0] == 0
+    assert (t.ts.dt.nanoseconds_within_second().compute().iloc[0, 0]
+            == 123456000)

@@ -336,3 +336,31 @@ def test_incremental_store_sig_format_guard(spark, tmp_path):
     marker.unlink()
     with _pytest.raises(ValueError, match="_SIG_FORMAT"):
         process_batch(batch, store, batch_id=1)
+
+
+def test_sig_format_guard_without_jvm_gateway(spark, tmp_path, monkeypatch):
+    """ADVICE r5: on gateway-less sessions (Spark Connect) the guard must
+    still stamp/check local stores via plain file IO, not silently no-op."""
+    import pytest as _pytest
+
+    from blaze_spark.streaming import incremental_dedup as inc
+
+    def _no_gateway(spark, path):
+        raise RuntimeError("no JVM gateway (Connect)")
+
+    monkeypatch.setattr(inc, "_hadoop_fs", _no_gateway)
+    store = str(tmp_path / "store")
+    # fresh store: stamped through the local-path fallback
+    inc._check_sig_format(spark, store, has_existing=False)
+    marker = tmp_path / "store" / "_SIG_FORMAT"
+    assert marker.read_text().strip() == inc._SIG_FORMAT
+    # matching stamp passes
+    inc._check_sig_format(spark, store, has_existing=True)
+    # mismatched stamp still fails loudly with no gateway
+    marker.write_text("0")
+    with _pytest.raises(ValueError, match="signature format"):
+        inc._check_sig_format(spark, store, has_existing=True)
+    # unmarked non-empty store fails loudly with no gateway
+    marker.unlink()
+    with _pytest.raises(ValueError, match="_SIG_FORMAT"):
+        inc._check_sig_format(spark, store, has_existing=True)
