@@ -10,12 +10,17 @@ deployment would call image/audio codecs.
 
 from .dedup import (  # noqa: F401
     exact_dedup,
+    exact_jaccard_pairs,
     normalized_dedup,
     minhash_signatures,
     minhash_candidates,
     simhash,
     simhash_candidates,
     ngram_jaccard_pairs,
+)
+from .recall import (  # noqa: F401
+    pair_recall,
+    topk_recall,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

@@ -155,8 +155,8 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
-def _shingle_hash_parts(df: DataFrame, text_col: str,
-                        k: int) -> tuple[DataFrame, Column]:
+def _shingle_hash_parts(df: DataFrame, text_col: str, k: int,
+                        reduce_mod_p: bool = True) -> tuple[DataFrame, Column]:
     """Distinct k-shingle hashes per doc, as (step_df, array_expr) — the
     caller composes the expression into its OWN select (inline into an
     explode(), or alias it as an array column).
@@ -177,31 +177,42 @@ def _shingle_hash_parts(df: DataFrame, text_col: str,
     With both respected this is 3.8x faster than string shingles
     (2.3 s -> 0.6 s): each token is hashed ONCE, and k consecutive
     token-hashes combine as one xxhash64 TUPLE — no k-word string is ever
-    built.  Docs shorter than k tokens fall back to one whole-row hash."""
+    built.  Docs shorter than k tokens fall back to one whole-row hash.
+
+    ``reduce_mod_p`` applies ``pmod(_, _P)`` so values fit the universal
+    hash family the minhash permutations need.  Consumers that COMPARE
+    shingle sets directly (exact-Jaccard verification) must pass False:
+    reducing 64-bit hashes to 2^31-1 space materially raises collision
+    probability — two ~10k-shingle docs would see ~50 expected spurious
+    intersections, inflating Jaccard scores (ADVICE r5)."""
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     step = df.select(
         "doc_id",
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("__th"))
     th = F.col("__th")
     n = F.size(th) - F.lit(k - 1)
+
+    def _h(c: Column) -> Column:
+        return F.pmod(c, F.lit(_P)) if reduce_mod_p else c
+
     shingle = F.when(
         n > 0,
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: F.pmod(F.xxhash64(*[th[i + j] for j in range(k)]),
-                             F.lit(_P))),
-    ).otherwise(F.array(F.pmod(F.xxhash64(
-        F.concat_ws(",", F.transform(th, lambda x: x.cast("string")))),
-        F.lit(_P))))
+            lambda i: _h(F.xxhash64(*[th[i + j] for j in range(k)]))),
+    ).otherwise(F.array(_h(F.xxhash64(
+        F.concat_ws(",", F.transform(th, lambda x: x.cast("string")))))))
     return step, F.array_distinct(shingle)
 
 
 def _shingle_hash_df(df: DataFrame, text_col: str, k: int,
                      out: str = "sh") -> DataFrame:
-    """(doc_id, <out>: array<long>) — column form of the shingle hashes,
-    for consumers that JOIN on the array (ngram Jaccard).  Explode
-    consumers must inline via :func:`_shingle_hash_parts` (rule 2)."""
-    step, sh = _shingle_hash_parts(df, text_col, k)
+    """(doc_id, <out>: array<long>) — column form of the UNREDUCED 64-bit
+    shingle hashes, for consumers that compare/intersect the sets (ngram
+    Jaccard verification — full 64-bit space keeps spurious-intersection
+    probability negligible).  Explode consumers must inline via
+    :func:`_shingle_hash_parts` (rule 2)."""
+    step, sh = _shingle_hash_parts(df, text_col, k, reduce_mod_p=False)
     return step.select("doc_id", sh.alias(out))
 
 
@@ -372,6 +383,51 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     # the candidate side may carry a scoped signature cache — keep it
     # alive until THIS result is dropped (chained-op propagation)
     return Table(carry_caches(out, c), "ngram_jaccard_pairs")
+
+
+def exact_jaccard_pairs(t: Table, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        min_jaccard: float = 0.8,
+                        max_shingle_df: int | None = None) -> Table:
+    """ALL-pairs exact shingle-set Jaccard ``>= min_jaccard`` — the
+    ground-truth path for the recall contracts (differential scheme,
+    reference blaze/compute/tests/test_comprehensive.py:65-153).
+
+    Restricting to pairs that share >= 1 shingle is EXACT for any
+    ``min_jaccard > 0`` (disjoint shingle sets have Jaccard 0), so
+    candidates come from an equi-join on shingle hash: cost is
+    ``sum_h df(h)^2`` over shingle document frequencies — not N² — but
+    quadratic in a hot shingle's df, so this is a verification-scale
+    tool (the recall harness runs it at sf0.01's hundreds of docs).
+    ``max_shingle_df`` optionally drops shingles above a df cap to
+    bound the blowup (small under-count bias on affected pairs — leave
+    None when used as ground truth).  Shingle hashes are the UNREDUCED
+    64-bit form (see :func:`_shingle_hash_df`)."""
+    src = _spread(
+        t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
+    docs = _shingle_hash_df(src, text_col, shingle_k).persist()
+    sizes = docs.select("doc_id", F.size("sh").alias("sz"))
+    ex = docs.select("doc_id", F.explode("sh").alias("h"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("h"))
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    inter = (ex.alias("a").join(ex.alias("b"), "h")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a",
+                                           "sz": "sz_a"}), "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b",
+                                           "sz": "sz_b"}), "doc_b")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= min_jaccard)
+           .select("doc_a", "doc_b",
+                   F.round("jaccard", 4).alias("jaccard")))
+    return scoped_persist(Table(out, "exact_jaccard_pairs"), docs)
 
 
 def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id",

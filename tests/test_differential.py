@@ -118,3 +118,96 @@ def test_distinct_and_filter_properties(spark, rows, frac):
     expected = [r for r in rows if r[1] > cutoff]
     assert filtered.nrows() == len(expected)
     assert t[["name"]].distinct().nrows() == len({r[0] for r in rows})
+
+
+# ---------------------------------------------------------------------------
+# Recall contracts for the approximate operators (VERDICT r5 #1): ground
+# truth from the oracle-checked exact paths at fixed seeds; assert the
+# design-target recall the auto-sizing formulas promise.
+# ---------------------------------------------------------------------------
+
+RECALL_SF = "/root/testdata/sf0.01"
+
+
+def _recall_row(spark, name):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()[name](spark, RECALL_SF).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_recall_minhash_lsh(spark):
+    """Band-collision design: 1-(1-s^4)^8 = 0.985 at s=0.8, ~1.0 above
+    0.9 — assert >= 0.9 over the s>=0.8 truth band (measured: 1.0)."""
+    r = _recall_row(spark, "recall_minhash_lsh")
+    assert r.n_true >= 50, "planted near-dups must appear in the truth set"
+    assert r.recall >= 0.9, r
+    assert r.precision >= 0.9, r
+
+
+def test_recall_simhash_exact_dups(spark):
+    """Pigeonhole guarantee: identical-text pairs (Hamming 0) must ALL be
+    found — recall exactly 1.0; precision < 1 is by design (the operator
+    also surfaces near-identical pairs)."""
+    r = _recall_row(spark, "recall_simhash")
+    assert r.n_true >= 50
+    assert r.recall == 1.0, r
+
+
+def test_recall_embedding_lsh(spark):
+    """lsh_auto_params sizes tables for recall >= 0.95 at the design
+    cosine 0.95; planted pairs sit at ~0.998 where collision probability
+    is higher still (measured: 1.0)."""
+    r = _recall_row(spark, "recall_embedding_lsh")
+    assert r.n_true >= 50
+    assert r.recall >= 0.95, r
+
+
+def test_recall_ivf_topk(spark):
+    """No closed-form target for IVF — assert the measured floor at the
+    nprobe=4/8 operating point (measured: 0.85) with margin."""
+    r = _recall_row(spark, "recall_ivf_topk")
+    assert r.n_true == 200  # 20 queries x k=10
+    assert r.recall >= 0.6, r
+
+
+def test_ivf_exhaustive_probe_recovers_exact(spark):
+    """Probing every cell makes IVF exhaustive — recall@k must be ~1.0
+    vs brute force (only near-tie ranking flips from float summation
+    order can differ)."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import cosine_topk, topk_recall
+    from blaze_spark.pipeline.ivf import ivf_topk, kmeans_fit
+
+    e = data(f"{RECALL_SF}/embeddings.parquet", spark=spark)
+    centroids = kmeans_fit(e, k=8, iters=3)
+    queries = Table(e.df.filter(F.col("vec_id") < 20))
+    truth = cosine_topk(e, queries, k=10)
+    found = ivf_topk(e, queries, centroids, k=10, nprobe=8)
+    r = topk_recall(truth, found).df.collect()[0]
+    assert r.recall >= 0.99, r
+
+
+def test_exact_jaccard_pairs_closed_form(spark):
+    """Ground-truth generator sanity: two docs built to share exactly
+    half their shingles score the closed-form Jaccard."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import exact_jaccard_pairs
+
+    # doc1: tokens a0..a9 -> 6 5-shingles; doc2 shares the last 5 tokens
+    # plus 5 new -> shared shingle = the one fully inside the overlap?
+    # Use explicit construction: doc2 = a5..a9 b0..b4 -> its first
+    # shingle (a5..a9) equals doc1's last shingle -> inter=1,
+    # |A|=6, |B|=6, union=11 -> jaccard=1/11
+    d1 = " ".join(f"a{i}" for i in range(10))
+    d2 = " ".join([f"a{i}" for i in range(5, 10)]
+                  + [f"b{i}" for i in range(5)])
+    t = Table(spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"))
+    out = exact_jaccard_pairs(t, min_jaccard=0.01).df.collect()
+    assert len(out) == 1
+    assert out[0].doc_a == 1 and out[0].doc_b == 2
+    assert abs(out[0].jaccard - 1 / 11) < 1e-4
