@@ -46,30 +46,39 @@ def kmeans_fit(corpus: Table, k: int = 16, iters: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
                seed: int = 42) -> np.ndarray:
     """Lloyd's k-means over the embedding column; returns (k, dim) centroid
-    matrix.  Deterministic init: the k rows with smallest ids."""
+    matrix.  Deterministic init: the k rows with smallest ids.
+
+    The vector column is persisted ONCE before the loop (VERDICT r5 #6):
+    each Lloyd iteration re-reads it for the assign UDF, so without the
+    persist a 5-iteration fit is 5 full corpus scans — at 100 TB that is
+    the difference between one materialization and five.  Released in a
+    ``finally`` so a failed iteration never leaks executor memory."""
     init = (corpus.df.orderBy(id_col).limit(k)
             .select(vec_col).toPandas()[vec_col])
     centroids = np.stack(init.to_numpy()).astype(np.float64)
 
-    for _ in range(iters):
-        assigned = corpus.df.select(
-            F.col(vec_col).alias("v"),
-            _assign_udf(centroids)(F.col(vec_col)).alias("cell"))
+    vecs = corpus.df.select(F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(iters):
+            assigned = vecs.select(
+                "v", _assign_udf(centroids)(F.col("v")).alias("cell"))
 
-        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(pdf.v.to_numpy()).astype(np.float64)
-            return pd.DataFrame({"cell": [int(pdf.cell.iloc[0])],
-                                 "centroid": [m.mean(axis=0).tolist()]})
+            def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+                m = np.stack(pdf.v.to_numpy()).astype(np.float64)
+                return pd.DataFrame({"cell": [int(pdf.cell.iloc[0])],
+                                     "centroid": [m.mean(axis=0).tolist()]})
 
-        means = (assigned.groupBy("cell")
-                 .applyInPandas(_mean, "cell int, centroid array<double>")
-                 .toPandas())
-        new = centroids.copy()
-        for _, row in means.iterrows():
-            new[int(row.cell)] = np.array(row.centroid)
-        if np.allclose(new, centroids, atol=1e-9):
-            break
-        centroids = new
+            means = (assigned.groupBy("cell")
+                     .applyInPandas(_mean, "cell int, centroid array<double>")
+                     .toPandas())
+            new = centroids.copy()
+            for _, row in means.iterrows():
+                new[int(row.cell)] = np.array(row.centroid)
+            if np.allclose(new, centroids, atol=1e-9):
+                break
+            centroids = new
+    finally:
+        vecs.unpersist()
     return centroids
 
 

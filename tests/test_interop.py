@@ -76,6 +76,33 @@ def test_cached_table(t):
     assert len(cache) == 2
 
 
+def test_cached_table_entry_cap_not_memoized(t):
+    """VERDICT r5 #5: a result larger than max_entry_bytes is returned
+    but never stored — the driver memo cannot grow past its caps."""
+    cache = CachedTable(max_entry_bytes=1)  # everything is "too big"
+    a = cache.compute(t[t.amount > 75])
+    assert len(a) == 2 and len(cache) == 0
+    b = cache.compute(t[t.amount > 75])
+    assert b is not a  # recomputed, not memoized
+
+
+def test_cached_table_lru_eviction(t):
+    """Total-bytes cap evicts least-recently-used entries."""
+    probe = CachedTable()
+    size = probe._sizeof(probe.compute(t[t.amount > 75]))
+    assert size > 0
+    # room for about two results, generously under three
+    cache = CachedTable(max_total_bytes=int(size * 2.5))
+    q1, q2, q3 = t[t.amount > 75], t[t.amount > 100], t[t.amount > 0]
+    cache.compute(q1)
+    cache.compute(q2)
+    cache.compute(q1)      # refresh q1 -> q2 is now LRU
+    cache.compute(q3)      # over cap -> evicts q2
+    assert len(cache) == 2
+    keys = set(cache._memo)
+    assert q1.df.semanticHash() in keys and q3.df.semanticHash() in keys
+
+
 def test_to_tree_roundtrip(spark, sf_dir):
     from blaze_spark import data
     from blaze_spark.interop import from_tree, to_tree
