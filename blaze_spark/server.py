@@ -18,7 +18,13 @@ Security posture (hardening beyond the reference, per round-1 advice):
 - the ``data`` leaf (arbitrary URI reads) is DISABLED server-side by
   default — remote trees may only reference datasets registered on the
   server by name (``symbol`` leaves).  Pass ``allow_data_uris=True`` to
-  opt in (trusted networks only).
+  opt in (trusted networks only);
+- optional shared-secret auth (``auth_token=...``): every route then
+  requires ``Authorization: Bearer <token>`` and replies 401 otherwise —
+  the analogue of the reference server's ``authorization`` callable
+  gate (blaze/server/server.py:215-223, 'bad auth token' response) and
+  its trusted/untrusted serialization split
+  (blaze/server/serialization/object_hook_trusted.py).
 """
 
 from __future__ import annotations
@@ -48,10 +54,12 @@ class BlazeSparkServer:
 
     def __init__(self, datasets: dict[str, Table],
                  spark: SparkSession | None = None,
-                 allow_data_uris: bool = False):
+                 allow_data_uris: bool = False,
+                 auth_token: str | None = None):
         self.datasets = dict(datasets)
         self.spark = spark
         self.allow_data_uris = allow_data_uris
+        self.auth_token = auth_token
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.port: int | None = None
@@ -92,13 +100,32 @@ class BlazeSparkServer:
                 self.end_headers()
                 self.wfile.write(raw)
 
+            def _authorized(self) -> bool:
+                """Shared-secret gate (reference authorization decorator,
+                blaze/server/server.py:215-223).  Constant-time compare;
+                a server with no token configured admits everything."""
+                if server_self.auth_token is None:
+                    return True
+                import hmac
+
+                got = self.headers.get("Authorization", "")
+                ok = hmac.compare_digest(
+                    got, f"Bearer {server_self.auth_token}")
+                if not ok:
+                    self._send(401, {"error": "bad auth token"})
+                return ok
+
             def do_GET(self):
+                if not self._authorized():
+                    return
                 if self.path.rstrip("/") == "/datashape":
                     self._send(200, server_self._datashape())
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                if not self._authorized():
+                    return
                 if self.path.rstrip("/") != "/compute":
                     self._send(404, {"error": f"no route {self.path}"})
                     return

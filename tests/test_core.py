@@ -742,3 +742,28 @@ def test_scalar_algebra_inside_by(t):
         t.name, avg_manual=t.amount.sum() / t.amount.count()).df.collect()}
     assert out["Alice"] == pytest.approx(75.0)
     assert out["Bob"] == pytest.approx(200.0)
+
+
+def test_is_sort_order_connect_branch():
+    """The Spark Connect branch of _is_sort_order (no _jc, expression on
+    ._expr) — exercised with a stub, since this environment has no
+    Connect server (documented in OPERATORS.md 'Connect fallbacks')."""
+    from blaze_spark.core import _is_sort_order
+
+    class SortOrder:  # stands in for pyspark.sql.connect SortOrder node
+        pass
+
+    class NotSort:
+        pass
+
+    class FakeCol:
+        def __init__(self, expr):
+            self._expr = expr  # no _jc attribute -> Connect path
+
+    assert _is_sort_order(FakeCol(SortOrder())) is True
+    assert _is_sort_order(FakeCol(NotSort())) is False
+    # neither _jc nor _expr -> conservatively False
+    class Bare:
+        pass
+
+    assert _is_sort_order(Bare()) is False

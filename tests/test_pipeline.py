@@ -524,3 +524,35 @@ def test_neardup_caller_supplied_count_skips_sizing_scan(spark, emb, monkeypatch
     t = embedding_neardup_pairs(emb, threshold=0.9, n_vectors=500)
     monkeypatch.undo()
     assert t.df.columns == ["vec_a", "vec_b", "cosine"]
+
+
+def test_retain_cache_connect_branch_releases_on_holder_drop():
+    """The Spark Connect branch of _retain_cache (no _jdf): the unpersist
+    finalizer attaches to the HOLDER (the closure pins the cached object,
+    so cached-keyed finalization could never fire).  Exercised with stubs
+    — no Connect server in this environment (see OPERATORS.md)."""
+    import gc
+
+    from blaze_spark.pipeline.dedup import _retain_cache
+
+    released = []
+
+    class FakeCached:  # no _jdf attribute -> Connect path
+        def unpersist(self, blocking):
+            released.append(blocking)
+
+    class FakeHolder:
+        pass
+
+    cached = FakeCached()
+    holder = FakeHolder()
+    _retain_cache(holder, cached)
+    assert cached._blaze_release_armed is True
+    assert holder._blaze_caches == [cached]
+    # re-registering the same cache on the same holder is a no-op
+    _retain_cache(holder, cached)
+    assert holder._blaze_caches == [cached]
+    assert not released
+    del holder
+    gc.collect()
+    assert released == [False], "holder death must unpersist (non-blocking)"

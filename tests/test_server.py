@@ -123,3 +123,48 @@ def test_tree_dialect_query_reachable_over_http(server, spark, star):
     got = sorted(map(tuple, body["data"]))
     want = sorted(map(tuple, local.collect()))
     assert got == want
+
+
+def test_auth_token_gate(spark, star):
+    """VERDICT r5 #7: with auth_token set, requests without the bearer
+    header get 401 'bad auth token' (reference authorization decorator,
+    blaze/server/server.py:215-223); the right header round-trips."""
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           auth_token="s3cret")
+    srv.start(port=0)
+    try:
+        # GET without token -> 401
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/datashape")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert "bad auth token" in e.read().decode()
+        # POST with a WRONG token -> 401
+        tree = {"op": "head", "args": [
+            {"op": "symbol", "args": ["orders"]}, 3]}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer wrong"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # authed round-trip works
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = json.loads(r.read())
+        assert len(body["data"]) == 3
+    finally:
+        srv.stop()
