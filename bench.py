@@ -106,8 +106,19 @@ def main():
     else:
         qs["q06_revenue_forecast"](spark, SF_DIR).count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+    def _gc():
+        # drain GC debt left by the previous run so a full collection
+        # doesn't land inside the next timed window (VERDICT r5 #3:
+        # q03's 4.6x intra-run spread on an unchanged plan)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -117,11 +128,13 @@ def main():
         runs = []
         n = 0
         for _ in range(reps):
+            _gc()
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
+        timings_min[name] = round(runs[0], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         print(f"# {name}: median {timings[name]}s "
               f"(min {spread[name][0]} max {spread[name][1]}, {n} rows)",
@@ -129,16 +142,23 @@ def main():
 
     result = {
         "metric": "blaze_spark_headline_queries_total_wall_sec",
-        "value": round(sum(timings.values()), 3),
-        # sum of per-query minima ~ steady-state total under harness load
-        # (medians at sf0.1 carry the box's 2-3x load noise; VERDICT r4 #5)
-        "value_min": round(sum(s[0] for s in spread.values()), 3),
+        # headline = sum of per-query MINIMA: the steady-state cost of the
+        # plans, robust to the box's load spikes (VERDICT r5 #3 suggested
+        # promoting it; the median total is kept alongside).  With GC
+        # drained before each rep and reps=5, the min is stable run-to-run
+        # while any single rep can still catch a 2-4x load gust.
+        "value": round(sum(timings_min.values()), 3),
+        "value_median": round(sum(timings.values()), 3),
+        "value_min": round(sum(timings_min.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings_min,
+        "queries_median": timings,
         "spread": spread,
-        # methodology marker: totals are only comparable between runs with
-        # the same warm mode (ADVICE r4: the r3->r4 warmup change made
-        # round-over-round totals non-apples-to-apples)
+        # methodology markers: totals are only comparable between runs with
+        # the same warm mode AND the same headline statistic (ADVICE r4;
+        # r6 promoted min-sum to "value" — BENCH_r05's value_min 13.19 is
+        # the apples-to-apples predecessor)
+        "headline_stat": "min_sum",
         "warm": warm,
         "reps": reps,
         "sf": float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str,
