@@ -42,6 +42,7 @@ from blaze_spark import (  # noqa: E402
     summary,
 )
 from blaze_spark.pipeline import (  # noqa: E402
+    contamination_report,
     cosine_topk,
     exact_dedup,
     exact_jaccard_pairs,
@@ -52,9 +53,13 @@ from blaze_spark.pipeline import (  # noqa: E402
     ngram_jaccard_pairs,
     normalized_dedup,
     pair_recall,
+    pii_scrub,
     quality_features,
+    repetition_features,
     simhash_candidates,
+    source_mix,
     token_stats,
+    top_ngram_share,
     topk_recall,
 )
 
@@ -1235,6 +1240,83 @@ def training_set_prep(spark, sf_dir):
     return g.sort("source").df
 
 
+def repetition_filter_docs(spark, sf_dir):
+    """Gopher-style repetition signals (pipeline/curation.py) — a pure
+    projection over the documents scan, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_features(d)
+    return out[["doc_id", "n_tokens", "dup_token_frac", "dup_line_frac",
+                "max_token_run"]].df
+
+
+def top_ngram_share_docs(spark, sf_dir):
+    """Most frequent 2-gram per doc + token coverage — two map-side
+    combinable aggregations, argmax via the skew-safe min_by struct."""
+    d = _t(spark, sf_dir, "documents")
+    return top_ngram_share(d, n=2)
+
+
+def contamination_check_docs(spark, sf_dir):
+    """Benchmark decontamination: every 10th doc plays the benchmark, the
+    rest the training corpus; 3-gram overlap via broadcast semi-probe."""
+    d = _t(spark, sf_dir, "documents")
+    train = Table(d.df.filter(F.col("doc_id") % 10 != 0), "train")
+    test = Table(d.df.filter(F.col("doc_id") % 10 == 0), "test")
+    return contamination_report(train, test, n=3, threshold=0.2)
+
+
+def pii_scrub_docs(spark, sf_dir):
+    """PII redaction counts + cleaned text.  The corpus is synthetic, so
+    deterministic PII is injected first (doc_id-keyed email / phone / ip /
+    ssn) — the scrub itself is the generic chained-regexp projection."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        " ", F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("mail user"), did.cast("string"),
+                        F.lit("@example.com"))),
+        F.when(did % 4 == 0, F.lit("call 555-867-5309")),
+        F.when(did % 5 == 0, F.lit("host 192.168.1.77 ssn 123-45-6789")))
+    t = Table(d.df.withColumn("text", injected), "documents")
+    out = pii_scrub(t)
+    return out[["doc_id", "n_email", "n_ip", "n_phone", "n_ssn",
+                "clean_text"]].df
+
+
+def source_mix_report(spark, sf_dir):
+    """Per-source corpus composition + uniform-mix downsampling weights
+    (the data-mixture accounting pass of a training-set build)."""
+    d = _t(spark, sf_dir, "documents")
+    return source_mix(d)
+
+
+def tensor_ops_embeddings(spark, sf_dir):
+    """TensorDot parity (blaze/expr/arrays.py:104-129): matvec (axes=1),
+    transpose element, double contraction (axes=2, Frobenius norm²) and
+    outer product (axes=0) — all per-row JVM array HOFs, exported as
+    scalar probes for the value-hash compare."""
+    e = _t(spark, sf_dir, "embeddings")
+    m = e.transform(
+        dv=F.col("embedding").cast("array<double>"))
+    m = m.transform(
+        mat=F.array(F.slice(F.col("dv"), 1, 4), F.slice(F.col("dv"), 5, 4)),
+        v4=F.slice(F.col("dv"), 1, 4),
+        v2a=F.slice(F.col("dv"), 1, 2),
+        v2b=F.slice(F.col("dv"), 3, 2))
+    mv = m.mat.arr.tensordot(m.v4, axes=1)       # 2-vector
+    tT = m.mat.arr.T                              # 4x2
+    frob = m.mat.arr.tensordot(m.mat, axes=2)    # scalar
+    outer = m.v2a.arr.tensordot(m.v2b, axes=0)   # 2x2
+    out = m.transform(
+        mv0=F.round(F.element_at(mv.col, 1), 4),
+        mv1=F.round(F.element_at(mv.col, 2), 4),
+        t01=F.round(F.element_at(F.element_at(tT.col, 1), 2), 4),
+        frob=F.round(frob.col, 4),
+        outer_total=F.round(outer.arr.sum().col, 4))
+    return out[["vec_id", "mv0", "mv1", "t01", "frob", "outer_total"]].df
+
+
 def embedding_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = Table(e.df.filter(F.col("vec_id") < 5))
@@ -1591,6 +1673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_simhash": recall_simhash,
         "recall_embedding_lsh": recall_embedding_lsh,
         "recall_ivf_topk": recall_ivf_topk,
+        # -- new this round: corpus curation + tensordot parity ---------------
+        "repetition_filter_docs": repetition_filter_docs,
+        "top_ngram_share_docs": top_ngram_share_docs,
+        "contamination_check_docs": contamination_check_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "source_mix_report": source_mix_report,
+        "tensor_ops_embeddings": tensor_ops_embeddings,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -2450,6 +2539,147 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "repetition_filter_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) != '') AS lines
+                FROM documents),
+            runs AS (
+                SELECT doc_id, CAST(max(cnt) AS INT) AS max_token_run FROM (
+                    SELECT doc_id, g, count(*) AS cnt FROM (
+                        SELECT doc_id, pos,
+                               sum(brk) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS g
+                        FROM (
+                            SELECT doc_id, pos,
+                                   CASE WHEN lag(tok) OVER (
+                                            PARTITION BY doc_id ORDER BY pos
+                                        ) = tok THEN 0 ELSE 1 END AS brk
+                            FROM (
+                                SELECT doc_id, unnest(toks) AS tok,
+                                       unnest(generate_series(1, len(toks))) AS pos
+                                FROM tk)))
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                   round(1.0 - len(list_distinct(toks)) / len(toks), 4)
+                       AS dup_token_frac,
+                   round(CASE WHEN len(lines) > 0
+                              THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                              ELSE 0.0 END, 4) AS dup_line_frac,
+                   runs.max_token_run
+            FROM tk JOIN runs ON tk.doc_id = runs.doc_id
+        """,
+        "top_ngram_share_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       array_to_string(toks[i:i+1], ' ') AS ngram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tk)),
+            cnt AS (
+                SELECT doc_id, n_tokens, ngram, count(*) AS c
+                FROM grams GROUP BY ALL)
+            SELECT doc_id, ngram AS top_ngram, CAST(c AS BIGINT) AS ngram_count,
+                   round(c * 2.0 / n_tokens, 4) AS top_ngram_frac
+            FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, ngram) = 1
+        """,
+        "contamination_check_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            ex AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS ngram
+                FROM tk),
+            test_g AS (SELECT DISTINCT ngram FROM ex WHERE doc_id % 10 = 0),
+            train_ex AS (SELECT * FROM ex WHERE doc_id % 10 != 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   round(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS contamination_rate,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        / count(*) >= 0.2 AS INT) AS contaminated
+            FROM train_ex t LEFT JOIN test_g g USING (ngram)
+            GROUP BY t.doc_id
+        """,
+        "pii_scrub_docs": r"""
+            WITH d AS (
+                SELECT doc_id, concat_ws(' ', text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'mail user' || doc_id || '@example.com' END,
+                       CASE WHEN doc_id % 4 = 0 THEN 'call 555-867-5309' END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'host 192.168.1.77 ssn 123-45-6789' END)
+                       AS text
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ip,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
+            FROM d
+        """,
+        "source_mix_report": r"""
+            WITH q AS (
+                SELECT source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       round((1.0 - length(regexp_replace(lower(text),
+                                 '[a-z0-9\s]', '', 'g')) / length(text))
+                             * least(1.0,
+                                 len(regexp_split_to_array(trim(text), '\s+'))
+                                 / 100.0), 4) AS quality
+                FROM documents),
+            s AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS total_tokens,
+                       round(avg(quality), 4) AS avg_quality
+                FROM q GROUP BY source)
+            SELECT source, n_docs, total_tokens, avg_quality,
+                   round(total_tokens / sum(total_tokens) OVER (), 4)
+                       AS token_share,
+                   round(least(1.0, (1.0 / count(*) OVER ())
+                         / (total_tokens / sum(total_tokens) OVER ())), 4)
+                       AS sample_weight
+            FROM s
+        """,
+        "tensor_ops_embeddings": """
+            WITH b AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT vec_id,
+                   round(e[1]*e[1] + e[2]*e[2] + e[3]*e[3] + e[4]*e[4], 4) AS mv0,
+                   round(e[5]*e[1] + e[6]*e[2] + e[7]*e[3] + e[8]*e[4], 4) AS mv1,
+                   round(e[5], 4) AS t01,
+                   round((e[1]*e[1] + e[2]*e[2] + e[3]*e[3] + e[4]*e[4])
+                         + (e[5]*e[5] + e[6]*e[6] + e[7]*e[7] + e[8]*e[8]), 4)
+                       AS frob,
+                   round((e[1]*e[3] + e[1]*e[4]) + (e[2]*e[3] + e[2]*e[4]), 4)
+                       AS outer_total
+            FROM b
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -259,3 +259,41 @@ class ArrayAccessor:
         if self.ndim != 1:
             raise ValueError("norm requires a 1-D array column")
         return self._m(F.sqrt(self._vec_dot(self._c, self._c)), "norm", _D)
+
+    def outer(self, other):
+        """Outer product (TensorDot with axes=0, blaze/expr/arrays.py:104):
+        1-D(m) ⊗ 1-D(n) -> 2-D(m×n)."""
+        from ..core import ColExpr
+        if not isinstance(other, ColExpr) or _ndim(other.dtype) != 1 \
+                or self.ndim != 1:
+            raise TypeError("outer requires two 1-D array expressions")
+        oc = other.col
+        col = F.transform(
+            self._c, lambda x: F.transform(oc, lambda y: _dbl(x) * _dbl(y)))
+        return self._m(col, "outer", T.ArrayType(T.ArrayType(_D)))
+
+    def tensordot(self, other, axes: int = 1):
+        """numpy-semantics ``tensordot`` (blaze/expr/arrays.py:104-129):
+        ``axes=0`` outer product, ``axes=1`` last-vs-first contraction
+        (= ``dot``), ``axes=2`` double contraction of two 2-D matrices to
+        a scalar (sum_ij a[i][j]*b[i][j] — e.g. ‖A‖²_F as
+        ``a.tensordot(a, 2)``).  Accumulation order is row-major
+        left-to-right, matching the DuckDB-oracle convention used by
+        ``dot``/``sum``."""
+        from ..core import ColExpr
+        if not isinstance(other, ColExpr) or not _is_array(other.dtype):
+            raise TypeError("tensordot requires an array expression")
+        if axes == 0:
+            return self.outer(other)
+        if axes == 1:
+            return self.dot(other)
+        if axes == 2:
+            if self.ndim != 2 or _ndim(other.dtype) != 2:
+                raise ValueError("axes=2 requires two 2-D array columns")
+            oc = other.col
+            col = F.aggregate(
+                F.zip_with(self._c, oc,
+                           lambda r1, r2: self._vec_dot(r1, r2)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            return self._m(col, "tensordot", _D)
+        raise ValueError("axes must be 0, 1 or 2 for tabular arrays")

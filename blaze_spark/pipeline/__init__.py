@@ -39,6 +39,14 @@ from .text import (  # noqa: F401
     token_stats,
     fingerprint,
 )
+from .curation import (  # noqa: F401
+    contamination_report,
+    ngram_array,
+    pii_scrub,
+    repetition_features,
+    source_mix,
+    top_ngram_share,
+)
 from .multimodal import (  # noqa: F401
     IMAGE_SCHEMA,
     AUDIO_SCHEMA,

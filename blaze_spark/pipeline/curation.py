@@ -1,0 +1,242 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+filters (Gopher-style), benchmark-contamination checks, PII scrubbing, and
+source-mix reporting.
+
+These extend the reference's text/dedup surface the same way
+``pipeline/text.py`` does: every formula is deliberately expressible in
+ANSI SQL so the DuckDB oracle can mirror it exactly, and every per-row
+signal is a built-in Column expression (whole-stage codegen — a 100 TB
+documents scan stays in the JVM with only the columns each operator reads).
+
+Scale notes, per operator:
+
+- ``repetition_features`` is a pure projection — no shuffle at all.
+- ``top_ngram_share`` shuffles on (doc_id, ngram): high-cardinality,
+  near-uniform keys (a single document's n-grams land in one task only if
+  they hash together, and the per-doc group is bounded by document length),
+  then a second map-side-combinable aggregation keyed by doc_id.
+- ``contamination_report`` broadcasts the *benchmark* side (test sets are
+  KB-to-MB against a 100 TB corpus) so the train scan joins without a
+  shuffle; per-doc counts are a map-side-combinable aggregation.
+- ``pii_scrub`` is a pure projection.
+- ``source_mix`` aggregates to ~#sources rows before the window step, so
+  the non-partitioned window runs over a tiny relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table
+from .text import quality_features
+
+
+def _tokens(col: Column) -> Column:
+    # identical tokenization to pipeline/text.py so signals compose
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def ngram_array(col: Column, n: int) -> Column:
+    """Token n-grams of ``col`` as an array of space-joined strings.
+
+    Pure Column expression (sequence + slice + concat_ws — no explode, so
+    callers choose where the explode happens, which is the expensive
+    placement decision; see PLANS.md on interpreted-HOF placement).
+    Documents with fewer than ``n`` tokens yield an empty array — NOT a
+    descending ``sequence(1, 0)`` (Spark's sequence steps backwards when
+    start > stop, which would fabricate a bogus n-gram).
+    """
+    toks = _tokens(col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), sz - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast(T.ArrayType(T.StringType())))
+
+
+def repetition_features(t: Table, text_col: str = "text") -> Table:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1) as a
+    shuffle-free projection: ``dup_token_frac`` (1 − distinct/total
+    tokens), ``dup_line_frac`` (same over non-blank lines), and
+    ``max_token_run`` (longest immediate same-token run, the degenerate
+    repetition LLM scrapes hit).  Rows are typically filtered with
+    ``dup_token_frac > 0.x`` — the predicate pushes into the scan.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    # longest run of the SAME token: fold (best, cur, prev) over the tokens
+    run = F.aggregate(
+        toks,
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("cur"),
+                 F.lit("").alias("prev")),
+        lambda acc, x: F.struct(
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["cur"] + 1)
+                        .otherwise(F.lit(1))).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1)
+             .otherwise(F.lit(1)).alias("cur"),
+            x.alias("prev")),
+        lambda acc: acc["best"])
+    return Table(
+        t.df.withColumns({
+            "n_tokens": n_tok.cast(T.IntegerType()),
+            "dup_token_frac": F.round(
+                1.0 - F.size(F.array_distinct(toks)) / n_tok, 4),
+            "dup_line_frac": F.round(
+                F.when(n_lines > 0,
+                       1.0 - F.size(F.array_distinct(lines)) / n_lines)
+                 .otherwise(F.lit(0.0)), 4),
+            "max_token_run": run.cast(T.IntegerType()),
+        }),
+        t._name,
+    )
+
+
+def top_ngram_share(t: Table, n: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Most frequent token ``n``-gram per document and the fraction of
+    tokens it covers (Gopher's top-n-gram filter: drop documents whose
+    single most common 2-gram covers >20% of the text).
+
+    Two aggregations, both map-side combinable: count by (doc, ngram),
+    then per-doc argmax via ``min_by`` on a (−count, ngram) struct — the
+    same skew-safe lowering keep-first dedup uses (a row_number window
+    would route every n-gram of a pathological doc to one task; min_by
+    partial-merges).  Ties break on the lexicographically smallest n-gram
+    so results are deterministic and oracle-reproducible.  Documents with
+    fewer than ``n`` tokens are absent from the output (they have no
+    n-gram), mirroring the SQL semantics of unnesting an empty list.
+    """
+    c = F.col(text_col)
+    base = t.df.select(
+        F.col(id_col),
+        F.size(_tokens(c)).alias("n_tokens"),
+        F.explode(ngram_array(c, n)).alias("ngram"),
+    )
+    counts = base.groupBy(id_col, "n_tokens", "ngram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    pick = F.min_by(
+        F.struct(F.col("cnt").alias("cnt"), F.col("ngram").alias("ngram")),
+        F.struct((-F.col("cnt")).alias("o1"), F.col("ngram").alias("o2")))
+    top = counts.groupBy(id_col, "n_tokens").agg(pick.alias("top"))
+    return top.select(
+        F.col(id_col),
+        F.col("top.ngram").alias("top_ngram"),
+        F.col("top.cnt").cast(T.LongType()).alias("ngram_count"),
+        F.round(F.col("top.cnt") * n / F.col("n_tokens"), 4)
+         .alias("top_ngram_frac"),
+    )
+
+
+def contamination_report(train: Table, test: Table, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         threshold: float = 0.2) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how many
+    of its distinct token ``n``-grams appear anywhere in the ``test``
+    corpus (the standard decontamination scheme — GPT-3 appendix C /
+    PaLM's 13-gram overlap, scaled down to the synthetic corpus).
+
+    The test side collapses to DISTINCT n-grams and is explicitly
+    broadcast: real benchmark suites are a few MB of text against a
+    100 TB corpus, so the train scan never shuffles — each task probes the
+    broadcast hash set and the per-doc counts partial-aggregate map-side.
+    Output: (doc_id, n_ngrams, n_contaminated, contamination_rate,
+    contaminated) with ``contaminated`` as 0/1 on ``rate >= threshold``.
+    """
+    c = F.col(text_col)
+
+    def distinct_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngram_array(c, n))).alias("ngram"))
+
+    test_grams = distinct_grams(test.df).select("ngram").distinct()
+    hits = distinct_grams(train.df).join(
+        F.broadcast(test_grams.withColumn("hit", F.lit(1))),
+        "ngram", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_ngrams"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast(T.LongType()).alias("n_ngrams"),
+            F.col("n_contaminated").cast(T.LongType()).alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4)
+             .alias("contamination_rate"),
+            (F.col("n_contaminated") / F.col("n_ngrams") >= threshold)
+            .cast(T.IntegerType()).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns — RE2- and java.util.regex-compatible (no lookarounds) so
+# Spark and the DuckDB oracle agree byte-for-byte.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def pii_scrub(t: Table, text_col: str = "text",
+              kinds: tuple[str, ...] = ("email", "ip", "phone", "ssn")) -> Table:
+    """Redact PII spans and count them: adds ``n_<kind>`` per requested
+    kind and ``clean_text`` with every span replaced by its placeholder.
+
+    Pure projection — chained ``regexp_replace`` (replace-all in both
+    Spark and, with the 'g' flag, DuckDB) plus ``regexp_extract_all``
+    counts, all inside whole-stage codegen.  Replacement order is the
+    ``kinds`` tuple order; the defaults are non-overlapping (email before
+    ip before phone before ssn — an SSN's ddd-dd-dddd never matches the
+    phone's ddd-ddd-dddd and vice versa).
+    """
+    c = F.col(text_col)
+    cols: dict[str, Column] = {}
+    clean = c
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        cols[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        ).cast(T.IntegerType())
+        clean = F.regexp_replace(clean, pat, repl)
+    cols["clean_text"] = clean
+    return Table(t.df.withColumns(cols), t._name)
+
+
+def source_mix(t: Table, text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Per-source corpus composition and uniform-mix downsampling weights:
+    (source, n_docs, total_tokens, avg_quality, token_share,
+    sample_weight) where ``sample_weight`` is the keep-probability that
+    equalizes the token mix across sources WITHOUT upsampling
+    (min(1, target_share / actual_share) — the over-represented sources
+    are thinned to the level of an even split; a data-mixture pass then
+    samples with ``F.rand() < weight``).
+
+    The expensive part is one map-side-combinable aggregation on the
+    (low-cardinality) source key; the two non-partitioned windows after it
+    run over ~#sources rows, so the single-task window stage is trivially
+    small — the standard shape for mixture accounting at corpus scale.
+    """
+    feats = quality_features(t, text_col).df
+    per_source = feats.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    target = 1.0 / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        source_col, "n_docs", "total_tokens", "avg_quality",
+        F.round(share, 4).alias("token_share"),
+        F.round(F.least(F.lit(1.0), target / share), 4).alias("sample_weight"),
+    )

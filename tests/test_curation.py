@@ -1,0 +1,181 @@
+"""Corpus-curation operators (pipeline/curation.py): Gopher-style
+repetition signals, top-n-gram share, benchmark-contamination checks, PII
+scrubbing, source-mix accounting, and TensorDot general axes — planted
+cases with hand-computed expectations, plan hygiene for the broadcast
+probe, numpy differential for tensordot."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark import Table, data
+from blaze_spark.pipeline import (
+    contamination_report,
+    ngram_array,
+    pii_scrub,
+    repetition_features,
+    source_mix,
+    top_ngram_share,
+)
+
+
+@pytest.fixture(scope="module")
+def cdocs(spark):
+    rows = [
+        (0, "a a a b", "s1"),
+        (1, "one two three four five six seven eight nine ten", "s1"),
+        (2, "x y x y x", "s2"),
+        (3, "line one\nline one\nline two", "s2"),
+    ]
+    return data(rows, spark=spark,
+                schema="doc_id bigint, text string, source string",
+                name="cdocs")
+
+
+def _row(df, doc_id):
+    return df.filter(F.col("doc_id") == doc_id).first()
+
+
+def test_repetition_dup_token_frac(cdocs):
+    out = repetition_features(cdocs).df
+    r0 = _row(out, 0)           # tokens a,a,a,b -> 2 distinct of 4
+    assert r0.n_tokens == 4
+    assert r0.dup_token_frac == 0.5
+    assert r0.max_token_run == 3
+    r1 = _row(out, 1)           # all distinct
+    assert r1.dup_token_frac == 0.0
+    assert r1.max_token_run == 1
+
+
+def test_repetition_dup_line_frac(cdocs):
+    out = repetition_features(cdocs).df
+    r3 = _row(out, 3)           # 3 lines, 2 distinct
+    assert r3.dup_line_frac == round(1 - 2 / 3, 4)
+    assert _row(out, 0).dup_line_frac == 0.0
+
+
+def test_ngram_array_short_doc_is_empty(cdocs):
+    out = cdocs.df.select(
+        "doc_id", ngram_array(F.col("text"), 6).alias("g")).collect()
+    by_id = {r.doc_id: r.g for r in out}
+    assert by_id[0] == []       # 4 tokens < n=6 -> empty, no bogus grams
+    assert len(by_id[1]) == 5   # 10 tokens -> 5 6-grams
+
+
+def test_top_ngram_share_tie_breaks_lexicographically(cdocs):
+    out = top_ngram_share(cdocs, n=2).collect()
+    r2 = {r.doc_id: r for r in out}[2]
+    # "x y"(2) ties "y x"(2) -> lexicographically smallest wins
+    assert r2.top_ngram == "x y"
+    assert r2.ngram_count == 2
+    assert r2.top_ngram_frac == round(2 * 2 / 5, 4)
+
+
+def test_top_ngram_share_drops_docs_shorter_than_n(spark):
+    t = data([(1, "solo")], spark=spark,
+             schema="doc_id bigint, text string", name="t1")
+    assert top_ngram_share(t, n=2).count() == 0
+
+
+def test_contamination_exact_copy_flags(spark):
+    train = data([(1, "alpha beta gamma delta"),
+                  (2, "foo bar baz qux quux")],
+                 spark=spark, schema="doc_id bigint, text string", name="tr")
+    test = data([(100, "alpha beta gamma delta")],
+                spark=spark, schema="doc_id bigint, text string", name="te")
+    rep = {r.doc_id: r for r in
+           contamination_report(train, test, n=3).collect()}
+    assert rep[1].contamination_rate == 1.0 and rep[1].contaminated == 1
+    assert rep[2].contamination_rate == 0.0 and rep[2].contaminated == 0
+    assert rep[1].n_ngrams == 2  # 4 tokens -> 2 distinct 3-grams
+
+
+def test_contamination_probe_is_broadcast(spark):
+    train = data([(1, "alpha beta gamma delta")], spark=spark,
+                 schema="doc_id bigint, text string", name="tr")
+    test = data([(100, "alpha beta gamma delta")], spark=spark,
+                schema="doc_id bigint, text string", name="te")
+    df = contamination_report(train, test, n=3)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained
+    assert "SortMergeJoin" not in explained
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    t = data([(1, "mail a.b+c@ex-ample.org then 10.0.0.255 "
+                  "call 555-123-4567 ssn 123-45-6789 done")],
+             spark=spark, schema="doc_id bigint, text string", name="p")
+    r = pii_scrub(t).df.first()
+    assert (r.n_email, r.n_ip, r.n_phone, r.n_ssn) == (1, 1, 1, 1)
+    assert r.clean_text == ("mail <EMAIL> then <IP> call <PHONE> "
+                            "ssn <SSN> done")
+
+
+def test_pii_scrub_ssn_phone_disjoint(spark):
+    # ddd-dd-dddd is an SSN, ddd-ddd-dddd a phone; neither matches both
+    t = data([(1, "555-123-4567"), (2, "123-45-6789")],
+             spark=spark, schema="doc_id bigint, text string", name="p2")
+    out = {r.doc_id: r for r in pii_scrub(t).df.collect()}
+    assert (out[1].n_phone, out[1].n_ssn) == (1, 0)
+    assert (out[2].n_phone, out[2].n_ssn) == (0, 1)
+
+
+def test_source_mix_weights(spark):
+    # s1: 6 tokens, s2: 2 tokens -> shares .75/.25, target .5
+    t = data([(1, "a b c d e f", "s1"), (2, "g h", "s2")],
+             spark=spark,
+             schema="doc_id bigint, text string, source string", name="sm")
+    out = {r.source: r for r in source_mix(t).collect()}
+    assert out["s1"].total_tokens == 6 and out["s2"].total_tokens == 2
+    assert out["s1"].token_share == 0.75
+    assert out["s1"].sample_weight == round(0.5 / 0.75, 4)
+    assert out["s2"].sample_weight == 1.0  # never upsample
+
+
+# -- tensordot general axes (blaze/expr/arrays.py:104-129) -------------------
+
+@pytest.fixture(scope="module")
+def tmat(spark):
+    return data(
+        [(1, [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+          [[1.0, 0.0, 2.0], [0.0, 3.0, 1.0]],
+          [1.0, -2.0, 0.5], [3.0, 4.0])],
+        spark=spark,
+        schema=("id int, a array<array<double>>, b array<array<double>>, "
+                "v array<double>, u array<double>"),
+        name="tmat")
+
+
+def test_tensordot_axes2_matches_numpy(tmat):
+    a = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    b = np.array([[1.0, 0.0, 2.0], [0.0, 3.0, 1.0]])
+    got = tmat.transform(r=tmat.a.arr.tensordot(tmat.b, axes=2)).df.first().r
+    assert got == pytest.approx(np.tensordot(a, b, axes=2))
+
+
+def test_tensordot_axes1_is_dot(tmat):
+    a = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    v = np.array([1.0, -2.0, 0.5])
+    got = tmat.transform(r=tmat.a.arr.tensordot(tmat.v, axes=1)).df.first().r
+    assert np.allclose(got, a @ v)
+
+
+def test_tensordot_axes0_outer(tmat):
+    v = np.array([1.0, -2.0, 0.5])
+    u = np.array([3.0, 4.0])
+    got = np.array(
+        tmat.transform(r=tmat.v.arr.tensordot(tmat.u, axes=0)).df.first().r)
+    assert np.allclose(got, np.tensordot(v, u, axes=0))
+    got2 = np.array(tmat.transform(r=tmat.v.arr.outer(tmat.u)).df.first().r)
+    assert np.allclose(got2, np.outer(v, u))
+
+
+def test_tensordot_bad_axes(tmat):
+    with pytest.raises(ValueError):
+        tmat.a.arr.tensordot(tmat.b, axes=3)
+    with pytest.raises(ValueError):
+        tmat.v.arr.tensordot(tmat.u, axes=2)  # axes=2 needs 2-D
+    with pytest.raises(TypeError):
+        tmat.v.arr.outer(tmat.id)  # scalar rhs
