@@ -330,3 +330,33 @@ def test_ntz_cast_warns_on_non_utc_session(spark, tmp_path):
         assert any("timeZone" in str(x.message) for x in w)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_mongo_uri_dialect_parsed():
+    """Reference URI dialect mongodb://host:port/db::collection
+    (blaze/compute/tests/test_mongo_compute.py:384-405)."""
+    from blaze_spark.sources import _parse_mongo_uri
+
+    base, db, coll = _parse_mongo_uri("mongodb://h:27017/test_db::bank")
+    assert (base, db, coll) == ("mongodb://h:27017/test_db", "test_db", "bank")
+    base, db, coll = _parse_mongo_uri("mongodb://h:27017/test_db")
+    assert (base, db, coll) == ("mongodb://h:27017/test_db", "test_db", None)
+    base, db, coll = _parse_mongo_uri("mongodb+srv://u@h/d?retryWrites=true::c")
+    assert db == "d" and coll == "c"
+
+
+def test_mongo_source_gated_without_connector(spark):
+    """No connector jar and no pymongo in this environment: the source
+    must refuse with actionable guidance, not a bare ClassNotFound."""
+    from blaze_spark import data
+
+    with pytest.raises((ImportError, RuntimeError)) as ei:
+        data("mongodb://localhost:27017/test_db::bank", spark=spark)
+    assert "connector" in str(ei.value)
+
+
+def test_mongo_source_requires_collection(spark):
+    from blaze_spark import data
+
+    with pytest.raises(ValueError, match="collection"):
+        data("mongodb://localhost:27017/test_db", spark=spark)
