@@ -1317,6 +1317,43 @@ def tensor_ops_embeddings(spark, sf_dir):
     return out[["vec_id", "mv0", "mv1", "t01", "frob", "outer_total"]].df
 
 
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full curation suite as ONE single-corpus-scan plan — the
+    flagship 100 TB shape, extending training_set_prep with the r6
+    passes: synthetic-PII injection (the corpus is clean) -> language ID
+    -> quality features -> repetition signals -> gate (lang/quality/
+    dup-fraction/token-run) -> PII scrub -> normalized fingerprint ->
+    keep-first dedup (skew-safe min_by) -> per-source accounting with a
+    PII tally.  Every per-row signal is a built-in Column expr computed
+    in the scan's projection; the only shuffles are the dedup aggregation
+    and the tiny per-source agg."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        " ", F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("mail user"), did.cast("string"),
+                        F.lit("@example.com"))),
+        F.when(did % 5 == 0, F.lit("host 192.168.1.77")))
+    t = Table(d.df.withColumn("text", injected), "documents")
+    t = repetition_features(quality_features(language_id(t)))
+    f = t[(t.pred_lang == "en") & (t.quality >= 0.3) & (t.n_tokens >= 10)
+          & (t.dup_token_frac <= 0.7) & (t.max_token_run <= 4)]
+    s = pii_scrub(f, kinds=("email", "ip"))
+    fp = s.transform(fp=F.md5(F.trim(F.regexp_replace(
+        F.lower(F.col("clean_text")), r"\s+", " "))))
+    # project BEFORE the dedup: keep-first carries whole rows through its
+    # min_by struct, so an early projection is what prunes the scan to
+    # (doc_id, text, source) and keeps unused columns out of the shuffle
+    fp = fp[["doc_id", "source", "n_tokens", "n_email", "n_ip", "fp"]]
+    kept = fp.distinct(on=["fp"], keep_first_by=["doc_id"])
+    g = by([kept.source],
+           n_docs=kept.doc_id.nelements(),
+           total_tokens=kept.n_tokens.sum(),
+           total_pii=(kept.n_email + kept.n_ip).sum())
+    return g.sort("source").df
+
+
 def embedding_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = Table(e.df.filter(F.col("vec_id") < 5))
@@ -1680,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "source_mix_report": source_mix_report,
         "tensor_ops_embeddings": tensor_ops_embeddings,
+        "corpus_curation_pipeline": corpus_curation_pipeline,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -1972,6 +2010,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY source ORDER BY source
+        """,
+        "corpus_curation_pipeline": r"""
+            WITH injected AS (
+                SELECT doc_id, source, concat_ws(' ', text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'mail user' || doc_id || '@example.com' END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'host 192.168.1.77' END) AS text
+                FROM documents),
+            runs AS (
+                SELECT doc_id, max(cnt) AS max_token_run FROM (
+                    SELECT doc_id, g, count(*) AS cnt FROM (
+                        SELECT doc_id, pos, sum(brk) OVER (
+                                   PARTITION BY doc_id ORDER BY pos) AS g
+                        FROM (
+                            SELECT doc_id, pos,
+                                   CASE WHEN lag(tok) OVER (
+                                            PARTITION BY doc_id ORDER BY pos
+                                        ) = tok THEN 0 ELSE 1 END AS brk
+                            FROM (
+                                SELECT doc_id, unnest(toks) AS tok,
+                                       unnest(generate_series(1, len(toks))) AS pos
+                                FROM (SELECT doc_id, regexp_split_to_array(
+                                          trim(lower(text)), '\s+') AS toks
+                                      FROM injected))))
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            feat AS (
+                SELECT i.doc_id, i.source, i.text,
+                       len(regexp_split_to_array(trim(i.text), '\s+')) AS n_tokens,
+                       round((1.0 - length(regexp_replace(lower(i.text),
+                                 '[a-z0-9\s]', '', 'g')) / length(i.text))
+                             * least(1.0, len(regexp_split_to_array(
+                                 trim(i.text), '\s+')) / 100.0), 4) AS quality,
+                       round(1.0 - len(list_distinct(regexp_split_to_array(
+                                 trim(lower(i.text)), '\s+')))
+                             / len(regexp_split_to_array(
+                                 trim(lower(i.text)), '\s+')), 4) AS dup_token_frac,
+                       r.max_token_run,
+                       CASE
+                           WHEN len(regexp_extract_all(i.text, '[一-鿿]')) > 0 THEN 'zh'
+                           WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                           WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                           WHEN de >= fr AND de > 0 THEN 'de'
+                           WHEN fr > 0 THEN 'fr'
+                           ELSE 'und' END AS pred_lang
+                FROM (
+                    SELECT *,
+                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+                        len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en)\b')) AS es,
+                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+                        len(regexp_extract_all(lower(text), '\b(le|les|et|des|est|une)\b')) AS fr
+                    FROM injected) i
+                JOIN runs r ON i.doc_id = r.doc_id),
+            gated AS (
+                SELECT *,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS n_email,
+                       len(regexp_extract_all(text,
+                           '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+                       regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean_text
+                FROM feat
+                WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 10
+                  AND dup_token_frac <= 0.7 AND max_token_run <= 4),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY md5(trim(regexp_replace(
+                                   lower(clean_text), '\s+', ' ', 'g')))
+                               ORDER BY doc_id) AS rn
+                    FROM gated) WHERE rn = 1)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
         """,
         "summary_lineitem": """

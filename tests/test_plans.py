@@ -176,3 +176,26 @@ def test_keep_first_dedup_is_aggregation_not_window(spark, star):
     plan = kept.df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "min_by" in plan or "HashAggregate" in plan
+
+
+def test_corpus_curation_pipeline_single_scan_pruned(spark):
+    """The r6 flagship composite: one documents scan pruned to
+    (doc_id, text, source), all per-row signals in the scan projection,
+    and only the dedup + per-source + final-sort exchanges."""
+    import __spark_entry__ as entry
+    from blaze_spark.plans import exchange_count, physical_plan
+
+    import re
+
+    q = entry.corpus_curation_pipeline(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    # one scan: the formatted plan repeats "Scan parquet" in the tree and
+    # the per-node detail, so count scan *detail* blocks via Location:
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if m:  # formatted plan includes ReadSchema
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"doc_id", "text", "source"}, cols
+    assert exchange_count(q) <= 3, plan
+    # no window (row_number) dedup: the keep-first lowering is min_by
+    assert "row_number" not in plan.lower(), plan
