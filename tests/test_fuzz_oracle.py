@@ -101,3 +101,63 @@ def test_fuzz_grouping_sets(spark, sf_dir, duck, first_set, with_total):
         f"SELECT {', '.join(all_cols)}, count(*), max(o_totalprice) "
         f"FROM orders GROUP BY GROUPING SETS ({sql_sets})").fetchall()}
     assert got == exp
+
+
+# -- curation regex parity fuzz ---------------------------------------------
+# The curation family's correctness risk is regex-dialect drift between
+# Spark (java.util.regex) and the oracle (DuckDB/RE2).  Fuzz random texts
+# through BOTH engines' full formula chain and require byte-identical
+# results.  Alphabet includes the separators, PII-ish fragments and
+# unicode the operators special-case.
+
+_TOKENS = ["the", "and", "batch", "x", "y", "a.b@ex.org", "10.0.0.1",
+           "555-123-4567", "123-45-6789", "über", "naïve", "中文",
+           "A", "", " ", "\t", "..", "a-b", "%20", "+1"]
+
+
+@given(words=st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=24),
+       joiner=st.sampled_from([" ", "  ", "\n", " \n "]))
+@SETTINGS
+def test_fuzz_curation_regex_parity(spark, duck, words, joiner):
+    from blaze_spark import data
+    from blaze_spark.pipeline import pii_scrub, repetition_features
+
+    text = joiner.join(words).strip()
+    if not text:
+        return
+    t = data([(1, text)], spark=spark,
+             schema="doc_id bigint, text string", name="fuzzdoc")
+    rep = repetition_features(t).df.select(
+        "n_tokens", "dup_token_frac", "dup_line_frac").first()
+    pii = pii_scrub(t).df.select(
+        "n_email", "n_ip", "n_phone", "n_ssn", "clean_text").first()
+
+    esc = text.replace("'", "''")
+    exp = duck.execute(rf"""
+        SELECT len(regexp_split_to_array(trim(lower(t)), '\s+')),
+               round(1.0 - len(list_distinct(regexp_split_to_array(
+                   trim(lower(t)), '\s+')))
+                   / len(regexp_split_to_array(trim(lower(t)), '\s+')), 4),
+               round(CASE WHEN len(l) > 0
+                     THEN 1.0 - len(list_distinct(l)) / len(l)
+                     ELSE 0.0 END, 4),
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')),
+               len(regexp_extract_all(t, '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b')),
+               len(regexp_extract_all(t, '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')),
+               len(regexp_extract_all(t, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')),
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+                   '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+                   '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g')
+        FROM (SELECT '{esc}' AS t,
+              list_filter(string_split('{esc}', chr(10)),
+                          x -> trim(x) != '') AS l)
+    """).fetchone()
+    assert rep.n_tokens == exp[0], text
+    assert rep.dup_token_frac == pytest.approx(exp[1]), text
+    assert rep.dup_line_frac == pytest.approx(exp[2]), text
+    assert (pii.n_email, pii.n_ip, pii.n_phone, pii.n_ssn) == exp[3:7], text
+    assert pii.clean_text == exp[7], text

@@ -364,3 +364,68 @@ def test_sig_format_guard_without_jvm_gateway(spark, tmp_path, monkeypatch):
     marker.unlink()
     with _pytest.raises(ValueError, match="_SIG_FORMAT"):
         inc._check_sig_format(spark, store, has_existing=True)
+
+
+def test_streaming_curation_gate_matches_batch(spark, sf_dir):
+    """The curation projections (repetition signals, PII scrub, quality)
+    are stateless Column exprs, so they compose with readStream
+    unchanged: stream the documents, gate + scrub, and require the
+    surviving doc_ids to equal the batch run's (differential scheme)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pii_scrub, repetition_features
+    from blaze_spark.streaming import StreamTable
+
+    def curate(t):
+        t = repetition_features(t)
+        t = t[(t.dup_token_frac <= 0.7) & (t.n_tokens >= 10)]
+        return pii_scrub(t)[["doc_id", "n_tokens", "clean_text"]]
+
+    st = stream_data(spark, f"{sf_dir}/documents.parquet")
+    out = curate(st)
+    StreamTable(out.df).to_memory("curated_stream", output_mode="append")
+    got = spark.table("curated_stream").toPandas()
+
+    batch = curate(
+        data(f"{sf_dir}/documents.parquet", spark=spark, name="documents")
+    ).df.toPandas()
+    assert sorted(got.doc_id) == sorted(batch.doc_id)
+    assert got.n_tokens.sum() == batch.n_tokens.sum()
+    assert len(got) > 0
+
+
+def test_streaming_contamination_probe_static_broadcast(spark, sf_dir):
+    """Decontamination on a stream: the benchmark n-gram set is a STATIC
+    broadcast relation (stream-static join), so the streaming corpus scan
+    needs no stream-stream state; per-doc counts aggregate in complete
+    mode.  Matches the batch contamination_report on the same split."""
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import contamination_report
+    from blaze_spark.pipeline.curation import ngram_array
+    from blaze_spark.streaming import StreamTable
+
+    docs = data(f"{sf_dir}/documents.parquet", spark=spark,
+                name="documents")
+    test = Table(docs.df.filter(F.col("doc_id") % 10 == 0), "test")
+    test_grams = (test.df.select(
+        F.explode(F.array_distinct(
+            ngram_array(F.col("text"), 3))).alias("ngram"))
+        .distinct().withColumn("hit", F.lit(1)))
+
+    st = stream_data(spark, f"{sf_dir}/documents.parquet")
+    train_ng = st.df.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            ngram_array(F.col("text"), 3))).alias("ngram"))
+    hits = train_ng.join(F.broadcast(test_grams), "ngram", "left")
+    rep = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"))
+    StreamTable(rep).to_memory("contam_stream", output_mode="complete")
+    got = spark.table("contam_stream").toPandas() \
+        .set_index("doc_id").sort_index()
+
+    train = Table(docs.df.filter(F.col("doc_id") % 10 != 0), "train")
+    batch = contamination_report(train, test, n=3).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert (got.n_ngrams == batch.n_ngrams).all()
+    assert (got.n_contaminated == batch.n_contaminated).all()
