@@ -179,3 +179,19 @@ def test_tensordot_bad_axes(tmat):
         tmat.v.arr.tensordot(tmat.u, axes=2)  # axes=2 needs 2-D
     with pytest.raises(TypeError):
         tmat.v.arr.outer(tmat.id)  # scalar rhs
+
+
+def test_curation_null_text_safe(spark):
+    """NULL text must not crash or fabricate signals: projections yield
+    NULL features, n-gram paths drop the doc (explode of NULL) — the
+    same semantics as unnesting NULL in the SQL oracle."""
+    t = data([(1, None), (2, "a b c d e f g h i j")],
+             spark=spark, schema="doc_id bigint, text string", name="nt")
+    rep = {r.doc_id: r for r in repetition_features(t).df.collect()}
+    assert rep[1].dup_token_frac is None
+    assert rep[2].dup_token_frac == 0.0
+    pii = {r.doc_id: r for r in pii_scrub(t).df.collect()}
+    assert pii[1].clean_text is None and pii[1].n_email is None
+    assert top_ngram_share(t, n=2).count() == 1  # null doc absent
+    rep2 = contamination_report(t, t, n=3).collect()
+    assert {r.doc_id for r in rep2} == {2}
