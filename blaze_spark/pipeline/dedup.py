@@ -263,8 +263,16 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
     step, sh = _shingle_hash_parts(src, text_col, shingle_k)
     ex = step.select("doc_id", F.explode(sh).alias("h"))
     # SQL-string expressions: one Py4J call per permutation (driver-side
-    # plan-build cost; see simhash note)
-    mins = [F.expr(f"min(((h * {a[j]}) + {b[j]}) % {_P})").alias(f"m{j}")
+    # plan-build cost; see simhash note).  Each min is < _P = 2^31-1 so it
+    # FITS A SIGNED INT — casting here halves every downstream byte the
+    # signature touches (the LSH band explode ships bands copies of it
+    # into the bucket shuffle: measured 3.7 s -> 3.2 s for the sf3 band
+    # stage locally, and at cluster scale the win is network bytes).
+    # Numeric values are unchanged, so band hashes, est_jaccard and found
+    # pairs are identical; the incremental store's _SIG_FORMAT is bumped
+    # because the store parquet schema changes.
+    mins = [F.expr(f"cast(min(((h * {a[j]}) + {b[j]}) % {_P}) as int)")
+            .alias(f"m{j}")
             for j in range(num_perm)]
     agg = ex.groupBy("doc_id").agg(*mins)
     sig = F.expr("array(" + ", ".join(f"m{j}" for j in range(num_perm)) + ")")

@@ -56,9 +56,12 @@ _PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
 # Signature-function format of this code.  Bump whenever the signature
 # computation changes (shingle hashing, permutation scheme): signatures
 # from different formats NEVER match, so probing an old store would
-# silently miss every cross-batch duplicate.  "2" = r5 token-hash tuple
-# shingles (pipeline.dedup._shingle_hash_parts; "1" was k-word strings).
-_SIG_FORMAT = "2"
+# silently miss every cross-batch duplicate.  "3" = r6 int-typed
+# signature components (values identical to "2" — each min is < 2^31-1 —
+# but the store parquet schema narrows to array<int>, halving band-entry
+# bytes); "2" = r5 token-hash tuple shingles
+# (pipeline.dedup._shingle_hash_parts); "1" was k-word strings.
+_SIG_FORMAT = "3"
 
 
 def _mismatch_err(store_path: str, found: str) -> ValueError:
