@@ -585,6 +585,20 @@ class ColExpr:
         from .functions.arrays import ArrayAccessor
         return ArrayAccessor(self)
 
+    @property
+    def ndim(self) -> int:
+        """A column is a 1-D collection (reference Field.ndim via
+        blaze/expr/expressions.py:973-980)."""
+        return 1
+
+    @property
+    def shape(self) -> tuple:
+        return ("var",)
+
+    @property
+    def dshape(self) -> str:
+        return f"var * {self.dtype.simpleString()}"
+
     # -- 1-D collection ops (reference: every expression is a collection —
     #    Field[Selection] at blaze/expr/expressions.py:518-571; head/
     #    distinct/sort lower through the 1-column table) -------------------
@@ -866,6 +880,19 @@ class Table:
         inner = ", ".join(f"{f.name}: {f.dataType.simpleString()}"
                           for f in self._df.schema.fields)
         return "var * {" + inner + "}"
+
+    @property
+    def ndim(self) -> int:
+        """Tabular collections are 1-D (reference Expr.ndim,
+        blaze/expr/expressions.py:736-739 — ndim of ``var * {...}``)."""
+        return 1
+
+    @property
+    def shape(self) -> tuple:
+        """Symbolic shape ``("var",)`` (reference Expr.shape: a var-length
+        collection's leading dimension is unknown without a count; use
+        ``len(t)`` to materialize it)."""
+        return ("var",)
 
     def __repr__(self):
         """Interactive repr: computes ``head(n+1)`` and renders through

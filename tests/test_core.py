@@ -767,3 +767,16 @@ def test_is_sort_order_connect_branch():
         pass
 
     assert _is_sort_order(Bare()) is False
+
+
+def test_shape_ndim_dshape_parity(t):
+    """Reference Expr.shape/ndim (blaze/expr/expressions.py:733-739,
+    945-980): tabular collections are 1-D with a symbolic var leading
+    dimension; len() materializes it."""
+    assert t.ndim == 1
+    assert t.shape == ("var",)
+    assert t.columns == t.fields
+    assert t.amount.ndim == 1
+    assert t.amount.shape == ("var",)
+    assert t.amount.dshape == "var * int"
+    assert len(t) == 3
