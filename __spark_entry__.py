@@ -1751,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique_users": nunique_users,
         "anyall_priorities": anyall_priorities,
         "rollup_nation_revenue": rollup_nation_revenue,
+        # ==== driver sample boundary (~50) — below here: green in r4/r5
+        # CORRECTNESS under the CURRENT Spark =================================
         "left_join_counts": left_join_counts,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
@@ -1769,8 +1771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_columns": merge_columns,
         "cube_order_stats": cube_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
-        # ==== driver sample boundary (~50) — below here: green in r4/r5
-        # CORRECTNESS under the CURRENT Spark =================================
         "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
         "q07_style_nation_volume": q07_style_nation_volume,
         "q08_style_market_share": q08_style_market_share,

@@ -40,6 +40,7 @@ from .text import (  # noqa: F401
     fingerprint,
 )
 from .curation import (  # noqa: F401
+    apply_source_mix,
     contamination_report,
     ngram_array,
     pii_scrub,

@@ -240,3 +240,27 @@ def source_mix(t: Table, text_col: str = "text",
         F.round(share, 4).alias("token_share"),
         F.round(F.least(F.lit(1.0), target / share), 4).alias("sample_weight"),
     )
+
+
+def apply_source_mix(t: Table, weights: DataFrame,
+                     source_col: str = "source", id_col: str = "doc_id",
+                     seed: int = 42) -> Table:
+    """Execute a mixture plan: keep each document with its source's
+    ``sample_weight`` probability (the output of :func:`source_mix`, or
+    any (source, sample_weight) relation).
+
+    The weights relation is ~#sources rows and is explicitly broadcast, so
+    the corpus scan filters in place — no shuffle.  The keep decision is
+    ``xxhash64(doc_id, seed)`` mapped to [0,1), NOT ``F.rand()``: hashing
+    the id makes the sample a pure deterministic projection —
+    reproducible across retries, re-runs and executors, exactly what an
+    auditable training-data build needs (rand() re-rolls per task
+    attempt, so a recomputed partition would keep a different subset).
+    """
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+         .cast("double") / 1_000_000.0)
+    joined = t.df.join(
+        F.broadcast(weights.select(source_col, "sample_weight")), source_col)
+    kept = joined.filter(u < F.col("sample_weight")) \
+        .drop("sample_weight")
+    return Table(kept, t._name)

@@ -195,3 +195,33 @@ def test_curation_null_text_safe(spark):
     assert top_ngram_share(t, n=2).count() == 1  # null doc absent
     rep2 = contamination_report(t, t, n=3).collect()
     assert {r.doc_id for r in rep2} == {2}
+
+
+def test_apply_source_mix_deterministic_and_proportional(spark):
+    from blaze_spark.pipeline import apply_source_mix, source_mix
+
+    rows = [(i, "tok " * 20, "big" if i % 4 else "small")
+            for i in range(2000)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string", name="mx")
+    w = source_mix(t)
+    kept1 = apply_source_mix(t, w).df
+    kept2 = apply_source_mix(t, w).df
+    ids1 = sorted(r.doc_id for r in kept1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+    assert ids1 == ids2  # hash-based keep: reproducible across runs
+    by_src = {r.source: r for r in w.collect()}
+    n_big = kept1.filter(F.col("source") == "big").count()
+    w_big = by_src["big"].sample_weight
+    assert abs(n_big / 1500 - w_big) < 0.05  # observed ~ weight
+    assert kept1.filter(F.col("source") == "small").count() == 500  # w=1.0
+
+
+def test_apply_source_mix_no_shuffle(spark):
+    from blaze_spark.pipeline import apply_source_mix, source_mix
+
+    t = data([(1, "a b c", "s1"), (2, "d e", "s2")], spark=spark,
+             schema="doc_id bigint, text string, source string", name="mx2")
+    out = apply_source_mix(t, source_mix(t)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
