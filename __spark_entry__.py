@@ -1291,6 +1291,15 @@ def source_mix_report(spark, sf_dir):
     return source_mix(d)
 
 
+def corpus_profile(spark, sf_dir):
+    """One-row corpus profile: counts, token totals, English share, exact
+    dup rate, quality/token percentiles — one scan, one global agg."""
+    from blaze_spark.pipeline import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d)
+
+
 def tensor_ops_embeddings(spark, sf_dir):
     """TensorDot parity (blaze/expr/arrays.py:104-129): matvec (axes=1),
     transpose element, double contraction (axes=2, Frobenius norm²) and
@@ -1718,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_report": source_mix_report,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "corpus_curation_pipeline": corpus_curation_pipeline,
+        "corpus_profile": corpus_profile,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -1984,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
                        round((1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) / length(text))
                              * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0), 4) AS quality,
                        CASE
-                           WHEN len(regexp_extract_all(text, '[\u4e00-\u9fff]')) > 0 THEN 'zh'
+                           WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
                            WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
                            WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
                            WHEN de >= fr AND de > 0 THEN 'de'
@@ -2090,6 +2100,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "corpus_profile": r"""
+            WITH feat AS (
+                SELECT source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       round((1.0 - length(regexp_replace(lower(text),
+                                 '[a-z0-9\s]', '', 'g')) / length(text))
+                             * least(1.0, len(regexp_split_to_array(
+                                 trim(text), '\s+')) / 100.0), 4) AS quality,
+                       CASE
+                           WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                           WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                           WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                           WHEN de >= fr AND de > 0 THEN 'de'
+                           WHEN fr > 0 THEN 'fr'
+                           ELSE 'und' END AS pred_lang,
+                       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+                FROM (
+                    SELECT *,
+                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+                        len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en)\b')) AS es,
+                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+                        len(regexp_extract_all(lower(text), '\b(le|les|et|des|est|une)\b')) AS fr
+                    FROM documents))
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(CASE WHEN pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_share,
+                   round(1.0 - count(DISTINCT fp) / count(*), 4) AS dup_rate,
+                   round(quantile_cont(quality, 0.5), 4) AS median_quality,
+                   round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+            FROM feat
         """,
         "summary_lineitem": """
             SELECT sum(l_quantity) AS sum_qty,

@@ -42,6 +42,7 @@ from .text import (  # noqa: F401
 from .curation import (  # noqa: F401
     apply_source_mix,
     contamination_report,
+    corpus_report,
     ngram_array,
     pii_scrub,
     repetition_features,

@@ -242,6 +242,36 @@ def source_mix(t: Table, text_col: str = "text",
     )
 
 
+def corpus_report(t: Table, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """One-row corpus profile — the first thing anyone runs on a new
+    crawl: doc/source counts, token totals, English share (language-ID),
+    exact-duplicate rate (normalized fingerprints), median quality and
+    p90 token count (exact percentiles, matching DuckDB quantile_cont).
+
+    One scan feeds one global aggregation: every input to the agg
+    (language, quality, fingerprint) is a scan-side projection, and the
+    multi-DISTINCT aggregate (fingerprints, sources) lowers to Catalyst's
+    Expand — a single-row result, so the final exchange is trivial."""
+    from .text import fingerprint, language_id, quality_features
+
+    feats = fingerprint(quality_features(language_id(t, text_col),
+                                         text_col), text_col).df
+    return feats.agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.countDistinct(source_col).cast(T.LongType()).alias("n_sources"),
+        F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
+        F.round(F.avg((F.col("pred_lang") == "en").cast("double")), 4)
+         .alias("en_share"),
+        F.round(1.0 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 4)
+         .alias("dup_rate"),
+        F.round(F.percentile("quality", F.lit(0.5)), 4)
+         .alias("median_quality"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4)
+         .alias("p90_tokens"),
+    )
+
+
 def apply_source_mix(t: Table, weights: DataFrame,
                      source_col: str = "source", id_col: str = "doc_id",
                      seed: int = 42) -> Table:
