@@ -1265,20 +1265,32 @@ def contamination_check_docs(spark, sf_dir):
     return contamination_report(train, test, n=3, threshold=0.2)
 
 
+def _inject_pii(*, phone: bool, ssn: bool):
+    """Deterministic doc_id-keyed synthetic-PII injection expression —
+    shared by pii_scrub_docs and corpus_curation_pipeline.  Each variant
+    here must stay byte-consistent with its oracle's `injected` CTE
+    (same flags -> same SQL twin)."""
+    did = F.col("doc_id")
+    parts = [F.col("text"),
+             F.when(did % 3 == 0,
+                    F.concat(F.lit("mail user"), did.cast("string"),
+                             F.lit("@example.com")))]
+    if phone:
+        parts.append(F.when(did % 4 == 0, F.lit("call 555-867-5309")))
+    parts.append(F.when(
+        did % 5 == 0,
+        F.lit("host 192.168.1.77 ssn 123-45-6789") if ssn
+        else F.lit("host 192.168.1.77")))
+    return F.concat_ws(" ", *parts)
+
+
 def pii_scrub_docs(spark, sf_dir):
     """PII redaction counts + cleaned text.  The corpus is synthetic, so
     deterministic PII is injected first (doc_id-keyed email / phone / ip /
     ssn) — the scrub itself is the generic chained-regexp projection."""
     d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    injected = F.concat_ws(
-        " ", F.col("text"),
-        F.when(did % 3 == 0,
-               F.concat(F.lit("mail user"), did.cast("string"),
-                        F.lit("@example.com"))),
-        F.when(did % 4 == 0, F.lit("call 555-867-5309")),
-        F.when(did % 5 == 0, F.lit("host 192.168.1.77 ssn 123-45-6789")))
-    t = Table(d.df.withColumn("text", injected), "documents")
+    t = Table(d.df.withColumn("text", _inject_pii(phone=True, ssn=True)),
+              "documents")
     out = pii_scrub(t)
     return out[["doc_id", "n_email", "n_ip", "n_phone", "n_ssn",
                 "clean_text"]].df
@@ -1337,14 +1349,8 @@ def corpus_curation_pipeline(spark, sf_dir):
     in the scan's projection; the only shuffles are the dedup aggregation
     and the tiny per-source agg."""
     d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    injected = F.concat_ws(
-        " ", F.col("text"),
-        F.when(did % 3 == 0,
-               F.concat(F.lit("mail user"), did.cast("string"),
-                        F.lit("@example.com"))),
-        F.when(did % 5 == 0, F.lit("host 192.168.1.77")))
-    t = Table(d.df.withColumn("text", injected), "documents")
+    t = Table(d.df.withColumn("text", _inject_pii(phone=False, ssn=False)),
+              "documents")
     t = repetition_features(quality_features(language_id(t)))
     f = t[(t.pred_lang == "en") & (t.quality >= 0.3) & (t.n_tokens >= 10)
           & (t.dup_token_frac <= 0.7) & (t.max_token_run <= 4)]

@@ -66,22 +66,52 @@ def _bulk_array_lit(vals: list) -> Column:
     probe = next((v for v in vals if v is not None), None)
     if isinstance(probe, bool):
         elem = "boolean"
+        bad = next((v for v in vals
+                    if v is not None and not isinstance(v, bool)), None)
     elif isinstance(probe, int):
         # a mixed int/float list must parse as double
         elem = ("double" if any(isinstance(v, float) for v in vals)
                 else "bigint")
+        # from_json returns NULL for the WHOLE array if any element fails
+        # to parse (e.g. an unsigned 64-bit hash above int64, or a stray
+        # bool in an int list) — and array_contains(NULL, x) silently
+        # matches nothing.  Validate eagerly and fail loudly instead.
+        if elem == "bigint":
+            bad = next((v for v in vals if v is not None and (
+                isinstance(v, bool) or not isinstance(v, int)
+                or not -(2**63) <= v < 2**63)), None)
+        else:
+            bad = next((v for v in vals if v is not None and (
+                isinstance(v, bool)
+                or not isinstance(v, (int, float)))), None)
     elif isinstance(probe, float):
         elem = "double"
+        bad = next((v for v in vals if v is not None and (
+            isinstance(v, bool) or not isinstance(v, (int, float)))), None)
     elif isinstance(probe, str):
         elem = "string"
+        bad = next((v for v in vals
+                    if v is not None and not isinstance(v, str)), None)
     elif isinstance(probe, _dt.datetime):
         elem = "timestamp"
+        bad = next((v for v in vals
+                    if v is not None and not isinstance(v, _dt.datetime)),
+                   None)
         vals = [v.isoformat() if v is not None else None for v in vals]
     elif isinstance(probe, _dt.date):
         elem = "date"
+        bad = next((v for v in vals if v is not None and (
+            isinstance(v, _dt.datetime)
+            or not isinstance(v, _dt.date))), None)
         vals = [v.isoformat() if v is not None else None for v in vals]
     else:
         return F.lit(vals)
+    if bad is not None:
+        raise TypeError(
+            f"isin values are not a homogeneous {elem} list: {bad!r} "
+            f"(type {type(bad).__name__}) cannot be represented — "
+            "from_json would silently null the whole literal and the "
+            "predicate would match nothing")
     return F.from_json(F.lit(_json.dumps(vals)), f"array<{elem}>")
 
 
@@ -1152,6 +1182,18 @@ class Table:
         # instead of an analysis exception / undefined order (ADVICE r5).
         directions = [k.ascending if isinstance(k, SortKey) else True
                       for k in order]
+        for k in order:
+            # min_by/max_by's struct comparator places NULL fields first
+            # regardless — an explicit na_position that asks for the
+            # other placement would silently keep a different row than
+            # the documented row_number()-equivalent; refuse loudly
+            if isinstance(k, SortKey) and k.na_position is not None:
+                raise TypeError(
+                    "keep_first_by does not honor na_position: the "
+                    "min_by/max_by struct comparator has a fixed null "
+                    "ordering.  Filter or coalesce() the null order keys "
+                    "first, or use sort(...).distinct(on=...) when null "
+                    "placement matters.")
         order_cols = []
         for k in order:
             c = k.col if isinstance(k, SortKey) else _as_col(k)

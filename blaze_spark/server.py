@@ -109,8 +109,14 @@ class BlazeSparkServer:
                 import hmac
 
                 got = self.headers.get("Authorization", "")
+                # compare BYTES: compare_digest raises TypeError on
+                # non-ASCII str (http.server decodes headers latin-1, so
+                # a hostile header must 401, not crash the request; and a
+                # non-ASCII token must still be comparable)
                 ok = hmac.compare_digest(
-                    got, f"Bearer {server_self.auth_token}")
+                    got.encode("utf-8", "surrogateescape"),
+                    f"Bearer {server_self.auth_token}".encode(
+                        "utf-8", "surrogateescape"))
                 if not ok:
                     self._send(401, {"error": "bad auth token"})
                 return ok

@@ -128,12 +128,18 @@ def _parse_mongo_uri(uri: str) -> tuple[str, str | None, str | None]:
     URI reaches any driver."""
     coll = None
     base = uri
-    if "::" in uri.split("://", 1)[1]:
+    rest = uri.split("://", 1)[1]
+    # only a '::' in the PATH segment (after the last '/') is the
+    # collection separator — '::' in an IPv6 host ([::1]) or in
+    # credentials must not be split
+    path_start = rest.find("/")
+    if path_start != -1 and "::" in rest[path_start:]:
         base, coll = uri.rsplit("::", 1)
-    path = base.split("://", 1)[1]
     db = None
-    if "/" in path:
-        tail = path.split("/", 1)[1]
+    if path_start != -1:
+        tail = rest[path_start + 1:]
+        if coll is not None:
+            tail = tail.rsplit("::", 1)[0]
         db = tail.split("?", 1)[0] or None
     return base, db, coll
 
@@ -195,6 +201,10 @@ def _mongo_table(spark: SparkSession, uri: str, *, schema=None,
             "pymongo ingest is opt-in (it materializes the collection on "
             "the driver — small collections only): pass "
             "allow_driver_ingest=True or install the connector")
+    if db is None:
+        raise ValueError(
+            "mongodb URI needs a database for the driver ingest: "
+            "'mongodb://host:port/db::collection'")
     client = pymongo.MongoClient(base)
     docs = list(client[db][coll].find(projection={"_id": False}))
     t = Table(_normalize_ntz(

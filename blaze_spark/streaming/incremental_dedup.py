@@ -75,11 +75,12 @@ def _mismatch_err(store_path: str, found: str) -> ValueError:
 
 def _unmarked_err(store_path: str) -> ValueError:
     return ValueError(
-        f"signature store at {store_path!r} has ingest batches but "
-        "no _SIG_FORMAT marker (pre-r5 store, k-word-string "
-        f"shingles); this code produces format {_SIG_FORMAT!r} — "
-        "rebuild the store (re-ingest) or pin the engine version "
-        "that wrote it.")
+        f"signature store at {store_path!r} has ingest batches but no "
+        "_SIG_FORMAT marker (either a pre-versioning store, or one that "
+        "gained batches from a session that could not stamp it); this "
+        f"code produces format {_SIG_FORMAT!r} and cannot verify a "
+        "match — rebuild the store (re-ingest) or pin the engine "
+        "version that wrote it.")
 
 
 def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
@@ -143,7 +144,8 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
         return
 
     # Remote store without a gateway: the marker can still be READ
-    # through the Spark API (text source reads a single file).
+    # through the Spark API (text source reads a single file or a
+    # directory of part files).
     try:
         rows = spark.read.text(
             store_path.rstrip("/") + "/_SIG_FORMAT").collect()
@@ -156,13 +158,29 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
     except Exception:
         pass  # marker absent (or unreadable)
     if has_existing:
+        # could be a genuine pre-versioned store OR one that gained
+        # batches without ever being stamped — either way probing it is
+        # unsafe; the error says how to proceed
         raise _unmarked_err(store_path)
+    # Fresh store: STAMP it through the Spark API — a 1-row text write
+    # creates a directory marker that every read tier above accepts
+    # (spark.read.text reads the part files; the Hadoop-FS tier's file
+    # open fails on a directory and cascades here).  Without this, a
+    # Connect session's first batch would leave the store permanently
+    # unstampable and every later batch would fail _unmarked_err.
+    try:
+        (spark.createDataFrame([(_SIG_FORMAT,)], "value string")
+         .coalesce(1).write.mode("overwrite")
+         .text(store_path.rstrip("/") + "/_SIG_FORMAT"))
+        return
+    except Exception:
+        pass
     import warnings
     warnings.warn(
-        f"signature store at {store_path!r}: no JVM gateway and remote "
-        "scheme — the _SIG_FORMAT marker cannot be written from this "
-        "session; the store is left unstamped and future format checks "
-        "will treat it as pre-versioned.", stacklevel=3)
+        f"signature store at {store_path!r}: no JVM gateway and the "
+        "_SIG_FORMAT marker could not be written through the Spark API; "
+        "the store is left unstamped and the next batch will refuse to "
+        "probe it.", stacklevel=3)
 
 
 from ..fsutil import hadoop_fs as _hadoop_fs

@@ -780,3 +780,26 @@ def test_shape_ndim_dshape_parity(t):
     assert t.amount.shape == ("var",)
     assert t.amount.dshape == "var * int"
     assert len(t) == 3
+
+
+def test_large_isin_rejects_unrepresentable_values(t):
+    """from_json nulls the WHOLE array literal if one element cannot
+    parse; the engine must fail loudly at construction instead of
+    silently matching nothing."""
+    import pytest as _pytest
+
+    big = list(range(20_000))
+    pred = t.amount.isin(big + [2 ** 70])   # > int64
+    with _pytest.raises(TypeError, match="homogeneous"):
+        _ = (pred & (t.amount > 0)).col     # composing forces the literal
+    pred2 = t.amount.isin(big + [True])     # stray bool in an int list
+    with _pytest.raises(TypeError, match="homogeneous"):
+        _ = (pred2 & (t.amount > 0)).col
+
+
+def test_keep_first_by_rejects_na_position(t):
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="na_position"):
+        t.distinct(on=["name"],
+                   keep_first_by=[t.amount.desc(na_position="first")])

@@ -225,3 +225,18 @@ def test_apply_source_mix_no_shuffle(spark):
     out = apply_source_mix(t, source_mix(t)).df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_report_planted(spark):
+    from blaze_spark.pipeline import corpus_report
+
+    rows = [(1, "the cat and the dog is here of it", "s1"),
+            (2, "the cat and the dog is here of it", "s1"),   # exact dup
+            (3, "el gato y la casa que es", "s2")]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string", name="cr")
+    r = corpus_report(t).first()
+    assert r.n_docs == 3 and r.n_sources == 2
+    assert r.en_share == round(2 / 3, 4)
+    assert r.dup_rate == round(1 - 2 / 3, 4)
+    assert r.total_tokens == 9 + 9 + 7

@@ -168,3 +168,26 @@ def test_auth_token_gate(spark, star):
         assert len(body["data"]) == 3
     finally:
         srv.stop()
+
+
+def test_auth_non_ascii_header_gets_401_not_crash(spark, star):
+    """http.server decodes headers latin-1, and hmac.compare_digest
+    raises TypeError on non-ASCII str — the gate must compare bytes so a
+    hostile header 401s instead of dropping the connection."""
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           auth_token="s3cret")
+    srv.start(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/datashape",
+            headers={"Authorization": "Bearer t\xffk\xe9n"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert "bad auth token" in e.read().decode()
+    finally:
+        srv.stop()

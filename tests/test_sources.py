@@ -360,3 +360,14 @@ def test_mongo_source_requires_collection(spark):
 
     with pytest.raises(ValueError, match="collection"):
         data("mongodb://localhost:27017/test_db", spark=spark)
+
+
+def test_mongo_uri_ipv6_and_no_collection_suffix():
+    from blaze_spark.sources import _parse_mongo_uri
+
+    base, db, coll = _parse_mongo_uri("mongodb://[::1]:27017/db")
+    assert (base, db, coll) == ("mongodb://[::1]:27017/db", "db", None)
+    base, db, coll = _parse_mongo_uri("mongodb://[::1]:27017/db::bank")
+    assert (base, db, coll) == ("mongodb://[::1]:27017/db", "db", "bank")
+    base, db, coll = _parse_mongo_uri("mongodb://user:p::w@host/db::c")
+    assert db == "db" and coll == "c"

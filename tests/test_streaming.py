@@ -429,3 +429,26 @@ def test_streaming_contamination_probe_static_broadcast(spark, sf_dir):
         .set_index("doc_id").sort_index()
     assert (got.n_ngrams == batch.n_ngrams).all()
     assert (got.n_contaminated == batch.n_contaminated).all()
+
+
+def test_sig_format_guard_remote_store_stamps_via_spark_api(
+        spark, tmp_path, monkeypatch):
+    """A gateway-less session with a REMOTE-scheme store must STAMP a
+    fresh store through the Spark API (directory marker) instead of
+    leaving it permanently unstampable — otherwise batch 1 warns and
+    every later batch dies on _unmarked_err with no way to recover."""
+    from blaze_spark.streaming import incremental_dedup as inc
+
+    def _no_gateway(spark, path):
+        raise RuntimeError("no JVM gateway (Connect)")
+
+    monkeypatch.setattr(inc, "_hadoop_fs", _no_gateway)
+    # treat the tmp store as remote so the local-file tier is skipped
+    monkeypatch.setattr(inc, "is_local_path", lambda p: False)
+    store = str(tmp_path / "rstore")
+    inc._check_sig_format(spark, store, has_existing=False)
+    # stamped as a directory marker readable by spark.read.text
+    rows = spark.read.text(store + "/_SIG_FORMAT").collect()
+    assert any(r[0].strip() == inc._SIG_FORMAT for r in rows)
+    # and the next batch verifies it instead of raising
+    inc._check_sig_format(spark, store, has_existing=True)
