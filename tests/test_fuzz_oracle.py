@@ -9,7 +9,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-SETTINGS = settings(max_examples=8, deadline=None,
+# soak: FUZZ_EXAMPLES=200 python -m pytest tests/test_fuzz_oracle.py
+SETTINGS = settings(max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "8")), deadline=None,
                     suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 NUM_COLS = ["o_totalprice", "o_orderkey", "o_custkey"]
