@@ -1665,6 +1665,30 @@ def incremental_dedup_batches(spark, sf_dir):
                     F.round("est_jaccard", 4).alias("est_jaccard")))
 
 
+def incremental_simhash_batches(spark, sf_dir):
+    """Simhash variant of the incremental-dedup contract (same two-batch
+    shape as incremental_dedup_batches): exact copies in batch 2 must
+    match their batch-1 originals through the pigeonhole chunk store
+    (est 1.0 = hamming 0).  Rows-only: the store probe is not
+    SQL-expressible."""
+    import tempfile
+
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.df.select("doc_id", "text")
+    b1 = Table(base.filter(F.col("doc_id") % 2 == 0))
+    copies = (base.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40))
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    b2 = Table(base.filter(F.col("doc_id") % 2 == 1).unionByName(copies))
+    store = tempfile.mkdtemp(prefix="incsimhash_contract_") + "/store"
+    p1 = process_batch(b1, store, batch_id=0, method="simhash")
+    p2 = process_batch(b2, store, batch_id=1, method="simhash")
+    return (p1.unionByName(p2)
+            .filter(F.col("est_jaccard") >= 0.95)
+            .select("new_doc", "matched_doc", "est_jaccard"))
+
+
 def graph_components_docs(spark, sf_dir):
     """Connected components (pipeline/cluster.py) over a DETERMINISTIC
     edge set: doc_id chains (i, i+1) for i%10 < 4 — five-node chains per
@@ -1734,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "corpus_profile": corpus_profile,
+        "incremental_simhash_batches": incremental_simhash_batches,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,

@@ -63,27 +63,36 @@ _PAIR_SCHEMA = ("new_doc long, matched_doc long, est_jaccard double")
 # (pipeline.dedup._shingle_hash_parts); "1" was k-word strings.
 _SIG_FORMAT = "3"
 
+# The simhash variant stamps its stores with a DISTINCT format family so
+# a minhash probe of a simhash store (or vice versa) fails loudly —
+# chunk values and band hashes live in the same store columns and would
+# otherwise cross-probe with silent ~zero recall.
+_SIMHASH_FORMAT = "simhash-1"
 
-def _mismatch_err(store_path: str, found: str) -> ValueError:
+
+def _mismatch_err(store_path: str, found: str,
+                  expected: str = _SIG_FORMAT) -> ValueError:
     return ValueError(
         f"signature store at {store_path!r} was written with "
         f"signature format {found!r}; this code produces format "
-        f"{_SIG_FORMAT!r} — probing would silently miss every "
+        f"{expected!r} — probing would silently miss every "
         "cross-batch duplicate.  Rebuild the store (re-ingest) "
         "or pin the engine version that wrote it.")
 
 
-def _unmarked_err(store_path: str) -> ValueError:
+def _unmarked_err(store_path: str,
+                  expected: str = _SIG_FORMAT) -> ValueError:
     return ValueError(
         f"signature store at {store_path!r} has ingest batches but no "
         "_SIG_FORMAT marker (either a pre-versioning store, or one that "
         "gained batches from a session that could not stamp it); this "
-        f"code produces format {_SIG_FORMAT!r} and cannot verify a "
+        f"code produces format {expected!r} and cannot verify a "
         "match — rebuild the store (re-ingest) or pin the engine "
         "version that wrote it.")
 
 
-def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
+def _check_sig_format(spark, store_path: str, has_existing: bool,
+                      expected: str = _SIG_FORMAT) -> None:
     """Fail loudly on a store written by a different signature format;
     stamp new stores.  Marker lives at ``<store>/_SIG_FORMAT``.
 
@@ -109,14 +118,14 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
                 found = bytes(buf).decode("utf-8", "replace").strip()
             finally:
                 stream.close()
-            if found != _SIG_FORMAT:
-                raise _mismatch_err(store_path, found)
+            if found != expected:
+                raise _mismatch_err(store_path, found, expected)
         elif has_existing:
-            raise _unmarked_err(store_path)
+            raise _unmarked_err(store_path, expected)
         else:
             out = fs.create(marker, True)
             try:
-                out.write(bytearray(_SIG_FORMAT.encode()))
+                out.write(bytearray(expected.encode()))
             finally:
                 out.close()
         return
@@ -133,14 +142,14 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
         if os.path.exists(marker_p):
             with open(marker_p, encoding="utf-8") as fh:
                 found = fh.read(16).strip()
-            if found != _SIG_FORMAT:
-                raise _mismatch_err(store_path, found)
+            if found != expected:
+                raise _mismatch_err(store_path, found, expected)
         elif has_existing:
-            raise _unmarked_err(store_path)
+            raise _unmarked_err(store_path, expected)
         else:
             os.makedirs(local, exist_ok=True)
             with open(marker_p, "w", encoding="utf-8") as fh:
-                fh.write(_SIG_FORMAT)
+                fh.write(expected)
         return
 
     # Remote store without a gateway: the marker can still be READ
@@ -150,8 +159,8 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
         rows = spark.read.text(
             store_path.rstrip("/") + "/_SIG_FORMAT").collect()
         found = next((r[0].strip() for r in rows if r[0].strip()), "")
-        if found != _SIG_FORMAT:
-            raise _mismatch_err(store_path, found)
+        if found != expected:
+            raise _mismatch_err(store_path, found, expected)
         return
     except ValueError:
         raise
@@ -161,7 +170,7 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
         # could be a genuine pre-versioned store OR one that gained
         # batches without ever being stamped — either way probing it is
         # unsafe; the error says how to proceed
-        raise _unmarked_err(store_path)
+        raise _unmarked_err(store_path, expected)
     # Fresh store: STAMP it through the Spark API — a 1-row text write
     # creates a directory marker that every read tier above accepts
     # (spark.read.text reads the part files; the Hadoop-FS tier's file
@@ -169,7 +178,7 @@ def _check_sig_format(spark, store_path: str, has_existing: bool) -> None:
     # Connect session's first batch would leave the store permanently
     # unstampable and every later batch would fail _unmarked_err.
     try:
-        (spark.createDataFrame([(_SIG_FORMAT,)], "value string")
+        (spark.createDataFrame([(expected,)], "value string")
          .coalesce(1).write.mode("overwrite")
          .text(store_path.rstrip("/") + "/_SIG_FORMAT"))
         return
@@ -251,11 +260,53 @@ def _est_jaccard(num_perm: int):
     return est
 
 
+def _simhash_sigs(batch: Table, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, signature: array<long>[sim_lo, sim_hi]) — the simhash as
+    a 2-element array so the store schema matches the minhash layout."""
+    from ..pipeline.dedup import simhash
+
+    sh = simhash(batch, text_col, id_col).df
+    return sh.select("doc_id",
+                     F.array("sim_lo", "sim_hi").alias("signature"))
+
+
+def _simhash_entries(sigs: DataFrame) -> DataFrame:
+    """Pigeonhole chunks as band entries: band=chunk index 0-3, bhash=the
+    16-bit chunk value (same (band, bhash) store columns as minhash, so
+    the probe/store machinery is shared verbatim)."""
+    lo, hi = F.element_at("signature", 1), F.element_at("signature", 2)
+    return sigs.select(
+        "doc_id", "signature",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), (lo % 65536).alias("bhash")),
+            F.struct(F.lit(1).alias("band"),
+                     F.floor(lo / 65536).cast("long").alias("bhash")),
+            F.struct(F.lit(2).alias("band"), (hi % 65536).alias("bhash")),
+            F.struct(F.lit(3).alias("band"),
+                     F.floor(hi / 65536).cast("long").alias("bhash")),
+        )).alias("bk"),
+    ).select("doc_id", "signature", F.col("bk.band").alias("band"),
+             F.col("bk.bhash").alias("bhash"))
+
+
+def _est_simhash():
+    """Similarity proxy 1 - hamming/64 in [0,1] (same column name as the
+    minhash estimate so the pair sink schema is uniform)."""
+    def est(sig_a, sig_b):
+        ham = (F.bit_count(F.element_at(sig_a, 1)
+                           .bitwiseXOR(F.element_at(sig_b, 1)))
+               + F.bit_count(F.element_at(sig_a, 2)
+                             .bitwiseXOR(F.element_at(sig_b, 2))))
+        return F.round(1.0 - ham / F.lit(64.0), 4)
+    return est
+
+
 def process_batch(batch: Table, store_path: str, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 32,
                   bands: int = 8, shingle_k: int = 5,
                   seed: int = 42, batch_id: int | None = None,
-                  pairs_path: str | None = None) -> DataFrame:
+                  pairs_path: str | None = None,
+                  method: str = "minhash") -> DataFrame:
     """One increment: probe the store with a batch of new docs, emit
     near-dup candidate pairs (new_doc, matched_doc, est_jaccard;
     matched_doc may be a stored doc OR an earlier doc of the same batch),
@@ -276,13 +327,25 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     # accident); probing below uses only _SUCCESS-complete dirs
     all_ids = _ingest_ids(spark, store_path)
     existing = _ingest_ids(spark, store_path, complete_only=True)
-    _check_sig_format(spark, store_path, has_existing=bool(all_ids))
+    if method == "minhash":
+        fmt = _SIG_FORMAT
+    elif method == "simhash":
+        fmt = _SIMHASH_FORMAT
+    else:
+        raise ValueError(f"method must be 'minhash' or 'simhash': {method!r}")
+    _check_sig_format(spark, store_path, has_existing=bool(all_ids),
+                      expected=fmt)
     if batch_id is None:
         batch_id = (max(all_ids) + 1) if all_ids else 0
-    sigs = minhash_signatures(batch, text_col, id_col, num_perm,
-                              shingle_k, seed).df.persist()
-    entries = _band_entries(sigs, num_perm, bands).persist()
-    est = _est_jaccard(num_perm)
+    if method == "minhash":
+        sigs = minhash_signatures(batch, text_col, id_col, num_perm,
+                                  shingle_k, seed).df.persist()
+        entries = _band_entries(sigs, num_perm, bands).persist()
+        est = _est_jaccard(num_perm)
+    else:
+        sigs = _simhash_sigs(batch, text_col, id_col).persist()
+        entries = _simhash_entries(sigs).persist()
+        est = _est_simhash()
 
     # probe the persistent index: store-side scan prunes on band (partition
     # column) and the broadcast join dynamically filters bhash.  A retried
@@ -360,6 +423,27 @@ def incremental_minhash_dedup(stream, store_path: str, checkpoint: str,
         process_batch(Table(bdf), store_path, text_col, id_col,
                       num_perm, bands, shingle_k, seed,
                       batch_id=batch_id, pairs_path=pairs_path)
+
+    return (stream.df.writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append").start())
+
+
+def incremental_simhash_dedup(stream, store_path: str, checkpoint: str,
+                              pairs_path: str, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Streaming wrapper for the SIMHASH store variant: pigeonhole chunk
+    probes (Hamming <= 3 guarantee per chunk collision) instead of
+    MinHash bands; emits (new_doc, matched_doc, est_jaccard) with the
+    1 - hamming/64 proxy.  Same store layout, exactly-once semantics and
+    compaction path as :func:`incremental_minhash_dedup`; stores are
+    format-stamped per method so cross-probing fails loudly."""
+    def _on_batch(bdf: DataFrame, batch_id: int):
+        if not bdf.head(1):
+            return
+        process_batch(Table(bdf), store_path, text_col, id_col,
+                      batch_id=batch_id, pairs_path=pairs_path,
+                      method="simhash")
 
     return (stream.df.writeStream.foreachBatch(_on_batch)
             .option("checkpointLocation", checkpoint)

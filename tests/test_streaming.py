@@ -452,3 +452,29 @@ def test_sig_format_guard_remote_store_stamps_via_spark_api(
     assert any(r[0].strip() == inc._SIG_FORMAT for r in rows)
     # and the next batch verifies it instead of raising
     inc._check_sig_format(spark, store, has_existing=True)
+
+
+def test_incremental_simhash_dedup_batches(spark, tmp_path):
+    """Simhash store variant: an exact duplicate arriving in a LATER
+    batch is matched against the store (est 1.0); stores are
+    method-stamped so a minhash probe of a simhash store fails loudly."""
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    store = str(tmp_path / "sh_store")
+    text = "spark dedup pipeline with enough tokens to vote " * 3
+    b1 = data([(1, text), (2, "entirely different words here okay")],
+              spark=spark, schema="doc_id bigint, text string", name="b1")
+    out1 = process_batch(b1, store, method="simhash")
+    assert out1.count() == 0  # no dups within batch 1
+    b2 = data([(10, text)], spark=spark,
+              schema="doc_id bigint, text string", name="b2")
+    out2 = process_batch(b2, store, method="simhash")
+    rows = {(r.new_doc, r.matched_doc): r.est_jaccard
+            for r in out2.collect()}
+    assert (10, 1) in rows and rows[(10, 1)] == 1.0
+    # cross-method probe refuses
+    with _pytest.raises(ValueError, match="signature format"):
+        process_batch(b2, store, method="minhash")
