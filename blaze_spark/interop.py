@@ -97,7 +97,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
     _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
                   "sort", "distinct", "relabel", "transform", "by",
                   "summary", "join", "concat", "pivot", "unpivot",
-                  "explode"}
+                  "explode",
+                  # text/curation projections (r6): table-in/table-out
+                  # pure Column-expr ops, so they serialize as plain
+                  # unary nodes — a server client can run the curation
+                  # passes on registered datasets without shipping code
+                  "language_id", "quality_features", "fingerprint",
+                  "repetition_features", "pii_scrub"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -153,6 +159,18 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             # args: [child, col, alias, pos, outer]
             return child.explode(args[1], alias=args[2], pos=args[3],
                                  outer=args[4])
+        if op in ("language_id", "quality_features", "fingerprint",
+                  "repetition_features", "pii_scrub"):
+            from . import pipeline as _pl
+            fn = getattr(_pl, op)
+            # optional args[1] = text column name; pii_scrub also takes
+            # args[2] = list of kinds
+            kw = {}
+            if len(args) > 1 and args[1]:
+                kw["text_col"] = args[1]
+            if op == "pii_scrub" and len(args) > 2 and args[2]:
+                kw["kinds"] = tuple(args[2])
+            return fn(child, **kw)
         raise ValueError(f"unknown table op: {op}")
 
     return walk(tree)

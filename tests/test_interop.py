@@ -263,3 +263,33 @@ def test_fuzz_tree_roundtrip(spark, sf_dir):
             assert a.equals(b), f"{seq}\n{a}\n{b}"
 
     run()
+
+
+def test_tree_curation_ops_roundtrip(spark):
+    """r6: the text/curation projections are unary tree ops, so a server
+    client can run the curation passes on registered datasets."""
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline import pii_scrub, repetition_features
+
+    docs = data([(1, "a a a b mail x@y.org"), (2, "clean text here")],
+                spark=spark, schema="doc_id bigint, text string",
+                name="docs")
+    tree = {"op": "pii_scrub",
+            "args": [{"op": "repetition_features",
+                      "args": [{"op": "symbol", "args": ["docs"]}]}]}
+    got = from_tree(tree, spark=spark, datasets={"docs": docs},
+                    allow_data_uris=False)
+    local = pii_scrub(repetition_features(docs))
+    assert sorted(got.df.columns) == sorted(local.df.columns)
+    g = {r.doc_id: r for r in got.df.collect()}
+    l = {r.doc_id: r for r in local.df.collect()}
+    assert g[1].clean_text == l[1].clean_text
+    assert g[1].dup_token_frac == l[1].dup_token_frac
+    # kinds parameter threads through
+    tree2 = {"op": "pii_scrub",
+             "args": [{"op": "symbol", "args": ["docs"]}, None,
+                      ["email"]]}
+    out2 = from_tree(tree2, spark=spark, datasets={"docs": docs},
+                     allow_data_uris=False)
+    assert "n_email" in out2.df.columns and "n_phone" not in out2.df.columns
