@@ -104,11 +104,26 @@ def main() -> None:
                         " "),
                 ).withColumn("n_chars", F.length("text"))
             if name == "embeddings" and i > 0:
-                # rotate the vector i slots: decorrelates cosine structure
+                # rotate the vector i%dim slots AND apply a per-copy
+                # deterministic sign-flip pattern: plain rotation wraps at
+                # dim (copies i and i+dim were IDENTICAL — the r6 sf10
+                # probe found ~36 exact copies per base vector at
+                # scale=100, BASELINE.md), while sign-flips give 2^dim
+                # decorrelated variants so near-dup workloads stay
+                # realistic at any scale
+                import numpy as _np
+
+                dim = len(star[name].df.select("embedding").head()[0])
+                r = (i % dim) or 1
+                rot = F.concat(F.slice(F.col("embedding"), r + 1, 10_000),
+                               F.slice(F.col("embedding"), 1, r))
+                flips = _np.random.default_rng(1000 + i).choice(
+                    [-1.0, 1.0], size=dim).tolist()
+                flip_arr = F.array(*[F.lit(float(x)) for x in flips])
                 c = c.withColumn(
                     "embedding",
-                    F.concat(F.slice(F.col("embedding"), i + 1, 10_000),
-                             F.slice(F.col("embedding"), 1, i)))
+                    F.zip_with(rot, flip_arr,
+                               lambda a, b: (a * b).cast("float")))
             copies.append(c)
         allc = copies[0]
         for c in copies[1:]:
