@@ -1507,6 +1507,47 @@ def recall_embedding_lsh(spark, sf_dir):
     return pair_recall(truth, found, a="vec_a", b="vec_b").df
 
 
+def ann_ivf_neardup(spark, sf_dir):
+    """IVF-cell near-dup pairs (SemDeDup blocking: sampled quantizer,
+    nprobe multi-assignment, per-cell BLAS matmul) on the planted
+    corpus.  Rows-only: the sampled k-means quantizer is not
+    SQL-expressible.  At 200k vectors this path measured 4x faster than
+    hyperplane LSH, which is past its max_tables cap there (PLANS.md)."""
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = Table(
+        e.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    corpus = concat(e, planted)
+    return ivf_neardup_pairs(corpus, threshold=0.9).df
+
+
+def recall_ivf_neardup(spark, sf_dir):
+    """Recall contract for the IVF near-dup path vs brute force on the
+    same planted corpus (planted pairs at cosine ~0.998, where the
+    nprobe=2 cell assignment of a near-identical pair coincides with
+    near-certainty; tests assert recall >= 0.95, measured 1.0 at
+    sf0.01)."""
+    from blaze_spark.pipeline import embedding_neardup_pairs
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = Table(
+        e.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    corpus = concat(e, planted)
+    truth = embedding_neardup_pairs(corpus, threshold=0.9, exact=True)
+    found = ivf_neardup_pairs(corpus, threshold=0.9)
+    return pair_recall(truth, found, a="vec_a", b="vec_b").df
+
+
 def recall_ivf_topk(spark, sf_dir):
     """Recall@k contract for IVF ANN vs brute-force cosine top-k, at the
     operating point (nprobe=4 of 8 cells).  No closed-form target exists
@@ -1759,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
+        "ann_ivf_neardup": ann_ivf_neardup,
+        "recall_ivf_neardup": recall_ivf_neardup,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,

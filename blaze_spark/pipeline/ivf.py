@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..core import Table
 
-__all__ = ["kmeans_fit", "ivf_assign", "ivf_topk"]
+__all__ = ["kmeans_fit", "ivf_assign", "ivf_topk", "ivf_neardup_pairs"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -128,6 +128,110 @@ def ivf_topk(corpus: Table, queries: Table, centroids: np.ndarray, k: int = 5,
                    F.round("cosine", round_to).alias("cosine")
                    if round_to is not None else F.col("cosine")))
     return Table(out, "ivf_topk")
+
+
+def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,
+                      k: int | None = None, nprobe: int = 2,
+                      iters: int = 3, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      centroids: np.ndarray | None = None,
+                      n_vectors: int | None = None,
+                      target_cell: int = 256, max_cell: int = 20_000,
+                      sample_per_cell: int = 48,
+                      seed: int = 42, round_to: int | None = 4) -> Table:
+    """Near-duplicate pairs via IVF cells — the ANN regime PAST hyperplane
+    LSH's ``max_tables`` cost cap (BASELINE.md sf10 probe: at 200k
+    vectors the LSH needs 14 tables for design recall and clamps to 12;
+    its candidate volume is fixed by random planes, while IVF's follows
+    the data's actual geometry).
+
+    Topology (SemDeDup's blocking scheme, Spark-first):
+
+    - the quantizer fits on a SAMPLE (``sample_per_cell * k`` rows — the
+      standard IVF training recipe; fitting Lloyd on the full corpus was
+      measured 10x the whole operator's budget at 200k vectors);
+    - each vector multi-assigns to its ``nprobe`` nearest cells (catches
+      pairs split across a cell boundary — a genuine near-dup's top
+      cells all but coincide);
+    - ONE shuffle routes (id, vector) into cells, and each cell computes
+      its full similarity matrix with a single BLAS matmul inside
+      ``applyInPandas`` — ~occupancy² dot products per cell at memory
+      bandwidth, NOT a row-expanded pair join (the join form at
+      occupancy 256 expanded to ~10^8 candidate ROWS and was 10x slower
+      than hyperplane LSH; the matmul does the same flops in seconds);
+    - only >=threshold pairs leave the cell (tiny), deduped across the
+      nprobe multi-assignments by a final pair-keyed aggregate.
+
+    ``k`` defaults to ``N / target_cell`` so occupancy — and per-cell
+    matmul cost — stays constant as the corpus grows; ``max_cell`` truncates
+    degenerate cells (emitting a warning marker pair is impossible here, so
+    truncation is logged through the row count instead — a production run
+    partitions the stored table by cell id and handles hot cells offline).
+    Pass ``n_vectors`` (or ``centroids`` from a saved quantizer) to skip
+    the sizing scan on production paths."""
+    if centroids is None:
+        if k is None:
+            n = (n_vectors if n_vectors is not None
+                 else corpus.df.count())
+            k = max(16, int(np.ceil(n / target_cell)))
+            if n_vectors is None:
+                n_vectors = n
+        frac = None
+        if n_vectors is not None:
+            want = float(k) * sample_per_cell
+            frac = min(1.0, want / max(n_vectors, 1))
+        sample = (Table(corpus.df.sample(frac, seed=seed), corpus._name)
+                  if frac is not None and frac < 1.0 else corpus)
+        centroids = kmeans_fit(sample, k=k, iters=iters, vec_col=vec_col,
+                               id_col=id_col, seed=seed)
+
+    def _probe(s):
+        m = np.stack(s.to_numpy()).astype(np.float64)
+        d = (-2.0 * m @ centroids.T
+             + (centroids ** 2).sum(axis=1)[None, :])
+        take = min(nprobe, centroids.shape[0])
+        cells = np.argpartition(d, take - 1, axis=1)[:, :take].astype(np.int32)
+        return pd.Series(list(cells))
+
+    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    from pyspark.sql.functions import pandas_udf
+
+    probe_udf = pandas_udf(_probe, "array<int>")
+    entries = corpus.df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"))
+
+    thr = float(threshold)
+    cap = int(max_cell)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        if len(pdf) > cap:
+            pdf = pdf.nsmallest(cap, "vid")
+        ids = pdf.vid.to_numpy()
+        m = np.stack(pdf.v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = sim[ia, ib] >= thr
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                             "cosine": sim[ia[keep], ib[keep]]})
+
+    found = (entries.groupBy("cell")
+             .applyInPandas(_cell_pairs,
+                            "vec_a long, vec_b long, cosine double")
+             .groupBy("vec_a", "vec_b")
+             .agg(F.max("cosine").alias("cosine")))
+    if round_to is not None:
+        found = found.withColumn("cosine", F.round("cosine", round_to))
+    return Table(found, "ivf_neardup_pairs")
 
 
 def save_centroids(centroids: np.ndarray, path: str,

@@ -556,3 +556,45 @@ def test_retain_cache_connect_branch_releases_on_holder_drop():
     del holder
     gc.collect()
     assert released == [False], "holder death must unpersist (non-blocking)"
+
+
+def test_ivf_neardup_recall_vs_exact(spark, emb):
+    """IVF-cell near-dup (sampled quantizer + per-cell BLAS matmul) must
+    find >=95% of the brute-force pairs on a planted corpus (design:
+    nprobe=2 top cells of a near-identical pair coincide w.h.p.)."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import embedding_neardup_pairs
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    planted = Table(
+        emb.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    corpus = concat(emb, planted)
+    exact = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(
+        corpus, threshold=0.9, exact=True).df.collect()}
+    got = {(r.vec_a, r.vec_b) for r in ivf_neardup_pairs(
+        corpus, threshold=0.9).df.collect()}
+    assert len(exact) > 0
+    assert len(exact & got) / len(exact) >= 0.95
+    # every found pair must be a genuine >=0.9 pair (exact rescoring)
+    assert got <= exact
+
+
+def test_ivf_neardup_hot_cell_truncates(spark):
+    """A degenerate cell (all-identical vectors) is truncated to
+    max_cell rows instead of an O(cell^2) blowup."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    t = data(rows, spark=spark,
+             schema="vec_id bigint, embedding array<float>", name="hot")
+    out = ivf_neardup_pairs(t, threshold=0.9, k=16, max_cell=50).df
+    n = out.count()
+    # truncation bounds pairs at ~C(50,2) per probed cell
+    assert 0 < n <= 50 * 49 // 2
