@@ -1526,6 +1526,31 @@ def ann_ivf_neardup(spark, sf_dir):
     return ivf_neardup_pairs(corpus, threshold=0.9).df
 
 
+def embedding_dedup_resolution(spark, sf_dir):
+    """End-to-end semantic dedup (the SemDeDup pipeline): IVF-cell
+    near-dup pairs -> connected components -> one canonical survivor per
+    cluster, corpus-wide keep/drop flags.  Rows-only (sampled k-means is
+    not SQL-expressible); the components stage alone is oracle-checked
+    via graph_components_docs."""
+    from blaze_spark.pipeline import canonical_docs
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = Table(
+        e.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    corpus = concat(e, planted)
+    pairs = ivf_neardup_pairs(corpus, threshold=0.9)
+    out = canonical_docs(Table(corpus.df.select("vec_id"), "corpus"),
+                         pairs, id_col="vec_id",
+                         left="vec_a", right="vec_b")
+    return (out.df.filter(~F.col("keep") | (F.col("cluster_id") != F.col("vec_id")))
+            .select("vec_id", "cluster_id", F.col("keep").cast("int").alias("keep")))
+
+
 def recall_ivf_neardup(spark, sf_dir):
     """Recall contract for the IVF near-dup path vs brute force on the
     same planted corpus (planted pairs at cosine ~0.998, where the
@@ -1802,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,
         "recall_ivf_neardup": recall_ivf_neardup,
+        "embedding_dedup_resolution": embedding_dedup_resolution,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
