@@ -1303,6 +1303,17 @@ def source_mix_report(spark, sf_dir):
     return source_mix(d)
 
 
+def hash_sample_orders(spark, sf_dir):
+    """Deterministic md5-keyed sample — the oracle-CHECKABLE sample
+    (rand()-based sample_orders is rows-only by nature; this one is
+    engine-portable, retry-safe, and key-consistent)."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.hash_sample(0.1, on="o_orderkey")
+    g = by([s.o_orderstatus], n=s.o_orderkey.nelements(),
+           total=s.o_totalprice.sum())
+    return g.transform(total=F.round(g.total.col, 4)).df
+
+
 def corpus_profile(spark, sf_dir):
     """One-row corpus profile: counts, token totals, English share, exact
     dup rate, quality/token percentiles — one scan, one global agg."""
@@ -1828,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_neardup": ann_ivf_neardup,
         "recall_ivf_neardup": recall_ivf_neardup,
         "embedding_dedup_resolution": embedding_dedup_resolution,
+        "hash_sample_orders": hash_sample_orders,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -2200,6 +2212,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "hash_sample_orders": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-42'), 1, 8)
+                  < '19999999'
+            GROUP BY o_orderstatus
         """,
         "corpus_profile": r"""
             WITH feat AS (

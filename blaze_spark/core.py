@@ -1151,6 +1151,28 @@ class Table:
         reference Sample is uniform only).  Scan-local, no shuffle."""
         return self._new(self._df.sampleBy(col, fractions, seed))
 
+    def hash_sample(self, frac: float, on: str, salt: int = 42):
+        """DETERMINISTIC sample keyed by a column: keep a row iff the
+        first 8 hex chars of ``md5(on || '-' || salt)`` fall below
+        ``frac`` of the hex space (string comparison — engine-portable,
+        so the sample is oracle-checkable, unlike ``rand()``).
+
+        Properties ``sample(frac)`` cannot give: reproducible across
+        retries/re-runs/engines (a recomputed partition keeps the SAME
+        rows — task-retry-safe lineage, the auditable-build requirement
+        ``pipeline.apply_source_mix`` documents), and CONSISTENT by key —
+        every row of the same key value is kept or dropped together, so
+        sampling a fact table by its join key preserves joinability.
+        Pure projection + pushable filter; no shuffle, no rand().
+        """
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("frac must be in [0, 1]")
+        thr = format(int(frac * 16 ** 8), "08x")
+        key = F.md5(F.concat(F.col(on).cast("string"),
+                             F.lit(f"-{salt}")))
+        return self._new(
+            self._df.filter(F.substring(key, 1, 8) < F.lit(thr)))
+
     def distinct(self, on=None, keep_first_by=None):
         """Dedup (blaze/expr/collections.py:176-252).  ``on`` keeps first row
         per key — pandas semantics.  Spark's dropDuplicates keeps an

@@ -803,3 +803,30 @@ def test_keep_first_by_rejects_na_position(t):
     with _pytest.raises(TypeError, match="na_position"):
         t.distinct(on=["name"],
                    keep_first_by=[t.amount.desc(na_position="first")])
+
+
+def test_hash_sample_deterministic_and_key_consistent(spark, sf_dir):
+    from blaze_spark import data
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    s1 = {r.o_orderkey for r in
+          o.hash_sample(0.2, on="o_orderkey").df.select("o_orderkey").collect()}
+    s2 = {r.o_orderkey for r in
+          o.hash_sample(0.2, on="o_orderkey").df.select("o_orderkey").collect()}
+    assert s1 == s2 and len(s1) > 0          # reproducible
+    n = o.df.count()
+    assert abs(len(s1) / n - 0.2) < 0.08     # ~frac of rows
+    # key-consistency: every lineitem row of a sampled order survives
+    li = data(f"{sf_dir}/lineitem.parquet", spark=spark, name="lineitem")
+    kept_li = li.hash_sample(0.2, on="l_orderkey").df
+    keys = {r.l_orderkey for r in kept_li.select("l_orderkey").distinct().collect()}
+    all_of_kept = li.df.filter(li.df.l_orderkey.isin(list(keys))).count()
+    assert kept_li.count() == all_of_kept
+    # different salt -> different subset
+    s3 = {r.o_orderkey for r in
+          o.hash_sample(0.2, on="o_orderkey", salt=7).df
+          .select("o_orderkey").collect()}
+    assert s3 != s1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        o.hash_sample(1.5, on="o_orderkey")
