@@ -1314,6 +1314,20 @@ def hash_sample_orders(spark, sf_dir):
     return g.transform(total=F.round(g.total.col, 4)).df
 
 
+def source_mix_applied(spark, sf_dir):
+    """Mixture EXECUTION, oracle-checked end to end: source_mix weights
+    -> apply_source_mix (broadcast weights, deterministic md5 keep) ->
+    per-source kept-doc accounting.  The entire chain — including the
+    hash-based sampling decision — is engine-portable, so the oracle
+    value-checks which EXACT documents survived."""
+    from blaze_spark.pipeline import apply_source_mix, source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = apply_source_mix(d, source_mix(d))
+    g = by([kept.source], n_kept=kept.doc_id.nelements())
+    return g.sort("source").df
+
+
 def corpus_profile(spark, sf_dir):
     """One-row corpus profile: counts, token totals, English share, exact
     dup rate, quality/token percentiles — one scan, one global agg."""
@@ -1840,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_ivf_neardup": recall_ivf_neardup,
         "embedding_dedup_resolution": embedding_dedup_resolution,
         "hash_sample_orders": hash_sample_orders,
+        "source_mix_applied": source_mix_applied,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -2220,6 +2235,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-42'), 1, 8)
                   < '19999999'
             GROUP BY o_orderstatus
+        """,
+        "source_mix_applied": r"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt
+                FROM documents),
+            s AS (
+                SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens
+                FROM q GROUP BY source),
+            w AS (
+                SELECT source,
+                       round(least(1.0, (1.0 / count(*) OVER ())
+                             / (total_tokens / sum(total_tokens) OVER ())), 4)
+                           AS sample_weight
+                FROM s)
+            SELECT q.source, CAST(count(*) AS BIGINT) AS n_kept
+            FROM q JOIN w ON q.source = w.source
+            WHERE w.sample_weight >= 1.0
+               OR substr(md5(CAST(q.doc_id AS VARCHAR) || '-42'), 1, 8)
+                  < lower(lpad(to_hex(CAST(floor(w.sample_weight
+                                * 4294967296.0) AS BIGINT)), 8, '0'))
+            GROUP BY q.source ORDER BY q.source
         """,
         "corpus_profile": r"""
             WITH feat AS (

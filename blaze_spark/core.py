@@ -1167,6 +1167,10 @@ class Table:
         """
         if not 0.0 <= frac <= 1.0:
             raise ValueError("frac must be in [0, 1]")
+        if frac >= 1.0:
+            # the hex threshold for 1.0 is 9 chars ("100000000"), which
+            # string-compares BELOW letter-leading hashes — short-circuit
+            return self._new(self._df)
         thr = format(int(frac * 16 ** 8), "08x")
         key = F.md5(F.concat(F.col(on).cast("string"),
                              F.lit(f"-{salt}")))

@@ -103,7 +103,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # unary nodes — a server client can run the curation
                   # passes on registered datasets without shipping code
                   "language_id", "quality_features", "fingerprint",
-                  "repetition_features", "pii_scrub"}
+                  "repetition_features", "pii_scrub", "hash_sample"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -159,6 +159,10 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             # args: [child, col, alias, pos, outer]
             return child.explode(args[1], alias=args[2], pos=args[3],
                                  outer=args[4])
+        if op == "hash_sample":
+            # args: [child, frac, on, salt?]
+            return child.hash_sample(args[1], on=args[2],
+                                     salt=args[3] if len(args) > 3 else 42)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub"):
             from . import pipeline as _pl

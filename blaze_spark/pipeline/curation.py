@@ -281,16 +281,28 @@ def apply_source_mix(t: Table, weights: DataFrame,
 
     The weights relation is ~#sources rows and is explicitly broadcast, so
     the corpus scan filters in place — no shuffle.  The keep decision is
-    ``xxhash64(doc_id, seed)`` mapped to [0,1), NOT ``F.rand()``: hashing
-    the id makes the sample a pure deterministic projection —
-    reproducible across retries, re-runs and executors, exactly what an
-    auditable training-data build needs (rand() re-rolls per task
-    attempt, so a recomputed partition would keep a different subset).
+    a hash of the id, NOT ``F.rand()``: hashing makes the sample a pure
+    deterministic projection — reproducible across retries, re-runs and
+    executors, exactly what an auditable training-data build needs
+    (rand() re-rolls per task attempt, so a recomputed partition would
+    keep a different subset).  The hash is the same engine-portable md5
+    scheme as ``Table.hash_sample`` (first 8 hex chars against the
+    weight's share of the hex space, compared as strings), so the whole
+    mixture execution is DuckDB-oracle-checkable.
     """
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
-         .cast("double") / 1_000_000.0)
+    u = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}"))),
+        1, 8)
+    # weight >= 1 keeps unconditionally: its hex threshold would be 9
+    # chars ("100000000"), which string-compares BELOW letter-leading
+    # hashes — the same cliff Table.hash_sample short-circuits
+    # explicit floor(): Spark's double->long cast truncates but DuckDB's
+    # CAST rounds — floor() agrees everywhere
+    thr = F.lpad(F.lower(F.hex(
+        F.floor(F.col("sample_weight") * F.lit(float(16 ** 8))))),
+        8, "0")
     joined = t.df.join(
         F.broadcast(weights.select(source_col, "sample_weight")), source_col)
-    kept = joined.filter(u < F.col("sample_weight")) \
+    kept = joined.filter((F.col("sample_weight") >= 1.0) | (u < thr)) \
         .drop("sample_weight")
     return Table(kept, t._name)
