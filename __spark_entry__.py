@@ -1415,6 +1415,20 @@ def embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(e, threshold=0.5, exact=True).df
 
 
+def _planted_corpus(e: Table) -> Table:
+    """Embeddings corpus with a deterministic near-copy planted for every
+    10th vector (cosine ~0.998): the shared truth-bed for the near-dup
+    operators and their recall contracts — ONE definition, so 'truth' and
+    'found' can never drift apart across the five queries that use it."""
+    planted = Table(
+        e.df.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn("embedding",
+                    F.zip_with("embedding", F.reverse("embedding"),
+                               lambda a, b: a + 0.03 * b)))
+    return concat(e, planted)
+
+
 def embedding_neardup_lsh(spark, sf_dir):
     from blaze_spark.pipeline import embedding_neardup_pairs
 
@@ -1428,13 +1442,7 @@ def embedding_neardup_lsh(spark, sf_dir):
     # and recall is exercised where the operator is meant to run.  The
     # weak-threshold regime (c~0.5) is covered by the exact variant above
     # and by ivf_topk — hyperplane LSH is documented as wrong there.
-    planted = Table(
-        e.df.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
-        .withColumn("embedding",
-                    F.zip_with("embedding", F.reverse("embedding"),
-                               lambda a, b: a + 0.03 * b)))
-    corpus = concat(e, planted)
+    corpus = _planted_corpus(e)
     return embedding_neardup_pairs(corpus, threshold=0.9).df
 
 
@@ -1520,13 +1528,7 @@ def recall_embedding_lsh(spark, sf_dir):
     from blaze_spark.pipeline import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    planted = Table(
-        e.df.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
-        .withColumn("embedding",
-                    F.zip_with("embedding", F.reverse("embedding"),
-                               lambda a, b: a + 0.03 * b)))
-    corpus = concat(e, planted)
+    corpus = _planted_corpus(e)
     truth = embedding_neardup_pairs(corpus, threshold=0.9, exact=True)
     found = embedding_neardup_pairs(corpus, threshold=0.9)
     return pair_recall(truth, found, a="vec_a", b="vec_b").df
@@ -1541,13 +1543,7 @@ def ann_ivf_neardup(spark, sf_dir):
     from blaze_spark.pipeline.ivf import ivf_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    planted = Table(
-        e.df.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
-        .withColumn("embedding",
-                    F.zip_with("embedding", F.reverse("embedding"),
-                               lambda a, b: a + 0.03 * b)))
-    corpus = concat(e, planted)
+    corpus = _planted_corpus(e)
     return ivf_neardup_pairs(corpus, threshold=0.9).df
 
 
@@ -1561,13 +1557,7 @@ def embedding_dedup_resolution(spark, sf_dir):
     from blaze_spark.pipeline.ivf import ivf_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    planted = Table(
-        e.df.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
-        .withColumn("embedding",
-                    F.zip_with("embedding", F.reverse("embedding"),
-                               lambda a, b: a + 0.03 * b)))
-    corpus = concat(e, planted)
+    corpus = _planted_corpus(e)
     pairs = ivf_neardup_pairs(corpus, threshold=0.9)
     out = canonical_docs(Table(corpus.df.select("vec_id"), "corpus"),
                          pairs, id_col="vec_id",
@@ -1586,13 +1576,7 @@ def recall_ivf_neardup(spark, sf_dir):
     from blaze_spark.pipeline.ivf import ivf_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    planted = Table(
-        e.df.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
-        .withColumn("embedding",
-                    F.zip_with("embedding", F.reverse("embedding"),
-                               lambda a, b: a + 0.03 * b)))
-    corpus = concat(e, planted)
+    corpus = _planted_corpus(e)
     truth = embedding_neardup_pairs(corpus, threshold=0.9, exact=True)
     found = ivf_neardup_pairs(corpus, threshold=0.9)
     return pair_recall(truth, found, a="vec_a", b="vec_b").df

@@ -1172,8 +1172,13 @@ class Table:
             # string-compares BELOW letter-leading hashes — short-circuit
             return self._new(self._df)
         thr = format(int(frac * 16 ** 8), "08x")
-        key = F.md5(F.concat(F.col(on).cast("string"),
-                             F.lit(f"-{salt}")))
+        # NULL keys form their own key GROUP (coalesce to a sentinel):
+        # they are kept or dropped together like any other key value,
+        # instead of md5(NULL) -> NULL silently dropping them all and
+        # biasing the sample against the null-key population
+        key = F.md5(F.concat(
+            F.coalesce(F.col(on).cast("string"), F.lit("__null__")),
+            F.lit(f"-{salt}")))
         return self._new(
             self._df.filter(F.substring(key, 1, 8) < F.lit(thr)))
 

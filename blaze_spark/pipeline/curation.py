@@ -217,8 +217,9 @@ def source_mix(t: Table, text_col: str = "text",
     sample_weight) where ``sample_weight`` is the keep-probability that
     equalizes the token mix across sources WITHOUT upsampling
     (min(1, target_share / actual_share) — the over-represented sources
-    are thinned to the level of an even split; a data-mixture pass then
-    samples with ``F.rand() < weight``).
+    are thinned to the level of an even split; :func:`apply_source_mix`
+    then executes the plan with a DETERMINISTIC md5-keyed keep decision,
+    never ``rand()``).
 
     The expensive part is one map-side-combinable aggregation on the
     (low-cardinality) source key; the two non-partitioned windows after it
@@ -297,12 +298,14 @@ def apply_source_mix(t: Table, weights: DataFrame,
     # chars ("100000000"), which string-compares BELOW letter-leading
     # hashes — the same cliff Table.hash_sample short-circuits
     # explicit floor(): Spark's double->long cast truncates but DuckDB's
-    # CAST rounds — floor() agrees everywhere
-    thr = F.lpad(F.lower(F.hex(
-        F.floor(F.col("sample_weight") * F.lit(float(16 ** 8))))),
-        8, "0")
+    # CAST rounds — floor() agrees everywhere.  Weights <= 0 must drop
+    # everything: hex() of floor()'s negative long is a 16-char
+    # two's-complement string that lpad TRUNCATES to 'ffffffff', which
+    # would silently invert a corrupt mixture plan into keep-all.
+    w = F.col("sample_weight")
+    thr = F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(16 ** 8))))), 8, "0")
     joined = t.df.join(
         F.broadcast(weights.select(source_col, "sample_weight")), source_col)
-    kept = joined.filter((F.col("sample_weight") >= 1.0) | (u < thr)) \
-        .drop("sample_weight")
+    kept = joined.filter(
+        (w >= 1.0) | ((w > 0.0) & (u < thr))).drop("sample_weight")
     return Table(kept, t._name)

@@ -438,6 +438,28 @@ def exact_jaccard_pairs(t: Table, text_col: str = "text",
     return scoped_persist(Table(out, "exact_jaccard_pairs"), docs)
 
 
+def simhash_chunks(lo: Column, hi: Column) -> Column:
+    """Pigeonhole layout of a 64-bit simhash (as two 32-bit halves): an
+    array of 4 (ci, chunk) structs, one per 16-bit chunk.  SHARED between
+    the batch path and the incremental store so the layouts can never
+    desynchronize (a Hamming<=3 pair shares at least one exact chunk)."""
+    return F.array(
+        F.struct(F.lit(0).alias("ci"), (lo % 65536).alias("chunk")),
+        F.struct(F.lit(1).alias("ci"), F.floor(lo / 65536).alias("chunk")),
+        F.struct(F.lit(2).alias("ci"), (hi % 65536).alias("chunk")),
+        F.struct(F.lit(3).alias("ci"), F.floor(hi / 65536).alias("chunk")),
+    )
+
+
+def simhash_hamming(a_lo: Column, a_hi: Column,
+                    b_lo: Column, b_hi: Column) -> Column:
+    """Hamming distance between two (lo, hi) simhash pairs — two
+    bit_count(xor) calls, codegen-friendly; shared with the incremental
+    store's estimate."""
+    return (F.bit_count(a_lo.bitwiseXOR(b_lo))
+            + F.bit_count(a_hi.bitwiseXOR(b_hi)))
+
+
 def simhash(t: Table, text_col: str = "text", id_col: str = "doc_id",
             max_tokens: int = 65535) -> Table:
     """64-bit SimHash as two 32-bit halves (hi, lo) — bit-voting over token
@@ -505,12 +527,8 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     sh = simhash(t, text_col, id_col).df.persist()
     chunks = sh.select(
         "doc_id", "sim_lo", "sim_hi",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("ci"), (F.col("sim_lo") % 65536).alias("chunk")),
-            F.struct(F.lit(1).alias("ci"), (F.floor(F.col("sim_lo") / 65536)).alias("chunk")),
-            F.struct(F.lit(2).alias("ci"), (F.col("sim_hi") % 65536).alias("chunk")),
-            F.struct(F.lit(3).alias("ci"), (F.floor(F.col("sim_hi") / 65536)).alias("chunk")),
-        )).alias("c"),
+        F.explode(simhash_chunks(F.col("sim_lo"), F.col("sim_hi")))
+        .alias("c"),
     ).select("doc_id", "sim_lo", "sim_hi",
              F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
 
@@ -524,8 +542,8 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
                .filter(F.size("docs") >= 2))
 
     def _pair(x, y):
-        ham = (F.bit_count(x["sim_lo"].bitwiseXOR(y["sim_lo"]))
-               + F.bit_count(x["sim_hi"].bitwiseXOR(y["sim_hi"])))
+        ham = simhash_hamming(x["sim_lo"], x["sim_hi"],
+                              y["sim_lo"], y["sim_hi"])
         return F.struct(x["doc_id"].alias("doc_a"),
                         y["doc_id"].alias("doc_b"), ham.alias("hamming"))
 

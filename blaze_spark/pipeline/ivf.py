@@ -28,6 +28,28 @@ from ..core import Table
 __all__ = ["kmeans_fit", "ivf_assign", "ivf_topk", "ivf_neardup_pairs"]
 
 
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """array<int> of each vector's ``nprobe`` nearest cell ids (shared by
+    ivf_topk and ivf_neardup_pairs; argpartition — top-n, no full sort —
+    and nprobe clamped to the cell count)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _probe(s):
+        m = np.stack(s.to_numpy()).astype(np.float64)
+        d = (-2.0 * m @ centroids.T
+             + (centroids ** 2).sum(axis=1)[None, :])
+        take = min(nprobe, centroids.shape[0])
+        if take < centroids.shape[0]:
+            cells = np.argpartition(d, take - 1, axis=1)[:, :take] \
+                .astype(np.int32)
+        else:
+            cells = np.tile(np.arange(take, dtype=np.int32), (len(m), 1))
+        return pd.Series(list(cells))
+
+    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_probe, "array<int>")
+
+
 def _assign_udf(centroids: np.ndarray):
     from pyspark.sql.functions import pandas_udf
 
@@ -101,17 +123,7 @@ def ivf_topk(corpus: Table, queries: Table, centroids: np.ndarray, k: int = 5,
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         "cell")
 
-    def _probe(s):
-        m = np.stack(s.to_numpy()).astype(np.float64)
-        d = (-2.0 * m @ centroids.T
-             + (centroids ** 2).sum(axis=1)[None, :])
-        cells = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(cells))
-
-    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    from pyspark.sql.functions import pandas_udf
-
-    probe_udf = pandas_udf(_probe, "array<int>")
+    probe_udf = _probe_udf(centroids, nprobe)
     q = queries.df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"))
@@ -176,27 +188,21 @@ def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,
             k = max(16, int(np.ceil(n / target_cell)))
             if n_vectors is None:
                 n_vectors = n
-        frac = None
+        want = float(k) * sample_per_cell
         if n_vectors is not None:
-            want = float(k) * sample_per_cell
             frac = min(1.0, want / max(n_vectors, 1))
-        sample = (Table(corpus.df.sample(frac, seed=seed), corpus._name)
-                  if frac is not None and frac < 1.0 else corpus)
+            sample = (Table(corpus.df.sample(frac, seed=seed), corpus._name)
+                      if frac < 1.0 else corpus)
+        else:
+            # caller supplied k without a corpus count: still never fit
+            # Lloyd on the full corpus (measured 10x the operator budget)
+            # — a limit() is one cheap scan prefix and the quantizer only
+            # needs a representative sample
+            sample = Table(corpus.df.limit(int(want)), corpus._name)
         centroids = kmeans_fit(sample, k=k, iters=iters, vec_col=vec_col,
                                id_col=id_col, seed=seed)
 
-    def _probe(s):
-        m = np.stack(s.to_numpy()).astype(np.float64)
-        d = (-2.0 * m @ centroids.T
-             + (centroids ** 2).sum(axis=1)[None, :])
-        take = min(nprobe, centroids.shape[0])
-        cells = np.argpartition(d, take - 1, axis=1)[:, :take].astype(np.int32)
-        return pd.Series(list(cells))
-
-    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    from pyspark.sql.functions import pandas_udf
-
-    probe_udf = pandas_udf(_probe, "array<int>")
+    probe_udf = _probe_udf(centroids, nprobe)
     entries = corpus.df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"))

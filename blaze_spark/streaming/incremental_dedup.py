@@ -273,30 +273,27 @@ def _simhash_sigs(batch: Table, text_col: str, id_col: str) -> DataFrame:
 def _simhash_entries(sigs: DataFrame) -> DataFrame:
     """Pigeonhole chunks as band entries: band=chunk index 0-3, bhash=the
     16-bit chunk value (same (band, bhash) store columns as minhash, so
-    the probe/store machinery is shared verbatim)."""
+    the probe/store machinery is shared verbatim).  The chunk layout is
+    dedup.simhash_chunks — ONE definition for the batch path and the
+    store, so they can never desynchronize."""
+    from ..pipeline.dedup import simhash_chunks
+
     lo, hi = F.element_at("signature", 1), F.element_at("signature", 2)
     return sigs.select(
         "doc_id", "signature",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("band"), (lo % 65536).alias("bhash")),
-            F.struct(F.lit(1).alias("band"),
-                     F.floor(lo / 65536).cast("long").alias("bhash")),
-            F.struct(F.lit(2).alias("band"), (hi % 65536).alias("bhash")),
-            F.struct(F.lit(3).alias("band"),
-                     F.floor(hi / 65536).cast("long").alias("bhash")),
-        )).alias("bk"),
-    ).select("doc_id", "signature", F.col("bk.band").alias("band"),
-             F.col("bk.bhash").alias("bhash"))
+        F.explode(simhash_chunks(lo, hi)).alias("bk"),
+    ).select("doc_id", "signature", F.col("bk.ci").alias("band"),
+             F.col("bk.chunk").cast("long").alias("bhash"))
 
 
 def _est_simhash():
     """Similarity proxy 1 - hamming/64 in [0,1] (same column name as the
     minhash estimate so the pair sink schema is uniform)."""
     def est(sig_a, sig_b):
-        ham = (F.bit_count(F.element_at(sig_a, 1)
-                           .bitwiseXOR(F.element_at(sig_b, 1)))
-               + F.bit_count(F.element_at(sig_a, 2)
-                             .bitwiseXOR(F.element_at(sig_b, 2))))
+        from ..pipeline.dedup import simhash_hamming
+
+        ham = simhash_hamming(F.element_at(sig_a, 1), F.element_at(sig_a, 2),
+                              F.element_at(sig_b, 1), F.element_at(sig_b, 2))
         return F.round(1.0 - ham / F.lit(64.0), 4)
     return est
 
@@ -306,7 +303,8 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
                   bands: int = 8, shingle_k: int = 5,
                   seed: int = 42, batch_id: int | None = None,
                   pairs_path: str | None = None,
-                  method: str = "minhash") -> DataFrame:
+                  method: str = "minhash",
+                  max_bucket: int = 1000) -> DataFrame:
     """One increment: probe the store with a batch of new docs, emit
     near-dup candidate pairs (new_doc, matched_doc, est_jaccard;
     matched_doc may be a stored doc OR an earlier doc of the same batch),
@@ -340,12 +338,26 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     if method == "minhash":
         sigs = minhash_signatures(batch, text_col, id_col, num_perm,
                                   shingle_k, seed).df.persist()
-        entries = _band_entries(sigs, num_perm, bands).persist()
+        raw_entries = _band_entries(sigs, num_perm, bands)
         est = _est_jaccard(num_perm)
     else:
+        if (num_perm, bands, shingle_k, seed) != (32, 8, 5, 42):
+            raise ValueError(
+                "num_perm/bands/shingle_k/seed are minhash-only knobs; "
+                "the simhash path takes none of them — remove the "
+                "arguments (or use method='minhash')")
         sigs = _simhash_sigs(batch, text_col, id_col).persist()
-        entries = _simhash_entries(sigs).persist()
+        raw_entries = _simhash_entries(sigs)
         est = _est_simhash()
+    # hot-bucket cap (same skew guard as the batch paths' max_bucket):
+    # a degenerate bucket in THIS batch — e.g. the all-zeros simhash
+    # chunk of templated docs — would otherwise collect_list the whole
+    # batch into one task AND row-multiply against the store probe
+    hot = (raw_entries.groupBy("band", "bhash")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > max_bucket).select("band", "bhash"))
+    entries = raw_entries.join(F.broadcast(hot), ["band", "bhash"],
+                               "left_anti").persist()
 
     # probe the persistent index: store-side scan prunes on band (partition
     # column) and the broadcast join dynamically filters bhash.  A retried

@@ -830,3 +830,19 @@ def test_hash_sample_deterministic_and_key_consistent(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         o.hash_sample(1.5, on="o_orderkey")
+
+
+def test_hash_sample_null_keys_form_a_group(spark):
+    """NULL keys are a key GROUP (kept or dropped together via a
+    sentinel), never silently dropped as md5(NULL)."""
+    from blaze_spark import data
+
+    rows = [(i,) for i in range(100)] + [(None,)] * 10
+    t = data(rows, spark=spark, schema="k bigint", name="nk")
+    kept_hi = t.hash_sample(0.99, on="k").df
+    kept_lo = t.hash_sample(0.01, on="k").df
+    n_null_hi = kept_hi.filter("k IS NULL").count()
+    n_null_lo = kept_lo.filter("k IS NULL").count()
+    # all-or-nothing per frac, and at 0.99 the null group is ~surely kept
+    assert n_null_hi in (0, 10) and n_null_lo in (0, 10)
+    assert n_null_hi == 10

@@ -240,3 +240,18 @@ def test_corpus_report_planted(spark):
     assert r.en_share == round(2 / 3, 4)
     assert r.dup_rate == round(1 - 2 / 3, 4)
     assert r.total_tokens == 9 + 9 + 7
+
+
+def test_apply_source_mix_negative_weight_drops_all(spark):
+    """hex() of a negative threshold long truncates to 'ffffffff' under
+    lpad — a corrupt plan must drop the source, not keep it whole."""
+    from blaze_spark.pipeline import apply_source_mix
+
+    t = data([(i, "x y z", "bad") for i in range(50)], spark=spark,
+             schema="doc_id bigint, text string, source string", name="nw")
+    w = spark.createDataFrame([("bad", -0.5)],
+                              "source string, sample_weight double")
+    assert apply_source_mix(t, w).df.count() == 0
+    w0 = spark.createDataFrame([("bad", 0.0)],
+                               "source string, sample_weight double")
+    assert apply_source_mix(t, w0).df.count() == 0

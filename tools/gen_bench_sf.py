@@ -81,6 +81,7 @@ def main() -> None:
     out_root = Path(args.out)
     out_root.mkdir(parents=True, exist_ok=True)
 
+    emb_dim = None  # probed once (a head() job), reused across copies
     for name, t in star.items():
         t0 = time.time()
         df = t.df
@@ -113,7 +114,10 @@ def main() -> None:
                 # realistic at any scale
                 import numpy as _np
 
-                dim = len(star[name].df.select("embedding").head()[0])
+                if emb_dim is None:
+                    emb_dim = len(
+                        star[name].df.select("embedding").head()[0])
+                dim = emb_dim
                 r = (i % dim) or 1
                 rot = F.concat(F.slice(F.col("embedding"), r + 1, 10_000),
                                F.slice(F.col("embedding"), 1, r))
