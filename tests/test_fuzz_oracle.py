@@ -162,3 +162,56 @@ def test_fuzz_curation_regex_parity(spark, duck, words, joiner):
     assert rep.dup_line_frac == pytest.approx(exp[2]), text
     assert (pii.n_email, pii.n_ip, pii.n_phone, pii.n_ssn) == exp[3:7], text
     assert pii.clean_text == exp[7], text
+
+
+@given(
+    how=st.sampled_from(["inner", "left", "right", "outer"]),
+    frac=st.floats(min_value=0.1, max_value=0.9),
+    agg_side=st.booleans(),
+)
+@SETTINGS
+def test_fuzz_join_vs_duckdb(spark, sf_dir, duck, how, frac, agg_side):
+    """Join fuzz: random join type over a random key-range split of
+    orders x customer, aggregated counts vs DuckDB.  Joins carry the
+    riskiest semantics (null rows from outer sides, key promotion), so
+    they get their own differential corpus."""
+    from blaze_spark import data, join
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')")
+    lo, hi = duck.execute(
+        "SELECT min(o_custkey), max(o_custkey) FROM orders").fetchone()
+    thr = int(lo + (hi - lo) * frac)
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    c = data(f"{sf_dir}/customer.parquet", spark=spark, name="customer")
+    left = o[o.o_custkey <= thr]
+    j = join(left, c, "o_custkey", "c_custkey", how=how)
+    got = j.df.groupBy().agg(
+        *[__import__("pyspark.sql.functions", fromlist=["x"]).count(col).alias(col)
+          for col in ["o_orderkey", "c_name"]]).first()
+
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN",
+               "right": "RIGHT JOIN", "outer": "FULL OUTER JOIN"}[how]
+    exp = duck.execute(
+        f"SELECT count(o_orderkey), count(c_name) FROM "
+        f"(SELECT * FROM orders WHERE o_custkey <= {thr}) o "
+        f"{sql_how} customer ON o.o_custkey = customer.c_custkey").fetchone()
+    assert (got[0], got[1]) == exp, (how, thr)
+
+
+@given(f1=st.floats(min_value=0.05, max_value=0.5),
+       f2=st.floats(min_value=0.5, max_value=0.95))
+@SETTINGS
+def test_fuzz_hash_sample_nesting(spark, sf_dir, f1, f2):
+    """hash_sample thresholds NEST: sample(f1) is a subset of sample(f2)
+    for f1 <= f2 — the property that makes progressive sampling cheap
+    (grow a sample without resampling)."""
+    from blaze_spark import data
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    small = o.hash_sample(f1, on="o_orderkey").df.select("o_orderkey")
+    big = o.hash_sample(f2, on="o_orderkey").df.select("o_orderkey")
+    # subset check without collect: anti-join must be empty
+    assert small.join(big, "o_orderkey", "left_anti").count() == 0
