@@ -1328,6 +1328,34 @@ def source_mix_applied(spark, sf_dir):
     return g.sort("source").df
 
 
+def url_domain_stats(spark, sf_dir):
+    """URL/domain composition (curation.extract_urls + domain_mix) — the
+    synthetic corpus carries no URLs, so deterministic doc_id-keyed URLs
+    are injected first; the extraction/accounting under test is generic."""
+    from blaze_spark.pipeline import domain_mix
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        " ", F.col("text"),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("https://news"), (did % 7).cast("string"),
+                        F.lit(".example.com/a"))),
+        F.when(did % 6 == 0, F.lit("http://cdn.shared.net/lib.js")))
+    t = Table(d.df.withColumn("text", injected), "documents")
+    return domain_mix(t)
+
+
+def blocklist_filter_docs(spark, sf_dir):
+    """Word-boundary case-insensitive blocklist drop (single scan-side
+    alternation regex), surviving docs counted per language."""
+    from blaze_spark.pipeline import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    kept = blocklist_filter(d, ["spark", "window"], mode="drop")
+    return by([kept.lang], n=kept.doc_id.nelements()).df
+
+
 def corpus_profile(spark, sf_dir):
     """One-row corpus profile: counts, token totals, English share, exact
     dup rate, quality/token percentiles — one scan, one global agg."""
@@ -1839,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_resolution": embedding_dedup_resolution,
         "hash_sample_orders": hash_sample_orders,
         "source_mix_applied": source_mix_applied,
+        "url_domain_stats": url_domain_stats,
+        "blocklist_filter_docs": blocklist_filter_docs,
         # -- re-proven in r5 (fill the driver sample window) ------------------
         "isin_large_semijoin": isin_large_semijoin,
         "training_set_prep": training_set_prep,
@@ -2241,6 +2271,33 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(floor(w.sample_weight
                                 * 4294967296.0) AS BIGINT)), 8, '0'))
             GROUP BY q.source ORDER BY q.source
+        """,
+        "url_domain_stats": r"""
+            WITH injected AS (
+                SELECT doc_id, concat_ws(' ', text,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'https://news' || (doc_id % 7)
+                                 || '.example.com/a' END,
+                       CASE WHEN doc_id % 6 = 0
+                            THEN 'http://cdn.shared.net/lib.js' END) AS text
+                FROM documents),
+            ex AS (
+                SELECT doc_id, lower(unnest(regexp_extract_all(
+                           text, 'https?://([^/\s:?#]+)', 1))) AS domain
+                FROM injected),
+            agg AS (
+                SELECT domain,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_mentions
+                FROM ex GROUP BY domain)
+            SELECT domain, n_docs, n_mentions,
+                   round(n_docs / sum(n_docs) OVER (), 4) AS doc_share
+            FROM agg
+        """,
+        "blocklist_filter_docs": r"""
+            SELECT lang, count(*) AS n FROM documents
+            WHERE NOT regexp_matches(text, '(?i)\b(spark|window)\b')
+            GROUP BY lang
         """,
         "corpus_profile": r"""
             WITH feat AS (

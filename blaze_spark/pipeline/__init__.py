@@ -41,8 +41,11 @@ from .text import (  # noqa: F401
 )
 from .curation import (  # noqa: F401
     apply_source_mix,
+    blocklist_filter,
     contamination_report,
     corpus_report,
+    domain_mix,
+    extract_urls,
     ngram_array,
     pii_scrub,
     repetition_features,

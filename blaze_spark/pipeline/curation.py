@@ -243,6 +243,88 @@ def source_mix(t: Table, text_col: str = "text",
     )
 
 
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s:?#]+)"
+
+
+def extract_urls(t: Table, text_col: str = "text") -> Table:
+    """URL/domain signals (the CommonCrawl-style curation inputs): adds
+    ``n_urls``, ``domains`` (lowercased host per URL, document order) and
+    ``primary_domain`` (first URL's host, NULL when none).  Pure
+    projection — regexp_extract_all + transform, RE2-and-Java-compatible
+    patterns so the DuckDB oracle matches byte-for-byte."""
+    c = F.col(text_col)
+    urls = F.regexp_extract_all(c, F.lit(URL_PATTERN), F.lit(0))
+    domains = F.transform(
+        F.regexp_extract_all(c, F.lit(DOMAIN_PATTERN), F.lit(1)),
+        F.lower)
+    return Table(
+        t.df.withColumns({
+            "n_urls": F.size(urls).cast(T.IntegerType()),
+            "domains": domains,
+            "primary_domain": F.when(F.size(domains) > 0,
+                                     F.element_at(domains, 1)),
+        }),
+        t._name,
+    )
+
+
+def domain_mix(t: Table, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus composition: (domain, n_docs, n_mentions,
+    doc_share) over every URL mention.  Explode -> one map-side
+    combinable aggregation keyed by domain (near-uniform key space on a
+    web corpus: hot domains are exactly what the report is FOR, and a
+    count aggregation partial-merges, so they cost one row per task),
+    then a window over the tiny aggregated relation for the share."""
+    from pyspark.sql.window import Window
+
+    ex = extract_urls(t, text_col).df.select(
+        id_col, F.explode("domains").alias("domain"))
+    agg = ex.groupBy("domain").agg(
+        F.countDistinct(id_col).cast(T.LongType()).alias("n_docs"),
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_mentions"))
+    w = Window.partitionBy()
+    return agg.select(
+        "domain", "n_docs", "n_mentions",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+         .alias("doc_share"))
+
+
+def blocklist_filter(t: Table, terms: list[str], text_col: str = "text",
+                     mode: str = "drop") -> Table:
+    """Drop (or keep-only, ``mode="keep"``) documents containing ANY
+    blocklisted term, word-boundary matched and case-insensitive — the
+    standard domain/word blocklist pass of a web-corpus build.
+
+    Small lists compile into ONE alternation regex evaluated scan-side
+    (pushable filter, no join, no explode); the terms are
+    regex-escaped so blocklist entries are literals, not patterns.
+    Blocklists are KBs even in production (the large-membership path is
+    ``isin``'s broadcast semi-join on an exploded token column — use
+    that when the list stops fitting a regex)."""
+    import re as _re
+
+    if not terms:
+        return t
+    if mode not in ("drop", "keep"):
+        raise ValueError("mode must be 'drop' or 'keep'")
+
+    def _word(w: str) -> str:
+        # \b only binds next to a WORD character: 'c++' needs no trailing
+        # boundary (and \+\+\b would never match), 'spark' needs both
+        p = _re.escape(w)
+        if w and (w[0].isalnum() or w[0] == "_"):
+            p = r"\b" + p
+        if w and (w[-1].isalnum() or w[-1] == "_"):
+            p = p + r"\b"
+        return p
+
+    pat = "(?i)(" + "|".join(_word(w) for w in terms) + ")"
+    hit = F.col(text_col).rlike(pat)
+    return Table(t.df.filter(~hit if mode == "drop" else hit), t._name)
+
+
 def corpus_report(t: Table, text_col: str = "text",
                   source_col: str = "source") -> DataFrame:
     """One-row corpus profile — the first thing anyone runs on a new

@@ -255,3 +255,43 @@ def test_apply_source_mix_negative_weight_drops_all(spark):
     w0 = spark.createDataFrame([("bad", 0.0)],
                                "source string, sample_weight double")
     assert apply_source_mix(t, w0).df.count() == 0
+
+
+def test_extract_urls_and_domain_mix(spark):
+    from blaze_spark.pipeline import domain_mix, extract_urls
+
+    t = data([(1, "a https://Example.COM/p and http://docs.x.org/q?z=1"),
+              (2, "plain"),
+              (3, "https://example.com/a https://example.com/b")],
+             spark=spark, schema="doc_id bigint, text string", name="u")
+    out = {r.doc_id: r for r in extract_urls(t).df.collect()}
+    assert out[1].n_urls == 2
+    assert out[1].domains == ["example.com", "docs.x.org"]
+    assert out[1].primary_domain == "example.com"
+    assert out[2].n_urls == 0 and out[2].primary_domain is None
+    dm = {r.domain: r for r in domain_mix(t).collect()}
+    assert dm["example.com"].n_docs == 2
+    assert dm["example.com"].n_mentions == 3
+    assert dm["example.com"].doc_share == round(2 / 3, 4)
+
+
+def test_blocklist_filter_word_boundary_and_escape(spark):
+    from blaze_spark.pipeline import blocklist_filter
+
+    t = data([(1, "we use C++ daily"), (2, "spark is sparky"),
+              (3, "SPARK uppercase"), (4, "harmless")],
+             spark=spark, schema="doc_id bigint, text string", name="b")
+    # terms are literals: 'c++' must not be treated as a regex
+    kept = {r.doc_id for r in
+            blocklist_filter(t, ["c++", "spark"]).df.collect()}
+    assert kept == {4}  # 1 has c++, 2 has 'spark' (word), 3 case-insens
+    # 'sparky' alone is NOT a word-boundary match for 'spark'
+    t2 = data([(5, "sparky only")], spark=spark,
+              schema="doc_id bigint, text string", name="b2")
+    assert blocklist_filter(t2, ["spark"]).df.count() == 1
+    kept_only = {r.doc_id for r in
+                 blocklist_filter(t, ["spark"], mode="keep").df.collect()}
+    assert kept_only == {2, 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_filter(t, ["x"], mode="bogus")
