@@ -1893,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": topk_orders,
         "tail_orders": tail_orders,
         "slice_offset": slice_offset,
+        # ==== driver sample boundary (~50) — below here: green in r4/r5
+        # CORRECTNESS under the CURRENT Spark =================================
         "distinct_segments": distinct_segments,
         "first_order_per_customer": first_order_per_customer,
         "concat_union": concat_union,
@@ -1902,8 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique_users": nunique_users,
         "anyall_priorities": anyall_priorities,
         "rollup_nation_revenue": rollup_nation_revenue,
-        # ==== driver sample boundary (~50) — below here: green in r4/r5
-        # CORRECTNESS under the CURRENT Spark =================================
         "left_join_counts": left_join_counts,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
