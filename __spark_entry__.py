@@ -68,6 +68,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     return data(f"{sf_dir}/{name}.parquet", spark=spark, name=name)
 
 
+def _fprobe(col, scale: int = 4):
+    """Export a float probe with byte-stable hashing: round, then add +0.0
+    so IEEE negative zero canonicalizes to +0.0 (−0.0 + 0.0 → +0.0).
+
+    The driver's value-hash compares raw float bytes; Spark's HALF_UP
+    ``F.round`` and DuckDB's ``round`` can disagree on the *sign* of a zero
+    produced from a signed sum (equal under ``==``, different bytes).  Every
+    exported rounded float built from signed arithmetic must go through this
+    helper, and its oracle SQL must append ``+ 0.0`` to the matching
+    ``round(...)``.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1383,11 +1397,11 @@ def tensor_ops_embeddings(spark, sf_dir):
     frob = m.mat.arr.tensordot(m.mat, axes=2)    # scalar
     outer = m.v2a.arr.tensordot(m.v2b, axes=0)   # 2x2
     out = m.transform(
-        mv0=F.round(F.element_at(mv.col, 1), 4),
-        mv1=F.round(F.element_at(mv.col, 2), 4),
-        t01=F.round(F.element_at(F.element_at(tT.col, 1), 2), 4),
-        frob=F.round(frob.col, 4),
-        outer_total=F.round(outer.arr.sum().col, 4))
+        mv0=_fprobe(F.element_at(mv.col, 1)),
+        mv1=_fprobe(F.element_at(mv.col, 2)),
+        t01=_fprobe(F.element_at(F.element_at(tT.col, 1), 2)),
+        frob=_fprobe(frob.col),
+        outer_total=_fprobe(outer.arr.sum().col))
     return out[["vec_id", "mv0", "mv1", "t01", "frob", "outer_total"]].df
 
 
@@ -1649,10 +1663,10 @@ def array_ops_embeddings(spark, sf_dir):
         dim=v.arr.size(),
         first_val=v.arr[0].coerce("double"),
         last_val=v.arr[-1].coerce("double"),
-        total=F.round(v.arr.sum().col, 4),
-        scaled_total=F.round(scaled.arr.sum().col, 4),
-        self_dot=F.round(v.arr.dot(v).col, 4),
-        nrm=F.round(v.arr.norm().col, 4),
+        total=_fprobe(v.arr.sum().col),
+        scaled_total=_fprobe(scaled.arr.sum().col),
+        self_dot=_fprobe(v.arr.dot(v).col),
+        nrm=_fprobe(v.arr.norm().col),
         # 2-D path: [v, reverse(v)] summed down axis 0 == v + reverse(v)
         m=F.array(F.col("embedding"), F.reverse(F.col("embedding"))),
     )
@@ -1660,9 +1674,9 @@ def array_ops_embeddings(spark, sf_dir):
     # the compare harness hashes scalars, so the axis-0 result is exported
     # as scalar probes: its first element and its total
     out = t2.transform(
-        colsum0=F.round(F.element_at(colsum.col, 1), 4),
-        colsum_total=F.round(
-            F.aggregate(colsum.col, F.lit(0.0), lambda a, x: a + x), 4))
+        colsum0=_fprobe(F.element_at(colsum.col, 1)),
+        colsum_total=_fprobe(
+            F.aggregate(colsum.col, F.lit(0.0), lambda a, x: a + x)))
     return out[["vec_id", "dim", "first_val", "last_val", "total",
                 "scaled_total", "self_dot", "nrm", "colsum0",
                 "colsum_total"]].df
@@ -3028,21 +3042,24 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
                 SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
             SELECT vec_id,
-                   round(e[1]*e[1] + e[2]*e[2] + e[3]*e[3] + e[4]*e[4], 4) AS mv0,
-                   round(e[5]*e[1] + e[6]*e[2] + e[7]*e[3] + e[8]*e[4], 4) AS mv1,
-                   round(e[5], 4) AS t01,
+                   round(e[1]*e[1] + e[2]*e[2] + e[3]*e[3] + e[4]*e[4], 4)
+                       + 0.0 AS mv0,
+                   round(e[5]*e[1] + e[6]*e[2] + e[7]*e[3] + e[8]*e[4], 4)
+                       + 0.0 AS mv1,
+                   round(e[5], 4) + 0.0 AS t01,
                    round((e[1]*e[1] + e[2]*e[2] + e[3]*e[3] + e[4]*e[4])
                          + (e[5]*e[5] + e[6]*e[6] + e[7]*e[7] + e[8]*e[8]), 4)
-                       AS frob,
+                       + 0.0 AS frob,
                    round((e[1]*e[3] + e[1]*e[4]) + (e[2]*e[3] + e[2]*e[4]), 4)
-                       AS outer_total
+                       + 0.0 AS outer_total
             FROM b
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+                       + 0.0 AS cosine
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -3074,7 +3091,8 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
-            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
+            SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+            FROM (
                 SELECT query_id, neighbor_id, cosine,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cosine DESC, neighbor_id) AS rn
@@ -3089,15 +3107,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(v) AS INT) AS dim,
                    v[1] AS first_val,
                    v[-1] AS last_val,
-                   round(list_sum(v), 4) AS total,
+                   round(list_sum(v), 4) + 0.0 AS total,
                    round(list_sum(list_transform(v, x -> x * 2.0)), 4)
-                       AS scaled_total,
-                   round(list_dot_product(v, v), 4) AS self_dot,
-                   round(sqrt(list_dot_product(v, v)), 4) AS nrm,
-                   round(v[1] + v[len(v)], 4) AS colsum0,
+                       + 0.0 AS scaled_total,
+                   round(list_dot_product(v, v), 4) + 0.0 AS self_dot,
+                   round(sqrt(list_dot_product(v, v)), 4) + 0.0 AS nrm,
+                   round(v[1] + v[len(v)], 4) + 0.0 AS colsum0,
                    round(list_sum(list_transform(
                        range(1, len(v) + 1),
-                       i -> v[i] + v[len(v) - i + 1])), 4) AS colsum_total
+                       i -> v[i] + v[len(v) - i + 1])), 4) + 0.0
+                       AS colsum_total
             FROM b
         """,
         # interval decomposition mirrored through DuckDB's native interval

@@ -121,7 +121,7 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
-                F.round("cosine", round_to).alias("cosine")
+                (F.round("cosine", round_to) + F.lit(0.0)).alias("cosine")
                 if round_to is not None else F.col("cosine"))
     )
     return Table(out, "cosine_topk")
@@ -287,7 +287,8 @@ def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
                   .select("vec_a", "vec_b", "cosine"))
     out = scored.filter(F.col("cosine") >= threshold)
     if round_to is not None:
-        out = out.withColumn("cosine", F.round("cosine", round_to))
+        out = out.withColumn("cosine",
+                                F.round("cosine", round_to) + F.lit(0.0))
     if not exact:
         from .dedup import _retain_cache
 
@@ -348,7 +349,7 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
-                F.round("cosine", round_to).alias("cosine")
+                (F.round("cosine", round_to) + F.lit(0.0)).alias("cosine")
                 if round_to is not None else F.col("cosine"))
     )
     return Table(out, "lsh_cosine_topk")

@@ -598,3 +598,85 @@ def test_ivf_neardup_hot_cell_truncates(spark):
     n = out.count()
     # truncation bounds pairs at ~C(50,2) per probed cell
     assert 0 < n <= 50 * 49 // 2
+
+
+def test_kmeans_cell_means_is_jvm_side(spark, emb):
+    """VERDICT r6 #2: the centroid update must be a JVM aggregation
+    (posexplode -> partial-combinable avg per (cell, pos)) — no per-cell
+    pandas materialization (FlatMapGroupsInPandas) anywhere in the fit
+    path — and it must compute the same per-cell means as numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blaze_spark.pipeline.ivf import _cell_means
+    from blaze_spark.plans import physical_plan
+
+    assigned = emb.df.select(
+        F.col("embedding").alias("v"),
+        (F.col("vec_id") % 4).cast("int").alias("cell"))
+    means_df = _cell_means(assigned)
+    plan = physical_plan(means_df)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+    got = {int(r.cell): np.array(r.centroid) for r in means_df.collect()}
+    pdf = assigned.toPandas()
+    for cell, grp in pdf.groupby("cell"):
+        want = np.stack(grp.v.to_numpy()).astype(np.float64).mean(axis=0)
+        assert np.allclose(got[int(cell)], want, atol=1e-9), cell
+
+
+def test_kmeans_fit_path_has_no_grouped_pandas(spark, emb):
+    """The full fit produces the same centroids as a driver-side numpy
+    Lloyd run (same init, same iteration count) — proving the JVM-side
+    update changed the plan, not the math."""
+    import numpy as np
+
+    from blaze_spark.pipeline.ivf import kmeans_fit
+
+    centroids = kmeans_fit(emb, k=4, iters=2)
+
+    pdf = emb.df.orderBy("vec_id").toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ref = m[:4].copy()
+    for _ in range(2):
+        d = (-2.0 * m @ ref.T + (ref ** 2).sum(axis=1)[None, :])
+        cells = d.argmin(axis=1)
+        new = ref.copy()
+        for c in range(4):
+            sel = m[cells == c]
+            if len(sel):
+                new[c] = sel.mean(axis=0)
+        if np.allclose(new, ref, atol=1e-9):
+            break
+        ref = new
+    assert np.allclose(centroids, ref, atol=1e-6)
+
+
+def test_ivf_topk_query_broadcast_guard(spark, emb):
+    """VERDICT r6 #3: past ``max_broadcast_queries`` the query side must
+    fall back to a shuffled equi-join (no broadcast hint), with results
+    identical to the broadcast plan."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline.ivf import ivf_topk, kmeans_fit
+    from blaze_spark.plans import physical_plan
+
+    centroids = kmeans_fit(emb, k=4, iters=2)
+    queries = Table(emb.df.filter("vec_id < 8"))
+
+    b = ivf_topk(emb, queries, centroids, k=3, nprobe=2,
+                 max_broadcast_queries=None)
+    nb = ivf_topk(emb, queries, centroids, k=3, nprobe=2,
+                  max_broadcast_queries=4)  # 8 queries > 4 -> trips
+
+    # with auto-broadcast disabled, only the hinted plan may broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in physical_plan(b.df)
+        assert "BroadcastHashJoin" not in physical_plan(nb.df)
+        rows_b = sorted(map(tuple, b.df.collect()))
+        rows_nb = sorted(map(tuple, nb.df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows_b == rows_nb

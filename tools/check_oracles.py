@@ -59,6 +59,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 i = bad.idxmax()
                 issues.append(f"value[{c}] row {i}: spark={sv[i]!r} oracle={ov[i]!r} "
                               f"({int(bad.sum())} mismatches)")
+            else:
+                # the driver hashes raw bytes: ±0.0 (or any last-ulp
+                # disagreement inside tolerance) is a driver FAIL even
+                # though == passes — mirror that here (the r6 lesson)
+                av = a.astype("float64").to_numpy()
+                bv = b.astype("float64").to_numpy()
+                byte_bad = (av.tobytes() != bv.tobytes())
+                if byte_bad:
+                    import numpy as np
+                    diff = np.where(av.view("int64") != bv.view("int64"))[0]
+                    i = int(diff[0]) if len(diff) else -1
+                    issues.append(
+                        f"byte[{c}] row {i}: spark={av[i]!r} oracle={bv[i]!r}"
+                        f" ({len(diff)} byte-level mismatches, == passes"
+                        " — would FAIL the driver hash)")
         else:
             bad = ~((sv.isna() & ov.isna()) | (sv == ov))
             if bad.any():
