@@ -2281,7 +2281,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.source, CAST(count(*) AS BIGINT) AS n_kept
             FROM q JOIN w ON q.source = w.source
             WHERE w.sample_weight >= 1.0
-               OR substr(md5(CAST(q.doc_id AS VARCHAR) || '-42'), 1, 8)
+               OR substr(md5(coalesce(CAST(q.doc_id AS VARCHAR),
+                                      '__null__') || '-42'), 1, 8)
                   < lower(lpad(to_hex(CAST(floor(w.sample_weight
                                 * 4294967296.0) AS BIGINT)), 8, '0'))
             GROUP BY q.source ORDER BY q.source

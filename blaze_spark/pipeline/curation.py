@@ -372,9 +372,20 @@ def apply_source_mix(t: Table, weights: DataFrame,
     scheme as ``Table.hash_sample`` (first 8 hex chars against the
     weight's share of the hex space, compared as strings), so the whole
     mixture execution is DuckDB-oracle-checkable.
+
+    NULL ids hash through the same ``__null__`` sentinel as
+    ``Table.hash_sample`` (ADVICE r6): they form one key group that is
+    kept or dropped together, instead of ``md5(NULL) -> NULL`` silently
+    dropping every null-id row at fractional weights.  Documents whose
+    source has no row in ``weights`` are DROPPED (inner join) — the
+    mixture plan is the allowlist; pass a weights relation with a
+    ``sample_weight=1.0`` catch-all row if unlisted sources should
+    pass through.
     """
     u = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}"))),
+        F.md5(F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("__null__")),
+            F.lit(f"-{seed}"))),
         1, 8)
     # weight >= 1 keeps unconditionally: its hex threshold would be 9
     # chars ("100000000"), which string-compares BELOW letter-leading

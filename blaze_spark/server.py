@@ -110,13 +110,16 @@ class BlazeSparkServer:
 
                 got = self.headers.get("Authorization", "")
                 # compare BYTES: compare_digest raises TypeError on
-                # non-ASCII str (http.server decodes headers latin-1, so
-                # a hostile header must 401, not crash the request; and a
-                # non-ASCII token must still be comparable)
+                # non-ASCII str.  http.server decodes header bytes as
+                # latin-1, so re-encoding latin-1 recovers the RAW wire
+                # bytes — a client sending the configured non-ASCII token
+                # as UTF-8 then compares equal against the token's UTF-8
+                # bytes (re-encoding the header as UTF-8 would
+                # double-encode it and 401 a correct token; ADVICE r6),
+                # and a hostile header 401s instead of crashing
                 ok = hmac.compare_digest(
-                    got.encode("utf-8", "surrogateescape"),
-                    f"Bearer {server_self.auth_token}".encode(
-                        "utf-8", "surrogateescape"))
+                    got.encode("latin-1", "surrogateescape"),
+                    f"Bearer {server_self.auth_token}".encode("utf-8"))
                 if not ok:
                     self._send(401, {"error": "bad auth token"})
                 return ok

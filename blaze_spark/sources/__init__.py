@@ -134,7 +134,14 @@ def _parse_mongo_uri(uri: str) -> tuple[str, str | None, str | None]:
     # credentials must not be split
     path_start = rest.find("/")
     if path_start != -1 and "::" in rest[path_start:]:
-        base, coll = uri.rsplit("::", 1)
+        base, post = uri.rsplit("::", 1)
+        # a query string may trail the collection ('db::coll?x=y'): it
+        # belongs on the connection URI, not in the collection name
+        # (ADVICE r6); '?opts::coll' stays supported — there the options
+        # are already on ``base``
+        coll, _, q = post.partition("?")
+        if q:
+            base += ("&" if "?" in base else "?") + q
     db = None
     if path_start != -1:
         tail = rest[path_start + 1:]

@@ -352,12 +352,39 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     # hot-bucket cap (same skew guard as the batch paths' max_bucket):
     # a degenerate bucket in THIS batch — e.g. the all-zeros simhash
     # chunk of templated docs — would otherwise collect_list the whole
-    # batch into one task AND row-multiply against the store probe
-    hot = (raw_entries.groupBy("band", "bhash")
-           .agg(F.count(F.lit(1)).alias("n"))
-           .filter(F.col("n") > max_bucket).select("band", "bhash"))
-    entries = raw_entries.join(F.broadcast(hot), ["band", "bhash"],
-                               "left_anti").persist()
+    # batch into one task AND row-multiply against the store probe.
+    # The cap applies to the PAIRING sides only; the store still receives
+    # a bounded deterministic sample (first max_bucket doc_ids) of each
+    # hot bucket, so hot-bucket docs are not silently unindexed for that
+    # band forever (ADVICE r6).  Hot buckets are rare by construction, so
+    # they are collected for logging and the common no-hot path pays no
+    # extra join or window.
+    hot_rows = (raw_entries.groupBy("band", "bhash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket).collect())
+    if hot_rows:
+        import warnings
+
+        from pyspark.sql import Window
+
+        excluded = sum(r.n for r in hot_rows)
+        warnings.warn(
+            f"incremental {method} batch {batch_id}: {len(hot_rows)} hot "
+            f"bucket(s) over max_bucket={max_bucket} — {excluded} entries "
+            "excluded from pairing this batch; the store keeps the first "
+            f"{max_bucket} doc_ids per hot bucket", stacklevel=2)
+        hot = F.broadcast(spark.createDataFrame(
+            [(int(r.band), int(r.bhash)) for r in hot_rows],
+            "band int, bhash long"))
+        entries = raw_entries.join(hot, ["band", "bhash"],
+                                   "left_anti").persist()
+        w = Window.partitionBy("band", "bhash").orderBy("doc_id")
+        store_entries = (raw_entries
+                         .withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= max_bucket).drop("__rn"))
+    else:
+        entries = raw_entries.persist()
+        store_entries = entries
 
     # probe the persistent index: store-side scan prunes on band (partition
     # column) and the broadcast join dynamically filters bhash.  A retried
@@ -410,7 +437,7 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     batch_dir = f"{sink_root}/batch_id={batch_id}"
     out.write.mode("overwrite").parquet(batch_dir)
 
-    (entries.select("doc_id", "band", "bhash", "signature")
+    (store_entries.select("doc_id", "band", "bhash", "signature")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{store_path}/ingest={batch_id}"))
     sigs.unpersist()

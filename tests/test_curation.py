@@ -295,3 +295,24 @@ def test_blocklist_filter_word_boundary_and_escape(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         blocklist_filter(t, ["x"], mode="bogus")
+
+
+def test_apply_source_mix_null_id_sentinel(spark):
+    """ADVICE r6: NULL ids must hash through the same '__null__' sentinel
+    as Table.hash_sample — one key group, kept or dropped together —
+    not be silently dropped by md5(NULL) -> NULL."""
+    from blaze_spark.pipeline import apply_source_mix
+
+    rows = [(None, "x y z", "s") for _ in range(20)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string", name="ni")
+    w = spark.createDataFrame([("s", 0.5)],
+                              "source string, sample_weight double")
+    kept = apply_source_mix(t, w).df.count()
+    # all 20 share the sentinel key: all kept or all dropped, never a mix
+    assert kept in (0, 20)
+    # and the group's fate matches hash_sample at the same fraction/salt
+    import hashlib
+    h = hashlib.md5(b"__null__-42").hexdigest()[:8]
+    expect = 20 if h < format(int(0.5 * 16 ** 8), "08x") else 0
+    assert kept == expect

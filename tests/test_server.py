@@ -191,3 +191,26 @@ def test_auth_non_ascii_header_gets_401_not_crash(spark, star):
             assert "bad auth token" in e.read().decode()
     finally:
         srv.stop()
+
+
+def test_auth_non_ascii_token_round_trips(spark, star):
+    """ADVICE r6: a correct non-ASCII token must authenticate.  The
+    client sends the token's UTF-8 bytes on the wire (urllib encodes
+    header strings latin-1, so the UTF-8 bytes are pre-decoded latin-1);
+    the server recovers the raw wire bytes by re-encoding latin-1 and
+    compares against the token's UTF-8 bytes."""
+    from blaze_spark.server import BlazeSparkServer
+
+    token = "tökén"  # tökén
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           auth_token=token)
+    srv.start(port=0)
+    try:
+        wire = ("Bearer " + token).encode("utf-8").decode("latin-1")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/datashape",
+            headers={"Authorization": wire})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()

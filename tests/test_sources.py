@@ -371,3 +371,18 @@ def test_mongo_uri_ipv6_and_no_collection_suffix():
     assert (base, db, coll) == ("mongodb://[::1]:27017/db", "db", "bank")
     base, db, coll = _parse_mongo_uri("mongodb://user:p::w@host/db::c")
     assert db == "db" and coll == "c"
+
+
+def test_mongo_uri_query_string_not_absorbed():
+    """ADVICE r6: a query string after the collection suffix must neither
+    leak into the collection name nor be stripped from the driver URI."""
+    from blaze_spark.sources import _parse_mongo_uri
+
+    base, db, coll = _parse_mongo_uri(
+        "mongodb://h:27017/db::coll?readPreference=secondary&x=y")
+    assert coll == "coll"
+    assert db == "db"
+    assert base == "mongodb://h:27017/db?readPreference=secondary&x=y"
+    # options without a collection suffix keep working too
+    base, db, coll = _parse_mongo_uri("mongodb://h/db?x=y")
+    assert (base, db, coll) == ("mongodb://h/db?x=y", "db", None)

@@ -478,3 +478,39 @@ def test_incremental_simhash_dedup_batches(spark, tmp_path):
     # cross-method probe refuses
     with _pytest.raises(ValueError, match="signature format"):
         process_batch(b2, store, method="minhash")
+
+
+def test_hot_bucket_cap_still_indexes_store(spark, tmp_path):
+    """ADVICE r6: the hot-bucket cap bounds PAIRING, but the store must
+    still index a bounded sample of a hot bucket — otherwise templated
+    docs are permanently unfindable for that band.  A later probe with
+    the same text must match stored hot-bucket docs."""
+    import warnings
+
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    text = "identical templated boilerplate shared by every document " * 5
+    docs = [(i, text) for i in range(12)]
+    b = data(docs, spark=spark, schema="doc_id long, text string", name="hb")
+    store = str(tmp_path / "store_hot")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = process_batch(b, store, max_bucket=5)
+        assert any("hot bucket" in str(x.message) for x in w)
+    # pairing capped: the quadratic in-batch explosion did not happen
+    assert out.count() == 0
+
+    # the store kept the first max_bucket doc_ids per hot bucket
+    stored = spark.read.option("basePath", store).parquet(
+        f"{store}/ingest=0")
+    per_bucket = (stored.groupBy("band", "bhash").count().collect())
+    assert per_bucket and all(r["count"] <= 5 for r in per_bucket)
+    assert stored.filter("doc_id < 5").count() > 0
+
+    # a later identical doc finds the stored sample via the store probe
+    b2 = data([(100, text)], spark=spark,
+              schema="doc_id long, text string", name="hb2")
+    p2 = process_batch(b2, store, max_bucket=5)
+    matched = {r.matched_doc for r in p2.collect()}
+    assert matched and matched <= set(range(5))
