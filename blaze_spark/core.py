@@ -1478,6 +1478,9 @@ def _derived(df: DataFrame, *parents: Table) -> Table:
         xc = getattr(parents[0], "_xcache", None)
         if xc is not None:
             t._xcache = xc
+        cl = getattr(parents[0], "_client", None)
+        if cl is not None:
+            t._client = cl
     return t
 
 

@@ -70,6 +70,13 @@ class BlazeSparkServer:
                           for name, t in self.datasets.items())
         return "{" + inner + "}"
 
+    def _schemas(self) -> dict:
+        """Spark schema JSON per dataset — what the ``blaze://`` client
+        uses to build schema-only local leaves (datashape is the
+        human/reference-facing form; this is the machine-faithful one)."""
+        return {"schemas": {name: t.df.schema.json()
+                            for name, t in self.datasets.items()}}
+
     def _compute(self, payload: dict) -> dict:
         if "expr" not in payload:
             raise ValueError("payload must contain 'expr'")
@@ -129,6 +136,8 @@ class BlazeSparkServer:
                     return
                 if self.path.rstrip("/") == "/datashape":
                     self._send(200, server_self._datashape())
+                elif self.path.rstrip("/") == "/schema":
+                    self._send(200, server_self._schemas())
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 

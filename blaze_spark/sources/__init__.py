@@ -72,6 +72,23 @@ def data(source: Any, *, spark: SparkSession | None = None,
         if source.startswith(("mongodb://", "mongodb+srv://")):
             return _mongo_table(spark, source, schema=schema, name=name,
                                 **options)
+        if source.startswith("blaze://"):
+            # remote dataset leaf (reference blaze/server/client.py:
+            # 249-268).  'blaze://host:port::name' -> that RemoteTable;
+            # bare 'blaze://host:port' -> the Client namespace (the
+            # reference 0.8.1+ form: data(uri)['name']).
+            from ..client import Client
+
+            url, dataset = source, None
+            if "::" in source:
+                head, tail = source.rsplit("::", 1)
+                # dataset names are identifiers; ':'/']'/'/' in the tail
+                # means the '::' belonged to an IPv6 host ([::1]:6363)
+                if tail and not any(c in tail for c in ":]/"):
+                    url, dataset = head, tail
+            client = Client(url, spark=spark,
+                            auth_token=options.pop("auth_token", None))
+            return client[dataset] if dataset is not None else client
         f = fmt or _infer_format(source)
         if f == "parquet":
             ns_cols = _nanos_timestamp_cols(source)

@@ -214,3 +214,112 @@ def test_auth_non_ascii_token_round_trips(spark, star):
             assert r.status == 200
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# blaze:// client source (VERDICT r6 #4 — reference blaze/server/client.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def served(spark, star):
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"],
+                            "nation": star["nation"]}, spark)
+    srv.start(port=0)
+    yield srv
+    srv.stop()
+
+
+def test_blaze_uri_returns_client_namespace(spark, served):
+    from blaze_spark import Client, data
+
+    c = data(f"blaze://127.0.0.1:{served.port}", spark=spark)
+    assert isinstance(c, Client)
+    assert c.fields == ["nation", "orders"]
+    assert "orders" in c.dshape
+
+
+def test_blaze_uri_dataset_suffix_round_trip(spark, served, star):
+    """data('blaze://host:port::orders') is a first-class leaf: recorded
+    ops build the tree locally, compute() runs them SERVER-side."""
+    from blaze_spark import RemoteTable, data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    assert isinstance(rt, RemoteTable)
+    assert rt.columns == star["orders"].columns
+
+    expr = rt[rt.o_totalprice > 200000.0][["o_orderkey", "o_totalprice"]] \
+        .sort("o_orderkey").head(7)
+    got = expr.compute()
+
+    o = star["orders"]
+    want = (o[o.o_totalprice > 200000.0][["o_orderkey", "o_totalprice"]]
+            .sort("o_orderkey").head(7).compute())
+    assert list(got.columns) == list(want.columns)
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+    assert got.o_totalprice.tolist() == want.o_totalprice.tolist()
+    # dtype restoration from the locally-inferred schema
+    assert str(got.o_orderkey.dtype) == str(want.o_orderkey.dtype)
+
+
+def test_blaze_client_by_aggregation_and_len(spark, served, star):
+    from blaze_spark import by, data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}", spark=spark)["orders"]
+    g = by([rt.o_orderstatus], n=rt.o_orderkey.nelements())
+    got = g.compute().sort_values("o_orderstatus").reset_index(drop=True)
+    want = (by([star["orders"].o_orderstatus],
+               n=star["orders"].o_orderkey.nelements())
+            .compute().sort_values("o_orderstatus").reset_index(drop=True))
+    assert got.o_orderstatus.tolist() == want.o_orderstatus.tolist()
+    assert got.n.tolist() == want.n.tolist()
+    # __len__ counts remotely (the local leaf is EMPTY)
+    assert len(rt) == star["orders"].df.count()
+    assert rt.df.count() == 0  # proves no data ever landed locally
+
+
+def test_blaze_client_peek_and_unknown_dataset(spark, served):
+    from blaze_spark import data
+
+    c = data(f"blaze://127.0.0.1:{served.port}", spark=spark)
+    assert len(c["nation"].peek(3)) == 3
+    with pytest.raises(KeyError, match="lineitem"):
+        c["lineitem"]
+
+
+def test_blaze_client_nonserializable_op_raises(spark, served):
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    sampled = rt.sample(0.5)  # sample is outside the tree dialect
+    with pytest.raises(ValueError, match="serializable"):
+        sampled.compute()
+
+
+def test_blaze_client_auth_token_passthrough(spark, star):
+    from blaze_spark import data
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           auth_token="s3cret")
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::orders", spark=spark,
+                  auth_token="s3cret")
+        assert len(rt.head(2).compute()) == 2
+        with pytest.raises(RuntimeError, match="401"):
+            data(f"blaze://127.0.0.1:{srv.port}::orders", spark=spark,
+                 auth_token="wrong")
+    finally:
+        srv.stop()
+
+
+def test_blaze_url_normalization():
+    from blaze_spark.client import _normalize_url
+
+    assert _normalize_url("blaze://h") == "http://h:6363"
+    assert _normalize_url("h:81") == "http://h:81"
+    assert _normalize_url("blaze://[::1]") == "http://[::1]:6363"
+    assert _normalize_url("blaze://[::1]:81") == "http://[::1]:81"
+    assert _normalize_url("https://h:81/") == "https://h:81"
