@@ -68,17 +68,25 @@ class Client:
     """
 
     def __init__(self, url: str, *, spark: SparkSession | None = None,
-                 auth_token: str | None = None, timeout: float = 60.0):
+                 auth_token: str | None = None, timeout: float = 60.0,
+                 serial: str = "arrow"):
+        if serial not in ("arrow", "json"):
+            raise ValueError("serial must be 'arrow' or 'json' (pickle is "
+                             "refused by posture; msgpack only where the "
+                             "module exists server-side)")
         self.url = _normalize_url(url)
         self.auth_token = auth_token
         self.timeout = timeout
+        self.serial = serial
         self._spark = spark
         self._schemas: dict[str, T.StructType] | None = None
 
     # -- transport ---------------------------------------------------------
     def _request(self, path: str, payload: dict | None = None, *,
-                 raw: bool = False):
+                 raw: bool = False, accept: str | None = None):
         headers = {"Content-Type": "application/json"}
+        if accept is not None:
+            headers["Accept"] = accept
         if self.auth_token is not None:
             headers["Authorization"] = "Bearer " + self.auth_token
         req = urllib.request.Request(
@@ -89,6 +97,8 @@ class Client:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 body = r.read()
+                if accept is not None:
+                    return body, (r.headers.get("Content-Type") or "")
                 return body.decode() if raw else json.loads(body)
         except urllib.error.HTTPError as e:
             try:
@@ -148,9 +158,25 @@ class Client:
 
     # -- execution ---------------------------------------------------------
     def compute_tree(self, tree: dict) -> pd.DataFrame:
-        """POST a serialized expression to /compute; rows come back as
-        JSON values + column names (reference response shape,
-        blaze/server/server.py:660-667)."""
+        """POST a serialized expression to /compute.
+
+        ``serial='arrow'`` (default): the response is an Arrow IPC stream
+        — typed columns, no JSON round-trip, the same format Spark moves
+        batches in (the reference's 'efficient data field' idea,
+        blaze/server/serialization/serialization.py, columnar instead of
+        pandas-msgpack).  Falls back transparently when the server
+        answers JSON.  ``serial='json'``: the reference's JSON response
+        shape (server.py:660-667), dtypes restored by the caller."""
+        if self.serial == "arrow":
+            body, ctype = self._request(
+                "/compute", {"expr": tree},
+                accept="application/vnd.blaze+arrow")
+            if "arrow" in ctype:
+                import pyarrow as pa
+
+                return pa.ipc.open_stream(body).read_all().to_pandas()
+            parsed = json.loads(body)
+            return pd.DataFrame(parsed["data"], columns=parsed["names"])
         body = self._request("/compute", {"expr": tree})
         return pd.DataFrame(body["data"], columns=body["names"])
 
