@@ -156,6 +156,15 @@ class Client:
         except Exception:
             return f"Client({self.url!r})"
 
+    def add(self, name: str, source: str, **kwargs) -> "RemoteTable":
+        """Register a dataset on the server (reference addserver /add,
+        blaze/server/server.py:694-753; requires the server to run with
+        ``allow_add=True``) and return its remote leaf."""
+        info = {"source": source, "kwargs": kwargs} if kwargs else source
+        self._request("/add", {name: info})
+        self._schemas = None  # namespace changed — refetch lazily
+        return self[name]
+
     # -- execution ---------------------------------------------------------
     def compute_tree(self, tree: dict) -> pd.DataFrame:
         """POST a serialized expression to /compute.

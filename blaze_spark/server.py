@@ -4,9 +4,19 @@ Endpoint parity with the reference server (blaze/server/server.py):
 
 - ``GET /datashape`` — datashape of the registered dataset namespace
   (reference: server.py:403-408).
+- ``GET /schema`` — Spark schema JSON per dataset (feeds the ``blaze://``
+  client's schema-only leaves; no reference analogue — datashape is the
+  human-facing form, this is the machine-faithful one).
 - ``POST /compute`` — body ``{"expr": <tree>}`` in the ``interop`` JSON
   dialect; response ``{"data": rows, "names": columns, "datashape": str}``
   (reference compserver: server.py:578-671, response keys at 660-667).
+  ``Accept: application/vnd.blaze+arrow`` negotiates an Arrow IPC stream
+  response instead (the reference's serialization-format negotiation,
+  serialization/__init__.py — columnar here); ``vnd.blaze+msgpack``
+  requests are honored only if the module exists, ``vnd.blaze+pickle``
+  is refused (arbitrary code on loads).
+- ``POST /add`` — register a dataset at runtime (reference addserver:
+  server.py:694-753); OFF unless ``allow_add=True``.
 
 Implementation is stdlib ``http.server`` (ThreadingHTTPServer) — the
 reference used Flask; the transport is incidental, the contract is the
@@ -55,11 +65,18 @@ class BlazeSparkServer:
     def __init__(self, datasets: dict[str, Table],
                  spark: SparkSession | None = None,
                  allow_data_uris: bool = False,
-                 auth_token: str | None = None):
+                 auth_token: str | None = None,
+                 allow_add: bool = False):
         self.datasets = dict(datasets)
         self.spark = spark
         self.allow_data_uris = allow_data_uris
         self.auth_token = auth_token
+        # POST /add registers new datasets at runtime (reference
+        # addserver, blaze/server/server.py:694-753).  It makes the
+        # server read caller-named URIs, so it is OFF by default — same
+        # posture as allow_data_uris, opted into separately because /add
+        # persists the resource into the namespace for every later client.
+        self.allow_add = allow_add
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.port: int | None = None
@@ -76,6 +93,37 @@ class BlazeSparkServer:
         human/reference-facing form; this is the machine-faithful one)."""
         return {"schemas": {name: t.df.schema.json()
                             for name, t in self.datasets.items()}}
+
+    def _add(self, payload: dict) -> dict:
+        """Register one dataset (reference addserver semantics: single-
+        entry mapping, 409 on an existing name, 422 on a bad shape —
+        blaze/server/server.py:694-753).  The value is a source URI (or
+        ``{"source": uri, "kwargs": {...}}``) resolved through
+        ``sources.data`` on the server's Spark session."""
+        from .sources import data as _data
+
+        if not isinstance(payload, dict) or not payload:
+            raise ValueError("need a single-entry {name: source} mapping")
+        if len(payload) > 1:
+            raise ValueError(
+                f"given more than one resource to add: {sorted(payload)}")
+        [(name, info)] = payload.items()
+        if name in self.datasets:
+            raise FileExistsError(
+                f"cannot add dataset named {name!r}, already exists")
+        if isinstance(info, dict):
+            source = info["source"]
+            kwargs = info.get("kwargs", {})
+        else:
+            source, kwargs = info, {}
+        if not isinstance(source, str):
+            raise ValueError("source must be a URI string")
+        t = _data(source, spark=self.spark, name=name, **kwargs)
+        if not isinstance(t, Table):
+            raise ValueError(f"source {source!r} did not resolve to a "
+                             "table")
+        self.datasets[name] = t
+        return {"added": name, "datashape": t.dshape}
 
     def _compute_table(self, payload: dict):
         if "expr" not in payload:
@@ -168,7 +216,26 @@ class BlazeSparkServer:
             def do_POST(self):
                 if not self._authorized():
                     return
-                if self.path.rstrip("/") != "/compute":
+                route = self.path.rstrip("/")
+                if route == "/add":
+                    try:
+                        if not server_self.allow_add:
+                            self._send(403, {"error":
+                                "dataset registration is disabled; start "
+                                "the server with allow_add=True"})
+                            return
+                        n = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                        self._send(200, server_self._add(payload))
+                    except FileExistsError as e:
+                        self._send(409, {"error": str(e)})
+                    except (ValueError, KeyError) as e:
+                        self._send(422, {"error": str(e)})
+                    except Exception as e:
+                        self._send(500, {"error":
+                                         f"{type(e).__name__}: {e}"})
+                    return
+                if route != "/compute":
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:

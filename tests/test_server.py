@@ -386,3 +386,37 @@ def test_unsupported_serialization_415(spark, served):
         except urllib.error.HTTPError as e:
             assert e.code == 415
             assert "serialization" in e.read().decode() or True
+
+
+def test_add_endpoint_gated_and_round_trips(spark, star, sf_dir):
+    """POST /add (reference addserver, blaze/server/server.py:694-753):
+    disabled by default (403); with allow_add=True a URI registers, is
+    immediately queryable via the client, 409s on re-add, 422s on bad
+    payloads."""
+    from blaze_spark import data
+    from blaze_spark.server import BlazeSparkServer
+
+    closed = BlazeSparkServer({"orders": star["orders"]}, spark)
+    closed.start(port=0)
+    try:
+        c = data(f"blaze://127.0.0.1:{closed.port}", spark=spark)
+        with pytest.raises(RuntimeError, match="403"):
+            c.add("nation", f"{sf_dir}/nation.parquet")
+    finally:
+        closed.stop()
+
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           allow_add=True)
+    srv.start(port=0)
+    try:
+        c = data(f"blaze://127.0.0.1:{srv.port}", spark=spark)
+        assert c.fields == ["orders"]
+        rt = c.add("nation", f"{sf_dir}/nation.parquet")
+        assert len(rt.head(3).compute()) == 3
+        assert c.fields == ["nation", "orders"]
+        with pytest.raises(RuntimeError, match="409"):
+            c.add("nation", f"{sf_dir}/nation.parquet")
+        with pytest.raises(RuntimeError, match="422"):
+            c._request("/add", {"a": 1, "b": 2})
+    finally:
+        srv.stop()
