@@ -1201,6 +1201,35 @@ def sample_orders(spark, sf_dir):
     return s[["o_orderkey", "o_totalprice"]].df
 
 
+def train_test_split_docs(spark, sf_dir):
+    """Deterministic md5-keyed train/val/test split (pipeline/packing.py):
+    zero-shuffle projection, key-consistent (split on a cluster id for
+    leakage-proof splits), engine-portable — the oracle value-checks the
+    EXACT per-split membership via an id-sum checksum."""
+    from blaze_spark.pipeline import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    st = train_val_test_split(d, fractions=(0.8, 0.1, 0.1))
+    return by([st.split], n=st.doc_id.nelements(),
+              id_sum=st.doc_id.sum()).df
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Token-budget sequence packing (pipeline/packing.py): contiguous
+    fill over doc_id order via a DISTRIBUTED prefix sum (range partition
+    -> per-partition window -> broadcast offsets — never Spark's
+    single-task global window).  Per-shard accounting is value-checked
+    against DuckDB's window cumsum."""
+    from blaze_spark.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget=5000, partitions=4)
+    g = by([packed.shard], n_docs=packed.doc_id.nelements(),
+           total_tokens=packed.n_tokens.sum(),
+           first_doc=packed.doc_id.min(), last_doc=packed.doc_id.max())
+    return g.df
+
+
 def consistency_incremental_minhash(spark, sf_dir):
     """Batch<->incremental consistency contract (VERDICT r6 #5): the
     corpus (plus 30 planted copies) ingested in THREE batches through the
@@ -1958,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "consistency_incremental_minhash": consistency_incremental_minhash,
         "consistency_incremental_simhash": consistency_incremental_simhash,
+        "train_test_split_docs": train_test_split_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         # -- query/oracle changed in r7 (the -0.0 probe sweep + sample
         #    migration): fresh driver rows ------------------------------------
         "sample_orders": sample_orders,
@@ -2009,10 +2040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_style_exists_chain": q21_style_exists_chain,
         "lag_events": lag_events,
         "running_total_events": running_total_events,
-        "projection_selection": projection_selection,
-        "transform_arithmetic": transform_arithmetic,
         # ==== driver sample boundary (50) — below here: green driver rows
         # in r4/r5/r6 under the CURRENT Spark; unchanged this round ==========
+        "projection_selection": projection_selection,
+        "transform_arithmetic": transform_arithmetic,
         "distinct_segments": distinct_segments,
         "first_order_per_customer": first_order_per_customer,
         "concat_union": concat_union,
@@ -2362,6 +2393,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "train_test_split_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                 || '-42'), 1, 8) < 'cccccccc' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                 || '-42'), 1, 8) < 'e6666666' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents)
+            SELECT split, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM s GROUP BY split
+        """,
+        "pack_sequences_docs": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+')) END AS nt
+                FROM documents),
+            c AS (
+                SELECT doc_id, nt,
+                       sum(nt) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nt AS tok_start
+                FROM q)
+            SELECT CAST(floor(tok_start / 5000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY shard
         """,
         "sample_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

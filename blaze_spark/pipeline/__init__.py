@@ -52,6 +52,10 @@ from .curation import (  # noqa: F401
     source_mix,
     top_ngram_share,
 )
+from .packing import (  # noqa: F401
+    pack_sequences,
+    train_val_test_split,
+)
 from .multimodal import (  # noqa: F401
     IMAGE_SCHEMA,
     AUDIO_SCHEMA,

@@ -1,0 +1,145 @@
+"""Dataset-assembly operators: deterministic splits and token-budget
+sequence packing — the last mile of a training-data pipeline (after
+curation/dedup, before the trainer reads shards).
+
+Both operators follow the package's two standing rules:
+
+- **engine-portable determinism**: no ``rand()`` anywhere.  Splits are
+  md5-keyed (the ``Table.hash_sample`` scheme) and packing is a pure
+  function of a total order — so a task retry, a re-run, or the DuckDB
+  oracle reproduce byte-identical assignments.
+- **100 TB shapes**: the split is a zero-shuffle projection; packing's
+  global running sum is a DISTRIBUTED prefix sum (range partition →
+  per-partition window → tiny offset table), never the single-partition
+  global window Spark gives you by default for ``Window.orderBy`` without
+  ``partitionBy`` — that form funnels the whole corpus through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import Table
+
+__all__ = ["train_val_test_split", "pack_sequences"]
+
+
+def train_val_test_split(t: Table, fractions=(0.98, 0.01, 0.01),
+                         on: str = "doc_id", salt: int = 42,
+                         labels=("train", "val", "test")) -> Table:
+    """Deterministic 3-way (or n-way) split: adds a ``split`` column.
+
+    The assignment hashes the key through the same engine-portable md5
+    scheme as ``Table.hash_sample`` (first 8 hex chars against cumulative
+    hex thresholds), so it is:
+
+    - **disjoint and exhaustive by construction** — one comparison chain
+      over one hash;
+    - **key-consistent** — every row with the same ``on`` value lands in
+      the same split.  Pass a dedup-cluster id or normalized fingerprint
+      as ``on`` to make the split LEAKAGE-PROOF: all near-copies of a
+      document travel together instead of straddling train/test;
+    - **a pure projection** — no shuffle, no rand(), filter-pushable,
+      reproducible across retries and engines (DuckDB-oracle-checkable).
+
+    NULL keys group under the ``__null__`` sentinel (one fate, no silent
+    drops).  ``fractions`` must sum to 1 (±1e-9) with one label each.
+    """
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must align")
+    if any(f < 0 for f in fractions):
+        raise ValueError("fractions must be non-negative")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    u = F.substring(
+        F.md5(F.concat(
+            F.coalesce(F.col(on).cast("string"), F.lit("__null__")),
+            F.lit(f"-{salt}"))), 1, 8)
+    # cumulative hex thresholds; the last bucket is the unconditional
+    # else-branch so rounding in the threshold arithmetic can never leave
+    # a row unassigned
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    bounds = []
+    for frac in fractions[:-1]:
+        cum += frac
+        bounds.append(format(int(cum * 16 ** 8), "08x"))
+    for label, bound in zip(reversed(labels[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(bound), F.lit(label)).otherwise(expr)
+    return Table(t.df.withColumn("split", expr), t._name)
+
+
+def pack_sequences(t: Table, budget: int, text_col: str = "text",
+                   order_by: str = "doc_id",
+                   partitions: int | None = None) -> Table:
+    """Assign documents to fixed-token-budget shards (contiguous fill):
+    adds ``n_tokens``, ``tok_start`` (global token offset) and
+    ``shard`` = ``floor(tok_start / budget)``.
+
+    Contiguous fill is the standard sequence-packing layout for training
+    shards: documents in a stable total order (``order_by`` must be
+    unique) fill shard 0 until its token budget is crossed, then shard 1,
+    and so on — a document that straddles a boundary belongs to the shard
+    it STARTED in, so a shard's true token count lands in
+    ``[budget - max_doc_tokens + 1, budget + max_doc_tokens - 1]``.
+
+    The global running sum is computed as a distributed prefix sum:
+
+    1. ``repartitionByRange(order_by)`` + in-partition sort — one range
+       exchange, the only corpus-wide data movement;
+    2. per-partition cumulative sums via a window PARTITIONED by the
+       physical partition id (parallel, bounded by partition size);
+    3. per-partition totals (one tiny row per partition) collect to the
+       driver, their exclusive prefix sum broadcasts back as the
+       partition offset.
+
+    The result is invariant to the number of partitions — offsets + local
+    sums telescope into the same global prefix sum — so the assignment is
+    deterministic and DuckDB-oracle-checkable even though the range
+    boundaries Spark samples are not.  ``Window.orderBy`` with no
+    partitionBy would compute the same thing through ONE task; at 100 TB
+    that is the difference between a parallel pass and a non-starter.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = F.coalesce(
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))),
+        F.lit(0)).cast("long")
+    base = t.df.withColumn("n_tokens", toks)
+    ranged = (base.repartitionByRange(
+        *( [partitions] if partitions else [] ), F.col(order_by))
+        .sortWithinPartitions(order_by)
+        .withColumn("__pid", F.spark_partition_id()))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy("__pid").orderBy(order_by)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn("__cum", F.sum("n_tokens").over(w))
+
+    # one row per partition: (pid, total, min_key) — tiny, driver-safe.
+    # min_key orders the offsets by the RANGE order, not pid numbering
+    # (they coincide for range partitioning, but depending on it silently
+    # would be fragile)
+    totals = (local.groupBy("__pid")
+              .agg(F.sum("n_tokens").alias("tot"),
+                   F.min(order_by).alias("mk"))
+              .collect())
+    totals.sort(key=lambda r: r.mk)
+    rows, acc = [], 0
+    for r in totals:
+        rows.append((int(r["__pid"]), acc))
+        acc += int(r["tot"])
+    spark = t.df.sparkSession
+    off_df = spark.createDataFrame(rows or [(0, 0)],
+                                   "__pid int, __off long")
+    out = (local.join(F.broadcast(off_df), "__pid", "left")
+           .withColumn("tok_start",
+                       (F.col("__cum") - F.col("n_tokens")
+                        + F.coalesce(F.col("__off"), F.lit(0)))
+                       .cast("long"))
+           .withColumn("shard",
+                       F.floor(F.col("tok_start") / F.lit(budget))
+                       .cast("long"))
+           .drop("__pid", "__cum", "__off"))
+    return Table(out, t._name)

@@ -316,3 +316,90 @@ def test_apply_source_mix_null_id_sentinel(spark):
     h = hashlib.md5(b"__null__-42").hexdigest()[:8]
     expect = 20 if h < format(int(0.5 * 16 ** 8), "08x") else 0
     assert kept == expect
+
+
+def test_train_val_test_split_disjoint_exhaustive(spark, cdocs):
+    """Every row gets exactly one split; proportions track fractions;
+    the same key always lands in the same split (key-consistent)."""
+    from blaze_spark.pipeline import train_val_test_split
+
+    out = train_val_test_split(cdocs, fractions=(0.8, 0.1, 0.1)).df
+    n = cdocs.df.count()
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint by design
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # determinism: re-running yields identical assignment
+    again = train_val_test_split(cdocs, fractions=(0.8, 0.1, 0.1)).df
+    assert (out.select("doc_id", "split")
+            .exceptAll(again.select("doc_id", "split")).count() == 0)
+
+
+def test_train_val_test_split_key_consistency_leakproof(spark):
+    """Splitting on a cluster key sends ALL rows of a cluster to one
+    split — the leakage-proof form."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import train_val_test_split
+
+    rows = [(i, i % 7, f"text {i}") for i in range(200)]
+    t = data(rows, spark=spark,
+             schema="doc_id long, cluster long, text string", name="lk")
+    out = train_val_test_split(t, fractions=(0.5, 0.25, 0.25),
+                               on="cluster").df
+    per_cluster = (out.groupBy("cluster")
+                   .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per_cluster)
+
+
+def test_train_val_test_split_validation(spark, cdocs):
+    from blaze_spark.pipeline import train_val_test_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        train_val_test_split(cdocs, fractions=(0.5, 0.1, 0.1))
+    with pytest.raises(ValueError, match="align"):
+        train_val_test_split(cdocs, fractions=(0.5, 0.5))
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(i, "tok " * (i % 5 + 1)) for i in range(100)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="pk")
+    out = pack_sequences(t, budget=10).df.orderBy("doc_id").collect()
+    # tok_start is the exclusive prefix sum of n_tokens in doc_id order
+    acc = 0
+    for r in out:
+        assert r.tok_start == acc, (r.doc_id, r.tok_start, acc)
+        assert r.shard == acc // 10
+        acc += r.n_tokens
+    # shards are contiguous runs starting at 0
+    shards = [r.shard for r in out]
+    assert shards[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The distributed prefix sum must give the same global offsets for
+    ANY partition count (offsets + local sums telescope) — and the plan
+    must not funnel the corpus through a single-partition global window."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(i, "w " * (i % 11 + 1)) for i in range(500)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="pk2")
+    a = pack_sequences(t, budget=64, partitions=2).df \
+        .select("doc_id", "tok_start", "shard")
+    b = pack_sequences(t, budget=64, partitions=7).df \
+        .select("doc_id", "tok_start", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    from blaze_spark.plans import physical_plan
+
+    plan = physical_plan(pack_sequences(t, budget=64, partitions=7).df)
+    # the window runs partitioned by __pid — a global Window.orderBy
+    # (no partition) would show a single-partition sort before the window
+    assert "__pid" in plan
