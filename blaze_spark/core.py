@@ -1070,12 +1070,25 @@ class Table:
         without a second pass."""
         if na_position not in ("first", "last"):
             raise ValueError("na_position must be 'first' or 'last'")
+        # pandas idiom: sort_values(["a", "b"]) — a single LIST argument
+        # is the key list.  Without this flatten the list fell through
+        # _as_col to F.lit(<list>), a CONSTANT sort key: the data came
+        # back unsorted with no error (caught by the r7 tree-dialect
+        # fuzz).  A single TUPLE stays a (col, "desc") direction pair.
+        if len(keys) == 1 and isinstance(keys[0], list):
+            keys = tuple(keys[0])
         last = na_position == "last"
 
         def _dir(k, asc) -> Column:
             # engine-level direction wrapper: authoritative, no sniffing
             if isinstance(k, SortKey):
                 return k.spark_order(last)
+            if not isinstance(k, (ColExpr, Reduction, Column, str)):
+                # anything else would fall through _as_col to F.lit — a
+                # CONSTANT key that silently does not sort
+                raise TypeError(
+                    "sort key must be a column name/expression/SortKey "
+                    f"or (key, 'desc') tuple, got {type(k).__name__}")
             c = _as_col(k)
             # a raw Column that is already a SortOrder (user called
             # F.col(x).desc()) keeps its explicit direction — re-wrapping

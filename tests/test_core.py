@@ -846,3 +846,24 @@ def test_hash_sample_null_keys_form_a_group(spark):
     # all-or-nothing per frac, and at 0.99 the null group is ~surely kept
     assert n_null_hi in (0, 10) and n_null_lo in (0, 10)
     assert n_null_hi == 10
+
+
+def test_sort_list_argument_is_key_list(spark, star):
+    """r7 fuzz catch: sort(["a", "b"]) (the pandas sort_values idiom)
+    must sort by those keys — previously the list fell through to
+    F.lit(<list>), a CONSTANT key that silently did not sort at all."""
+    o = star["orders"]
+    a = o.sort("o_totalprice", "o_orderkey").head(5).compute()
+    b = o.sort(["o_totalprice", "o_orderkey"]).head(5).compute()
+    assert a.o_orderkey.tolist() == b.o_orderkey.tolist()
+    assert b.o_totalprice.is_monotonic_increasing
+    # the list form serializes to the tree dialect like the varargs form
+    assert o.sort(["o_totalprice", "o_orderkey"])._tree is not None
+
+    # a (key, 'desc') tuple is still a direction pair, not a key list
+    d = o.sort(("o_totalprice", "desc")).head(3).compute()
+    assert d.o_totalprice.is_monotonic_decreasing
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="sort key"):
+        o.sort(123)

@@ -215,3 +215,47 @@ def test_fuzz_hash_sample_nesting(spark, sf_dir, f1, f2):
     big = o.hash_sample(f2, on="o_orderkey").df.select("o_orderkey")
     # subset check without collect: anti-join must be empty
     assert small.join(big, "o_orderkey", "left_anti").count() == 0
+
+
+@given(
+    num_col=st.sampled_from(NUM_COLS),
+    grp_col=st.sampled_from(GRP_COLS),
+    frac=st.floats(min_value=0.05, max_value=0.95),
+    n_head=st.integers(min_value=1, max_value=50),
+    ascending=st.booleans(),
+    use_transform=st.booleans(),
+)
+@SETTINGS
+def test_fuzz_tree_dialect_roundtrip(spark, sf_dir, num_col, grp_col, frac,
+                                     n_head, ascending, use_transform):
+    """Reference to_tree/from_tree identity (blaze/server/tests): a
+    random selection/transform/sort/head chain serialized to the wire
+    dialect and rebuilt must compute EXACTLY what the direct expression
+    computes."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree, to_tree
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    lo = o.df.agg(F.min(num_col)).collect()[0][0]
+    hi = o.df.agg(F.max(num_col)).collect()[0][0]
+    thr = lo + (hi - lo) * frac
+
+    expr = o[o[num_col] > thr]
+    if use_transform:
+        expr = expr.transform(doubled=expr[num_col] * 2)
+    cols = [grp_col, num_col] + (["doubled"] if use_transform else [])
+    if "o_orderkey" not in cols:
+        cols.append("o_orderkey")  # tie-breaker: the sort must be total
+    expr = expr[cols]
+    expr = expr.sort([num_col, "o_orderkey"], ascending=ascending) \
+        .head(n_head)
+
+    tree = to_tree(expr)
+    rebuilt = from_tree(tree, spark=spark,
+                        datasets={"orders": o}, allow_data_uris=True)
+    a = expr.compute().reset_index(drop=True)
+    b = rebuilt.compute().reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), (a.head(), b.head())
