@@ -1136,7 +1136,7 @@ class Table:
         if sort_keys is None:
             raise ValueError("tail on Spark requires explicit sort keys")
         keys = sort_keys if isinstance(sort_keys, (list, tuple)) else [sort_keys]
-        cols = [_as_col(k) for k in keys]
+        cols = [_as_key_col(k, "tail sort key") for k in keys]
         if isinstance(ascending, (list, tuple)):
             if len(ascending) != len(cols):
                 raise ValueError("ascending list must match sort_keys")
@@ -1240,7 +1240,8 @@ class Table:
                     "placement matters.")
         order_cols = []
         for k in order:
-            c = k.col if isinstance(k, SortKey) else _as_col(k)
+            c = k.col if isinstance(k, SortKey) \
+                else _as_key_col(k, "keep_first_by order key")
             if _is_sort_order(c):
                 raise TypeError(
                     "keep_first_by cannot take a raw Column sort order "
@@ -1264,7 +1265,7 @@ class Table:
             F.struct(*[F.col(c) for c in self._df.columns]),
             F.struct(*order_cols))
         return self._new(
-            self._df.groupBy(*[_as_col(c) for c in on])
+            self._df.groupBy(*[_as_key_col(c, "distinct key") for c in on])
             .agg(row.alias("__r")).select("__r.*"))
 
     # -- whole-table Python escape hatch (Apply:
@@ -1507,6 +1508,17 @@ def _as_col(v) -> Column:
     if isinstance(v, str):
         return F.col(v)
     return F.lit(v)
+
+
+def _as_key_col(v, what: str) -> Column:
+    """Strict variant for KEY positions (sort/tail/distinct/keep-first):
+    the ``F.lit`` fall-through that is right for scalar operands would
+    here produce a CONSTANT key — an operation that silently does
+    nothing (r7 fuzz catch on sort)."""
+    if not isinstance(v, (ColExpr, Reduction, Column, str)):
+        raise TypeError(f"{what} must be a column name or expression, "
+                        f"got {type(v).__name__}")
+    return _as_col(v)
 
 
 def _cols(v) -> list[Column]:
