@@ -1812,8 +1812,19 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
         cond = c if cond is None else (cond & c)
     joined = ldf.join(rdf, cond, spark_how)
 
+    def _record(t: Table) -> Table:
+        # wire-tree recording (from_tree's 'join' op takes positional
+        # [left, right, on_left, on_right, how]); suffixes/broadcast are
+        # plan hints outside the dialect — record only at their defaults
+        if (lhs._tree is not None and rhs._tree is not None
+                and suffixes == ("_left", "_right") and broadcast is None):
+            t._tree = {"op": "join",
+                       "args": [lhs._tree, rhs._tree, list(on_left),
+                                list(on_right), how]}
+        return t
+
     if spark_how in ("left_semi", "left_anti"):
-        return _derived(joined, lhs, rhs)
+        return _record(_derived(joined, lhs, rhs))
 
     # assemble output schema: keys (promoted/coalesced), then left non-key,
     # then right non-key, with _left/_right suffixes on collisions
@@ -1836,7 +1847,7 @@ def join(lhs: Table, rhs: Table, on_left=None, on_right=None,
         # (a right non-key may share the LEFT key's name without being a key)
         name = c + suffixes[1] if (c in lnk or c in key_names) else c
         out.append(F.col(f"__r.{c}").alias(name))
-    return _derived(joined.select(*out), lhs, rhs)
+    return _record(_derived(joined.select(*out), lhs, rhs))
 
 
 def concat(lhs: Table, rhs: Table, *more: Table) -> Table:
@@ -1846,7 +1857,15 @@ def concat(lhs: Table, rhs: Table, *more: Table) -> Table:
     out = lhs.df.unionByName(rhs.df)
     for t in more:
         out = out.unionByName(t.df)
-    return _derived(out, lhs, rhs, *more)
+    res = _derived(out, lhs, rhs, *more)
+    parts = [lhs, rhs, *more]
+    if all(p._tree is not None for p in parts):
+        # from_tree's 'concat' is binary — fold left-associatively
+        tree = parts[0]._tree
+        for p in parts[1:]:
+            tree = {"op": "concat", "args": [tree, p._tree]}
+        res._tree = tree
+    return res
 
 
 _SIMPLE_DTYPES = {

@@ -293,3 +293,23 @@ def test_tree_curation_ops_roundtrip(spark):
     out2 = from_tree(tree2, spark=spark, datasets={"docs": docs},
                      allow_data_uris=False)
     assert "n_email" in out2.df.columns and "n_phone" not in out2.df.columns
+
+
+def test_join_concat_tree_roundtrip(spark, star):
+    """to_tree/from_tree identity for join and concat (r7): the
+    serialized form rebuilds to the same result."""
+    from blaze_spark import by, concat, data, join
+    from blaze_spark.interop import from_tree, to_tree
+
+    o, cst = star["orders"], star["customer"]
+    j = join(o, cst, "o_custkey", "c_custkey", how="left")
+    tree = to_tree(j.head(50))
+    rebuilt = from_tree(tree, spark=spark,
+                        datasets={"orders": o, "customer": cst})
+    assert sorted(rebuilt.compute().columns) == sorted(
+        j.head(50).compute().columns)
+
+    u = concat(o.head(4), o.head(3), o.head(2))
+    t2 = to_tree(u)
+    r2 = from_tree(t2, spark=spark, datasets={"orders": o})
+    assert len(r2.compute()) == 9

@@ -420,3 +420,35 @@ def test_add_endpoint_gated_and_round_trips(spark, star, sf_dir):
             c._request("/add", {"a": 1, "b": 2})
     finally:
         srv.stop()
+
+
+def test_blaze_client_remote_join_and_concat(spark, star):
+    """Joins/concats of remote tables from the SAME server serialize
+    into the tree dialect and compute server-side, matching the local
+    engine exactly (r7: join/concat now record wire trees)."""
+    from blaze_spark import by, concat, data, join
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"],
+                            "customer": star["customer"]}, spark)
+    srv.start(port=0)
+    try:
+        c = data(f"blaze://127.0.0.1:{srv.port}", spark=spark)
+        ro, rc = c["orders"], c["customer"]
+        j = join(ro, rc, "o_custkey", "c_custkey")
+        assert j._tree is not None
+        g = by([j.c_mktsegment], n=j.o_orderkey.nelements())
+        remote = sorted(map(tuple,
+                            g.compute().itertuples(index=False)))
+        lo = join(star["orders"], star["customer"],
+                  "o_custkey", "c_custkey")
+        local = sorted(map(tuple, by(
+            [lo.c_mktsegment],
+            n=lo.o_orderkey.nelements()).compute()
+            .itertuples(index=False)))
+        assert remote == local
+
+        cc = concat(ro.head(3), ro.head(2))
+        assert len(cc.compute()) == 5
+    finally:
+        srv.stop()
