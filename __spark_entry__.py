@@ -1230,6 +1230,21 @@ def pack_sequences_docs(spark, sf_dir):
     return g.df
 
 
+def chunk_documents_docs(spark, sf_dir):
+    """Sliding-window token chunking (pipeline/packing.py): per-chunk
+    rows exploded JVM-side from one tokenize pass, zero shuffle.
+    Value-checked: per-doc chunk counts + total chunk tokens + the exact
+    text of each first chunk, vs DuckDB list slicing."""
+    from blaze_spark.pipeline import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, max_tokens=32, overlap=4)
+    g = by([ch.doc_id], n_chunks=ch.chunk_id.nelements(),
+           chunk_tok_total=ch.chunk_tokens.sum(),
+           first_chunk=ch.chunk_text.min())
+    return g.df
+
+
 def consistency_incremental_minhash(spark, sf_dir):
     """Batch<->incremental consistency contract (VERDICT r6 #5): the
     corpus (plus 30 planted copies) ingested in THREE batches through the
@@ -1989,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_incremental_simhash": consistency_incremental_simhash,
         "train_test_split_docs": train_test_split_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "chunk_documents_docs": chunk_documents_docs,
         # -- query/oracle changed in r7 (the -0.0 probe sweep + sample
         #    migration): fresh driver rows ------------------------------------
         "sample_orders": sample_orders,
@@ -2039,9 +2055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_style_large_orders": q18_style_large_orders,
         "q21_style_exists_chain": q21_style_exists_chain,
         "lag_events": lag_events,
-        "running_total_events": running_total_events,
         # ==== driver sample boundary (50) — below here: green driver rows
         # in r4/r5/r6 under the CURRENT Spark; unchanged this round ==========
+        "running_total_events": running_total_events,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
         "distinct_segments": distinct_segments,
@@ -2393,6 +2409,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "chunk_documents_docs": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+                FROM documents),
+            n AS (
+                SELECT doc_id, toks, len(toks) AS nt,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            ELSE greatest(1, CAST(ceil((len(toks) - 4)
+                                 / 28.0) AS INT)) END AS nch
+                FROM q),
+            c AS (
+                SELECT doc_id, toks, nt,
+                       unnest(range(0, nch)) AS chunk_id
+                FROM n WHERE nch > 0),
+            x AS (
+                SELECT doc_id, chunk_id,
+                       array_to_string(toks[chunk_id * 28 + 1 :
+                           least(chunk_id * 28 + 32, nt)], ' ')
+                           AS chunk_text,
+                       least(chunk_id * 28 + 32, nt) - chunk_id * 28
+                           AS chunk_tokens
+                FROM c)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tok_total,
+                   min(chunk_text) AS first_chunk
+            FROM x GROUP BY doc_id
         """,
         "train_test_split_docs": """
             WITH s AS (

@@ -53,6 +53,7 @@ from .curation import (  # noqa: F401
     top_ngram_share,
 )
 from .packing import (  # noqa: F401
+    chunk_documents,
     pack_sequences,
     train_val_test_split,
 )

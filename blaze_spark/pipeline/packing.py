@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..core import Table
 
-__all__ = ["train_val_test_split", "pack_sequences"]
+__all__ = ["train_val_test_split", "pack_sequences", "chunk_documents"]
 
 
 def train_val_test_split(t: Table, fractions=(0.98, 0.01, 0.01),
@@ -142,4 +142,52 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
                        F.floor(F.col("tok_start") / F.lit(budget))
                        .cast("long"))
            .drop("__pid", "__cum", "__off"))
+    return Table(out, t._name)
+
+
+def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> Table:
+    """Split documents into sliding-window token chunks — the
+    context-length pre-pass that feeds :func:`pack_sequences`.
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    max_tokens)`` with ``stride = max_tokens - overlap``; the final
+    chunk may be short, a document of <= ``max_tokens`` tokens yields
+    exactly one chunk, and an empty document yields none.  Output adds
+    ``chunk_id``, ``chunk_text``, ``chunk_tokens``.
+
+    Pure per-row JVM work — tokenize once, ``explode(sequence(...))``,
+    ``slice`` + ``array_join`` per chunk: no shuffle, no Python, and the
+    token array is built ONCE per document (not per chunk).  All
+    arithmetic is integer, so the DuckDB oracle reproduces the exact
+    chunk set.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = (t.df
+            .withColumn("__toks", toks)
+            .withColumn("__nt", F.size("__toks")))
+    nch = F.when(F.col("__nt") <= 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1),
+                   F.ceil((F.col("__nt") - F.lit(overlap))
+                          / F.lit(stride)).cast("int")))
+    out = (base.withColumn("__nch", nch)
+           .filter(F.col("__nch") > 0)
+           .withColumn("chunk_id",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.col("__nch") - 1)))
+           .withColumn("chunk_toks",
+                       F.slice("__toks",
+                               F.col("chunk_id") * stride + 1,
+                               max_tokens))
+           .withColumn("chunk_text", F.array_join("chunk_toks", " "))
+           .withColumn("chunk_tokens", F.size("chunk_toks"))
+           .drop("__toks", "__nt", "__nch", "chunk_toks"))
     return Table(out, t._name)

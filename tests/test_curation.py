@@ -403,3 +403,39 @@ def test_pack_sequences_partition_invariant(spark):
     # the window runs partitioned by __pid — a global Window.orderBy
     # (no partition) would show a single-partition sort before the window
     assert "__pid" in plan
+
+
+def test_chunk_documents_sliding_window(spark):
+    from blaze_spark import data
+    from blaze_spark.pipeline import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+            (2, "a b c"),                                 # 3 tokens, 1 chunk
+            (3, ""),                                      # empty: no chunks
+            (4, "x")]                                     # 1 token
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="ch")
+    out = {(r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_tokens)
+           for r in chunk_documents(t, max_tokens=4, overlap=1).df.collect()}
+    # doc 1: stride 3 -> ceil((10-1)/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert out[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in out
+    assert out[(2, 0)] == ("a b c", 3)
+    assert all(d != 3 for d, _ in out)  # empty doc dropped
+    assert out[(4, 0)] == ("x", 1)
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    assert out[(1, 0)][0].split()[-1:] == out[(1, 1)][0].split()[:1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(t, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark, cdocs):
+    from blaze_spark.pipeline import chunk_documents
+    from blaze_spark.plans import exchange_count
+
+    out = chunk_documents(cdocs, max_tokens=64, overlap=8)
+    assert exchange_count(out.df) == 0  # pure per-row explode, no shuffle
