@@ -1245,6 +1245,36 @@ def chunk_documents_docs(spark, sf_dir):
     return g.df
 
 
+def training_shards_pipeline(spark, sf_dir):
+    """The full dataset-ASSEMBLY chain as one composite (the step after
+    corpus_curation_pipeline in a real build): sliding-window chunking ->
+    LEAKAGE-PROOF train/val/test split (keyed on doc_id, so every chunk
+    of a document travels together) -> token-budget sequence packing of
+    the train split (distributed prefix sum) -> per-shard accounting.
+    Every stage is deterministic (no rand()), so the oracle value-checks
+    the exact shard layout end to end."""
+    from blaze_spark.pipeline import (chunk_documents, pack_sequences,
+                                      train_val_test_split)
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, max_tokens=64, overlap=8)
+    ch = Table(ch.df.withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")),
+        "documents")
+    st = train_val_test_split(ch, fractions=(0.9, 0.05, 0.05),
+                              on="doc_id")
+    train = Table(st.df.filter("split = 'train'")
+                  .select("chunk_key", "doc_id",
+                          F.col("chunk_text").alias("text")), "train")
+    packed = pack_sequences(train, budget=2000, order_by="chunk_key",
+                            partitions=4)
+    g = by([packed.shard], n_chunks=packed.chunk_key.nelements(),
+           n_docs=packed.doc_id.nunique(),
+           total_tokens=packed.n_tokens.sum(),
+           first_chunk=packed.chunk_key.min())
+    return g.df
+
+
 def consistency_incremental_minhash(spark, sf_dir):
     """Batch<->incremental consistency contract (VERDICT r6 #5): the
     corpus (plus 30 planted copies) ingested in THREE batches through the
@@ -2005,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split_docs": train_test_split_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "chunk_documents_docs": chunk_documents_docs,
+        "training_shards_pipeline": training_shards_pipeline,
         # -- query/oracle changed in r7 (the -0.0 probe sweep + sample
         #    migration): fresh driver rows ------------------------------------
         "sample_orders": sample_orders,
@@ -2054,9 +2085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_style_top_supplier": q15_style_top_supplier,
         "q18_style_large_orders": q18_style_large_orders,
         "q21_style_exists_chain": q21_style_exists_chain,
-        "lag_events": lag_events,
         # ==== driver sample boundary (50) — below here: green driver rows
         # in r4/r5/r6 under the CURRENT Spark; unchanged this round ==========
+        "lag_events": lag_events,
         "running_total_events": running_total_events,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
@@ -2409,6 +2440,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "training_shards_pipeline": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+                FROM documents),
+            n AS (
+                SELECT doc_id, toks, len(toks) AS nt,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            ELSE greatest(1, CAST(ceil((len(toks) - 8)
+                                 / 56.0) AS INT)) END AS nch
+                FROM q),
+            c AS (
+                SELECT doc_id, nt, toks,
+                       unnest(range(0, nch)) AS chunk_id
+                FROM n WHERE nch > 0),
+            x AS (
+                SELECT doc_id, doc_id * 1000 + chunk_id AS chunk_key,
+                       least(chunk_id * 56 + 64, nt) - chunk_id * 56
+                           AS chunk_tokens
+                FROM c),
+            tr AS (
+                SELECT * FROM x
+                WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 8)
+                      < 'e6666666'),
+            cum AS (
+                SELECT chunk_key, doc_id, chunk_tokens,
+                       sum(chunk_tokens) OVER (ORDER BY chunk_key
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - chunk_tokens AS tok_start
+                FROM tr)
+            SELECT CAST(floor(tok_start / 2000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+                   min(chunk_key) AS first_chunk
+            FROM cum GROUP BY shard
         """,
         "chunk_documents_docs": r"""
             WITH q AS (
