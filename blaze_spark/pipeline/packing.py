@@ -107,10 +107,15 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))),
         F.lit(0)).cast("long")
     base = t.df.withColumn("n_tokens", toks)
+    # persist the ranged projection: the totals job below and the final
+    # plan would otherwise EACH run the range exchange — two corpus
+    # shuffles instead of one.  The cache lives exactly as long as the
+    # result (scoped_persist finalizer), the dedup-module pattern.
     ranged = (base.repartitionByRange(
         *( [partitions] if partitions else [] ), F.col(order_by))
         .sortWithinPartitions(order_by)
-        .withColumn("__pid", F.spark_partition_id()))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist())
 
     from pyspark.sql import Window
     w = (Window.partitionBy("__pid").orderBy(order_by)
@@ -121,7 +126,7 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     # min_key orders the offsets by the RANGE order, not pid numbering
     # (they coincide for range partitioning, but depending on it silently
     # would be fragile)
-    totals = (local.groupBy("__pid")
+    totals = (ranged.groupBy("__pid")
               .agg(F.sum("n_tokens").alias("tot"),
                    F.min(order_by).alias("mk"))
               .collect())
@@ -142,12 +147,13 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
                        F.floor(F.col("tok_start") / F.lit(budget))
                        .cast("long"))
            .drop("__pid", "__cum", "__off"))
-    return Table(out, t._name)
+    from .dedup import scoped_persist
+
+    return scoped_persist(Table(out, t._name), ranged)
 
 
 def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
-                    text_col: str = "text",
-                    id_col: str = "doc_id") -> Table:
+                    text_col: str = "text") -> Table:
     """Split documents into sliding-window token chunks — the
     context-length pre-pass that feeds :func:`pack_sequences`.
 

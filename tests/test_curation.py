@@ -439,3 +439,23 @@ def test_chunk_documents_no_shuffle(spark, cdocs):
 
     out = chunk_documents(cdocs, max_tokens=64, overlap=8)
     assert exchange_count(out.df) == 0  # pure per-row explode, no shuffle
+
+
+def test_pack_sequences_single_range_exchange(spark):
+    """The totals job and the final plan share ONE persisted range
+    exchange (scoped_persist) — the final plan reads the cache, not a
+    second corpus shuffle."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+    from blaze_spark.plans import physical_plan
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(300)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="pk3")
+    out = pack_sequences(t, budget=32, partitions=3)
+    try:
+        assert "InMemoryTableScan" in physical_plan(out.df)
+    finally:
+        # drop the scoped cache promptly for test hygiene
+        for c in getattr(out.df, "_blaze_caches", ()):
+            c.unpersist()
