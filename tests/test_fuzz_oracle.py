@@ -259,3 +259,47 @@ def test_fuzz_tree_dialect_roundtrip(spark, sf_dir, num_col, grp_col, frac,
     b = rebuilt.compute().reset_index(drop=True)
     assert list(a.columns) == list(b.columns)
     assert a.equals(b), (a.head(), b.head())
+
+
+@given(
+    budget=st.integers(min_value=5, max_value=200),
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                  max_size=60),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_fuzz_pack_sequences_invariants(spark, budget, lens, parts):
+    """Property: pack_sequences' contiguous fill means (a) tok_start is
+    the exclusive prefix sum in key order, (b) every shard except
+    possibly the last crosses its budget boundary (a doc straddling the
+    boundary belongs to the shard it STARTED in), (c) shard ids are a
+    gapless run from 0 — for ANY document lengths, budget, and partition
+    count."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(i, "w " * n) for i, n in enumerate(lens)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="fz")
+    out = (pack_sequences(t, budget=budget, partitions=parts).df
+           .orderBy("doc_id").collect())
+    acc = 0
+    for r in out:
+        assert r.tok_start == acc
+        assert r.shard == acc // budget
+        acc += r.n_tokens
+    shards = [r.shard for r in out]
+    assert shards[0] == 0
+    assert all(b >= a for a, b in zip(shards, shards[1:]))
+    # gapless only when no document exceeds the budget (an over-budget
+    # doc legitimately consumes several shards' offset space — hypothesis
+    # found exactly that case: budget=5, lens=[10, 0])
+    if all(n < budget for n in lens):
+        assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+    # each shard's token total stays under budget + max_doc_tokens
+    from collections import defaultdict
+    per = defaultdict(int)
+    for r in out:
+        per[r.shard] += r.n_tokens
+    mx = max((r.n_tokens for r in out), default=0)
+    assert all(v < budget + mx for v in per.values() if mx)

@@ -514,3 +514,32 @@ def test_hot_bucket_cap_still_indexes_store(spark, tmp_path):
     p2 = process_batch(b2, store, max_bucket=5)
     matched = {r.matched_doc for r in p2.collect()}
     assert matched and matched <= set(range(5))
+
+
+def test_streaming_chunk_and_split_match_batch(spark, sf_dir):
+    """chunk_documents and train_val_test_split are stateless per-row
+    transforms (explode + projections), so they compose with readStream
+    unchanged: the streamed chunk/split output must equal the batch
+    run's exactly (differential scheme)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import chunk_documents, train_val_test_split
+    from blaze_spark.streaming import StreamTable
+
+    def assemble(t):
+        ch = chunk_documents(t, max_tokens=32, overlap=4)
+        return train_val_test_split(ch, fractions=(0.8, 0.1, 0.1))[
+            ["doc_id", "chunk_id", "chunk_tokens", "split"]]
+
+    st = stream_data(spark, f"{sf_dir}/documents.parquet")
+    StreamTable(assemble(st).df).to_memory("chunk_stream",
+                                           output_mode="append")
+    got = spark.table("chunk_stream").toPandas()
+
+    batch = assemble(
+        data(f"{sf_dir}/documents.parquet", spark=spark, name="documents")
+    ).df.toPandas()
+    key = ["doc_id", "chunk_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert g.equals(b)
