@@ -86,8 +86,12 @@ def data(source: Any, *, spark: SparkSession | None = None,
                 # means the '::' belonged to an IPv6 host ([::1]:6363)
                 if tail and not any(c in tail for c in ":]/"):
                     url, dataset = head, tail
-            client = Client(url, spark=spark,
-                            auth_token=options.pop("auth_token", None))
+            ckw = {k: options.pop(k) for k in
+                   ("auth_token", "serial", "timeout") if k in options}
+            if options:
+                raise TypeError(
+                    f"unsupported blaze:// options: {sorted(options)}")
+            client = Client(url, spark=spark, **ckw)
             return client[dataset] if dataset is not None else client
         f = fmt or _infer_format(source)
         if f == "parquet":
