@@ -18,6 +18,7 @@ that needs them).
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -208,8 +209,11 @@ def extract_audio_features(t: Table, audio_col: str = "audio",
                 body = bytes(s["content"])
                 rows["id"].append(did)
                 rows["dur"].append(int(s["duration_ms"]))
-                rows["rms"].append(
-                    (sum(b * b for b in body) / max(len(body), 1)) ** 0.5)
+                # math.sqrt, NOT ** 0.5: pow(x, 0.5) is not correctly
+                # rounded and drifted 1 ulp from the oracle's sqrt on
+                # rare payloads (caught by the r7 byte-strict sweep)
+                rows["rms"].append(math.sqrt(
+                    sum(b * b for b in body) / max(len(body), 1)))
                 digest = hashlib.sha256(body).digest()
                 rows["mel"].append([b / 255.0 for b in digest[:n_mel]])
             yield pd.DataFrame({id_col: rows["id"],

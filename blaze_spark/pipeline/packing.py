@@ -83,22 +83,30 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     it STARTED in, so a shard's true token count lands in
     ``[budget - max_doc_tokens + 1, budget + max_doc_tokens - 1]``.
 
-    The global running sum is computed as a distributed prefix sum:
+    The global running sum is computed as a distributed prefix sum whose
+    partitioning is a PURE FUNCTION of the order key:
 
-    1. ``repartitionByRange(order_by)`` + in-partition sort — one range
-       exchange, the only corpus-wide data movement;
-    2. per-partition cumulative sums via a window PARTITIONED by the
-       physical partition id (parallel, bounded by partition size);
-    3. per-partition totals (one tiny row per partition) collect to the
-       driver, their exclusive prefix sum broadcasts back as the
-       partition offset.
+    1. range boundaries are sampled ONCE on the driver
+       (``approxQuantile`` over ``order_by``) and frozen as literals —
+       the bucket id is then ``sum(key > boundary_i)``, a deterministic
+       projection any recompute reproduces bit-identically;
+    2. per-bucket cumulative sums via a window PARTITIONED by that
+       bucket id (parallel, bounded by bucket size);
+    3. per-bucket totals (one tiny row per bucket) collect to the
+       driver, their exclusive prefix sum broadcasts back as the bucket
+       offset.
 
-    The result is invariant to the number of partitions — offsets + local
-    sums telescope into the same global prefix sum — so the assignment is
-    deterministic and DuckDB-oracle-checkable even though the range
-    boundaries Spark samples are not.  ``Window.orderBy`` with no
-    partitionBy would compute the same thing through ONE task; at 100 TB
-    that is the difference between a parallel pass and a non-starter.
+    The result is invariant to the number of buckets — offsets + local
+    sums telescope into the same global prefix sum.  An earlier form
+    derived the bucket from ``repartitionByRange`` +
+    ``spark_partition_id()``: WRONG at scale, because range boundaries
+    are re-SAMPLED on every execution, so a cache eviction (Spark caches
+    are best-effort) silently recomputed tok_starts against offsets
+    frozen from the previous boundaries — caught by the sf0.1 registry
+    sweep (r7).  Correctness must never depend on a cache.
+    ``Window.orderBy`` with no partitionBy would compute the same prefix
+    sum through ONE task; at 100 TB that is the difference between a
+    parallel pass and a non-starter.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -106,36 +114,42 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))),
         F.lit(0)).cast("long")
+    spark = t.df.sparkSession
     base = t.df.withColumn("n_tokens", toks)
-    # persist the ranged projection: the totals job below and the final
-    # plan would otherwise EACH run the range exchange — two corpus
-    # shuffles instead of one.  The cache lives exactly as long as the
-    # result (scoped_persist finalizer), the dedup-module pattern.
-    ranged = (base.repartitionByRange(
-        *( [partitions] if partitions else [] ), F.col(order_by))
-        .sortWithinPartitions(order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist())
+
+    n_parts = partitions or max(
+        spark.sparkContext.defaultParallelism, 1)
+    bounds = []
+    if n_parts > 1:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        # driver-frozen split points; key must be numeric (doc ids /
+        # chunk keys are).  rel-err only skews balance, never correctness
+        bounds = sorted(set(
+            t.df.stat.approxQuantile(order_by, qs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(order_by) > F.lit(b)).cast("int")
+    # persist the tokenized+bucketed projection: the totals job and the
+    # final plan otherwise EACH scan the corpus.  Purely a perf lever —
+    # pid/n_tokens are deterministic projections, so a recompute (cache
+    # eviction, dropped holder) reproduces identical values.
+    bucketed = base.withColumn("__pid", pid).persist()
 
     from pyspark.sql import Window
     w = (Window.partitionBy("__pid").orderBy(order_by)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = ranged.withColumn("__cum", F.sum("n_tokens").over(w))
+    local = bucketed.withColumn("__cum", F.sum("n_tokens").over(w))
 
-    # one row per partition: (pid, total, min_key) — tiny, driver-safe.
-    # min_key orders the offsets by the RANGE order, not pid numbering
-    # (they coincide for range partitioning, but depending on it silently
-    # would be fragile)
-    totals = (ranged.groupBy("__pid")
-              .agg(F.sum("n_tokens").alias("tot"),
-                   F.min(order_by).alias("mk"))
+    # one row per bucket: (pid, total) — tiny, driver-safe; bucket ids
+    # are ordinal in key order by construction
+    totals = (bucketed.groupBy("__pid")
+              .agg(F.sum("n_tokens").alias("tot"))
               .collect())
-    totals.sort(key=lambda r: r.mk)
+    totals.sort(key=lambda r: r["__pid"])
     rows, acc = [], 0
     for r in totals:
         rows.append((int(r["__pid"]), acc))
         acc += int(r["tot"])
-    spark = t.df.sparkSession
     off_df = spark.createDataFrame(rows or [(0, 0)],
                                    "__pid int, __off long")
     out = (local.join(F.broadcast(off_df), "__pid", "left")
@@ -149,7 +163,7 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
            .drop("__pid", "__cum", "__off"))
     from .dedup import scoped_persist
 
-    return scoped_persist(Table(out, t._name), ranged)
+    return scoped_persist(Table(out, t._name), bucketed)
 
 
 def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,

@@ -459,3 +459,27 @@ def test_pack_sequences_single_range_exchange(spark):
         # drop the scoped cache promptly for test hygiene
         for c in getattr(out.df, "_blaze_caches", ()):
             c.unpersist()
+
+
+def test_pack_sequences_correct_after_cache_eviction(spark):
+    """r7 sf0.1 catch: tok_start must be correct even if the scoped
+    cache is dropped before materialization — the bucket id is a pure
+    function of the key (driver-frozen quantile boundaries), so a
+    recompute reproduces the partitioning the offsets were built from.
+    (The prior spark_partition_id() form resampled range boundaries on
+    recompute and silently corrupted the prefix sum.)"""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(i, "w " * (i % 13 + 1)) for i in range(2000)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="pk4")
+    out = pack_sequences(t, budget=100, partitions=5)
+    # simulate executor-side cache loss BEFORE any action ran
+    for c in getattr(out.df, "_blaze_caches", ()):
+        c.unpersist(blocking=True)
+    got = out.df.orderBy("doc_id").collect()
+    acc = 0
+    for r in got:
+        assert r.tok_start == acc, (r.doc_id, r.tok_start, acc)
+        acc += r.n_tokens
