@@ -1492,9 +1492,22 @@ def _derived(df: DataFrame, *parents: Table) -> Table:
         xc = getattr(parents[0], "_xcache", None)
         if xc is not None:
             t._xcache = xc
-        cl = getattr(parents[0], "_client", None)
-        if cl is not None:
-            t._client = cl
+        clients = {id(c) for c in
+                   (getattr(p, "_client", None) for p in parents)
+                   if c is not None}
+        if clients:
+            # a remote leaf's LOCAL frame is empty — deriving from a mix
+            # of remote and local (or two different servers) would build
+            # a plan that silently computes over no remote rows
+            if len(clients) > 1 or any(
+                    getattr(p, "_client", None) is None for p in parents):
+                raise TypeError(
+                    "cannot combine a remote (blaze://) table with a "
+                    "local table or a table from a different server: "
+                    "the remote side holds no local rows.  compute() "
+                    "the remote expression first, or register the local "
+                    "table on the same server and use its remote leaf.")
+            t._client = getattr(parents[0], "_client", None)
     return t
 
 

@@ -452,3 +452,15 @@ def test_blaze_client_remote_join_and_concat(spark, star):
         assert len(cc.compute()) == 5
     finally:
         srv.stop()
+
+
+def test_remote_local_mix_raises(spark, served, star):
+    """A remote leaf holds no local rows — joining it with a local table
+    would silently compute over nothing.  The engine refuses instead."""
+    from blaze_spark import data, join
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    with pytest.raises(TypeError, match="remote"):
+        join(rt, star["customer"], "o_custkey", "c_custkey")
+    with pytest.raises(TypeError, match="remote"):
+        join(star["customer"], rt, "c_custkey", "o_custkey")
