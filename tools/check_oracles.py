@@ -88,11 +88,17 @@ def main():
 
     import __spark_entry__ as entry
 
+    # CHECK_SHUFFLE_PARTITIONS / CHECK_AQE: adversarial knobs — a
+    # registry result must be IDENTICAL under any partitioning (the r7
+    # pack_sequences bug was exactly a partitioning-sensitive
+    # nondeterminism); sweep odd values to prove it
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check_oracles")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("CHECK_SHUFFLE_PARTITIONS", "8"))
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("CHECK_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
