@@ -10,11 +10,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # adversarial knobs (see tools/check_oracles.py): results must be
+    # identical under any partitioning — soak with e.g.
+    # SPARK_GRAFT_TEST_SHUFFLE=3 SPARK_GRAFT_TEST_AQE=false
     s = (
         SparkSession.builder.master("local[4]")
         .appName("blaze_spark_tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"))
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_TEST_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
