@@ -1115,11 +1115,42 @@ class Table:
             if not cols:
                 cols = [_dir(F.col(c), ascending) for c in self.columns]
         out = self._new(self._df.orderBy(*cols))
-        if self._tree is not None and isinstance(ascending, bool) \
-                and all(isinstance(k, str) for k in keys):
-            out._tree = {"op": "sort",
-                         "args": [self._tree, list(keys), ascending]}
+        out._tree = self._sort_tree(keys, ascending, na_position)
         return out
+
+    def _sort_tree(self, keys, ascending, na_position):
+        """Wire-tree for a sort, or None when not serializable.  Handles
+        plain string keys, (key, 'desc') direction pairs (normalized to
+        an ascending LIST — from_tree's sort already accepts one, r7),
+        and a per-key ascending list.  na_position must be the default:
+        the dialect has no slot for it, and replaying a 'first' sort as
+        'last' would silently reorder nulls (r7 audit)."""
+        if self._tree is None or na_position != "last":
+            return None
+        asc_list = (list(ascending)
+                    if isinstance(ascending, (list, tuple)) else None)
+        plain, dirs = [], []
+        for i, k in enumerate(keys):
+            if isinstance(k, tuple) and len(k) == 2 \
+                    and isinstance(k[0], str):
+                plain.append(k[0])
+                dirs.append(str(k[1]).lower() != "desc")
+            elif isinstance(k, str):
+                if asc_list is not None:
+                    d = asc_list[i] if i < len(asc_list) else None
+                elif isinstance(ascending, bool):
+                    d = ascending
+                else:
+                    return None
+                plain.append(k)
+                dirs.append(d)
+            else:
+                return None
+        if not plain or not all(isinstance(d, bool) for d in dirs):
+            return None
+        if all(d == dirs[0] for d in dirs):
+            return {"op": "sort", "args": [self._tree, plain, dirs[0]]}
+        return {"op": "sort", "args": [self._tree, plain, dirs]}
 
     def head(self, n: int = 10):
         # with a preceding sort Catalyst plans TakeOrderedAndProject (top-k:

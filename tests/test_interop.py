@@ -313,3 +313,31 @@ def test_join_concat_tree_roundtrip(spark, star):
     t2 = to_tree(u)
     r2 = from_tree(t2, spark=spark, datasets={"orders": o})
     assert len(r2.compute()) == 9
+
+
+def test_sort_tree_direction_pairs_and_na_position(spark, star):
+    """r7: (key, 'desc') pairs and per-key ascending lists serialize to
+    the dialect (as an ascending list); na_position='first' does NOT —
+    the dialect has no slot, and replaying as nulls-last would silently
+    reorder nulls."""
+    from blaze_spark.interop import from_tree, to_tree
+
+    o = star["orders"]
+    e = o[["o_orderkey", "o_totalprice"]] \
+        .sort("o_totalprice", ("o_orderkey", "desc")).head(9)
+    tree = to_tree(e)
+    rebuilt = from_tree(tree, spark=spark, datasets={"orders": o})
+    assert rebuilt.compute().o_orderkey.tolist() == \
+        e.compute().o_orderkey.tolist()
+
+    e2 = o[["o_orderkey", "o_totalprice"]].sort(
+        "o_totalprice", "o_orderkey", ascending=[False, True]).head(5)
+    t2 = to_tree(e2)
+    r2 = from_tree(t2, spark=spark, datasets={"orders": o})
+    assert r2.compute().o_orderkey.tolist() == \
+        e2.compute().o_orderkey.tolist()
+
+    import pytest as _pytest
+    nf = o.sort("o_totalprice", na_position="first")
+    with _pytest.raises(ValueError, match="serializable"):
+        to_tree(nf)
