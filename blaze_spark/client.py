@@ -108,6 +108,11 @@ class Client:
             raise RuntimeError(
                 f"server {self.url}{path} returned {e.code}: "
                 f"{detail or e.reason}") from None
+        except urllib.error.URLError as e:
+            raise ConnectionError(
+                f"cannot reach blaze server at {self.url}: {e.reason} "
+                "(is the server running? check host/port and network)"
+            ) from None
 
     # -- namespace ---------------------------------------------------------
     @property
@@ -246,6 +251,27 @@ class RemoteTable(Table):
 
     def peek(self, n: int = 10) -> pd.DataFrame:
         return self.head(n).compute()
+
+    def _materialized(self):
+        """Local DataFrame holding the remote result (computed server-side
+        once, re-bound with the locally-known schema) — the basis for any
+        local SINK of a remote expression."""
+        spark = self._df.sparkSession
+        return spark.createDataFrame(self.compute(), schema=self._df.schema)
+
+    def into(self, target: str, fmt: str = "parquet",
+             mode: str = "overwrite", partition_by=None, **options):
+        """Materialize the remote result to a LOCAL sink.  The base
+        ``into`` would silently write the empty schema-only frame; here
+        the expression computes server-side first, then the result writes
+        through the normal writer path."""
+        return Table(self._materialized(), self._name).into(
+            target, fmt=fmt, mode=mode, partition_by=partition_by,
+            **options)
+
+    def into_table(self, name: str, **kwargs):
+        return Table(self._materialized(), self._name).into_table(
+            name, **kwargs)
 
     def __len__(self) -> int:
         # remote count via the dialect (summary over nelements) — never

@@ -464,3 +464,50 @@ def test_remote_local_mix_raises(spark, served, star):
         join(rt, star["customer"], "o_custkey", "c_custkey")
     with pytest.raises(TypeError, match="remote"):
         join(star["customer"], rt, "c_custkey", "o_custkey")
+
+
+def test_remote_into_writes_remote_result(spark, served, star, tmp_path):
+    """r7: into() on a RemoteTable must write the SERVER-computed result
+    — the base implementation would silently write the empty local
+    frame."""
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    target = str(tmp_path / "remote_out")
+    rt[rt.o_totalprice > 200000.0][["o_orderkey", "o_totalprice"]] \
+        .into(target)
+    back = spark.read.parquet(target)
+    want = star["orders"].df.filter("o_totalprice > 200000.0").count()
+    assert back.count() == want > 0
+    assert back.schema["o_orderkey"].dataType.simpleString() == "bigint"
+
+
+def test_client_connection_error_is_clear(spark):
+    from blaze_spark import data
+
+    c = data("blaze://127.0.0.1:9", spark=spark)  # port 9: discard/refused
+    c.timeout = 2
+    with pytest.raises(ConnectionError, match="cannot reach"):
+        c.fields
+
+
+def test_server_concurrent_compute(spark, served):
+    """ThreadingHTTPServer + one shared SparkSession: four parallel
+    /compute requests all succeed with consistent results."""
+    import concurrent.futures
+    import json as _json
+    import urllib.request
+
+    def one(n):
+        tree = {"op": "head", "args": [
+            {"op": "symbol", "args": ["orders"]}, n]}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{served.port}/compute",
+            data=_json.dumps({"expr": tree}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return len(_json.loads(r.read())["data"])
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        got = list(ex.map(one, [3, 5, 7, 9]))
+    assert got == [3, 5, 7, 9]
