@@ -252,6 +252,21 @@ class RemoteTable(Table):
     def peek(self, n: int = 10) -> pd.DataFrame:
         return self.head(n).compute()
 
+    def __repr__(self) -> str:
+        """Interactive repr shows REMOTE rows (the base repr would render
+        the empty schema-only frame).  Non-serializable expressions and
+        unreachable servers fall back to the schema line."""
+        try:
+            pdf = self.head(11).compute()
+            s = repr(pdf.head(10))
+            if len(pdf) > 10:
+                s += "\n..."
+            return s
+        except Exception:
+            return (f"RemoteTable({self._name!r} @ "
+                    f"{getattr(self._client, 'url', '?')}, "
+                    f"schema={self._df.schema.simpleString()})")
+
     def _materialized(self):
         """Local DataFrame holding the remote result (computed server-side
         once, re-bound with the locally-known schema) — the basis for any

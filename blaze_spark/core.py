@@ -675,7 +675,9 @@ class ColExpr:
 
     # -- interactive --------------------------------------------------------
     def to_table(self) -> "Table":
-        return Table(self._table.df.select(self._col.alias(self._name)))
+        return _derived(
+            self._table.df.select(self._col.alias(self._name)),
+            self._table)
 
     def peek(self, n: int = 10):
         return self.to_table().peek(n)
@@ -749,7 +751,8 @@ class Reduction:
         return Reduction(self._table, self._agg, name, tree=self._tree)
 
     def to_table(self) -> "Table":
-        return Table(self._table.df.agg(self._agg.alias(self._name)))
+        return _derived(self._table.df.agg(self._agg.alias(self._name)),
+                        self._table)
 
     def compute(self):
         return self._table.df.agg(self._agg.alias(self._name)).collect()[0][0]
@@ -1420,10 +1423,14 @@ class Table:
 
     # -- caching (CachedDataset: blaze/cached.py:17-58) ------------------------
     def cache(self):
-        return self._new(self._df.cache())
+        out = self._new(self._df.cache())
+        out._tree = self._tree  # caching is semantics-preserving (r7)
+        return out
 
     def persist(self, *a, **k):
-        return self._new(self._df.persist(*a, **k))
+        out = self._new(self._df.persist(*a, **k))
+        out._tree = self._tree
+        return out
 
     # -- execution / interop (odo/into: blaze/compute/core.py:370-382) ---------
     def compute(self):
@@ -1608,7 +1615,7 @@ def count_values(col: ColExpr, sort: bool = True) -> Table:
         F.count(F.lit(1)).alias("count"))
     if sort:
         out = out.orderBy(F.col("count").desc())
-    return Table(out)
+    return _derived(out, col._table)
 
 
 def _py_scalar(dt: T.DataType) -> type:
@@ -1664,7 +1671,7 @@ def rollup(groupers, **reductions: Reduction) -> Table:
     table = groupers[0]._table
     gcols = [g.col.alias(g.name) for g in groupers]
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return Table(table.df.rollup(*gcols).agg(*aggs))
+    return _derived(table.df.rollup(*gcols).agg(*aggs), table)
 
 
 def cube(groupers, **reductions: Reduction) -> Table:
@@ -1672,7 +1679,7 @@ def cube(groupers, **reductions: Reduction) -> Table:
     table = groupers[0]._table
     gcols = [g.col.alias(g.name) for g in groupers]
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return Table(table.df.cube(*gcols).agg(*aggs))
+    return _derived(table.df.cube(*gcols).agg(*aggs), table)
 
 
 def grouping_sets(sets, **reductions: Reduction) -> Table:
@@ -1695,8 +1702,9 @@ def grouping_sets(sets, **reductions: Reduction) -> Table:
     new_cols = [g.col.alias(g.name) for g in seen.values()
                 if g.name not in table.df.columns]
     src = table.df.select("*", *new_cols) if new_cols else table.df
-    return Table(src.groupingSets(set_names,
-                                  *[F.col(n) for n in seen]).agg(*aggs))
+    return _derived(src.groupingSets(set_names,
+                                     *[F.col(n) for n in seen]).agg(*aggs),
+                    table)
 
 
 def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),

@@ -511,3 +511,27 @@ def test_server_concurrent_compute(spark, served):
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
         got = list(ex.map(one, [3, 5, 7, 9]))
     assert got == [3, 5, 7, 9]
+
+
+def test_remote_repr_cache_and_aggregates(spark, served, star):
+    """r7 propagation sweep: repr shows REMOTE rows; cache() keeps the
+    wire tree; count_values/rollup on a remote table stay remote (and
+    compute server-side) instead of silently going local-empty."""
+    from blaze_spark import count_values, data, rollup
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    r = repr(rt)
+    assert "o_orderkey" in r and "Empty" not in r
+
+    cached = rt.cache()
+    assert cached._tree is not None
+    assert len(cached.head(3).compute()) == 3
+    cached.df.unpersist()
+
+    cv = count_values(rt.o_orderstatus)
+    assert getattr(cv, "_client", None) is not None
+    # count_values is outside the wire dialect -> honest raise, never
+    # empty results
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="serializable"):
+        cv.compute()
