@@ -291,12 +291,12 @@ class RemoteTable(Table):
     def __len__(self) -> int:
         # remote count via the dialect (summary over nelements) — never
         # counts the empty local frame
+        if self._tree is None:
+            raise ValueError("expression not serializable; cannot count "
+                             "remotely")
         first = self._df.columns[0]
         tree = {"op": "summary", "args": [
             self._tree,
             {"n": {"op": "nelements",
                    "args": [{"op": "field", "args": [first]}]}}]}
-        if self._tree is None:
-            raise ValueError("expression not serializable; cannot count "
-                             "remotely")
         return int(self._client.compute_tree(tree)["n"].iloc[0])
