@@ -21,6 +21,15 @@ datasets) and returns pandas; only the final result crosses the wire.
 An operator OUTSIDE the recorded subset still runs locally — on the
 empty frame — and sets ``_tree = None``; ``compute()`` then raises with
 guidance instead of silently returning empty rows.
+
+The serializable subset is ``interop.from_tree``'s op whitelist:
+projection / selection / head / sort (incl. per-key directions) /
+distinct / relabel / transform / by / summary / join / concat / pivot /
+unpivot / explode / hash_sample and the unary curation passes
+(language_id, quality_features, fingerprint, repetition_features,
+pii_scrub) — scalar expressions cover arithmetic, comparisons,
+boolean logic, isin, and like.  Deriving a remote table together with a
+LOCAL table (or one from another server) raises immediately.
 """
 
 from __future__ import annotations
