@@ -23,13 +23,20 @@ empty frame — and sets ``_tree = None``; ``compute()`` then raises with
 guidance instead of silently returning empty rows.
 
 The serializable subset is ``interop.from_tree``'s op whitelist:
-projection / selection / head / sort (incl. per-key directions) /
-distinct / relabel / transform / by / summary / join / concat / pivot /
-unpivot / explode / hash_sample and the unary curation passes
-(language_id, quality_features, fingerprint, repetition_features,
-pii_scrub) — scalar expressions cover arithmetic, comparisons,
-boolean logic, isin, and like.  Deriving a remote table together with a
-LOCAL table (or one from another server) raises immediately.
+projection / selection / head / tail / slice / sort (incl. per-key
+directions) / distinct / relabel / transform / by / summary / join /
+concat / pivot / unpivot / explode / hash_sample and the unary curation
+passes (language_id, quality_features, fingerprint,
+repetition_features, pii_scrub — routed through ``_derived`` so they
+preserve the remote leaf and record their node, r8).  Scalar
+expressions cover arithmetic, comparisons, boolean logic, isin, like,
+every public ``.str`` / ``.dt`` accessor method, and the math-function
+family (``functions.math.MATH_FNS``) — the accessor classes themselves
+define the whitelist (``interop._method_whitelists``), so a
+``RemoteTable`` runs ``.str.upper()`` or ``.dt.year()`` server-side
+exactly as the reference's generic ``to_tree`` does
+(blaze/server/server.py:411-477).  Deriving a remote table together
+with a LOCAL table (or one from another server) raises immediately.
 """
 
 from __future__ import annotations
@@ -157,12 +164,17 @@ class Client:
         return t
 
     def __getattr__(self, name: str) -> "RemoteTable":
+        # Attribute probing must stay side-effect-safe (ADVICE r7):
+        # hasattr()/duck-typing on a Client must not surface
+        # ConnectionError from a plain attribute access — network failures
+        # map to AttributeError here; ``client["name"]`` keeps the loud
+        # connection/KeyError path for intentional lookups.
         if name.startswith("_"):
             raise AttributeError(name)
         try:
             return self[name]
-        except KeyError as e:
-            raise AttributeError(str(e)) from None
+        except (KeyError, ConnectionError, RuntimeError) as e:
+            raise AttributeError(f"{name!r}: {e}") from None
 
     def __repr__(self) -> str:
         try:

@@ -723,6 +723,81 @@ def _binop_tree(op, left, right):
     return {"op": op, "args": [left._tree, rt]}
 
 
+def _tree_arg(v):
+    """Encode one call argument for the tree dialect.  Returns
+    ``(ok, encoded)``: a serializable ColExpr encodes as its own subtree
+    (a dict — scalars are never dicts, so replay can tell them apart),
+    JSON scalars and flat lists/tuples of them pass through; anything
+    else (a Column, a callable, a non-serializable expression) returns
+    ``(False, None)`` and the caller skips recording."""
+    if isinstance(v, ColExpr):
+        return (v._tree is not None), v._tree
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return True, v
+    if isinstance(v, (list, tuple)):
+        enc = []
+        for x in v:
+            if isinstance(x, (ColExpr, dict, list, tuple)):
+                return False, None
+            ok, e = _tree_arg(x)
+            if not ok:
+                return False, None
+            enc.append(e)
+        return True, enc
+    return False, None
+
+
+def _record_call_tree(out, family, name, src, args, kwargs):
+    """Stamp ``out._tree`` with a generic method-call node
+    ``{'op': 'family.name', 'args': [src_tree, [pos...], {kw...}]}``
+    when the source expression is serializable and every extra argument
+    encodes (reference parity: ``to_tree`` serializes EVERY expression
+    class generically — blaze/server/server.py:411-477 walks ``_hashargs``
+    — so ``.str``/``.dt``/math calls travel to the server; here the same
+    is achieved with one canonical call node per public accessor method)."""
+    if not isinstance(out, ColExpr) or not isinstance(src, ColExpr) \
+            or src._tree is None:
+        return out
+    pos, kw = [], {}
+    for a in args:
+        ok, e = _tree_arg(a)
+        if not ok:
+            return out
+        pos.append(e)
+    for k, a in kwargs.items():
+        ok, e = _tree_arg(a)
+        if not ok:
+            return out
+        kw[k] = e
+    out._tree = {"op": f"{family}.{name}", "args": [src._tree, pos, kw]}
+    return out
+
+
+def record_accessor_trees(family):
+    """Class decorator: wrap every public method of a ``.str``/``.dt``
+    accessor so its result records the canonical call node.  The accessor
+    classes stay plain Column-expression builders; serialization is an
+    orthogonal layer (and the wrapped-method set doubles as the server's
+    replay whitelist — interop builds it from the same classes)."""
+    import functools
+
+    def apply(cls):
+        for nm, fn in list(vars(cls).items()):
+            if nm.startswith("_") or not callable(fn):
+                continue
+
+            def mk(nm, fn):
+                @functools.wraps(fn)
+                def wrapped(self, *args, **kwargs):
+                    out = fn(self, *args, **kwargs)
+                    return _record_call_tree(out, family, nm, self._e,
+                                             args, kwargs)
+                return wrapped
+            setattr(cls, nm, mk(nm, fn))
+        return cls
+    return apply
+
+
 class Reduction:
     """A 0-D (scalar) expression: the result of a full-column reduction
     (reference: blaze/expr/reductions.py:26-100).  Usable standalone
@@ -1037,7 +1112,11 @@ class Table:
                        .filter((F.col("__blaze_pos") - F.lit(1))
                                % F.lit(step) == 0)
                        .drop("__blaze_pos"))
-            return self._new(out)
+            res = self._new(out)
+            if self._tree is not None:
+                res._tree = {"op": "slice",
+                             "args": [self._tree, start, key.stop, step]}
+            return res
         raise TypeError(f"cannot index Table with {type(key)}")
 
     # -- projection-family ops -----------------------------------------------
@@ -1179,7 +1258,11 @@ class Table:
             asc = [ascending] * len(cols)
         inv = [c.desc() if a else c.asc() for c, a in zip(cols, asc)]
         fwd = [c.asc() if a else c.desc() for c, a in zip(cols, asc)]
-        return self._new(self._df.orderBy(*inv).limit(n).orderBy(*fwd))
+        out = self._new(self._df.orderBy(*inv).limit(n).orderBy(*fwd))
+        if self._tree is not None and all(isinstance(k, str) for k in keys):
+            out._tree = {"op": "tail",
+                         "args": [self._tree, n, list(keys), asc]}
+        return out
 
     def sample(self, frac: float | None = None, n: int | None = None,
                seed: int | None = None):
@@ -1214,10 +1297,14 @@ class Table:
         """
         if not 0.0 <= frac <= 1.0:
             raise ValueError("frac must be in [0, 1]")
+        tree = ({"op": "hash_sample", "args": [self._tree, frac, on, salt]}
+                if self._tree is not None else None)
         if frac >= 1.0:
             # the hex threshold for 1.0 is 9 chars ("100000000"), which
             # string-compares BELOW letter-leading hashes — short-circuit
-            return self._new(self._df)
+            out = self._new(self._df)
+            out._tree = tree
+            return out
         thr = format(int(frac * 16 ** 8), "08x")
         # NULL keys form their own key GROUP (coalesce to a sentinel):
         # they are kept or dropped together like any other key value,
@@ -1226,8 +1313,12 @@ class Table:
         key = F.md5(F.concat(
             F.coalesce(F.col(on).cast("string"), F.lit("__null__")),
             F.lit(f"-{salt}")))
-        return self._new(
+        out = self._new(
             self._df.filter(F.substring(key, 1, 8) < F.lit(thr)))
+        # serializable (interop from_tree accepts 'hash_sample'; ADVICE r7
+        # — previously never recorded, so remote hash_sample always raised)
+        out._tree = tree
+        return out
 
     def distinct(self, on=None, keep_first_by=None):
         """Dedup (blaze/expr/collections.py:176-252).  ``on`` keeps first row
@@ -1547,6 +1638,22 @@ def _derived(df: DataFrame, *parents: Table) -> Table:
                     "table on the same server and use its remote leaf.")
             t._client = getattr(parents[0], "_client", None)
     return t
+
+
+def _unary_pass(t: Table, df: DataFrame, op: str, *tree_args) -> Table:
+    """Build the result of a unary table→table pipeline pass (curation /
+    text projections), preserving derivation metadata AND recording the
+    pass's tree node.  ADVICE r7 (high): these passes used to build plain
+    ``Table(df, name)`` objects, so applied to a RemoteTable they silently
+    computed over the empty schema-only frame; routing through ``_derived``
+    keeps the RemoteTable class + client, and the recorded node lets
+    ``compute()`` run the pass server-side (interop.from_tree already
+    accepts these ops)."""
+    out = _derived(df, t)
+    out._name = t._name
+    if t._tree is not None:
+        out._tree = {"op": op, "args": [t._tree, *tree_args]}
+    return out
 
 
 def _as_col(v) -> Column:

@@ -58,6 +58,10 @@ def seconds_between(end, start):
         "seconds_between", T.LongType())
 
 
+from ..core import record_accessor_trees
+
+
+@record_accessor_trees("dt")
 class TimedeltaAccessor:
     """``.dt`` on a timedelta (interval) expression — the reference's
     ``timedelta_ns`` accessor (blaze/expr/datetime.py:369-394: days /
@@ -121,6 +125,7 @@ class TimedeltaAccessor:
         return self._m(F.lit(0).cast("long"), "nanoseconds")
 
 
+@record_accessor_trees("dt")
 class DtAccessor:
     """Methods on date/datetime-typed expressions (dtype-gated dispatch, as
     blaze/expr/expressions.py:1026-1039 gates on dshape)."""

@@ -109,3 +109,55 @@ def truncate(x: ColExpr, precision) -> ColExpr:
     (blaze/expr/math.py:123-135)."""
     p = _as_col(precision)
     return x._make(F.floor(x.col / p) * p, "truncate", None)
+
+
+def _wrap_tree(name, fn):
+    """Record the tree-dialect call node ``math.<name>`` on results whose
+    first argument is a serializable expression (reference parity: every
+    math Expr serializes via to_tree — blaze/server/server.py:411-477)."""
+    import functools
+
+    from ..core import _record_call_tree
+
+    @functools.wraps(fn)
+    def op(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        if args and isinstance(args[0], ColExpr):
+            _record_call_tree(out, "math", name, args[0],
+                              args[1:], kwargs)
+        return out
+    return op
+
+
+#: replay table for interop.from_tree — the serializable math surface.
+MATH_FNS = {}
+for _n, _f in [
+    ("abs", abs_), ("sqrt", sqrt), ("sin", sin), ("sinh", sinh),
+    ("cos", cos), ("cosh", cosh), ("tan", tan), ("tanh", tanh),
+    ("exp", exp), ("expm1", expm1), ("log", log), ("log10", log10),
+    ("log1p", log1p), ("acos", acos), ("acosh", acosh), ("asin", asin),
+    ("asinh", asinh), ("atan", atan), ("atanh", atanh),
+    ("radians", radians), ("degrees", degrees), ("ceil", ceil),
+    ("floor", floor), ("trunc", trunc), ("atan2", atan2),
+    ("copysign", copysign), ("fmod", fmod), ("hypot", hypot),
+    ("ldexp", ldexp), ("greatest", greatest), ("least", least),
+    ("isnan", isnan), ("notnull", notnull), ("truncate", truncate),
+]:
+    MATH_FNS[_n] = _wrap_tree(_n, _f)
+
+# rebind the module-level names so direct calls record too
+(abs_, sqrt, sin, sinh, cos, cosh, tan, tanh, exp, expm1, log, log10,
+ log1p, acos, acosh, asin, asinh, atan, atanh, radians, degrees, ceil,
+ floor, trunc, atan2, copysign, fmod, hypot, ldexp, greatest, least,
+ isnan, notnull, truncate) = (
+    MATH_FNS["abs"], MATH_FNS["sqrt"], MATH_FNS["sin"], MATH_FNS["sinh"],
+    MATH_FNS["cos"], MATH_FNS["cosh"], MATH_FNS["tan"], MATH_FNS["tanh"],
+    MATH_FNS["exp"], MATH_FNS["expm1"], MATH_FNS["log"], MATH_FNS["log10"],
+    MATH_FNS["log1p"], MATH_FNS["acos"], MATH_FNS["acosh"],
+    MATH_FNS["asin"], MATH_FNS["asinh"], MATH_FNS["atan"],
+    MATH_FNS["atanh"], MATH_FNS["radians"], MATH_FNS["degrees"],
+    MATH_FNS["ceil"], MATH_FNS["floor"], MATH_FNS["trunc"],
+    MATH_FNS["atan2"], MATH_FNS["copysign"], MATH_FNS["fmod"],
+    MATH_FNS["hypot"], MATH_FNS["ldexp"], MATH_FNS["greatest"],
+    MATH_FNS["least"], MATH_FNS["isnan"], MATH_FNS["notnull"],
+    MATH_FNS["truncate"])

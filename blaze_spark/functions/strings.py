@@ -21,6 +21,10 @@ def _jquote(s: str) -> str:
     return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
+from ..core import record_accessor_trees
+
+
+@record_accessor_trees("str")
 class StrAccessor:
     """Methods available on string-typed expressions, gated on dtype as the
     reference gates method dispatch on dshape

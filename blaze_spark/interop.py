@@ -44,8 +44,59 @@ def _expr(node: Any, t: Table) -> ColExpr:
             return _expr(args[0], t).isin(args[1])
         if op == "like":
             return _expr(args[0], t).like(args[1])
+        if "." in op:
+            return _method_call(op, args, t)
         raise ValueError(f"unknown expression op: {op}")
     raise ValueError(f"bad expression node: {node!r}")
+
+
+def _method_whitelists():
+    """The server's replay whitelist for accessor/math calls, built from
+    the SAME classes that record the nodes (so the two can never drift).
+    Reference parity: to_tree/from_tree are generic over every Expr class
+    (blaze/server/server.py:411-477) — here every PUBLIC accessor method
+    and math function is the dialect's scalar-call surface."""
+    global _STR_METHODS, _DT_METHODS, _MATH_FNS
+    if _STR_METHODS is None:
+        from .functions.datetime import DtAccessor, TimedeltaAccessor
+        from .functions.math import MATH_FNS
+        from .functions.strings import StrAccessor
+
+        def pub(cls):
+            return {n for n, f in vars(cls).items()
+                    if not n.startswith("_") and callable(f)}
+
+        _STR_METHODS = pub(StrAccessor)
+        _DT_METHODS = pub(DtAccessor) | pub(TimedeltaAccessor)
+        _MATH_FNS = MATH_FNS
+    return _STR_METHODS, _DT_METHODS, _MATH_FNS
+
+
+_STR_METHODS = _DT_METHODS = _MATH_FNS = None
+
+
+def _decode_arg(a, t: Table):
+    """A dict is an expression subtree (scalars are never encoded as
+    dicts — core._tree_arg); anything else is a literal."""
+    return _expr(a, t) if isinstance(a, dict) else a
+
+
+def _method_call(op: str, args: list, t: Table) -> ColExpr:
+    """Replay ``{'op': 'family.method', 'args': [child, [pos], {kw}]}``."""
+    strs, dts, maths = _method_whitelists()
+    fam, meth = op.split(".", 1)
+    child = _expr(args[0], t)
+    pos = [_decode_arg(a, t) for a in (args[1] if len(args) > 1 else [])]
+    kw = {k: _decode_arg(v, t)
+          for k, v in (args[2] if len(args) > 2 else {}).items()}
+    if fam == "str" and meth in strs:
+        return getattr(child.str, meth)(*pos, **kw)
+    if fam == "dt" and meth in dts:
+        # dtype gates pick DtAccessor vs TimedeltaAccessor, same as local
+        return getattr(child.dt, meth)(*pos, **kw)
+    if fam == "math" and meth in maths:
+        return maths[meth](child, *pos, **kw)
+    raise ValueError(f"unknown expression op: {op}")
 
 
 def _expr_or_scalar(node: Any, t: Table):
@@ -95,6 +146,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
     datasets = datasets or {}
 
     _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
+                  "tail", "slice",
                   "sort", "distinct", "relabel", "transform", "by",
                   "summary", "join", "concat", "pivot", "unpivot",
                   "explode",
@@ -127,6 +179,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return child[_expr(args[1], child)]
         if op == "head":
             return child.head(args[1])
+        if op == "tail":
+            # args: [child, n, sort_keys, ascending-list]
+            return child.tail(args[1], sort_keys=args[2], ascending=args[3])
+        if op == "slice":
+            # args: [child, start, stop, step]
+            return child[slice(args[1], args[2], args[3])]
         if op == "sort":
             return child.sort(*args[1], ascending=args[2] if len(args) > 2 else True)
         if op == "distinct":

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import Table
+from ..core import Table, _unary_pass
 from .text import quality_features
 
 
@@ -82,7 +82,8 @@ def repetition_features(t: Table, text_col: str = "text") -> Table:
              .otherwise(F.lit(1)).alias("cur"),
             x.alias("prev")),
         lambda acc: acc["best"])
-    return Table(
+    return _unary_pass(
+        t,
         t.df.withColumns({
             "n_tokens": n_tok.cast(T.IntegerType()),
             "dup_token_frac": F.round(
@@ -93,7 +94,7 @@ def repetition_features(t: Table, text_col: str = "text") -> Table:
                  .otherwise(F.lit(0.0)), 4),
             "max_token_run": run.cast(T.IntegerType()),
         }),
-        t._name,
+        "repetition_features", text_col,
     )
 
 
@@ -207,7 +208,8 @@ def pii_scrub(t: Table, text_col: str = "text",
         ).cast(T.IntegerType())
         clean = F.regexp_replace(clean, pat, repl)
     cols["clean_text"] = clean
-    return Table(t.df.withColumns(cols), t._name)
+    return _unary_pass(t, t.df.withColumns(cols),
+                       "pii_scrub", text_col, list(kinds))
 
 
 def source_mix(t: Table, text_col: str = "text",

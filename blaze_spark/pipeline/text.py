@@ -14,7 +14,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import Table
+from ..core import Table, _unary_pass
 
 # language-distinctive stopword regexes (word-boundary anchored; RE2- and
 # java.util.regex-compatible so Spark and the DuckDB oracle agree)
@@ -62,7 +62,8 @@ def language_id(t: Table, text_col: str = "text") -> Table:
         .when(top["neg"] < 0, top["lang"])
         .otherwise(F.lit("und"))
     )
-    return Table(t.df.withColumn("pred_lang", pred), t._name)
+    return _unary_pass(t, t.df.withColumn("pred_lang", pred),
+                       "language_id", text_col)
 
 
 def quality_features(t: Table, text_col: str = "text") -> Table:
@@ -80,7 +81,8 @@ def quality_features(t: Table, text_col: str = "text") -> Table:
         * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
         4,
     )
-    return Table(
+    return _unary_pass(
+        t,
         t.df.withColumns({
             "n_tokens": n_tokens.cast(T.IntegerType()),
             "avg_token_len": F.round(n_chars / n_tokens, 4),
@@ -88,7 +90,7 @@ def quality_features(t: Table, text_col: str = "text") -> Table:
             "stopword_ratio": F.round(stop_n / n_tokens, 4),
             "quality": quality,
         }),
-        t._name,
+        "quality_features", text_col,
     )
 
 
@@ -119,7 +121,8 @@ def fingerprint(t: Table, text_col: str = "text") -> Table:
     (lowercased, non-alphanumerics stripped).  Stable across engines, used
     as the exact-dedup key."""
     canon = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    return Table(
+    return _unary_pass(
+        t,
         t.df.withColumn("fingerprint", F.md5(F.encode(canon, "UTF-8"))),
-        t._name,
+        "fingerprint", text_col,
     )

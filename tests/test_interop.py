@@ -341,3 +341,70 @@ def test_sort_tree_direction_pairs_and_na_position(spark, star):
     nf = o.sort("o_totalprice", na_position="first")
     with _pytest.raises(ValueError, match="serializable"):
         to_tree(nf)
+
+
+# -- r8: generic method-call nodes (family.method) ----------------------
+
+
+def test_tree_dialect_dt_interval_and_math_binary(spark, star):
+    """Timedelta accessor calls and binary math replay through the same
+    family.method node — dtype gates pick the right accessor on replay."""
+    from blaze_spark.functions import math as M
+    from blaze_spark.interop import from_tree, to_tree
+
+    ev = star["events"]
+    o = star["orders"]
+    j = __import__("blaze_spark").join(
+        ev[["user_id", "ts"]].distinct(), o[["o_custkey", "o_orderdate"]],
+        on_left="user_id", on_right="o_custkey")
+    e = j.transform(
+        lat=(j.ts - j.o_orderdate).dt.total_seconds(),
+        h=M.hypot(j.user_id, j.ts.dt.day()),
+    )[["user_id", "ts", "lat", "h"]] \
+        .sort("user_id", "ts").head(7)
+    tree = to_tree(e)
+    got = from_tree(tree, spark=spark).compute()
+    want = e.compute()
+    assert got.lat.tolist() == want.lat.tolist()
+    assert got.h.tolist() == want.h.tolist()
+
+
+def test_tree_dialect_str_args_and_expr_arg(spark, star):
+    """Literal args (pad width/side) and expression args (cat other)
+    both encode; non-serializable extras degrade to tree=None."""
+    from blaze_spark.interop import from_tree, to_tree
+
+    n = star["nation"]
+    e = n.transform(p=n.n_name.str.pad(12, side="right", fillchar="."),
+                    c=n.n_name.str.cat(n.n_name.str.lower(), sep="-"))
+    tree = to_tree(e[["n_nationkey", "p", "c"]].sort("n_nationkey"))
+    got = from_tree(tree, spark=spark).compute()
+    want = e[["n_nationkey", "p", "c"]].sort("n_nationkey").compute()
+    assert got.p.tolist() == want.p.tolist()
+    assert got.c.tolist() == want.c.tolist()
+
+
+def test_method_whitelist_covers_all_public_accessor_methods():
+    """The replay whitelist is built from the accessor classes themselves,
+    so every recordable node is replayable — no drift possible."""
+    from blaze_spark.interop import _method_whitelists
+
+    strs, dts, maths = _method_whitelists()
+    assert {"upper", "lower", "len", "strip", "pad", "slice",
+            "slice_replace", "cat", "contains", "replace"} <= strs
+    assert {"year", "month", "day", "hour", "strftime", "truncate",
+            "total_seconds", "days"} <= dts
+    assert {"abs", "sqrt", "atan2", "hypot", "greatest", "truncate"} \
+        <= set(maths)
+
+
+def test_unknown_method_node_rejected(spark, t):
+    from blaze_spark.interop import from_tree
+
+    bad = {"op": "selection", "args": [
+        {"op": "symbol", "args": ["t"]},
+        {"op": "str.__class__", "args": [
+            {"op": "field", "args": ["name"]}, [], {}]}]}
+    import pytest
+    with pytest.raises(ValueError, match="unknown expression op"):
+        from_tree(bad, datasets={"t": t})

@@ -535,3 +535,100 @@ def test_remote_repr_cache_and_aggregates(spark, served, star):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="serializable"):
         cv.compute()
+
+
+# -- r8: scalar-function families travel the wire (reference to_tree is
+# generic over EVERY Expr class — blaze/server/server.py:411-477; the
+# dialect now carries .str/.dt/math calls, tail/slice, hash_sample, and
+# the unary curation passes) --------------------------------------------
+
+
+def test_remote_str_dt_math_chain(spark, served, star):
+    """.str / .dt / math calls on a RemoteTable run SERVER-side."""
+    from blaze_spark import data
+    from blaze_spark.functions import math as M
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    def q(t):
+        f = t[t.o_orderpriority.str.contains("URGENT")]
+        return f.transform(
+            pri=f.o_orderpriority.str.lower(),
+            yr=f.o_orderdate.dt.year(),
+            root=M.sqrt(f.o_totalprice),
+        )[["o_orderkey", "pri", "yr", "root"]].sort("o_orderkey").head(9)
+
+    got = q(rt).compute()
+    want = q(o).compute()
+    assert got.pri.tolist() == want.pri.tolist()
+    assert got.yr.tolist() == want.yr.tolist()
+    assert got.root.tolist() == want.root.tolist()
+    assert rt.df.count() == 0  # nothing ever landed locally
+
+
+def test_remote_tail_slice_hash_sample(spark, served, star):
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    got = rt[["o_orderkey"]].tail(4, sort_keys="o_orderkey").compute()
+    want = o[["o_orderkey"]].tail(4, sort_keys="o_orderkey").compute()
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+    got = rt[["o_orderkey"]].sort("o_orderkey")[10:20:3].compute()
+    want = o[["o_orderkey"]].sort("o_orderkey")[10:20:3].compute()
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+    got = rt.hash_sample(0.2, on="o_orderkey")[["o_orderkey"]] \
+        .sort("o_orderkey").compute()
+    want = o.hash_sample(0.2, on="o_orderkey")[["o_orderkey"]] \
+        .sort("o_orderkey").compute()
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+
+def test_remote_curation_passes_run_server_side(spark, star):
+    """ADVICE r7 (high): the unary curation passes used to build plain
+    local Tables — on a RemoteTable they silently computed over the
+    EMPTY schema-only frame.  Now they preserve the remote leaf and
+    record their node, so compute() runs them on the server."""
+    from blaze_spark import data, pipeline as pl
+    from blaze_spark.server import BlazeSparkServer
+
+    docs = star["documents"]
+    srv = BlazeSparkServer({"documents": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents", spark=spark)
+        for fn in (pl.language_id, pl.quality_features, pl.fingerprint,
+                   pl.repetition_features, pl.pii_scrub):
+            out = fn(rt)
+            assert getattr(out, "_client", None) is not None, fn.__name__
+            assert out._tree is not None, fn.__name__
+            got = out.head(5).compute()
+            want = fn(docs).head(5).compute()
+            assert list(got.columns) == list(want.columns), fn.__name__
+            assert len(got) == len(want) == 5, fn.__name__
+        # spot-check values on the cheapest pass
+        got = pl.fingerprint(rt)[["doc_id", "fingerprint"]] \
+            .sort("doc_id").head(20).compute()
+        want = pl.fingerprint(docs)[["doc_id", "fingerprint"]] \
+            .sort("doc_id").head(20).compute()
+        assert got.fingerprint.tolist() == want.fingerprint.tolist()
+    finally:
+        srv.stop()
+
+
+def test_client_attribute_probe_is_side_effect_safe(spark):
+    """ADVICE r7 (low): hasattr/duck-typing on a Client must not raise
+    ConnectionError from plain attribute access — unreachable servers
+    map to AttributeError (getattr semantics preserved)."""
+    from blaze_spark.client import Client
+
+    c = Client("blaze://127.0.0.1:1", spark=spark)  # nothing listens
+    assert not hasattr(c, "orders")
+    assert getattr(c, "anything", None) is None
+    # intentional lookup keeps the loud error
+    with pytest.raises(ConnectionError):
+        c["orders"]
