@@ -1068,6 +1068,82 @@ def blaze_client_roundtrip(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def blaze_client_curation(spark, sf_dir):
+    """Remote CURATION (r8, VERDICT r7 #1 done-criterion): the unary
+    curation passes + a ``.str`` accessor call + ``hash_sample`` applied
+    to a ``blaze://`` leaf all serialize to the tree dialect and run
+    SERVER-side (reference to_tree is generic over every Expr —
+    blaze/server/server.py:411-477).  Before r8 these passes silently
+    built a LOCAL table over the empty schema-only frame (ADVICE r7
+    high)."""
+    from blaze_spark import data
+    from blaze_spark import pipeline as pl
+    from blaze_spark.server import BlazeSparkServer
+
+    docs = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents", spark=spark)
+        q = pl.fingerprint(pl.quality_features(rt))
+        f = q[q.n_tokens >= 5].hash_sample(0.5, on="doc_id")
+        expr = f.transform(lang_u=f.lang.str.upper())[
+            ["doc_id", "lang_u", "n_tokens", "quality", "fingerprint"]
+        ].sort("doc_id")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def blaze_client_scalar_chain(spark, sf_dir):
+    """Remote SCALAR families (r8): ``.str.contains``/``.str.lower``,
+    ``.dt.year``, ``math.sqrt``, and ``tail`` — the r7 parity gap —
+    recorded as ``family.method`` call nodes and replayed server-side.
+    The result (last 40 urgent orders by key) crosses the wire once."""
+    from blaze_spark import data
+    from blaze_spark.functions import math as M
+    from blaze_spark.server import BlazeSparkServer
+
+    o = _t(spark, sf_dir, "orders")
+    srv = BlazeSparkServer({"orders": o}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::orders", spark=spark)
+        f = rt[rt.o_orderpriority.str.contains("URGENT")]
+        expr = f.transform(
+            pri=f.o_orderpriority.str.lower(),
+            yr=f.o_orderdate.dt.year(),
+            root=M.sqrt(f.o_totalprice),
+        )[["o_orderkey", "pri", "yr", "root"]].tail(
+            40, sort_keys="o_orderkey")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def pack_sequences_string_key(spark, sf_dir):
+    """Sequence packing over a NON-NUMERIC order key (VERDICT r7 #6):
+    UUID-style string keys route through the deterministic hash-ordered
+    sample-sort-pick boundary path (approxQuantile is numeric-only).
+    The zero-padded key preserves doc_id order, so DuckDB's window
+    cumsum over the same key value-checks every shard."""
+    from blaze_spark.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.transform(skey=F.concat(
+        F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 7, "0")))
+    packed = pack_sequences(keyed, budget=5000, order_by="skey",
+                            partitions=4)
+    g = by([packed.shard], n_docs=packed.doc_id.nelements(),
+           total_tokens=packed.n_tokens.sum(),
+           first_key=packed.skey.min(), last_key=packed.skey.max())
+    return g.df
+
+
 def window_edges_per_user(spark, sf_dir):
     """first/last/nth window values: each user's first, latest, and
     second event value over one partition-wide frame (single shuffle)."""
@@ -2028,65 +2104,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every entry stays green under tools/check_oracles.py (full
     # registry, now byte-strict on floats like the driver hash).
     return {
-        # -- new in r7 --------------------------------------------------------
-        "blaze_client_roundtrip": blaze_client_roundtrip,
-        "consistency_incremental_minhash": consistency_incremental_minhash,
-        "consistency_incremental_simhash": consistency_incremental_simhash,
-        "train_test_split_docs": train_test_split_docs,
+        # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
+        # entries.  Round 8 leads with (a) the 3 new entries (remote
+        # curation + remote scalar chain + string-key packing), (b) the 3
+        # entries whose ORACLE changed (NULL-text coalesce), and (c) every
+        # entry whose query path changed this round — the curation passes
+        # now route through _derived with recorded tree nodes, tail/slice/
+        # hash_sample record dialect nodes, and the .str/.dt/math accessor
+        # wrappers touch every scalar-function entry.  The 13 rows-only
+        # contract entries (recall_*, consistency_*, incremental_*, ...)
+        # rotated below the boundary per VERDICT r7 #4 so every window row
+        # is hash-checkable; nothing failing was rotated out (r7 had zero
+        # failures).  Full registry stays green under tools/check_oracles.py
+        # (byte-strict floats, driver-identical).
+        # -- new in r8: remote scalar/curation dialect + string-key packing --
+        "blaze_client_curation": blaze_client_curation,
+        "blaze_client_scalar_chain": blaze_client_scalar_chain,
+        "pack_sequences_string_key": pack_sequences_string_key,
+        # -- oracle changed in r8 (NULL-text coalesce, ADVICE r7) ------------
         "pack_sequences_docs": pack_sequences_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "training_shards_pipeline": training_shards_pipeline,
-        # -- query/oracle changed in r7 (the -0.0 probe sweep + sample
-        #    migration): fresh driver rows ------------------------------------
+        # -- query changed in r8: curation passes _derived-routed + tree-recorded
+        "text_language_id": text_language_id,
+        "text_quality": text_quality,
+        "text_fingerprint": text_fingerprint,
+        "training_set_prep": training_set_prep,
+        "repetition_filter_docs": repetition_filter_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "corpus_curation_pipeline": corpus_curation_pipeline,
+        "crosslingual_dedup_docs": crosslingual_dedup_docs,
+        # -- query changed in r8: tail/slice/hash_sample tree recording ------
+        "tail_orders": tail_orders,
+        "slice_offset": slice_offset,
+        "slice_step": slice_step,
         "sample_orders": sample_orders,
+        "hash_sample_orders": hash_sample_orders,
+        # -- query changed in r8: .str/.dt/math call-node wrappers + client fix
+        "blaze_client_roundtrip": blaze_client_roundtrip,
+        "string_funcs": string_funcs,
+        "string_predicates": string_predicates,
+        "math_parts": math_parts,
+        "datetime_parts": datetime_parts,
+        "monthly_orders": monthly_orders,
+        "strftime_buckets": strftime_buckets,
+        "q03_shipping_priority": q03_shipping_priority,
+        "order_latency_breakdown": order_latency_breakdown,
+        "apply_batch_filter": apply_batch_filter,
+        # -- oracle-green fillers (rows-only contracts rotated below the
+        #    boundary per VERDICT r7 #4 — every window row hash-checks) -----
+        "train_test_split_docs": train_test_split_docs,
         "array_ops_embeddings": array_ops_embeddings,
+        "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
-        # -- r6 window survivors ----------------------------------------------
-        "math_parts": math_parts,
-        "string_funcs": string_funcs,
+        "top_ngram_share_docs": top_ngram_share_docs,
+        "contamination_check_docs": contamination_check_docs,
+        "source_mix_report": source_mix_report,
+        "source_mix_applied": source_mix_applied,
+        "url_domain_stats": url_domain_stats,
+        "blocklist_filter_docs": blocklist_filter_docs,
         "union_distinct_regions": union_distinct_regions,
+        "isin_large_semijoin": isin_large_semijoin,
+        "scalar_algebra_summary": scalar_algebra_summary,
+        "trunc_10min_buckets": trunc_10min_buckets,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q05_local_supplier": q05_local_supplier,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q10_returned_items": q10_returned_items,
+        "q18_style_large_orders": q18_style_large_orders,
+        "q21_style_exists_chain": q21_style_exists_chain,
+        # ==== driver sample boundary (50) — below here: green driver rows
+        # from earlier rounds (the 13 rows-only contract entries rotated
+        # here in r8 per VERDICT #4; ann_ivf_neardup/recall_ivf_neardup's
+        # r8 delta is the non-result-bearing truncation warning pre-pass,
+        # re-verified by the full-registry tools/check_oracles.py run) ====
+        "consistency_incremental_minhash": consistency_incremental_minhash,
+        "consistency_incremental_simhash": consistency_incremental_simhash,
         "incremental_dedup_batches": incremental_dedup_batches,
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "approx_sketches": approx_sketches,
-        # -- new this round: recall contracts for the approximate family -----
         "recall_minhash_lsh": recall_minhash_lsh,
         "recall_simhash": recall_simhash,
         "recall_embedding_lsh": recall_embedding_lsh,
         "recall_ivf_topk": recall_ivf_topk,
-        # -- new this round: corpus curation + tensordot parity ---------------
-        "repetition_filter_docs": repetition_filter_docs,
-        "top_ngram_share_docs": top_ngram_share_docs,
-        "contamination_check_docs": contamination_check_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "source_mix_report": source_mix_report,
-        "tensor_ops_embeddings": tensor_ops_embeddings,
-        "corpus_curation_pipeline": corpus_curation_pipeline,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,
         "recall_ivf_neardup": recall_ivf_neardup,
         "embedding_dedup_resolution": embedding_dedup_resolution,
-        "hash_sample_orders": hash_sample_orders,
-        "source_mix_applied": source_mix_applied,
-        "url_domain_stats": url_domain_stats,
-        "blocklist_filter_docs": blocklist_filter_docs,
-        # -- re-proven in r5 (fill the driver sample window) ------------------
-        "isin_large_semijoin": isin_large_semijoin,
-        "training_set_prep": training_set_prep,
-        "scalar_algebra_summary": scalar_algebra_summary,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
         "q04_style_late_orders": q04_style_late_orders,
-        "q05_local_supplier": q05_local_supplier,
-        "q06_revenue_forecast": q06_revenue_forecast,
-        "q10_returned_items": q10_returned_items,
         "q11_style_important_nations": q11_style_important_nations,
         "q15_style_top_supplier": q15_style_top_supplier,
-        "q18_style_large_orders": q18_style_large_orders,
-        "q21_style_exists_chain": q21_style_exists_chain,
-        # ==== driver sample boundary (50) — below here: green driver rows
-        # in r4/r5/r6 under the CURRENT Spark; unchanged this round ==========
         "lag_events": lag_events,
         "running_total_events": running_total_events,
         "projection_selection": projection_selection,
@@ -2106,15 +2215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
         "like_glob_filter": like_glob_filter,
-        "datetime_parts": datetime_parts,
-        "monthly_orders": monthly_orders,
-        "strftime_buckets": strftime_buckets,
         "json_extract_events": json_extract_events,
         "vnorm_quantity": vnorm_quantity,
         "count_nonnull_semantics": count_nonnull_semantics,
         "ship_latency": ship_latency,
-        "trunc_10min_buckets": trunc_10min_buckets,
-        "string_predicates": string_predicates,
         "merge_columns": merge_columns,
         "cube_order_stats": cube_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
@@ -2144,26 +2248,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_before_purchase": asof_click_before_purchase,
         "percentile_prices": percentile_prices,
         "map_udf_quantity": map_udf_quantity,
-        "apply_batch_filter": apply_batch_filter,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_normalized_docs": dedup_normalized_docs,
-        "text_language_id": text_language_id,
-        "text_quality": text_quality,
         "text_token_stats": text_token_stats,
-        "text_fingerprint": text_fingerprint,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "topk_orders": topk_orders,
-        "tail_orders": tail_orders,
-        "slice_offset": slice_offset,
         "intdiv_mod_buckets": intdiv_mod_buckets,
         "udaf_geomean": udaf_geomean,
         "hypertable_orders": hypertable_orders,
-        "order_latency_breakdown": order_latency_breakdown,
-        "crosslingual_dedup_docs": crosslingual_dedup_docs,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
-        "slice_step": slice_step,
         "graph_components_docs": graph_components_docs,
         "dedup_minhash_docs": dedup_minhash_docs,
         "dedup_minhash_verified": dedup_minhash_verified,
@@ -2444,7 +2539,9 @@ def oracle_sql() -> dict[str, str]:
         "training_shards_pipeline": r"""
             WITH q AS (
                 SELECT doc_id,
-                       CASE WHEN len(trim(text)) = 0
+                       -- coalesce: NULL text must agree with the engine's
+                       -- 0-token coalesce (ADVICE r7), not propagate NULL
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE regexp_split_to_array(trim(text), '\s+')
                        END AS toks
@@ -2484,7 +2581,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents_docs": r"""
             WITH q AS (
                 SELECT doc_id,
-                       CASE WHEN len(trim(text)) = 0
+                       -- coalesce: NULL text must agree with the engine's
+                       -- 0-token coalesce (ADVICE r7), not propagate NULL
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE regexp_split_to_array(trim(text), '\s+')
                        END AS toks
@@ -2528,7 +2627,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_docs": r"""
             WITH q AS (
                 SELECT doc_id,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
+                       -- coalesce: NULL text = 0 tokens, same as engine
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
                             ELSE len(regexp_split_to_array(trim(text),
                                                            '\s+')) END AS nt
                 FROM documents),
@@ -2552,6 +2652,51 @@ def oracle_sql() -> dict[str, str]:
         "blaze_client_roundtrip": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_totalprice > 300000.0
+        """,
+        "blaze_client_curation": r"""
+            SELECT doc_id,
+                   upper(lang) AS lang_u,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS INT) AS n_tokens,
+                   round((1.0 - length(regexp_replace(lower(text),
+                              '[a-z0-9\s]', '', 'g')) / length(text))
+                         * least(1.0, len(regexp_split_to_array(
+                              trim(text), '\s+')) / 100.0), 4) AS quality,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                       AS fingerprint
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+              AND substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 8)
+                  < '80000000'
+        """,
+        "blaze_client_scalar_chain": """
+            SELECT o_orderkey, lower(o_orderpriority) AS pri,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   sqrt(o_totalprice) AS root
+            FROM orders
+            WHERE o_orderpriority LIKE '%URGENT%'
+            ORDER BY o_orderkey DESC LIMIT 40
+        """,
+        "pack_sequences_string_key": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                           AS skey,
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+')) END AS nt
+                FROM documents),
+            c AS (
+                SELECT doc_id, skey, nt,
+                       sum(nt) OVER (ORDER BY skey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nt AS tok_start
+                FROM q)
+            SELECT CAST(floor(tok_start / 5000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   min(skey) AS first_key, max(skey) AS last_key
+            FROM c GROUP BY shard
         """,
         "hash_sample_orders": """
             SELECT o_orderstatus, count(*) AS n,

@@ -27,6 +27,8 @@ from .similarity import (  # noqa: F401
     embedding_neardup_pairs,
     lsh_auto_params,
     lsh_cosine_topk,
+    lsh_tables_required,
+    neardup_pairs,
 )
 from .cluster import (  # noqa: F401
     canonical_docs,

@@ -183,7 +183,8 @@ def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,
                       n_vectors: int | None = None,
                       target_cell: int = 256, max_cell: int = 20_000,
                       sample_per_cell: int = 48,
-                      seed: int = 42, round_to: int | None = 4) -> Table:
+                      seed: int = 42, round_to: int | None = 4,
+                      warn_truncation: bool = True) -> Table:
     """Near-duplicate pairs via IVF cells — the ANN regime PAST hyperplane
     LSH's ``max_tables`` cost cap (BASELINE.md sf10 probe: at 200k
     vectors the LSH needs 14 tables for design recall and clamps to 12;
@@ -209,11 +210,18 @@ def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,
 
     ``k`` defaults to ``N / target_cell`` so occupancy — and per-cell
     matmul cost — stays constant as the corpus grows; ``max_cell`` truncates
-    degenerate cells (emitting a warning marker pair is impossible here, so
-    truncation is logged through the row count instead — a production run
-    partitions the stored table by cell id and handles hot cells offline).
-    Pass ``n_vectors`` (or ``centroids`` from a saved quantizer) to skip
-    the sizing scan on production paths."""
+    degenerate cells, and that truncation is LOUD (VERDICT r7 #3, same
+    pattern as the incremental store's hot-bucket guard,
+    streaming/incremental_dedup.py): a pre-pass ``groupBy(cell).count()``
+    counts cells past the cap and ``warnings.warn`` reports how many
+    rows lost pair coverage — at 100 TB a degenerate cell (all-zero
+    embeddings) silently losing recall is the failure that goes
+    unnoticed for months.  The pre-pass is one extra cheap job (re-runs
+    the probe UDF scan); production runs that persist the cell
+    assignment or handle hot cells offline can pass
+    ``warn_truncation=False``.  Pass ``n_vectors`` (or ``centroids``
+    from a saved quantizer) to skip the sizing scan on production
+    paths."""
     if centroids is None:
         if k is None:
             n = (n_vectors if n_vectors is not None
@@ -242,6 +250,23 @@ def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,
 
     thr = float(threshold)
     cap = int(max_cell)
+
+    if warn_truncation:
+        import warnings
+
+        hot = (entries.groupBy("cell").count()
+               .filter(F.col("count") > cap)
+               .agg(F.count(F.lit(1)).alias("cells"),
+                    F.sum(F.col("count") - cap).alias("dropped"))
+               .collect()[0])
+        if hot["cells"]:
+            warnings.warn(
+                f"ivf_neardup_pairs: {hot['cells']} cell(s) exceed "
+                f"max_cell={cap}; {hot['dropped']} multi-assigned row(s) "
+                "will be excluded from pair scoring (recall loss on the "
+                "truncated cells).  Raise max_cell, raise k (smaller "
+                "cells), or handle the hot cells offline.",
+                RuntimeWarning, stacklevel=2)
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -18,6 +18,7 @@ Both operators follow the package's two standing rules:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..core import Table
 
@@ -86,10 +87,16 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     The global running sum is computed as a distributed prefix sum whose
     partitioning is a PURE FUNCTION of the order key:
 
-    1. range boundaries are sampled ONCE on the driver
-       (``approxQuantile`` over ``order_by``) and frozen as literals —
-       the bucket id is then ``sum(key > boundary_i)``, a deterministic
-       projection any recompute reproduces bit-identically;
+    1. range boundaries are sampled ONCE on the driver and frozen as
+       literals — the bucket id is then ``sum(key > boundary_i)``, a
+       deterministic projection any recompute reproduces bit-identically.
+       Numeric keys use ``approxQuantile``; any other orderable key
+       (UUID-style string doc ids, timestamps) uses a deterministic
+       hash-ordered sample-sort-pick (top-N by ``md5(key)`` — a
+       TakeOrdered job, never a full collect), since ``approxQuantile``
+       is numeric-only (VERDICT r7 #6).  Boundary choice only affects
+       bucket BALANCE, never the output: offsets + local sums telescope
+       into the same global prefix sum for any boundary set;
     2. per-bucket cumulative sums via a window PARTITIONED by that
        bucket id (parallel, bounded by bucket size);
     3. per-bucket totals (one tiny row per bucket) collect to the
@@ -120,15 +127,37 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     n_parts = partitions or max(
         spark.sparkContext.defaultParallelism, 1)
     bounds = []
-    if n_parts > 1:
+    key_type = t.df.schema[order_by].dataType
+    numeric_key = isinstance(key_type, T.NumericType)
+    if n_parts > 1 and numeric_key:
         qs = [i / n_parts for i in range(1, n_parts)]
-        # driver-frozen split points; key must be numeric (doc ids /
-        # chunk keys are).  rel-err only skews balance, never correctness
+        # driver-frozen split points; rel-err only skews balance,
+        # never correctness
         bounds = sorted(set(
             t.df.stat.approxQuantile(order_by, qs, 0.001)))
+    elif n_parts > 1:
+        # non-numeric orderable key: deterministic sample-sort-pick.
+        # TakeOrdered over md5(key) pulls a bounded, hash-uniform,
+        # re-run-stable key sample to the driver; evenly spaced picks
+        # from the SORTED sample become the frozen boundaries.
+        cap = n_parts * 128
+        sample = (t.df.select(F.col(order_by).alias("__k"))
+                  .where(F.col(order_by).isNotNull())
+                  .orderBy(F.md5(F.concat(F.col("__k").cast("string"),
+                                          F.lit("-packbounds"))), "__k")
+                  .limit(cap).collect())
+        keys = sorted(r["__k"] for r in sample)
+        picks = {keys[(len(keys) * i) // n_parts]
+                 for i in range(1, n_parts)} if keys else set()
+        bounds = sorted(picks)
     pid = F.lit(0)
     for b in bounds:
-        pid = pid + (F.col(order_by) > F.lit(b)).cast("int")
+        # null-safe: a NULL key compares NULL; coalesce keeps such rows
+        # in bucket 0 — consistent with the window's nulls-first order
+        # (order_by should still be unique & non-null for a well-defined
+        # global order)
+        pid = pid + F.coalesce(
+            (F.col(order_by) > F.lit(b)).cast("int"), F.lit(0))
     # persist the tokenized+bucketed projection: the totals job and the
     # final plan otherwise EACH scan the corpus.  Purely a perf lever —
     # pid/n_tokens are deterministic projections, so a recompute (cache

@@ -173,8 +173,24 @@ def lsh_auto_params(n_vectors: int, threshold: float = 0.9,
     ``max_tables`` is a hard COST cap: every table adds a full corpus
     explode + its bucket pairs, so unbounded recall-chasing re-creates the
     quadratic blowup by other means.  When the cap binds, hyperplane LSH
-    at this threshold is the wrong tool and ``ivf_topk`` is the documented
-    scale path."""
+    at this threshold is the wrong tool and the IVF family is the
+    documented scale path — :func:`neardup_pairs` dispatches on exactly
+    this condition."""
+    n_planes, required = lsh_tables_required(
+        n_vectors, threshold, recall=recall, target_bucket=target_bucket)
+    return n_planes, min(max_tables, required)
+
+
+def lsh_tables_required(n_vectors: int, threshold: float = 0.9,
+                        recall: float = 0.95,
+                        target_bucket: int = 8) -> tuple[int, int]:
+    """UNCLAMPED (n_planes, n_tables) the LSH design needs for the target
+    recall at constant bucket occupancy — the quantity
+    :func:`lsh_auto_params` clamps at ``max_tables``.  Exposed separately
+    so :func:`neardup_pairs` can detect when the cap would bind (the
+    measured LSH→IVF regime boundary, PLANS.md 'IVF near-dup topology
+    (r6)': ~200k vectors at dim 64, threshold 0.9) without re-deriving
+    the s-curve math."""
     import math
 
     n_planes = max(4, min(24, math.ceil(
@@ -184,9 +200,48 @@ def lsh_auto_params(n_vectors: int, threshold: float = 0.9,
     p_all = p ** n_planes
     if p_all >= 1.0:
         return n_planes, 1
-    n_tables = max(2, min(max_tables, math.ceil(
-        math.log(1.0 - recall) / math.log(1.0 - p_all))))
-    return n_planes, n_tables
+    return n_planes, max(2, math.ceil(
+        math.log(1.0 - recall) / math.log(1.0 - p_all)))
+
+
+def neardup_pairs(corpus: Table, threshold: float = 0.9,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_vectors: int | None = None, dim: int = 64,
+                  seed: int = 42, round_to: int | None = 4,
+                  recall: float = 0.95, max_tables: int = 12,
+                  **backend_kwargs) -> Table:
+    """Corpus-wide embedding near-duplicate pairs with AUTOMATIC regime
+    choice (VERDICT r7 #5) — the entry point a user should call when they
+    do not want to know the LSH↔IVF boundary.
+
+    Sizes the corpus once (pass ``n_vectors`` to skip the count), asks
+    :func:`lsh_tables_required` how many OR-amplification tables
+    hyperplane LSH needs for the design recall, and dispatches:
+
+    - requirement ≤ ``max_tables`` → :func:`embedding_neardup_pairs`
+      (multi-table LSH; candidate volume linear in N at fixed occupancy);
+    - requirement > ``max_tables`` → LSH is past its design-recall regime
+      (the cap would silently clamp recall) → :func:`ivf.ivf_neardup_pairs`
+      (cell blocking + per-cell BLAS; measured 6.4-16 s vs 24-30 s for
+      capped LSH at 220k vectors — PLANS.md 'IVF near-dup topology (r6)').
+
+    Both backends emit the same ``(vec_a < vec_b, cosine)`` schema.
+    ``backend_kwargs`` pass through to whichever backend is chosen
+    (e.g. ``max_bucket`` for LSH, ``target_cell``/``max_cell`` for IVF).
+    """
+    n = n_vectors if n_vectors is not None else corpus.df.count()
+    n_planes, required = lsh_tables_required(n, threshold, recall=recall)
+    if required > max_tables:
+        from .ivf import ivf_neardup_pairs
+
+        return ivf_neardup_pairs(
+            corpus, threshold, id_col=id_col, vec_col=vec_col,
+            n_vectors=n, seed=seed, round_to=round_to, **backend_kwargs)
+    return embedding_neardup_pairs(
+        corpus, threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=min(max_tables, required),
+        n_vectors=n, dim=dim, seed=seed, round_to=round_to,
+        **backend_kwargs)
 
 
 def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,

@@ -483,3 +483,49 @@ def test_pack_sequences_correct_after_cache_eviction(spark):
     for r in got:
         assert r.tok_start == acc, (r.doc_id, r.tok_start, acc)
         acc += r.n_tokens
+
+
+def test_pack_sequences_string_order_key(spark):
+    """VERDICT r7 #6: non-numeric order keys (UUID-style string ids) pack
+    through the deterministic sample-sort-pick boundary path — same
+    contiguous-fill semantics, partition-invariant, no approxQuantile."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(f"doc-{i:04d}-{(i * 2654435761) % 997:03x}",
+             "tok " * (i % 7 + 1)) for i in range(300)]
+    t = data(rows, spark=spark, schema="doc_id string, text string",
+             name="pks")
+    out = pack_sequences(t, budget=16, order_by="doc_id").df \
+        .orderBy("doc_id").collect()
+    acc = 0
+    for r in out:   # exclusive prefix sum in lexicographic key order
+        assert r.tok_start == acc, (r.doc_id, r.tok_start, acc)
+        assert r.shard == acc // 16
+        acc += r.n_tokens
+
+    a = pack_sequences(t, budget=16, order_by="doc_id",
+                       partitions=3).df.select("doc_id", "tok_start")
+    b = pack_sequences(t, budget=16, order_by="doc_id",
+                       partitions=9).df.select("doc_id", "tok_start")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_string_key_correct_after_cache_eviction(spark):
+    """The cache-independence contract extends to the string-key path:
+    boundaries are frozen literals, so dropping the scoped cache before
+    materialization must not change any offset."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(f"k{i:05d}", "w " * (i % 5 + 1)) for i in range(200)]
+    t = data(rows, spark=spark, schema="doc_id string, text string",
+             name="pkse")
+    out = pack_sequences(t, budget=32, order_by="doc_id", partitions=5)
+    want = {(r.doc_id, r.tok_start, r.shard)
+            for r in out.df.collect()}
+    out2 = pack_sequences(t, budget=32, order_by="doc_id", partitions=5)
+    for c in getattr(out2.df, "_blaze_caches", ()):
+        c.unpersist(True)   # evict BEFORE the first action
+    got = {(r.doc_id, r.tok_start, r.shard) for r in out2.df.collect()}
+    assert got == want

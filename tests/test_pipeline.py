@@ -680,3 +680,124 @@ def test_ivf_topk_query_broadcast_guard(spark, emb):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert rows_b == rows_nb
+
+
+# -- r8: loud hot-cell truncation + regime auto-dispatch -----------------
+
+
+def test_ivf_hot_cell_truncation_warns(spark):
+    """VERDICT r7 #3: max_cell truncation must be LOUD — the pre-pass
+    counts hot cells and warns with the excluded-row total (same
+    pattern as the incremental store's hot-bucket guard)."""
+    import warnings as _w
+
+    from blaze_spark import data
+    from blaze_spark.pipeline.ivf import ivf_neardup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    t = data(rows, spark=spark,
+             schema="vec_id bigint, embedding array<float>", name="hotw")
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        n = ivf_neardup_pairs(t, threshold=0.9, k=16,
+                              max_cell=50).df.count()
+    msgs = [str(w.message) for w in got
+            if "ivf_neardup_pairs" in str(w.message)]
+    assert msgs, "expected a truncation warning for the degenerate cell"
+    assert "max_cell=50" in msgs[0] and "excluded" in msgs[0]
+    assert 0 < n <= 50 * 49 // 2
+
+    # a healthy corpus stays silent
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(60)]
+    t2 = data(rows, spark=spark,
+              schema="vec_id bigint, embedding array<float>", name="coldw")
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        ivf_neardup_pairs(t2, threshold=0.99, k=16,
+                          max_cell=1000).df.count()
+    assert not [w for w in got
+                if "ivf_neardup_pairs" in str(w.message)]
+
+
+def test_neardup_pairs_dispatcher_crossover():
+    """VERDICT r7 #5: the LSH->IVF regime boundary is the point where the
+    UNCLAMPED table requirement exceeds max_tables (measured ~200k
+    vectors at threshold 0.9 / recall 0.95 — PLANS.md 'IVF near-dup
+    topology (r6)')."""
+    from blaze_spark.pipeline.similarity import lsh_tables_required
+
+    _, small = lsh_tables_required(6_000, threshold=0.9, recall=0.95)
+    _, big = lsh_tables_required(200_000, threshold=0.9, recall=0.95)
+    assert small <= 12 < big  # sf0.1-ish stays LSH; 200k crosses to IVF
+
+
+def test_neardup_pairs_dispatch_routes(spark, emb, monkeypatch):
+    """Small corpus -> LSH backend; past the table cap -> IVF backend.
+    Both cases route through neardup_pairs with the same result schema."""
+    from blaze_spark.pipeline import ivf as ivf_mod
+    from blaze_spark.pipeline import similarity as sim
+
+    called = {}
+
+    real_ivf = ivf_mod.ivf_neardup_pairs
+    real_lsh = sim.embedding_neardup_pairs
+
+    def spy_ivf(*a, **k):
+        called["ivf"] = True
+        return real_ivf(*a, **k)
+
+    def spy_lsh(*a, **k):
+        called["lsh"] = True
+        return real_lsh(*a, **k)
+
+    monkeypatch.setattr(ivf_mod, "ivf_neardup_pairs", spy_ivf)
+    monkeypatch.setattr(sim, "embedding_neardup_pairs", spy_lsh)
+
+    out = sim.neardup_pairs(emb, threshold=0.9).df
+    assert called == {"lsh": True}
+    assert set(out.columns) == {"vec_a", "vec_b", "cosine"}
+
+    called.clear()
+    out = sim.neardup_pairs(emb, threshold=0.9, max_tables=1,
+                            k=8, iters=1).df
+    assert called == {"ivf": True}
+    assert set(out.columns) == {"vec_a", "vec_b", "cosine"}
+
+
+# -- r8: import-guarded real multimodal decode ---------------------------
+
+
+def test_real_decode_guard_names_missing_module(docs):
+    """fake=False is an import guard now, not a flat refusal: absent the
+    codec it raises NotImplementedError naming the module to install."""
+    withbin = attach_fake_binary(docs.head(2))
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed — guard does not fire")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="PIL.Image"):
+        decode_images(withbin, fake=False).df.collect()
+
+
+def test_real_image_decode_with_pillow(spark):
+    """Skips in codec-less containers; with Pillow installed the
+    fake=False path decodes real bytes end to end."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from blaze_spark import data
+    from blaze_spark.pipeline.multimodal import decode_images, resize_images
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 6), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    t = data([(1, {"content": png, "width": 8, "height": 6,
+                   "format": "png"})], spark=spark,
+             schema=("doc_id long, image struct<content:binary,width:int,"
+                     "height:int,format:string>"))
+    row = decode_images(t, fake=False).df.collect()[0]
+    assert (row.width, row.height) == (8, 6)
+    assert abs(row.mean_intensity - 128.0) < 1e-9
+    rrow = resize_images(t, 4, 3, fake=False).df.collect()[0]
+    assert (rrow.image.width, rrow.image.height) == (4, 3)
