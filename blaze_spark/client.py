@@ -23,20 +23,22 @@ empty frame — and sets ``_tree = None``; ``compute()`` then raises with
 guidance instead of silently returning empty rows.
 
 The serializable subset is ``interop.from_tree``'s op whitelist:
-projection / selection / head / tail / slice / sort (incl. per-key
-directions) / distinct / relabel / transform / by / summary / join /
-concat / pivot / unpivot / explode / hash_sample and the unary curation
-passes (language_id, quality_features, fingerprint,
+projection / drop_field / selection / head / tail / slice / sort (incl.
+per-key directions) / distinct / relabel / transform / by / rollup /
+cube / grouping_sets / count_values / summary / join / concat /
+intersect / except / pivot / unpivot / explode / hash_sample and the
+unary curation passes (language_id, quality_features, fingerprint,
 repetition_features, pii_scrub — routed through ``_derived`` so they
 preserve the remote leaf and record their node, r8).  Scalar
 expressions cover arithmetic, comparisons, boolean logic, isin, like,
-every public ``.str`` / ``.dt`` accessor method, and the math-function
-family (``functions.math.MATH_FNS``) — the accessor classes themselves
-define the whitelist (``interop._method_whitelists``), so a
-``RemoteTable`` runs ``.str.upper()`` or ``.dt.year()`` server-side
-exactly as the reference's generic ``to_tree`` does
-(blaze/server/server.py:411-477).  Deriving a remote table together
-with a LOCAL table (or one from another server) raises immediately.
+coalesce, shift (string keys), every public ``.str`` / ``.dt``
+accessor method, and the math-function family
+(``functions.math.MATH_FNS``) — the accessor classes themselves define
+the whitelist (``interop._method_whitelists``), so a ``RemoteTable``
+runs ``.str.upper()`` or ``.dt.year()`` server-side exactly as the
+reference's generic ``to_tree`` does (blaze/server/server.py:411-477).
+Deriving a remote table together with a LOCAL table (or one from
+another server) raises immediately.
 """
 
 from __future__ import annotations

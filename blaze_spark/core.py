@@ -493,7 +493,18 @@ class ColExpr:
         if partition_by is not None:
             w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
         fn = F.lag(self._col, n) if n > 0 else F.lead(self._col, -n)
-        return self._make(fn.over(w), f"{self._name}_shift", self.dtype)
+        out = self._make(fn.over(w), f"{self._name}_shift", self.dtype)
+
+        def _str_keys(v):
+            if v is None:
+                return None
+            ks = list(v) if isinstance(v, (list, tuple)) else [v]
+            return ks if all(isinstance(k, str) for k in ks) else False
+        ob, pb = _str_keys(order_by), _str_keys(partition_by)
+        if self._tree is not None and ob not in (False, None) \
+                and pb is not False:
+            out._tree = {"op": "shift", "args": [self._tree, n, ob, pb]}
+        return out
 
     # -- reductions (blaze/expr/reductions.py) -----------------------------
     def _red(self, agg: Column, op: str, name: str | None = None) -> Reduction:
@@ -1122,7 +1133,11 @@ class Table:
     # -- projection-family ops -----------------------------------------------
     def drop_field(self, *names: str):
         """Complement projection (blaze/expr/expressions.py:982-1023)."""
-        return self._new(self._df.drop(*names))
+        out = self._new(self._df.drop(*names))
+        if self._tree is not None:
+            out._tree = {"op": "drop_field",
+                         "args": [self._tree, list(names)]}
+        return out
 
     def relabel(self, **renames: str):
         """Rename many (ReLabel: blaze/expr/expressions.py:615-692)."""
@@ -1537,13 +1552,27 @@ class Table:
 
     def intersect(self, other: "Table") -> "Table":
         """Set intersection — EXTENSION (absent in reference, SURVEY.md
-        §2.6; Spark has it natively)."""
-        return self._new(self._df.intersect(other.df))
+        §2.6; Spark has it natively).  Derivation goes through
+        ``_derived`` so the remote-mix guard fires (an intersect of a
+        remote leaf with a local table must raise, not silently compute
+        over no remote rows)."""
+        out = _derived(self._df.intersect(other.df), self, other)
+        out._name = self._name
+        if self._tree is not None and other._tree is not None:
+            out._tree = {"op": "intersect",
+                         "args": [self._tree, other._tree]}
+        return out
 
     def except_(self, other: "Table", keep_duplicates: bool = False) -> "Table":
         """Set difference — EXTENSION (SURVEY.md §2.6)."""
         fn = self._df.exceptAll if keep_duplicates else self._df.subtract
-        return self._new(fn(other.df))
+        out = _derived(fn(other.df), self, other)
+        out._name = self._name
+        if self._tree is not None and other._tree is not None:
+            out._tree = {"op": "except",
+                         "args": [self._tree, other._tree,
+                                  bool(keep_duplicates)]}
+        return out
 
     def __iter__(self):
         """Row iterator (reference __iter__ -> odo into iterator,
@@ -1722,7 +1751,12 @@ def count_values(col: ColExpr, sort: bool = True) -> Table:
         F.count(F.lit(1)).alias("count"))
     if sort:
         out = out.orderBy(F.col("count").desc())
-    return _derived(out, col._table)
+    res = _derived(out, col._table)
+    if col._table._tree is not None and col._tree is not None:
+        res._tree = {"op": "count_values",
+                     "args": [col._table._tree, col._tree, col.name,
+                              bool(sort)]}
+    return res
 
 
 def _py_scalar(dt: T.DataType) -> type:
@@ -1772,13 +1806,28 @@ def udaf(fn: Callable, schema: str | T.DataType) -> Callable[[ColExpr], Reductio
     return make
 
 
+def _grouped_tree(op: str, table: Table, groupers, reductions):
+    """Wire node for a grouped aggregation over named grouper expressions
+    — the shape ``by`` records, shared by rollup/cube (r8 dialect
+    widening)."""
+    if table._tree is None:
+        return None
+    gts = [(g.name, g._tree) for g in groupers]
+    rts = {n: r._tree for n, r in reductions.items()}
+    if any(t is None for _, t in gts) or any(t is None for t in rts.values()):
+        return None
+    return {"op": op, "args": [table._tree, gts, rts]}
+
+
 def rollup(groupers, **reductions: Reduction) -> Table:
     """Hierarchical grouping-sets aggregation — EXTENSION beyond the
     reference (SURVEY.md §2.4: no cube/rollup in blaze; Spark has it free)."""
     table = groupers[0]._table
     gcols = [g.col.alias(g.name) for g in groupers]
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return _derived(table.df.rollup(*gcols).agg(*aggs), table)
+    out = _derived(table.df.rollup(*gcols).agg(*aggs), table)
+    out._tree = _grouped_tree("rollup", table, groupers, reductions)
+    return out
 
 
 def cube(groupers, **reductions: Reduction) -> Table:
@@ -1786,7 +1835,9 @@ def cube(groupers, **reductions: Reduction) -> Table:
     table = groupers[0]._table
     gcols = [g.col.alias(g.name) for g in groupers]
     aggs = [r.col.alias(name) for name, r in reductions.items()]
-    return _derived(table.df.cube(*gcols).agg(*aggs), table)
+    out = _derived(table.df.cube(*gcols).agg(*aggs), table)
+    out._tree = _grouped_tree("cube", table, groupers, reductions)
+    return out
 
 
 def grouping_sets(sets, **reductions: Reduction) -> Table:
@@ -1809,9 +1860,17 @@ def grouping_sets(sets, **reductions: Reduction) -> Table:
     new_cols = [g.col.alias(g.name) for g in seen.values()
                 if g.name not in table.df.columns]
     src = table.df.select("*", *new_cols) if new_cols else table.df
-    return _derived(src.groupingSets(set_names,
-                                     *[F.col(n) for n in seen]).agg(*aggs),
-                    table)
+    out = _derived(src.groupingSets(set_names,
+                                    *[F.col(n) for n in seen]).agg(*aggs),
+                   table)
+    if table._tree is not None:
+        sts = [[(g.name, g._tree) for g in s] for s in sets]
+        rts = {n: r._tree for n, r in reductions.items()}
+        if all(t is not None for s in sts for _, t in s) \
+                and all(t is not None for t in rts.values()):
+            out._tree = {"op": "grouping_sets",
+                         "args": [table._tree, sts, rts]}
+    return out
 
 
 def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
@@ -1891,7 +1950,12 @@ def coalesce(*exprs) -> ColExpr:
     """SQL COALESCE (blaze/expr/expressions.py:876-933); Catalyst
     constant-folds the known-null/non-null cases the reference special-cased."""
     first = next(e for e in exprs if isinstance(e, ColExpr))
-    return first._make(F.coalesce(*[_as_col(e) for e in exprs]), "coalesce", None)
+    out = first._make(F.coalesce(*[_as_col(e) for e in exprs]),
+                      "coalesce", None)
+    parts = [_value_tree(e) for e in exprs]
+    if all(p is not None for p in parts):
+        out._tree = {"op": "coalesce", "args": [parts]}
+    return out
 
 
 def shift(col: ColExpr, n: int, order_by, partition_by=None) -> ColExpr:

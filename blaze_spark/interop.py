@@ -44,6 +44,13 @@ def _expr(node: Any, t: Table) -> ColExpr:
             return _expr(args[0], t).isin(args[1])
         if op == "like":
             return _expr(args[0], t).like(args[1])
+        if op == "coalesce":
+            from .core import coalesce as _coalesce
+
+            return _coalesce(*[_expr(p, t) for p in args[0]])
+        if op == "shift":
+            # args: [child, n, order_by keys, partition_by keys|None]
+            return _expr(args[0], t).shift(args[1], args[2], args[3])
         if "." in op:
             return _method_call(op, args, t)
         raise ValueError(f"unknown expression op: {op}")
@@ -146,10 +153,11 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
     datasets = datasets or {}
 
     _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
-                  "tail", "slice",
+                  "tail", "slice", "drop_field",
                   "sort", "distinct", "relabel", "transform", "by",
                   "summary", "join", "concat", "pivot", "unpivot",
-                  "explode",
+                  "explode", "intersect", "except", "count_values",
+                  "rollup", "cube", "grouping_sets",
                   # text/curation projections (r6): table-in/table-out
                   # pure Column-expr ops, so they serialize as plain
                   # unary nodes — a server client can run the curation
@@ -194,10 +202,33 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op == "transform":
             cols = {k: _expr(v, child).col for k, v in args[1].items()}
             return Table(child.df.withColumns(cols), child._name)
-        if op == "by":
+        if op == "drop_field":
+            return child.drop_field(*args[1])
+        if op == "intersect":
+            return child.intersect(walk(args[1]))
+        if op == "except":
+            return child.except_(walk(args[1]), keep_duplicates=args[2])
+        if op == "count_values":
+            from .core import count_values
+
+            col = _expr(args[1], child).label(args[2])
+            return count_values(col, sort=args[3])
+        if op in ("by", "rollup", "cube"):
             groupers = [_expr(g, child).label(n) for n, g in args[1]]
             reds = {n: _reduction(r, child) for n, r in args[2].items()}
-            return by(groupers, **reds)
+            if op == "by":
+                return by(groupers, **reds)
+            from .core import cube as _cube
+            from .core import rollup as _rollup
+
+            return (_rollup if op == "rollup" else _cube)(groupers, **reds)
+        if op == "grouping_sets":
+            from .core import grouping_sets as _gsets
+
+            sets = [[_expr(g, child).label(n) for n, g in s]
+                    for s in args[1]]
+            reds = {n: _reduction(r, child) for n, r in args[2].items()}
+            return _gsets(sets, **reds)
         if op == "summary":
             reds = {n: _reduction(r, child) for n, r in args[1].items()}
             return summary(**reds)

@@ -528,13 +528,27 @@ def test_remote_repr_cache_and_aggregates(spark, served, star):
     assert len(cached.head(3).compute()) == 3
     cached.df.unpersist()
 
+    # count_values/rollup joined the wire dialect in r8 — they now run
+    # SERVER-side instead of raising
     cv = count_values(rt.o_orderstatus)
     assert getattr(cv, "_client", None) is not None
-    # count_values is outside the wire dialect -> honest raise, never
-    # empty results
+    got = cv.compute().sort_values("o_orderstatus").reset_index(drop=True)
+    want = count_values(star["orders"].o_orderstatus).compute() \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+    assert got["count"].tolist() == want["count"].tolist()
+
+    r = rollup([rt.o_orderstatus], n=rt.o_orderkey.nelements())
+    got = r.compute().fillna("ALL").sort_values("o_orderstatus") \
+        .reset_index(drop=True)
+    want = rollup([star["orders"].o_orderstatus],
+                  n=star["orders"].o_orderkey.nelements()).compute() \
+        .fillna("ALL").sort_values("o_orderstatus").reset_index(drop=True)
+    assert got.n.tolist() == want.n.tolist()
+
+    # a genuinely non-serializable op still raises, never empty results
     import pytest as _pytest
     with _pytest.raises(ValueError, match="serializable"):
-        cv.compute()
+        rt.sample(0.5).compute()
 
 
 # -- r8: scalar-function families travel the wire (reference to_tree is
@@ -632,3 +646,61 @@ def test_client_attribute_probe_is_side_effect_safe(spark):
     # intentional lookup keeps the loud error
     with pytest.raises(ConnectionError):
         c["orders"]
+
+
+def test_remote_set_ops_and_count_values(spark, served, star):
+    """r8 dialect wave 2: intersect/except/count_values/drop_field on a
+    RemoteTable run server-side; remote-local set-op mixes raise."""
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    hi = rt[rt.o_totalprice > 200000.0][["o_orderkey"]]
+    urgent = rt[rt.o_orderpriority.str.contains("URGENT")][["o_orderkey"]]
+    got = hi.intersect(urgent).sort("o_orderkey").compute()
+    lhi = o[o.o_totalprice > 200000.0][["o_orderkey"]]
+    lurgent = o[o.o_orderpriority.str.contains("URGENT")][["o_orderkey"]]
+    want = lhi.intersect(lurgent).sort("o_orderkey").compute()
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+    got = hi.except_(urgent).sort("o_orderkey").compute()
+    want = lhi.except_(lurgent).sort("o_orderkey").compute()
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+    got = rt.drop_field("o_orderpriority").head(3).compute()
+    assert "o_orderpriority" not in got.columns
+    assert list(got.columns) == [c for c in o.columns
+                                 if c != "o_orderpriority"]
+
+    # remote ∩ local is a silent-empty hazard -> must raise
+    with pytest.raises(TypeError, match="remote"):
+        hi.intersect(lhi)
+
+
+def test_remote_shift_coalesce_grouping_sets(spark, served, star):
+    from blaze_spark import data, grouping_sets
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    def q(t):
+        prev = t.o_totalprice.shift(1, "o_orderkey")
+        from blaze_spark import coalesce as _coal
+
+        return t.transform(prev=_coal(prev, -1.0))[
+            ["o_orderkey", "prev"]].sort("o_orderkey").head(8)
+
+    got, want = q(rt).compute(), q(o).compute()
+    assert got.prev.tolist() == want.prev.tolist()
+
+    def gs(t):
+        return grouping_sets(
+            [[t.o_orderstatus], []],
+            n=t.o_orderkey.nelements())
+
+    got = gs(rt).compute().fillna("ALL") \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+    want = gs(o).compute().fillna("ALL") \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+    assert got.n.tolist() == want.n.tolist()
