@@ -2147,8 +2147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": q03_shipping_priority,
         "order_latency_breakdown": order_latency_breakdown,
         "apply_batch_filter": apply_batch_filter,
-        # -- query changed in r8 wave 2: count_values/rollup/cube/grouping_sets/
-        #    intersect/except/drop_field/coalesce/shift now record wire nodes
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
@@ -2160,20 +2158,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_events": lag_events,
         "pivot_status_by_priority": pivot_status_by_priority,
         "grouping_sets_order_stats": grouping_sets_order_stats,
-        "train_test_split_docs": train_test_split_docs,
+        # -- query changed in r8 wave 3: grouped windows record win.* nodes
+        "rank_orders_per_customer": rank_orders_per_customer,
+        "rolling_range_user_values": rolling_range_user_values,
+        "window_edges_per_user": window_edges_per_user,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
         "blocklist_filter_docs": blocklist_filter_docs,
-        "union_distinct_regions": union_distinct_regions,
         "isin_large_semijoin": isin_large_semijoin,
-        "scalar_algebra_summary": scalar_algebra_summary,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds (rows-only contract entries + unchanged
-        # fillers displaced by the r8 wave-2 dialect entries; nothing
-        # failing rotated out — r7 had zero failures) ====================
+        # fillers displaced by the r8 dialect entries; nothing failing
+        # rotated out — r7 had zero failures) ============================
+        "union_distinct_regions": union_distinct_regions,
+        "scalar_algebra_summary": scalar_algebra_summary,
+        "train_test_split_docs": train_test_split_docs,
         "array_ops_embeddings": array_ops_embeddings,
         "embedding_neardup": embedding_neardup,
         "top_ngram_share_docs": top_ngram_share_docs,
@@ -2220,7 +2222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_nonnull_semantics": count_nonnull_semantics,
         "ship_latency": ship_latency,
         "merge_columns": merge_columns,
-        "rank_orders_per_customer": rank_orders_per_customer,
         "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
         "q07_style_nation_volume": q07_style_nation_volume,
         "q08_style_market_share": q08_style_market_share,
@@ -2235,8 +2236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_measures": unpivot_part_measures,
         "explode_embedding_dims": explode_embedding_dims,
         "sessionize_user_events": sessionize_user_events,
-        "rolling_range_user_values": rolling_range_user_values,
-        "window_edges_per_user": window_edges_per_user,
         "fk_autojoin_supplier_region": fk_autojoin_supplier_region,
         "sql_frontend_status_revenue": sql_frontend_status_revenue,
         "tree_dialect_big_orders": tree_dialect_big_orders,

@@ -106,3 +106,59 @@ def nth_value(col: ColExpr, n: int, order_by, partition_by=None) -> ColExpr:
         Window.unboundedPreceding, Window.unboundedFollowing)
     return col._make(F.nth_value(col.col, n).over(w),
                      f"{col.name}_nth{n}", col.dtype)
+
+
+#: aggregates rolling_range may name when a tree replays server-side —
+#: the getattr(F, agg) dispatch is bounded to plain SQL aggregates.
+ROLLING_AGGS = {"sum", "avg", "mean", "min", "max", "count", "stddev",
+                "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+                "first", "last"}
+
+
+def _wrap_win(name, fn, table_first):
+    """Record ``win.<name>`` call nodes (r8 dialect: grouped windows
+    travel the wire like .str/.dt/math calls).  Table-first helpers
+    (row_number/rank/dense_rank) record a ``None`` child — replay binds
+    them to the table under evaluation, same as a field node."""
+    import functools
+
+    from ..core import _record_call_tree, _tree_arg
+
+    @functools.wraps(fn)
+    def op(first, *args, **kwargs):
+        out = fn(first, *args, **kwargs)
+        if table_first:
+            pos, kw, ok = [], {}, True
+            for a in args:
+                k, e = _tree_arg(a)
+                ok &= k
+                pos.append(e)
+            for key, a in kwargs.items():
+                k, e = _tree_arg(a)
+                ok &= k
+                kw[key] = e
+            if ok:
+                out._tree = {"op": f"win.{name}", "args": [None, pos, kw]}
+            return out
+        return _record_call_tree(out, "win", name, first, args, kwargs)
+    return op
+
+
+#: replay table for interop (name -> wrapped fn); _TABLE_FIRST marks the
+#: helpers whose first argument is the Table, not a column expression.
+_TABLE_FIRST = {"row_number", "rank", "dense_rank"}
+WIN_FNS = {}
+for _n, _f in [("cumsum", cumsum), ("cummax", cummax), ("cummin", cummin),
+               ("row_number", row_number), ("rank", rank),
+               ("dense_rank", dense_rank), ("rolling_mean", rolling_mean),
+               ("rolling_range", rolling_range),
+               ("first_value", first_value), ("last_value", last_value),
+               ("nth_value", nth_value)]:
+    WIN_FNS[_n] = _wrap_win(_n, _f, _n in _TABLE_FIRST)
+
+(cumsum, cummax, cummin, row_number, rank, dense_rank, rolling_mean,
+ rolling_range, first_value, last_value, nth_value) = (
+    WIN_FNS["cumsum"], WIN_FNS["cummax"], WIN_FNS["cummin"],
+    WIN_FNS["row_number"], WIN_FNS["rank"], WIN_FNS["dense_rank"],
+    WIN_FNS["rolling_mean"], WIN_FNS["rolling_range"],
+    WIN_FNS["first_value"], WIN_FNS["last_value"], WIN_FNS["nth_value"])

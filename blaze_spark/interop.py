@@ -89,13 +89,28 @@ def _decode_arg(a, t: Table):
 
 
 def _method_call(op: str, args: list, t: Table) -> ColExpr:
-    """Replay ``{'op': 'family.method', 'args': [child, [pos], {kw}]}``."""
+    """Replay ``{'op': 'family.method', 'args': [child, [pos], {kw}]}``.
+    A ``None`` child means a table-first helper (row_number/rank/...) —
+    it binds to the table under evaluation, like a field node."""
     strs, dts, maths = _method_whitelists()
     fam, meth = op.split(".", 1)
-    child = _expr(args[0], t)
     pos = [_decode_arg(a, t) for a in (args[1] if len(args) > 1 else [])]
     kw = {k: _decode_arg(v, t)
           for k, v in (args[2] if len(args) > 2 else {}).items()}
+    if fam == "win":
+        from .functions.window import ROLLING_AGGS, WIN_FNS
+
+        if meth not in WIN_FNS:
+            raise ValueError(f"unknown expression op: {op}")
+        if meth == "rolling_range":
+            agg = kw.get("agg", pos[0] if pos else None)
+            if agg not in ROLLING_AGGS:
+                raise ValueError(
+                    f"rolling_range aggregate {agg!r} is not in the "
+                    "serializable whitelist")
+        first = t if args[0] is None else _expr(args[0], t)
+        return WIN_FNS[meth](first, *pos, **kw)
+    child = _expr(args[0], t)
     if fam == "str" and meth in strs:
         return getattr(child.str, meth)(*pos, **kw)
     if fam == "dt" and meth in dts:

@@ -704,3 +704,46 @@ def test_remote_shift_coalesce_grouping_sets(spark, served, star):
     want = gs(o).compute().fillna("ALL") \
         .sort_values("o_orderstatus").reset_index(drop=True)
     assert got.n.tolist() == want.n.tolist()
+
+
+def test_remote_window_functions(spark, served, star):
+    """r8 dialect wave 3: grouped windows (cumsum/rank/first_value/
+    rolling) record win.* call nodes and run server-side."""
+    from blaze_spark import data
+    from blaze_spark.functions import window as W
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    def q(t):
+        return t.transform(
+            run=W.cumsum(t.o_totalprice, "o_orderkey",
+                         partition_by="o_orderstatus"),
+            rk=W.rank(t, "o_totalprice", partition_by="o_orderstatus"),
+            fv=W.first_value(t.o_totalprice, "o_orderkey",
+                             partition_by="o_orderstatus"),
+            rm=W.rolling_range(t.o_totalprice, "avg", "o_orderkey",
+                               -5, 0, partition_by="o_orderstatus"),
+        )[["o_orderkey", "run", "rk", "fv", "rm"]].sort("o_orderkey") \
+            .head(12)
+
+    got, want = q(rt).compute(), q(o).compute()
+    for c in ("run", "rk", "fv", "rm"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_remote_rolling_range_agg_whitelist(spark, served):
+    """A hostile tree naming a non-aggregate in rolling_range is refused
+    at replay (the getattr(F, agg) dispatch is bounded)."""
+    from blaze_spark.interop import from_tree
+    import blaze_spark
+
+    t = blaze_spark.data("/root/testdata/sf0.001/orders.parquet",
+                         spark=spark, name="orders")
+    bad = {"op": "transform", "args": [
+        {"op": "symbol", "args": ["orders"]},
+        {"x": {"op": "win.rolling_range", "args": [
+            {"op": "field", "args": ["o_totalprice"]},
+            ["udf", "o_orderkey", -5], {}]}}]}
+    with pytest.raises(ValueError, match="whitelist"):
+        from_tree(bad, datasets={"orders": t})
