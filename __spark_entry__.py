@@ -2158,14 +2158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_events": lag_events,
         "pivot_status_by_priority": pivot_status_by_priority,
         "grouping_sets_order_stats": grouping_sets_order_stats,
-        # -- query changed in r8 wave 3: grouped windows record win.* nodes
         "rank_orders_per_customer": rank_orders_per_customer,
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
+        "merge_columns": merge_columns,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
-        "blocklist_filter_docs": blocklist_filter_docs,
         "isin_large_semijoin": isin_large_semijoin,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
@@ -2173,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from earlier rounds (rows-only contract entries + unchanged
         # fillers displaced by the r8 dialect entries; nothing failing
         # rotated out — r7 had zero failures) ============================
+        "blocklist_filter_docs": blocklist_filter_docs,
         "union_distinct_regions": union_distinct_regions,
         "scalar_algebra_summary": scalar_algebra_summary,
         "train_test_split_docs": train_test_split_docs,
@@ -2221,7 +2221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vnorm_quantity": vnorm_quantity,
         "count_nonnull_semantics": count_nonnull_semantics,
         "ship_latency": ship_latency,
-        "merge_columns": merge_columns,
         "q02_style_min_bal_supplier": q02_style_min_bal_supplier,
         "q07_style_nation_volume": q07_style_nation_volume,
         "q08_style_market_share": q08_style_market_share,

@@ -1939,7 +1939,28 @@ def merge(*cols, **named) -> Table:
                 raise TypeError(
                     "merge tables do not share a common ancestor")
             sel.extend(F.col(c) for c in e.columns)
-    return _derived(table.df.select(*sel), table)
+    out = _derived(table.df.select(*sel), table)
+    # wire node (r8): a merge of serializable column exprs over one
+    # serializable table travels as [(name, expr_tree), ...]; a Table
+    # input contributes its column list as field picks of the SAME
+    # ancestor (its own plan is the shared lineage, so fields resolve)
+    if table._tree is not None:
+        parts, ok = [], True
+        for e in all_exprs:
+            if isinstance(e, ColExpr):
+                if e._tree is None:
+                    ok = False
+                    break
+                parts.append((e.name, e._tree))
+            else:
+                if e._tree != table._tree:
+                    ok = False
+                    break
+                parts.extend((c, {"op": "field", "args": [c]})
+                             for c in e.columns)
+        if ok:
+            out._tree = {"op": "merge", "args": [table._tree, parts]}
+    return out
 
 
 def transform(t: Table, **cols) -> Table:

@@ -172,7 +172,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   "sort", "distinct", "relabel", "transform", "by",
                   "summary", "join", "concat", "pivot", "unpivot",
                   "explode", "intersect", "except", "count_values",
-                  "rollup", "cube", "grouping_sets",
+                  "rollup", "cube", "grouping_sets", "merge",
                   # text/curation projections (r6): table-in/table-out
                   # pure Column-expr ops, so they serialize as plain
                   # unary nodes — a server client can run the curation
@@ -219,6 +219,11 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return Table(child.df.withColumns(cols), child._name)
         if op == "drop_field":
             return child.drop_field(*args[1])
+        if op == "merge":
+            from .core import merge as _merge
+
+            exprs = [_expr(tr, child).label(n) for n, tr in args[1]]
+            return _merge(*exprs)
         if op == "intersect":
             return child.intersect(walk(args[1]))
         if op == "except":

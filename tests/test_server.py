@@ -747,3 +747,21 @@ def test_remote_rolling_range_agg_whitelist(spark, served):
             ["udf", "o_orderkey", -5], {}]}}]}
     with pytest.raises(ValueError, match="whitelist"):
         from_tree(bad, datasets={"orders": t})
+
+
+def test_remote_merge(spark, served, star):
+    """merge() of serializable column exprs travels the wire (r8)."""
+    from blaze_spark import data, merge
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    def q(t):
+        return merge(t.o_orderkey,
+                     pri=t.o_orderpriority.str.lower(),
+                     big=t.o_totalprice > 200000.0).sort("o_orderkey") \
+            .head(6)
+
+    got, want = q(rt).compute(), q(o).compute()
+    assert got.pri.tolist() == want.pri.tolist()
+    assert got.big.tolist() == want.big.tolist()
