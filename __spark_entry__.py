@@ -2162,19 +2162,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
+        "scalar_algebra_summary": scalar_algebra_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
-        "isin_large_semijoin": isin_large_semijoin,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds (rows-only contract entries + unchanged
         # fillers displaced by the r8 dialect entries; nothing failing
         # rotated out — r7 had zero failures) ============================
+        "isin_large_semijoin": isin_large_semijoin,
         "blocklist_filter_docs": blocklist_filter_docs,
         "union_distinct_regions": union_distinct_regions,
-        "scalar_algebra_summary": scalar_algebra_summary,
         "train_test_split_docs": train_test_split_docs,
         "array_ops_embeddings": array_ops_embeddings,
         "embedding_neardup": embedding_neardup,

@@ -836,11 +836,32 @@ class Reduction:
     def label(self, name: str) -> "Reduction":
         return Reduction(self._table, self._agg, name, tree=self._tree)
 
+    def _remote_client(self):
+        return getattr(self._table, "_client", None)
+
+    def _summary_tree(self) -> dict:
+        if self._tree is None or self._table._tree is None:
+            raise ValueError(
+                "this reduction is not serializable to the tree dialect — "
+                "it cannot run on the server.  Compute the serializable "
+                "prefix remotely, then reduce locally on the result.")
+        return {"op": "summary",
+                "args": [self._table._tree, {self._name: self._tree}]}
+
     def to_table(self) -> "Table":
-        return _derived(self._table.df.agg(self._agg.alias(self._name)),
-                        self._table)
+        out = _derived(self._table.df.agg(self._agg.alias(self._name)),
+                       self._table)
+        if self._tree is not None and self._table._tree is not None:
+            out._tree = self._summary_tree()
+        return out
 
     def compute(self):
+        # a remote table's LOCAL frame is empty — aggregate SERVER-side
+        # via a one-entry summary tree (the RemoteTable.__len__ pattern),
+        # never silently over no rows
+        client = self._remote_client()
+        if client is not None:
+            return client.compute_tree(self._summary_tree()).iloc[0, 0]
         return self._table.df.agg(self._agg.alias(self._name)).collect()[0][0]
 
     def __repr__(self):
@@ -857,15 +878,32 @@ class Reduction:
     #    — blaze/expr/reductions.py + arithmetic dispatch).  Both sides
     #    must reduce over the SAME underlying plan so the combination
     #    stays ONE aggregation pass. -------------------------------------
-    def _combine(self, other, fn, name: str) -> "Reduction":
+    def _combine(self, other, fn, name: str, swapped: bool = False) -> "Reduction":
+        # wire node (r8): scalar algebra over reductions serializes as
+        # plain arith nodes whose operands are reduction subtrees/scalars
+        # (interop._red_expr replays them) — rsub/rdiv record with the
+        # operands swapped so only canonical ops exist on the wire
+        opname = _OPNAME.get(name.rsplit("_", 1)[-1].lstrip("r"))
         if isinstance(other, Reduction):
             if other._table.df is not self._table.df:
                 raise TypeError(
                     "cannot combine reductions over different tables in "
                     "one scalar expression; compute them separately")
-            return Reduction(self._table, fn(self._agg, other._agg), name)
+            tree = None
+            if opname and self._tree is not None and other._tree is not None:
+                pair = ([other._tree, self._tree] if swapped
+                        else [self._tree, other._tree])
+                tree = {"op": opname, "args": pair}
+            return Reduction(self._table, fn(self._agg, other._agg), name,
+                             tree=tree)
         if isinstance(other, (int, float)) and not isinstance(other, bool):
-            return Reduction(self._table, fn(self._agg, F.lit(other)), name)
+            tree = None
+            if opname and self._tree is not None:
+                pair = ([other, self._tree] if swapped
+                        else [self._tree, other])
+                tree = {"op": opname, "args": pair}
+            return Reduction(self._table, fn(self._agg, F.lit(other)), name,
+                             tree=tree)
         return NotImplemented
 
     def __add__(self, o):
@@ -877,7 +915,8 @@ class Reduction:
         return self._combine(o, lambda a, b: a - b, f"{self._name}_sub")
 
     def __rsub__(self, o):
-        return self._combine(o, lambda a, b: b - a, f"{self._name}_rsub")
+        return self._combine(o, lambda a, b: b - a, f"{self._name}_rsub",
+                             swapped=True)
 
     def __mul__(self, o):
         return self._combine(o, lambda a, b: a * b, f"{self._name}_mul")
@@ -893,7 +932,7 @@ class Reduction:
     def __rtruediv__(self, o):
         return self._combine(
             o, lambda a, b: b.cast("double") / a.cast("double"),
-            f"{self._name}_rdiv")
+            f"{self._name}_rdiv", swapped=True)
 
     def __neg__(self):
         return Reduction(self._table, -self._agg, f"{self._name}_neg")

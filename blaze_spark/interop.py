@@ -143,11 +143,25 @@ _REDUCTIONS = {"sum", "min", "max", "mean", "var", "std", "count",
 
 
 def _reduction(node: dict, t: Table) -> Reduction:
+    """A reduction subtree: a plain reduction op, or (r8) scalar algebra
+    over reductions — arith nodes whose operands are reduction subtrees
+    or numeric literals (Reduction._combine records them)."""
     op = node["op"]
+    if op in _RED_ALGEBRA:
+        a, b = node["args"]
+        left = _reduction(a, t) if isinstance(a, dict) else a
+        right = _reduction(b, t) if isinstance(b, dict) else b
+        return _RED_ALGEBRA[op](left, right)
     if op not in _REDUCTIONS:
         raise ValueError(f"unknown reduction: {op}")
     col = _expr(node["args"][0], t)
     return getattr(col, op)()
+
+
+_RED_ALGEBRA = {
+    "add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b, "div": lambda a, b: a / b,
+}
 
 
 def from_tree(tree: dict, *, spark: SparkSession | None = None,

@@ -765,3 +765,33 @@ def test_remote_merge(spark, served, star):
     got, want = q(rt).compute(), q(o).compute()
     assert got.pri.tolist() == want.pri.tolist()
     assert got.big.tolist() == want.big.tolist()
+
+
+def test_remote_reduction_and_scalar_algebra(spark, served, star):
+    """r8: a bare Reduction on a RemoteTable aggregates SERVER-side (the
+    local frame is empty — silently returning None/0 was the same bug
+    class as the curation passes), and scalar algebra over reductions
+    serializes as arith nodes."""
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    assert rt.o_totalprice.sum().compute() == \
+        o.o_totalprice.sum().compute()
+    # mean as algebra: sum/count, plus scalar operand and r-operand
+    got = (rt.o_totalprice.sum() / rt.o_totalprice.count()).compute()
+    want = (o.o_totalprice.sum() / o.o_totalprice.count()).compute()
+    assert got == want
+    got = (1.0 + rt.o_totalprice.max() * 2).compute()
+    want = (1.0 + o.o_totalprice.max() * 2).compute()
+    assert got == want
+
+    # to_table() of a remote reduction keeps the remote plan
+    tt = rt.o_totalprice.min().to_table()
+    assert tt._tree is not None
+    assert tt.compute().iloc[0, 0] == o.o_totalprice.min().compute()
+
+    # a non-serializable reduction raises, never empty
+    with pytest.raises(ValueError, match="serializable"):
+        rt.o_totalprice.var(unbiased=True).compute()
