@@ -311,6 +311,12 @@ class RemoteTable(Table):
         return Table(self._materialized(), self._name).into_table(
             name, **kwargs)
 
+    def __iter__(self):
+        """Iterating a remote expression computes SERVER-side first (the
+        base ``toLocalIterator`` would stream the empty schema-only
+        frame) and yields Spark Rows from the re-bound result."""
+        return self._materialized().toLocalIterator()
+
     def __len__(self) -> int:
         # remote count via the dialect (summary over nelements) — never
         # counts the empty local frame

@@ -657,8 +657,11 @@ class ColExpr:
             raise TypeError(
                 "selection predicate is built from a different table; "
                 "predicate and column must share a common ancestor")
-        filtered = self._table._new(self._table.df.filter(key.col))
-        return ColExpr(filtered, self._col, self._name, self.dtype)
+        # route through Table.__getitem__ so the selection records its
+        # wire node (a remote column filter stays remote-computable, r8)
+        filtered = self._table[key]
+        return ColExpr(filtered, self._col, self._name, self.dtype,
+                       tree=self._tree)
 
     def __iter__(self):
         # reference parity (blaze/expr/expressions.py:209-214): iterating
@@ -669,26 +672,38 @@ class ColExpr:
 
     def head(self, n: int = 10) -> "ColExpr":
         """First ``n`` values (in the table's current order)."""
-        limited = self._table._new(self._table.df.limit(n))
-        return ColExpr(limited, self._col, self._name, self.dtype)
+        limited = self._table.head(n)
+        return ColExpr(limited, self._col, self._name, self.dtype,
+                       tree=self._tree)
 
     def distinct(self) -> "ColExpr":
         """Distinct values of this column (1-D distinct,
         blaze/expr/collections.py:176-252)."""
         tb = self.to_table().distinct()
-        return ColExpr(tb, F.col(self._name), self._name, self.dtype)
+        return ColExpr(tb, F.col(self._name), self._name, self.dtype,
+                       tree={"op": "field", "args": [self._name]})
 
     def sort(self, ascending: bool = True) -> "ColExpr":
         """This column's values sorted (1-D sort,
         blaze/expr/collections.py:80-173)."""
         tb = self.to_table().sort(self._name, ascending=ascending)
-        return ColExpr(tb, F.col(self._name), self._name, self.dtype)
+        return ColExpr(tb, F.col(self._name), self._name, self.dtype,
+                       tree={"op": "field", "args": [self._name]})
 
     # -- interactive --------------------------------------------------------
     def to_table(self) -> "Table":
-        return _derived(
+        out = _derived(
             self._table.df.select(self._col.alias(self._name)),
             self._table)
+        # one-column projection serializes as a single-entry merge, so a
+        # remote column's compute()/distinct()/sort()/peek() run
+        # server-side instead of raising (or silently reading the empty
+        # schema-only frame)
+        if self._table._tree is not None and self._tree is not None:
+            out._tree = {"op": "merge",
+                         "args": [self._table._tree,
+                                  [(self._name, self._tree)]]}
+        return out
 
     def peek(self, n: int = 10):
         return self.to_table().peek(n)

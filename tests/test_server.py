@@ -795,3 +795,28 @@ def test_remote_reduction_and_scalar_algebra(spark, served, star):
     # a non-serializable reduction raises, never empty
     with pytest.raises(ValueError, match="serializable"):
         rt.o_totalprice.var(unbiased=True).compute()
+
+
+def test_remote_column_ops_and_iteration(spark, served, star):
+    """r8 silent-empty audit: 1-D column ops (compute/distinct/sort/
+    head/filter) and Table iteration on a RemoteTable go server-side."""
+    from blaze_spark import data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    got = sorted(rt.o_orderstatus.distinct().compute().o_orderstatus)
+    want = sorted(o.o_orderstatus.distinct().compute().o_orderstatus)
+    assert got == want
+
+    got = rt.o_totalprice.sort(ascending=False).head(5).compute()
+    want = o.o_totalprice.sort(ascending=False).head(5).compute()
+    assert got.o_totalprice.tolist() == want.o_totalprice.tolist()
+
+    big = rt.o_totalprice[rt.o_totalprice > 400000.0]
+    lbig = o.o_totalprice[o.o_totalprice > 400000.0]
+    assert sorted(big.compute().o_totalprice) == \
+        sorted(lbig.compute().o_totalprice)
+
+    rows = list(rt[rt.o_totalprice > 400000.0].head(3))
+    assert len(rows) == 3 and rows[0].o_totalprice > 400000.0
