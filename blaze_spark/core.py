@@ -1723,6 +1723,33 @@ def _derived(df: DataFrame, *parents: Table) -> Table:
     return t
 
 
+def _localize_guard(fn):
+    """Wrap a pipeline/operator entry point that has no wire-dialect form
+    so a remote (blaze://) table input raises IMMEDIATELY with guidance
+    (r8 silent-empty audit).  Without the guard these functions build
+    plain local plans over the RemoteTable's empty schema-only frame —
+    the result computes 0 rows with no error, the exact contract
+    violation ADVICE r7 flagged for the curation passes.  Eager
+    operators (quantizer fits, boundary sampling) would otherwise crash
+    obscurely or mis-fit on the empty frame before compute() is ever
+    reached, so the check belongs at entry, not on the result."""
+    import functools
+
+    @functools.wraps(fn)
+    def op(*args, **kwargs):
+        for a in list(args) + list(kwargs.values()):
+            if isinstance(a, Table) and getattr(a, "_client", None) is not None:
+                raise TypeError(
+                    f"{fn.__name__} is outside the remote wire dialect: "
+                    "it would compute locally over the remote table's "
+                    "empty schema-only frame.  compute() the remote "
+                    "expression first (or register the operator's inputs "
+                    "on the server) and rebuild a local table from the "
+                    "result.")
+        return fn(*args, **kwargs)
+    return op
+
+
 def _unary_pass(t: Table, df: DataFrame, op: str, *tree_args) -> Table:
     """Build the result of a unary table→table pipeline pass (curation /
     text projections), preserving derivation metadata AND recording the

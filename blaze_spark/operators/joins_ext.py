@@ -68,3 +68,11 @@ def salted_join(big: Table, small: Table, on_left: str, on_right: str,
     if on_left != on_right:
         joined = joined.drop(sd[on_right])
     return Table(joined, "salted_join")
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+asof_join = _lg(asof_join)
+salted_join = _lg(salted_join)

@@ -52,3 +52,11 @@ def bucketed_range_join(left: Table, right: Table, value_col: str,
     keep = [F.col(f"l.{c}") for c in left.columns] + \
            [F.col(f"r.{c}") for c in right.columns]
     return Table(exact.select(*keep), "bucketed_range_join")
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+range_join = _lg(range_join)
+bucketed_range_join = _lg(bucketed_range_join)

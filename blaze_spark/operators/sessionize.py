@@ -49,3 +49,10 @@ def sessionize(t: Table, key, order_by, gap, gap_col=None,
         t.df.withColumn("__new_s", new_session)
         .withColumn(session_col, F.sum("__new_s").over(run))
         .drop("__new_s"))
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+sessionize = _lg(sessionize)

@@ -125,3 +125,12 @@ def canonical_docs(docs, pairs, id_col: str = "doc_id",
            .withColumn("keep", F.coalesce(F.col("is_canonical"), F.lit(True)))
            .drop("is_canonical"))
     return Table(out, "canonical_docs")
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+connected_components = _lg(connected_components)
+dedup_clusters = _lg(dedup_clusters)
+canonical_docs = _lg(canonical_docs)

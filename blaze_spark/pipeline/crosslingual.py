@@ -126,3 +126,12 @@ def crosslingual_minhash_candidates(t: Table, lexicon: Table,
     return scoped_persist(
         Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
               "crosslingual_minhash_candidates"), sigs)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+crosslingual_fingerprint = _lg(crosslingual_fingerprint)
+crosslingual_dedup = _lg(crosslingual_dedup)
+crosslingual_minhash_candidates = _lg(crosslingual_minhash_candidates)

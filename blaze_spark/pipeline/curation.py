@@ -404,3 +404,17 @@ def apply_source_mix(t: Table, weights: DataFrame,
     kept = joined.filter(
         (w >= 1.0) | ((w > 0.0) & (u < thr))).drop("sample_weight")
     return Table(kept, t._name)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+top_ngram_share = _lg(top_ngram_share)
+contamination_report = _lg(contamination_report)
+source_mix = _lg(source_mix)
+extract_urls = _lg(extract_urls)
+domain_mix = _lg(domain_mix)
+blocklist_filter = _lg(blocklist_filter)
+corpus_report = _lg(corpus_report)
+apply_source_mix = _lg(apply_source_mix)

@@ -559,3 +559,17 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
     )
     return scoped_persist(Table(pairs, "simhash_candidates"), sh)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+exact_dedup = _lg(exact_dedup)
+normalized_dedup = _lg(normalized_dedup)
+minhash_signatures = _lg(minhash_signatures)
+minhash_candidates = _lg(minhash_candidates)
+ngram_jaccard_pairs = _lg(ngram_jaccard_pairs)
+exact_jaccard_pairs = _lg(exact_jaccard_pairs)
+simhash = _lg(simhash)
+simhash_candidates = _lg(simhash_candidates)

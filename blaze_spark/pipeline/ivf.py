@@ -321,3 +321,13 @@ def load_centroids(path: str, spark=None) -> np.ndarray:
     spark = spark or SparkSession.getActiveSession()
     rows = spark.read.parquet(path).orderBy("cell_id").collect()
     return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+kmeans_fit = _lg(kmeans_fit)
+ivf_assign = _lg(ivf_assign)
+ivf_topk = _lg(ivf_topk)
+ivf_neardup_pairs = _lg(ivf_neardup_pairs)

@@ -316,3 +316,16 @@ def extract_audio_features(t: Table, audio_col: str = "audio",
 
     return Table(t.df.select(id_col, audio_col)
                  .mapInPandas(_feat, out_schema), t._name)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+attach_fake_binary = _lg(attach_fake_binary)
+decode_images = _lg(decode_images)
+extract_image_features = _lg(extract_image_features)
+sample_video_frames = _lg(sample_video_frames)
+resize_images = _lg(resize_images)
+attach_fake_audio = _lg(attach_fake_audio)
+extract_audio_features = _lg(extract_audio_features)

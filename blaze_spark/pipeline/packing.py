@@ -240,3 +240,12 @@ def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
            .withColumn("chunk_tokens", F.size("chunk_toks"))
            .drop("__toks", "__nt", "__nch", "chunk_toks"))
     return Table(out, t._name)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+train_val_test_split = _lg(train_val_test_split)
+pack_sequences = _lg(pack_sequences)
+chunk_documents = _lg(chunk_documents)

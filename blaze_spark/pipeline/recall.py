@@ -70,3 +70,11 @@ def topk_recall(truth, found, query_col: str = "query_id",
     'pair' is (query, neighbor).  Same one-pass counting as
     :func:`pair_recall`; recall here is the standard ANN recall@k."""
     return pair_recall(truth, found, a=query_col, b=neighbor_col)
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+pair_recall = _lg(pair_recall)
+topk_recall = _lg(topk_recall)

@@ -408,3 +408,13 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 if round_to is not None else F.col("cosine"))
     )
     return Table(out, "lsh_cosine_topk")
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+cosine_topk = _lg(cosine_topk)
+neardup_pairs = _lg(neardup_pairs)
+embedding_neardup_pairs = _lg(embedding_neardup_pairs)
+lsh_cosine_topk = _lg(lsh_cosine_topk)

@@ -126,3 +126,10 @@ def fingerprint(t: Table, text_col: str = "text") -> Table:
         t.df.withColumn("fingerprint", F.md5(F.encode(canon, "UTF-8"))),
         "fingerprint", text_col,
     )
+
+
+# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
+# at entry instead of computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+token_stats = _lg(token_stats)

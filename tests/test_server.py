@@ -820,3 +820,44 @@ def test_remote_column_ops_and_iteration(spark, served, star):
 
     rows = list(rt[rt.o_totalprice > 400000.0].head(3))
     assert len(rows) == 3 and rows[0].o_totalprice > 400000.0
+
+
+def test_pipeline_ops_reject_remote_tables(spark, served):
+    """r8 silent-empty audit: every pipeline/operator entry point with no
+    wire-dialect form raises IMMEDIATELY on a remote table instead of
+    building a local plan over the empty schema-only frame.  The five
+    serialized curation passes are the deliberate exceptions (they run
+    server-side — covered above)."""
+    from blaze_spark import data, pipeline as pl
+    from blaze_spark import operators as ops
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+
+    guarded = [
+        pl.exact_dedup, pl.normalized_dedup, pl.minhash_signatures,
+        pl.minhash_candidates, pl.exact_jaccard_pairs, pl.simhash,
+        pl.simhash_candidates, pl.cosine_topk, pl.neardup_pairs,
+        pl.embedding_neardup_pairs, pl.lsh_cosine_topk,
+        pl.connected_components, pl.canonical_docs, pl.token_stats,
+        pl.top_ngram_share, pl.contamination_report, pl.source_mix,
+        pl.extract_urls, pl.domain_mix, pl.corpus_report,
+        pl.train_val_test_split, pl.pack_sequences, pl.chunk_documents,
+        pl.attach_fake_binary, pl.decode_images,
+        pl.extract_image_features, pl.sample_video_frames,
+        pl.pair_recall,
+    ]
+    from blaze_spark.pipeline.multimodal import resize_images
+    guarded.append(resize_images)
+    from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
+    from blaze_spark.operators.joins_ext import asof_join, salted_join
+    from blaze_spark.operators.sessionize import sessionize
+    guarded += [ivf_assign, ivf_topk, kmeans_fit, asof_join,
+                salted_join, sessionize]
+
+    for fn in guarded:
+        with pytest.raises(TypeError, match="wire dialect"):
+            fn(rt)
+    # second-position remote input is caught too
+    local = data("/root/testdata/sf0.001/orders.parquet", spark=spark)
+    with pytest.raises(TypeError, match="wire dialect"):
+        asof_join(local, rt, on="x", by="y")
