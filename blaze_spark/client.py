@@ -26,10 +26,17 @@ The serializable subset is ``interop.from_tree``'s op whitelist:
 projection / drop_field / selection / head / tail / slice / sort (incl.
 per-key directions) / distinct / relabel / transform / by / rollup /
 cube / grouping_sets / count_values / summary / join / concat /
-intersect / except / pivot / unpivot / explode / hash_sample and the
-unary curation passes (language_id, quality_features, fingerprint,
-repetition_features, pii_scrub — routed through ``_derived`` so they
-preserve the remote leaf and record their node, r8).  Scalar
+intersect / except / pivot / unpivot / explode / hash_sample / merge
+and the unary curation passes (language_id, quality_features,
+fingerprint, repetition_features, pii_scrub, token_stats — routed
+through ``_derived`` so they preserve the remote leaf and record their
+node, r8).  Bare reductions aggregate server-side through a one-entry
+summary tree (``rt.col.sum().compute()`` never reads the empty local
+frame), and so do the 1-D column ops (compute/peek/distinct/sort/head)
+and Table iteration.  Every pipeline/operator entry point OUTSIDE this
+subset raises immediately on a remote input
+(``core._localize_guard``) instead of silently computing over the
+empty frame.  Scalar
 expressions cover arithmetic, comparisons, boolean logic, isin, like,
 coalesce, shift (string keys), every public ``.str`` / ``.dt``
 accessor method, and the math-function family

@@ -192,7 +192,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # unary nodes — a server client can run the curation
                   # passes on registered datasets without shipping code
                   "language_id", "quality_features", "fingerprint",
-                  "repetition_features", "pii_scrub", "hash_sample"}
+                  "repetition_features", "pii_scrub", "token_stats",
+                  "hash_sample"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -287,16 +288,18 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return child.hash_sample(args[1], on=args[2],
                                      salt=args[3] if len(args) > 3 else 42)
         if op in ("language_id", "quality_features", "fingerprint",
-                  "repetition_features", "pii_scrub"):
+                  "repetition_features", "pii_scrub", "token_stats"):
             from . import pipeline as _pl
             fn = getattr(_pl, op)
             # optional args[1] = text column name; pii_scrub also takes
-            # args[2] = list of kinds
+            # args[2] = list of kinds; token_stats args[2] = group_col
             kw = {}
             if len(args) > 1 and args[1]:
                 kw["text_col"] = args[1]
             if op == "pii_scrub" and len(args) > 2 and args[2]:
                 kw["kinds"] = tuple(args[2])
+            if op == "token_stats" and len(args) > 2 and args[2]:
+                kw["group_col"] = args[2]
             return fn(child, **kw)
         raise ValueError(f"unknown table op: {op}")
 

@@ -105,14 +105,15 @@ def token_stats(t: Table, text_col: str = "text", group_col: str | None = None) 
         "n_subtokens": bpe_ish.cast(T.IntegerType()),
     })
     if group_col is None:
-        return Table(out, t._name)
-    return Table(
+        return _unary_pass(t, out, "token_stats", text_col)
+    return _unary_pass(
+        t,
         out.groupBy(group_col).agg(
             F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.sum("n_subtokens").cast(T.LongType()).alias("total_subtokens"),
         ),
-        t._name,
+        "token_stats", text_col, group_col,
     )
 
 
@@ -128,8 +129,6 @@ def fingerprint(t: Table, text_col: str = "text") -> Table:
     )
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
-
-token_stats = _lg(token_stats)
+# token_stats joined the wire dialect (its node carries text_col +
+# optional group_col), so it needs no remote guard — all six text/
+# curation passes now run server-side on a RemoteTable

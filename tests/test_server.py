@@ -616,7 +616,7 @@ def test_remote_curation_passes_run_server_side(spark, star):
     try:
         rt = data(f"blaze://127.0.0.1:{srv.port}::documents", spark=spark)
         for fn in (pl.language_id, pl.quality_features, pl.fingerprint,
-                   pl.repetition_features, pl.pii_scrub):
+                   pl.repetition_features, pl.pii_scrub, pl.token_stats):
             out = fn(rt)
             assert getattr(out, "_client", None) is not None, fn.__name__
             assert out._tree is not None, fn.__name__
@@ -630,6 +630,10 @@ def test_remote_curation_passes_run_server_side(spark, star):
         want = pl.fingerprint(docs)[["doc_id", "fingerprint"]] \
             .sort("doc_id").head(20).compute()
         assert got.fingerprint.tolist() == want.fingerprint.tolist()
+        # grouped token_stats carries its group_col through the node
+        got = pl.token_stats(rt, group_col="lang").sort("lang").compute()
+        want = pl.token_stats(docs, group_col="lang").sort("lang").compute()
+        assert got.total_tokens.tolist() == want.total_tokens.tolist()
     finally:
         srv.stop()
 
@@ -838,7 +842,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
         pl.minhash_candidates, pl.exact_jaccard_pairs, pl.simhash,
         pl.simhash_candidates, pl.cosine_topk, pl.neardup_pairs,
         pl.embedding_neardup_pairs, pl.lsh_cosine_topk,
-        pl.connected_components, pl.canonical_docs, pl.token_stats,
+        pl.connected_components, pl.canonical_docs,
         pl.top_ngram_share, pl.contamination_report, pl.source_mix,
         pl.extract_urls, pl.domain_mix, pl.corpus_report,
         pl.train_val_test_split, pl.pack_sequences, pl.chunk_documents,
