@@ -408,3 +408,65 @@ def test_unknown_method_node_rejected(spark, t):
     import pytest
     with pytest.raises(ValueError, match="unknown expression op"):
         from_tree(bad, datasets={"t": t})
+
+
+def test_fuzz_tree_roundtrip_r8_ops(spark, sf_dir):
+    """r8 widening fuzz: chains drawn from the NEW dialect surface —
+    .str/.dt/math/window call nodes, tail/slice/hash_sample/drop_field,
+    coalesce, shift — round-trip through from_tree(to_tree(q)) with
+    identical results (all deterministic given the unique-key sorts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from blaze_spark import coalesce as C
+    from blaze_spark import data
+    from blaze_spark.functions import math as M
+    from blaze_spark.functions import window as W
+    from blaze_spark.interop import from_tree, to_tree
+
+    ops = st.lists(
+        st.sampled_from(["str", "dt", "math", "win", "tail", "slice",
+                         "hash_sample", "drop_field", "shift_coalesce"]),
+        min_size=1, max_size=4)
+
+    @given(seq=ops, frac=st.floats(min_value=0.2, max_value=0.9))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(seq, frac):
+        q = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+        for op in seq:
+            cols = set(q.columns)
+            if op == "str" and "o_orderpriority" in cols:
+                q = q.transform(pri=q.o_orderpriority.str.lower()
+                                .str.slice(0, 6))
+            elif op == "dt" and "o_orderdate" in cols:
+                q = q.transform(ym=q.o_orderdate.dt.strftime("%Y-%m"))
+            elif op == "math" and "o_totalprice" in cols:
+                q = q.transform(r=M.hypot(M.sqrt(q.o_totalprice),
+                                          q.o_custkey))
+            elif op == "win" and "o_totalprice" in cols:
+                q = q.transform(
+                    run=W.cumsum(q.o_totalprice, "o_orderkey",
+                                 partition_by="o_orderstatus"),
+                    rk=W.dense_rank(q, "o_orderkey"))
+            elif op == "tail" and "o_orderkey" in cols:
+                q = q.tail(200, sort_keys="o_orderkey")
+            elif op == "slice" and "o_orderkey" in cols:
+                q = q.sort("o_orderkey")[5:120:3]
+            elif op == "hash_sample" and "o_orderkey" in cols:
+                q = q.hash_sample(frac, on="o_orderkey")
+            elif op == "drop_field" and "o_orderpriority" in cols:
+                q = q.drop_field("o_orderpriority")
+            elif op == "shift_coalesce" and "o_totalprice" in cols:
+                prev = q.o_totalprice.shift(1, "o_orderkey")
+                q = q.transform(p=C(prev, -1.0))
+        tree = to_tree(q)
+        import json
+        json.dumps(tree)
+        a, b = q.compute(), from_tree(tree, spark=spark).compute()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"{seq}\n{a.head()}\n{b.head()}"
+
+    run()
