@@ -1985,6 +1985,9 @@ def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
     return Table(out, "hypertable_rollup")
 
 
+hypertable_rollup = _localize_guard(hypertable_rollup)
+
+
 def summary(**reductions: Reduction) -> Table:
     """Named multi-reduction record (blaze/expr/reductions.py:226-296)."""
     first = next(iter(reductions.values()))

@@ -332,6 +332,13 @@ def sql(query: str, *, spark: SparkSession | None = None,
     query through Spark SQL (the reference's SparkSQL backend compiled
     expressions INTO SQL strings, blaze/compute/sparksql.py:61-93; here SQL
     is simply a second front-end onto the same Catalyst plans)."""
+    for name, t in tables.items():
+        if getattr(t, "_client", None) is not None:
+            raise TypeError(
+                f"sql() table {name!r} is remote (blaze://): registering "
+                "it as a temp view would query the empty schema-only "
+                "frame.  compute() the remote expression first, or run "
+                "the SQL on the server's own session.")
     spark = spark or SparkSession.getActiveSession()
     if spark is None and tables:
         spark = next(iter(tables.values())).df.sparkSession

@@ -855,8 +855,9 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join, salted_join
     from blaze_spark.operators.sessionize import sessionize
+    from blaze_spark import hypertable_rollup
     guarded += [ivf_assign, ivf_topk, kmeans_fit, asof_join,
-                salted_join, sessionize]
+                salted_join, sessionize, hypertable_rollup]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):
@@ -865,3 +866,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     local = data("/root/testdata/sf0.001/orders.parquet", spark=spark)
     with pytest.raises(TypeError, match="wire dialect"):
         asof_join(local, rt, on="x", by="y")
+    # sql() refuses a remote temp view (would query the empty frame)
+    from blaze_spark.interop import sql
+    with pytest.raises(TypeError, match="remote"):
+        sql("SELECT 1 FROM o", o=rt)
