@@ -561,6 +561,18 @@ class ColExpr:
         return Reduction(self._table, F.approx_count_distinct(self._col, rsd),
                          f"{self._name}_approx_nunique")
 
+    def percentile(self, q: float):
+        """Exact percentile (interpolated, matching DuckDB quantile_cont)
+        — first-class reduction form of the ``F.percentile`` lowering
+        the registry queries use, usable inside ``by``/``summary`` and
+        serializable to the wire dialect (r8)."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("percentile q must be in [0, 1]")
+        tree = ({"op": "percentile", "args": [self._tree, float(q)]}
+                if self._tree is not None else None)
+        return Reduction(self._table, F.percentile(self._col, F.lit(q)),
+                         f"{self._name}_p{int(q * 100)}", tree=tree)
+
     def nelements(self):
         # counts rows INCLUDING nulls (blaze/expr/reductions.py:204-219)
         return self._red(F.count(F.lit(1)), "nelements", "nelements")
@@ -1339,16 +1351,34 @@ class Table:
         df.sample (scan-local, scale-free); exact-n -> order by rand, limit
         (reference SQL strategy blaze/compute/sql.py:1046-1052 — a top-k at
         scale, not a full sort)."""
+        # seeded samples serialize (reference to_tree carries Sample —
+        # the SERVER evaluates the same seeded plan; an unseeded sample
+        # stays non-serializable, it has no stable wire meaning)
+        tree = ({"op": "sample", "args": [self._tree, frac, n, seed]}
+                if self._tree is not None and seed is not None else None)
         if frac is not None:
-            return self._new(self._df.sample(fraction=frac, seed=seed))
+            out = self._new(self._df.sample(fraction=frac, seed=seed))
+            out._tree = tree
+            return out
         if n is not None:
-            return self._new(self._df.orderBy(F.rand(seed)).limit(n))
+            out = self._new(self._df.orderBy(F.rand(seed)).limit(n))
+            out._tree = tree
+            return out
         raise ValueError("sample needs frac or n")
 
     def sample_by(self, col: str, fractions: dict, seed: int | None = None):
         """Stratified sampling — per-stratum fractions (EXTENSION; the
         reference Sample is uniform only).  Scan-local, no shuffle."""
-        return self._new(self._df.sampleBy(col, fractions, seed))
+        out = self._new(self._df.sampleBy(col, fractions, seed))
+        # JSON objects key by string, so only string-valued strata
+        # round-trip losslessly; others stay non-serializable
+        if self._tree is not None and seed is not None \
+                and all(isinstance(k, str) for k in fractions):
+            out._tree = {"op": "sample_by",
+                         "args": [self._tree, col,
+                                  {k: float(v)
+                                   for k, v in fractions.items()}, seed]}
+        return out
 
     def hash_sample(self, frac: float, on: str, salt: int = 42):
         """DETERMINISTIC sample keyed by a column: keep a row iff the

@@ -152,6 +152,8 @@ def _reduction(node: dict, t: Table) -> Reduction:
         left = _reduction(a, t) if isinstance(a, dict) else a
         right = _reduction(b, t) if isinstance(b, dict) else b
         return _RED_ALGEBRA[op](left, right)
+    if op == "percentile":
+        return _expr(node["args"][0], t).percentile(node["args"][1])
     if op not in _REDUCTIONS:
         raise ValueError(f"unknown reduction: {op}")
     col = _expr(node["args"][0], t)
@@ -187,6 +189,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   "summary", "join", "concat", "pivot", "unpivot",
                   "explode", "intersect", "except", "count_values",
                   "rollup", "cube", "grouping_sets", "merge",
+                  "sample", "sample_by",
                   # text/curation projections (r6): table-in/table-out
                   # pure Column-expr ops, so they serialize as plain
                   # unary nodes — a server client can run the curation
@@ -283,6 +286,11 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             # args: [child, col, alias, pos, outer]
             return child.explode(args[1], alias=args[2], pos=args[3],
                                  outer=args[4])
+        if op == "sample":
+            # args: [child, frac, n, seed] — only seeded samples serialize
+            return child.sample(frac=args[1], n=args[2], seed=args[3])
+        if op == "sample_by":
+            return child.sample_by(args[1], args[2], seed=args[3])
         if op == "hash_sample":
             # args: [child, frac, on, salt?]
             return child.hash_sample(args[1], on=args[2],

@@ -123,9 +123,16 @@ def test_to_tree_unserializable_raises(spark, sf_dir):
     from blaze_spark.interop import to_tree
 
     o = data(f"{sf_dir}/orders.parquet", spark=spark)
-    s = o.sample(frac=0.5, seed=1)  # random ops have no dialect form
+    s = o.sample(frac=0.5)  # UNSEEDED sample has no stable wire meaning
     with pytest.raises(ValueError):
         to_tree(s)
+    # seeded sample serializes (reference to_tree carries Sample, r8)
+    assert to_tree(o.sample(frac=0.5, seed=1))["op"] == "sample"
+    assert to_tree(o.sample_by("o_orderstatus", {"O": 0.5}, seed=7))[
+        "op"] == "sample_by"
+    assert to_tree(
+        __import__("blaze_spark").summary(
+            p90=o.o_totalprice.percentile(0.9)))["op"] == "summary"
 
 
 def _roundtrip_equal(q, spark):

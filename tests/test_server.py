@@ -870,3 +870,31 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     from blaze_spark.interop import sql
     with pytest.raises(TypeError, match="remote"):
         sql("SELECT 1 FROM o", o=rt)
+
+
+def test_remote_seeded_sample_and_percentile(spark, served, star):
+    """r8: seeded sample/sample_by serialize (the server evaluates the
+    seeded plan — reference to_tree carries Sample); percentile is a
+    first-class serializable reduction."""
+    from blaze_spark import by, data
+
+    rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
+    o = star["orders"]
+
+    n = len(rt.sample(frac=0.3, seed=11))
+    assert 0 < n < o.df.count()
+
+    sb = rt.sample_by("o_orderstatus", {"O": 0.5, "F": 0.1}, seed=7)
+    got = sb.compute()
+    assert 0 < len(got) < o.df.count()
+    assert set(got.o_orderstatus) <= {"O", "F"}
+
+    g = by([rt.o_orderstatus], p90=rt.o_totalprice.percentile(0.9))
+    got = g.compute().sort_values("o_orderstatus").reset_index(drop=True)
+    want = by([o.o_orderstatus], p90=o.o_totalprice.percentile(0.9)) \
+        .compute().sort_values("o_orderstatus").reset_index(drop=True)
+    assert got.p90.tolist() == want.p90.tolist()
+
+    # unseeded sample still refuses
+    with pytest.raises(ValueError, match="serializable"):
+        rt.sample(0.5).compute()
