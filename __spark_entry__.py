@@ -1230,13 +1230,17 @@ def scalar_algebra_summary(spark, sf_dir):
 
 
 def percentile_prices(spark, sf_dir):
+    """Exact percentiles through the ENGINE-level reduction (r8:
+    ColExpr.percentile — serializable, by/summary-composable), not a raw
+    F.percentile escape; identical aggregates + rounding as before."""
     o = _t(spark, sf_dir, "orders")
-    g = o.df.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
-    )
-    return g
+    g = by([o.o_orderstatus],
+           median=o.o_totalprice.percentile(0.5),
+           p90=o.o_totalprice.percentile(0.9),
+           p99=o.o_totalprice.percentile(0.99))
+    return g.transform(median=F.round("median", 4),
+                       p90=F.round("p90", 4),
+                       p99=F.round("p99", 4)).df
 
 
 # ---------------------------------------------------------------------------
@@ -2164,16 +2168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
+        "percentile_prices": percentile_prices,
         "tensor_ops_embeddings": tensor_ops_embeddings,
-        "embedding_topk": embedding_topk,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds.  The r8 _localize_guard wrappers touch every
         # pipeline entry but are pure arg-checks (no plan/result change);
-        # entries below the line whose RESULTS could have changed are none —
-        # rows-only contracts + unchanged fillers only; nothing failing
-        # rotated out (r7 had zero failures) =============================
+        # rows-only contracts + unchanged fillers only below this line;
+        # nothing failing rotated out (r7 had zero failures) ============
+        "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
         "isin_large_semijoin": isin_large_semijoin,
         "blocklist_filter_docs": blocklist_filter_docs,
@@ -2244,7 +2248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": range_join_price_bands,
         "grouped_apply_zscore": grouped_apply_zscore,
         "asof_click_before_purchase": asof_click_before_purchase,
-        "percentile_prices": percentile_prices,
         "map_udf_quantity": map_udf_quantity,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_normalized_docs": dedup_normalized_docs,
