@@ -1125,6 +1125,25 @@ def blaze_client_scalar_chain(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def embedding_quantization(spark, sf_dir):
+    """int8 symmetric per-vector quantization (pipeline/quantize.py —
+    the 4x storage cut for 100 TB embedding columns): per-vector scale
+    plus exact integer-code checksums (sum/min/max), value-checked
+    against DuckDB's list arithmetic.  Pure JVM transform, no UDF."""
+    from blaze_spark.pipeline import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.df.select(
+        "vec_id",
+        (F.round("qscale", 6) + F.lit(0.0)).alias("qscale"),
+        F.aggregate("qembedding", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("qsum"),
+        F.array_min("qembedding").cast("int").alias("qmin"),
+        F.array_max("qembedding").cast("int").alias("qmax"),
+    )
+
+
 def pack_sequences_string_key(spark, sf_dir):
     """Sequence packing over a NON-NUMERIC order key (VERDICT r7 #6):
     UUID-style string keys route through the deterministic hash-ordered
@@ -2122,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # failures).  Full registry stays green under tools/check_oracles.py
         # (byte-strict floats, driver-identical).
         # -- new in r8: remote scalar/curation dialect + string-key packing --
+        "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
         "pack_sequences_string_key": pack_sequences_string_key,
@@ -2169,7 +2189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
-        "tensor_ops_embeddings": tensor_ops_embeddings,
         "trunc_10min_buckets": trunc_10min_buckets,
         "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
@@ -2177,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline entry but are pure arg-checks (no plan/result change);
         # rows-only contracts + unchanged fillers only below this line;
         # nothing failing rotated out (r7 had zero failures) ============
+        "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
         "isin_large_semijoin": isin_large_semijoin,
@@ -2674,6 +2694,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority LIKE '%URGENT%'
             ORDER BY o_orderkey DESC LIMIT 40
+        """,
+        "embedding_quantization": """
+            WITH s AS (
+                -- CAST to DOUBLE: DuckDB's FLOAT list max would keep the
+                -- whole chain (and round()) in float32, while Spark
+                -- promotes float/127.0 to double — byte-hash parity
+                -- needs the same width end to end
+                SELECT vec_id, embedding,
+                       CASE WHEN list_aggregate(list_transform(embedding,
+                                 x -> abs(x)), 'max') > 0
+                            THEN CAST(list_aggregate(list_transform(
+                                 embedding, x -> abs(x)), 'max') AS DOUBLE)
+                                 / 127.0
+                            ELSE 1.0 END AS scale
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(embedding,
+                           x -> CAST(round(x / scale) AS BIGINT)) AS qe
+                FROM s)
+            SELECT vec_id,
+                   round(scale, 6) + 0.0 AS qscale,
+                   CAST(list_sum(qe) AS BIGINT) AS qsum,
+                   CAST(list_aggregate(qe, 'min') AS INT) AS qmin,
+                   CAST(list_aggregate(qe, 'max') AS INT) AS qmax
+            FROM q
         """,
         "pack_sequences_string_key": r"""
             WITH q AS (

@@ -59,6 +59,10 @@ from .packing import (  # noqa: F401
     pack_sequences,
     train_val_test_split,
 )
+from .quantize import (  # noqa: F401
+    dequantize_embeddings,
+    quantize_embeddings,
+)
 from .multimodal import (  # noqa: F401
     IMAGE_SCHEMA,
     AUDIO_SCHEMA,

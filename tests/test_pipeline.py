@@ -801,3 +801,58 @@ def test_real_image_decode_with_pillow(spark):
     assert abs(row.mean_intensity - 128.0) < 1e-9
     rrow = resize_images(t, 4, 3, fake=False).df.collect()[0]
     assert (rrow.image.width, rrow.image.height) == (4, 3)
+
+
+# -- r8: int8 embedding quantization -------------------------------------
+
+
+def test_quantize_roundtrip_error_bound(spark, emb):
+    """x_hat = q*scale is within scale/2 of x per element; codes are in
+    [-127, 127]; a zero vector quantizes to all-zero with scale 1."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import (dequantize_embeddings,
+                                      quantize_embeddings)
+
+    q = quantize_embeddings(emb.head(200))
+    rows = q.df.select("vec_id", "embedding", "qembedding", "qscale") \
+        .collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.qembedding)
+        assert r.qscale > 0
+        for x, c in zip(r.embedding, r.qembedding):
+            assert abs(c * r.qscale - x) <= r.qscale / 2 + 1e-9
+
+    z = data([(1, [0.0, 0.0, 0.0])], spark=spark,
+             schema="vec_id bigint, embedding array<float>")
+    zr = quantize_embeddings(z).df.collect()[0]
+    assert zr.qscale == 1.0 and list(zr.qembedding) == [0, 0, 0]
+
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb.head(50)).drop_field("embedding"))
+    out = deq.df.select("vec_id", "embedding").collect()
+    assert len(out) == 50 and all(len(r.embedding) > 0 for r in out)
+
+
+def test_quantize_is_jvm_side_and_topk_recall(spark, emb):
+    """The quantize/dequantize plans stay in whole-stage codegen (no
+    Python), and cosine top-k over dequantized int8 vectors keeps high
+    recall vs exact float top-k."""
+    from blaze_spark.pipeline import (cosine_topk, dequantize_embeddings,
+                                      quantize_embeddings, topk_recall)
+    from blaze_spark.plans import physical_plan
+
+    q = quantize_embeddings(emb)
+    plan = physical_plan(dequantize_embeddings(
+        q.drop_field("embedding")).df)
+    assert "Python" not in plan and "FlatMap" not in plan
+
+    corpus = emb.head(400)
+    queries = emb.head(20)
+    exact = cosine_topk(corpus, queries, k=5)
+    qc = dequantize_embeddings(
+        quantize_embeddings(corpus).drop_field("embedding"))
+    qq = dequantize_embeddings(
+        quantize_embeddings(queries).drop_field("embedding"))
+    approx = cosine_topk(qc, qq, k=5)
+    rec = topk_recall(exact, approx).df.collect()[0]
+    assert rec.recall >= 0.9, rec
