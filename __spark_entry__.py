@@ -1125,6 +1125,19 @@ def blaze_client_scalar_chain(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def token_commonness_docs(spark, sf_dir):
+    """Corpus-frequency commonness scoring (pipeline/curation.py —
+    CCNet-style rare/gibberish proxy without an LM): top-2000 vocabulary
+    with deterministic (count desc, token asc) ties, per-doc OOV rate
+    and mean in-vocab relative frequency.  Integer-exact numerators
+    (sum of LONG counts) make the scores byte-reproducible in DuckDB."""
+    from blaze_spark.pipeline import token_commonness
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_commonness(d, vocab_size=2000)
+    return out.orderBy("doc_id")
+
+
 def embedding_quantization(spark, sf_dir):
     """int8 symmetric per-vector quantization (pipeline/quantize.py —
     the 4x storage cut for 100 TB embedding columns): per-vector scale
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # failures).  Full registry stays green under tools/check_oracles.py
         # (byte-strict floats, driver-identical).
         # -- new in r8: remote scalar/curation dialect + string-key packing --
+        "token_commonness_docs": token_commonness_docs,
         "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
@@ -2190,12 +2204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
-        "q01_pricing_summary": q01_pricing_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds.  The r8 _localize_guard wrappers touch every
         # pipeline entry but are pure arg-checks (no plan/result change);
         # rows-only contracts + unchanged fillers only below this line;
         # nothing failing rotated out (r7 had zero failures) ============
+        "q01_pricing_summary": q01_pricing_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,
         "source_mix_applied": source_mix_applied,
@@ -2694,6 +2708,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority LIKE '%URGENT%'
             ORDER BY o_orderkey DESC LIMIT 40
+        """,
+        "token_commonness_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS tok
+                FROM documents),
+            counts AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY tok),
+            vocab AS (
+                SELECT tok, cnt FROM counts
+                ORDER BY cnt DESC, tok LIMIT 2000),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+            SELECT t.doc_id,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   round(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) + 0.0 AS oov_rate,
+                   round(CAST(sum(coalesce(v.cnt, 0)) AS BIGINT)
+                         / (count(*) * (SELECT total FROM tot)), 8)
+                       + 0.0 AS commonness
+            FROM toks t LEFT JOIN vocab v USING (tok)
+            GROUP BY t.doc_id
         """,
         "embedding_quantization": """
             WITH s AS (

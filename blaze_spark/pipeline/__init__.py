@@ -52,6 +52,7 @@ from .curation import (  # noqa: F401
     pii_scrub,
     repetition_features,
     source_mix,
+    token_commonness,
     top_ngram_share,
 )
 from .packing import (  # noqa: F401

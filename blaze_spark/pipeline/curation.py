@@ -25,7 +25,7 @@ Scale notes, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -327,6 +327,63 @@ def blocklist_filter(t: Table, terms: list[str], text_col: str = "text",
     return Table(t.df.filter(~hit if mode == "drop" else hit), t._name)
 
 
+def token_commonness(t: Table, text_col: str = "text",
+                     id_col: str = "doc_id", vocab_size: int = 50_000,
+                     vocab: DataFrame | None = None) -> DataFrame:
+    """Corpus-frequency commonness score per document — the integer-exact
+    stand-in for CCNet-style LM-perplexity filtering: gibberish/boilerplate
+    documents are dominated by tokens that are RARE (or absent) in the
+    corpus-wide vocabulary, so a low mean corpus frequency / high OOV
+    rate flags them without a language model.
+
+    Output per doc: ``n_tokens``, ``oov_rate`` (tokens outside the
+    top-``vocab_size`` vocabulary), ``commonness`` = Σ count(tok) /
+    (n_tokens × total_vocab_tokens) — the mean in-vocabulary relative
+    frequency of the doc's tokens, OOV counting 0 (the denominator is
+    the vocabulary's own count total, so a supplied ``vocab`` is fully
+    self-describing).
+
+    Engine-portability by construction: the only floating-point step is
+    ONE division of exact 64-bit integers per doc (the numerator is a
+    sum of LONG counts — order-free, unlike a sum of doubles), so the
+    DuckDB oracle reproduces every byte.  Vocabulary ties break on
+    (count desc, token asc) — deterministic.
+
+    Scale: two corpus scans (vocabulary build + scoring) — at 100 TB
+    the vocabulary is built once per corpus snapshot and reused; pass
+    ``vocab`` (a (tok, cnt) DataFrame) to skip the build.  The
+    vocabulary (≤ ``vocab_size`` rows) broadcasts, so scoring adds NO
+    shuffle beyond the per-doc aggregation; the token explode partial-
+    aggregates map-side in both passes."""
+    c = F.col(text_col)
+    toks = t.df.select(F.col(id_col), F.explode(_tokens(c)).alias("tok"))
+    if vocab is None:
+        counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+        # rank over the aggregated (distinct-token) relation — small;
+        # the single-partition window is over #distinct_tokens rows,
+        # not the corpus
+        vocab = (counts.withColumn("__r", F.row_number().over(w))
+                 .filter(F.col("__r") <= vocab_size).drop("__r"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
+    scored = (toks.join(F.broadcast(vocab), "tok", "left")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+                   .alias("n_oov"),
+                   F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+                   .cast(T.LongType()).alias("cnt_sum")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens").cast(T.IntegerType()).alias("n_tokens"),
+        (F.round(F.col("n_oov") / F.col("n_tokens"), 4) + F.lit(0.0))
+        .alias("oov_rate"),
+        (F.round(F.col("cnt_sum")
+                 / (F.col("n_tokens") * F.lit(float(total))), 8)
+         + F.lit(0.0)).alias("commonness"),
+    )
+
+
 def corpus_report(t: Table, text_col: str = "text",
                   source_col: str = "source") -> DataFrame:
     """One-row corpus profile — the first thing anyone runs on a new
@@ -418,3 +475,4 @@ domain_mix = _lg(domain_mix)
 blocklist_filter = _lg(blocklist_filter)
 corpus_report = _lg(corpus_report)
 apply_source_mix = _lg(apply_source_mix)
+token_commonness = _lg(token_commonness)

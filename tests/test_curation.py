@@ -529,3 +529,35 @@ def test_pack_sequences_string_key_correct_after_cache_eviction(spark):
         c.unpersist(True)   # evict BEFORE the first action
     got = {(r.doc_id, r.tok_start, r.shard) for r in out2.df.collect()}
     assert got == want
+
+
+def test_token_commonness_scores_gibberish_low(spark):
+    """Corpus-frequency commonness: common-word docs score high, a
+    gibberish doc is mostly OOV with near-zero commonness; the score is
+    integer-exact (sum of longs / one division)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import token_commonness
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zxqv qqj wvvx zzzk"))        # gibberish: OOV-heavy
+    rows.append((101, "the the the the"))            # most common token
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="tc")
+    out = {r.doc_id: r for r in
+           token_commonness(t, vocab_size=5).collect()}
+    assert out[100].oov_rate == 1.0
+    assert out[100].commonness == 0.0
+    assert out[101].oov_rate == 0.0
+    assert out[101].commonness > out[0].commonness > out[100].commonness
+    # vocab reuse path: supplying the vocabulary skips the build and
+    # reproduces identical scores
+    from pyspark.sql import functions as F
+    toks = t.df.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+    vocab = toks.groupBy("tok").count() \
+        .withColumnRenamed("count", "cnt") \
+        .orderBy(F.col("cnt").desc(), "tok").limit(5)
+    out2 = {r.doc_id: r for r in
+            token_commonness(t, vocab=vocab).collect()}
+    for k in out:
+        assert out2[k].commonness == out[k].commonness, k
