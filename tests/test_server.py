@@ -852,6 +852,8 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     ]
     from blaze_spark.pipeline.multimodal import resize_images
     guarded.append(resize_images)
+    guarded += [pl.quantize_embeddings, pl.dequantize_embeddings,
+                pl.token_commonness]
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join, salted_join
     from blaze_spark.operators.sessionize import sessionize
