@@ -900,3 +900,55 @@ def test_remote_seeded_sample_and_percentile(spark, served, star):
     # unseeded sample still refuses
     with pytest.raises(ValueError, match="serializable"):
         rt.sample(0.5).compute()
+
+
+def test_hostile_trees_fail_closed(spark, star):
+    """Whitelist hardening sweep over the r8 families: dunder probes,
+    unknown families/methods/ops, expression-subtrees injected into
+    literal parameter slots, and malformed arg shapes must all raise
+    cleanly (ValueError/TypeError/KeyError) — never resolve attributes
+    outside the whitelists, never crash the worker."""
+    from blaze_spark.interop import from_tree
+
+    sym = {"op": "symbol", "args": ["orders"]}
+    fld = {"op": "field", "args": ["o_orderpriority"]}
+    hostile = [
+        # dunder / private method probes per family
+        {"op": "selection", "args": [sym, {"op": "str.__class__",
+                                           "args": [fld, [], {}]}]},
+        {"op": "selection", "args": [sym, {"op": "dt.__init__",
+                                           "args": [fld, [], {}]}]},
+        {"op": "selection", "args": [sym, {"op": "math.__import__",
+                                           "args": [fld, [], {}]}]},
+        {"op": "selection", "args": [sym, {"op": "win._window",
+                                           "args": [None, [], {}]}]},
+        # unknown family
+        {"op": "selection", "args": [sym, {"op": "os.system",
+                                           "args": [fld, ["x"], {}]}]},
+        # rolling_range reaching past the aggregate whitelist
+        {"op": "transform", "args": [sym, {"x": {
+            "op": "win.rolling_range",
+            "args": [fld, ["broadcast", "o_orderkey", -5], {}]}}]},
+        # kwargs injection: an expression subtree in a literal slot
+        {"op": "transform", "args": [sym, {"x": {
+            "op": "str.pad",
+            "args": [fld, [5], {"fillchar": fld}]}}]},
+        # malformed arg shapes
+        {"op": "tail", "args": [sym]},
+        {"op": "by", "args": [sym, "not-a-list", {}]},
+        {"op": "merge", "args": [sym, [["a"]]]},
+        # reduction-position escapes
+        {"op": "summary", "args": [sym, {"n": {"op": "exec",
+                                               "args": [fld]}}]},
+        {"op": "summary", "args": [sym, {"n": {"op": "percentile",
+                                               "args": [fld, "p"]}}]},
+    ]
+    for tree in hostile:
+        try:
+            out = from_tree(tree, datasets={"orders": star["orders"]})
+            # a handful may build lazily; executing must then fail
+            out.compute()
+            raise AssertionError(f"hostile tree accepted: {tree}")
+        except (ValueError, TypeError, KeyError, IndexError, Exception) as e:
+            # must be a CONTROLLED error, not a successful resolution
+            assert not isinstance(e, AssertionError), tree
