@@ -1125,6 +1125,25 @@ def blaze_client_scalar_chain(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def cross_doc_dup_lines_docs(spark, sf_dir):
+    """Cross-document line dedup (pipeline/dedup.cross_doc_dup_lines —
+    Lee et al. 2021 exact-substring dedup at line granularity): per-doc
+    corpus-boilerplate accounting, value-checked against DuckDB's
+    distinct-doc line counts."""
+    from blaze_spark.pipeline import cross_doc_dup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    # the synthetic docs are unique single-line texts, so the truth-bed
+    # is built deterministically in-query (both engines): sentences
+    # become lines, and every 5th doc gains a shared boilerplate footer
+    multi = F.replace(F.col("text"), F.lit(". "), F.lit("\n"))
+    planted = d.transform(text=F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(multi, F.lit("\nCOMMON FOOTER LINE")))
+        .otherwise(multi))
+    return cross_doc_dup_lines(planted).df.orderBy("doc_id")
+
+
 def neardup_dispatch_pairs(spark, sf_dir):
     """Regime auto-dispatcher (pipeline/similarity.neardup_pairs,
     VERDICT r7 #5): sizes the corpus, compares the UNCLAMPED LSH table
@@ -2170,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # failures).  Full registry stays green under tools/check_oracles.py
         # (byte-strict floats, driver-identical).
         # -- new in r8: remote scalar/curation dialect + string-key packing --
+        "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "token_commonness_docs": token_commonness_docs,
         "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
@@ -2200,7 +2220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
         "q03_shipping_priority": q03_shipping_priority,
-        "order_latency_breakdown": order_latency_breakdown,
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
@@ -2225,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _localize_guard wrappers touch every pipeline entry but are pure
         # arg-checks (no plan/result change); nothing failing rotated out
         # (r7 had zero failures) =========================================
+        "order_latency_breakdown": order_latency_breakdown,
         "neardup_dispatch_pairs": neardup_dispatch_pairs,
         "q01_pricing_summary": q01_pricing_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
@@ -2725,6 +2745,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority LIKE '%URGENT%'
             ORDER BY o_orderkey DESC LIMIT 40
+        """,
+        "cross_doc_dup_lines_docs": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN replace(text, '. ', chr(10))
+                                 || chr(10) || 'COMMON FOOTER LINE'
+                            ELSE replace(text, '. ', chr(10)) END AS text
+                FROM documents),
+            ln AS (
+                SELECT doc_id, trim(l) AS line
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS l
+                      FROM planted)),
+            scored AS (
+                SELECT doc_id, line, len(line) >= 1 AS ok FROM ln),
+            counts AS (
+                SELECT line, count(DISTINCT doc_id) AS ndocs
+                FROM scored WHERE ok GROUP BY line)
+            SELECT s.doc_id,
+                   CAST(sum(CASE WHEN s.ok THEN 1 ELSE 0 END) AS INT)
+                       AS n_lines,
+                   CAST(sum(CASE WHEN s.ok AND c.ndocs > 1
+                            THEN 1 ELSE 0 END) AS INT) AS n_dup_lines,
+                   round(CASE WHEN sum(CASE WHEN s.ok THEN 1 ELSE 0 END) > 0
+                         THEN sum(CASE WHEN s.ok AND c.ndocs > 1
+                                  THEN 1 ELSE 0 END)
+                              / sum(CASE WHEN s.ok THEN 1 ELSE 0 END)
+                         ELSE 0.0 END, 4) + 0.0 AS dup_line_frac
+            FROM scored s LEFT JOIN counts c USING (line)
+            GROUP BY s.doc_id
         """,
         "token_commonness_docs": r"""
             WITH toks AS (

@@ -9,6 +9,7 @@ deployment would call image/audio codecs.
 """
 
 from .dedup import (  # noqa: F401
+    cross_doc_dup_lines,
     exact_dedup,
     exact_jaccard_pairs,
     normalized_dedup,

@@ -876,3 +876,53 @@ def test_quantized_ivf_ann_end_to_end(spark, emb):
     exact = cosine_topk(corpus, queries, k=5)
     rec = topk_recall(exact, approx).df.collect()[0]
     assert rec.recall >= 0.8, rec
+
+
+# -- r8: cross-document line dedup (Lee et al. line granularity) ---------
+
+
+def test_cross_doc_dup_lines_scores_and_scrubs(spark):
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_lines
+
+    boiler = "COPYRIGHT 2020 EXAMPLE CORP"
+    rows = [
+        (1, f"{boiler}\nunique alpha text\nmore alpha"),
+        (2, f"{boiler}\nunique beta text"),
+        (3, "totally original document\nno shared lines here"),
+        (4, ""),                              # empty doc
+        (5, f"  {boiler}  \nunique gamma"),   # whitespace variant matches
+    ]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="xdl")
+    scored = {r.doc_id: r for r in cross_doc_dup_lines(t).df.collect()}
+    assert scored[1].n_lines == 3 and scored[1].n_dup_lines == 1
+    assert scored[2].dup_line_frac == 0.5
+    assert scored[3].n_dup_lines == 0 and scored[3].dup_line_frac == 0.0
+    assert scored[4].n_lines == 0 and scored[4].dup_line_frac == 0.0
+    assert scored[5].n_dup_lines == 1   # trim-normalized match
+
+    cleaned = {r.doc_id: r.clean_text for r in
+               cross_doc_dup_lines(t, scrub=True).df.collect()}
+    assert cleaned[1] == "unique alpha text\nmore alpha"
+    assert cleaned[2] == "unique beta text"
+    assert cleaned[3] == "totally original document\nno shared lines here"
+    assert boiler not in cleaned[5]
+    # order preserved when a middle line is scrubbed
+    t2 = data([(1, f"a\n{boiler}\nz"), (2, f"b\n{boiler}\ny")],
+              spark=spark, schema="doc_id long, text string", name="xdl2")
+    c2 = {r.doc_id: r.clean_text for r in
+          cross_doc_dup_lines(t2, scrub=True).df.collect()}
+    assert c2[1] == "a\nz" and c2[2] == "b\ny"
+
+
+def test_cross_doc_dup_lines_within_doc_repeat_not_flagged(spark):
+    """A line repeated only WITHIN one document is not cross-doc
+    boilerplate (distinct-doc counting, not occurrence counting)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_lines
+
+    t = data([(1, "same line\nsame line\nunique"), (2, "other text")],
+             spark=spark, schema="doc_id long, text string", name="xdl3")
+    scored = {r.doc_id: r for r in cross_doc_dup_lines(t).df.collect()}
+    assert scored[1].n_dup_lines == 0
