@@ -257,7 +257,9 @@ def cross_doc_dup_lines(t: Table, text_col: str = "text",
     ``scrub=True`` instead RETURNS the cleaned corpus: ``clean_text``
     rebuilt from each document's non-cross-duplicated lines in original
     order (blank/short lines are kept — they carry formatting, not
-    boilerplate).
+    boilerplate).  A document consisting ENTIRELY of cross-duplicated
+    lines disappears from the scrubbed output — it was pure boilerplate
+    (anti-join the input on ``id_col`` to enumerate the dropped docs).
 
     Topology (100 TB): explode lines with position → distinct (line
     md5, doc) pairs → count per hash (both aggregations partial-combine
