@@ -25,7 +25,7 @@ Scale notes, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -278,18 +278,23 @@ def domain_mix(t: Table, text_col: str = "text",
     combinable aggregation keyed by domain (near-uniform key space on a
     web corpus: hot domains are exactly what the report is FOR, and a
     count aggregation partial-merges, so they cost one row per task),
-    then a window over the tiny aggregated relation for the share."""
-    from pyspark.sql.window import Window
+    then a broadcast of the scalar doc total for the share.
 
+    Distinct domains on a crawl are O(1e8), so the share denominator is
+    NOT computed with an unpartitioned window (that would funnel the
+    whole per-domain relation through one task): it's a 1-row scalar
+    aggregate broadcast-nested-loop-joined back.  Both branches share
+    the groupBy("domain") exchange, which AQE/ReusedExchange dedupes,
+    so the corpus is still scanned once."""
     ex = extract_urls(t, text_col).df.select(
         id_col, F.explode("domains").alias("domain"))
     agg = ex.groupBy("domain").agg(
         F.countDistinct(id_col).cast(T.LongType()).alias("n_docs"),
         F.count(F.lit(1)).cast(T.LongType()).alias("n_mentions"))
-    w = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("n_docs").alias("__total_docs"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "domain", "n_docs", "n_mentions",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+        F.round(F.col("n_docs") / F.col("__total_docs"), 4)
          .alias("doc_share"))
 
 
@@ -359,12 +364,15 @@ def token_commonness(t: Table, text_col: str = "text",
     toks = t.df.select(F.col(id_col), F.explode(_tokens(c)).alias("tok"))
     if vocab is None:
         counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-        # rank over the aggregated (distinct-token) relation — small;
-        # the single-partition window is over #distinct_tokens rows,
-        # not the corpus
-        vocab = (counts.withColumn("__r", F.row_number().over(w))
-                 .filter(F.col("__r") <= vocab_size).drop("__r"))
+        # top-N via orderBy().limit() — Spark executes this as
+        # TakeOrderedAndProject (per-partition top-N, then a bounded
+        # merge), never a single-task sort of the full counts relation;
+        # distinct tokens on a web corpus are O(1e9) (UUIDs, typos,
+        # code identifiers), so an unpartitioned row_number window here
+        # would be the straggler.  (cnt desc, tok asc) fully orders the
+        # relation, so ties stay deterministic.
+        vocab = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+                 .limit(vocab_size))
     total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
     scored = (toks.join(F.broadcast(vocab), "tok", "left")
               .groupBy(id_col)

@@ -561,3 +561,35 @@ def test_token_commonness_scores_gibberish_low(spark):
             token_commonness(t, vocab=vocab).collect()}
     for k in out:
         assert out2[k].commonness == out[k].commonness, k
+
+
+def test_token_commonness_vocab_is_take_ordered(spark):
+    """VERDICT r8 #1: the vocabulary top-N must lower to
+    TakeOrderedAndProject (per-partition top-N + bounded merge), never
+    an unpartitioned row_number window — that would single-task-sort
+    every distinct token (O(1e9) on a crawl)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import token_commonness
+    from blaze_spark.plans import physical_plan
+
+    t = data([(i, "the cat sat on the mat") for i in range(8)],
+             spark=spark, schema="doc_id long, text string", name="tcp")
+    plan = physical_plan(token_commonness(t, vocab_size=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_domain_mix_share_has_no_window(spark):
+    """VERDICT r8 #2: doc_share's denominator is a 1-row scalar
+    aggregate broadcast back (BroadcastNestedLoopJoin), not a
+    Window.partitionBy()-nothing sum over the per-domain relation
+    (O(1e8) distinct domains on a crawl)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import domain_mix
+    from blaze_spark.plans import physical_plan
+
+    t = data([(1, "see https://a.com/x"), (2, "see https://b.com/y")],
+             spark=spark, schema="doc_id bigint, text string", name="dmp")
+    plan = physical_plan(domain_mix(t))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
