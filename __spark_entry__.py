@@ -1180,6 +1180,26 @@ def cross_doc_dup_lines_docs(spark, sf_dir):
     return cross_doc_dup_lines(planted).df.orderBy("doc_id")
 
 
+def cross_doc_scrub_docs(spark, sf_dir):
+    """Scrub mode of cross-document line dedup (r9, VERDICT r8 #7):
+    clean_text is rebuilt from each doc's non-cross-duplicated lines in
+    ORIGINAL order, and a doc that is pure boilerplate disappears —
+    value-checked against DuckDB string surgery (string_agg ORDER BY
+    position).  Truth-bed: sentences become lines; every 5th doc gains
+    a shared footer (scrubbed out); every 97th doc IS the footer
+    (vanishes)."""
+    from blaze_spark.pipeline import cross_doc_dup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    multi = F.replace(F.col("text"), F.lit(". "), F.lit("\n"))
+    planted = d.transform(text=F.when(
+        F.col("doc_id") % 97 == 0, F.lit("COMMON FOOTER LINE"))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(multi, F.lit("\nCOMMON FOOTER LINE")))
+        .otherwise(multi))
+    return cross_doc_dup_lines(planted, scrub=True).df.orderBy("doc_id")
+
+
 def neardup_dispatch_pairs(spark, sf_dir):
     """Regime auto-dispatcher (pipeline/similarity.neardup_pairs,
     VERDICT r7 #5): sizes the corpus, compares the UNCLAMPED LSH table
@@ -2235,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_fk_hop": blaze_client_fk_hop,
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
+        "cross_doc_scrub_docs": cross_doc_scrub_docs,
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
@@ -2281,14 +2302,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
-        "scalar_algebra_summary": scalar_algebra_summary,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only dispatcher entry.  r9
-        # rotated out percentile_prices and trunc_10min_buckets (both
-        # green r8 rows, unchanged code) to make room for the new
-        # blaze_client_fk_hop entry and url_domain_stats (whose domain_mix
-        # plan changed); nothing failing rotated out (r8 had zero
-        # failures) ======================================================
+        # rotated out scalar_algebra_summary, percentile_prices and
+        # trunc_10min_buckets (all green r8 rows, unchanged code) to make
+        # room for the new blaze_client_fk_hop and cross_doc_scrub_docs
+        # entries plus url_domain_stats (whose domain_mix plan changed);
+        # nothing failing rotated out (r8 had zero failures) =============
+        "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
         "order_latency_breakdown": order_latency_breakdown,
@@ -2798,6 +2819,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority LIKE '%URGENT%'
             ORDER BY o_orderkey DESC LIMIT 40
+        """,
+        "cross_doc_scrub_docs": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 0 THEN 'COMMON FOOTER LINE'
+                            WHEN doc_id % 5 = 0
+                            THEN replace(text, '. ', chr(10))
+                                 || chr(10) || 'COMMON FOOTER LINE'
+                            ELSE replace(text, '. ', chr(10)) END AS text
+                FROM documents),
+            ln AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS l,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM planted),
+            scored AS (
+                SELECT doc_id, pos, l, trim(l) AS tline,
+                       len(trim(l)) >= 1 AS ok
+                FROM ln),
+            counts AS (
+                SELECT tline, count(DISTINCT doc_id) AS ndocs
+                FROM scored WHERE ok GROUP BY tline),
+            kept AS (
+                SELECT s.doc_id, s.pos, s.l
+                FROM scored s LEFT JOIN counts c USING (tline)
+                WHERE NOT (s.ok AND coalesce(c.ndocs, 0) > 1))
+            SELECT doc_id,
+                   string_agg(l, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
         """,
         "cross_doc_dup_lines_docs": r"""
             WITH planted AS (
