@@ -34,8 +34,12 @@ def _shuffle_partitions(sf: float, cpus: int) -> int:
         return cpus
     return cpus * 2  # sf1+: more, smaller partitions bound per-task memory
 
-# headline set: the TPC-H-shaped queries + heavy pipeline operators
-BENCH_QUERIES = [
+# headline set: the TPC-H-shaped queries + heavy pipeline operators.
+# LEGACY_QUERIES is the 25-query set benched since r6 — the "value"
+# headline sums ONLY these so the cross-round series stays
+# apples-to-apples; the r9 additions below are timed identically and
+# reported in "queries"/"value_full".
+LEGACY_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier",
@@ -62,6 +66,19 @@ BENCH_QUERIES = [
     "sessionize_user_events",
     "rolling_range_user_values",
 ]
+
+# r9 (VERDICT r8 #6): the r8-new heavy operators join the headline set,
+# timed identically but summed separately ("value_new"/"value_full") so
+# the legacy series stays comparable.
+NEW_QUERIES_R9 = [
+    "cross_doc_dup_lines_docs",
+    "cross_doc_scrub_docs",
+    "token_commonness_docs",
+    "quantized_neardup_chain",
+    "neardup_dispatch_pairs",
+]
+
+BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9
 
 
 def main():
@@ -147,9 +164,13 @@ def main():
         # promoting it; the median total is kept alongside).  With GC
         # drained before each rep and reps=5, the min is stable run-to-run
         # while any single rep can still catch a 2-4x load gust.
-        "value": round(sum(timings_min.values()), 3),
-        "value_median": round(sum(timings.values()), 3),
-        "value_min": round(sum(timings_min.values()), 3),
+        "value": round(sum(timings_min[n] for n in LEGACY_QUERIES), 3),
+        "value_median": round(sum(timings[n] for n in LEGACY_QUERIES), 3),
+        "value_min": round(sum(timings_min[n] for n in LEGACY_QUERIES), 3),
+        # the r9 additions, timed the same way but summed separately so
+        # "value" stays comparable to BENCH_r01..r08
+        "value_new": round(sum(timings_min[n] for n in NEW_QUERIES_R9), 3),
+        "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,
         "queries_median": timings,
