@@ -1400,14 +1400,16 @@ class Table:
         """Stratified sampling — per-stratum fractions (EXTENSION; the
         reference Sample is uniform only).  Scan-local, no shuffle."""
         out = self._new(self._df.sampleBy(col, fractions, seed))
-        # JSON objects key by string, so only string-valued strata
-        # round-trip losslessly; others stay non-serializable
+        # strata encode as [key, frac] PAIRS (r9): JSON objects key by
+        # string, but pair lists carry int/float/bool strata losslessly
+        # too — only non-JSON-scalar keys stay non-serializable
         if self._tree is not None and seed is not None \
-                and all(isinstance(k, str) for k in fractions):
+                and all(isinstance(k, (str, int, float, bool))
+                        for k in fractions):
             out._tree = {"op": "sample_by",
                          "args": [self._tree, col,
-                                  {k: float(v)
-                                   for k, v in fractions.items()}, seed]}
+                                  [[k, float(v)]
+                                   for k, v in fractions.items()], seed]}
         return out
 
     def hash_sample(self, frac: float, on: str, salt: int = 42):

@@ -302,7 +302,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             # args: [child, frac, n, seed] — only seeded samples serialize
             return child.sample(frac=args[1], n=args[2], seed=args[3])
         if op == "sample_by":
-            return child.sample_by(args[1], args[2], seed=args[3])
+            # strata as [key, frac] pairs (r9 — carries non-string
+            # scalar strata); dict form accepted for r8 trees
+            strata = args[2]
+            if not isinstance(strata, dict):
+                strata = {k: v for k, v in strata}
+            return child.sample_by(args[1], strata, seed=args[3])
         if op == "hash_sample":
             # args: [child, frac, on, salt?]
             return child.hash_sample(args[1], on=args[2],

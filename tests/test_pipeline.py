@@ -799,6 +799,46 @@ def _make_wav(sampwidth: int, nch: int, sr: int, samples) -> bytes:
     return buf.getvalue()
 
 
+def test_read_wav_mono_widths_and_edges():
+    """Pure-function contract for the stdlib WAV parser: 8-bit unsigned
+    offset removal, 16-bit scaling, 32-bit scaling, stereo averaging,
+    and the unsupported-width refusal (24-bit PCM has no numpy dtype)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as pt
+
+    from blaze_spark.pipeline.multimodal import _read_wav_mono
+
+    def wav(width, nch, sr, frames_bytes):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            w.writeframes(frames_bytes)
+        return buf.getvalue()
+
+    # 8-bit: 128 is zero, 255 ~ +1, 0 = -1
+    mono, sr = _read_wav_mono(wav(1, 1, 8000, bytes([128, 255, 0])))
+    assert sr == 8000
+    assert abs(mono[0]) < 1e-12 and mono[2] == -1.0 and mono[1] > 0.99
+    # 16-bit stereo: channels average; int16 min maps to -1
+    import struct
+    frames = struct.pack("<4h", 16384, -16384, -32768, -32768)
+    mono, _ = _read_wav_mono(wav(2, 2, 44100, frames))
+    assert abs(mono[0]) < 1e-12 and mono[1] == -1.0
+    # 32-bit: full-scale positive ~ +1
+    frames = struct.pack("<i", 2**31 - 1)
+    mono, _ = _read_wav_mono(wav(4, 1, 16000, frames))
+    assert abs(mono[0] - 1.0) < 1e-6
+    assert mono.dtype == np.float64
+    # 24-bit refuses loudly (falls through to the codec path upstream)
+    with pt.raises(NotImplementedError, match="width"):
+        _read_wav_mono(wav(3, 1, 16000, b"\x00\x00\x00"))
+
+
 def test_real_audio_decode_wav_runs_everywhere(spark):
     """r9 (VERDICT r8 missing #2): the fake=False audio path executes in
     a codec-less container — uncompressed PCM WAV parses with the stdlib

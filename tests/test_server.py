@@ -927,6 +927,16 @@ def test_remote_seeded_sample_and_percentile(spark, served, star):
     assert 0 < len(got) < o.df.count()
     assert set(got.o_orderstatus) <= {"O", "F"}
 
+    # r9: NON-STRING strata ride the wire as [key, frac] pairs (JSON
+    # objects key by string; the pair list keeps the int type) and
+    # match the seeded local sample exactly
+    keys = [r.o_custkey for r in
+            o.df.select("o_custkey").distinct().head(2)]
+    fr = {int(k): 0.6 for k in keys}
+    got = rt.sample_by("o_custkey", fr, seed=13).compute()
+    want = o.sample_by("o_custkey", fr, seed=13).compute()
+    assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
+
     g = by([rt.o_orderstatus], p90=rt.o_totalprice.percentile(0.9))
     got = g.compute().sort_values("o_orderstatus").reset_index(drop=True)
     want = by([o.o_orderstatus], p90=o.o_totalprice.percentile(0.9)) \
