@@ -9,8 +9,9 @@ images (``decode_images``/``resize_images``), soundfile for audio
 (``extract_audio_features``), pyav for video
 (``sample_video_frames``) — and raises ``NotImplementedError`` only
 when that module is genuinely absent.  Exception (r9): uncompressed PCM
-WAV decodes with the stdlib ``wave`` parser, so the real audio path
-runs in ANY container — the codec is only needed for other formats.  A deployment with the codecs
+WAV decodes with the stdlib ``wave`` parser and binary PNM (P5/P6)
+decodes/resizes pure-numpy, so the real audio AND image paths run in
+ANY container — codecs are only needed for other formats.  A deployment with the codecs
 installed gets real decodes with zero code change.  Everything around
 the decode — schemas, partition-preserving batch iteration, UDF
 signatures, output shapes — is real Spark plumbing and is tested (the
@@ -114,6 +115,79 @@ def _decode_audio_bytes(raw: bytes):
     return x.mean(axis=1), sr
 
 
+def _read_pnm(raw: bytes):
+    """Pure-numpy decode of binary PNM (P5 grayscale / P6 RGB) — the
+    image twin of :func:`_read_wav_mono` (r9): header tokens are magic,
+    width, height, maxval (whitespace-separated, ``#`` comments run to
+    end-of-line), then the raster (1 byte per sample, or 2 big-endian
+    when maxval > 255).  Returns (float64 array HxW or HxWx3 in
+    [0, maxval], width, height, maxval)."""
+    import numpy as _np
+
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        if pos >= len(raw):
+            raise ValueError("truncated PNM header")
+        c = raw[pos:pos + 1]
+        if c == b"#":
+            pos = raw.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(raw) and not raw[end:end + 1].isspace():
+                end += 1
+            toks.append(int(raw[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace byte that ends the header
+    w, h, maxval = toks
+    nch = 3 if raw[:2] == b"P6" else 1
+    dtype = _np.dtype(">u2") if maxval > 255 else _np.uint8
+    arr = _np.frombuffer(raw, dtype=dtype, count=w * h * nch,
+                         offset=pos).astype(_np.float64)
+    return (arr.reshape(h, w, 3) if nch == 3 else arr.reshape(h, w),
+            w, h, maxval)
+
+
+def _decode_image_bytes(raw: bytes):
+    """Real image decode dispatch: binary PNM parses pure-numpy (runs in
+    any container); every other format needs Pillow (import-guarded,
+    executor-side).  Returns (width, height, mean_intensity) with the
+    intensity on the 0-255 scale PIL's ``convert("L")`` uses."""
+    import io as _io
+
+    import numpy as _np
+
+    if raw[:2] in (b"P5", b"P6"):
+        arr, w, h, maxval = _read_pnm(raw)
+        if arr.ndim == 3:
+            # ITU-R 601 luma — the same coefficients PIL convert("L") uses
+            arr = arr @ _np.array([0.299, 0.587, 0.114])
+        return w, h, float(arr.mean() * (255.0 / maxval))
+    Image = _require("PIL.Image", "real image decode")
+    with Image.open(_io.BytesIO(raw)) as im:
+        return (im.width, im.height,
+                float(_np.asarray(im.convert("L"),
+                                  dtype=_np.float64).mean()))
+
+
+def _resize_pnm(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a binary PNM, pure numpy (index
+    striding) — re-emits the same magic/maxval."""
+    import numpy as _np
+
+    arr, w, h, maxval = _read_pnm(raw)
+    yi = _np.arange(height) * h // height
+    xi = _np.arange(width) * w // width
+    out = arr[yi][:, xi]
+    dt = _np.dtype(">u2") if maxval > 255 else _np.uint8
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    return (magic + f"\n{width} {height}\n{maxval}\n".encode()
+            + out.astype(dt).tobytes())
+
+
 def attach_fake_binary(t: Table, id_col: str = "doc_id",
                        n_bytes: int = 256) -> Table:
     """Deterministic fake payload column (sha-based bytes from the id) so
@@ -142,22 +216,17 @@ def decode_images(t: Table, image_col: str = "image", id_col: str = "doc_id",
                   "mean_intensity double")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
         for pdf in batches:
             img = pdf[image_col]
             if not fake:
-                # real decode via Pillow (import-guarded, executor-side)
-                Image = _require("PIL.Image", "real image decode")
+                # real decode: PNM pure-numpy, anything else via Pillow
+                # (import-guarded inside _decode_image_bytes)
                 ws, hs, mi = [], [], []
                 for s in img:
-                    with Image.open(io.BytesIO(bytes(s["content"]))) as im:
-                        ws.append(im.width)
-                        hs.append(im.height)
-                        import numpy as _np
-
-                        mi.append(float(_np.asarray(
-                            im.convert("L"), dtype=_np.float64).mean()))
+                    w, h, m = _decode_image_bytes(bytes(s["content"]))
+                    ws.append(w)
+                    hs.append(h)
+                    mi.append(m)
                 yield pd.DataFrame({id_col: pdf[id_col], "width": ws,
                                     "height": hs, "mean_intensity": mi})
                 continue
@@ -259,10 +328,19 @@ def resize_images(t: Table, width: int, height: int,
 
         for pdf in batches:
             if not fake:
-                Image = _require("PIL.Image", "real image resize")
                 out = []
                 for s in pdf[image_col]:
-                    with Image.open(io.BytesIO(bytes(s["content"]))) as im:
+                    raw = bytes(s["content"])
+                    if raw[:2] in (b"P5", b"P6"):
+                        # PNM resizes pure-numpy (nearest-neighbor) —
+                        # runs in any container, like the WAV path
+                        out.append({"content": _resize_pnm(raw, width,
+                                                           height),
+                                    "width": width, "height": height,
+                                    "format": "pnm"})
+                        continue
+                    Image = _require("PIL.Image", "real image resize")
+                    with Image.open(io.BytesIO(raw)) as im:
                         fmt = im.format or s["format"]
                         buf = io.BytesIO()
                         im.resize((width, height)).save(buf, format=fmt)

@@ -874,6 +874,41 @@ def test_real_audio_decode_wav_runs_everywhere(spark):
     assert rows[2].rms < 0.01
 
 
+def test_real_image_decode_pnm_runs_everywhere(spark):
+    """r9: the fake=False image path executes in a codec-less container
+    for binary PNM — P6 RGB decodes with ITU-R 601 luma, P5 grayscale
+    directly, header comments parse, and nearest-neighbor resize
+    re-emits a valid PNM the decoder round-trips."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.multimodal import (_read_pnm, decode_images,
+                                                 resize_images)
+
+    # P6 4x2 solid color (R=200, G=100, B=50): luma = 136.3
+    p6 = b"P6\n# a comment\n4 2\n255\n" + bytes([200, 100, 50]) * 8
+    # P5 2x2 grayscale ramp: mean = (0+60+120+240)/4 = 105
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 60, 120, 240])
+    t = data([(1, {"content": p6, "width": 4, "height": 2,
+                   "format": "pnm"}),
+              (2, {"content": p5, "width": 2, "height": 2,
+                   "format": "pnm"})], spark=spark,
+             schema=("doc_id long, image struct<content:binary,width:int,"
+                     "height:int,format:string>"))
+    rows = {r.doc_id: r for r in decode_images(t, fake=False).df.collect()}
+    assert (rows[1].width, rows[1].height) == (4, 2)
+    luma = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    assert abs(rows[1].mean_intensity - luma) < 1e-9
+    assert (rows[2].width, rows[2].height) == (2, 2)
+    assert abs(rows[2].mean_intensity - 105.0) < 1e-9
+
+    rrow = {r.doc_id: r for r in
+            resize_images(t, 2, 1, fake=False).df.collect()}
+    img = rrow[1].image
+    assert (img.width, img.height) == (2, 1) and img.format == "pnm"
+    arr, w, h, maxval = _read_pnm(bytes(img.content))
+    assert (w, h, maxval) == (2, 1, 255)
+    assert arr.shape == (1, 2, 3) and list(arr[0, 0]) == [200, 100, 50]
+
+
 def test_real_image_decode_with_pillow(spark):
     """Skips in codec-less containers; with Pillow installed the
     fake=False path decodes real bytes end to end."""
