@@ -150,6 +150,27 @@ def _roundtrip_equal(q, spark):
     return tree
 
 
+def test_to_tree_fk_autojoin_roundtrip(spark, sf_dir):
+    """r9: with_fk/auto_join record dialect nodes (the reference's
+    Field-through-Map lowering, blaze/compute/sql.py:272-276) — the tree
+    is pure JSON (the ref table embeds as a subtree) and the rebuilt
+    expression computes the identical hop.  var/std carry ddof."""
+    from blaze_spark import data
+
+    c = data(f"{sf_dir}/customer.parquet", spark=spark, name="customer")
+    n = data(f"{sf_dir}/nation.parquet", spark=spark, name="nation")
+    q = c.with_fk("c_nationkey", n, "n_nationkey") \
+         .auto_join("c_nationkey.n_name")
+    tree = _roundtrip_equal(q, spark)
+    assert tree["op"] == "auto_join"
+    assert tree["args"][0]["op"] == "with_fk"
+
+    # the ddof flag rides as an "unbiased" field on the reduction node
+    r = c.c_acctbal.var(unbiased=True)
+    assert r._tree.get("unbiased") is True
+    assert "unbiased" not in c.c_acctbal.var()._tree
+
+
 def test_to_tree_by_roundtrip(spark, sf_dir):
     """by/summary/reductions now record their dialect form (ROADMAP r1 #3:
     server round-trip parity beyond the projection/selection chain)."""
