@@ -156,7 +156,9 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def _shingle_hash_parts(df: DataFrame, text_col: str, k: int,
-                        reduce_mod_p: bool = True) -> tuple[DataFrame, Column]:
+                        reduce_mod_p: bool = True,
+                        max_tokens: int | None = None
+                        ) -> tuple[DataFrame, Column]:
     """Distinct k-shingle hashes per doc, as (step_df, array_expr) — the
     caller composes the expression into its OWN select (inline into an
     explode(), or alias it as an array column).
@@ -184,8 +186,17 @@ def _shingle_hash_parts(df: DataFrame, text_col: str, k: int,
     shingle sets directly (exact-Jaccard verification) must pass False:
     reducing 64-bit hashes to 2^31-1 space materially raises collision
     probability — two ~10k-shingle docs would see ~50 expected spurious
-    intersections, inflating Jaccard scores (ADVICE r5)."""
+    intersections, inflating Jaccard scores (ADVICE r5).
+
+    ``max_tokens`` (opt-in, r9) shingles only the first N tokens — the
+    standard giant-document bound: shingle count (and the explode that
+    follows) stops growing with doc length, leveling doc-size skew
+    across scan tasks.  Signatures over docs shorter than the cap are
+    IDENTICAL to the uncapped form, so the default (None) preserves
+    every stored signature."""
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if max_tokens is not None:
+        tokens = F.slice(tokens, 1, max_tokens)
     step = df.select(
         "doc_id",
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("__th"))
@@ -314,7 +325,8 @@ def cross_doc_dup_lines(t: Table, text_col: str = "text",
 
 def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 32, shingle_k: int = 5,
-                       seed: int = 42) -> Table:
+                       seed: int = 42,
+                       max_tokens: int | None = None) -> Table:
     """MinHash signature per document: token-hash tuples → shingle hashes
     (see :func:`_shingle_hash_parts`) → num_perm universal-hash
     permutations → per-permutation min.  The shingle set never leaves the
@@ -335,7 +347,8 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
     # scans as one partition, and at scale this also levels doc-size skew
     src = _spread(
         t.df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id")
-    step, sh = _shingle_hash_parts(src, text_col, shingle_k)
+    step, sh = _shingle_hash_parts(src, text_col, shingle_k,
+                                   max_tokens=max_tokens)
     ex = step.select("doc_id", F.explode(sh).alias("h"))
     # SQL-string expressions: one Py4J call per permutation (driver-side
     # plan-build cost; see simhash note).  Each min is < _P = 2^31-1 so it
@@ -359,7 +372,8 @@ def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 32, bands: int = 8, shingle_k: int = 5,
-                       seed: int = 42, max_bucket: int = 1000) -> Table:
+                       seed: int = 42, max_bucket: int = 1000,
+                       max_tokens: int | None = None) -> Table:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_perm//bands``, bucket-join on (band, hash(rows)).  Returns
     candidate pairs (doc_a < doc_b) with the fraction of matching signature
@@ -372,7 +386,7 @@ def minhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
     # the hot-bucket count pass and the pair generation — without this the
     # whole corpus pass runs twice (at 100 TB: one pass vs two)
     sigs = minhash_signatures(t, text_col, id_col, num_perm, shingle_k,
-                              seed).df.persist()
+                              seed, max_tokens=max_tokens).df.persist()
     return scoped_persist(
         Table(lsh_band_pairs(sigs, num_perm, bands, max_bucket),
               "minhash_candidates"), sigs)

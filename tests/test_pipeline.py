@@ -76,6 +76,30 @@ def test_minhash_signature_shape(docs):
     assert len(row.signature) == 16
 
 
+def test_minhash_max_tokens_bounds_giant_docs(spark):
+    """r9 (ROADMAP #4): opt-in ``max_tokens`` shingles only the first N
+    tokens — a giant doc's signature equals its N-token prefix's
+    signature (explode cost stops growing with doc length), and docs
+    under the cap keep their EXACT uncapped signature (stored
+    signatures / _SIG_FORMAT preserved by the None default)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import minhash_signatures
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    giant = short + " " + " ".join(f"w{i}" for i in range(400))
+    prefix = " ".join(giant.split()[:50])
+    t = data([(1, short), (2, giant), (3, prefix)], spark=spark,
+             schema="doc_id long, text string", name="mt")
+    sig = lambda tbl, **kw: {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(tbl, **kw).df.collect()}
+    uncapped = sig(t)
+    capped = sig(t, max_tokens=50)
+    assert capped[1] == uncapped[1]        # under the cap: identical
+    assert capped[2] == uncapped[3]        # giant == its 50-token prefix
+    assert capped[2] != uncapped[2]        # and differs from uncapped
+
+
 def test_minhash_finds_exact_dups(docs_with_dups):
     pairs = minhash_candidates(docs_with_dups, num_perm=16, bands=4).df.collect()
     found = {(r.doc_a, r.doc_b) for r in pairs}
