@@ -532,22 +532,23 @@ class ColExpr:
 
     def var(self, unbiased: bool = False):
         # DEFAULT ddof=0 (NumPy convention, NOT Spark's var_samp default;
-        # blaze/expr/reductions.py:138-191).  The tree dialect carries the
-        # ddof choice as an ``unbiased`` field (r9) — the reference's
-        # to_tree is generic over every Expr slot including this flag
-        # (blaze/server/server.py:411-477), so remote sample variance
-        # works without a manual round-trip.
+        # blaze/expr/reductions.py:138-191).  ddof=1 serializes as a
+        # DISTINCT op name ("var_samp", r9) rather than an extra field on
+        # "var": a server that predates the op then fails LOUDLY with
+        # "unknown reduction" instead of silently ignoring an unknown
+        # field and returning the population variance (version-skew
+        # review finding).
         fn = F.var_samp if unbiased else F.var_pop
         r = self._red(fn(self._col), "var")
         if unbiased and r._tree is not None:
-            r._tree = {**r._tree, "unbiased": True}
+            r._tree = {**r._tree, "op": "var_samp"}
         return r
 
     def std(self, unbiased: bool = False):
         fn = F.stddev_samp if unbiased else F.stddev_pop
         r = self._red(fn(self._col), "std")
         if unbiased and r._tree is not None:
-            r._tree = {**r._tree, "unbiased": True}
+            r._tree = {**r._tree, "op": "std_samp"}
         return r
 
     def count(self):

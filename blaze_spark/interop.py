@@ -154,14 +154,13 @@ def _reduction(node: dict, t: Table) -> Reduction:
         return _RED_ALGEBRA[op](left, right)
     if op == "percentile":
         return _expr(node["args"][0], t).percentile(node["args"][1])
+    if op in ("var_samp", "std_samp"):
+        # ddof=1 is a DISTINCT op (r9) so pre-r9 servers reject it
+        # loudly instead of silently computing the population form
+        return getattr(_expr(node["args"][0], t), op[:3])(unbiased=True)
     if op not in _REDUCTIONS:
         raise ValueError(f"unknown reduction: {op}")
-    col = _expr(node["args"][0], t)
-    if op in ("var", "std"):
-        # ddof rides the wire as an ``unbiased`` field (r9) — absent
-        # means the ddof=0 default, matching the local API
-        return getattr(col, op)(unbiased=bool(node.get("unbiased", False)))
-    return getattr(col, op)()
+    return getattr(_expr(node["args"][0], t), op)()
 
 
 _RED_ALGEBRA = {
@@ -238,7 +237,9 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return child.relabel(**args[1])
         if op == "transform":
             cols = {k: _expr(v, child).col for k, v in args[1].items()}
-            return Table(child.df.withColumns(cols), child._name)
+            # _new, not a bare Table: keeps the FK registry so a
+            # with_fk -> transform -> auto_join chain replays (r9 review)
+            return child._new(child.df.withColumns(cols))
         if op == "drop_field":
             return child.drop_field(*args[1])
         if op == "merge":

@@ -144,7 +144,19 @@ def _read_pnm(raw: bytes):
     pos += 1  # the single whitespace byte that ends the header
     w, h, maxval = toks
     nch = 3 if raw[:2] == b"P6" else 1
-    dtype = _np.dtype(">u2") if maxval > 255 else _np.uint8
+    dtype = _np.dtype(">u2") if maxval > 255 else _np.dtype(_np.uint8)
+    needed = w * h * nch * dtype.itemsize
+    # a comment may sit between maxval and the raster ("255 # note\n"):
+    # skip comment lines ONLY while more bytes remain than the raster
+    # needs, so a raster whose first byte happens to be '#' (35) in an
+    # exactly-sized file is never eaten (r9 review finding — the
+    # unskipped form silently decoded the comment text as pixels)
+    while len(raw) - pos > needed and raw[pos:pos + 1] in (
+            b"#", b" ", b"\t", b"\r", b"\n"):
+        pos = raw.index(b"\n", pos) + 1 if raw[pos:pos + 1] == b"#" \
+            else pos + 1
+    if len(raw) - pos < needed:
+        raise ValueError("truncated PNM raster")
     arr = _np.frombuffer(raw, dtype=dtype, count=w * h * nch,
                          offset=pos).astype(_np.float64)
     return (arr.reshape(h, w, 3) if nch == 3 else arr.reshape(h, w),
@@ -161,11 +173,15 @@ def _decode_image_bytes(raw: bytes):
     import numpy as _np
 
     if raw[:2] in (b"P5", b"P6"):
-        arr, w, h, maxval = _read_pnm(raw)
-        if arr.ndim == 3:
-            # ITU-R 601 luma — the same coefficients PIL convert("L") uses
-            arr = arr @ _np.array([0.299, 0.587, 0.114])
-        return w, h, float(arr.mean() * (255.0 / maxval))
+        try:
+            arr, w, h, maxval = _read_pnm(raw)
+        except ValueError:
+            pass  # malformed PNM — let the real codec try (or refuse)
+        else:
+            if arr.ndim == 3:
+                # ITU-R 601 luma — the coefficients PIL convert("L") uses
+                arr = arr @ _np.array([0.299, 0.587, 0.114])
+            return w, h, float(arr.mean() * (255.0 / maxval))
     Image = _require("PIL.Image", "real image decode")
     with Image.open(_io.BytesIO(raw)) as im:
         return (im.width, im.height,
@@ -333,12 +349,17 @@ def resize_images(t: Table, width: int, height: int,
                     raw = bytes(s["content"])
                     if raw[:2] in (b"P5", b"P6"):
                         # PNM resizes pure-numpy (nearest-neighbor) —
-                        # runs in any container, like the WAV path
-                        out.append({"content": _resize_pnm(raw, width,
-                                                           height),
-                                    "width": width, "height": height,
-                                    "format": "pnm"})
-                        continue
+                        # runs in any container, like the WAV path;
+                        # malformed PNM falls through to the codec
+                        try:
+                            content = _resize_pnm(raw, width, height)
+                        except ValueError:
+                            content = None
+                        if content is not None:
+                            out.append({"content": content,
+                                        "width": width, "height": height,
+                                        "format": "pnm"})
+                            continue
                     Image = _require("PIL.Image", "real image resize")
                     with Image.open(io.BytesIO(raw)) as im:
                         fmt = im.format or s["format"]

@@ -518,12 +518,33 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
             "renames by copy+delete, which is not atomic — rebuild the "
             "store from the corpus, or compact with a copy-then-repoint "
             "job")
+    base = store_path.rstrip("/")
+    tmp, old = base + ".__compact_tmp", base + ".__compact_old"
+    # gateway probe: Spark Connect has no JVM bridge for the fs_*
+    # helpers — local paths then fall back to os-level renames (the
+    # same path they took before r9), remote ones refuse cleanly
+    # instead of crashing mid-function on spark._jvm (r9 review)
+    try:
+        fs_exists(spark, base)
+        gateway = True
+    except Exception:
+        gateway = False
+    if not gateway:
+        from ..fsutil import is_local_path
+
+        if not is_local_path(store_path):
+            raise NotImplementedError(
+                "compact_store on a gateway-less (Spark Connect) session "
+                "can only swap LOCAL stores with os-level renames; this "
+                f"store ({store_path!r}) needs the Hadoop FS API — run "
+                "the compaction from a classic session")
     ids = _ingest_ids(spark, store_path)
     if not ids:
         return
     keep = max(ids)
-    base = store_path.rstrip("/")
-    tmp, old = base + ".__compact_tmp", base + ".__compact_old"
+    if not gateway:
+        _compact_swap_local(spark, store_path, base, keep, files_per_band)
+        return
     fs_delete(spark, tmp)   # stale leftovers from a crashed compaction
     fs_delete(spark, old)
     df = spark.read.parquet(store_path).drop("ingest")
@@ -543,3 +564,28 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
         fs_rename(spark, old, base)  # restore the original store
         raise OSError(f"compact_store: rename {tmp!r} -> {base!r} refused")
     fs_delete(spark, old)
+
+
+def _compact_swap_local(spark, store_path: str, base: str, keep: int,
+                        files_per_band: int) -> None:
+    """os/shutil compaction swap for gateway-less sessions (plain local
+    paths and file:// URIs only)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    local = urlparse(base).path or base
+    tmp, old = local + ".__compact_tmp", local + ".__compact_old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    df = spark.read.parquet(store_path).drop("ingest")
+    (df.repartition(files_per_band, "band")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{tmp}/ingest={keep}"))
+    marker = os.path.join(local, "_SIG_FORMAT")
+    if os.path.exists(marker):
+        shutil.copy(marker, os.path.join(tmp, "_SIG_FORMAT"))
+    shutil.move(local, old)
+    shutil.move(tmp, local)
+    shutil.rmtree(old)

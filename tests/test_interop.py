@@ -165,10 +165,19 @@ def test_to_tree_fk_autojoin_roundtrip(spark, sf_dir):
     assert tree["op"] == "auto_join"
     assert tree["args"][0]["op"] == "with_fk"
 
-    # the ddof flag rides as an "unbiased" field on the reduction node
-    r = c.c_acctbal.var(unbiased=True)
-    assert r._tree.get("unbiased") is True
-    assert "unbiased" not in c.c_acctbal.var()._tree
+    # ddof=1 serializes as a DISTINCT op (pre-r9 servers fail loud)
+    assert c.c_acctbal.var(unbiased=True)._tree["op"] == "var_samp"
+    assert c.c_acctbal.std(unbiased=True)._tree["op"] == "std_samp"
+    assert c.c_acctbal.var()._tree["op"] == "var"
+
+    # a transform BETWEEN the registration and the hop must not drop
+    # the FK registry on replay (r9 review: from_tree's transform built
+    # a bare Table, so this chain 500'd server-side while computing
+    # fine locally)
+    f = c.with_fk("c_nationkey", n, "n_nationkey")
+    q2 = f.transform(bal2=f.c_acctbal * 2).auto_join("c_nationkey.n_name")
+    tree2 = _roundtrip_equal(q2, spark)
+    assert tree2["args"][0]["op"] == "transform"
 
 
 def test_to_tree_by_roundtrip(spark, sf_dir):

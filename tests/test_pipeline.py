@@ -933,6 +933,25 @@ def test_real_image_decode_pnm_runs_everywhere(spark):
     assert arr.shape == (1, 2, 3) and list(arr[0, 0]) == [200, 100, 50]
 
 
+def test_read_pnm_comment_after_maxval_and_truncation():
+    """r9 review: a comment between maxval and the raster must not be
+    decoded as pixels (the unskipped form silently read the comment
+    text); an exactly-sized raster whose first byte is '#' (35) is NOT
+    eaten; a short raster raises instead of mis-decoding."""
+    import pytest as pt
+
+    from blaze_spark.pipeline.multimodal import _read_pnm
+
+    arr, w, h, _ = _read_pnm(b"P5\n2 2\n255 # trailing comment\n"
+                             + bytes([10, 20, 30, 40]))
+    assert [int(v) for v in arr.flat] == [10, 20, 30, 40]
+    # raster legitimately starting with 0x23 ('#') in an exact-size file
+    arr, _, _, _ = _read_pnm(b"P5\n2 2\n255\n" + bytes([35, 1, 2, 3]))
+    assert [int(v) for v in arr.flat] == [35, 1, 2, 3]
+    with pt.raises(ValueError, match="truncated"):
+        _read_pnm(b"P5\n2 2\n255\n" + bytes([1, 2]))
+
+
 def test_real_image_decode_with_pillow(spark):
     """Skips in codec-less containers; with Pillow installed the
     fake=False path decodes real bytes end to end."""

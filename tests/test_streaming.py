@@ -258,6 +258,34 @@ def test_compact_store_file_uri_generic_path(spark, tmp_path):
     assert process_batch(b, store).count() >= 1
 
 
+def test_compact_store_gatewayless_local_fallback(spark, tmp_path,
+                                                  monkeypatch):
+    """r9 review: on a gateway-less (Spark Connect) session the fs_*
+    helpers raise — a LOCAL store must then compact through the os-level
+    swap (the pre-r9 path) instead of crashing mid-function, and a
+    remote store must refuse cleanly."""
+    from blaze_spark import data
+    from blaze_spark.streaming import incremental_dedup as inc
+
+    store = str(tmp_path / "store_g")
+    text = "many identical words flowing through the pipeline " * 6
+    for bid in range(2):
+        b = data([(bid * 10, text + f" tail{bid}")], spark=spark,
+                 schema="doc_id long, text string", name=f"gb{bid}")
+        inc.process_batch(b, store)
+    rows_before = spark.read.parquet(store).count()
+
+    def _no_gateway(*a, **k):
+        raise AttributeError("no JVM gateway (Connect)")
+
+    import blaze_spark.fsutil as fsutil
+    monkeypatch.setattr(fsutil, "hadoop_fs", _no_gateway)
+    inc.compact_store(spark, store)
+    assert spark.read.parquet(store).count() == rows_before
+    with pytest.raises(NotImplementedError, match="Connect"):
+        inc.compact_store(spark, "hdfs://nn/dedup_store")
+
+
 def test_compact_store_refuses_object_store(spark):
     """Object-store rename is copy+delete (not atomic) — those schemes
     must still refuse loudly instead of corrupting the index mid-swap
