@@ -8,10 +8,12 @@ imports the real codec lazily INSIDE the executor UDF — Pillow for
 images (``decode_images``/``resize_images``), soundfile for audio
 (``extract_audio_features``), pyav for video
 (``sample_video_frames``) — and raises ``NotImplementedError`` only
-when that module is genuinely absent.  Exception (r9): uncompressed PCM
-WAV decodes with the stdlib ``wave`` parser and binary PNM (P5/P6)
-decodes/resizes pure-numpy, so the real audio AND image paths run in
-ANY container — codecs are only needed for other formats.  A deployment with the codecs
+when that module is genuinely absent.  Exception (r9): the
+uncompressed formats of all three modalities parse WITHOUT codecs —
+PCM WAV via the stdlib ``wave`` parser, binary PNM (P5/P6) pure-numpy
+(decode AND nearest-neighbor resize), YUV4MPEG2 streams via a
+pure-Python FRAME-marker demux — so every real-decode branch runs in
+ANY container; codecs are only needed for compressed formats.  A deployment with the codecs
 installed gets real decodes with zero code change.  Everything around
 the decode — schemas, partition-preserving batch iteration, UDF
 signatures, output shapes — is real Spark plumbing and is tested (the
@@ -204,6 +206,51 @@ def _resize_pnm(raw: bytes, width: int, height: int) -> bytes:
             + out.astype(dt).tobytes())
 
 
+def _y4m_stream_info(raw: bytes):
+    """Pure-Python demux of an uncompressed YUV4MPEG2 stream — the video
+    twin of :func:`_read_wav_mono`/:func:`_read_pnm` (r9): parse the
+    stream header (W/H/F/C tokens), derive the fixed frame byte size
+    from the colorspace, then walk the ``FRAME`` markers.  Returns
+    (n_frames, fps); raises ``ValueError`` on anything malformed so the
+    caller falls through to the real codec."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = raw.index(b"\n")
+    w = h = None
+    num, den = 30, 1
+    csp = b"420"
+    for tok in raw[:eol].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C":
+            csp = tok[1:]
+    if not w or not h or num <= 0 or den <= 0:
+        raise ValueError("missing W/H/F in y4m header")
+    if csp.startswith(b"420"):
+        frame_bytes = w * h * 3 // 2
+    elif csp.startswith(b"422"):
+        frame_bytes = w * h * 2
+    elif csp.startswith(b"444"):
+        frame_bytes = w * h * 3
+    elif csp.startswith(b"mono"):
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace {csp!r}")
+    pos, n = eol + 1, 0
+    while pos < len(raw):
+        if raw[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m FRAME marker")
+        pos = raw.index(b"\n", pos) + 1 + frame_bytes
+        n += 1
+    if pos != len(raw):
+        raise ValueError("truncated y4m frame data")
+    return n, num / den
+
+
 def attach_fake_binary(t: Table, id_col: str = "doc_id",
                        n_bytes: int = 256) -> Table:
     """Deterministic fake payload column (sha-based bytes from the id) so
@@ -294,20 +341,27 @@ def sample_video_frames(t: Table, video_col: str = "video",
 
         for pdf in batches:
             if not fake:
-                # real demux via pyav (import-guarded, executor-side):
-                # seek to each sample timestamp, decode ONE frame
-                av = _require("av", "real video decode")
                 rows = {"doc": [], "idx": [], "ts": []}
                 for did, content in zip(pdf[id_col], pdf[video_col]):
-                    with av.open(io.BytesIO(bytes(content))) as cont:
-                        stream = cont.streams.video[0]
-                        dur_ms = int((stream.duration or 0)
-                                     * stream.time_base * 1000)
-                        n = max(1, dur_ms // every_ms)
-                        for i in range(n):
-                            rows["doc"].append(did)
-                            rows["idx"].append(i)
-                            rows["ts"].append(i * every_ms)
+                    raw = bytes(content)
+                    if raw.startswith(b"YUV4MPEG2"):
+                        # uncompressed y4m demuxes pure-Python (r9) —
+                        # runs in any container, like WAV/PNM
+                        n_frames, fps = _y4m_stream_info(raw)
+                        dur_ms = int(n_frames * 1000 / fps)
+                    else:
+                        # real demux via pyav (import-guarded,
+                        # executor-side)
+                        av = _require("av", "real video decode")
+                        with av.open(io.BytesIO(raw)) as cont:
+                            stream = cont.streams.video[0]
+                            dur_ms = int((stream.duration or 0)
+                                         * stream.time_base * 1000)
+                    n = max(1, dur_ms // every_ms)
+                    for i in range(n):
+                        rows["doc"].append(did)
+                        rows["idx"].append(i)
+                        rows["ts"].append(i * every_ms)
                 yield pd.DataFrame({id_col: rows["doc"],
                                     "frame_idx": rows["idx"],
                                     "ts_ms": rows["ts"]})

@@ -952,6 +952,31 @@ def test_read_pnm_comment_after_maxval_and_truncation():
         _read_pnm(b"P5\n2 2\n255\n" + bytes([1, 2]))
 
 
+def test_real_video_demux_y4m_runs_everywhere(spark):
+    """r9: the fake=False video path executes in a codec-less container
+    for uncompressed YUV4MPEG2 — frame count x fps gives the duration,
+    sampling matches the metadata-driven fake path; malformed streams
+    raise (falling to the pyav guard)."""
+    import pytest as pt
+
+    from blaze_spark import data
+    from blaze_spark.pipeline.multimodal import (_y4m_stream_info,
+                                                 sample_video_frames)
+
+    # 2x2 C420 (6 bytes/frame), 10 frames at 5 fps -> 2000 ms
+    y4m = b"YUV4MPEG2 W2 H2 F5:1 Ip A1:1 C420\n" \
+        + b"".join(b"FRAME\n" + bytes(6) for _ in range(10))
+    assert _y4m_stream_info(y4m) == (10, 5.0)
+    with pt.raises(ValueError, match="truncated"):
+        _y4m_stream_info(y4m[:-3])
+
+    t = data([(1, y4m)], spark=spark,
+             schema="doc_id long, video binary")
+    out = sample_video_frames(t, fake=False).df.collect()
+    assert sorted(r.ts_ms for r in out) == [0, 1000]
+    assert sorted(r.frame_idx for r in out) == [0, 1]
+
+
 def test_real_image_decode_with_pillow(spark):
     """Skips in codec-less containers; with Pillow installed the
     fake=False path decodes real bytes end to end."""
