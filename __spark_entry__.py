@@ -2151,6 +2151,32 @@ def multimodal_audio_features(spark, sf_dir):
     return out.df.select("doc_id", "duration_ms", "rms")
 
 
+def multimodal_video_frames(spark, sf_dir):
+    """REAL (codec-free) video demux in the correctness gate (r9):
+    uncompressed YUV4MPEG2 streams built deterministically from doc ids
+    are FRAME-walked by the pure-Python demux
+    (multimodal._y4m_stream_info), then sampled every 300 ms; the
+    oracle recomputes the frame-count/fps sampling arithmetic.  Payload
+    construction is a bounded 40-row driver build (contract query, like
+    the blaze_client entries)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.multimodal import sample_video_frames
+
+    ids = [int(r.doc_id) for r in
+           _t(spark, sf_dir, "documents").df.select("doc_id")
+           .orderBy("doc_id").limit(40).collect()]
+
+    def y4m(n):
+        # 2x2 C420 -> 6 bytes/frame, 5 fps -> 200 ms per frame
+        return (b"YUV4MPEG2 W2 H2 F5:1 Ip A1:1 C420\n"
+                + b"".join(b"FRAME\n" + bytes(6) for _ in range(n)))
+
+    rows = [(i, bytearray(y4m(i % 7 + 2))) for i in ids]
+    t = data(rows, spark=spark, schema="doc_id long, video binary",
+             name="vids")
+    return sample_video_frames(t, every_ms=300, fake=False).df
+
+
 def incremental_dedup_batches(spark, sf_dir):
     """Incremental (streaming-store) dedup contract: two deterministic
     batches — batch 1 = even doc_ids; batch 2 = odd doc_ids plus copies of
@@ -2274,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
         "cross_doc_scrub_docs": cross_doc_scrub_docs,
+        "multimodal_video_frames": multimodal_video_frames,
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
@@ -2319,14 +2346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_orders_per_customer": rank_orders_per_customer,
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
-        "merge_columns": merge_columns,
         # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds + the rows-only dispatcher entry.  r9
-        # rotated out scalar_algebra_summary, percentile_prices and
+        # from earlier rounds + the rows-only entries.  r9 rotated out
+        # merge_columns, scalar_algebra_summary, percentile_prices and
         # trunc_10min_buckets (all green r8 rows, unchanged code) to make
-        # room for the new blaze_client_fk_hop and cross_doc_scrub_docs
-        # entries plus url_domain_stats (whose domain_mix plan changed);
-        # nothing failing rotated out (r8 had zero failures) =============
+        # room for the new blaze_client_fk_hop, cross_doc_scrub_docs and
+        # multimodal_video_frames entries plus url_domain_stats (whose
+        # domain_mix plan changed); nothing failing rotated out (r8 had
+        # zero failures) =================================================
+        "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
@@ -2806,6 +2834,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-7'), 1, 8)
                   < '0ccccccc'
+        """,
+        "multimodal_video_frames": """
+            WITH docs AS (
+                SELECT doc_id, (doc_id % 7) + 2 AS nf
+                FROM documents ORDER BY doc_id LIMIT 40),
+            d2 AS (
+                SELECT doc_id,
+                       greatest(1, (nf * 200) // 300) AS ns
+                FROM docs),
+            ex AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, ns - 1)) AS i
+                FROM d2)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 300 AS BIGINT) AS ts_ms
+            FROM ex
         """,
         "blaze_client_fk_hop": """
             SELECT n.n_name AS nation,
