@@ -1129,8 +1129,9 @@ def blaze_client_fk_hop(spark, sf_dir):
     """Remote FK auto-join + sample variance (r9, VERDICT r8 missing #1):
     ``with_fk`` registration and the ``auto_join`` Map-hop serialize to
     the wire dialect (reference lowers Field-through-Map server-side,
-    blaze/compute/sql.py:272-276), and ``var(unbiased=True)`` carries its
-    ddof flag over the wire (blaze/expr/reductions.py:138-191).  customer
+    blaze/compute/sql.py:272-276), and ``var(unbiased=True)`` serializes
+    as the distinct ``var_samp`` op (blaze/expr/reductions.py:138-191;
+    pre-r9 servers reject it loudly).  customer
     hops into nation and aggregates per-nation SERVER-side; one result
     frame crosses the wire."""
     from pyspark.sql import functions as F

@@ -158,6 +158,13 @@ def _reduction(node: dict, t: Table) -> Reduction:
         # ddof=1 is a DISTINCT op (r9) so pre-r9 servers reject it
         # loudly instead of silently computing the population form
         return getattr(_expr(node["args"][0], t), op[:3])(unbiased=True)
+    if node.get("unbiased"):
+        # a tree from the short-lived early-r9 flag dialect — reject
+        # rather than silently replay ddof=0 (the failure mode the
+        # distinct-op rename exists to prevent)
+        raise ValueError(
+            f"reduction {op!r} carries the retired 'unbiased' field; "
+            "re-serialize with the var_samp/std_samp ops")
     if op not in _REDUCTIONS:
         raise ValueError(f"unknown reduction: {op}")
     return getattr(_expr(node["args"][0], t), op)()

@@ -149,14 +149,14 @@ def _read_pnm(raw: bytes):
     dtype = _np.dtype(">u2") if maxval > 255 else _np.dtype(_np.uint8)
     needed = w * h * nch * dtype.itemsize
     # a comment may sit between maxval and the raster ("255 # note\n"):
-    # skip comment lines ONLY while more bytes remain than the raster
-    # needs, so a raster whose first byte happens to be '#' (35) in an
-    # exactly-sized file is never eaten (r9 review finding — the
-    # unskipped form silently decoded the comment text as pixels)
-    while len(raw) - pos > needed and raw[pos:pos + 1] in (
-            b"#", b" ", b"\t", b"\r", b"\n"):
-        pos = raw.index(b"\n", pos) + 1 if raw[pos:pos + 1] == b"#" \
-            else pos + 1
+    # skip '#'-led comment lines ONLY while more bytes remain than the
+    # raster needs, so a raster whose first byte happens to be '#' (35)
+    # in an exactly-sized file is never eaten (r9 review).  Bare
+    # whitespace is NOT skipped — a trailing writer newline after the
+    # raster would otherwise make a whitespace-valued first pixel
+    # (9/10/13/32) disappear (second-pass review finding).
+    while len(raw) - pos > needed and raw[pos:pos + 1] == b"#":
+        pos = raw.index(b"\n", pos) + 1
     if len(raw) - pos < needed:
         raise ValueError("truncated PNM raster")
     arr = _np.frombuffer(raw, dtype=dtype, count=w * h * nch,
@@ -336,39 +336,36 @@ def sample_video_frames(t: Table, video_col: str = "video",
     one input row fanning out to N frame rows via mapInPandas — is real."""
     out_schema = f"{id_col} long, frame_idx int, ts_ms long"
 
-    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _real_duration_ms(raw: bytes) -> int:
+        # uncompressed y4m demuxes pure-Python (r9) — runs in any
+        # container, like WAV/PNM; malformed y4m (truncated upload)
+        # falls through to the real codec, like the image/audio twins
+        if raw.startswith(b"YUV4MPEG2"):
+            try:
+                n_frames, fps = _y4m_stream_info(raw)
+                return int(n_frames * 1000 / fps)
+            except ValueError:
+                pass
         import io
 
+        av = _require("av", "real video decode")
+        with av.open(io.BytesIO(raw)) as cont:
+            stream = cont.streams.video[0]
+            return int((stream.duration or 0) * stream.time_base * 1000)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                rows = {"doc": [], "idx": [], "ts": []}
-                for did, content in zip(pdf[id_col], pdf[video_col]):
-                    raw = bytes(content)
-                    if raw.startswith(b"YUV4MPEG2"):
-                        # uncompressed y4m demuxes pure-Python (r9) —
-                        # runs in any container, like WAV/PNM
-                        n_frames, fps = _y4m_stream_info(raw)
-                        dur_ms = int(n_frames * 1000 / fps)
-                    else:
-                        # real demux via pyav (import-guarded,
-                        # executor-side)
-                        av = _require("av", "real video decode")
-                        with av.open(io.BytesIO(raw)) as cont:
-                            stream = cont.streams.video[0]
-                            dur_ms = int((stream.duration or 0)
-                                         * stream.time_base * 1000)
-                    n = max(1, dur_ms // every_ms)
-                    for i in range(n):
-                        rows["doc"].append(did)
-                        rows["idx"].append(i)
-                        rows["ts"].append(i * every_ms)
-                yield pd.DataFrame({id_col: rows["doc"],
-                                    "frame_idx": rows["idx"],
-                                    "ts_ms": rows["ts"]})
-                continue
+            # ONE sampling loop for both modes (the fake/real split is
+            # only where dur_ms comes from — metadata vs demux), so the
+            # sampling arithmetic can never drift between them
             rows = {"doc": [], "idx": [], "ts": []}
-            for did, dur in zip(pdf[id_col], pdf["duration_ms"]):
-                n = max(1, int(dur) // every_ms)
+            if fake:
+                durs = (int(d) for d in pdf["duration_ms"])
+            else:
+                durs = (_real_duration_ms(bytes(c))
+                        for c in pdf[video_col])
+            for did, dur_ms in zip(pdf[id_col], durs):
+                n = max(1, dur_ms // every_ms)
                 for i in range(n):
                     rows["doc"].append(did)
                     rows["idx"].append(i)

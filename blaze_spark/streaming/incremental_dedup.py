@@ -523,15 +523,17 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
     # gateway probe: Spark Connect has no JVM bridge for the fs_*
     # helpers — local paths then fall back to os-level renames (the
     # same path they took before r9), remote ones refuse cleanly
-    # instead of crashing mid-function on spark._jvm (r9 review)
+    # instead of crashing mid-function on spark._jvm (r9 review).
+    # ONLY AttributeError marks a missing gateway (what spark._jvm
+    # raises on Connect) — a transient Hadoop/JVM failure on a classic
+    # session must propagate, not silently downgrade the swap to the
+    # non-atomic os path (second-pass review)
     try:
         fs_exists(spark, base)
         gateway = True
-    except Exception:
+    except AttributeError:
         gateway = False
     if not gateway:
-        from ..fsutil import is_local_path
-
         if not is_local_path(store_path):
             raise NotImplementedError(
                 "compact_store on a gateway-less (Spark Connect) session "
@@ -569,12 +571,20 @@ def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
 def _compact_swap_local(spark, store_path: str, base: str, keep: int,
                         files_per_band: int) -> None:
     """os/shutil compaction swap for gateway-less sessions (plain local
-    paths and file:// URIs only)."""
+    paths and file:// URIs only).
+
+    The Spark WRITE keeps the original scheme (``base`` URI + suffix) so
+    it lands on the same filesystem the os-level swap operates on — a
+    scheme-stripped write target could hit the server's default FS
+    instead (second-pass review).  The scheme is stripped MANUALLY (no
+    urlparse: a '#' or '?' in a directory name must not truncate the
+    path).  Requires the client to share the store's filesystem with
+    the Spark server — true for local-mode Connect; a remote Connect
+    server writing to ITS local disk cannot be swapped from here."""
     import os
     import shutil
-    from urllib.parse import urlparse
 
-    local = urlparse(base).path or base
+    local = base[7:] if base.startswith("file://") else base
     tmp, old = local + ".__compact_tmp", local + ".__compact_old"
     for stale in (tmp, old):
         if os.path.exists(stale):
@@ -582,10 +592,20 @@ def _compact_swap_local(spark, store_path: str, base: str, keep: int,
     df = spark.read.parquet(store_path).drop("ingest")
     (df.repartition(files_per_band, "band")
      .write.mode("overwrite").partitionBy("band")
-     .parquet(f"{tmp}/ingest={keep}"))
+     .parquet(f"{base}.__compact_tmp/ingest={keep}"))
+    if not os.path.isdir(tmp):
+        raise OSError(
+            f"compact_store: Spark wrote the rewritten store somewhere "
+            f"other than {tmp!r} — the session's filesystem is not the "
+            "client's (remote Connect server?); compact from a session "
+            "that shares the store's filesystem")
     marker = os.path.join(local, "_SIG_FORMAT")
     if os.path.exists(marker):
         shutil.copy(marker, os.path.join(tmp, "_SIG_FORMAT"))
     shutil.move(local, old)
-    shutil.move(tmp, local)
+    try:
+        shutil.move(tmp, local)
+    except BaseException:
+        shutil.move(old, local)  # restore the original store
+        raise
     shutil.rmtree(old)

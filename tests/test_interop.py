@@ -169,6 +169,15 @@ def test_to_tree_fk_autojoin_roundtrip(spark, sf_dir):
     assert c.c_acctbal.var(unbiased=True)._tree["op"] == "var_samp"
     assert c.c_acctbal.std(unbiased=True)._tree["op"] == "std_samp"
     assert c.c_acctbal.var()._tree["op"] == "var"
+    # and the retired early-r9 flag form is REJECTED, never silently
+    # replayed as ddof=0
+    from blaze_spark.interop import from_tree
+    stale = {"op": "summary", "args": [
+        {"op": "symbol", "args": ["customer"]},
+        {"v": {"op": "var", "unbiased": True,
+               "args": [{"op": "field", "args": ["c_acctbal"]}]}}]}
+    with pytest.raises(ValueError, match="retired"):
+        from_tree(stale, datasets={"customer": c})
 
     # a transform BETWEEN the registration and the hop must not drop
     # the FK registry on replay (r9 review: from_tree's transform built

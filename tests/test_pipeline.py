@@ -948,6 +948,11 @@ def test_read_pnm_comment_after_maxval_and_truncation():
     # raster legitimately starting with 0x23 ('#') in an exact-size file
     arr, _, _, _ = _read_pnm(b"P5\n2 2\n255\n" + bytes([35, 1, 2, 3]))
     assert [int(v) for v in arr.flat] == [35, 1, 2, 3]
+    # a writer-appended trailing newline must not eat a
+    # whitespace-valued first pixel (second-pass review)
+    arr, _, _, _ = _read_pnm(b"P5\n2 2\n255\n" + bytes([10, 1, 2, 3])
+                             + b"\n")
+    assert [int(v) for v in arr.flat] == [10, 1, 2, 3]
     with pt.raises(ValueError, match="truncated"):
         _read_pnm(b"P5\n2 2\n255\n" + bytes([1, 2]))
 
