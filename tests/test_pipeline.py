@@ -982,6 +982,84 @@ def test_real_video_demux_y4m_runs_everywhere(spark):
     assert sorted(r.frame_idx for r in out) == [0, 1]
 
 
+def _media_fuzz_settings():
+    from hypothesis import settings
+
+    return settings(max_examples=25, deadline=None)
+
+
+def test_fuzz_media_parser_roundtrips():
+    """Property: the three codec-free parsers invert their stdlib/byte
+    writers exactly — random PNM rasters (both magics, 8/16-bit),
+    random PCM WAV (8/16/32-bit, mono/stereo, incl. zero frames), and
+    random y4m streams (all four colorspaces) round-trip bit-exact."""
+    import io
+    import wave
+
+    import numpy as np
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from blaze_spark.pipeline.multimodal import (_read_pnm, _read_wav_mono,
+                                                 _y4m_stream_info)
+
+    @given(width=st.integers(1, 5), height=st.integers(1, 5),
+           nch=st.sampled_from([1, 3]),
+           maxval=st.sampled_from([255, 65535]),
+           seed=st.integers(0, 2 ** 16))
+    @_media_fuzz_settings()
+    def pnm(width, height, nch, maxval, seed):
+        rng = np.random.default_rng(seed)
+        shape = (height, width, 3) if nch == 3 else (height, width)
+        vals = rng.integers(0, maxval + 1, size=shape)
+        dt = np.dtype(">u2") if maxval > 255 else np.uint8
+        magic = b"P6" if nch == 3 else b"P5"
+        raw = (magic + f"\n{width} {height}\n{maxval}\n".encode()
+               + vals.astype(dt).tobytes())
+        arr, w, h, mv = _read_pnm(raw)
+        assert (w, h, mv) == (width, height, maxval)
+        assert np.array_equal(arr, vals.astype(np.float64))
+
+    @given(sr=st.sampled_from([8000, 44100]),
+           width=st.sampled_from([1, 2, 4]), nch=st.integers(1, 2),
+           n=st.integers(0, 40), seed=st.integers(0, 2 ** 16))
+    @_media_fuzz_settings()
+    def wav(sr, width, nch, n, seed):
+        rng = np.random.default_rng(seed)
+        dt = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+        info = np.iinfo(dt)
+        vals = rng.integers(info.min, int(info.max) + 1, size=n * nch)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(width)
+            wf.setframerate(sr)
+            wf.writeframes(vals.astype(dt).tobytes())
+        mono, got_sr = _read_wav_mono(buf.getvalue())
+        assert got_sr == sr and len(mono) == n
+        scale = {1: 128.0, 2: 32768.0, 4: 2147483648.0}[width]
+        offs = 128.0 if width == 1 else 0.0
+        want = ((vals.astype(np.float64) - offs) / scale) \
+            .reshape(-1, nch).mean(axis=1)
+        assert np.allclose(mono, want, atol=0)
+
+    @given(w=st.integers(1, 4), h=st.integers(1, 4),
+           num=st.integers(1, 60), den=st.integers(1, 3),
+           csp=st.sampled_from([b"420", b"422", b"444", b"mono"]),
+           n=st.integers(0, 12))
+    @_media_fuzz_settings()
+    def y4m(w, h, num, den, csp, n):
+        fb = {b"420": w * h * 3 // 2, b"422": w * h * 2,
+              b"444": w * h * 3, b"mono": w * h}[csp]
+        raw = (b"YUV4MPEG2 W%d H%d F%d:%d C%s\n" % (w, h, num, den, csp)
+               + b"".join(b"FRAME\n" + bytes(fb) for _ in range(n)))
+        assert _y4m_stream_info(raw) == (n, num / den)
+
+    pnm()
+    wav()
+    y4m()
+
+
 def test_real_image_decode_with_pillow(spark):
     """Skips in codec-less containers; with Pillow installed the
     fake=False path decodes real bytes end to end."""
