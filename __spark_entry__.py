@@ -47,6 +47,7 @@ from blaze_spark.pipeline import (  # noqa: E402
     exact_dedup,
     exact_jaccard_pairs,
     fingerprint,
+    gopher_rules,
     language_id,
     lsh_cosine_topk,
     minhash_candidates,
@@ -1657,6 +1658,33 @@ def repetition_filter_docs(spark, sf_dir):
                 "max_token_run"]].df
 
 
+def gopher_rules_docs(spark, sf_dir):
+    """The full Gopher quality-rule battery (pipeline/curation.
+    gopher_rules — Rae et al. 2021 table A1): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-stopword hits, and the combined
+    ``gopher_pass`` decision — one shuffle-free projection.  The
+    synthetic docs are unique single-line texts, so line structure is
+    planted deterministically in-query on BOTH engines: sentences
+    become lines; every 4th doc gets bulleted lines; every 7th gains a
+    trailing ellipsis.  ``min_words=5`` / ``min_stop_hits=1`` keep the
+    pass decision NON-vacuous on the synthetic corpus (word-salad docs
+    average <1 required-stopword hit, so the paper's >=2 would be
+    all-zero at the gate SFs — the oracle must see both classes)."""
+    d = _t(spark, sf_dir, "documents")
+    multi = F.replace(F.col("text"), F.lit(". "), F.lit("\n"))
+    planted = d.transform(text=F.when(
+        F.col("doc_id") % 4 == 0,
+        F.replace(F.col("text"), F.lit(". "), F.lit("\n- ")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(multi, F.lit("...")))
+        .otherwise(multi))
+    out = gopher_rules(planted, min_words=5, min_stop_hits=1)
+    return out[["doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+                "bullet_line_frac", "ellipsis_line_frac",
+                "alpha_word_frac", "n_stop_hits",
+                "gopher_pass"]].df.orderBy("doc_id")
+
+
 def top_ngram_share_docs(spark, sf_dir):
     """Most frequent 2-gram per doc + token coverage — two map-side
     combinable aggregations, argmax via the skew-safe min_by struct."""
@@ -2297,6 +2325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries whose operator plans changed this round (the
         # single-partition-window fixes: token_commonness vocab top-N ->
         # TakeOrdered, domain_mix share -> broadcast scalar total).
+        # Late r9: gopher_rules_docs (new oracle-able operator) enters
+        # the window head; window_edges_per_user (green r8 row,
+        # unchanged code) rotates below the boundary to keep the sample
+        # at exactly 50.
+        "gopher_rules_docs": gopher_rules_docs,
         "blaze_client_fk_hop": blaze_client_fk_hop,
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
@@ -2346,7 +2379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
         "rolling_range_user_values": rolling_range_user_values,
-        "window_edges_per_user": window_edges_per_user,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
@@ -2355,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
@@ -2947,6 +2980,71 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 4) + 0.0 AS dup_line_frac
             FROM scored s LEFT JOIN counts c USING (line)
             GROUP BY s.doc_id
+        """,
+        "gopher_rules_docs": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN replace(text, '. ', chr(10) || '- ')
+                            WHEN doc_id % 7 = 0
+                            THEN replace(text, '. ', chr(10)) || '...'
+                            ELSE replace(text, '. ', chr(10)) END AS text
+                FROM documents),
+            sig AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(trim(x)) > 0) AS lines
+                FROM planted),
+            raw AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CAST(list_sum(list_transform(toks,
+                            t -> length(t))) AS DOUBLE)
+                           / len(toks) AS mwl,
+                       (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\.\.\.|…')))
+                           / len(toks) AS swr,
+                       CASE WHEN len(lines) > 0
+                            THEN len(list_filter(lines,
+                                 x -> regexp_matches(ltrim(x),
+                                                     '^[-*•‣▪]')))
+                                 / len(lines)
+                            ELSE 0.0 END AS bf,
+                       CASE WHEN len(lines) > 0
+                            THEN len(list_filter(lines,
+                                 x -> regexp_matches(rtrim(x),
+                                                     '(\.\.\.|…)$')))
+                                 / len(lines)
+                            ELSE 0.0 END AS ef,
+                       len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-z]')))
+                           / len(toks) AS af,
+                       CAST(list_contains(toks, 'the') AS INT)
+                       + CAST(list_contains(toks, 'be') AS INT)
+                       + CAST(list_contains(toks, 'to') AS INT)
+                       + CAST(list_contains(toks, 'of') AS INT)
+                       + CAST(list_contains(toks, 'and') AS INT)
+                       + CAST(list_contains(toks, 'that') AS INT)
+                       + CAST(list_contains(toks, 'have') AS INT)
+                       + CAST(list_contains(toks, 'with') AS INT)
+                           AS stops
+                FROM sig)
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mwl, 4) AS mean_word_len,
+                   round(swr, 4) AS symbol_word_ratio,
+                   round(bf, 4) AS bullet_line_frac,
+                   round(ef, 4) AS ellipsis_line_frac,
+                   round(af, 4) AS alpha_word_frac,
+                   CAST(stops AS INT) AS n_stop_hits,
+                   CAST(n_words >= 5 AND n_words <= 100000
+                        AND mwl >= 3.0 AND mwl <= 10.0
+                        AND swr <= 0.1 AND bf <= 0.9 AND ef <= 0.3
+                        AND af >= 0.8 AND stops >= 1 AS INT)
+                       AS gopher_pass
+            FROM raw
         """,
         "token_commonness_docs": r"""
             WITH toks AS (

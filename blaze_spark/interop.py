@@ -206,7 +206,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # passes on registered datasets without shipping code
                   "language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
-                  "hash_sample"}
+                  "gopher_rules", "hash_sample"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -321,11 +321,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return child.hash_sample(args[1], on=args[2],
                                      salt=args[3] if len(args) > 3 else 42)
         if op in ("language_id", "quality_features", "fingerprint",
-                  "repetition_features", "pii_scrub", "token_stats"):
+                  "repetition_features", "pii_scrub", "token_stats",
+                  "gopher_rules"):
             from . import pipeline as _pl
             fn = getattr(_pl, op)
             # optional args[1] = text column name; pii_scrub also takes
-            # args[2] = list of kinds; token_stats args[2] = group_col
+            # args[2] = list of kinds; token_stats args[2] = group_col;
+            # gopher_rules args[2] = its 9 thresholds, positional
             kw = {}
             if len(args) > 1 and args[1]:
                 kw["text_col"] = args[1]
@@ -333,6 +335,16 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                 kw["kinds"] = tuple(args[2])
             if op == "token_stats" and len(args) > 2 and args[2]:
                 kw["group_col"] = args[2]
+            if op == "gopher_rules" and len(args) > 2 and args[2]:
+                thr = args[2]
+                if len(thr) != 9:
+                    raise ValueError(
+                        "gopher_rules wire node expects 9 thresholds")
+                kw.update(zip(
+                    ("min_words", "max_words", "min_mean_word_len",
+                     "max_mean_word_len", "max_symbol_word_ratio",
+                     "max_bullet_line_frac", "max_ellipsis_line_frac",
+                     "min_alpha_word_frac", "min_stop_hits"), thr))
             return fn(child, **kw)
         raise ValueError(f"unknown table op: {op}")
 

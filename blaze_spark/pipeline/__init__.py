@@ -49,6 +49,7 @@ from .curation import (  # noqa: F401
     corpus_report,
     domain_mix,
     extract_urls,
+    gopher_rules,
     ngram_array,
     pii_scrub,
     repetition_features,

@@ -212,6 +212,96 @@ def pii_scrub(t: Table, text_col: str = "text",
                        "pii_scrub", text_col, list(kinds))
 
 
+# the Gopher rules' required-stopword set (Rae et al. 2021, A1.1) —
+# membership is tested with array_contains on the shared tokenization so
+# Spark and the DuckDB oracle agree without any regex subtleties
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(t: Table, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> Table:
+    """The full Gopher quality-rule battery (Rae et al. 2021, table A1) as
+    ONE shuffle-free projection — the standard web-corpus document filter
+    the repetition signals (:func:`repetition_features`) complement.
+
+    Adds the raw signals plus ``gopher_pass`` (0/1, every rule holds):
+
+    - ``n_words`` in [``min_words``, ``max_words``];
+    - ``mean_word_len`` (chars per whitespace token) in [3, 10];
+    - ``symbol_word_ratio`` — '#' or '...' occurrences per word, <= 0.1;
+    - ``bullet_line_frac`` — non-blank lines starting with a bullet
+      glyph, <= 0.9; ``ellipsis_line_frac`` — lines ending in '...'/'…',
+      <= 0.3;
+    - ``alpha_word_frac`` — words containing a letter, >= 0.8;
+    - ``n_stop_hits`` — how many of the 8 required stopwords appear,
+      >= 2 (paper's "contains at least 2 of ...").
+
+    Every signal is a built-in Column expression over the shared
+    tokenization, so the scan stays in whole-stage codegen and the
+    predicate (`gopher_pass = 1`) pushes into the parquet scan.  The
+    pass/fail comparisons run on the UNROUNDED doubles (both engines do
+    the same exact-int divisions, so the decision is byte-reproducible);
+    only the exported ratios are rounded.  Blank-only documents define
+    their line fractions as 0 (no non-blank lines to judge)."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_words = F.size(toks)
+    word_len_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0),
+        lambda acc, x: acc + x)
+    mean_wl = word_len_sum / n_words
+    n_symbols = (F.size(F.regexp_extract_all(c, F.lit("#"), F.lit(0)))
+                 + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"),
+                                               F.lit(0))))
+    sym_ratio = n_symbols / n_words
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).rlike("^[-*•‣▪]")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0,
+                           n_ellipsis / n_lines).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = n_alpha / n_words
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast(T.IntegerType())
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ok = ((n_words >= min_words) & (n_words <= max_words)
+          & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+          & (sym_ratio <= max_symbol_word_ratio)
+          & (bullet_frac <= max_bullet_line_frac)
+          & (ellipsis_frac <= max_ellipsis_line_frac)
+          & (alpha_frac >= min_alpha_word_frac)
+          & (stop_hits >= min_stop_hits))
+    return _unary_pass(
+        t,
+        t.df.withColumns({
+            "n_words": n_words.cast(T.IntegerType()),
+            "mean_word_len": F.round(mean_wl, 4),
+            "symbol_word_ratio": F.round(sym_ratio, 4),
+            "bullet_line_frac": F.round(bullet_frac, 4),
+            "ellipsis_line_frac": F.round(ellipsis_frac, 4),
+            "alpha_word_frac": F.round(alpha_frac, 4),
+            "n_stop_hits": stop_hits,
+            "gopher_pass": ok.cast(T.IntegerType()),
+        }),
+        "gopher_rules", text_col,
+        [min_words, max_words, min_mean_word_len, max_mean_word_len,
+         max_symbol_word_ratio, max_bullet_line_frac,
+         max_ellipsis_line_frac, min_alpha_word_frac, min_stop_hits],
+    )
+
+
 def source_mix(t: Table, text_col: str = "text",
                source_col: str = "source") -> DataFrame:
     """Per-source corpus composition and uniform-mix downsampling weights:

@@ -579,6 +579,81 @@ def test_token_commonness_vocab_is_take_ordered(spark):
     assert "Window" not in plan, plan
 
 
+def test_gopher_rules_signals(spark):
+    """Hand-computed Gopher signals (Rae et al. 2021 table A1): word
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, required-stopword hits."""
+    from blaze_spark.pipeline import gopher_rules
+
+    rows = [
+        (0, "the cat and the dog have to be fun with all of that"),
+        (1, "- one\n- two\nplain tail..."),
+        (2, "### ### zz"),
+        (3, "   "),
+    ]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="gdocs")
+    out = {r.doc_id: r for r in gopher_rules(t, min_words=5).df.collect()}
+    r0 = out[0]                 # 13 words, clean prose, all 8 stopwords
+    assert r0.n_words == 13
+    assert r0.symbol_word_ratio == 0.0
+    assert r0.alpha_word_frac == 1.0
+    assert r0.n_stop_hits == 8
+    assert r0.gopher_pass == 1
+    r1 = out[1]                 # 2 of 3 lines bulleted, 1 of 3 ellipsis
+    assert r1.bullet_line_frac == round(2 / 3, 4)
+    assert r1.ellipsis_line_frac == round(1 / 3, 4)
+    assert r1.gopher_pass == 0
+    r2 = out[2]                 # '#' symbols dominate, words mostly sym
+    assert r2.symbol_word_ratio == 2.0     # 6 '#' / 3 words
+    assert r2.alpha_word_frac == round(1 / 3, 4)
+    assert r2.gopher_pass == 0
+    r3 = out[3]                 # blank doc: fractions defined as 0
+    assert r3.bullet_line_frac == 0.0 and r3.ellipsis_line_frac == 0.0
+    assert r3.gopher_pass == 0
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """The whole rule battery is one projection: zero exchanges, and the
+    gopher_pass predicate pushes into the scan."""
+    from blaze_spark.pipeline import gopher_rules
+    from blaze_spark.plans import exchange_count
+
+    t = data([(1, "the cat sat")], spark=spark,
+             schema="doc_id bigint, text string", name="gplan")
+    out = gopher_rules(t)
+    assert exchange_count(out.df) == 0
+
+
+def test_gopher_rules_wire_node_roundtrip(spark):
+    """gopher_rules serializes as a unary tree op with its 9 thresholds,
+    so a RemoteTable runs it server-side (new r9 wire op — old servers
+    reject the unknown name loudly, per the version-skew rule)."""
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline import gopher_rules
+
+    t = data([(1, "the cat and the dog have a nap"),
+              (2, "zz qq")],
+             spark=spark, schema="doc_id bigint, text string",
+             name="gwire")
+    local = gopher_rules(t, min_words=3, min_stop_hits=1)
+    tree = {"op": "gopher_rules",
+            "args": [{"op": "symbol", "args": ["gwire"]}, "text",
+                     [3, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 1]]}
+    got = from_tree(tree, spark=spark, datasets={"gwire": t},
+                    allow_data_uris=False)
+    g = {r.doc_id: r for r in got.df.collect()}
+    l = {r.doc_id: r for r in local.df.collect()}
+    assert sorted(got.df.columns) == sorted(local.df.columns)
+    assert all(g[i].gopher_pass == l[i].gopher_pass for i in (1, 2))
+    # malformed threshold vector fails loudly, never half-applies
+    bad = {"op": "gopher_rules",
+           "args": [{"op": "symbol", "args": ["gwire"]}, "text", [3, 4]]}
+    with pytest.raises(ValueError, match="9 thresholds"):
+        from_tree(bad, spark=spark, datasets={"gwire": t},
+                  allow_data_uris=False)
+
+
 def test_domain_mix_share_has_no_window(spark):
     """VERDICT r8 #2: doc_share's denominator is a 1-row scalar
     aggregate broadcast back (BroadcastNestedLoopJoin), not a

@@ -617,7 +617,8 @@ def test_remote_curation_passes_run_server_side(spark, star):
     try:
         rt = data(f"blaze://127.0.0.1:{srv.port}::documents", spark=spark)
         for fn in (pl.language_id, pl.quality_features, pl.fingerprint,
-                   pl.repetition_features, pl.pii_scrub, pl.token_stats):
+                   pl.repetition_features, pl.pii_scrub, pl.token_stats,
+                   pl.gopher_rules):
             out = fn(rt)
             assert getattr(out, "_client", None) is not None, fn.__name__
             assert out._tree is not None, fn.__name__
