@@ -1200,6 +1200,37 @@ def quantized_neardup_chain(spark, sf_dir):
     return neardup_pairs(deq, threshold=0.9).df
 
 
+def quantized_at_rest_chain(spark, sf_dir):
+    """The PRODUCTION layout of the quantized chain (PLANS.md r9
+    topology note): int8 codes materialized AT REST once
+    (pipeline/quantize.write_quantized — raw floats dropped, ~4x
+    smaller store), then every corpus pass pays only the
+    dequantize-on-scan projection before the LSH/IVF dispatcher.
+    Contrast with quantized_neardup_chain, which deliberately times the
+    no-materialization form (quantize+dequantize re-run on every pass).
+    Rows-only like the other dispatcher entries (approximate backend);
+    the store is (re)built only when absent — its content is
+    deterministic (seeded planting + exact int arithmetic), so reps
+    after the first measure the warm at-rest read path, which is the
+    number the layout exists to improve."""
+    import hashlib
+    import os
+    import tempfile
+
+    from blaze_spark.pipeline import (neardup_pairs, read_quantized,
+                                      write_quantized)
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(e)
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    store = os.path.join(tempfile.gettempdir(),
+                         f"blaze_spark_qstore_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_quantized(corpus, store)
+    deq = read_quantized(store, spark=spark)
+    return neardup_pairs(deq, threshold=0.9).df
+
+
 def cross_doc_scrub_docs(spark, sf_dir):
     """Scrub mode of cross-document line dedup (r9, VERDICT r8 #7):
     clean_text is rebuilt from each doc's non-cross-duplicated lines in
@@ -2398,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above — below the boundary per r7 task #4; judge-checked via
         # tools/check_oracles.py + pytest contracts
         "quantized_neardup_chain": quantized_neardup_chain,
+        "quantized_at_rest_chain": quantized_at_rest_chain,
         "q01_pricing_summary": q01_pricing_summary,
         "tensor_ops_embeddings": tensor_ops_embeddings,
         "embedding_topk": embedding_topk,

@@ -75,6 +75,7 @@ NEW_QUERIES_R9 = [
     "cross_doc_scrub_docs",
     "token_commonness_docs",
     "quantized_neardup_chain",
+    "quantized_at_rest_chain",
     "neardup_dispatch_pairs",
 ]
 

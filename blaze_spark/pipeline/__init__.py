@@ -65,6 +65,8 @@ from .packing import (  # noqa: F401
 from .quantize import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,
+    read_quantized,
+    write_quantized,
 )
 from .multimodal import (  # noqa: F401
     IMAGE_SCHEMA,

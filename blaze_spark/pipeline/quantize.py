@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from ..core import Table, _derived
 
-__all__ = ["quantize_embeddings", "dequantize_embeddings"]
+__all__ = ["quantize_embeddings", "dequantize_embeddings",
+           "write_quantized", "read_quantized"]
 
 
 def quantize_embeddings(t: Table, vec_col: str = "embedding",
@@ -62,8 +63,51 @@ def dequantize_embeddings(t: Table, q_col: str = "qembedding",
     return res
 
 
+def write_quantized(t: Table, path: str, vec_col: str = "embedding",
+                    q_col: str = "qembedding", scale_col: str = "qscale",
+                    mode: str = "overwrite") -> None:
+    """Materialize the corpus AT REST as int8 codes: quantize, DROP the
+    raw float column, write parquet.  This is the production layout the
+    bench's ``quantized_neardup_chain`` deliberately avoids (PLANS.md r9
+    topology note): quantize-at-READ re-runs the quantize+dequantize
+    projections on EVERY corpus pass (sizing count, k-means init, cell
+    assignment — measured ~2× the raw dispatcher at sf10), while a
+    stored code table pays the quantize exactly once and every
+    downstream pass only the cheap dequantize-on-scan.  Storage drops
+    ~4× (measured 3.5× at sf1 with the scale column included)."""
+    q = quantize_embeddings(t, vec_col=vec_col, out_col=q_col,
+                            scale_col=scale_col)
+    q.df.drop(vec_col).write.mode(mode).parquet(path)
+
+
+def read_quantized(path: str, vec_col: str = "embedding",
+                   q_col: str = "qembedding", scale_col: str = "qscale",
+                   keep_codes: bool = False, spark=None) -> Table:
+    """Open a :func:`write_quantized` store and rehydrate ``vec_col``
+    (``array<float>``) via dequantize-on-scan — a pure JVM projection,
+    so the scan stays in whole-stage codegen and every ANN operator
+    (LSH / IVF / the :func:`similarity.neardup_pairs` dispatcher) runs
+    on the result unchanged.  ``keep_codes=True`` retains the int8
+    codes and scale alongside the rehydrated vectors (for operators
+    that can consume codes directly)."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    t = Table(spark.read.parquet(path), "quantized_store")
+    missing = [c for c in (q_col, scale_col) if c not in t.df.columns]
+    if missing:
+        raise ValueError(
+            f"not a quantized store (missing {missing}): {path}")
+    out = dequantize_embeddings(t, q_col=q_col, scale_col=scale_col,
+                                out_col=vec_col)
+    if not keep_codes:
+        out = Table(out.df.drop(q_col, scale_col), out._name)
+    return out
+
+
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
 from ..core import _localize_guard as _lg  # noqa: E402
 
 quantize_embeddings = _lg(quantize_embeddings)
 dequantize_embeddings = _lg(dequantize_embeddings)
+write_quantized = _lg(write_quantized)

@@ -1113,6 +1113,39 @@ def test_quantize_roundtrip_error_bound(spark, emb):
     assert len(out) == 50 and all(len(r.embedding) > 0 for r in out)
 
 
+def test_quantized_store_roundtrip(spark, emb, tmp_path):
+    """write_quantized drops the raw float column at rest (the 4x
+    storage cut); read_quantized rehydrates the same vectors within the
+    quantization error bound and leaves the schema ANN-ready."""
+    from blaze_spark.pipeline import read_quantized, write_quantized
+
+    src = emb.head(100)
+    store = str(tmp_path / "qstore")
+    write_quantized(src, store)
+
+    import pyarrow.parquet as pq
+    on_disk = pq.read_schema(
+        next((tmp_path / "qstore").glob("*.parquet")))
+    assert "embedding" not in on_disk.names          # raw floats dropped
+    assert {"qembedding", "qscale"} <= set(on_disk.names)
+
+    back = read_quantized(store, spark=spark)
+    assert "qembedding" not in back.df.columns       # rehydrated view
+    got = {r.vec_id: r for r in back.df.collect()}
+    for r in src.df.select("vec_id", "embedding", ).collect():
+        h = got[r.vec_id]
+        scale = max(abs(x) for x in r.embedding) / 127.0 or 1.0
+        assert all(abs(a - b) <= scale / 2 + 1e-6
+                   for a, b in zip(h.embedding, r.embedding))
+    # keep_codes retains the store columns for code-native consumers
+    keep = read_quantized(store, spark=spark, keep_codes=True)
+    assert {"qembedding", "qscale"} <= set(keep.df.columns)
+    # a non-store path fails loudly, never silently rehydrates garbage
+    src.df.select("vec_id").write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="not a quantized store"):
+        read_quantized(str(tmp_path / "plain"), spark=spark)
+
+
 def test_quantize_is_jvm_side_and_topk_recall(spark, emb):
     """The quantize/dequantize plans stay in whole-stage codegen (no
     Python), and cosine top-k over dequantized int8 vectors keeps high
