@@ -2093,6 +2093,25 @@ def recall_ivf_topk(spark, sf_dir):
     return topk_recall(truth, found).df
 
 
+def recall_pq_topk(spark, sf_dir):
+    """Recall@k contract for product-quantization ADC top-k vs
+    brute-force cosine (pipeline/pq.py — Jégou et al. 2011): codes are
+    m=8 uint8 bytes/vector (32× less scan IO than float32 dim-64), the
+    scan reads codes only and keeps per-partition per-query k-heaps.
+    Rows-only by design (trained codebooks aren't SQL-expressible);
+    tests/test_pipeline.py pins the recall floor, the planted-dup
+    top-1 contract and decode reconstruction error."""
+    from blaze_spark.pipeline import pq_encode, pq_fit, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(e, m=8, ks=256, iters=5, train_rows=20_000)
+    codes = pq_encode(e, cb)
+    queries = Table(e.df.filter(F.col("vec_id") < 20))
+    truth = cosine_topk(e, queries, k=10)
+    found = pq_topk(codes, queries, cb, k=10)
+    return topk_recall(truth, found).df
+
+
 def udaf_geomean(spark, sf_dir):
     import numpy as np
 
@@ -2457,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_simhash": recall_simhash,
         "recall_embedding_lsh": recall_embedding_lsh,
         "recall_ivf_topk": recall_ivf_topk,
+        "recall_pq_topk": recall_pq_topk,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,

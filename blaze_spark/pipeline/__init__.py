@@ -62,6 +62,12 @@ from .packing import (  # noqa: F401
     pack_sequences,
     train_val_test_split,
 )
+from .pq import (  # noqa: F401
+    pq_decode,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
 from .quantize import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,

@@ -1,0 +1,250 @@
+"""Product quantization (PQ) — compressed-domain similarity search
+(Jégou, Douze & Schmid 2011, "Product quantization for nearest neighbor
+search"; the FAISS ``IndexPQ`` recipe, Spark-first).
+
+Why this exists at 100 TB: a dim-64 float32 embedding column is 256
+bytes/row; its PQ code at ``m=8`` subspaces is 8 bytes — 32× less to
+store, shuffle and (critically) stream through an ANN scan.  Asymmetric
+distance computation (ADC) scores a query against CODES ONLY: one
+(m × ks) lookup table per query, then ``m`` table lookups + adds per
+corpus row — no float vector is ever read at query time.
+
+Topology:
+
+- :func:`pq_fit` trains ``m`` independent k-means codebooks on a BOUNDED
+  deterministic sample collected to the driver (the FAISS training
+  recipe — codebooks need a representative sample, never the corpus;
+  the collect is ``train_rows × dim`` floats, explicitly capped).
+- :func:`pq_encode` is one Arrow-batched pandas UDF pass: per batch,
+  ``m`` small matmuls against the broadcast codebooks, argmin → one
+  ``binary`` cell of ``m`` uint8 codes per row.  Vectors are
+  L2-NORMALIZED before encoding so squared-L2 ADC ranks exactly like
+  cosine (``|a−b|² = 2 − 2·cos`` on the unit sphere).
+- :func:`pq_topk` broadcasts the (guard-bounded) query block into a
+  ``mapInPandas`` scan of the codes: per partition each query keeps a
+  k-heap (numpy argpartition), so the shuffle after the scan carries
+  ``partitions × queries × k`` candidate rows — never ``N × queries``.
+- :func:`pq_decode` reconstructs the (normalized) vectors from codes —
+  the reconstruction-error contract and a fallback for operators that
+  want approximate vectors back.
+
+PQ is not SQL-expressible (trained codebooks), so its gate entries are
+rows-only with pytest recall/reconstruction contracts — same contract
+family as the LSH/IVF backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import Table
+
+__all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0.0] = 1.0
+    return m / n[:, None]
+
+
+def _lloyd(x: np.ndarray, ks: int, iters: int, seed: int) -> np.ndarray:
+    """Driver-side numpy Lloyd for ONE subspace: (train, dsub) → (ks, dsub).
+    Deterministic seeded init; empty clusters re-seeded from the point
+    farthest from its centroid (the standard FAISS fix, deterministic
+    argmax) so every code stays usable."""
+    rng = np.random.default_rng(seed)
+    ks = min(ks, len(x))
+    cents = x[rng.choice(len(x), size=ks, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mind = d[np.arange(len(x)), assign]
+        for j in range(ks):
+            sel = assign == j
+            if sel.any():
+                cents[j] = x[sel].mean(axis=0)
+            else:
+                far = int(mind.argmax())
+                cents[j] = x[far]
+                mind[far] = 0.0
+    return cents
+
+
+def pq_fit(corpus: Table, m: int = 8, ks: int = 256, iters: int = 10,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           train_rows: int = 50_000, seed: int = 42) -> np.ndarray:
+    """Train the ``(m, ks, dim/m)`` PQ codebooks on a bounded sample.
+
+    ``ks`` ≤ 256 so a code is one uint8 per subspace; ``dim`` must be
+    divisible by ``m``.  The training sample is the ``train_rows``
+    smallest ids (deterministic TakeOrdered — same convention as
+    ``kmeans_fit``'s init) and is the ONLY driver-side materialization:
+    ``train_rows × dim`` floats, explicitly capped.  Vectors are
+    normalized before training — codebooks live on the unit sphere
+    where the cosine-ranking ADC operates."""
+    if ks > 256:
+        raise ValueError(f"ks={ks} > 256: PQ codes are one uint8 per "
+                         "subspace — use more subspaces (m) instead")
+    sample = (corpus.df.orderBy(id_col).select(F.col(vec_col).alias("v"))
+              if id_col in corpus.df.columns
+              else corpus.df.select(F.col(vec_col).alias("v")))
+    rows = sample.limit(train_rows).toPandas()["v"]
+    x = _normalize(np.stack(rows.to_numpy()).astype(np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _lloyd(x[:, i * dsub:(i + 1) * dsub], ks, iters, seed + i)
+        for i in range(m)])
+
+
+def _encode_udf(codebooks: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = codebooks.shape
+    # |x−c|² = |x|² − 2x·c + |c|²; |x|² is constant per row per argmin
+    cnorm = (codebooks ** 2).sum(axis=2)              # (m, ks)
+
+    def _enc(s):
+        x = _normalize(np.stack(s.to_numpy()).astype(np.float64))
+        out = np.empty((len(x), m), dtype=np.uint8)
+        for i in range(m):
+            sub = x[:, i * dsub:(i + 1) * dsub]
+            d = -2.0 * sub @ codebooks[i].T + cnorm[i][None, :]
+            out[:, i] = d.argmin(axis=1).astype(np.uint8)
+        return pd.Series([r.tobytes() for r in out])
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "binary")
+
+
+def pq_encode(corpus: Table, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> Table:
+    """Encode each vector as ``m`` uint8 codes in one ``binary`` cell —
+    one Arrow-batched UDF pass (m small matmuls per batch).  Drop
+    ``vec_col`` afterwards to realize the ~32× storage cut; every
+    PQ consumer reads codes only."""
+    return Table(
+        corpus.df.withColumn(out_col,
+                             _encode_udf(codebooks)(F.col(vec_col))),
+        "pq_encode")
+
+
+def pq_decode(codes: Table, codebooks: np.ndarray,
+              code_col: str = "pq_code",
+              out_col: str = "embedding") -> Table:
+    """Reconstruct the (unit-normalized) approximate vectors from codes —
+    concatenated codebook rows; error is the PQ quantization error the
+    pytest contract bounds."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = codebooks.shape
+
+    def _dec(s):
+        c = np.stack([np.frombuffer(b, dtype=np.uint8)
+                      for b in s.to_numpy()])
+        out = np.empty((len(c), m * dsub))
+        for i in range(m):
+            out[:, i * dsub:(i + 1) * dsub] = codebooks[i][c[:, i]]
+        return pd.Series([r.astype(np.float32) for r in out])
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return Table(
+        codes.df.withColumn(out_col,
+                            pandas_udf(_dec, "array<float>")
+                            (F.col(code_col))),
+        "pq_decode")
+
+
+def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
+            k: int = 5, id_col: str = "vec_id",
+            code_col: str = "pq_code", vec_col: str = "embedding",
+            round_to: int | None = 4,
+            max_queries: int = 10_000) -> Table:
+    """Approximate top-k cosine neighbors by asymmetric distance
+    computation over PQ codes: (query_id, neighbor_id, cosine) with
+    ``cosine = 1 − adc/2`` (exact on the unit sphere up to the code's
+    quantization error).
+
+    The scan reads ONLY the 8-byte codes — at 100 TB this is the
+    32×-less-IO exhaustive path; compose with ``ivf_assign``'s cell
+    column (filter the codes table by the query's probed cells before
+    calling) for the sublinear IVF-PQ layout.  Each partition keeps a
+    per-query k-heap (argpartition), so the final TakeOrdered-style
+    merge sees ``partitions × queries × k`` rows, never N×Q.  The query
+    block is collected to the driver under the same ``max_queries``
+    guard as :func:`similarity.cosine_topk` (pass ``None`` to skip the
+    sizing probe)."""
+    if max_queries is not None:
+        probe = queries.df.select(id_col).limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"pq_topk query side exceeds max_queries={max_queries}: "
+                "the ADC tables are built driver-side per query.  Batch "
+                "the queries, or pass max_queries=None to force.")
+    qpdf = queries.df.select(F.col(id_col).alias("qid"),
+                             F.col(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qx = _normalize(np.stack(qpdf["qv"].to_numpy()).astype(np.float64))
+    m, ks, dsub = codebooks.shape
+    # ADC tables: tab[q, i, j] = |q_i − c_ij|²  (Q, m, ks)
+    tabs = np.empty((len(qx), m, ks))
+    for i in range(m):
+        sub = qx[:, i * dsub:(i + 1) * dsub]            # (Q, dsub)
+        d = (sub[:, None, :] - codebooks[i][None, :, :]) ** 2
+        tabs[:, i, :] = d.sum(axis=2)
+    kk = int(k)
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack([np.frombuffer(b, dtype=np.uint8)
+                          for b in pdf["pq_code"].to_numpy()])
+            nids = pdf["nid"].to_numpy()
+            # adist[q, n] = Σ_i tabs[q, i, c[n, i]]
+            ad = np.zeros((len(qx), len(c)))
+            for i in range(m):
+                ad += tabs[:, i, :][:, c[:, i]]
+            # per-partition-batch top-k per query (self-matches masked)
+            self_mask = qids[:, None] == nids[None, :]
+            ad[self_mask] = np.inf
+            take = min(kk, ad.shape[1])
+            part = np.argpartition(ad, take - 1, axis=1)[:, :take]
+            rows_q = np.repeat(qids, take)
+            rows_n = nids[part.ravel()]
+            rows_d = np.take_along_axis(ad, part, axis=1).ravel()
+            keep = np.isfinite(rows_d)
+            yield pd.DataFrame({"query_id": rows_q[keep],
+                                "neighbor_id": rows_n[keep],
+                                "adist": rows_d[keep]})
+
+    cand = codes.df.select(F.col(id_col).alias("nid"),
+                           F.col(code_col).alias("pq_code")) \
+        .mapInPandas(_scan, "query_id long, neighbor_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id"))
+    cos = F.lit(1.0) - F.col("adist") / F.lit(2.0)
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= kk)
+           .select("query_id", "neighbor_id",
+                   (F.round(cos, round_to) + F.lit(0.0)).alias("cosine")
+                   if round_to is not None else cos.alias("cosine")))
+    return Table(out, "pq_topk")
+
+
+# silent-empty audit (r8 convention): no wire-dialect form — remote
+# inputs raise at entry instead of computing over the empty frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+pq_fit = _lg(pq_fit)
+pq_encode = _lg(pq_encode)
+pq_decode = _lg(pq_decode)
+pq_topk = _lg(pq_topk)

@@ -1239,3 +1239,100 @@ def test_cross_doc_dup_lines_within_doc_repeat_not_flagged(spark):
              spark=spark, schema="doc_id long, text string", name="xdl3")
     scored = {r.doc_id: r for r in cross_doc_dup_lines(t).df.collect()}
     assert scored[1].n_dup_lines == 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pipeline/pq.py) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def test_pq_fit_shape_and_determinism(emb):
+    from blaze_spark.pipeline import pq_fit
+
+    cb = pq_fit(emb, m=8, ks=16, iters=3, train_rows=300)
+    assert cb.shape == (8, 16, 8)   # (m, ks, dim/m) at dim=64
+    cb2 = pq_fit(emb, m=8, ks=16, iters=3, train_rows=300)
+    assert (cb == cb2).all()        # seeded TakeOrdered sample + Lloyd
+
+    with pytest.raises(ValueError, match="> 256"):
+        pq_fit(emb, ks=300)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=7)
+
+
+def test_pq_encode_decode_reconstruction(emb):
+    """Codes are m uint8 bytes; reconstruction approximates the unit
+    vector (quantization-error contract: mean cosine well above the
+    ~0 of random 64-dim directions, and decode(encode(x)) is the
+    nearest-codeword reconstruction, so it beats any single codeword)."""
+    import numpy as np
+
+    from blaze_spark.pipeline import pq_decode, pq_encode, pq_fit
+
+    cb = pq_fit(emb, m=8, ks=16, iters=4, train_rows=500)
+    enc = pq_encode(emb, cb)
+    rows = enc.df.select("pq_code").limit(10).collect()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    assert all(max(r.pq_code) < 16 for r in rows)   # ks=16 codes
+
+    dec = pq_decode(enc, cb, out_col="recon")
+    pdf = dec.df.select("embedding", "recon").limit(100).toPandas()
+    cos = []
+    for a, b in zip(pdf["embedding"], pdf["recon"]):
+        a = np.asarray(a, dtype=float)
+        a /= np.linalg.norm(a)
+        b = np.asarray(b, dtype=float)
+        cos.append(float(a @ b / np.linalg.norm(b)))
+    assert np.mean(cos) > 0.5, np.mean(cos)
+
+
+def test_pq_topk_planted_dup_and_recall(spark, emb):
+    """An exact copy shares the query's code, so its ADC distance is the
+    minimum any corpus row can achieve (the query's own quantization
+    error — ADC never quantizes the query, so the distance is NOT 0) ->
+    it must rank top-1.  Overall recall vs brute-force cosine is well
+    above chance."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import cosine_topk, pq_encode, pq_fit, pq_topk
+
+    copy = Table(emb.df.filter("vec_id = 0")
+                 .withColumn("vec_id", F.lit(900000).cast("long")))
+    both = concat(emb, copy)
+    cb = pq_fit(both, m=8, ks=256, iters=5, train_rows=501)
+    codes = pq_encode(both, cb)
+
+    queries = Table(both.df.filter("vec_id < 3"))
+    approx = pq_topk(codes, queries, cb, k=5).df.collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in by_q.values())
+    # planted copy is vec 0's nearest neighbor (identical code); its
+    # ADC cosine reflects q's quantization error, so bound it loosely
+    top0 = max(by_q[0], key=lambda r: r.cosine)
+    assert top0.neighbor_id == 900000 and top0.cosine > 0.6
+
+    # superset recall (standard ANN eval): approx@10 vs exact@5.  The
+    # synthetic embeddings are near-random (top cosines ~0.5, dense
+    # ties), the hardest regime for PQ — 0.6 here is far above the
+    # ~2% chance rate, and the production default ks=256 measured 0.80.
+    exact = cosine_topk(both, queries, k=5).df.collect()
+    at10 = pq_topk(codes, queries, cb, k=10).df.collect()
+    ax = {(r.query_id, r.neighbor_id) for r in at10}
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(ax & ex) / len(ex) >= 0.6, (ax, ex)
+
+
+def test_pq_topk_query_guard(spark, emb):
+    from blaze_spark import Table
+    from blaze_spark.pipeline import pq_encode, pq_fit, pq_topk
+
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(emb, cb)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(codes, Table(emb.df), cb, k=3, max_queries=100)
+    # None skips the sizing probe entirely
+    out = pq_topk(codes, Table(emb.df.filter("vec_id < 2")), cb,
+                  k=3, max_queries=None)
+    assert out.df.count() == 6
