@@ -2112,6 +2112,26 @@ def recall_pq_topk(spark, sf_dir):
     return topk_recall(truth, found).df
 
 
+def recall_ivf_pq_topk(spark, sf_dir):
+    """Recall@k contract for the composed IVF-PQ layout (pipeline/pq.py
+    ivf_pq_topk — FAISS IndexIVFPQ Spark-first): nprobe of the k-means
+    cells are scanned per query and only 8-byte PQ codes are read —
+    the two reductions multiply, which is the sublinear 100 TB ANN
+    path.  Rows-only; pytest pins the exhaustive-probe == pq_topk
+    differential equality and the pruned-probe floor."""
+    from blaze_spark.pipeline import ivf_pq_topk, pq_encode, pq_fit
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    cb = pq_fit(e, m=8, ks=256, iters=5, train_rows=20_000)
+    codes = pq_encode(ivf_assign(e, cents), cb)
+    queries = Table(e.df.filter(F.col("vec_id") < 20))
+    truth = cosine_topk(e, queries, k=10)
+    found = ivf_pq_topk(codes, queries, cents, cb, k=10, nprobe=4)
+    return topk_recall(truth, found).df
+
+
 def udaf_geomean(spark, sf_dir):
     import numpy as np
 
@@ -2477,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_embedding_lsh": recall_embedding_lsh,
         "recall_ivf_topk": recall_ivf_topk,
         "recall_pq_topk": recall_pq_topk,
+        "recall_ivf_pq_topk": recall_ivf_pq_topk,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,

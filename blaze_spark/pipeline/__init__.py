@@ -63,6 +63,7 @@ from .packing import (  # noqa: F401
     train_val_test_split,
 )
 from .pq import (  # noqa: F401
+    ivf_pq_topk,
     pq_decode,
     pq_encode,
     pq_fit,

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..core import Table
 
-__all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk"]
+__all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk", "ivf_pq_topk"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -240,6 +240,113 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
     return Table(out, "pq_topk")
 
 
+def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
+                codebooks: np.ndarray, k: int = 5, nprobe: int = 4,
+                id_col: str = "vec_id", code_col: str = "pq_code",
+                vec_col: str = "embedding", cell_col: str = "cell",
+                round_to: int | None = 4,
+                max_queries: int = 10_000) -> Table:
+    """IVF-PQ: cell-pruned asymmetric-distance top-k — the composed
+    sublinear layout (FAISS ``IndexIVFPQ``).  :func:`pq_topk` scans every
+    code; here each query scores only the codes in its ``nprobe`` nearest
+    k-means cells, so the candidate volume is ``~nprobe/k_cells`` of the
+    corpus per query AND the rows are 8-byte codes, multiplying the two
+    reductions.
+
+    ``codes`` must carry ``cell_col`` (encode via
+    ``pq_encode(ivf_assign(corpus, centroids), codebooks)`` and store
+    PARTITIONED BY the cell column — the probed-cell ``isin`` filter
+    below then prunes partitions at the scan, which is what makes this
+    sublinear in IO at rest, not just in compute).  If the codes table
+    still has the float ``vec_col``, the cell is derived on the fly.
+
+    Queries (collected under the same ``max_queries`` guard as
+    :func:`pq_topk` — the ADC tables are driver-built per query) are
+    probed driver-side against the coarse centroids; corpus assignment
+    and query probing both run in raw L2 space (consistent geometry),
+    the ADC itself on the unit sphere.  With ``nprobe >= k_cells`` the
+    candidate set is the whole corpus and the result is EXACTLY
+    ``pq_topk``'s (same ADC, same tie-break) — the differential
+    contract pytest pins."""
+    from .ivf import ivf_assign
+
+    if cell_col not in codes.df.columns:
+        if vec_col in codes.df.columns and cell_col == "cell":
+            codes = ivf_assign(codes, centroids, vec_col=vec_col)
+        else:
+            raise ValueError(
+                f"ivf_pq_topk needs a {cell_col!r} column on the codes "
+                f"table (or the float {vec_col!r} to derive it): encode "
+                "with pq_encode(ivf_assign(corpus, centroids), codebooks) "
+                "and store partitioned by cell")
+    if max_queries is not None:
+        probe = queries.df.select(id_col).limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"ivf_pq_topk query side exceeds max_queries="
+                f"{max_queries}: the ADC tables are built driver-side "
+                "per query.  Batch the queries, or pass "
+                "max_queries=None to force.")
+    qpdf = queries.df.select(F.col(id_col).alias("qid"),
+                             F.col(vec_col).alias("qv")).toPandas()
+    qids = np.sort(qpdf["qid"].to_numpy())
+    order = np.argsort(qpdf["qid"].to_numpy())
+    qraw = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)[order]
+    qx = _normalize(qraw)
+    m, ks, dsub = codebooks.shape
+    tabs = np.empty((len(qx), m, ks))
+    for i in range(m):
+        sub = qx[:, i * dsub:(i + 1) * dsub]
+        d = (sub[:, None, :] - codebooks[i][None, :, :]) ** 2
+        tabs[:, i, :] = d.sum(axis=2)
+    # driver-side probe (raw space — matches ivf_assign's geometry)
+    dcell = (-2.0 * qraw @ centroids.T
+             + (centroids ** 2).sum(axis=1)[None, :])
+    take_c = min(nprobe, centroids.shape[0])
+    probed = np.argpartition(dcell, take_c - 1, axis=1)[:, :take_c] \
+        if take_c < centroids.shape[0] \
+        else np.tile(np.arange(take_c), (len(qraw), 1))
+    spark = codes.df.sparkSession
+    qcells = spark.createDataFrame(
+        [(int(q), int(c)) for q, cs in zip(qids, probed[:, :take_c])
+         for c in cs],
+        "query_id long, cell int")
+    cell_lits = sorted({int(c) for cs in probed for c in cs})
+    kk = int(k)
+
+    def _adc(qs, cs):
+        c = np.stack([np.frombuffer(b, dtype=np.uint8)
+                      for b in cs.to_numpy()])
+        qi = np.searchsorted(qids, qs.to_numpy())
+        out = np.zeros(len(c))
+        for i in range(m):
+            out += tabs[qi, i, c[:, i]]
+        return pd.Series(out)
+
+    _adc.__annotations__ = {"qs": pd.Series, "cs": pd.Series,
+                            "return": pd.Series}
+    from pyspark.sql.functions import pandas_udf
+    adc_udf = pandas_udf(_adc, "double")
+
+    cand = (codes.df
+            .filter(F.col(cell_col).isin(cell_lits))   # partition pruning
+            .select(F.col(id_col).alias("neighbor_id"),
+                    F.col(code_col).alias("pq_code"), F.col(cell_col))
+            .join(F.broadcast(qcells), cell_col)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("adist", adc_udf(F.col("query_id"),
+                                         F.col("pq_code"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id"))
+    cos = F.lit(1.0) - F.col("adist") / F.lit(2.0)
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= kk)
+           .select("query_id", "neighbor_id",
+                   (F.round(cos, round_to) + F.lit(0.0)).alias("cosine")
+                   if round_to is not None else cos.alias("cosine")))
+    return Table(out, "ivf_pq_topk")
+
+
 # silent-empty audit (r8 convention): no wire-dialect form — remote
 # inputs raise at entry instead of computing over the empty frame
 from ..core import _localize_guard as _lg  # noqa: E402
@@ -248,3 +355,4 @@ pq_fit = _lg(pq_fit)
 pq_encode = _lg(pq_encode)
 pq_decode = _lg(pq_decode)
 pq_topk = _lg(pq_topk)
+ivf_pq_topk = _lg(ivf_pq_topk)

@@ -1336,3 +1336,42 @@ def test_pq_topk_query_guard(spark, emb):
     out = pq_topk(codes, Table(emb.df.filter("vec_id < 2")), cb,
                   k=3, max_queries=None)
     assert out.df.count() == 6
+
+
+def test_ivf_pq_topk_exhaustive_equals_flat_scan(spark, emb):
+    """nprobe >= k_cells makes the candidate set the whole corpus, so
+    IVF-PQ must return EXACTLY pq_topk's rows (same ADC, same
+    tie-break) — the composed layout's differential contract."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import (ivf_pq_topk, pq_encode, pq_fit,
+                                      pq_topk)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    cb = pq_fit(emb, m=8, ks=64, iters=4, train_rows=500)
+    codes = pq_encode(ivf_assign(emb, cents), cb)
+    q = Table(emb.df.filter("vec_id < 3"))
+
+    full = {(r.query_id, r.neighbor_id, r.cosine) for r in
+            ivf_pq_topk(codes, q, cents, cb, k=5, nprobe=8).df.collect()}
+    flat = {(r.query_id, r.neighbor_id, r.cosine) for r in
+            pq_topk(codes, q, cb, k=5).df.collect()}
+    assert full == flat and len(full) == 15
+
+    # cell-less codes with the float column still present: derived on
+    # the fly, identical result
+    auto = {(r.query_id, r.neighbor_id, r.cosine) for r in
+            ivf_pq_topk(pq_encode(emb, cb), q, cents, cb,
+                        k=5, nprobe=8).df.collect()}
+    assert auto == full
+
+    # pruned probing recovers most of the exhaustive set
+    pruned = {(r.query_id, r.neighbor_id) for r in
+              ivf_pq_topk(codes, q, cents, cb, k=5, nprobe=4)
+              .df.collect()}
+    assert len(pruned & {(a, b) for a, b, _ in full}) / 15 >= 0.5
+
+    # codes without cell AND without vectors -> actionable error
+    bare = Table(codes.df.drop("cell", "embedding"))
+    with pytest.raises(ValueError, match="cell"):
+        ivf_pq_topk(bare, q, cents, cb)

@@ -891,7 +891,8 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     guarded.append(resize_images)
     guarded += [pl.quantize_embeddings, pl.dequantize_embeddings,
                 pl.token_commonness]
-    guarded += [pl.pq_fit, pl.pq_encode, pl.pq_decode, pl.pq_topk]
+    guarded += [pl.pq_fit, pl.pq_encode, pl.pq_decode, pl.pq_topk,
+                pl.ivf_pq_topk]
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join, salted_join
     from blaze_spark.operators.sessionize import sessionize
