@@ -64,10 +64,14 @@ from .packing import (  # noqa: F401
 )
 from .pq import (  # noqa: F401
     ivf_pq_topk,
+    load_codebooks,
     pq_decode,
     pq_encode,
     pq_fit,
     pq_topk,
+    read_pq_codes,
+    save_codebooks,
+    write_pq_codes,
 )
 from .quantize import (  # noqa: F401
     dequantize_embeddings,

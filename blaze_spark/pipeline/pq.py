@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 
 from ..core import Table
 
-__all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk", "ivf_pq_topk"]
+__all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk", "ivf_pq_topk",
+           "save_codebooks", "load_codebooks",
+           "write_pq_codes", "read_pq_codes"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -347,6 +349,74 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     return Table(out, "ivf_pq_topk")
 
 
+def save_codebooks(codebooks: np.ndarray, path: str, spark=None) -> None:
+    """Persist trained PQ codebooks as parquet (subspace, code,
+    centroid) — like :func:`ivf.save_centroids`, the index artifact an
+    ingest pipeline fits ONCE and reuses across sessions; refitting per
+    query would rescan (a sample of) the corpus."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    m, ks, _ = codebooks.shape
+    rows = [(int(i), int(j), [float(x) for x in codebooks[i, j]])
+            for i in range(m) for j in range(ks)]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(path: str, spark=None) -> np.ndarray:
+    """Reload saved codebooks as the ``(m, ks, dsub)`` matrix; row order
+    restored from the (subspace, code) keys, so the array indices ARE
+    the wire codes."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    m = rows[-1].subspace + 1
+    ks = rows[-1].code + 1
+    if len(rows) != m * ks:
+        raise ValueError(f"codebook store at {path} is ragged: "
+                         f"{len(rows)} rows for m={m}, ks={ks}")
+    cents = np.array([r.centroid for r in rows], dtype=np.float64)
+    return cents.reshape(m, ks, -1)
+
+
+def write_pq_codes(codes: Table, path: str, vec_col: str = "embedding",
+                   cell_col: str = "cell", code_col: str = "pq_code",
+                   mode: str = "overwrite") -> None:
+    """Materialize a PQ-coded corpus AT REST: drop the float vectors and
+    write the 8-byte codes, PARTITIONED BY the IVF cell when present —
+    :func:`ivf_pq_topk`'s probed-cell ``isin`` filter then prunes whole
+    partitions at the scan (the sublinear-IO half of IVF-PQ).  Same
+    store-once topology as :func:`quantize.write_quantized`: the encode
+    runs exactly once, every downstream ANN pass reads codes only."""
+    if code_col not in codes.df.columns:
+        raise ValueError(f"no {code_col!r} column — encode with "
+                         "pq_encode(...) before write_pq_codes")
+    df = codes.df
+    if vec_col in df.columns:
+        df = df.drop(vec_col)
+    w = df.write.mode(mode)
+    if cell_col in df.columns:
+        w = w.partitionBy(cell_col)
+    w.parquet(path)
+
+
+def read_pq_codes(path: str, code_col: str = "pq_code",
+                  spark=None) -> Table:
+    """Open a :func:`write_pq_codes` store (cell partition column, when
+    present, comes back as a normal column usable by ``ivf_pq_topk``)."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    t = Table(spark.read.parquet(path), "pq_store")
+    if code_col not in t.df.columns:
+        raise ValueError(f"not a PQ code store (missing {code_col!r}): "
+                         f"{path}")
+    return t
+
+
 # silent-empty audit (r8 convention): no wire-dialect form — remote
 # inputs raise at entry instead of computing over the empty frame
 from ..core import _localize_guard as _lg  # noqa: E402
@@ -356,3 +426,4 @@ pq_encode = _lg(pq_encode)
 pq_decode = _lg(pq_decode)
 pq_topk = _lg(pq_topk)
 ivf_pq_topk = _lg(ivf_pq_topk)
+write_pq_codes = _lg(write_pq_codes)

@@ -1375,3 +1375,48 @@ def test_ivf_pq_topk_exhaustive_equals_flat_scan(spark, emb):
     bare = Table(codes.df.drop("cell", "embedding"))
     with pytest.raises(ValueError, match="cell"):
         ivf_pq_topk(bare, q, cents, cb)
+
+
+def test_pq_store_roundtrip_and_partition_pruning(spark, emb, tmp_path):
+    """Codebooks and cell-partitioned codes persist and reload; the
+    at-rest IVF-PQ query equals the in-memory one, and the probed-cell
+    isin filter reaches the scan as a PartitionFilter — the
+    sublinear-IO half of the layout, pinned in the plan."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import (ivf_pq_topk, load_codebooks,
+                                      pq_encode, pq_fit, read_pq_codes,
+                                      save_codebooks, write_pq_codes)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=3)
+    cb = pq_fit(emb, m=8, ks=64, iters=3, train_rows=400)
+
+    save_codebooks(cb, str(tmp_path / "cb"), spark=spark)
+    cb2 = load_codebooks(str(tmp_path / "cb"), spark=spark)
+    assert cb2.shape == cb.shape and (cb2 == cb).all()
+
+    codes = pq_encode(ivf_assign(emb, cents), cb)
+    store = str(tmp_path / "codes")
+    write_pq_codes(codes, store)
+    back = read_pq_codes(store, spark=spark)
+    assert "embedding" not in back.df.columns      # floats dropped
+    assert {"vec_id", "pq_code", "cell"} <= set(back.df.columns)
+    assert back.df.count() == emb.df.count()
+
+    q = Table(emb.df.filter("vec_id < 3"))
+    mem = {(r.query_id, r.neighbor_id, r.cosine) for r in
+           ivf_pq_topk(codes, q, cents, cb, k=5, nprobe=3).df.collect()}
+    rest = ivf_pq_topk(back, q, cents, cb2, k=5, nprobe=3)
+    got = {(r.query_id, r.neighbor_id, r.cosine)
+           for r in rest.df.collect()}
+    assert got == mem
+
+    plan = rest.df._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan[:2000]
+
+    with pytest.raises(ValueError, match="pq_code"):
+        read_pq_codes(str(tmp_path / "cb"), spark=spark)
+    with pytest.raises(ValueError, match="encode"):
+        write_pq_codes(emb, str(tmp_path / "x"))
