@@ -77,6 +77,10 @@ NEW_QUERIES_R9 = [
     "quantized_neardup_chain",
     "quantized_at_rest_chain",
     "neardup_dispatch_pairs",
+    # late-r9 PQ family: flat ADC scan and the composed IVF-PQ layout
+    # (each times codebook fit + encode + probe + recall join)
+    "recall_pq_topk",
+    "recall_ivf_pq_topk",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9
