@@ -62,8 +62,11 @@ def _lloyd(x: np.ndarray, ks: int, iters: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     ks = min(ks, len(x))
     cents = x[rng.choice(len(x), size=ks, replace=False)].copy()
+    x2 = (x ** 2).sum(axis=1)
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # |x−c|² via the matmul form — the (n, ks) matrix directly,
+        # never the (n, ks, dsub) broadcast intermediate
+        d = x2[:, None] - 2.0 * x @ cents.T + (cents ** 2).sum(axis=1)
         assign = d.argmin(axis=1)
         mind = d[np.arange(len(x)), assign]
         for j in range(ks):
@@ -104,6 +107,20 @@ def pq_fit(corpus: Table, m: int = 8, ks: int = 256, iters: int = 10,
     return np.stack([
         _lloyd(x[:, i * dsub:(i + 1) * dsub], ks, iters, seed + i)
         for i in range(m)])
+
+
+def _adc_tables(qx: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """ADC lookup tables tab[q, i, j] = |q_i − c_ij|², as (Q, m, ks).
+    Matmul form per subspace — the (Q, ks, dsub) broadcast intermediate
+    would be ~160 MB at the 10k-query guard."""
+    m, ks, dsub = codebooks.shape
+    tabs = np.empty((len(qx), m, ks))
+    for i in range(m):
+        sub = qx[:, i * dsub:(i + 1) * dsub]            # (Q, dsub)
+        tabs[:, i, :] = ((sub ** 2).sum(axis=1)[:, None]
+                         - 2.0 * sub @ codebooks[i].T
+                         + (codebooks[i] ** 2).sum(axis=1)[None, :])
+    return tabs
 
 
 def _encode_udf(codebooks: np.ndarray):
@@ -196,12 +213,7 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
     qids = qpdf["qid"].to_numpy()
     qx = _normalize(np.stack(qpdf["qv"].to_numpy()).astype(np.float64))
     m, ks, dsub = codebooks.shape
-    # ADC tables: tab[q, i, j] = |q_i − c_ij|²  (Q, m, ks)
-    tabs = np.empty((len(qx), m, ks))
-    for i in range(m):
-        sub = qx[:, i * dsub:(i + 1) * dsub]            # (Q, dsub)
-        d = (sub[:, None, :] - codebooks[i][None, :, :]) ** 2
-        tabs[:, i, :] = d.sum(axis=2)
+    tabs = _adc_tables(qx, codebooks)
     kk = int(k)
 
     def _scan(batches):
@@ -296,11 +308,7 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     qraw = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)[order]
     qx = _normalize(qraw)
     m, ks, dsub = codebooks.shape
-    tabs = np.empty((len(qx), m, ks))
-    for i in range(m):
-        sub = qx[:, i * dsub:(i + 1) * dsub]
-        d = (sub[:, None, :] - codebooks[i][None, :, :]) ** 2
-        tabs[:, i, :] = d.sum(axis=2)
+    tabs = _adc_tables(qx, codebooks)
     # driver-side probe (raw space — matches ivf_assign's geometry)
     dcell = (-2.0 * qraw @ centroids.T
              + (centroids ** 2).sum(axis=1)[None, :])
