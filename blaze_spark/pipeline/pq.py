@@ -213,10 +213,15 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
     qids = qpdf["qid"].to_numpy()
     qx = _normalize(np.stack(qpdf["qv"].to_numpy()).astype(np.float64))
     m, ks, dsub = codebooks.shape
-    tabs = _adc_tables(qx, codebooks)
+    # ship the ADC tables as a broadcast variable, not a closure capture:
+    # at the 10k-query guard they are ~160 MB — per-EXECUTOR once, never
+    # per task binary
+    bc = codes.df.sparkSession.sparkContext.broadcast(
+        (qids, _adc_tables(qx, codebooks)))
     kk = int(k)
 
     def _scan(batches):
+        b_qids, b_tabs = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -224,15 +229,15 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
                           for b in pdf["pq_code"].to_numpy()])
             nids = pdf["nid"].to_numpy()
             # adist[q, n] = Σ_i tabs[q, i, c[n, i]]
-            ad = np.zeros((len(qx), len(c)))
+            ad = np.zeros((len(b_qids), len(c)))
             for i in range(m):
-                ad += tabs[:, i, :][:, c[:, i]]
+                ad += b_tabs[:, i, :][:, c[:, i]]
             # per-partition-batch top-k per query (self-matches masked)
-            self_mask = qids[:, None] == nids[None, :]
+            self_mask = b_qids[:, None] == nids[None, :]
             ad[self_mask] = np.inf
             take = min(kk, ad.shape[1])
             part = np.argpartition(ad, take - 1, axis=1)[:, :take]
-            rows_q = np.repeat(qids, take)
+            rows_q = np.repeat(b_qids, take)
             rows_n = nids[part.ravel()]
             rows_d = np.take_along_axis(ad, part, axis=1).ravel()
             keep = np.isfinite(rows_d)
@@ -308,7 +313,9 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     qraw = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)[order]
     qx = _normalize(qraw)
     m, ks, dsub = codebooks.shape
-    tabs = _adc_tables(qx, codebooks)
+    # broadcast, not closure capture — ~160 MB at the query guard
+    bc = codes.df.sparkSession.sparkContext.broadcast(
+        (qids, _adc_tables(qx, codebooks)))
     # driver-side probe (raw space — matches ivf_assign's geometry)
     dcell = (-2.0 * qraw @ centroids.T
              + (centroids ** 2).sum(axis=1)[None, :])
@@ -325,12 +332,13 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     kk = int(k)
 
     def _adc(qs, cs):
+        b_qids, b_tabs = bc.value
         c = np.stack([np.frombuffer(b, dtype=np.uint8)
                       for b in cs.to_numpy()])
-        qi = np.searchsorted(qids, qs.to_numpy())
+        qi = np.searchsorted(b_qids, qs.to_numpy())
         out = np.zeros(len(c))
         for i in range(m):
-            out += tabs[qi, i, c[:, i]]
+            out += b_tabs[qi, i, c[:, i]]
         return pd.Series(out)
 
     _adc.__annotations__ = {"qs": pd.Series, "cs": pd.Series,
