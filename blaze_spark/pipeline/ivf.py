@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import Table
@@ -165,14 +164,9 @@ def ivf_topk(corpus: Table, queries: Table, centroids: np.ndarray, k: int = 5,
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cosine",
                           _pair_cosine_udf()(F.col("qv"), F.col("cv"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k)
-           .select("query_id", "neighbor_id",
-                   (F.round("cosine", round_to) + F.lit(0.0)).alias("cosine")
-                   if round_to is not None else F.col("cosine")))
-    return Table(out, "ivf_topk")
+    from .similarity import _rank_topk
+
+    return Table(_rank_topk(scored, k, round_to), "ivf_topk")
 
 
 def ivf_neardup_pairs(corpus: Table, threshold: float = 0.9,

@@ -22,8 +22,9 @@ Topology:
   cosine (``|a−b|² = 2 − 2·cos`` on the unit sphere).
 - :func:`pq_topk` broadcasts the (guard-bounded) query block into a
   ``mapInPandas`` scan of the codes: per partition each query keeps a
-  k-heap (numpy argpartition), so the shuffle after the scan carries
-  ``partitions × queries × k`` candidate rows — never ``N × queries``.
+  batch-local top-k under the global (adist, neighbor_id) order, so the
+  shuffle after the scan carries ``partitions × queries × k`` candidate
+  rows — never ``N × queries``.
 - :func:`pq_decode` reconstructs the (normalized) vectors from codes —
   the reconstruction-error contract and a fallback for operators that
   want approximate vectors back.
@@ -38,7 +39,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import Table
@@ -99,6 +99,9 @@ def pq_fit(corpus: Table, m: int = 8, ks: int = 256, iters: int = 10,
               if id_col in corpus.df.columns
               else corpus.df.select(F.col(vec_col).alias("v")))
     rows = sample.limit(train_rows).toPandas()["v"]
+    if not len(rows):
+        raise ValueError("pq_fit: the corpus (or training sample) is "
+                         "empty — nothing to train codebooks on")
     x = _normalize(np.stack(rows.to_numpy()).astype(np.float64))
     dim = x.shape[1]
     if dim % m:
@@ -121,6 +124,73 @@ def _adc_tables(qx: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
                          - 2.0 * sub @ codebooks[i].T
                          + (codebooks[i] ** 2).sum(axis=1)[None, :])
     return tabs
+
+
+def _adc_guard(queries: Table, id_col: str, max_queries: int | None,
+               name: str) -> None:
+    from .similarity import _query_guard
+
+    _query_guard(queries, id_col, max_queries, name,
+                 "the ADC tables are built driver-side per query.  "
+                 "Batch the queries")
+
+
+def _collect_query_block(queries: Table, id_col: str, vec_col: str):
+    """Collect the (guarded) query block SORTED BY ID — the executor
+    self-match mask and the IVF-PQ scoring both ``searchsorted`` into
+    it.  Returns (qids, raw vectors, unit-normalized vectors);
+    empty-safe."""
+    qpdf = queries.df.select(F.col(id_col).alias("qid"),
+                             F.col(vec_col).alias("qv")).toPandas()
+    raw_ids = qpdf["qid"].to_numpy()
+    if not len(raw_ids):
+        return raw_ids, np.empty((0, 0)), np.empty((0, 0))
+    order = np.argsort(raw_ids, kind="stable")
+    qraw = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)[order]
+    return raw_ids[order], qraw, _normalize(qraw)
+
+
+# per-(query-chunk × batch) distance-matrix budget for the executor
+# scan: 32M float64 = 256 MB; the per-subspace fancy-index temp is the
+# same shape, so peak extra is ~2 chunks
+_ADC_CHUNK_CELLS = 32_000_000
+
+
+def _adc_batch_topk(b_qids, b_tabs, m, kk, nids, c):
+    """Batch-local ADC top-k for one Arrow batch of codes, yielding
+    (query_id, neighbor_id, adist) frames.
+
+    Correctness: candidates are pre-sorted by neighbor id and selected
+    with a STABLE argsort, so the batch-local top-k is taken under
+    exactly the (adist, neighbor_id) order of the final global window —
+    tied codes (duplicate vectors) can never be dropped arbitrarily.
+    Memory: the query axis is chunked so the (q_chunk × batch) distance
+    matrix stays bounded (~256 MB) regardless of the query-guard size;
+    self-matches are masked via searchsorted on the few matching
+    columns, never a Q×N boolean."""
+    ord0 = np.argsort(nids, kind="stable")
+    nids = nids[ord0]
+    c = c[ord0]
+    n = len(c)
+    self_cols = np.nonzero(np.isin(nids, b_qids))[0]
+    self_qpos = np.searchsorted(b_qids, nids[self_cols])
+    take = min(kk, n)
+    qchunk = max(1, _ADC_CHUNK_CELLS // max(1, n))
+    for q0 in range(0, len(b_qids), qchunk):
+        q1 = min(q0 + qchunk, len(b_qids))
+        ad = np.zeros((q1 - q0, n))
+        for i in range(m):
+            ad += b_tabs[q0:q1, i, :][:, c[:, i]]
+        sel = (self_qpos >= q0) & (self_qpos < q1)
+        ad[self_qpos[sel] - q0, self_cols[sel]] = np.inf
+        part = np.argsort(ad, axis=1, kind="stable")[:, :take]
+        rows_q = np.repeat(b_qids[q0:q1], take)
+        rows_n = nids[part.ravel()]
+        rows_d = np.take_along_axis(ad, part, axis=1).ravel()
+        keep = np.isfinite(rows_d)
+        yield pd.DataFrame({"query_id": rows_q[keep],
+                            "neighbor_id": rows_n[keep],
+                            "adist": rows_d[keep]})
 
 
 def _encode_udf(codebooks: np.ndarray):
@@ -196,28 +266,25 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
     32×-less-IO exhaustive path; compose with ``ivf_assign``'s cell
     column (filter the codes table by the query's probed cells before
     calling) for the sublinear IVF-PQ layout.  Each partition keeps a
-    per-query k-heap (argpartition), so the final TakeOrdered-style
-    merge sees ``partitions × queries × k`` rows, never N×Q.  The query
-    block is collected to the driver under the same ``max_queries``
-    guard as :func:`similarity.cosine_topk` (pass ``None`` to skip the
-    sizing probe)."""
-    if max_queries is not None:
-        probe = queries.df.select(id_col).limit(max_queries + 1).count()
-        if probe > max_queries:
-            raise ValueError(
-                f"pq_topk query side exceeds max_queries={max_queries}: "
-                "the ADC tables are built driver-side per query.  Batch "
-                "the queries, or pass max_queries=None to force.")
-    qpdf = queries.df.select(F.col(id_col).alias("qid"),
-                             F.col(vec_col).alias("qv")).toPandas()
-    qids = qpdf["qid"].to_numpy()
-    qx = _normalize(np.stack(qpdf["qv"].to_numpy()).astype(np.float64))
+    per-query batch-local top-k under the SAME (adist, neighbor_id)
+    order the final window uses (tied codes — duplicate vectors — must
+    not be dropped arbitrarily), so the merge sees ``partitions ×
+    queries × k`` rows, never N×Q.  The query block is collected to the
+    driver under the same ``max_queries`` guard as
+    :func:`similarity.cosine_topk` (pass ``None`` to skip the sizing
+    probe)."""
+    _adc_guard(queries, id_col, max_queries, "pq_topk")
+    qids, _, qx = _collect_query_block(queries, id_col, vec_col)
+    spark = codes.df.sparkSession
+    if not len(qids):
+        return Table(spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"),
+            "pq_topk")
     m, ks, dsub = codebooks.shape
     # ship the ADC tables as a broadcast variable, not a closure capture:
     # at the 10k-query guard they are ~160 MB — per-EXECUTOR once, never
     # per task binary
-    bc = codes.df.sparkSession.sparkContext.broadcast(
-        (qids, _adc_tables(qx, codebooks)))
+    bc = spark.sparkContext.broadcast((qids, _adc_tables(qx, codebooks)))
     kk = int(k)
 
     def _scan(batches):
@@ -228,35 +295,17 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
             c = np.stack([np.frombuffer(b, dtype=np.uint8)
                           for b in pdf["pq_code"].to_numpy()])
             nids = pdf["nid"].to_numpy()
-            # adist[q, n] = Σ_i tabs[q, i, c[n, i]]
-            ad = np.zeros((len(b_qids), len(c)))
-            for i in range(m):
-                ad += b_tabs[:, i, :][:, c[:, i]]
-            # per-partition-batch top-k per query (self-matches masked)
-            self_mask = b_qids[:, None] == nids[None, :]
-            ad[self_mask] = np.inf
-            take = min(kk, ad.shape[1])
-            part = np.argpartition(ad, take - 1, axis=1)[:, :take]
-            rows_q = np.repeat(b_qids, take)
-            rows_n = nids[part.ravel()]
-            rows_d = np.take_along_axis(ad, part, axis=1).ravel()
-            keep = np.isfinite(rows_d)
-            yield pd.DataFrame({"query_id": rows_q[keep],
-                                "neighbor_id": rows_n[keep],
-                                "adist": rows_d[keep]})
+            yield from _adc_batch_topk(b_qids, b_tabs, m, kk, nids, c)
 
     cand = codes.df.select(F.col(id_col).alias("nid"),
                            F.col(code_col).alias("pq_code")) \
         .mapInPandas(_scan, "query_id long, neighbor_id long, adist double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("neighbor_id"))
-    cos = F.lit(1.0) - F.col("adist") / F.lit(2.0)
-    out = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= kk)
-           .select("query_id", "neighbor_id",
-                   (F.round(cos, round_to) + F.lit(0.0)).alias("cosine")
-                   if round_to is not None else cos.alias("cosine")))
-    return Table(out, "pq_topk")
+    from .similarity import _rank_topk
+
+    return Table(
+        _rank_topk(cand, kk, round_to, order_col="adist", ascending=True,
+                   cosine_expr=F.lit(1.0) - F.col("adist") / F.lit(2.0)),
+        "pq_topk")
 
 
 def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
@@ -290,44 +339,41 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     from .ivf import ivf_assign
 
     if cell_col not in codes.df.columns:
-        if vec_col in codes.df.columns and cell_col == "cell":
-            codes = ivf_assign(codes, centroids, vec_col=vec_col)
+        if vec_col in codes.df.columns:
+            assigned = ivf_assign(codes, centroids, vec_col=vec_col)
+            codes = (assigned if cell_col == "cell" else Table(
+                assigned.df.withColumnRenamed("cell", cell_col),
+                assigned._name))
         else:
             raise ValueError(
                 f"ivf_pq_topk needs a {cell_col!r} column on the codes "
                 f"table (or the float {vec_col!r} to derive it): encode "
                 "with pq_encode(ivf_assign(corpus, centroids), codebooks) "
                 "and store partitioned by cell")
-    if max_queries is not None:
-        probe = queries.df.select(id_col).limit(max_queries + 1).count()
-        if probe > max_queries:
-            raise ValueError(
-                f"ivf_pq_topk query side exceeds max_queries="
-                f"{max_queries}: the ADC tables are built driver-side "
-                "per query.  Batch the queries, or pass "
-                "max_queries=None to force.")
-    qpdf = queries.df.select(F.col(id_col).alias("qid"),
-                             F.col(vec_col).alias("qv")).toPandas()
-    qids = np.sort(qpdf["qid"].to_numpy())
-    order = np.argsort(qpdf["qid"].to_numpy())
-    qraw = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)[order]
-    qx = _normalize(qraw)
+    _adc_guard(queries, id_col, max_queries, "ivf_pq_topk")
+    qids, qraw, qx = _collect_query_block(queries, id_col, vec_col)
+    spark = codes.df.sparkSession
+    if not len(qids):
+        return Table(spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"),
+            "ivf_pq_topk")
     m, ks, dsub = codebooks.shape
     # broadcast, not closure capture — ~160 MB at the query guard
-    bc = codes.df.sparkSession.sparkContext.broadcast(
-        (qids, _adc_tables(qx, codebooks)))
-    # driver-side probe (raw space — matches ivf_assign's geometry)
+    bc = spark.sparkContext.broadcast((qids, _adc_tables(qx, codebooks)))
+    # driver-side probe on the RAW vectors — must rank cells exactly as
+    # ivf_assign's raw-space squared-L2 does for the same vector
     dcell = (-2.0 * qraw @ centroids.T
              + (centroids ** 2).sum(axis=1)[None, :])
     take_c = min(nprobe, centroids.shape[0])
     probed = np.argpartition(dcell, take_c - 1, axis=1)[:, :take_c] \
         if take_c < centroids.shape[0] \
         else np.tile(np.arange(take_c), (len(qraw), 1))
-    spark = codes.df.sparkSession
     qcells = spark.createDataFrame(
         [(int(q), int(c)) for q, cs in zip(qids, probed[:, :take_c])
          for c in cs],
         "query_id long, cell int")
+    if cell_col != "cell":
+        qcells = qcells.withColumnRenamed("cell", cell_col)
     cell_lits = sorted({int(c) for cs in probed for c in cs})
     kk = int(k)
 
@@ -354,15 +400,12 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("adist", adc_udf(F.col("query_id"),
                                          F.col("pq_code"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("neighbor_id"))
-    cos = F.lit(1.0) - F.col("adist") / F.lit(2.0)
-    out = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= kk)
-           .select("query_id", "neighbor_id",
-                   (F.round(cos, round_to) + F.lit(0.0)).alias("cosine")
-                   if round_to is not None else cos.alias("cosine")))
-    return Table(out, "ivf_pq_topk")
+    from .similarity import _rank_topk
+
+    return Table(
+        _rank_topk(cand, kk, round_to, order_col="adist", ascending=True,
+                   cosine_expr=F.lit(1.0) - F.col("adist") / F.lit(2.0)),
+        "ivf_pq_topk")
 
 
 def save_codebooks(codebooks: np.ndarray, path: str, spark=None) -> None:
@@ -374,10 +417,15 @@ def save_codebooks(codebooks: np.ndarray, path: str, spark=None) -> None:
 
     spark = spark or SparkSession.getActiveSession()
     m, ks, _ = codebooks.shape
-    rows = [(int(i), int(j), [float(x) for x in codebooks[i, j]])
+    # every row carries the expected (m, ks): a partially-written store
+    # (lost trailing subspace) is then DETECTABLE at load, not silently
+    # truncated
+    rows = [(int(i), int(j), int(m), int(ks),
+             [float(x) for x in codebooks[i, j]])
             for i in range(m) for j in range(ks)]
     df = spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>")
+        rows, "subspace int, code int, m int, ks int, "
+              "centroid array<double>")
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -389,11 +437,15 @@ def load_codebooks(path: str, spark=None) -> np.ndarray:
 
     spark = spark or SparkSession.getActiveSession()
     rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
-    m = rows[-1].subspace + 1
-    ks = rows[-1].code + 1
-    if len(rows) != m * ks:
-        raise ValueError(f"codebook store at {path} is ragged: "
-                         f"{len(rows)} rows for m={m}, ks={ks}")
+    if not rows:
+        raise ValueError(f"codebook store at {path} is empty")
+    m, ks = rows[0].m, rows[0].ks
+    if (len(rows) != m * ks or rows[-1].subspace != m - 1
+            or rows[-1].code != ks - 1):
+        raise ValueError(
+            f"codebook store at {path} is incomplete: {len(rows)} rows, "
+            f"last (subspace={rows[-1].subspace}, code={rows[-1].code}) "
+            f"vs declared m={m}, ks={ks}")
     cents = np.array([r.centroid for r in rows], dtype=np.float64)
     return cents.reshape(m, ks, -1)
 

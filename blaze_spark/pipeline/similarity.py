@@ -71,6 +71,39 @@ def _pair_cosine_udf():
     return pandas_udf(_cos, "double")
 
 
+def _query_guard(queries: Table, id_col: str, max_queries: int | None,
+                 name: str, advice: str) -> None:
+    """Query-side size guard shared by every top-k path that builds
+    per-query driver/broadcast state: one cheap ``limit(n+1)`` job,
+    raise (with the caller's advice) instead of silently scaling with
+    the query count."""
+    if max_queries is None:
+        return
+    probe = queries.df.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"{name} query side exceeds max_queries={max_queries}: "
+            f"{advice}, or pass max_queries=None to force.")
+
+
+def _rank_topk(scored, k: int, round_to: int | None,
+               order_col: str = "cosine", ascending: bool = False,
+               cosine_expr=None):
+    """The shared (query_id, neighbor_id, cosine) top-k tail: rank by
+    (score, neighbor_id) — the ONE definition of the tie-break — and
+    export the -0.0-canonicalized rounded cosine.  ``cosine_expr``
+    converts a distance score (e.g. ADC ``1 − adist/2``)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col("neighbor_id"))
+    cos = F.col(order_col) if cosine_expr is None else cosine_expr
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    (F.round(cos, round_to) + F.lit(0.0)).alias("cosine")
+                    if round_to is not None else cos.alias("cosine")))
+
+
 def cosine_topk(corpus: Table, queries: Table, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = 4,
@@ -90,14 +123,9 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
     longer specializes the scoring (r5: the unrolled known-dim form lost
     to the aggregate dot and was removed).
     """
-    if max_queries is not None:
-        probe = queries.df.select(id_col).limit(max_queries + 1).count()
-        if probe > max_queries:
-            raise ValueError(
-                f"cosine_topk query side exceeds max_queries={max_queries}: "
-                "brute-force scoring is corpus x queries. Use "
-                "lsh_cosine_topk/ivf_topk for large query sets, or pass "
-                "max_queries=None to force.")
+    _query_guard(queries, id_col, max_queries, "cosine_topk",
+                 "brute-force scoring is corpus x queries. Use "
+                 "lsh_cosine_topk/ivf_topk for large query sets")
     q = queries.df.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv"),
                           _norm(F.col(vec_col)).alias("qn"))
@@ -115,16 +143,7 @@ def cosine_topk(corpus: Table, queries: Table, k: int = 5,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                (F.round("cosine", round_to) + F.lit(0.0)).alias("cosine")
-                if round_to is not None else F.col("cosine"))
-    )
-    return Table(out, "cosine_topk")
+    return Table(_rank_topk(scored, k, round_to), "cosine_topk")
 
 
 def _multi_signature_udf(planes: np.ndarray, n_tables: int, n_planes: int):
@@ -398,16 +417,7 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
         .join(F.broadcast(qvec), "query_id")
         .withColumn("cosine", _pair_cosine_udf()(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                (F.round("cosine", round_to) + F.lit(0.0)).alias("cosine")
-                if round_to is not None else F.col("cosine"))
-    )
-    return Table(out, "lsh_cosine_topk")
+    return Table(_rank_topk(scored, k, round_to), "lsh_cosine_topk")
 
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise

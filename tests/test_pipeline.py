@@ -1420,3 +1420,115 @@ def test_pq_store_roundtrip_and_partition_pruning(spark, emb, tmp_path):
         read_pq_codes(str(tmp_path / "cb"), spark=spark)
     with pytest.raises(ValueError, match="encode"):
         write_pq_codes(emb, str(tmp_path / "x"))
+
+
+def test_pq_topk_ties_keep_smallest_neighbor_ids(spark):
+    """Review r9: duplicate vectors share one code, so their ADC
+    distances tie bit-for-bit; the batch-local pre-filter must select
+    under the SAME (adist, neighbor_id) order as the global window —
+    never drop a tied smaller id.  7 identical vectors, k=5 -> exactly
+    ids 1..5; and flat/exhaustive-IVF-PQ stay EQUAL under ties."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import (ivf_pq_topk, pq_encode, pq_fit,
+                                      pq_topk)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    base = [float(i % 7 + 1) for i in range(64)]
+    other = [float((i * 3) % 11 + 1) for i in range(64)]
+    rows = [(j, base) for j in range(1, 8)] + [(0, base), (99, other)]
+    t = data(rows, spark=spark,
+             schema="vec_id long, embedding array<float>", name="ties")
+    cb = pq_fit(t, m=8, ks=4, iters=3, train_rows=9)
+    codes = pq_encode(t, cb)
+
+    flat = pq_topk(codes, t[t.vec_id == 0], cb, k=5).df.collect()
+    assert sorted(r.neighbor_id for r in flat) == [1, 2, 3, 4, 5]
+
+    cents = kmeans_fit(t, k=2, iters=2)
+    full = ivf_pq_topk(pq_encode(ivf_assign(t, cents), cb),
+                       t[t.vec_id == 0], cents, cb,
+                       k=5, nprobe=2).df.collect()
+    assert ({(r.neighbor_id, r.cosine) for r in full}
+            == {(r.neighbor_id, r.cosine) for r in flat})
+
+    # batch-layout independence: a 5-partition scan picks the same ids
+    from blaze_spark import Table
+    flat5 = pq_topk(Table(codes.df.repartition(5)),
+                    t[t.vec_id == 0], cb, k=5).df.collect()
+    assert sorted(r.neighbor_id for r in flat5) == [1, 2, 3, 4, 5]
+
+
+def test_pq_topk_empty_queries_and_corpus_edges(spark, emb):
+    """Review r9: an empty query table returns an empty (query_id,
+    neighbor_id, cosine) frame like cosine_topk/ivf_topk, not a numpy
+    stack crash; pq_fit on an empty corpus raises a clear error."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import (ivf_pq_topk, pq_encode, pq_fit,
+                                      pq_topk)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(ivf_assign(emb, cents), cb)
+    none = Table(emb.df.filter("vec_id < -1"))
+
+    out = pq_topk(codes, none, cb, k=3).df
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "neighbor_id", "cosine"]
+    assert ivf_pq_topk(codes, none, cents, cb, k=3).df.count() == 0
+
+    with pytest.raises(ValueError, match="empty"):
+        pq_fit(none, m=8, ks=16)
+
+
+def test_pq_codebook_store_detects_incomplete(spark, emb, tmp_path):
+    """Review r9: the loader validates the declared (m, ks) against the
+    rows — a store missing its trailing subspace raises instead of
+    silently returning truncated codebooks."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.pipeline import load_codebooks, pq_fit, save_codebooks
+
+    cb = pq_fit(emb, m=8, ks=8, iters=2, train_rows=100)
+    good = str(tmp_path / "cb_ok")
+    save_codebooks(cb, good, spark=spark)
+    assert (load_codebooks(good, spark=spark) == cb).all()
+
+    broken = str(tmp_path / "cb_broken")
+    spark.read.parquet(good).filter(F.col("subspace") < 7) \
+        .coalesce(1).write.parquet(broken)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_codebooks(broken, spark=spark)
+
+    empty = str(tmp_path / "cb_empty")
+    spark.read.parquet(good).filter("subspace < 0") \
+        .coalesce(1).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty"):
+        load_codebooks(empty, spark=spark)
+
+
+def test_ivf_pq_topk_custom_cell_col(spark, emb):
+    """Review r9: a non-default cell_col must work end-to-end (the
+    probed-cell relation renames its join key to match)."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import ivf_pq_topk, pq_encode, pq_fit
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(ivf_assign(emb, cents), cb)
+    renamed = Table(codes.df.withColumnRenamed("cell", "bucket"))
+    q = Table(emb.df.filter("vec_id < 2"))
+
+    want = {(r.query_id, r.neighbor_id, r.cosine) for r in
+            ivf_pq_topk(codes, q, cents, cb, k=3, nprobe=4).df.collect()}
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in
+           ivf_pq_topk(renamed, q, cents, cb, k=3, nprobe=4,
+                       cell_col="bucket").df.collect()}
+    assert got == want and len(got) == 6
+    # derive-on-the-fly with a custom name (floats present, no cell)
+    derived = {(r.query_id, r.neighbor_id, r.cosine) for r in
+               ivf_pq_topk(pq_encode(emb, cb), q, cents, cb, k=3,
+                           nprobe=4, cell_col="bucket").df.collect()}
+    assert derived == want
