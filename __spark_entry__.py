@@ -1563,6 +1563,39 @@ def consistency_incremental_minhash(spark, sf_dir):
     return pair_recall(truth, found).df
 
 
+def consistency_incremental_pq(spark, sf_dir):
+    """Batch<->incremental consistency for the PQ code store
+    (streaming/incremental_ann.py): the corpus ingested in THREE batches
+    must hold the BIT-IDENTICAL (vec_id, pq_code, cell) set of one batch
+    encode — encoding is deterministic given the trained artifacts, so
+    the contract is exact equality, reported as one
+    (n_true, n_found, n_hit, recall, precision) row (all-green = 1.0;
+    pytest asserts the stronger set equality plus query equivalence and
+    exactly-once retry semantics)."""
+    import tempfile
+
+    from blaze_spark.pipeline import pair_recall, pq_encode, pq_fit
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+    from blaze_spark.streaming.incremental_ann import (ingest_pq_batch,
+                                                       read_pq_index)
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    cb = pq_fit(e, m=8, ks=64, iters=3, train_rows=2000)
+
+    store = tempfile.mkdtemp(prefix="cons_pq_") + "/store"
+    for i in range(3):
+        ingest_pq_batch(Table(e.df.filter(F.col("vec_id") % 3 == i)),
+                        store, cb, cents, batch_id=i)
+
+    code_key = (F.xxhash64(F.col("pq_code")) + F.col("cell")).alias("b")
+    truth = Table(pq_encode(ivf_assign(e, cents), cb).df
+                  .select(F.col("vec_id").alias("a"), code_key))
+    found = Table(read_pq_index(spark, store, cb, cents).df
+                  .select(F.col("vec_id").alias("a"), code_key))
+    return pair_recall(truth, found, a="a", b="b").df
+
+
 def consistency_incremental_simhash(spark, sf_dir):
     """Simhash variant of the batch<->incremental contract: the store
     emits every shared-chunk candidate with est = 1 - hamming/64, so
@@ -2489,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_style_exists_chain": q21_style_exists_chain,
         "consistency_incremental_minhash": consistency_incremental_minhash,
         "consistency_incremental_simhash": consistency_incremental_simhash,
+        "consistency_incremental_pq": consistency_incremental_pq,
         "incremental_dedup_batches": incremental_dedup_batches,
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "approx_sketches": approx_sketches,

@@ -71,28 +71,35 @@ _SIMHASH_FORMAT = "simhash-1"
 
 
 def _mismatch_err(store_path: str, found: str,
-                  expected: str = _SIG_FORMAT) -> ValueError:
+                  expected: str = _SIG_FORMAT,
+                  what: str = "signature store",
+                  fmt_label: str = "signature format") -> ValueError:
     return ValueError(
-        f"signature store at {store_path!r} was written with "
-        f"signature format {found!r}; this code produces format "
+        f"{what} at {store_path!r} was written with "
+        f"{fmt_label} {found!r}; this code produces format "
         f"{expected!r} — probing would silently miss every "
-        "cross-batch duplicate.  Rebuild the store (re-ingest) "
+        "cross-batch match.  Rebuild the store (re-ingest) "
         "or pin the engine version that wrote it.")
 
 
 def _unmarked_err(store_path: str,
-                  expected: str = _SIG_FORMAT) -> ValueError:
+                  expected: str = _SIG_FORMAT,
+                  marker_name: str = "_SIG_FORMAT",
+                  what: str = "signature store") -> ValueError:
     return ValueError(
-        f"signature store at {store_path!r} has ingest batches but no "
-        "_SIG_FORMAT marker (either a pre-versioning store, or one that "
-        "gained batches from a session that could not stamp it); this "
-        f"code produces format {expected!r} and cannot verify a "
+        f"{what} at {store_path!r} has ingest batches but no "
+        f"{marker_name} marker (either a pre-versioning store, or one "
+        "that gained batches from a session that could not stamp it); "
+        f"this code produces format {expected!r} and cannot verify a "
         "match — rebuild the store (re-ingest) or pin the engine "
         "version that wrote it.")
 
 
 def _check_sig_format(spark, store_path: str, has_existing: bool,
-                      expected: str = _SIG_FORMAT) -> None:
+                      expected: str = _SIG_FORMAT,
+                      marker_name: str = "_SIG_FORMAT",
+                      what: str = "signature store",
+                      fmt_label: str = "signature format") -> None:
     """Fail loudly on a store written by a different signature format;
     stamp new stores.  Marker lives at ``<store>/_SIG_FORMAT``.
 
@@ -106,22 +113,22 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
         fs, _ = _hadoop_fs(spark, store_path)
         jvm = spark._jvm
         marker = jvm.org.apache.hadoop.fs.Path(
-            store_path.rstrip("/") + "/_SIG_FORMAT")
+            store_path.rstrip("/") + "/" + marker_name)
         if fs.exists(marker):
             stream = fs.open(marker)
             try:
                 buf = []
                 b = stream.read()
-                while b != -1 and len(buf) < 16:
+                while b != -1 and len(buf) < 128:
                     buf.append(b & 0xFF)
                     b = stream.read()
                 found = bytes(buf).decode("utf-8", "replace").strip()
             finally:
                 stream.close()
             if found != expected:
-                raise _mismatch_err(store_path, found, expected)
+                raise _mismatch_err(store_path, found, expected, what, fmt_label)
         elif has_existing:
-            raise _unmarked_err(store_path, expected)
+            raise _unmarked_err(store_path, expected, marker_name, what)
         else:
             out = fs.create(marker, True)
             try:
@@ -138,14 +145,14 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
         import os
         from urllib.parse import urlparse
         local = urlparse(store_path).path or store_path
-        marker_p = os.path.join(local, "_SIG_FORMAT")
+        marker_p = os.path.join(local, marker_name)
         if os.path.exists(marker_p):
             with open(marker_p, encoding="utf-8") as fh:
-                found = fh.read(16).strip()
+                found = fh.read(128).strip()
             if found != expected:
-                raise _mismatch_err(store_path, found, expected)
+                raise _mismatch_err(store_path, found, expected, what, fmt_label)
         elif has_existing:
-            raise _unmarked_err(store_path, expected)
+            raise _unmarked_err(store_path, expected, marker_name, what)
         else:
             os.makedirs(local, exist_ok=True)
             with open(marker_p, "w", encoding="utf-8") as fh:
@@ -157,10 +164,10 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
     # directory of part files).
     try:
         rows = spark.read.text(
-            store_path.rstrip("/") + "/_SIG_FORMAT").collect()
+            store_path.rstrip("/") + "/" + marker_name).collect()
         found = next((r[0].strip() for r in rows if r[0].strip()), "")
         if found != expected:
-            raise _mismatch_err(store_path, found, expected)
+            raise _mismatch_err(store_path, found, expected, what, fmt_label)
         return
     except ValueError:
         raise
@@ -170,7 +177,7 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
         # could be a genuine pre-versioned store OR one that gained
         # batches without ever being stamped — either way probing it is
         # unsafe; the error says how to proceed
-        raise _unmarked_err(store_path, expected)
+        raise _unmarked_err(store_path, expected, marker_name, what)
     # Fresh store: STAMP it through the Spark API — a 1-row text write
     # creates a directory marker that every read tier above accepts
     # (spark.read.text reads the part files; the Hadoop-FS tier's file
@@ -180,14 +187,14 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
     try:
         (spark.createDataFrame([(expected,)], "value string")
          .coalesce(1).write.mode("overwrite")
-         .text(store_path.rstrip("/") + "/_SIG_FORMAT"))
+         .text(store_path.rstrip("/") + "/" + marker_name))
         return
     except Exception:
         pass
     import warnings
     warnings.warn(
-        f"signature store at {store_path!r}: no JVM gateway and the "
-        "_SIG_FORMAT marker could not be written through the Spark API; "
+        f"{what} at {store_path!r}: no JVM gateway and the "
+        f"{marker_name} marker could not be written through the Spark API; "
         "the store is left unstamped and the next batch will refuse to "
         "probe it.", stacklevel=3)
 

@@ -601,3 +601,135 @@ def test_streaming_chunk_and_split_match_batch(spark, sf_dir):
     b = batch.sort_values(key).reset_index(drop=True)
     assert len(g) == len(b) > 0
     assert g.equals(b)
+
+
+def test_incremental_pq_index_matches_batch_encode(spark, tmp_path):
+    """Exact consistency contract: a 3-batch ingest through the code
+    store holds the BIT-IDENTICAL code set of one batch encode of the
+    concatenation, and pq_topk/ivf_pq_topk answer identically over the
+    store; a half-written ingest (no _SUCCESS) is never searched and a
+    retried batch id replaces instead of duplicating."""
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import (ivf_pq_topk, pq_encode, pq_fit,
+                                      pq_topk)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+    from blaze_spark.streaming.incremental_ann import (ingest_pq_batch,
+                                                       read_pq_index)
+
+    emb = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cb = pq_fit(emb, m=8, ks=16, iters=3, train_rows=300)
+    store = str(tmp_path / "pqstore")
+
+    parts = [Table(emb.df.filter(f"vec_id % 3 = {i}")) for i in range(3)]
+    for i, p in enumerate(parts):
+        ingest_pq_batch(p, store, cb, cents, batch_id=i)
+
+    idx = read_pq_index(spark, store, cb, cents)
+    batch = pq_encode(ivf_assign(emb, cents), cb)
+    want = {(r.vec_id, bytes(r.pq_code), r.cell)
+            for r in batch.df.select("vec_id", "pq_code", "cell").collect()}
+    got = {(r.vec_id, bytes(r.pq_code), r.cell)
+           for r in idx.df.select("vec_id", "pq_code", "cell").collect()}
+    assert got == want and len(got) == emb.df.count()
+
+    q = Table(emb.df.filter("vec_id < 3"))
+    flat_store = {(r.query_id, r.neighbor_id, r.cosine)
+                  for r in pq_topk(idx, q, cb, k=3).df.collect()}
+    flat_batch = {(r.query_id, r.neighbor_id, r.cosine)
+                  for r in pq_topk(batch, q, cb, k=3).df.collect()}
+    assert flat_store == flat_batch
+    ivf_store = {(r.query_id, r.neighbor_id, r.cosine)
+                 for r in ivf_pq_topk(idx, q, cents, cb, k=3,
+                                      nprobe=2).df.collect()}
+    ivf_batch = {(r.query_id, r.neighbor_id, r.cosine)
+                 for r in ivf_pq_topk(batch, q, cents, cb, k=3,
+                                      nprobe=2).df.collect()}
+    assert ivf_store == ivf_batch
+
+    # retry of batch 1 replaces its subdirectory (no duplicate rows)
+    ingest_pq_batch(parts[1], store, cb, cents, batch_id=1)
+    assert read_pq_index(spark, store, cb, cents).df.count() == len(want)
+
+    # a half-written ingest (missing _SUCCESS) is invisible to reads
+    import os
+    import shutil
+    shutil.copytree(store + "/ingest=1", store + "/ingest=9")
+    os.remove(store + "/ingest=9/_SUCCESS")
+    assert read_pq_index(spark, store, cb, cents).df.count() == len(want)
+
+
+def test_incremental_pq_index_rejects_foreign_artifacts(spark, tmp_path):
+    """Index identity: codes from different codebooks/centroids never
+    match, so probing or appending with other artifacts fails loudly —
+    same wrong-answer class the signature store's _SIG_FORMAT guards."""
+    import pytest as _pytest
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import pq_fit
+    from blaze_spark.pipeline.ivf import kmeans_fit
+    from blaze_spark.streaming.incremental_ann import (ingest_pq_batch,
+                                                       pq_index_format,
+                                                       read_pq_index)
+
+    emb = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    cb_other = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200, seed=7)
+    assert pq_index_format(cb) != pq_index_format(cb_other)
+    assert pq_index_format(cb) != pq_index_format(cb, cents)
+
+    store = str(tmp_path / "pqstore2")
+    b = Table(emb.df.filter("vec_id < 100"))
+    ingest_pq_batch(b, store, cb, cents, batch_id=0)
+    with _pytest.raises(ValueError, match="index format"):
+        ingest_pq_batch(b, store, cb_other, cents, batch_id=1)
+    with _pytest.raises(ValueError, match="index format"):
+        read_pq_index(spark, store, cb_other, cents)
+    with _pytest.raises(ValueError, match="index format"):
+        read_pq_index(spark, store, cb)   # flat probe of an IVF store
+
+
+def test_incremental_pq_index_streaming_wrapper(spark, tmp_path):
+    """foreachBatch wiring over a file source; the streamed store
+    answers a query."""
+    import time
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import pq_fit, pq_topk
+    from blaze_spark.streaming import stream_data
+    from blaze_spark.streaming.incremental_ann import (
+        incremental_pq_index, read_pq_index)
+
+    emb = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+
+    src_dir = tmp_path / "annsrc"
+    src_dir.mkdir()
+    emb.df.filter("vec_id < 50").coalesce(1).write.parquet(
+        str(src_dir / "b0"))
+    for f in (src_dir / "b0").glob("*.parquet"):
+        f.rename(src_dir / "part0.parquet")
+
+    st = stream_data(spark, str(src_dir), fmt="parquet",
+                     schema=emb.df.schema.simpleString()
+                     .replace("struct<", "").rstrip(">")
+                     .replace(":", " ").replace(",", ", "))
+    store = str(tmp_path / "annstore")
+    q = incremental_pq_index(st, store, str(tmp_path / "annckpt"), cb)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            import os
+            if any(f == "_SUCCESS"
+                   for _, _, fs in os.walk(store) for f in fs):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    idx = read_pq_index(spark, store, cb)
+    assert idx.df.count() == 50
+    queries = Table(emb.df.filter("vec_id < 2"))
+    assert pq_topk(idx, queries, cb, k=3).df.count() == 6
