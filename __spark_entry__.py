@@ -1267,6 +1267,24 @@ def neardup_dispatch_pairs(spark, sf_dir):
     return pairs.df.orderBy("vec_a", "vec_b")
 
 
+def ann_auto_topk(spark, sf_dir):
+    """Regime auto-dispatcher for top-k search (similarity.ann_topk —
+    the search sibling of neardup_dispatch_pairs): sizes the corpus and
+    routes exact / LSH / IVF; at gate SFs the corpus sits under
+    exact_max, so the dispatched answer must EQUAL brute-force
+    cosine_topk — checked here as a recall row (1.0 = byte-equal pair
+    set).  Rows-only: the dispatched backend above the boundary is
+    approximate by design; routing itself is pytest-pinned
+    (test_ann_topk_dispatch_routes)."""
+    from blaze_spark.pipeline import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = Table(e.df.filter(F.col("vec_id") < 20))
+    truth = cosine_topk(e, queries, k=10)
+    found = ann_topk(e, queries, k=10)
+    return topk_recall(truth, found).df
+
+
 def token_commonness_docs(spark, sf_dir):
     """Corpus-frequency commonness scoring (pipeline/curation.py —
     CCNet-style rare/gibberish proxy without an LM): top-2000 vocabulary
@@ -2532,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_ivf_topk": recall_ivf_topk,
         "recall_pq_topk": recall_pq_topk,
         "recall_ivf_pq_topk": recall_ivf_pq_topk,
+        "ann_auto_topk": ann_auto_topk,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,

@@ -24,6 +24,7 @@ from .recall import (  # noqa: F401
     topk_recall,
 )
 from .similarity import (  # noqa: F401
+    ann_topk,
     cosine_topk,
     embedding_neardup_pairs,
     lsh_auto_params,

@@ -1532,3 +1532,54 @@ def test_ivf_pq_topk_custom_cell_col(spark, emb):
                ivf_pq_topk(pq_encode(emb, cb), q, cents, cb, k=3,
                            nprobe=4, cell_col="bucket").df.collect()}
     assert derived == want
+
+
+def test_ann_topk_dispatch_routes(spark, emb, monkeypatch):
+    """The top-k dispatcher: small corpus -> exact; past exact_max with
+    a declared threshold -> LSH (while tables fit); without a threshold
+    -> IVF.  Same (query_id, neighbor_id, cosine) schema on every
+    route."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import ivf as ivf_mod
+    from blaze_spark.pipeline import similarity as sim
+
+    called = {}
+    real_exact, real_lsh, real_ivf = (sim.cosine_topk,
+                                      sim.lsh_cosine_topk,
+                                      ivf_mod.ivf_topk)
+
+    def spy(name, real):
+        def f(*a, **kw):
+            called[name] = True
+            return real(*a, **kw)
+        return f
+
+    monkeypatch.setattr(sim, "cosine_topk", spy("exact", real_exact))
+    monkeypatch.setattr(sim, "lsh_cosine_topk", spy("lsh", real_lsh))
+    monkeypatch.setattr(ivf_mod, "ivf_topk", spy("ivf", real_ivf))
+
+    q = Table(emb.df.filter("vec_id < 2"))
+
+    out = sim.ann_topk(emb, q, k=3).df   # 500 rows <= exact_max
+    assert called == {"exact": True}
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
+    assert out.count() == 6
+
+    called.clear()
+    out = sim.ann_topk(emb, q, k=3, exact_max=100, threshold=0.9).df
+    assert called == {"lsh": True}
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
+
+    called.clear()
+    from blaze_spark.pipeline.ivf import kmeans_fit
+    cents = kmeans_fit(emb, k=4, iters=2)
+    out = sim.ann_topk(emb, q, k=3, exact_max=100, centroids=cents).df
+    assert called == {"ivf": True}
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
+    assert out.count() <= 6
+
+    # a threshold past the table cap ALSO lands on IVF
+    called.clear()
+    sim.ann_topk(emb, q, k=3, exact_max=100, threshold=0.9,
+                 max_tables=0, centroids=cents).df.count()
+    assert called == {"ivf": True}

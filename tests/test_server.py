@@ -895,6 +895,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
                 pl.ivf_pq_topk, pl.write_pq_codes]
     from blaze_spark.streaming.incremental_ann import ingest_pq_batch
     guarded.append(ingest_pq_batch)
+    guarded.append(pl.ann_topk)
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join, salted_join
     from blaze_spark.operators.sessionize import sessionize
