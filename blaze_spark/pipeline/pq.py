@@ -151,29 +151,35 @@ def _collect_query_block(queries: Table, id_col: str, vec_col: str):
 
 
 # per-(query-chunk × batch) distance-matrix budget for the executor
-# scan: 32M float64 = 256 MB; the per-subspace fancy-index temp is the
-# same shape, so peak extra is ~2 chunks
-_ADC_CHUNK_CELLS = 32_000_000
+# scan: 16M float64 = 128 MB; peak per task is ~3-4× that (one
+# per-subspace fancy-index temp of the same shape, plus two bool masks
+# and an int32 cumsum in the tie-exact selection below)
+_ADC_CHUNK_CELLS = 16_000_000
 
 
 def _adc_batch_topk(b_qids, b_tabs, m, kk, nids, c):
     """Batch-local ADC top-k for one Arrow batch of codes, yielding
     (query_id, neighbor_id, adist) frames.
 
-    Correctness: candidates are pre-sorted by neighbor id and selected
-    with a STABLE argsort, so the batch-local top-k is taken under
-    exactly the (adist, neighbor_id) order of the final global window —
-    tied codes (duplicate vectors) can never be dropped arbitrarily.
-    Memory: the query axis is chunked so the (q_chunk × batch) distance
-    matrix stays bounded (~256 MB) regardless of the query-guard size;
-    self-matches are masked via searchsorted on the few matching
-    columns, never a Q×N boolean."""
+    Correctness: candidates are pre-sorted by neighbor id and the
+    selection is EXACT under the final window's (adist, neighbor_id)
+    order — rows strictly below the per-query k-th distance, plus the
+    smallest-id tied rows AT it (tied codes — duplicate vectors — can
+    never be dropped arbitrarily).  Everything is O(Q×n): a value-only
+    ``np.partition`` finds the threshold, boolean masks + a cumsum pick
+    the tie winners — no per-row sort, no index argsort.
+    Memory: the query axis is chunked so all (q_chunk × batch)
+    intermediates stay bounded; self-matches (INCLUDING duplicate query
+    ids — the left/right searchsorted range covers every occurrence)
+    are masked on the few matching columns, never a full Q×N equality
+    mask."""
     ord0 = np.argsort(nids, kind="stable")
     nids = nids[ord0]
     c = c[ord0]
     n = len(c)
     self_cols = np.nonzero(np.isin(nids, b_qids))[0]
-    self_qpos = np.searchsorted(b_qids, nids[self_cols])
+    self_lo = np.searchsorted(b_qids, nids[self_cols], side="left")
+    self_hi = np.searchsorted(b_qids, nids[self_cols], side="right")
     take = min(kk, n)
     qchunk = max(1, _ADC_CHUNK_CELLS // max(1, n))
     for q0 in range(0, len(b_qids), qchunk):
@@ -181,15 +187,24 @@ def _adc_batch_topk(b_qids, b_tabs, m, kk, nids, c):
         ad = np.zeros((q1 - q0, n))
         for i in range(m):
             ad += b_tabs[q0:q1, i, :][:, c[:, i]]
-        sel = (self_qpos >= q0) & (self_qpos < q1)
-        ad[self_qpos[sel] - q0, self_cols[sel]] = np.inf
-        part = np.argsort(ad, axis=1, kind="stable")[:, :take]
-        rows_q = np.repeat(b_qids[q0:q1], take)
-        rows_n = nids[part.ravel()]
-        rows_d = np.take_along_axis(ad, part, axis=1).ravel()
+        for ci, lo, hi in zip(self_cols, self_lo, self_hi):
+            lo, hi = max(lo, q0), min(hi, q1)
+            if lo < hi:
+                ad[lo - q0:hi - q0, ci] = np.inf
+        # exact top-`take` under (adist, nid): threshold at the k-th
+        # smallest value, keep everything strictly below it plus the
+        # FIRST (= smallest-nid, columns are nid-sorted) ties at it
+        kth = np.partition(ad, take - 1, axis=1)[:, take - 1:take]
+        lt = ad < kth
+        eq = ad == kth
+        need = take - lt.sum(axis=1, dtype=np.int32)
+        eq_keep = eq & (np.cumsum(eq, axis=1, dtype=np.int32)
+                        <= need[:, None])
+        row_idx, col_idx = np.nonzero(lt | eq_keep)
+        rows_d = ad[row_idx, col_idx]
         keep = np.isfinite(rows_d)
-        yield pd.DataFrame({"query_id": rows_q[keep],
-                            "neighbor_id": rows_n[keep],
+        yield pd.DataFrame({"query_id": b_qids[q0:q1][row_idx[keep]],
+                            "neighbor_id": nids[col_idx[keep]],
                             "adist": rows_d[keep]})
 
 
@@ -436,7 +451,14 @@ def load_codebooks(path: str, spark=None) -> np.ndarray:
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.getActiveSession()
-    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    df = spark.read.parquet(path)
+    if "m" not in df.columns or "ks" not in df.columns:
+        raise ValueError(
+            f"codebook store at {path} predates the self-describing "
+            "(m, ks) schema — its completeness cannot be verified "
+            "(a lost trailing subspace would silently truncate); "
+            "re-save it with save_codebooks")
+    rows = df.orderBy("subspace", "code").collect()
     if not rows:
         raise ValueError(f"codebook store at {path} is empty")
     m, ks = rows[0].m, rows[0].ks

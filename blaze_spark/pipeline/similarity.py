@@ -423,7 +423,7 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
 def ann_topk(corpus: Table, queries: Table, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              threshold: float | None = None,
-             n_vectors: int | None = None, dim: int = 64,
+             n_vectors: int | None = None, dim: int | None = None,
              seed: int = 42, round_to: int | None = 4,
              exact_max: int = 50_000, recall: float = 0.95,
              max_tables: int = 12, centroids=None, nprobe: int = 4,
@@ -465,6 +465,12 @@ def ann_topk(corpus: Table, queries: Table, k: int = 5,
         n_planes, required = lsh_tables_required(n, threshold,
                                                  recall=recall)
         if required <= max_tables:
+            if dim is None:
+                # derive the plane width from the data (r9 review: a
+                # fixed 64 crashed dim-128 corpora only once they
+                # outgrew exact_max) — one head-row job on the queries
+                head = queries.df.select(vec_col).head(1)
+                dim = len(head[0][0]) if head else 64
             return lsh_cosine_topk(corpus, queries, k=k, id_col=id_col,
                                    vec_col=vec_col, n_planes=n_planes,
                                    n_tables=required, dim=dim, seed=seed,

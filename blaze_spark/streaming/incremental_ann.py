@@ -138,9 +138,15 @@ def read_pq_index(spark, store_path: str, codebooks: np.ndarray,
     Validates the store was built with THESE artifacts, and reads only
     complete ingests (``_SUCCESS``-marked) so a crashed half-written
     batch directory is never searched."""
+    complete = _ingest_ids(spark, store_path, complete_only=True)
+    if not complete:
+        raise ValueError(
+            f"PQ index store at {store_path!r} has no complete ingests "
+            "— nothing to search yet (the path may not exist, the "
+            "stream may not have committed its first batch, or every "
+            "ingest directory is missing its _SUCCESS marker)")
     _check_pq_format(spark, store_path, True,
                      pq_index_format(codebooks, centroids))
-    complete = _ingest_ids(spark, store_path, complete_only=True)
     df = spark.read.parquet(store_path)
     if "ingest" in df.columns:
         df = df.filter(F.col("ingest").isin(complete)).drop("ingest")

@@ -235,10 +235,27 @@ def _ingest_ids(spark, store_path: str,
         # old [0] fallback silently probed only ingest=0 and allocated the
         # same default batch id forever)
         try:
-            return sorted(int(r[0]) for r in spark.read.parquet(store_path)
-                          .select("ingest").distinct().collect())
+            ids = sorted(int(r[0]) for r in spark.read.parquet(store_path)
+                         .select("ingest").distinct().collect())
         except Exception:
             return []
+        if not complete_only:
+            return ids
+        # ``complete_only`` must hold on this tier too (r9 review: a
+        # half-written ingest was silently scanned on Connect): probe
+        # each ingest's _SUCCESS through the Spark API — an explicit
+        # file path reads even an underscore-hidden file; absence
+        # raises.  O(#ingests) tiny jobs, bounded by compaction.
+        out = []
+        for i in ids:
+            try:
+                spark.read.format("text").load(
+                    f"{store_path.rstrip('/')}/ingest={i}/_SUCCESS") \
+                    .collect()
+                out.append(i)
+            except Exception:
+                continue
+        return out
 
 
 def _band_entries(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:

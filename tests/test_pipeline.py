@@ -1583,3 +1583,52 @@ def test_ann_topk_dispatch_routes(spark, emb, monkeypatch):
     sim.ann_topk(emb, q, k=3, exact_max=100, threshold=0.9,
                  max_tables=0, centroids=cents).df.count()
     assert called == {"ivf": True}
+
+
+def test_pq_topk_duplicate_query_ids_mask_all_occurrences(spark, emb):
+    """Review r9 #2: duplicate query rows (same vec_id twice) must not
+    leak a self-match — the left/right searchsorted range masks EVERY
+    occurrence, not just the first."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import pq_encode, pq_fit, pq_topk
+
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(emb, cb)
+    q1 = emb.df.filter("vec_id < 2")
+    qdup = Table(q1.union(q1))
+    out = pq_topk(codes, qdup, cb, k=5).df.collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_pq_codebook_store_preversion_schema_rejected(spark, emb, tmp_path):
+    """Review r9 #1: a store without the self-describing (m, ks)
+    columns gets a clear re-save error, not an AttributeError."""
+    from blaze_spark.pipeline import load_codebooks, pq_fit
+
+    cb = pq_fit(emb, m=8, ks=8, iters=2, train_rows=100)
+    rows = [(int(i), int(j), [float(x) for x in cb[i, j]])
+            for i in range(8) for j in range(8)]
+    old = str(tmp_path / "cb_old")
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>") \
+        .coalesce(1).write.parquet(old)
+    with pytest.raises(ValueError, match="re-save"):
+        load_codebooks(old, spark=spark)
+
+
+def test_ann_topk_derives_dim_for_lsh_route(spark):
+    """Review r9 #5: the LSH route sizes its plane matrix from the
+    data's real width — a dim-32 corpus past exact_max must not crash
+    on the old fixed 64."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import ann_topk
+
+    emb32 = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    emb32 = Table(emb32.df.withColumn(
+        "embedding", F.slice("embedding", 1, 32)))
+    q = Table(emb32.df.filter("vec_id < 2"))
+    out = ann_topk(emb32, q, k=3, exact_max=100, threshold=0.9).df
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
+    out.count()   # executes the UDF path — shape mismatch would raise

@@ -733,3 +733,47 @@ def test_incremental_pq_index_streaming_wrapper(spark, tmp_path):
     assert idx.df.count() == 50
     queries = Table(emb.df.filter("vec_id < 2"))
     assert pq_topk(idx, queries, cb, k=3).df.count() == 6
+
+
+def test_incremental_pq_index_read_errors_and_connect_complete_only(
+        spark, tmp_path, monkeypatch):
+    """Review r9 #3/#6: read_pq_index gives a clear 'no complete
+    ingests' error for missing/empty stores (and never stamps a marker
+    as a read side effect); the gateway-less _ingest_ids tier honors
+    complete_only via explicit _SUCCESS probes."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import pq_fit
+    from blaze_spark.streaming import incremental_dedup as inc
+    from blaze_spark.streaming.incremental_ann import (ingest_pq_batch,
+                                                       read_pq_index)
+
+    emb = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+
+    missing = str(tmp_path / "nowhere")
+    with _pytest.raises(ValueError, match="no complete ingests"):
+        read_pq_index(spark, missing, cb)
+    assert not os.path.exists(missing)   # read never creates the store
+
+    store = str(tmp_path / "cstore")
+    ingest_pq_batch(Table(emb.df.filter("vec_id < 100")), store, cb,
+                    batch_id=0)
+    shutil.copytree(store + "/ingest=0", store + "/ingest=7")
+    os.remove(store + "/ingest=7/_SUCCESS")
+
+    # JVM tier: half-written ingest invisible
+    assert inc._ingest_ids(spark, store, complete_only=True) == [0]
+    # gateway-less tier: force the fallback and require the same answer
+    def boom(*a, **k):
+        raise RuntimeError("no gateway")
+    monkeypatch.setattr(inc, "_hadoop_fs", boom)
+    assert inc._ingest_ids(spark, store, complete_only=True) == [0]
+    assert inc._ingest_ids(spark, store) == [0, 7]
+    monkeypatch.undo()
+
+    assert read_pq_index(spark, store, cb).df.count() == 100
