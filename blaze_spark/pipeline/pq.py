@@ -86,18 +86,36 @@ def pq_fit(corpus: Table, m: int = 8, ks: int = 256, iters: int = 10,
     """Train the ``(m, ks, dim/m)`` PQ codebooks on a bounded sample.
 
     ``ks`` ≤ 256 so a code is one uint8 per subspace; ``dim`` must be
-    divisible by ``m``.  The training sample is the ``train_rows``
-    smallest ids (deterministic TakeOrdered — same convention as
-    ``kmeans_fit``'s init) and is the ONLY driver-side materialization:
-    ``train_rows × dim`` floats, explicitly capped.  Vectors are
-    normalized before training — codebooks live on the unit sphere
-    where the cosine-ranking ADC operates."""
+    divisible by ``m``.  The training sample is the first ``train_rows``
+    rows under a HASH-OF-ID order (deterministic TakeOrdered over
+    ``md5(id)`` — the packing.py boundary-sample convention): uniform
+    over the corpus regardless of how ids correlate with content, where
+    a smallest-id sample on an ingest-ordered corpus would train only
+    on the earliest crawl segment and quantize the rest with inflated
+    error (VERDICT r9).  Unlike ``kmeans_fit`` — whose smallest-id rows
+    only seed an init that full-corpus Lloyd iterations then correct —
+    this sample IS the training set, so its bias matters.  It is the
+    ONLY driver-side materialization: ``train_rows × dim`` floats,
+    explicitly capped.  ``id_col`` is REQUIRED: codebook bytes are the
+    store identity (``pq_index_format``), so a nondeterministic
+    unordered sample could lock an owner out of their own incremental
+    store on refit (ADVICE r9).  Vectors are normalized before training
+    — codebooks live on the unit sphere where the cosine-ranking ADC
+    operates."""
     if ks > 256:
         raise ValueError(f"ks={ks} > 256: PQ codes are one uint8 per "
                          "subspace — use more subspaces (m) instead")
-    sample = (corpus.df.orderBy(id_col).select(F.col(vec_col).alias("v"))
-              if id_col in corpus.df.columns
-              else corpus.df.select(F.col(vec_col).alias("v")))
+    if id_col not in corpus.df.columns:
+        raise ValueError(
+            f"pq_fit needs id_col={id_col!r} for its deterministic "
+            "hash-ordered training sample (codebook bytes are the PQ "
+            "store identity — an unordered sample could produce a "
+            "different _PQ_FORMAT on every refit); pass the corpus id "
+            "column via id_col=")
+    sample = (corpus.df
+              .orderBy(F.md5(F.concat(F.col(id_col).cast("string"),
+                                      F.lit("-pqfit"))), id_col)
+              .select(F.col(vec_col).alias("v")))
     rows = sample.limit(train_rows).toPandas()["v"]
     if not len(rows):
         raise ValueError("pq_fit: the corpus (or training sample) is "

@@ -1482,6 +1482,49 @@ def test_pq_topk_empty_queries_and_corpus_edges(spark, emb):
         pq_fit(none, m=8, ks=16)
 
 
+def test_pq_fit_sample_is_id_order_unbiased(spark):
+    """VERDICT r9 #2: the training sample is hash-of-id ordered, not
+    smallest-id — on an ingest-ordered corpus (ids 0..499 all one
+    content segment, 500..999 an orthogonal one) a smallest-id sample
+    of 500 rows would never see segment B and quantize it with ~unit
+    error; the md5 sample sees both, so both segments reconstruct
+    (near-)exactly."""
+    import numpy as np
+
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import pq_decode, pq_encode, pq_fit
+
+    e1 = [1.0] + [0.0] * 63          # unit vector in dim 0
+    e2 = [0.0] * 32 + [1.0] + [0.0] * 31   # unit vector in dim 32
+    rows = [(i, e1) for i in range(500)] + \
+        [(i, e2) for i in range(500, 1000)]
+    t = data(rows, spark=spark,
+             schema="vec_id long, embedding array<float>", name="seg")
+    cb = pq_fit(t, m=8, ks=4, iters=3, train_rows=500)
+    dec = pq_decode(pq_encode(t, cb), cb).df.collect()
+    for r in dec:
+        want = np.array(e1 if r.vec_id < 500 else e2)
+        err = float(((np.array(r.embedding) - want) ** 2).sum())
+        assert err < 0.1, (r.vec_id, err)
+
+    # determinism: physical row layout must not change the codebooks
+    cb2 = pq_fit(Table(t.df.repartition(7)), m=8, ks=4, iters=3,
+                 train_rows=500)
+    assert (cb2 == cb).all()
+
+
+def test_pq_fit_requires_id_col(spark, emb):
+    """ADVICE r9: no silent unordered fallback — codebook bytes are the
+    store identity, so a nondeterministic sample could lock the owner
+    out of an incremental store on refit.  Missing id_col raises."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import pq_fit
+
+    anon = Table(emb.df.select("embedding"))
+    with pytest.raises(ValueError, match="id_col"):
+        pq_fit(anon, m=8, ks=16, train_rows=100)
+
+
 def test_pq_codebook_store_detects_incomplete(spark, emb, tmp_path):
     """Review r9: the loader validates the declared (m, ks) against the
     rows — a store missing its trailing subspace raises instead of
