@@ -1285,6 +1285,37 @@ def ann_auto_topk(spark, sf_dir):
     return topk_recall(truth, found).df
 
 
+def ann_store_topk(spark, sf_dir):
+    """Prebuilt-store dispatch (VERDICT r9 #1 — similarity.ann_topk now
+    routes at-rest PQ code stores): the PQ artifacts are fitted and a
+    cell-partitioned ``write_pq_codes`` store is written ONCE, then the
+    dispatcher answers through ``ann_topk(store=..., codebooks=...,
+    centroids=...)`` — it must pick the ADC route (float vectors never
+    scanned, codes never re-encoded) and EQUAL the direct
+    ``ivf_pq_topk`` call over the same store (recall row, 1.0 =
+    identical pair set).  Rows-only: trained quantizers; routing is
+    pytest-pinned (test_ann_topk_prebuilt_store_routes)."""
+    import tempfile
+
+    from blaze_spark.pipeline import (ann_topk, ivf_pq_topk, pq_encode,
+                                      pq_fit, read_pq_codes,
+                                      write_pq_codes)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    cb = pq_fit(e, m=8, ks=64, iters=3, train_rows=2000)
+    store = tempfile.mkdtemp(prefix="ann_store_") + "/codes"
+    write_pq_codes(pq_encode(ivf_assign(e, cents), cb), store)
+
+    queries = Table(e.df.filter(F.col("vec_id") < 20))
+    truth = ivf_pq_topk(read_pq_codes(store, spark=spark), queries,
+                        cents, cb, k=10, nprobe=4)
+    found = ann_topk(None, queries, k=10, store=store, codebooks=cb,
+                     centroids=cents, nprobe=4)
+    return topk_recall(truth, found).df
+
+
 def token_commonness_docs(spark, sf_dir):
     """Corpus-frequency commonness scoring (pipeline/curation.py —
     CCNet-style rare/gibberish proxy without an LM): top-2000 vocabulary
@@ -2551,6 +2582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_pq_topk": recall_pq_topk,
         "recall_ivf_pq_topk": recall_ivf_pq_topk,
         "ann_auto_topk": ann_auto_topk,
+        # r10: prebuilt-store dispatch through ann_topk (rows-only like
+        # the other trained-quantizer entries — below the boundary)
+        "ann_store_topk": ann_store_topk,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,

@@ -420,21 +420,68 @@ def lsh_cosine_topk(corpus: Table, queries: Table, k: int = 5,
     return Table(_rank_topk(scored, k, round_to), "lsh_cosine_topk")
 
 
-def ann_topk(corpus: Table, queries: Table, k: int = 5,
+def _accepted_kwargs(fn) -> set | None:
+    """The keyword names ``fn`` accepts, or None for accept-everything
+    (``**kwargs`` — e.g. a test spy or a _localize_guard-less wrapper
+    whose signature cannot be introspected)."""
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return None
+    if any(p.kind is p.VAR_KEYWORD for p in params.values()):
+        return None
+    return set(params)
+
+
+def _filter_route_kwargs(fn, kwargs: dict) -> dict:
+    """Forward only the kwargs the chosen route accepts.  Validity was
+    already checked at dispatcher entry against the UNION of all
+    routes, so dropping here is the documented cross-route contract —
+    the exception class never depends on which regime the corpus size
+    picks (ADVICE r9)."""
+    accepted = _accepted_kwargs(fn)
+    if accepted is None:
+        return dict(kwargs)
+    return {k: v for k, v in kwargs.items() if k in accepted}
+
+
+def ann_topk(corpus: Table | None, queries: Table, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              threshold: float | None = None,
              n_vectors: int | None = None, dim: int | None = None,
              seed: int = 42, round_to: int | None = 4,
              exact_max: int = 50_000, recall: float = 0.95,
              max_tables: int = 12, centroids=None, nprobe: int = 4,
-             target_cell: int = 256, **backend_kwargs) -> Table:
+             target_cell: int = 256, codes: Table | None = None,
+             store: str | None = None, codebooks=None,
+             max_queries: int = 10_000,
+             max_broadcast_queries: int = 100_000,
+             **backend_kwargs) -> Table:
     """Top-k cosine neighbors with AUTOMATIC regime choice — the search
     sibling of :func:`neardup_pairs` (r7 #5's dispatcher extended to
     top-k).  Call this when you do not want to know the
-    exact↔LSH↔IVF boundary; every route emits the same
+    exact↔LSH↔IVF↔PQ boundary; every route emits the same
     (query_id, neighbor_id, cosine) schema with the same tie-break.
 
-    Sizes the corpus once (pass ``n_vectors`` to skip the count), then:
+    **Prebuilt code stores are preferred** (VERDICT r9 #1 — the
+    measured-37× ADC path is the default, not an expert path): pass
+    ``codes=`` (a :func:`pq.pq_encode`'d table) or ``store=`` (a
+    :func:`pq.write_pq_codes` directory OR an
+    :func:`streaming.incremental_ann.ingest_pq_batch` ingest store,
+    auto-detected) together with the ``codebooks`` that encoded it
+    (reload a persisted set via :func:`pq.load_codebooks`).  With
+    ``centroids`` and a cell-carrying codes table the route is
+    :func:`pq.ivf_pq_topk` (cell-pruned, sublinear in IO over a
+    cell-partitioned store); otherwise :func:`pq.pq_topk` (flat ADC —
+    still a 32×-less-IO scan).  Ingest stores are format-validated
+    against the passed artifacts (``_PQ_FORMAT``) and read
+    complete-ingests-only; ``corpus`` is ignored on these routes (the
+    store IS the corpus at rest).
+
+    Float-vector corpora are sized once (pass ``n_vectors`` to skip the
+    count), then:
 
     - ``n <= exact_max`` → :func:`cosine_topk` — brute force is cheap
       AND exact below ~50k rows (the broadcast-query scoring is one
@@ -450,17 +497,81 @@ def ann_topk(corpus: Table, queries: Table, k: int = 5,
       the data's actual geometry; measured 10.6 s vs 50.9 s brute force
       at 200k vectors (PLANS.md r9 PQ table).
 
-    The PQ/IVF-PQ routes are deliberately NOT auto-chosen here: they
-    need trained at-rest code stores (a one-time index build — 34 s at
-    200k vectors for a 37× per-query win).  Corpora with a code store
-    should query it directly via :func:`pq.pq_topk` /
-    :func:`pq.ivf_pq_topk`; this dispatcher serves float-vector
-    corpora."""
+    Guard knobs are NAMED params with each backend's own default
+    (ADVICE r9 — the kwarg surface must not change exception class with
+    corpus size): ``max_queries`` reaches the routes that build
+    per-query driver/broadcast state (exact, PQ, IVF-PQ — they RAISE
+    past it), ``max_broadcast_queries`` reaches IVF's broadcast→shuffle
+    plan fallback; LSH has neither (its query side rides a bucketed
+    equi-join).  Remaining ``backend_kwargs`` are validated at entry
+    against the union of every route's signature — an unknown name
+    raises ``TypeError`` immediately, on every route alike — and each
+    route then receives only the names it accepts (inapplicable knobs
+    are inert by contract, like ``max_queries`` on the LSH route)."""
+    guard_kwargs = {"max_queries": max_queries,
+                    "max_broadcast_queries": max_broadcast_queries}
+    from . import pq as pq_mod
+    from .ivf import ivf_topk, kmeans_fit
+    routes = (cosine_topk, lsh_cosine_topk, ivf_topk,
+              pq_mod.pq_topk, pq_mod.ivf_pq_topk)
+    accepted_sets = [_accepted_kwargs(f) for f in routes]
+    if None not in accepted_sets:
+        union = set().union(*accepted_sets) | set(guard_kwargs)
+        for kw in backend_kwargs:
+            if kw not in union:
+                raise TypeError(
+                    f"ann_topk got an unexpected keyword {kw!r}: no "
+                    "dispatch route (cosine_topk / lsh_cosine_topk / "
+                    "ivf_topk / pq_topk / ivf_pq_topk) accepts it")
+
+    def _call(fn, *args, **named):
+        # accept-all signatures (``**kwargs`` — e.g. a monkeypatched
+        # spy) get backend_kwargs only: the guard knobs are
+        # dispatcher-owned and only reach routes that DECLARE them
+        accepted = _accepted_kwargs(fn)
+        extra = (dict(backend_kwargs) if accepted is None
+                 else _filter_route_kwargs(fn, {**guard_kwargs,
+                                                **backend_kwargs}))
+        extra.update(named)
+        return fn(*args, **extra)
+
+    if store is not None and codes is not None:
+        raise ValueError("pass codes= OR store=, not both")
+    if store is not None:
+        if codebooks is None:
+            raise ValueError(
+                "ann_topk store routing needs codebooks= — the trained "
+                "PQ codebooks that encoded the store (pq.load_codebooks "
+                "reloads a persisted set); codes from foreign codebooks "
+                "would silently rank garbage")
+        from ..streaming.incremental_dedup import _ingest_ids
+        from ..streaming.incremental_ann import read_pq_index
+        spark = queries.df.sparkSession
+        if _ingest_ids(spark, store):
+            codes = read_pq_index(spark, store, codebooks, centroids)
+        else:
+            codes = pq_mod.read_pq_codes(store, spark=spark)
+    if codes is not None:
+        if codebooks is None:
+            raise ValueError(
+                "ann_topk codes routing needs codebooks= — the trained "
+                "PQ codebooks that encoded the codes table")
+        if centroids is not None and (
+                "cell" in codes.df.columns or vec_col in codes.df.columns):
+            return _call(pq_mod.ivf_pq_topk, codes, queries, centroids,
+                         codebooks, k=k, nprobe=nprobe, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+        return _call(pq_mod.pq_topk, codes, queries, codebooks, k=k,
+                     id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+    if corpus is None:
+        raise ValueError(
+            "ann_topk needs a float-vector corpus= (or a prebuilt PQ "
+            "codes=/store= with its codebooks=) — got neither")
     n = n_vectors if n_vectors is not None else corpus.df.count()
     if n <= exact_max:
-        return cosine_topk(corpus, queries, k=k, id_col=id_col,
-                           vec_col=vec_col, round_to=round_to,
-                           **backend_kwargs)
+        return _call(cosine_topk, corpus, queries, k=k, id_col=id_col,
+                     vec_col=vec_col, round_to=round_to)
     if threshold is not None:
         n_planes, required = lsh_tables_required(n, threshold,
                                                  recall=recall)
@@ -471,19 +582,17 @@ def ann_topk(corpus: Table, queries: Table, k: int = 5,
                 # outgrew exact_max) — one head-row job on the queries
                 head = queries.df.select(vec_col).head(1)
                 dim = len(head[0][0]) if head else 64
-            return lsh_cosine_topk(corpus, queries, k=k, id_col=id_col,
-                                   vec_col=vec_col, n_planes=n_planes,
-                                   n_tables=required, dim=dim, seed=seed,
-                                   round_to=round_to, **backend_kwargs)
-    from .ivf import ivf_topk, kmeans_fit
-
+            return _call(lsh_cosine_topk, corpus, queries, k=k,
+                         id_col=id_col, vec_col=vec_col,
+                         n_planes=n_planes, n_tables=required, dim=dim,
+                         seed=seed, round_to=round_to)
     if centroids is None:
         k_cells = max(16, int(np.ceil(n / target_cell)))
         centroids = kmeans_fit(corpus, k=k_cells, iters=3,
                                vec_col=vec_col, id_col=id_col, seed=seed)
-    return ivf_topk(corpus, queries, centroids, k=k, nprobe=nprobe,
-                    id_col=id_col, vec_col=vec_col, round_to=round_to,
-                    **backend_kwargs)
+    return _call(ivf_topk, corpus, queries, centroids, k=k,
+                 nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                 round_to=round_to)
 
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
