@@ -49,10 +49,11 @@ from pyspark.sql import functions as F
 from ..core import Table
 from ..pipeline.ivf import ivf_assign
 from ..pipeline.pq import pq_encode
-from .incremental_dedup import _check_sig_format, _ingest_ids
+from .incremental_dedup import (_check_sig_format, _compact_store_impl,
+                                _ingest_ids, resolve_store_root)
 
 __all__ = ["pq_index_format", "ingest_pq_batch", "incremental_pq_index",
-           "read_pq_index"]
+           "read_pq_index", "compact_pq_store"]
 
 
 def pq_index_format(codebooks: np.ndarray,
@@ -92,8 +93,9 @@ def ingest_pq_batch(batch: Table, store_path: str,
     ``foreachBatch`` batch id from streaming so a checkpoint replay
     overwrites its own subdirectory (exactly-once)."""
     spark = batch.df.sparkSession
-    existing = _ingest_ids(spark, store_path)
-    _check_pq_format(spark, store_path, bool(existing),
+    root = resolve_store_root(spark, store_path)
+    existing = _ingest_ids(spark, root)
+    _check_pq_format(spark, root, bool(existing),
                      pq_index_format(codebooks, centroids))
     if batch_id is None:
         batch_id = (max(existing) + 1) if existing else 0
@@ -107,7 +109,7 @@ def ingest_pq_batch(batch: Table, store_path: str,
     w = (coded.df.select(*keep).write.mode("overwrite"))
     if centroids is not None:
         w = w.partitionBy("cell")
-    w.parquet(f"{store_path.rstrip('/')}/ingest={batch_id}")
+    w.parquet(f"{root}/ingest={batch_id}")
 
 
 def incremental_pq_index(stream, store_path: str, checkpoint: str,
@@ -138,19 +140,39 @@ def read_pq_index(spark, store_path: str, codebooks: np.ndarray,
     Validates the store was built with THESE artifacts, and reads only
     complete ingests (``_SUCCESS``-marked) so a crashed half-written
     batch directory is never searched."""
-    complete = _ingest_ids(spark, store_path, complete_only=True)
+    root = resolve_store_root(spark, store_path)
+    complete = _ingest_ids(spark, root, complete_only=True)
     if not complete:
         raise ValueError(
             f"PQ index store at {store_path!r} has no complete ingests "
             "— nothing to search yet (the path may not exist, the "
             "stream may not have committed its first batch, or every "
             "ingest directory is missing its _SUCCESS marker)")
-    _check_pq_format(spark, store_path, True,
+    _check_pq_format(spark, root, True,
                      pq_index_format(codebooks, centroids))
-    df = spark.read.parquet(store_path)
+    df = spark.read.parquet(root)
     if "ingest" in df.columns:
         df = df.filter(F.col("ingest").isin(complete)).drop("ingest")
     return Table(df, "pq_index")
+
+
+def compact_pq_store(spark, store_path: str, files_per_cell: int = 1,
+                     strategy: str | None = None) -> None:
+    """Rewrite the PQ code store with ``files_per_cell`` files per cell
+    (one file total for a cell-less store), collapsing the COMPLETE
+    ingest subdirectories into the highest complete ingest id — the PQ
+    sibling of :func:`incremental_dedup.compact_store` (VERDICT r9 #4):
+    long-running streams accumulate one parquet directory per batch, and
+    probed-cell scan cost grows with file COUNT (listing + footer opens)
+    across every ingest.  Same engine, same guarantees: complete-only
+    input (a crashed batch's replay must not overwrite the compacted
+    store), ``_PQ_FORMAT`` carried across, atomic-rename swap on
+    rename-capable filesystems and the copy-then-repoint ``_CURRENT``
+    manifest flip on object stores.  ``read_pq_index`` answers
+    identically before and after (the digest check still validates the
+    artifacts)."""
+    _compact_store_impl(spark, store_path, files_per_cell, "cell",
+                        ["_PQ_FORMAT"], strategy, "compact_pq_store")
 
 
 # silent-empty audit: eager store write — remote inputs raise at entry

@@ -202,15 +202,149 @@ def _check_sig_format(spark, store_path: str, has_existing: bool,
 from ..fsutil import hadoop_fs as _hadoop_fs
 from ..fsutil import is_local_path
 
+# Generation-manifest file for stores on filesystems WITHOUT atomic
+# directory rename (object stores): a tiny text file at the store base
+# naming the live generation subdirectory.  Single-file PUT is atomic on
+# every store tier, so compaction can copy-then-repoint (VERDICT r9 #3)
+# where the rename swap would expose readers to a half-copied index.
+# Stores that never compact through the manifest path have no _CURRENT
+# and resolve to the base directory — the legacy layout, unchanged.
+_MANIFEST = "_CURRENT"
+
+
+def _local_of(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def _read_small_text(spark, path: str, max_bytes: int = 256) -> str | None:
+    """Read a tiny control file (manifest / format marker) through the
+    best available tier: Hadoop FS (any scheme), plain file IO for local
+    paths on gateway-less sessions, ``spark.read.text`` for remote ones.
+    None if the file does not exist on any reachable tier."""
+    try:
+        from .. import fsutil
+        fs, jpath = fsutil.hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            buf = []
+            b = stream.read()
+            while b != -1 and len(buf) < max_bytes:
+                buf.append(b & 0xFF)
+                b = stream.read()
+        finally:
+            stream.close()
+        return bytes(buf).decode("utf-8", "replace")
+    except Exception:
+        pass
+    if is_local_path(path):
+        import os
+        local = _local_of(path)
+        if not os.path.isfile(local):
+            return None
+        with open(local, encoding="utf-8") as fh:
+            return fh.read(max_bytes)
+    try:
+        rows = spark.read.text(path).collect()
+        return "\n".join(r[0] for r in rows)
+    except Exception:
+        return None
+
+
+def _write_small_text(spark, path: str, content: str) -> bool:
+    """Atomically (re)write a tiny control file: Hadoop FS create with
+    overwrite (a single PUT on object stores — the atomicity the
+    manifest flip relies on), or an os-level write+rename for local
+    paths on gateway-less sessions.  False when neither tier can write
+    (remote store, no gateway) — callers refuse loudly."""
+    try:
+        from .. import fsutil
+        fs, jpath = fsutil.hadoop_fs(spark, path)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(content.encode()))
+        finally:
+            out.close()
+        return True
+    except Exception:
+        pass
+    if is_local_path(path):
+        import os
+        local = _local_of(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = local + ".__tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        os.replace(tmp, local)   # atomic on POSIX
+        return True
+    return False
+
+
+def _store_children(spark, path: str) -> list[str]:
+    """Child entry names of a store directory (best-tier listing; empty
+    when the path is missing or unlistable)."""
+    try:
+        from .. import fsutil
+        fs, jpath = fsutil.hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    except Exception:
+        pass
+    if is_local_path(path):
+        import os
+        try:
+            return os.listdir(_local_of(path))
+        except OSError:
+            return []
+    return []
+
+
+def _delete_path(spark, path: str) -> None:
+    """Best-effort recursive delete (Hadoop FS, else local shutil)."""
+    try:
+        from .. import fsutil
+        fsutil.fs_delete(spark, path)
+        return
+    except Exception:
+        pass
+    if is_local_path(path):
+        import shutil
+        shutil.rmtree(_local_of(path), ignore_errors=True)
+
+
+def resolve_store_root(spark, store_path: str) -> str:
+    """The directory the store's data actually lives in: the generation
+    subdirectory named by ``<store>/_CURRENT`` when a manifest exists
+    (a store compacted through the object-store path), else the store
+    base itself (the legacy / atomic-rename layout).  Every store
+    reader and writer resolves through here, so a manifest flip
+    repoints them all at once."""
+    base = store_path.rstrip("/")
+    gen = _read_small_text(spark, base + "/" + _MANIFEST)
+    if gen is None:
+        return base
+    gen = gen.strip()
+    if not gen or "/" in gen or "\\" in gen or gen.startswith("."):
+        raise ValueError(
+            f"store manifest at {base}/{_MANIFEST} names an invalid "
+            f"generation {gen!r} — the store is corrupt; inspect the "
+            "manifest by hand")
+    return base + "/" + gen
+
 
 def _ingest_ids(spark, store_path: str,
                 complete_only: bool = False) -> list[int]:
     """Existing ingest=<n> partition ids in the store (empty if no store).
 
+    Resolves the generation manifest first (idempotent when passed an
+    already-resolved root), so callers see the LIVE generation's ids.
     ``complete_only`` keeps only subdirectories carrying a ``_SUCCESS``
     marker — probe reads use it so a crashed prior attempt's half-written
     directory is never scanned (ADVICE r2); id *allocation* sees all dirs
     so a fresh default batch id never collides with a partial one."""
+    store_path = resolve_store_root(spark, store_path)
     try:
         fs, jpath = _hadoop_fs(spark, store_path)
         if not fs.exists(jpath):
@@ -345,17 +479,22 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     batch id for exactly-once retry semantics.
     """
     spark = batch.df.sparkSession
+    # resolve the generation manifest ONCE — reads, writes and the
+    # format check must all land in the live generation (the default
+    # pairs sink stays keyed off the caller's base path: pairs are a
+    # separate store, not part of the compacted index)
+    root = resolve_store_root(spark, store_path)
     # id allocation sees every dir (never reuse a partial attempt's id by
     # accident); probing below uses only _SUCCESS-complete dirs
-    all_ids = _ingest_ids(spark, store_path)
-    existing = _ingest_ids(spark, store_path, complete_only=True)
+    all_ids = _ingest_ids(spark, root)
+    existing = _ingest_ids(spark, root, complete_only=True)
     if method == "minhash":
         fmt = _SIG_FORMAT
     elif method == "simhash":
         fmt = _SIMHASH_FORMAT
     else:
         raise ValueError(f"method must be 'minhash' or 'simhash': {method!r}")
-    _check_sig_format(spark, store_path, has_existing=bool(all_ids),
+    _check_sig_format(spark, root, has_existing=bool(all_ids),
                       expected=fmt)
     if batch_id is None:
         batch_id = (max(all_ids) + 1) if all_ids else 0
@@ -417,8 +556,8 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
     pairs = []
     probe_ids = [i for i in existing if i != batch_id]
     if probe_ids:
-        store = spark.read.option("basePath", store_path).parquet(
-            *[f"{store_path}/ingest={i}" for i in probe_ids])
+        store = spark.read.option("basePath", root).parquet(
+            *[f"{root}/ingest={i}" for i in probe_ids])
         vs_store = (
             store.join(
                 F.broadcast(entries.withColumnsRenamed(
@@ -463,7 +602,7 @@ def process_batch(batch: Table, store_path: str, text_col: str = "text",
 
     (store_entries.select("doc_id", "band", "bhash", "signature")
      .write.mode("overwrite").partitionBy("band")
-     .parquet(f"{store_path}/ingest={batch_id}"))
+     .parquet(f"{root}/ingest={batch_id}"))
     sigs.unpersist()
     entries.unpersist()
     # explicit schema: an empty result may have written no data files
@@ -513,119 +652,173 @@ def incremental_simhash_dedup(stream, store_path: str, checkpoint: str,
             .outputMode("append").start())
 
 
-def compact_store(spark, store_path: str, files_per_band: int = 1) -> None:
+def compact_store(spark, store_path: str, files_per_band: int = 1,
+                  strategy: str | None = None) -> None:
     """Rewrite the signature store with ``files_per_band`` files per band,
-    collapsing all ingest subdirectories into the highest existing ingest
-    id (so subsequent batch ids keep incrementing past it).  Long-running
-    streams write one small file per band per batch; probe-side scan cost
-    grows with file COUNT (footer opens + listing), not data size —
-    periodic compaction restores it.  Run from a maintenance job, not the
-    hot path.
+    collapsing the COMPLETE ingest subdirectories into the highest
+    complete ingest id (so subsequent batch ids keep incrementing past
+    it).  Long-running streams write one small file per band per batch;
+    probe-side scan cost grows with file COUNT (footer opens + listing),
+    not data size — periodic compaction restores it.  Run from a
+    maintenance job, not the hot path.
 
-    Generic path (r9, VERDICT r8 #8): rewrite to a sibling temp dir,
-    swap via the filesystem's ATOMIC directory rename through the Hadoop
-    FS API — local paths, ``file://``, ``hdfs://``, ``viewfs://``.  The
-    honest refusal remains only where atomic rename genuinely does not
-    exist (object stores implement rename as copy+delete; swapping a
-    live index through one risks readers seeing a half-copied store —
-    rebuild from the corpus or compact with a copy-then-repoint job
-    there)."""
-    from ..fsutil import (fs_copy_file, fs_delete, fs_exists, fs_rename,
-                          supports_atomic_rename)
+    Only ``_SUCCESS``-complete ingests are compacted (ADVICE r9): a
+    crashed batch's half-written directory must not be laundered into
+    "complete" state, and — worse — if that crashed batch held the max
+    id, its checkpoint REPLAY would mode=overwrite the same
+    ``ingest=<id>`` directory and wipe the whole compacted store.
+    ``keep = max(complete)`` is safe precisely because a committed batch
+    id is never replayed; dropped incomplete dirs are rebuilt by the
+    stream's replay.
 
-    if not supports_atomic_rename(store_path):
-        # VERDICT r2 #5: refuse loudly instead of corrupting the index
-        # mid-swap on a store without atomic directory rename
-        raise NotImplementedError(
-            f"compact_store swaps directories with an atomic filesystem "
-            f"rename; store scheme {store_path.split('://', 1)[0]!r} "
-            "renames by copy+delete, which is not atomic — rebuild the "
-            "store from the corpus, or compact with a copy-then-repoint "
-            "job")
+    ``strategy`` (default auto by scheme):
+
+    - ``"rename"`` (local / ``file://`` / ``hdfs://`` / ``viewfs://``,
+      r9 VERDICT r8 #8): rewrite to a sibling temp dir, swap via the
+      filesystem's ATOMIC directory rename.  The window between the two
+      renames loses availability, never data — the store is an index
+      rebuildable from the corpus.
+    - ``"manifest"`` (object stores — ``s3a://``, ``gs://``, … — whose
+      rename is copy+delete; VERDICT r9 #3): rewrite into a NEW
+      generation directory under the store base, then atomically flip
+      the single-file ``_CURRENT`` manifest (single-file PUT is atomic
+      on every tier).  All readers and writers resolve the manifest
+      (:func:`resolve_store_root`), so the repoint is a metadata flip;
+      the previous generation is best-effort deleted afterwards."""
+    _compact_store_impl(spark, store_path, files_per_band, "band",
+                        ["_SIG_FORMAT"], strategy, "compact_store")
+
+
+def _compact_store_impl(spark, store_path: str, files_per: int,
+                        part_col: str, markers: list[str],
+                        strategy: str | None, name: str) -> None:
+    """Shared compaction engine for the ingest-partitioned stores (the
+    signature store and the PQ code store differ only in their inner
+    partition column and format-marker filename)."""
+    from ..fsutil import supports_atomic_rename
+
     base = store_path.rstrip("/")
-    tmp, old = base + ".__compact_tmp", base + ".__compact_old"
-    # gateway probe: Spark Connect has no JVM bridge for the fs_*
-    # helpers — local paths then fall back to os-level renames (the
-    # same path they took before r9), remote ones refuse cleanly
-    # instead of crashing mid-function on spark._jvm (r9 review).
-    # ONLY AttributeError marks a missing gateway (what spark._jvm
-    # raises on Connect) — a transient Hadoop/JVM failure on a classic
-    # session must propagate, not silently downgrade the swap to the
-    # non-atomic os path (second-pass review)
-    try:
-        fs_exists(spark, base)
-        gateway = True
-    except AttributeError:
-        gateway = False
-    if not gateway:
-        if not is_local_path(store_path):
+    if strategy is None:
+        strategy = ("rename" if supports_atomic_rename(base)
+                    else "manifest")
+    if strategy not in ("rename", "manifest"):
+        raise ValueError(f"{name}: strategy must be 'rename' or "
+                         f"'manifest', got {strategy!r}")
+    root = resolve_store_root(spark, base)
+    gateway = True
+    if strategy == "rename":
+        # gateway probe BEFORE the ids scan: a remote store on a
+        # gateway-less (Spark Connect) session must refuse loudly here
+        # — the ids fallback tier cannot tell "empty store" from
+        # "unreachable store", and a silent no-op on the latter would
+        # hide that the compaction never ran.  ONLY AttributeError
+        # marks a missing gateway (what spark._jvm raises on Connect);
+        # a transient Hadoop/JVM failure on a classic session must
+        # propagate, not silently downgrade the swap to the non-atomic
+        # os path (r9 review).
+        from ..fsutil import fs_exists
+        try:
+            fs_exists(spark, root)
+        except AttributeError:
+            gateway = False
+        if not gateway and not is_local_path(root):
             raise NotImplementedError(
-                "compact_store on a gateway-less (Spark Connect) session "
-                "can only swap LOCAL stores with os-level renames; this "
-                f"store ({store_path!r}) needs the Hadoop FS API — run "
-                "the compaction from a classic session")
-    ids = _ingest_ids(spark, store_path)
-    if not ids:
+                f"{name} on a gateway-less (Spark Connect) session can "
+                "only swap LOCAL stores with os-level renames; this "
+                f"store ({root!r}) needs the Hadoop FS API — run the "
+                "compaction from a classic session")
+    # ADVICE r9: compact ONLY complete ingests — reading all dirs would
+    # launder a crashed batch's partial rows into _SUCCESS-marked state,
+    # and keep=max(all) could collide with that batch's checkpoint
+    # replay, which would then overwrite the whole compacted store
+    complete = _ingest_ids(spark, root, complete_only=True)
+    if not complete:
         return
-    keep = max(ids)
+    keep = max(complete)
+
+    def _rewrite(dst_root: str) -> None:
+        df = (spark.read.option("basePath", root)
+              .parquet(*[f"{root}/ingest={i}" for i in complete])
+              .drop("ingest"))
+        dst = f"{dst_root}/ingest={keep}"
+        if part_col in df.columns:
+            (df.repartition(files_per, part_col)
+             .write.mode("overwrite").partitionBy(part_col).parquet(dst))
+        else:
+            # cell-less PQ stores have no inner partition column
+            (df.repartition(files_per)
+             .write.mode("overwrite").parquet(dst))
+
+    if strategy == "manifest":
+        _compact_manifest(spark, base, root, _rewrite, markers, name)
+    else:
+        _compact_rename(spark, root, _rewrite, markers, name, gateway)
+
+
+def _compact_rename(spark, root: str, rewrite, markers: list[str],
+                    name: str, gateway: bool) -> None:
+    """Atomic-directory-rename swap of the live root (the pre-r10
+    strategy, now parameterized over the rewrite and markers).
+    ``gateway`` comes from the caller's early probe — False means a
+    gateway-less session with a LOCAL store (remote ones already
+    refused): fall back to os-level renames."""
+    from ..fsutil import fs_copy_file, fs_delete, fs_exists, fs_rename
+
     if not gateway:
-        _compact_swap_local(spark, store_path, base, keep, files_per_band)
+        _compact_rename_local(root, rewrite, markers, name)
         return
+    tmp, old = root + ".__compact_tmp", root + ".__compact_old"
     fs_delete(spark, tmp)   # stale leftovers from a crashed compaction
     fs_delete(spark, old)
-    df = spark.read.parquet(store_path).drop("ingest")
-    (df.repartition(files_per_band, "band")
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(f"{tmp}/ingest={keep}"))
-    # carry the signature-format stamp into the rewritten store (the swap
-    # would otherwise orphan it and the next process_batch would refuse a
-    # marker-less non-empty store)
-    if fs_exists(spark, f"{base}/_SIG_FORMAT"):
-        fs_copy_file(spark, f"{base}/_SIG_FORMAT", f"{tmp}/_SIG_FORMAT")
+    rewrite(tmp)
+    # carry the format stamp into the rewritten store (the swap would
+    # otherwise orphan it and the next batch would refuse a marker-less
+    # non-empty store)
+    for m in markers:
+        if fs_exists(spark, f"{root}/{m}"):
+            fs_copy_file(spark, f"{root}/{m}", f"{tmp}/{m}")
     # swap: two atomic renames; the store is an index rebuildable from
     # the corpus, so the window between them loses availability, not data
-    if not fs_rename(spark, base, old):
-        raise OSError(f"compact_store: rename {base!r} -> {old!r} refused")
-    if not fs_rename(spark, tmp, base):
-        fs_rename(spark, old, base)  # restore the original store
-        raise OSError(f"compact_store: rename {tmp!r} -> {base!r} refused")
+    if not fs_rename(spark, root, old):
+        raise OSError(f"{name}: rename {root!r} -> {old!r} refused")
+    if not fs_rename(spark, tmp, root):
+        fs_rename(spark, old, root)  # restore the original store
+        raise OSError(f"{name}: rename {tmp!r} -> {root!r} refused")
     fs_delete(spark, old)
 
 
-def _compact_swap_local(spark, store_path: str, base: str, keep: int,
-                        files_per_band: int) -> None:
-    """os/shutil compaction swap for gateway-less sessions (plain local
-    paths and file:// URIs only).
+def _compact_rename_local(root: str, rewrite, markers: list[str],
+                          name: str) -> None:
+    """os/shutil swap for gateway-less sessions (plain local paths and
+    file:// URIs only).
 
-    The Spark WRITE keeps the original scheme (``base`` URI + suffix) so
-    it lands on the same filesystem the os-level swap operates on — a
-    scheme-stripped write target could hit the server's default FS
-    instead (second-pass review).  The scheme is stripped MANUALLY (no
-    urlparse: a '#' or '?' in a directory name must not truncate the
-    path).  Requires the client to share the store's filesystem with
-    the Spark server — true for local-mode Connect; a remote Connect
-    server writing to ITS local disk cannot be swapped from here."""
+    The Spark WRITE keeps the original scheme (``root`` URI + suffix)
+    so it lands on the same filesystem the os-level swap operates on —
+    a scheme-stripped write target could hit the server's default FS
+    instead.  The scheme is stripped MANUALLY (no urlparse: a '#' or
+    '?' in a directory name must not truncate the path).  Requires the
+    client to share the store's filesystem with the Spark server —
+    true for local-mode Connect; a remote Connect server writing to
+    ITS local disk cannot be swapped from here."""
     import os
     import shutil
 
-    local = base[7:] if base.startswith("file://") else base
+    local = _local_of(root)
     tmp, old = local + ".__compact_tmp", local + ".__compact_old"
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
-    df = spark.read.parquet(store_path).drop("ingest")
-    (df.repartition(files_per_band, "band")
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(f"{base}.__compact_tmp/ingest={keep}"))
+    rewrite(root + ".__compact_tmp")
     if not os.path.isdir(tmp):
         raise OSError(
-            f"compact_store: Spark wrote the rewritten store somewhere "
-            f"other than {tmp!r} — the session's filesystem is not the "
+            f"{name}: Spark wrote the rewritten store somewhere other "
+            f"than {tmp!r} — the session's filesystem is not the "
             "client's (remote Connect server?); compact from a session "
             "that shares the store's filesystem")
-    marker = os.path.join(local, "_SIG_FORMAT")
-    if os.path.exists(marker):
-        shutil.copy(marker, os.path.join(tmp, "_SIG_FORMAT"))
+    for m in markers:
+        mp = os.path.join(local, m)
+        if os.path.exists(mp):
+            shutil.copy(mp, os.path.join(tmp, m))
     shutil.move(local, old)
     try:
         shutil.move(tmp, local)
@@ -633,3 +826,60 @@ def _compact_swap_local(spark, store_path: str, base: str, keep: int,
         shutil.move(old, local)  # restore the original store
         raise
     shutil.rmtree(old)
+
+
+def _compact_manifest(spark, base: str, root: str, rewrite,
+                      markers: list[str], name: str) -> None:
+    """Copy-then-repoint compaction (VERDICT r9 #3) for stores whose
+    filesystem renames by copy+delete: rewrite into a NEW generation
+    directory under the base, carry the format markers, then atomically
+    flip the single-file ``_CURRENT`` manifest.  Readers resolve the
+    manifest on every store access, so the flip repoints them all; a
+    reader that resolved the OLD generation mid-flight loses
+    availability when it is deleted below, never data (the store is an
+    index rebuildable from the corpus — same caveat as the rename
+    swap's two-rename window)."""
+    import warnings
+
+    if root == base:
+        nxt = 1                      # first generation of a legacy store
+    else:
+        gen_name = root.rsplit("/", 1)[1]
+        try:
+            nxt = int(gen_name.split("-", 1)[1]) + 1
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"{name}: live generation {gen_name!r} under {base!r} "
+                "does not follow the gen-<n> naming — refusing to pick "
+                "a successor") from None
+    gen = f"gen-{nxt:06d}"
+    gen_dir = f"{base}/{gen}"
+    rewrite(gen_dir)
+    for m in markers:
+        content = _read_small_text(spark, f"{root}/{m}")
+        if content is not None and not _write_small_text(
+                spark, f"{gen_dir}/{m}", content.strip()):
+            raise OSError(f"{name}: could not carry the {m} marker "
+                          f"into {gen_dir!r}")
+    if not _write_small_text(spark, f"{base}/{_MANIFEST}", gen):
+        raise OSError(
+            f"{name}: could not flip the {_MANIFEST} manifest at "
+            f"{base!r} — no JVM gateway and not a local path; run the "
+            "compaction from a classic session")
+    # best-effort cleanup of the superseded generation; failure leaves
+    # unreferenced data behind (storage cost), never a wrong answer
+    try:
+        if root != base:
+            _delete_path(spark, root)
+        else:
+            # legacy root: the new generation dir and the manifest live
+            # ALONGSIDE the old ingest dirs under base — delete only
+            # the superseded ingest=* children (and the now-shadowed
+            # base marker copies stay as harmless tombstones)
+            for child in _store_children(spark, base):
+                if child.startswith("ingest="):
+                    _delete_path(spark, f"{base}/{child}")
+    except Exception as exc:             # pragma: no cover - best effort
+        warnings.warn(f"{name}: superseded generation cleanup under "
+                      f"{base!r} failed ({exc}); data is unreferenced "
+                      "but still on disk", stacklevel=2)

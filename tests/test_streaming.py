@@ -286,14 +286,157 @@ def test_compact_store_gatewayless_local_fallback(spark, tmp_path,
         inc.compact_store(spark, "hdfs://nn/dedup_store")
 
 
-def test_compact_store_refuses_object_store(spark):
-    """Object-store rename is copy+delete (not atomic) — those schemes
-    must still refuse loudly instead of corrupting the index mid-swap
-    (VERDICT r2 #5; the generic swap covers atomic-rename filesystems)."""
-    from blaze_spark.streaming.incremental_dedup import compact_store
+def test_compact_store_skips_incomplete_ingests(spark, tmp_path):
+    """ADVICE r9 (medium): compaction reads ONLY _SUCCESS-complete
+    ingests and keeps max(complete) — a crashed batch's half-written
+    directory must not be laundered into complete state, and its
+    checkpoint replay (same batch id) must not overwrite the compacted
+    store."""
+    import os
+    import shutil
 
-    with pytest.raises(NotImplementedError, match="s3a"):
-        compact_store(spark, "s3a://bucket/dedup_store")
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import (
+        compact_store, process_batch)
+
+    store = str(tmp_path / "store_i")
+    text = "many identical words flowing through the pipeline " * 6
+    for bid in range(2):
+        b = data([(bid * 10, text + f" tail{bid}")], spark=spark,
+                 schema="doc_id long, text string", name=f"ib{bid}")
+        process_batch(b, store)
+    complete_rows = (spark.read.option("basePath", store)
+                     .parquet(f"{store}/ingest=0", f"{store}/ingest=1")
+                     .count())
+    # fake a crashed batch WITH THE MAX ID: a copy of ingest=1 at
+    # ingest=99, minus its _SUCCESS marker
+    shutil.copytree(os.path.join(store, "ingest=1"),
+                    os.path.join(store, "ingest=99"))
+    os.remove(os.path.join(store, "ingest=99", "_SUCCESS"))
+
+    compact_store(spark, store)
+    # the partial rows were dropped, not laundered; keep == max(complete)
+    assert sorted(d for d in os.listdir(store)
+                  if d.startswith("ingest=")) == ["ingest=1"]
+    assert spark.read.parquet(store).count() == complete_rows
+    # the crashed batch's replay writes its own fresh directory — it
+    # cannot collide with the compacted keep dir
+    b = data([(990, text + " tail99")], spark=spark,
+             schema="doc_id long, text string", name="ib99")
+    process_batch(b, store, batch_id=99)
+    assert sorted(d for d in os.listdir(store)
+                  if d.startswith("ingest=")) == ["ingest=1", "ingest=99"]
+    b2 = data([(991, text + " tail99")], spark=spark,
+              schema="doc_id long, text string", name="ib99b")
+    assert process_batch(b2, store).count() >= 1
+
+
+def test_compact_store_manifest_path(spark, tmp_path):
+    """VERDICT r9 #3: object stores (no atomic directory rename)
+    compact by copy-then-repoint — rewrite into a new generation dir,
+    flip the single-file _CURRENT manifest.  Forced down that path on a
+    file:// store: generations advance, readers/writers resolve the
+    manifest (probes answer, new batches land INSIDE the live
+    generation), the _SIG_FORMAT stamp is carried, and the superseded
+    generation is cleaned up."""
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import (
+        compact_store, process_batch, resolve_store_root)
+
+    local = tmp_path / "store_m"
+    store = "file://" + str(local)
+    text = "many identical words flowing through the pipeline " * 6
+    for bid in range(2):
+        b = data([(bid * 10, text + f" tail{bid}")], spark=spark,
+                 schema="doc_id long, text string", name=f"mb{bid}")
+        process_batch(b, store)
+    rows_before = spark.read.parquet(store).count()
+
+    compact_store(spark, store, strategy="manifest")
+    assert (local / "_CURRENT").read_text().strip() == "gen-000001"
+    assert (local / "gen-000001" / "_SIG_FORMAT").exists()
+    assert (local / "gen-000001" / "ingest=1").exists()
+    # superseded legacy ingest dirs are gone; resolution follows the flip
+    assert not (local / "ingest=0").exists()
+    assert resolve_store_root(spark, store).endswith("gen-000001")
+    gen_store = spark.read.parquet(str(local / "gen-000001"))
+    assert gen_store.count() == rows_before
+
+    # a post-compaction batch probes AND writes the live generation
+    b = data([(99, text + " tail0")], spark=spark,
+             schema="doc_id long, text string", name="mb9")
+    assert process_batch(b, store).count() >= 1
+    assert (local / "gen-000001" / "ingest=2").exists()
+
+    # second manifest compaction advances the generation and drops the old
+    compact_store(spark, store, strategy="manifest")
+    assert (local / "_CURRENT").read_text().strip() == "gen-000002"
+    assert not (local / "gen-000001").exists()
+    b = data([(100, text + " tail99")], spark=spark,
+             schema="doc_id long, text string", name="mb10")
+    assert process_batch(b, store).count() >= 1
+
+
+def test_compact_pq_store(spark, tmp_path):
+    """VERDICT r9 #4: per-ingest compaction for the PQ code store —
+    three ingests collapse to one complete keep dir with fewer files,
+    read_pq_index answers bit-identically (same artifacts, same digest
+    check), and the next default batch id keeps incrementing past
+    keep.  Cell-partitioned and cell-less layouts both compact."""
+    import os
+
+    from blaze_spark import Table
+    from blaze_spark.pipeline import pq_fit
+    from blaze_spark.pipeline.ivf import kmeans_fit
+    from blaze_spark.streaming.incremental_ann import (
+        compact_pq_store, ingest_pq_batch, read_pq_index)
+
+    from blaze_spark import data
+    emb = data("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    cents = kmeans_fit(emb, k=4, iters=2)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+
+    def pq_files(p):
+        return [os.path.join(dp, f) for dp, _, fs in os.walk(p)
+                for f in fs if f.endswith(".parquet")]
+
+    store = str(tmp_path / "pq_store_c")
+    for i in range(3):
+        ingest_pq_batch(Table(emb.df.filter(f"vec_id % 3 == {i}")),
+                        store, cb, cents, batch_id=i)
+    before = {(r.vec_id, bytes(r.pq_code), r.cell) for r in
+              read_pq_index(spark, store, cb, cents).df.collect()}
+    files_before = len(pq_files(store))
+    compact_pq_store(spark, store)
+    assert sorted(d for d in os.listdir(store)
+                  if d.startswith("ingest=")) == ["ingest=2"]
+    after = {(r.vec_id, bytes(r.pq_code), r.cell) for r in
+             read_pq_index(spark, store, cb, cents).df.collect()}
+    assert after == before
+    assert len(pq_files(store)) < files_before
+    # default id allocation continues past keep
+    ingest_pq_batch(Table(emb.df.filter("vec_id >= 990")), store, cb,
+                    cents)
+    assert (tmp_path / "pq_store_c" / "ingest=3").exists()
+
+    # cell-less layout (no centroids): coalesce path, same contract
+    store2 = str(tmp_path / "pq_store_flat")
+    for i in range(3):
+        ingest_pq_batch(Table(emb.df.filter(f"vec_id % 3 == {i}")),
+                        store2, cb, batch_id=i)
+    before2 = {(r.vec_id, bytes(r.pq_code)) for r in
+               read_pq_index(spark, store2, cb).df.collect()}
+    compact_pq_store(spark, store2)
+    after2 = {(r.vec_id, bytes(r.pq_code)) for r in
+              read_pq_index(spark, store2, cb).df.collect()}
+    assert after2 == before2
+
+    # manifest strategy works on the PQ layout too (shared engine)
+    compact_pq_store(spark, store2, strategy="manifest")
+    assert (tmp_path / "pq_store_flat" / "_CURRENT").exists()
+    after3 = {(r.vec_id, bytes(r.pq_code)) for r in
+              read_pq_index(spark, store2, cb).df.collect()}
+    assert after3 == before2
 
 
 def test_incremental_dedup_retry_is_idempotent(spark, tmp_path):
