@@ -1285,6 +1285,24 @@ def ann_auto_topk(spark, sf_dir):
     return topk_recall(truth, found).df
 
 
+def batched_topk_embeddings(spark, sf_dir):
+    """Guard-sized query batching (VERDICT r9 #5 —
+    similarity.batched_topk): the query side is sliced into
+    deterministic xxhash64(id) chunks, each answered with bounded
+    per-call broadcast state, and the union must EQUAL the single-shot
+    brute-force top-k (top-k per query is independent across queries)
+    — which is exactly what the DuckDB oracle computes in one window
+    pass.  queries_per_batch=7 forces 5 chunks over the 30-query
+    slice; the backend is pinned to cosine_topk so the entry tests
+    BATCHING, not regime dispatch (ann_auto_topk covers that)."""
+    from blaze_spark.pipeline import batched_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = Table(e.df.filter(F.col("vec_id") < 30))
+    return batched_topk(e, queries, k=5, queries_per_batch=7,
+                        backend=cosine_topk).df
+
+
 def ann_store_topk(spark, sf_dir):
     """Prebuilt-store dispatch (VERDICT r9 #1 — similarity.ann_topk now
     routes at-rest PQ code stores): the PQ artifacts are fitted and a
@@ -2481,6 +2499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window head; window_edges_per_user (green r8 row,
         # unchanged code) rotates below the boundary to keep the sample
         # at exactly 50.
+        # r10 head: batched_topk_embeddings (new oracle-able operator —
+        # VERDICT r9 #5 query batching); rolling_range_user_values
+        # (green r9 row, unchanged code) rotates below the boundary to
+        # keep the sample at exactly 50.  Nothing failing rotated out
+        # (r9 had zero failures).
+        "batched_topk_embeddings": batched_topk_embeddings,
         "gopher_rules_docs": gopher_rules_docs,
         "blaze_client_fk_hop": blaze_client_fk_hop,
         "token_commonness_docs": token_commonness_docs,
@@ -2530,7 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_by_priority": pivot_status_by_priority,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rank_orders_per_customer": rank_orders_per_customer,
-        "rolling_range_user_values": rolling_range_user_values,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
@@ -2539,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
@@ -4103,6 +4127,21 @@ def oracle_sql() -> dict[str, str]:
         "udaf_geomean": """
             SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS gm
             FROM orders GROUP BY o_orderstatus
+        """,
+        "batched_topk_embeddings": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 30 AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+            FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
         """,
         "embedding_topk": """
             WITH scored AS (

@@ -25,6 +25,7 @@ from .recall import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     ann_topk,
+    batched_topk,
     cosine_topk,
     embedding_neardup_pairs,
     lsh_auto_params,

@@ -595,6 +595,60 @@ def ann_topk(corpus: Table | None, queries: Table, k: int = 5,
                  round_to=round_to)
 
 
+def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 queries_per_batch: int = 10_000, backend=None,
+                 n_queries: int | None = None,
+                 **backend_kwargs) -> Table:
+    """Top-k for query sets LARGER than the per-call guards (VERDICT r9
+    #5): slices the query side into deterministic hash-of-id chunks of
+    ~``queries_per_batch`` and unions the per-chunk answers.  Top-k per
+    query is independent across queries, so the union is EXACTLY the
+    single-call result (pytest pins the equality) — batching changes
+    memory shape, never answers.
+
+    The guards exist because every top-k route builds per-query driver/
+    broadcast state (query blocks, ADC tables); a 1M-query self-dedup
+    pass cannot hold that at once, but CAN hold ``queries_per_batch``
+    of it per chunk — each chunk re-scans the corpus with bounded state
+    (the classic batched-matmul trade: ``n_batches`` corpus passes for
+    O(batch) memory; pick ``queries_per_batch`` as large as executor
+    memory allows to minimize passes).  Inside a chunk the backend's
+    own ``max_queries`` guard is force-disabled (batching IS the
+    guard) unless the caller pins one explicitly.
+
+    ``backend`` is any callable with the dispatcher contract
+    ``backend(corpus, chunk_queries, k=, id_col=, vec_col=,
+    **backend_kwargs) -> Table`` emitting (query_id, neighbor_id,
+    cosine); default :func:`ann_topk`, so prebuilt PQ stores batch too
+    (pass ``store=``/``codebooks=`` — and ``n_vectors=`` to skip the
+    per-chunk corpus count on the float routes).  Chunk membership is
+    ``xxhash64(id) mod n_batches`` — deterministic and re-run-stable,
+    sizes uniform to hash noise (pass ``n_queries`` to skip the sizing
+    count)."""
+    import math
+
+    backend = backend if backend is not None else ann_topk
+    n = n_queries if n_queries is not None else queries.df.count()
+    n_batches = max(1, math.ceil(n / max(1, queries_per_batch)))
+    accepted = _accepted_kwargs(backend)
+    kw = dict(backend_kwargs)
+    if ((accepted is None or "max_queries" in accepted)
+            and "max_queries" not in kw):
+        kw["max_queries"] = None
+    parts = []
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    for i in range(n_batches):
+        chunk = (queries if n_batches == 1
+                 else Table(queries.df.filter(bucket == F.lit(i))))
+        parts.append(backend(corpus, chunk, k=k, id_col=id_col,
+                             vec_col=vec_col, **kw).df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return Table(out, "batched_topk")
+
+
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
 # at entry instead of computing over the empty schema-only frame
 from ..core import _localize_guard as _lg  # noqa: E402
@@ -604,3 +658,4 @@ neardup_pairs = _lg(neardup_pairs)
 embedding_neardup_pairs = _lg(embedding_neardup_pairs)
 lsh_cosine_topk = _lg(lsh_cosine_topk)
 ann_topk = _lg(ann_topk)
+batched_topk = _lg(batched_topk)

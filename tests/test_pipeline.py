@@ -1713,6 +1713,51 @@ def test_ann_topk_prebuilt_store_routes(spark, emb, tmp_path, monkeypatch):
         sim.ann_topk(None, q, k=3)
 
 
+def test_batched_topk_equals_single_call(spark, emb):
+    """VERDICT r9 #5: hash-of-id query batching unions to EXACTLY the
+    single-call answer (top-k per query is independent across queries)
+    — on the default dispatcher backend, on a single-chunk fast path,
+    and on a custom PQ backend; the per-chunk guard is force-disabled
+    (batching IS the guard the single call would trip)."""
+    import pytest
+
+    from blaze_spark import Table
+    from blaze_spark.pipeline import (batched_topk, cosine_topk,
+                                      pq_encode, pq_fit, pq_topk)
+
+    q = Table(emb.df.filter("vec_id < 20"))
+    want = {(r.query_id, r.neighbor_id, r.cosine)
+            for r in cosine_topk(emb, q, k=4).df.collect()}
+    assert len(want) == 80
+
+    # the single call trips a small guard; the batched loop does not
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(emb, q, k=4, max_queries=4)
+    got = {(r.query_id, r.neighbor_id, r.cosine)
+           for r in batched_topk(emb, q, k=4,
+                                 queries_per_batch=4).df.collect()}
+    assert got == want
+
+    # single-chunk fast path and explicit n_queries both stay equal
+    got1 = {(r.query_id, r.neighbor_id, r.cosine)
+            for r in batched_topk(emb, q, k=4, queries_per_batch=1000,
+                                  n_queries=20).df.collect()}
+    assert got1 == want
+
+    # custom backend signature (PQ over a codes table)
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(emb, cb)
+    want_pq = {(r.query_id, r.neighbor_id, r.cosine)
+               for r in pq_topk(codes, q, cb, k=4).df.collect()}
+    got_pq = {(r.query_id, r.neighbor_id, r.cosine)
+              for r in batched_topk(
+                  None, q, k=4, queries_per_batch=6,
+                  backend=lambda c, qq, **kw: pq_topk(codes, qq, cb,
+                                                      **kw),
+              ).df.collect()}
+    assert got_pq == want_pq
+
+
 def test_ann_topk_kwarg_surface_uniform(spark, emb):
     """ADVICE r9: the dispatcher's kwarg surface must not change
     exception class with corpus size.  Unknown kwargs raise TypeError
