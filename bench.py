@@ -83,7 +83,17 @@ NEW_QUERIES_R9 = [
     "recall_ivf_pq_topk",
 ]
 
-BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9
+# r10: the round's new operators join the timed set (same rule as r9 —
+# the bench times what the round built; legacy "value" stays the
+# comparable 25-query series).  ann_store_topk times the full prebuilt-
+# store chain (fit + encode + at-rest write + dispatcher query);
+# batched_topk_embeddings times the 5-chunk batched union.
+NEW_QUERIES_R10 = [
+    "ann_store_topk",
+    "batched_topk_embeddings",
+]
+
+BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
 
 
 def main():
@@ -172,9 +182,11 @@ def main():
         "value": round(sum(timings_min[n] for n in LEGACY_QUERIES), 3),
         "value_median": round(sum(timings[n] for n in LEGACY_QUERIES), 3),
         "value_min": round(sum(timings_min[n] for n in LEGACY_QUERIES), 3),
-        # the r9 additions, timed the same way but summed separately so
-        # "value" stays comparable to BENCH_r01..r08
+        # the r9/r10 additions, timed the same way but summed separately
+        # so "value" stays comparable to BENCH_r01..r08
         "value_new": round(sum(timings_min[n] for n in NEW_QUERIES_R9), 3),
+        "value_new_r10": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R10), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,
