@@ -2177,6 +2177,32 @@ def recall_ivf_neardup(spark, sf_dir):
     return pair_recall(truth, found, a="vec_a", b="vec_b").df
 
 
+def recall_pq_neardup(spark, sf_dir):
+    """Recall contract for PQ-store-resident corpus self-dedup (r10 —
+    similarity.pq_neardup_pairs): candidates from the bias-corrected
+    ADC range scan over the 8-byte codes (the query's own quantization
+    error widens its radius — an exact dup's ADC distance IS that
+    error, never 0), decisions from the exact float rescore, so
+    precision is exact by construction and recall on the planted
+    ~0.998-cosine pairs is the contract (pytest pins exact truth-set
+    equality on a planted corpus; measured 1.0).  Rows-only: trained
+    codebooks."""
+    from blaze_spark.pipeline import (embedding_neardup_pairs,
+                                      pq_encode, pq_fit,
+                                      pq_neardup_pairs)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(e)
+    cents = kmeans_fit(corpus, k=8, iters=3)
+    cb = pq_fit(corpus, m=8, ks=64, iters=3, train_rows=2000)
+    codes = pq_encode(ivf_assign(corpus, cents), cb)
+    truth = embedding_neardup_pairs(corpus, threshold=0.9, exact=True)
+    found = pq_neardup_pairs(corpus, threshold=0.9, codebooks=cb,
+                             codes=codes, centroids=cents, nprobe=4)
+    return pair_recall(truth, found, a="vec_a", b="vec_b").df
+
+
 def recall_ivf_topk(spark, sf_dir):
     """Recall@k contract for IVF ANN vs brute-force cosine top-k, at the
     operating point (nprobe=4 of 8 cells).  No closed-form target exists
@@ -2606,9 +2632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_pq_topk": recall_pq_topk,
         "recall_ivf_pq_topk": recall_ivf_pq_topk,
         "ann_auto_topk": ann_auto_topk,
-        # r10: prebuilt-store dispatch through ann_topk (rows-only like
-        # the other trained-quantizer entries — below the boundary)
+        # r10: prebuilt-store dispatch through ann_topk + PQ-store
+        # self-dedup recall (rows-only like the other trained-quantizer
+        # entries — below the boundary)
         "ann_store_topk": ann_store_topk,
+        "recall_pq_neardup": recall_pq_neardup,
         "corpus_profile": corpus_profile,
         "incremental_simhash_batches": incremental_simhash_batches,
         "ann_ivf_neardup": ann_ivf_neardup,

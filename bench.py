@@ -91,6 +91,9 @@ NEW_QUERIES_R9 = [
 NEW_QUERIES_R10 = [
     "ann_store_topk",
     "batched_topk_embeddings",
+    # full PQ self-dedup chain: coarse fit + codebook fit + encode +
+    # bias-corrected ADC range scan + exact rescore + recall join
+    "recall_pq_neardup",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

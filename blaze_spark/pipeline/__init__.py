@@ -32,6 +32,7 @@ from .similarity import (  # noqa: F401
     lsh_cosine_topk,
     lsh_tables_required,
     neardup_pairs,
+    pq_neardup_pairs,
 )
 from .cluster import (  # noqa: F401
     canonical_docs,
@@ -65,11 +66,13 @@ from .packing import (  # noqa: F401
     train_val_test_split,
 )
 from .pq import (  # noqa: F401
+    ivf_pq_range_search,
     ivf_pq_topk,
     load_codebooks,
     pq_decode,
     pq_encode,
     pq_fit,
+    pq_range_search,
     pq_topk,
     read_pq_codes,
     save_codebooks,

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..core import Table
 
 __all__ = ["pq_fit", "pq_encode", "pq_decode", "pq_topk", "ivf_pq_topk",
+           "pq_range_search", "ivf_pq_range_search",
            "save_codebooks", "load_codebooks",
            "write_pq_codes", "read_pq_codes"]
 
@@ -226,6 +227,63 @@ def _adc_batch_topk(b_qids, b_tabs, m, kk, nids, c):
                             "adist": rows_d[keep]})
 
 
+def _adc_batch_range(b_qids, b_tabs, b_radii, m, nids, c):
+    """Batch-local ADC range scan for one Arrow batch of codes: every
+    (query, code) pair with ``adist <= radius[query]``, self-matches
+    (including duplicate query ids) masked.  No selection order to
+    preserve (unlike the top-k kernel), so candidates need no nid sort;
+    the query axis is chunked under the same distance-matrix budget."""
+    n = len(c)
+    self_cols = np.nonzero(np.isin(nids, b_qids))[0]
+    self_lo = np.searchsorted(b_qids, nids[self_cols], side="left")
+    self_hi = np.searchsorted(b_qids, nids[self_cols], side="right")
+    qchunk = max(1, _ADC_CHUNK_CELLS // max(1, n))
+    for q0 in range(0, len(b_qids), qchunk):
+        q1 = min(q0 + qchunk, len(b_qids))
+        ad = np.zeros((q1 - q0, n))
+        for i in range(m):
+            ad += b_tabs[q0:q1, i, :][:, c[:, i]]
+        for ci, lo, hi in zip(self_cols, self_lo, self_hi):
+            lo, hi = max(lo, q0), min(hi, q1)
+            if lo < hi:
+                ad[lo - q0:hi - q0, ci] = np.inf
+        row, col = np.nonzero(ad <= b_radii[q0:q1][:, None])
+        yield pd.DataFrame({"query_id": b_qids[q0:q1][row],
+                            "neighbor_id": nids[col],
+                            "adist": ad[row, col]})
+
+
+def _query_quant_err(qx: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Per-query squared quantization error ``|q − decode(encode(q))|²``
+    — the ADC bias correction for RANGE search.  ADC measures
+    ``|q − x̂|²`` against the reconstructed neighbor, so even an exact
+    duplicate sits at the query's own reconstruction error, never at 0
+    (the r9 tie-break review's 'ADC is asymmetric' lesson), and
+    ``E[ADC] ≈ d² + E|x−x̂|²`` for true distance d.  A fixed cosine
+    radius would therefore miss near-dups wholesale; adding the
+    query's own error (≈ a near neighbor's — nearby vectors quantize
+    alike) recenters the radius.  Driver-side numpy over the collected
+    query block: Q×m small matmuls."""
+    m, ks, dsub = codebooks.shape
+    err = np.zeros(len(qx))
+    for i in range(m):
+        sub = qx[:, i * dsub:(i + 1) * dsub]
+        d = ((sub ** 2).sum(axis=1)[:, None]
+             - 2.0 * sub @ codebooks[i].T
+             + (codebooks[i] ** 2).sum(axis=1)[None, :])
+        err += d.min(axis=1)
+    return np.maximum(err, 0.0)
+
+
+def _range_radii(qx: np.ndarray, codebooks: np.ndarray,
+                 min_cosine: float, correct_bias: bool) -> np.ndarray:
+    base = 2.0 * (1.0 - float(min_cosine))
+    radii = np.full(len(qx), base)
+    if correct_bias:
+        radii = radii + _query_quant_err(qx, codebooks)
+    return radii
+
+
 def _encode_udf(codebooks: np.ndarray):
     from pyspark.sql.functions import pandas_udf
 
@@ -341,6 +399,83 @@ def pq_topk(codes: Table, queries: Table, codebooks: np.ndarray,
         "pq_topk")
 
 
+def _pq_range_scored(codes: Table, queries: Table, codebooks: np.ndarray,
+                     min_cosine: float, id_col: str, code_col: str,
+                     vec_col: str, max_queries: int | None,
+                     correct_bias: bool, name: str):
+    """Flat ADC range-scan candidates: (cand_df(query_id, neighbor_id,
+    adist), broadcast) — broadcast returned so corpus-self-dedup loops
+    can destroy it after materializing each chunk.  (None, None) for an
+    empty query block."""
+    _adc_guard(queries, id_col, max_queries, name)
+    qids, _, qx = _collect_query_block(queries, id_col, vec_col)
+    spark = codes.df.sparkSession
+    if not len(qids):
+        return None, None
+    m, ks, dsub = codebooks.shape
+    radii = _range_radii(qx, codebooks, min_cosine, correct_bias)
+    bc = spark.sparkContext.broadcast(
+        (qids, _adc_tables(qx, codebooks), radii))
+
+    def _scan(batches):
+        b_qids, b_tabs, b_radii = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack([np.frombuffer(b, dtype=np.uint8)
+                          for b in pdf["pq_code"].to_numpy()])
+            nids = pdf["nid"].to_numpy()
+            yield from _adc_batch_range(b_qids, b_tabs, b_radii, m,
+                                        nids, c)
+
+    cand = codes.df.select(F.col(id_col).alias("nid"),
+                           F.col(code_col).alias("pq_code")) \
+        .mapInPandas(_scan,
+                     "query_id long, neighbor_id long, adist double")
+    return cand, bc
+
+
+def _range_export(cand, round_to: int | None):
+    cos = F.lit(1.0) - F.col("adist") / F.lit(2.0)
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    return cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+
+
+def pq_range_search(codes: Table, queries: Table, codebooks: np.ndarray,
+                    min_cosine: float = 0.9, id_col: str = "vec_id",
+                    code_col: str = "pq_code",
+                    vec_col: str = "embedding",
+                    round_to: int | None = 4,
+                    max_queries: int = 10_000,
+                    correct_bias: bool = True) -> Table:
+    """ε-range search over PQ codes (FAISS ``IndexPQ.range_search``,
+    Spark-first): every (query_id, neighbor_id, cosine) with ADC
+    cosine ≥ ``min_cosine`` — the UNBOUNDED-count sibling of
+    :func:`pq_topk` for near-duplicate retrieval, where "all neighbors
+    above the band" is the contract and a top-k cap is the wrong shape.
+
+    The cosine is the ADC ESTIMATE (1 − adist/2): biased low by the
+    neighbor's reconstruction error, so with ``correct_bias`` (default)
+    each query's radius is widened by its OWN quantization error —
+    without it an exact duplicate would be missed wholesale (its ADC
+    distance is the query's reconstruction error, never 0).  Candidates
+    above the widened radius are a RECALL device; rescore exactly
+    against the float vectors before thresholding decisions (that is
+    what :func:`similarity.pq_neardup_pairs` does).  Same scan shape as
+    ``pq_topk``: codes-only read, broadcast per-query state under the
+    ``max_queries`` guard."""
+    cand, _ = _pq_range_scored(codes, queries, codebooks, min_cosine,
+                               id_col, code_col, vec_col, max_queries,
+                               correct_bias, "pq_range_search")
+    spark = codes.df.sparkSession
+    if cand is None:
+        return Table(spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"),
+            "pq_range_search")
+    return Table(_range_export(cand, round_to), "pq_range_search")
+
+
 def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
                 codebooks: np.ndarray, k: int = 5, nprobe: int = 4,
                 id_col: str = "vec_id", code_col: str = "pq_code",
@@ -369,6 +504,36 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     candidate set is the whole corpus and the result is EXACTLY
     ``pq_topk``'s (same ADC, same tie-break) — the differential
     contract pytest pins."""
+    cand, _ = _ivf_pq_scored(codes, queries, centroids, codebooks,
+                             nprobe, id_col, code_col, vec_col,
+                             cell_col, max_queries, "ivf_pq_topk")
+    spark = codes.df.sparkSession
+    if cand is None:
+        return Table(spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"),
+            "ivf_pq_topk")
+    from .similarity import _rank_topk
+
+    return Table(
+        _rank_topk(cand, int(k), round_to, order_col="adist",
+                   ascending=True,
+                   cosine_expr=F.lit(1.0) - F.col("adist") / F.lit(2.0)),
+        "ivf_pq_topk")
+
+
+def _ivf_pq_scored(codes: Table, queries: Table, centroids: np.ndarray,
+                   codebooks: np.ndarray, nprobe: int, id_col: str,
+                   code_col: str, vec_col: str, cell_col: str,
+                   max_queries: int | None, name: str,
+                   min_cosine: float | None = None,
+                   correct_bias: bool = True):
+    """The shared cell-pruned ADC candidate pipeline: probed-cell isin
+    filter (partition pruning at rest) → broadcast (query, cell[,
+    radius]) join → per-row ADC.  Returns (cand_df, broadcast) with an
+    ``adist`` column — unfiltered for the top-k tail, or filtered to
+    ``adist <= radius`` per query when ``min_cosine`` is set (range
+    mode, radius bias-corrected like :func:`_pq_range_scored`).
+    (None, None) for an empty query block."""
     from .ivf import ivf_assign
 
     if cell_col not in codes.df.columns:
@@ -379,17 +544,15 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
                 assigned._name))
         else:
             raise ValueError(
-                f"ivf_pq_topk needs a {cell_col!r} column on the codes "
+                f"{name} needs a {cell_col!r} column on the codes "
                 f"table (or the float {vec_col!r} to derive it): encode "
                 "with pq_encode(ivf_assign(corpus, centroids), codebooks) "
                 "and store partitioned by cell")
-    _adc_guard(queries, id_col, max_queries, "ivf_pq_topk")
+    _adc_guard(queries, id_col, max_queries, name)
     qids, qraw, qx = _collect_query_block(queries, id_col, vec_col)
     spark = codes.df.sparkSession
     if not len(qids):
-        return Table(spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double"),
-            "ivf_pq_topk")
+        return None, None
     m, ks, dsub = codebooks.shape
     # broadcast, not closure capture — ~160 MB at the query guard
     bc = spark.sparkContext.broadcast((qids, _adc_tables(qx, codebooks)))
@@ -401,14 +564,24 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
     probed = np.argpartition(dcell, take_c - 1, axis=1)[:, :take_c] \
         if take_c < centroids.shape[0] \
         else np.tile(np.arange(take_c), (len(qraw), 1))
-    qcells = spark.createDataFrame(
-        [(int(q), int(c)) for q, cs in zip(qids, probed[:, :take_c])
-         for c in cs],
-        "query_id long, cell int")
+    radii = (None if min_cosine is None
+             else _range_radii(qx, codebooks, min_cosine, correct_bias))
+    if radii is None:
+        qcells = spark.createDataFrame(
+            [(int(q), int(c)) for q, cs in zip(qids, probed[:, :take_c])
+             for c in cs],
+            "query_id long, cell int")
+    else:
+        # the per-query radius rides the broadcast probe relation, so
+        # the range filter below is a plain column comparison
+        qcells = spark.createDataFrame(
+            [(int(q), int(c), float(r))
+             for q, cs, r in zip(qids, probed[:, :take_c], radii)
+             for c in cs],
+            "query_id long, cell int, radius double")
     if cell_col != "cell":
         qcells = qcells.withColumnRenamed("cell", cell_col)
     cell_lits = sorted({int(c) for cs in probed for c in cs})
-    kk = int(k)
 
     def _adc(qs, cs):
         b_qids, b_tabs = bc.value
@@ -433,12 +606,40 @@ def ivf_pq_topk(codes: Table, queries: Table, centroids: np.ndarray,
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("adist", adc_udf(F.col("query_id"),
                                          F.col("pq_code"))))
-    from .similarity import _rank_topk
+    if radii is not None:
+        cand = (cand.filter(F.col("adist") <= F.col("radius"))
+                .drop("radius"))
+    return cand.drop("pq_code", cell_col), bc
 
-    return Table(
-        _rank_topk(cand, kk, round_to, order_col="adist", ascending=True,
-                   cosine_expr=F.lit(1.0) - F.col("adist") / F.lit(2.0)),
-        "ivf_pq_topk")
+
+def ivf_pq_range_search(codes: Table, queries: Table,
+                        centroids: np.ndarray, codebooks: np.ndarray,
+                        min_cosine: float = 0.9, nprobe: int = 4,
+                        id_col: str = "vec_id",
+                        code_col: str = "pq_code",
+                        vec_col: str = "embedding",
+                        cell_col: str = "cell",
+                        round_to: int | None = 4,
+                        max_queries: int = 10_000,
+                        correct_bias: bool = True) -> Table:
+    """Cell-pruned ε-range search (FAISS ``IndexIVFPQ.range_search``):
+    :func:`pq_range_search`'s contract over the sublinear IVF-PQ
+    layout — each query scans only its ``nprobe`` nearest cells' codes
+    and keeps everything within its (bias-corrected) cosine radius.
+    Same caveat: the emitted cosine is the ADC estimate; rescore
+    exactly before thresholding decisions."""
+    cand, _ = _ivf_pq_scored(codes, queries, centroids, codebooks,
+                             nprobe, id_col, code_col, vec_col,
+                             cell_col, max_queries,
+                             "ivf_pq_range_search",
+                             min_cosine=min_cosine,
+                             correct_bias=correct_bias)
+    spark = codes.df.sparkSession
+    if cand is None:
+        return Table(spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"),
+            "ivf_pq_range_search")
+    return Table(_range_export(cand, round_to), "ivf_pq_range_search")
 
 
 def save_codebooks(codebooks: np.ndarray, path: str, spark=None) -> None:
@@ -534,4 +735,6 @@ pq_encode = _lg(pq_encode)
 pq_decode = _lg(pq_decode)
 pq_topk = _lg(pq_topk)
 ivf_pq_topk = _lg(ivf_pq_topk)
+pq_range_search = _lg(pq_range_search)
+ivf_pq_range_search = _lg(ivf_pq_range_search)
 write_pq_codes = _lg(write_pq_codes)

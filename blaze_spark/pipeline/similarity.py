@@ -447,6 +447,37 @@ def _filter_route_kwargs(fn, kwargs: dict) -> dict:
     return {k: v for k, v in kwargs.items() if k in accepted}
 
 
+def _resolve_codes(spark, store: str | None, codes, codebooks,
+                   centroids, name: str):
+    """Shared prebuilt-PQ-store resolution for the dispatchers: open a
+    ``store=`` path (incremental ingest store — auto-detected by its
+    ingest layout, format-validated, complete-ingests-only — or a flat
+    ``write_pq_codes`` directory) into a codes table; validate that
+    ``codebooks`` ride along (codes from foreign codebooks would
+    silently rank garbage)."""
+    from . import pq as pq_mod
+
+    if store is not None and codes is not None:
+        raise ValueError(f"{name}: pass codes= OR store=, not both")
+    if store is not None:
+        if codebooks is None:
+            raise ValueError(
+                f"{name} store routing needs codebooks= — the trained "
+                "PQ codebooks that encoded the store (pq.load_codebooks "
+                "reloads a persisted set); codes from foreign codebooks "
+                "would silently rank garbage")
+        from ..streaming.incremental_dedup import _ingest_ids
+        from ..streaming.incremental_ann import read_pq_index
+        if _ingest_ids(spark, store):
+            return read_pq_index(spark, store, codebooks, centroids)
+        return pq_mod.read_pq_codes(store, spark=spark)
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            f"{name} codes routing needs codebooks= — the trained "
+            "PQ codebooks that encoded the codes table")
+    return codes
+
+
 def ann_topk(corpus: Table | None, queries: Table, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              threshold: float | None = None,
@@ -535,27 +566,9 @@ def ann_topk(corpus: Table | None, queries: Table, k: int = 5,
         extra.update(named)
         return fn(*args, **extra)
 
-    if store is not None and codes is not None:
-        raise ValueError("pass codes= OR store=, not both")
-    if store is not None:
-        if codebooks is None:
-            raise ValueError(
-                "ann_topk store routing needs codebooks= — the trained "
-                "PQ codebooks that encoded the store (pq.load_codebooks "
-                "reloads a persisted set); codes from foreign codebooks "
-                "would silently rank garbage")
-        from ..streaming.incremental_dedup import _ingest_ids
-        from ..streaming.incremental_ann import read_pq_index
-        spark = queries.df.sparkSession
-        if _ingest_ids(spark, store):
-            codes = read_pq_index(spark, store, codebooks, centroids)
-        else:
-            codes = pq_mod.read_pq_codes(store, spark=spark)
+    codes = _resolve_codes(queries.df.sparkSession, store, codes,
+                           codebooks, centroids, "ann_topk")
     if codes is not None:
-        if codebooks is None:
-            raise ValueError(
-                "ann_topk codes routing needs codebooks= — the trained "
-                "PQ codebooks that encoded the codes table")
         if centroids is not None and (
                 "cell" in codes.df.columns or vec_col in codes.df.columns):
             return _call(pq_mod.ivf_pq_topk, codes, queries, centroids,
@@ -593,6 +606,122 @@ def ann_topk(corpus: Table | None, queries: Table, k: int = 5,
     return _call(ivf_topk, corpus, queries, centroids, k=k,
                  nprobe=nprobe, id_col=id_col, vec_col=vec_col,
                  round_to=round_to)
+
+
+def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
+                     codebooks=None, codes: Table | None = None,
+                     store: str | None = None, centroids=None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     margin: float = 0.0, nprobe: int = 4,
+                     queries_per_batch: int = 10_000,
+                     round_to: int | None = 4,
+                     n_vectors: int | None = None) -> Table:
+    """Corpus-wide near-duplicate pairs GENERATED FROM THE PQ CODE STORE
+    (``(vec_a < vec_b, cosine >= threshold)`` — the same contract as
+    :func:`embedding_neardup_pairs`/:func:`ivf.ivf_neardup_pairs`, but
+    the candidate scan reads 8-byte codes instead of float vectors).
+
+    Why this exists at 100 TB: a corpus that already maintains a PQ
+    index (``write_pq_codes`` / the incremental ingest store) can dedup
+    itself without ever re-scanning the float embeddings for candidate
+    generation — 32× less IO per pass, cell-pruned when the store
+    carries IVF cells.  Topology:
+
+    1. the corpus floats are sliced into deterministic hash-of-id
+       chunks of ~``queries_per_batch`` (the :func:`batched_topk`
+       discipline — per-chunk ADC tables are the bounded driver state;
+       each chunk's candidates are EAGERLY materialized via
+       ``localCheckpoint`` and its broadcast destroyed, so live
+       broadcast memory is one chunk's, not ``n_batches``×);
+    2. each chunk runs a bias-corrected ADC RANGE scan
+       (:func:`pq.pq_range_search` semantics; cell-pruned via
+       :func:`pq.ivf_pq_range_search`'s pipeline when ``centroids`` and
+       a cell column are available) at ``threshold − margin``;
+    3. candidate pairs are canonicalized (least/greatest, distinct —
+       both orientations are scanned, so an asymmetric cell probe
+       cannot drop a pair) and RESCORED EXACTLY against the float
+       vectors (one id-keyed join, JVM aggregate dot — the same exact
+       tail as ``embedding_neardup_pairs``), then thresholded.
+
+    The ADC radius correction makes exact/near-exact duplicates
+    reliable candidates (the query's own quantization error is added
+    to its radius); pairs sitting AT the threshold get best-effort
+    recall, the same design point as the LSH backend's s-curve knee —
+    raise ``margin`` to widen the band at proportional scan-output
+    cost.  Precision is exact by construction (the float rescore
+    decides).  Pass ``n_vectors`` to skip the sizing count."""
+    import math
+
+    from . import pq as pq_mod
+
+    spark = corpus.df.sparkSession
+    codes = _resolve_codes(spark, store, codes, codebooks, centroids,
+                           "pq_neardup_pairs")
+    if codes is None:
+        raise ValueError(
+            "pq_neardup_pairs needs a prebuilt PQ code table: pass "
+            "codes= (pq_encode output) or store= (write_pq_codes / "
+            "ingest store) with its codebooks= — for float-only "
+            "corpora use neardup_pairs, which picks the LSH/IVF "
+            "regime")
+    min_c = float(threshold) - float(margin)
+    n = n_vectors if n_vectors is not None else corpus.df.count()
+    n_batches = max(1, math.ceil(n / max(1, queries_per_batch)))
+    use_cells = centroids is not None and (
+        "cell" in codes.df.columns or vec_col in codes.df.columns)
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    parts = []
+    for i in range(n_batches):
+        chunk = (corpus if n_batches == 1
+                 else Table(corpus.df.filter(bucket == F.lit(i))))
+        if use_cells:
+            cand, bc = pq_mod._ivf_pq_scored(
+                codes, chunk, centroids, codebooks, nprobe, id_col,
+                "pq_code", vec_col, "cell", None, "pq_neardup_pairs",
+                min_cosine=min_c)
+        else:
+            cand, bc = pq_mod._pq_range_scored(
+                codes, chunk, codebooks, min_c, id_col, "pq_code",
+                vec_col, None, True, "pq_neardup_pairs")
+        if cand is None:
+            continue
+        pairs = cand.select("query_id", "neighbor_id")
+        if n_batches > 1:
+            # freeze this chunk's candidates so its ~160 MB ADC
+            # broadcast can be torn down before the next chunk builds
+            # one — live broadcast memory stays O(1 chunk)
+            pairs = pairs.localCheckpoint(eager=True)
+            bc.destroy()
+        parts.append(pairs)
+    if not parts:
+        return Table(spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"),
+            "pq_neardup_pairs")
+    cand_all = parts[0]
+    for p in parts[1:]:
+        cand_all = cand_all.unionByName(p)
+    pairs = (cand_all
+             .select(F.least("query_id", "neighbor_id").alias("vec_a"),
+                     F.greatest("query_id", "neighbor_id").alias("vec_b"))
+             .distinct())
+    # exact rescore: norms once per vector, per-pair dot via the JVM
+    # aggregate form (see cosine_topk's note), id-keyed joins only
+    c = corpus.df.select(F.col(id_col).alias("vid"),
+                         F.col(vec_col).alias("v"),
+                         _norm(F.col(vec_col)).alias("n"))
+    av = c.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("n").alias("na"))
+    bv = c.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("n").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (pairs.join(av, "vec_a").join(bv, "vec_b")
+           .withColumn("cosine", cos)
+           .filter(F.col("cosine") >= threshold)
+           .select("vec_a", "vec_b", "cosine"))
+    if round_to is not None:
+        out = out.withColumn("cosine",
+                             F.round("cosine", round_to) + F.lit(0.0))
+    return Table(out, "pq_neardup_pairs")
 
 
 def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
@@ -659,3 +788,4 @@ embedding_neardup_pairs = _lg(embedding_neardup_pairs)
 lsh_cosine_topk = _lg(lsh_cosine_topk)
 ann_topk = _lg(ann_topk)
 batched_topk = _lg(batched_topk)
+pq_neardup_pairs = _lg(pq_neardup_pairs)

@@ -1758,6 +1758,91 @@ def test_batched_topk_equals_single_call(spark, emb):
     assert got_pq == want_pq
 
 
+def test_pq_range_search_bias_correction_finds_dups(spark, emb):
+    """r10: ADC range search must widen each query's radius by its OWN
+    quantization error — ADC measures against RECONSTRUCTED neighbors,
+    so an exact duplicate sits at the query's reconstruction error
+    (~0.5+ on random dim-64 data), far outside an uncorrected cosine-
+    0.9 radius of 0.2.  Corrected: every planted duplicate is a
+    candidate; uncorrected: (at least some) planted dups are missed —
+    the bug the correction exists for."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import (pq_encode, pq_fit,
+                                      pq_range_search)
+
+    copies = Table(emb.df.filter("vec_id < 20")
+                   .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    corpus = concat(emb, copies)
+    cb = pq_fit(corpus, m=8, ks=16, iters=3, train_rows=600)
+    codes = pq_encode(corpus, cb)
+    q = Table(emb.df.filter("vec_id < 20"))
+
+    got = {(r.query_id, r.neighbor_id) for r in
+           pq_range_search(codes, q, cb, min_cosine=0.9).df.collect()}
+    want = {(i, i + 1_000_000) for i in range(20)}
+    assert want <= got
+
+    raw = {(r.query_id, r.neighbor_id) for r in
+           pq_range_search(codes, q, cb, min_cosine=0.9,
+                           correct_bias=False).df.collect()}
+    assert len(want & raw) < len(want)
+
+
+def test_pq_neardup_pairs_matches_exact_truth(spark, emb, tmp_path):
+    """r10: corpus self-dedup over the at-rest PQ codes — candidates
+    from the bias-corrected ADC range scan, decisions from the exact
+    float rescore, so the pair set must EQUAL the brute-force truth on
+    a planted corpus (random dim-64 vectors never reach cosine 0.9, so
+    truth == the planted duplicates exactly).  Flat codes, a
+    cell-partitioned at-rest store, and a multi-chunk batched run all
+    agree."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import (embedding_neardup_pairs,
+                                      pq_encode, pq_fit,
+                                      pq_neardup_pairs, write_pq_codes)
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+
+    copies = Table(emb.df.filter("vec_id < 30")
+                   .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    corpus = concat(emb, copies)
+    truth = {(r.vec_a, r.vec_b, r.cosine) for r in
+             embedding_neardup_pairs(corpus, 0.9, exact=True)
+             .df.collect()}
+    assert len(truth) == 30
+
+    cb = pq_fit(corpus, m=8, ks=16, iters=3, train_rows=600)
+    codes = pq_encode(corpus, cb)
+    got = {(r.vec_a, r.vec_b, r.cosine) for r in
+           pq_neardup_pairs(corpus, 0.9, codebooks=cb,
+                            codes=codes).df.collect()}
+    assert got == truth
+
+    # cell-partitioned at-rest store route (store= + centroids)
+    cents = kmeans_fit(corpus, k=4, iters=2)
+    store = str(tmp_path / "nd_store")
+    write_pq_codes(pq_encode(ivf_assign(corpus, cents), cb), store)
+    got_store = {(r.vec_a, r.vec_b, r.cosine) for r in
+                 pq_neardup_pairs(corpus, 0.9, codebooks=cb,
+                                  store=store, centroids=cents,
+                                  nprobe=4).df.collect()}
+    assert got_store == truth
+
+    # multi-chunk batched run (bounded per-chunk broadcast state)
+    got_batched = {(r.vec_a, r.vec_b, r.cosine) for r in
+                   pq_neardup_pairs(corpus, 0.9, codebooks=cb,
+                                    codes=codes,
+                                    queries_per_batch=100).df.collect()}
+    assert got_batched == truth
+
+    # no codes/store -> a clear routing error, not a silent scan
+    with pytest.raises(ValueError, match="codes="):
+        pq_neardup_pairs(corpus, 0.9)
+
+
 def test_ann_topk_kwarg_surface_uniform(spark, emb):
     """ADVICE r9: the dispatcher's kwarg surface must not change
     exception class with corpus size.  Unknown kwargs raise TypeError
