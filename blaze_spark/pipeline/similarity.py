@@ -228,14 +228,23 @@ def neardup_pairs(corpus: Table, threshold: float = 0.9,
                   n_vectors: int | None = None, dim: int = 64,
                   seed: int = 42, round_to: int | None = 4,
                   recall: float = 0.95, max_tables: int = 12,
+                  codes: Table | None = None, store: str | None = None,
+                  codebooks=None, centroids=None,
                   **backend_kwargs) -> Table:
     """Corpus-wide embedding near-duplicate pairs with AUTOMATIC regime
     choice (VERDICT r7 #5) — the entry point a user should call when they
     do not want to know the LSH↔IVF boundary.
 
-    Sizes the corpus once (pass ``n_vectors`` to skip the count), asks
-    :func:`lsh_tables_required` how many OR-amplification tables
-    hyperplane LSH needs for the design recall, and dispatches:
+    **Prebuilt PQ code stores are preferred** (r10 — the same
+    fast-path-is-default contract as :func:`ann_topk`): pass ``codes=``
+    or ``store=`` with the ``codebooks`` that encoded it (plus
+    ``centroids`` for cell pruning) and the dispatch routes to
+    :func:`pq_neardup_pairs` — candidates from the 8-byte codes,
+    decisions from the exact float rescore.
+
+    Otherwise sizes the corpus once (pass ``n_vectors`` to skip the
+    count), asks :func:`lsh_tables_required` how many OR-amplification
+    tables hyperplane LSH needs for the design recall, and dispatches:
 
     - requirement ≤ ``max_tables`` → :func:`embedding_neardup_pairs`
       (multi-table LSH; candidate volume linear in N at fixed occupancy);
@@ -244,10 +253,17 @@ def neardup_pairs(corpus: Table, threshold: float = 0.9,
       (cell blocking + per-cell BLAS; measured 6.4-16 s vs 24-30 s for
       capped LSH at 220k vectors — PLANS.md 'IVF near-dup topology (r6)').
 
-    Both backends emit the same ``(vec_a < vec_b, cosine)`` schema.
+    Every backend emits the same ``(vec_a < vec_b, cosine)`` schema.
     ``backend_kwargs`` pass through to whichever backend is chosen
-    (e.g. ``max_bucket`` for LSH, ``target_cell``/``max_cell`` for IVF).
+    (e.g. ``max_bucket`` for LSH, ``target_cell``/``max_cell`` for IVF,
+    ``nprobe``/``queries_per_batch``/``margin`` for the PQ route).
     """
+    if codes is not None or store is not None:
+        return pq_neardup_pairs(
+            corpus, threshold, codebooks=codebooks, codes=codes,
+            store=store, centroids=centroids, id_col=id_col,
+            vec_col=vec_col, round_to=round_to, n_vectors=n_vectors,
+            **backend_kwargs)
     n = n_vectors if n_vectors is not None else corpus.df.count()
     n_planes, required = lsh_tables_required(n, threshold, recall=recall)
     if required > max_tables:

@@ -787,6 +787,24 @@ def test_neardup_pairs_dispatch_routes(spark, emb, monkeypatch):
     assert called == {"ivf": True}
     assert set(out.columns) == {"vec_a", "vec_b", "cosine"}
 
+    # r10: a prebuilt code store routes to the PQ backend (fast path
+    # is the default, same contract as ann_topk)
+    from blaze_spark.pipeline import pq_encode, pq_fit
+
+    real_pq = sim.pq_neardup_pairs
+
+    def spy_pq(*a, **k):
+        called["pq"] = True
+        return real_pq(*a, **k)
+
+    monkeypatch.setattr(sim, "pq_neardup_pairs", spy_pq)
+    called.clear()
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=200)
+    out = sim.neardup_pairs(emb, threshold=0.9, codes=pq_encode(emb, cb),
+                            codebooks=cb).df
+    assert called == {"pq": True}
+    assert set(out.columns) == {"vec_a", "vec_b", "cosine"}
+
 
 # -- r8: import-guarded real multimodal decode ---------------------------
 
