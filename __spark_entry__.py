@@ -2184,22 +2184,34 @@ def recall_pq_neardup(spark, sf_dir):
     error widens its radius — an exact dup's ADC distance IS that
     error, never 0), decisions from the exact float rescore, so
     precision is exact by construction and recall on the planted
-    ~0.998-cosine pairs is the contract (pytest pins exact truth-set
-    equality on a planted corpus; measured 1.0).  Rows-only: trained
+    ~0.998-cosine pairs is the contract (measured 1.0).  Truth is the
+    PLANTED pair set built in-query — deterministic on this corpus
+    (random dim-64 pairs never reach cosine 0.9; pytest pins the
+    stronger exact-brute-force truth-set equality at test scale, where
+    the all-pairs scan is affordable — at sf0.1 it would be 1.5B dot
+    products timing the contract, not the operator).  The coarse
+    quantizer uses the production cell count (~N/256) so the probed-
+    cell pruning is real, not an 8-cell toy.  Rows-only: trained
     codebooks."""
-    from blaze_spark.pipeline import (embedding_neardup_pairs,
-                                      pq_encode, pq_fit,
+    import math
+
+    from blaze_spark.pipeline import (pq_encode, pq_fit,
                                       pq_neardup_pairs)
     from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
 
     e = _t(spark, sf_dir, "embeddings")
     corpus = _planted_corpus(e)
-    cents = kmeans_fit(corpus, k=8, iters=3)
+    n = corpus.df.count()
+    k_cells = max(16, math.ceil(n / 256))
+    cents = kmeans_fit(corpus, k=k_cells, iters=3)
     cb = pq_fit(corpus, m=8, ks=64, iters=3, train_rows=2000)
     codes = pq_encode(ivf_assign(corpus, cents), cb)
-    truth = embedding_neardup_pairs(corpus, threshold=0.9, exact=True)
+    truth = Table(e.df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + 10_000_000).alias("vec_b")))
     found = pq_neardup_pairs(corpus, threshold=0.9, codebooks=cb,
-                             codes=codes, centroids=cents, nprobe=4)
+                             codes=codes, centroids=cents, nprobe=4,
+                             n_vectors=n)
     return pair_recall(truth, found, a="vec_a", b="vec_b").df
 
 

@@ -683,8 +683,14 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
     min_c = float(threshold) - float(margin)
     n = n_vectors if n_vectors is not None else corpus.df.count()
     n_batches = max(1, math.ceil(n / max(1, queries_per_batch)))
-    use_cells = centroids is not None and (
-        "cell" in codes.df.columns or vec_col in codes.df.columns)
+    # cell route only when probing actually prunes: with nprobe >=
+    # k_cells every query matches every cell and the per-row-UDF join
+    # pipeline just re-spells the flat scan with join overhead — the
+    # matrix mapInPandas kernel wins there
+    use_cells = (centroids is not None
+                 and centroids.shape[0] > int(nprobe)
+                 and ("cell" in codes.df.columns
+                      or vec_col in codes.df.columns))
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     parts = []
     for i in range(n_batches):

@@ -1843,10 +1843,12 @@ def test_pq_neardup_pairs_matches_exact_truth(spark, emb, tmp_path):
     cents = kmeans_fit(corpus, k=4, iters=2)
     store = str(tmp_path / "nd_store")
     write_pq_codes(pq_encode(ivf_assign(corpus, cents), cb), store)
+    # nprobe < k_cells so the CELL route runs (nprobe >= k_cells falls
+    # back to the flat matrix kernel — no pruning to buy)
     got_store = {(r.vec_a, r.vec_b, r.cosine) for r in
                  pq_neardup_pairs(corpus, 0.9, codebooks=cb,
                                   store=store, centroids=cents,
-                                  nprobe=4).df.collect()}
+                                  nprobe=2).df.collect()}
     assert got_store == truth
 
     # multi-chunk batched run (bounded per-chunk broadcast state)
