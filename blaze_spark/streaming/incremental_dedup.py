@@ -239,8 +239,20 @@ def _read_small_text(spark, path: str, max_bytes: int = 256) -> str | None:
     except Exception:
         pass
     if is_local_path(path):
+        import glob
         import os
         local = _local_of(path)
+        if os.path.isdir(local):
+            # a control file written through the Spark-API text
+            # fallback is a DIRECTORY of part files (the
+            # _check_sig_format Connect tier) — read them, do not
+            # silently drop the marker
+            for pf in sorted(glob.glob(os.path.join(local, "part-*"))):
+                with open(pf, encoding="utf-8") as fh:
+                    content = fh.read(max_bytes).strip()
+                if content:
+                    return content
+            return None
         if not os.path.isfile(local):
             return None
         with open(local, encoding="utf-8") as fh:

@@ -377,6 +377,41 @@ def test_compact_store_manifest_path(spark, tmp_path):
     assert process_batch(b, store).count() >= 1
 
 
+def test_manifest_compaction_preserves_directory_marker(spark, tmp_path):
+    """r10 review: a store stamped through the Spark-API text fallback
+    (the Connect tier) carries its _SIG_FORMAT as a DIRECTORY of part
+    files; manifest compaction must read and carry that content into
+    the new generation — silently dropping the stamp would brick the
+    store (next batch refuses a marker-less non-empty store)."""
+    import os
+    import shutil
+
+    from blaze_spark import data
+    from blaze_spark.streaming.incremental_dedup import (
+        _SIG_FORMAT, compact_store, process_batch)
+
+    store = str(tmp_path / "store_dm")
+    text = "many identical words flowing through the pipeline " * 6
+    for bid in range(2):
+        b = data([(bid * 10, text + f" tail{bid}")], spark=spark,
+                 schema="doc_id long, text string", name=f"dm{bid}")
+        process_batch(b, store)
+    # rewrite the marker as the Spark-API directory form
+    marker = os.path.join(store, "_SIG_FORMAT")
+    os.remove(marker)
+    os.makedirs(marker)
+    with open(os.path.join(marker, "part-00000"), "w") as fh:
+        fh.write(_SIG_FORMAT + "\n")
+
+    compact_store(spark, store, strategy="manifest")
+    gen_marker = tmp_path / "store_dm" / "gen-000001" / "_SIG_FORMAT"
+    assert gen_marker.is_file()
+    assert gen_marker.read_text().strip() == _SIG_FORMAT
+    b = data([(99, text + " tail0")], spark=spark,
+             schema="doc_id long, text string", name="dm9")
+    assert process_batch(b, store).count() >= 1
+
+
 def test_compact_pq_store(spark, tmp_path):
     """VERDICT r9 #4: per-ingest compaction for the PQ code store —
     three ingests collapse to one complete keep dir with fewer files,
