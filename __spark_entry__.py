@@ -2496,6 +2496,51 @@ def dedup_cluster_canonical(spark, sf_dir):
             .filter(F.col("cluster_size") > 1))
 
 
+def quality_classifier_docs(spark, sf_dir):
+    """Model-based quality filter (pipeline/selection.quality_classifier
+    — the fastText-style stage of C4/CCNet-era pipelines): tokens hash
+    to md5 buckets, a (bucket, weight_milli) model scores each doc as
+    an exact LONG milli-fixed-point sum (order-free — no float ever
+    enters the keep decision), keep = score >= threshold.  The model is
+    built IN-QUERY from a literal lexicon (function words +10, filler
+    words -15, intercept -20) so the oracle is self-contained; both
+    engines GROUP-BY-SUM the lexicon buckets (hash-collision
+    semantics).  Under the default max_map_literal the model folds into
+    ONE shuffle-free codegen projection — scoring a 100 TB corpus is a
+    pure scan."""
+    import hashlib
+
+    from blaze_spark.pipeline import quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    lex = [("the", 10), ("a", 10), ("of", 10), ("and", 10), ("to", 10),
+           ("slow", -15), ("filter", -15)]
+    wts = spark.createDataFrame(
+        [(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096, m)
+         for w, m in lex], "bucket long, weight_milli long")
+    return quality_classifier(d, wts, n_buckets=4096,
+                              intercept_milli=-20,
+                              threshold_milli=-20).orderBy("doc_id")
+
+
+def dsir_weights_docs(spark, sf_dir):
+    """DSIR importance log-weights (pipeline/selection.dsir_log_weights
+    — Xie et al. 2023): per-doc ln-likelihood ratio of the TARGET
+    corpus' hashed-unigram distribution (docs from sources src0-src2,
+    the 'curated reference' stand-in) over the raw corpus' own —
+    the score a pipeline resamples on to skew a crawl toward a quality
+    target.  Exact integer bucket counts on both engines; the only
+    floats are ln() over those integers and one round-4 per-doc export
+    (the udaf_geomean oracle precedent).  The log-ratio relation is
+    bounded by n_buckets and broadcasts; scoring adds one explode +
+    one per-doc aggregation to the raw scan."""
+    from blaze_spark.pipeline import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d[d.source.isin(["src0", "src1", "src2"])]
+    return dsir_log_weights(d, target, n_buckets=1024).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2537,11 +2582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window head; window_edges_per_user (green r8 row,
         # unchanged code) rotates below the boundary to keep the sample
         # at exactly 50.
-        # r10 head: batched_topk_embeddings (new oracle-able operator —
-        # VERDICT r9 #5 query batching); rolling_range_user_values
-        # (green r9 row, unchanged code) rotates below the boundary to
-        # keep the sample at exactly 50.  Nothing failing rotated out
-        # (r9 had zero failures).
+        # r10 head: quality_classifier_docs + dsir_weights_docs (new
+        # oracle-able operators — pipeline/selection.py model-based data
+        # selection) and batched_topk_embeddings (new oracle-able
+        # operator — VERDICT r9 #5 query batching);
+        # rolling_range_user_values, rank_orders_per_customer and
+        # grouping_sets_order_stats (green r9 rows, unchanged code)
+        # rotate below the boundary to keep the sample at exactly 50.
+        # Nothing failing rotated out (r9 had zero failures).
+        "quality_classifier_docs": quality_classifier_docs,
+        "dsir_weights_docs": dsir_weights_docs,
         "batched_topk_embeddings": batched_topk_embeddings,
         "gopher_rules_docs": gopher_rules_docs,
         "blaze_client_fk_hop": blaze_client_fk_hop,
@@ -2590,8 +2640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": cube_order_stats,
         "lag_events": lag_events,
         "pivot_status_by_priority": pivot_status_by_priority,
-        "grouping_sets_order_stats": grouping_sets_order_stats,
-        "rank_orders_per_customer": rank_orders_per_customer,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
@@ -2600,6 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "rank_orders_per_customer": rank_orders_per_customer,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
         "merge_columns": merge_columns,
@@ -4167,6 +4217,78 @@ def oracle_sql() -> dict[str, str]:
         "udaf_geomean": """
             SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS gm
             FROM orders GROUP BY o_orderstatus
+        """,
+        # hashed-feature model scoring: md5 bucket identity is portable
+        # (CAST('0x'||hex AS BIGINT) == Spark conv(hex,16,10)); all
+        # arithmetic is exact 64-bit integer milli-fixed-point
+        "quality_classifier_docs": r"""
+            WITH lex(w, wm) AS (VALUES
+                ('the', 10), ('a', 10), ('of', 10), ('and', 10),
+                ('to', 10), ('slow', -15), ('filter', -15)),
+            wts AS (
+                SELECT CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket,
+                       SUM(wm) AS wm
+                FROM lex GROUP BY 1),
+            tb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM documents)),
+            sc AS (
+                SELECT tb.doc_id,
+                       -20 + COALESCE(SUM(w.wm), 0) AS score_milli
+                FROM tb LEFT JOIN wts w USING (bucket)
+                GROUP BY tb.doc_id)
+            SELECT d.doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(d.text)),
+                                                  '\s+')) AS INT)
+                       AS n_tokens,
+                   CAST(sc.score_milli AS BIGINT) AS score_milli,
+                   CAST(sc.score_milli >= -20 AS INT) AS keep
+            FROM documents d JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # DSIR log-weights: exact integer bucket counts; ln() over those
+        # integers + one round-4 per-doc export (udaf_geomean precedent)
+        "dsir_weights_docs": r"""
+            WITH tb AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM (SELECT doc_id, source,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM documents)),
+            rc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS tc FROM tb
+                   WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM tb) AS r_tot,
+                           (SELECT count(*) FROM tb
+                            WHERE source IN ('src0', 'src1', 'src2'))
+                               AS t_tot),
+            lr AS (
+                SELECT rc.bucket,
+                       ln(COALESCE(tc.tc, 0) + 1) - ln(rc.rc + 1) AS lr
+                FROM rc LEFT JOIN tc USING (bucket)),
+            sc AS (
+                SELECT tb.doc_id, SUM(lr.lr) AS s
+                FROM tb LEFT JOIN lr USING (bucket)
+                GROUP BY tb.doc_id)
+            SELECT d.doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(d.text)),
+                                                  '\s+')) AS INT)
+                       AS n_tokens,
+                   round(sc.s
+                         + len(regexp_split_to_array(trim(lower(d.text)),
+                                                     '\s+'))
+                           * (ln(tot.r_tot + 1024) - ln(tot.t_tot + 1024)),
+                         4) + 0.0 AS logw
+            FROM documents d JOIN sc USING (doc_id), tot
+            ORDER BY d.doc_id
         """,
         "batched_topk_embeddings": """
             WITH scored AS (

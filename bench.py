@@ -94,6 +94,10 @@ NEW_QUERIES_R10 = [
     # full PQ self-dedup chain: coarse fit + codebook fit + encode +
     # bias-corrected ADC range scan + exact rescore + recall join
     "recall_pq_neardup",
+    # model-based data selection: literal-map shuffle-free scoring /
+    # two fit passes + broadcast log-ratio scoring
+    "quality_classifier_docs",
+    "dsir_weights_docs",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -78,6 +78,12 @@ from .pq import (  # noqa: F401
     save_codebooks,
     write_pq_codes,
 )
+from .selection import (  # noqa: F401
+    dsir_log_weights,
+    hashed_bucket_counts,
+    quality_classifier,
+    token_buckets,
+)
 from .quantize import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,

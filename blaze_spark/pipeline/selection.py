@@ -1,0 +1,248 @@
+"""Model-based data-selection operators: hashed-feature linear quality
+scoring (the fastText-style classifier stage of C4/CCNet/GPT-3-era
+pipelines) and DSIR importance weights (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling").
+
+The reference engine (blaze/blaze) has no model-based selection surface;
+these extend `pipeline/curation.py` the same way curation extends
+`pipeline/text.py` — every score is expressible in ANSI SQL so the
+DuckDB oracle mirrors it exactly:
+
+- Features are HASHED token buckets (`md5` hex → int, mod ``n_buckets``)
+  — the engine-portable analogue of fastText's feature hashing, and the
+  exact construction DSIR's paper uses (hashed n-gram counts).  Both
+  engines agree byte-for-byte on md5, so bucket identity is portable.
+- `quality_classifier` keeps EVERYTHING in 64-bit integers
+  (milli-fixed-point weights, LONG sums — order-free, unlike double
+  sums), so scores and keep decisions are byte-reproducible.
+- `dsir_log_weights`' only floating-point is ln() over exact integer
+  counts plus ONE rounded export per doc (the `udaf_geomean` precedent:
+  round-4 absorbs last-ulp ln and double-sum-order differences).
+
+Scale notes (100 TB corpus):
+
+- `quality_classifier` with a weights table under ``max_map_literal``
+  rows compiles the model into a LITERAL map inside one shuffle-free
+  whole-stage-codegen projection — scoring is a pure scan, the same
+  shape as `gopher_rules`.  Past that bound it falls back to explode →
+  broadcast-hash-join → per-doc re-aggregation: the shuffle carries one
+  partial row per (doc × partition) = one row per doc (documents are
+  partition-local), never the token-level relation.
+- `hashed_bucket_counts` is the fit-side corpus pass: explode +
+  map-side-combinable count keyed by ≤ ``n_buckets`` values.  At corpus
+  scale you run it ONCE per snapshot and pass the result to
+  `dsir_log_weights(raw_counts=..., target_counts=...)` — the scoring
+  pass then touches the raw corpus exactly once.
+- The bucket/weights relations are bounded by ``n_buckets`` (driver and
+  broadcast state is O(n_buckets), enforced ≤ ``_MAX_BUCKETS``), so
+  nothing here grows with corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table
+from .curation import _tokens
+
+# Bounded driver/broadcast state: counts tables, literal maps and DSIR
+# log-ratio tables are all O(n_buckets).  64k buckets ≈ the largest
+# hashed-feature models in published pipelines (DSIR uses 10k).
+_MAX_BUCKETS = 65_536
+
+
+def token_buckets(col: Column, n_buckets: int) -> Column:
+    """Hashed feature buckets of a text column: ``array<long>`` with one
+    bucket per whitespace token (curation's shared tokenization), bucket
+    = first 8 md5 hex digits as an int, mod ``n_buckets``.
+
+    Engine-portable by construction: md5 agrees everywhere, the 8-digit
+    slice fits a LONG exactly, and the operand is non-negative so ``%``
+    agrees between Spark and DuckDB (`CAST(concat('0x', substr(md5(t),
+    1, 8)) AS BIGINT) % n` on the oracle side)."""
+    if not 1 <= n_buckets <= _MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets must be in [1, {_MAX_BUCKETS}], got {n_buckets}: "
+            "the weights/counts relations are broadcast and must stay "
+            "bounded")
+    return F.transform(
+        _tokens(col),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+        .cast(T.LongType()) % n_buckets)
+
+
+def hashed_bucket_counts(t: Table, text_col: str = "text",
+                         n_buckets: int = 4096) -> DataFrame:
+    """Corpus-wide hashed token counts: one (bucket LONG, cnt LONG) row
+    per occupied bucket (≤ ``n_buckets`` rows).  The fit-side pass for
+    :func:`dsir_log_weights` — run once per corpus snapshot and reuse.
+
+    One scan, one map-side-combinable aggregation on a ≤ ``n_buckets``
+    key space; the result is small enough to broadcast or collect."""
+    return (t.df
+            .select(F.explode(token_buckets(F.col(text_col), n_buckets))
+                    .alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+
+
+def _normalized_weights(weights: DataFrame,
+                        bucket_col: str, weight_col: str) -> DataFrame:
+    # duplicate buckets SUM (hash collisions in a user-exported model
+    # land on the same feature — fastText's hashing trick semantics);
+    # normalizing here keeps both execution paths and the oracle on one
+    # contract instead of map_from_arrays' last-key-wins surprise
+    return (weights
+            .groupBy(F.col(bucket_col).cast(T.LongType()).alias("bucket"))
+            .agg(F.sum(F.col(weight_col).cast(T.LongType()))
+                 .alias("weight_milli")))
+
+
+def quality_classifier(t: Table, weights: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 4096,
+                       intercept_milli: int = 0,
+                       threshold_milli: int = 0,
+                       bucket_col: str = "bucket",
+                       weight_col: str = "weight_milli",
+                       max_map_literal: int = 10_000) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    model-based document filter (fastText-style) that sits next to the
+    rule-based :func:`curation.gopher_rules` in a training-data
+    pipeline.  The model is a ``weights`` table of (``bucket``,
+    ``weight_milli``) rows — integer MILLI-units, e.g. a trained
+    logistic-regression/fastText weight vector quantized with
+    ``round(w * 1000)`` at export time.
+
+    Output per doc: ``n_tokens``, ``score_milli`` = intercept +
+    Σ_tokens weight(bucket(token)) (LONG, exact — a sum of integers is
+    order-free, so the score is byte-reproducible in any engine), and
+    ``keep`` = score ≥ ``threshold_milli`` (0/1).  Thresholding the raw
+    linear score is equivalent to thresholding the sigmoid (monotone),
+    so no float ever enters the decision.
+
+    Duplicate buckets in ``weights`` SUM (feature-hashing collision
+    semantics); buckets outside [0, n_buckets) never match any token.
+
+    Plan shapes: ≤ ``max_map_literal`` distinct buckets compiles the
+    model into a literal map inside ONE shuffle-free codegen projection
+    (scoring a 100 TB corpus is then a pure scan); larger models fall
+    back to explode → broadcast-join → per-doc aggregation whose
+    shuffle carries one row per document.  Both paths are pinned equal
+    in tests."""
+    wts = _normalized_weights(weights, bucket_col, weight_col)
+    c = F.col(text_col)
+    buckets = token_buckets(c, n_buckets)
+    n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
+    n_weights = wts.count()
+    if n_weights <= max_map_literal:
+        rows = wts.collect()  # bounded: ≤ max_map_literal ≤ 10k rows
+        if rows:
+            m = F.map_from_arrays(
+                F.lit([r["bucket"] for r in rows]),
+                F.lit([r["weight_milli"] for r in rows]))
+            score = F.aggregate(
+                buckets, F.lit(intercept_milli).cast(T.LongType()),
+                lambda acc, b: acc + F.coalesce(
+                    F.try_element_at(m, b), F.lit(0).cast(T.LongType())))
+        else:
+            score = F.lit(intercept_milli).cast(T.LongType())
+        return t.df.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            score.alias("score_milli"),
+            (score >= threshold_milli).cast(T.IntegerType()).alias("keep"))
+    exploded = t.df.select(
+        F.col(id_col), n_tokens.alias("n_tokens"),
+        F.explode_outer(buckets).alias("bucket"))
+    scored = (exploded
+              .join(F.broadcast(wts), "bucket", "left")
+              .groupBy(id_col, "n_tokens")
+              .agg((F.lit(intercept_milli)
+                    + F.sum(F.coalesce(F.col("weight_milli"),
+                                       F.lit(0).cast(T.LongType()))))
+                   .cast(T.LongType()).alias("score_milli")))
+    return scored.select(
+        F.col(id_col), F.col("n_tokens"), F.col("score_milli"),
+        (F.col("score_milli") >= threshold_milli)
+        .cast(T.IntegerType()).alias("keep"))
+
+
+def dsir_log_weights(raw: Table, target: Table | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 4096, smoothing: int = 1,
+                     raw_counts: DataFrame | None = None,
+                     target_counts: DataFrame | None = None) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023): how
+    much more likely each raw document is under the TARGET corpus'
+    hashed-unigram distribution than under the raw corpus' own —
+    ``logw`` = Σ_tokens ln(p_target(bucket)/p_raw(bucket)), the score
+    a pipeline resamples on to skew a 100 TB crawl toward a quality
+    target (e.g. a curated reference corpus).
+
+    Laplace-``smoothing`` (an integer, default 1) keeps unseen buckets
+    finite: p(b) = (cnt(b)+s) / (total + s·n_buckets).  With exact
+    integer counts on both sides, a doc scored against identical
+    corpora gets logw = 0.0 exactly (every ratio is 1) — the contract
+    the tests pin.
+
+    Output per doc: ``n_tokens``, ``logw`` (round-4 export; the only
+    floats are ln() over exact integers and one per-doc double sum,
+    which round-4 absorbs — the ``udaf_geomean`` oracle precedent).
+
+    Pass ``raw_counts``/``target_counts`` (from
+    :func:`hashed_bucket_counts`, or any (bucket, cnt) frame) to skip
+    the fit passes — at corpus scale you fit once per snapshot.  The
+    log-ratio relation is bounded by ``n_buckets`` and broadcasts, so
+    scoring adds one explode + one per-doc aggregation to the scan."""
+    if smoothing < 1:
+        raise ValueError(f"smoothing must be a positive integer, got "
+                         f"{smoothing} (zero would send unseen-bucket "
+                         "ratios to ±inf)")
+    if target is None and target_counts is None:
+        raise ValueError("dsir_log_weights needs a target corpus: pass "
+                         "target= or target_counts=")
+    if raw_counts is None:
+        raw_counts = hashed_bucket_counts(raw, text_col, n_buckets)
+    if target_counts is None:
+        target_counts = hashed_bucket_counts(target, text_col, n_buckets)
+    r_tot = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    t_tot = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # ln p_t(b) - ln p_r(b) = [ln(tc+s) - ln(rc+s)] + const, with
+    # const = ln(R + s·B) - ln(T + s·B) hoisted out of the bounded
+    # bucket relation and applied once per token (n_tokens · const)
+    const = (math.log(r_tot + smoothing * n_buckets)
+             - math.log(t_tot + smoothing * n_buckets))
+    lr = (target_counts.withColumnRenamed("cnt", "tc")
+          .join(raw_counts.withColumnRenamed("cnt", "rc"),
+                "bucket", "full")
+          .select(
+              "bucket",
+              (F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(smoothing))
+               - F.log(F.coalesce(F.col("rc"), F.lit(0))
+                       + F.lit(smoothing))).alias("lr")))
+    c = F.col(text_col)
+    exploded = raw.df.select(
+        F.col(id_col),
+        F.size(_tokens(c)).cast(T.IntegerType()).alias("n_tokens"),
+        F.explode_outer(token_buckets(c, n_buckets)).alias("bucket"))
+    return (exploded
+            .join(F.broadcast(lr), "bucket", "left")
+            .groupBy(id_col, "n_tokens")
+            .agg((F.round(F.sum(F.coalesce(F.col("lr"), F.lit(0.0)))
+                          + F.col("n_tokens") * F.lit(const), 4)
+                  + F.lit(0.0)).alias("logw"))
+            .select(F.col(id_col), F.col("n_tokens"), F.col("logw")))
+
+
+# no wire-dialect form -> remote (blaze://) inputs raise at entry
+# instead of silently computing over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+hashed_bucket_counts = _lg(hashed_bucket_counts)
+quality_classifier = _lg(quality_classifier)
+dsir_log_weights = _lg(dsir_log_weights)

@@ -1,0 +1,164 @@
+"""Model-based data selection (pipeline/selection.py): hashed-feature
+linear quality classifier and DSIR importance log-weights — planted
+cases with hand-computed expectations, path-equality pins (map-literal
+vs join), the identical-corpora logw==0 contract, and plan hygiene
+(map-literal scoring is one shuffle-free projection)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark import data
+from blaze_spark.pipeline import (
+    dsir_log_weights,
+    hashed_bucket_counts,
+    quality_classifier,
+)
+
+B = 4096
+
+
+def _bucket(tok: str, n_buckets: int = B) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "spam spam spam buy now"),
+        (2, "a quiet morning walk in the park"),
+        (3, "buy spam now"),
+    ]
+    return data(rows, spark=spark, schema="doc_id bigint, text string",
+                name="sdocs")
+
+
+def _weights(spark, pairs):
+    return spark.createDataFrame(
+        [(float(b), int(w)) for b, w in pairs],  # float bucket: op casts
+        "bucket double, weight_milli long")
+
+
+def test_hashed_bucket_counts_exact(spark, sdocs):
+    counts = {r["bucket"]: r["cnt"]
+              for r in hashed_bucket_counts(sdocs).collect()}
+    # 'the' appears 3x corpus-wide, 'spam' 4x — exact LONG counts
+    assert counts[_bucket("the")] == 3
+    assert counts[_bucket("spam")] == 4
+    assert sum(counts.values()) == 6 + 5 + 7 + 3
+
+
+def test_quality_classifier_hand_computed(spark, sdocs):
+    wts = _weights(spark, [(_bucket("the"), 10), (_bucket("a"), 10),
+                           (_bucket("spam"), -50)])
+    out = quality_classifier(sdocs, wts, intercept_milli=5,
+                             threshold_milli=0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0: 2*'the' -> 5 + 20 = 25, keep
+    assert rows[0]["score_milli"] == 25 and rows[0]["keep"] == 1
+    # doc 1: 3*'spam' -> 5 - 150 = -145, drop
+    assert rows[1]["score_milli"] == -145 and rows[1]["keep"] == 0
+    # doc 2: 'a' + 'the' -> 5 + 20 = 25, keep
+    assert rows[2]["score_milli"] == 25 and rows[2]["keep"] == 1
+    # doc 3: 1*'spam' -> 5 - 50 = -45, drop
+    assert rows[3]["score_milli"] == -45 and rows[3]["keep"] == 0
+    assert rows[0]["n_tokens"] == 6
+
+
+def test_quality_classifier_paths_equal(spark, sdocs):
+    """The literal-map projection and the explode/broadcast-join
+    fallback are one contract: identical rows."""
+    wts = _weights(spark, [(_bucket("the"), 7), (_bucket("spam"), -3),
+                           (_bucket("buy"), 2)])
+    lit = quality_classifier(sdocs, wts, intercept_milli=1,
+                             threshold_milli=2)
+    join = quality_classifier(sdocs, wts, intercept_milli=1,
+                              threshold_milli=2, max_map_literal=0)
+    assert sorted(map(tuple, lit.collect())) == \
+        sorted(map(tuple, join.collect()))
+
+
+def test_quality_classifier_duplicate_buckets_sum(spark, sdocs):
+    """Feature-hash collision semantics: duplicate bucket rows SUM (not
+    last-wins) on both plan shapes."""
+    dup = _weights(spark, [(_bucket("the"), 10), (_bucket("the"), 5)])
+    for kw in ({}, {"max_map_literal": 0}):
+        rows = {r["doc_id"]: r["score_milli"]
+                for r in quality_classifier(sdocs, dup, **kw).collect()}
+        assert rows[0] == 2 * 15
+
+
+def test_quality_classifier_empty_weights(spark, sdocs):
+    out = quality_classifier(sdocs, _weights(spark, []),
+                             intercept_milli=3, threshold_milli=4)
+    for r in out.collect():
+        assert r["score_milli"] == 3 and r["keep"] == 0
+
+
+def test_quality_classifier_map_literal_is_shuffle_free(spark, sdocs):
+    from blaze_spark.plans import exchange_count
+    wts = _weights(spark, [(_bucket("the"), 10)])
+    out = quality_classifier(sdocs, wts)
+    assert exchange_count(out) == 0  # model folded into the projection
+
+
+def test_dsir_identical_corpora_is_exact_zero(spark, sdocs):
+    """raw == target -> every count ratio is exactly 1 -> logw == 0.0
+    for every document (integer counts, no float residue)."""
+    out = dsir_log_weights(sdocs, sdocs)
+    assert [r["logw"] for r in out.collect()] == [0.0] * 4
+
+
+def test_dsir_hand_computed(spark):
+    raw = data([(0, "x x"), (1, "y y")], spark=spark,
+               schema="doc_id bigint, text string", name="dsr")
+    target = data([(10, "x x x")], spark=spark,
+                  schema="doc_id bigint, text string", name="dst")
+    out = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(raw, target, n_buckets=64).collect()}
+    s, nb = 1, 64
+    # raw: x=2, y=2 (R=4); target: x=3 (T=3)
+    def tok_lr(tc, rc):
+        return (math.log((tc + s) / (3 + s * nb))
+                - math.log((rc + s) / (4 + s * nb)))
+    assert out[0] == pytest.approx(round(2 * tok_lr(3, 2), 4), abs=1e-9)
+    assert out[1] == pytest.approx(round(2 * tok_lr(0, 2), 4), abs=1e-9)
+    # target-like doc scores above target-unlike doc
+    assert out[0] > out[1]
+
+
+def test_dsir_precomputed_counts_match_fit(spark, sdocs):
+    target = data([(7, "the cat and the hat")], spark=spark,
+                  schema="doc_id bigint, text string", name="dstgt")
+    fit = dsir_log_weights(sdocs, target)
+    pre = dsir_log_weights(
+        sdocs, raw_counts=hashed_bucket_counts(sdocs),
+        target_counts=hashed_bucket_counts(target))
+    assert sorted(map(tuple, fit.collect())) == \
+        sorted(map(tuple, pre.collect()))
+
+
+def test_dsir_guards(spark, sdocs):
+    with pytest.raises(ValueError, match="target"):
+        dsir_log_weights(sdocs)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_log_weights(sdocs, sdocs, smoothing=0)
+    from blaze_spark.pipeline.selection import token_buckets
+    with pytest.raises(ValueError, match="n_buckets"):
+        token_buckets(F.col("text"), 10 ** 6)
+
+
+def test_selection_remote_guard(spark, sdocs):
+    """No wire-dialect form -> a remote table raises at entry."""
+    remote = data([(0, "t")], spark=spark,
+                  schema="doc_id bigint, text string", name="rsel")
+    remote._client = object()  # simulate a blaze:// table
+    with pytest.raises(TypeError, match="wire dialect"):
+        quality_classifier(remote, _weights(spark, []))
+    with pytest.raises(TypeError, match="wire dialect"):
+        dsir_log_weights(remote, sdocs)
