@@ -2541,6 +2541,27 @@ def dsir_weights_docs(spark, sf_dir):
     return dsir_log_weights(d, target, n_buckets=1024).orderBy("doc_id")
 
 
+def dsir_resample_docs(spark, sf_dir):
+    """The complete DSIR pipeline (weights -> importance RESAMPLE):
+    selection.weighted_sample draws 100 docs without replacement with
+    probability ∝ exp(logw / T) via the Gumbel-top-k construction,
+    seeded from the repo's engine-portable md5-uniform convention
+    (hash_sample's scheme), so the oracle value-checks EXACTLY which
+    documents survive — reproducible across retries, engines, and
+    re-runs (the auditable-build requirement).  Keys are round-6 so
+    membership never hinges on a last-ulp ln() disagreement; Spark
+    lowers the top-n to TakeOrderedAndProject (per-partition top-n +
+    bounded merge, guarded by max_n — the unbounded key_threshold
+    form is the 100 TB path)."""
+    from blaze_spark.pipeline import dsir_log_weights, weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    target = d[d.source.isin(["src0", "src1", "src2"])]
+    w = dsir_log_weights(d, target, n_buckets=1024)
+    return weighted_sample(w, "logw", n=100,
+                           temperature=0.5).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2586,12 +2607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-able operators — pipeline/selection.py model-based data
         # selection) and batched_topk_embeddings (new oracle-able
         # operator — VERDICT r9 #5 query batching);
-        # rolling_range_user_values, rank_orders_per_customer and
-        # grouping_sets_order_stats (green r9 rows, unchanged code)
-        # rotate below the boundary to keep the sample at exactly 50.
-        # Nothing failing rotated out (r9 had zero failures).
+        # rolling_range_user_values, rank_orders_per_customer,
+        # grouping_sets_order_stats and lag_events (green r9 rows,
+        # unchanged code) rotate below the boundary to keep the sample
+        # at exactly 50.  Nothing failing rotated out (r9 had zero
+        # failures).
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
+        "dsir_resample_docs": dsir_resample_docs,
         "batched_topk_embeddings": batched_topk_embeddings,
         "gopher_rules_docs": gopher_rules_docs,
         "blaze_client_fk_hop": blaze_client_fk_hop,
@@ -2638,7 +2661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
         "cube_order_stats": cube_order_stats,
-        "lag_events": lag_events,
         "pivot_status_by_priority": pivot_status_by_priority,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
@@ -2648,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "lag_events": lag_events,
         "rank_orders_per_customer": rank_orders_per_customer,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
@@ -4289,6 +4312,60 @@ def oracle_sql() -> dict[str, str]:
                          4) + 0.0 AS logw
             FROM documents d JOIN sc USING (doc_id), tot
             ORDER BY d.doc_id
+        """,
+        # Gumbel-top-k resample over the DSIR weights: u from the
+        # md5-uniform convention (hash_sample's scheme), key round-6 so
+        # membership never rides a last-ulp ln() difference
+        "dsir_resample_docs": r"""
+            WITH tb AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM (SELECT doc_id, source,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM documents)),
+            rc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS tc FROM tb
+                   WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM tb) AS r_tot,
+                           (SELECT count(*) FROM tb
+                            WHERE source IN ('src0', 'src1', 'src2'))
+                               AS t_tot),
+            lr AS (
+                SELECT rc.bucket,
+                       ln(COALESCE(tc.tc, 0) + 1) - ln(rc.rc + 1) AS lr
+                FROM rc LEFT JOIN tc USING (bucket)),
+            sc AS (
+                SELECT tb.doc_id, SUM(lr.lr) AS s
+                FROM tb LEFT JOIN lr USING (bucket)
+                GROUP BY tb.doc_id),
+            w AS (
+                SELECT d.doc_id,
+                       CAST(len(regexp_split_to_array(trim(lower(d.text)),
+                                                      '\s+')) AS INT)
+                           AS n_tokens,
+                       round(sc.s
+                             + len(regexp_split_to_array(
+                                   trim(lower(d.text)), '\s+'))
+                               * (ln(tot.r_tot + 1024)
+                                  - ln(tot.t_tot + 1024)),
+                             4) + 0.0 AS logw
+                FROM documents d JOIN sc USING (doc_id), tot),
+            keyed AS (
+                SELECT doc_id, n_tokens, logw,
+                       round(logw / 0.5
+                             + -ln(-ln((CAST(concat('0x',
+                                   substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '-42'), 1, 8))
+                                   AS BIGINT) + 1) / 4294967297.0)),
+                             6) + 0.0 AS sample_key
+                FROM w)
+            SELECT doc_id, n_tokens, logw, sample_key
+            FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+                                               doc_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 100
         """,
         "batched_topk_embeddings": """
             WITH scored AS (

@@ -95,9 +95,10 @@ NEW_QUERIES_R10 = [
     # bias-corrected ADC range scan + exact rescore + recall join
     "recall_pq_neardup",
     # model-based data selection: literal-map shuffle-free scoring /
-    # two fit passes + broadcast log-ratio scoring
+    # two fit passes + broadcast log-ratio scoring / Gumbel-top-k
     "quality_classifier_docs",
     "dsir_weights_docs",
+    "dsir_resample_docs",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -83,6 +83,7 @@ from .selection import (  # noqa: F401
     hashed_bucket_counts,
     quality_classifier,
     token_buckets,
+    weighted_sample,
 )
 from .quantize import (  # noqa: F401
     dequantize_embeddings,

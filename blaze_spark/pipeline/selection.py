@@ -239,6 +239,70 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
             .select(F.col(id_col), F.col("n_tokens"), F.col("logw")))
 
 
+def weighted_sample(t: Table | DataFrame, score_col: str,
+                    n: int | None = None,
+                    key_threshold: float | None = None,
+                    id_col: str = "doc_id", temperature: float = 1.0,
+                    seed: int = 42, max_n: int = 1_000_000) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    resample step that turns :func:`dsir_log_weights` scores into a
+    training subset (DSIR's importance resampling), and a general
+    "keep n docs ∝ exp(score/T)" operator.
+
+    Uses the Gumbel-top-k construction: taking the ``n`` largest
+    ``score/T + Gumbel(u)`` keys IS sampling without replacement with
+    probability proportional to exp(score/T) (Efraimidis-Spirakis /
+    Gumbel-max).  The Gumbel noise is seeded from the repo's
+    engine-portable md5 convention (`Table.hash_sample`): ``u`` = (int
+    of the first 8 md5 hex digits of ``id || '-' || seed`` + 1) /
+    (2^32 + 1) ∈ (0, 1), so the SAME rows are selected across
+    retries, re-runs, and engines — the auditable-build requirement —
+    and the DuckDB oracle value-checks exactly which documents
+    survive.  Keys are rounded to 6 decimals before comparison so the
+    order (and hence membership) never hinges on a last-ulp ln()
+    disagreement between engines; ties break on ``id_col``.
+
+    Two modes (exactly one of ``n`` / ``key_threshold``):
+
+    - ``n=``: the n largest keys via orderBy + limit — Spark lowers
+      this to TakeOrderedAndProject (per-partition top-n, bounded
+      merge), but the merge task materializes n rows, so ``n`` is
+      guarded by ``max_n`` (RAISES past it — the ``max_queries``
+      discipline: degrade loudly, not silently).
+    - ``key_threshold=``: keep every row with key ≥ threshold — a pure
+      shuffle-free projection+filter with NO size bound: the 100 TB
+      form (Poisson-style: membership independent per row, E[kept]
+      set by the threshold; calibrate on a small exact-n run).
+
+    Output: the input columns plus ``sample_key`` (the rounded
+    ranking key, exported so a kept set is auditable)."""
+    if (n is None) == (key_threshold is None):
+        raise ValueError("pass exactly one of n= (bounded top-n) or "
+                         "key_threshold= (unbounded filter form)")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    df = t.df if isinstance(t, Table) else t
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(
+                F.coalesce(F.col(id_col).cast("string"),
+                           F.lit("__null__")),
+                F.lit(f"-{seed}"))), 1, 8), 16, 10)
+          .cast(T.LongType()) + F.lit(1)) / F.lit(float(2 ** 32 + 1)))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col(score_col) / F.lit(float(temperature)) + gumbel, 6)
+    keyed = df.withColumn("sample_key", key + F.lit(0.0))
+    if n is not None:
+        if not 1 <= n <= max_n:
+            raise ValueError(
+                f"n must be in [1, {max_n}]: the top-n merge "
+                "materializes n rows in one task — for larger samples "
+                "use key_threshold= (unbounded filter form, calibrate "
+                "the threshold on a bounded exact-n run)")
+        return keyed.orderBy(F.col("sample_key").desc(),
+                             F.col(id_col)).limit(n)
+    return keyed.filter(F.col("sample_key") >= float(key_threshold))
+
+
 # no wire-dialect form -> remote (blaze://) inputs raise at entry
 # instead of silently computing over the empty schema-only frame
 from ..core import _localize_guard as _lg  # noqa: E402
@@ -246,3 +310,4 @@ from ..core import _localize_guard as _lg  # noqa: E402
 hashed_bucket_counts = _lg(hashed_bucket_counts)
 quality_classifier = _lg(quality_classifier)
 dsir_log_weights = _lg(dsir_log_weights)
+weighted_sample = _lg(weighted_sample)

@@ -153,6 +153,77 @@ def test_dsir_guards(spark, sdocs):
         token_buckets(F.col("text"), 10 ** 6)
 
 
+def _gumbel_key(doc_id: int, score: float, temp: float = 1.0,
+                seed: int = 42) -> float:
+    u = (int(hashlib.md5(f"{doc_id}-{seed}".encode()).hexdigest()[:8], 16)
+         + 1) / (2 ** 32 + 1)
+    return round(score / temp + -math.log(-math.log(u)), 6)
+
+
+def test_weighted_sample_matches_reference_keys(spark):
+    from blaze_spark.pipeline import weighted_sample
+    rows = [(i, float(i % 7)) for i in range(50)]
+    t = data(rows, spark=spark, schema="doc_id bigint, score double",
+             name="ws")
+    got = weighted_sample(t, "score", n=10).collect()
+    expect_ids = [i for _, i in
+                  sorted((-_gumbel_key(i, s), i) for i, s in rows)[:10]]
+    assert [r["doc_id"] for r in got] == expect_ids
+    # keys exported and match the reference formula
+    for r in got:
+        assert r["sample_key"] == pytest.approx(
+            _gumbel_key(r["doc_id"], float(r["doc_id"] % 7)), abs=1e-9)
+
+
+def test_weighted_sample_threshold_form_consistent(spark):
+    """The unbounded filter form keeps exactly the rows whose key
+    clears the bound — calibrating the threshold from an n-run's last
+    key reproduces that run's membership."""
+    from blaze_spark.pipeline import weighted_sample
+    rows = [(i, float((i * 13) % 11)) for i in range(40)]
+    t = data(rows, spark=spark, schema="doc_id bigint, score double",
+             name="wst")
+    top = weighted_sample(t, "score", n=12).collect()
+    thr = min(r["sample_key"] for r in top)
+    via_thr = weighted_sample(t, "score", key_threshold=thr).collect()
+    assert {r["doc_id"] for r in via_thr} >= {r["doc_id"] for r in top}
+    # distinct keys here, so the sets are exactly equal
+    assert len({r["sample_key"] for r in top}) == 12
+    assert {r["doc_id"] for r in via_thr} == {r["doc_id"] for r in top}
+
+
+def test_weighted_sample_higher_scores_win_at_low_temperature(spark):
+    from blaze_spark.pipeline import weighted_sample
+    rows = [(i, 100.0 if i < 5 else 0.0) for i in range(100)]
+    t = data(rows, spark=spark, schema="doc_id bigint, score double",
+             name="wsl")
+    got = weighted_sample(t, "score", n=5, temperature=0.1).collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 3, 4}
+
+
+def test_weighted_sample_guards(spark):
+    from blaze_spark.pipeline import weighted_sample
+    t = data([(0, 1.0)], spark=spark,
+             schema="doc_id bigint, score double", name="wsg")
+    with pytest.raises(ValueError, match="exactly one"):
+        weighted_sample(t, "score")
+    with pytest.raises(ValueError, match="exactly one"):
+        weighted_sample(t, "score", n=5, key_threshold=0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        weighted_sample(t, "score", n=1, temperature=0.0)
+    with pytest.raises(ValueError, match="max_n|n must"):
+        weighted_sample(t, "score", n=10, max_n=5)
+
+
+def test_weighted_sample_threshold_form_is_shuffle_free(spark):
+    from blaze_spark.pipeline import weighted_sample
+    from blaze_spark.plans import exchange_count
+    t = data([(i, float(i)) for i in range(10)], spark=spark,
+             schema="doc_id bigint, score double", name="wsp")
+    out = weighted_sample(t, "score", key_threshold=0.5)
+    assert exchange_count(out) == 0
+
+
 def test_selection_remote_guard(spark, sdocs):
     """No wire-dialect form -> a remote table raises at entry."""
     remote = data([(0, "t")], spark=spark,

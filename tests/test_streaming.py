@@ -629,6 +629,38 @@ def test_streaming_curation_gate_matches_batch(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_streaming_quality_classifier_matches_batch(spark, sf_dir):
+    """Model-based quality scoring on a stream: the literal-map path of
+    selection.quality_classifier is ONE stateless projection, so it
+    composes with readStream unchanged — scores and keep decisions on
+    the streamed corpus must equal the batch run byte-for-byte (exact
+    LONG scores, no float in the decision)."""
+    import hashlib
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import quality_classifier
+    from blaze_spark.streaming import StreamTable
+
+    wts = spark.createDataFrame(
+        [(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096, m)
+         for w, m in [("the", 10), ("a", 10), ("slow", -15)]],
+        "bucket long, weight_milli long")
+
+    st = stream_data(spark, f"{sf_dir}/documents.parquet")
+    out = quality_classifier(st, wts, intercept_milli=-20,
+                             threshold_milli=-20)
+    StreamTable(out).to_memory("qc_stream", output_mode="append")
+    got = spark.table("qc_stream").toPandas()
+
+    batch = quality_classifier(
+        data(f"{sf_dir}/documents.parquet", spark=spark, name="documents"),
+        wts, intercept_milli=-20, threshold_milli=-20).toPandas()
+    key = ["doc_id", "n_tokens", "score_milli", "keep"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == \
+        sorted(map(tuple, batch[key].itertuples(index=False)))
+    assert got.keep.nunique() == 2  # both classes present — non-vacuous
+
+
 def test_streaming_contamination_probe_static_broadcast(spark, sf_dir):
     """Decontamination on a stream: the benchmark n-gram set is a STATIC
     broadcast relation (stream-static join), so the streaming corpus scan
