@@ -81,6 +81,7 @@ from .pq import (  # noqa: F401
 from .selection import (  # noqa: F401
     dsir_log_weights,
     hashed_bucket_counts,
+    ngram_buckets,
     quality_classifier,
     token_buckets,
     weighted_sample,

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import Table
-from .curation import _tokens
+from .curation import _tokens, ngram_array
 
 # Bounded driver/broadcast state: counts tables, literal maps and DSIR
 # log-ratio tables are all O(n_buckets).  64k buckets ≈ the largest
@@ -64,27 +64,42 @@ def token_buckets(col: Column, n_buckets: int) -> Column:
     slice fits a LONG exactly, and the operand is non-negative so ``%``
     agrees between Spark and DuckDB (`CAST(concat('0x', substr(md5(t),
     1, 8)) AS BIGINT) % n` on the oracle side)."""
+    return ngram_buckets(col, n_buckets, n=1)
+
+
+def ngram_buckets(col: Column, n_buckets: int, n: int = 1) -> Column:
+    """Hashed n-gram feature buckets: ``n=1`` hashes tokens, ``n >= 2``
+    hashes space-joined token n-grams (curation.ngram_array — docs
+    shorter than ``n`` yield an EMPTY feature array, never a bogus
+    gram).  Same md5 → first-8-hex → mod scheme as
+    :func:`token_buckets`, so DSIR's paper-form unigram+bigram features
+    and fastText-style word-n-gram models share one engine-portable
+    bucket identity."""
     if not 1 <= n_buckets <= _MAX_BUCKETS:
         raise ValueError(
             f"n_buckets must be in [1, {_MAX_BUCKETS}], got {n_buckets}: "
             "the weights/counts relations are broadcast and must stay "
             "bounded")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    feats = _tokens(col) if n == 1 else ngram_array(col, n)
     return F.transform(
-        _tokens(col),
+        feats,
         lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
         .cast(T.LongType()) % n_buckets)
 
 
 def hashed_bucket_counts(t: Table, text_col: str = "text",
-                         n_buckets: int = 4096) -> DataFrame:
-    """Corpus-wide hashed token counts: one (bucket LONG, cnt LONG) row
+                         n_buckets: int = 4096, n: int = 1) -> DataFrame:
+    """Corpus-wide hashed n-gram counts: one (bucket LONG, cnt LONG) row
     per occupied bucket (≤ ``n_buckets`` rows).  The fit-side pass for
-    :func:`dsir_log_weights` — run once per corpus snapshot and reuse.
+    :func:`dsir_log_weights` — run once per corpus snapshot and reuse;
+    ``n`` picks the feature order (1 = tokens, 2 = bigrams, ...).
 
     One scan, one map-side-combinable aggregation on a ≤ ``n_buckets``
     key space; the result is small enough to broadcast or collect."""
     return (t.df
-            .select(F.explode(token_buckets(F.col(text_col), n_buckets))
+            .select(F.explode(ngram_buckets(F.col(text_col), n_buckets, n))
                     .alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
@@ -109,7 +124,8 @@ def quality_classifier(t: Table, weights: DataFrame,
                        threshold_milli: int = 0,
                        bucket_col: str = "bucket",
                        weight_col: str = "weight_milli",
-                       max_map_literal: int = 10_000) -> DataFrame:
+                       max_map_literal: int = 10_000,
+                       n: int = 1) -> DataFrame:
     """Linear quality classifier over hashed token features — the
     model-based document filter (fastText-style) that sits next to the
     rule-based :func:`curation.gopher_rules` in a training-data
@@ -127,6 +143,8 @@ def quality_classifier(t: Table, weights: DataFrame,
 
     Duplicate buckets in ``weights`` SUM (feature-hashing collision
     semantics); buckets outside [0, n_buckets) never match any token.
+    ``n`` picks the feature order the model was trained on (1 =
+    tokens, 2 = word bigrams — fastText's word-n-gram form).
 
     Plan shapes: ≤ ``max_map_literal`` distinct buckets compiles the
     model into a literal map inside ONE shuffle-free codegen projection
@@ -136,7 +154,7 @@ def quality_classifier(t: Table, weights: DataFrame,
     in tests."""
     wts = _normalized_weights(weights, bucket_col, weight_col)
     c = F.col(text_col)
-    buckets = token_buckets(c, n_buckets)
+    buckets = ngram_buckets(c, n_buckets, n)
     n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
     n_weights = wts.count()
     if n_weights <= max_map_literal:
@@ -176,13 +194,17 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 4096, smoothing: int = 1,
                      raw_counts: DataFrame | None = None,
-                     target_counts: DataFrame | None = None) -> DataFrame:
+                     target_counts: DataFrame | None = None,
+                     n: int = 1) -> DataFrame:
     """Per-document DSIR importance log-weights (Xie et al. 2023): how
     much more likely each raw document is under the TARGET corpus'
-    hashed-unigram distribution than under the raw corpus' own —
-    ``logw`` = Σ_tokens ln(p_target(bucket)/p_raw(bucket)), the score
+    hashed n-gram distribution than under the raw corpus' own —
+    ``logw`` = Σ_features ln(p_target(bucket)/p_raw(bucket)), the score
     a pipeline resamples on to skew a 100 TB crawl toward a quality
-    target (e.g. a curated reference corpus).
+    target (e.g. a curated reference corpus).  ``n`` picks the feature
+    order (1 = the paper's hashed unigrams, 2 = bigrams, which see
+    token ORDER; run both and sum the logw columns for the paper's
+    unigram+bigram form).
 
     Laplace-``smoothing`` (an integer, default 1) keeps unseen buckets
     finite: p(b) = (cnt(b)+s) / (total + s·n_buckets).  With exact
@@ -207,9 +229,9 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
         raise ValueError("dsir_log_weights needs a target corpus: pass "
                          "target= or target_counts=")
     if raw_counts is None:
-        raw_counts = hashed_bucket_counts(raw, text_col, n_buckets)
+        raw_counts = hashed_bucket_counts(raw, text_col, n_buckets, n)
     if target_counts is None:
-        target_counts = hashed_bucket_counts(target, text_col, n_buckets)
+        target_counts = hashed_bucket_counts(target, text_col, n_buckets, n)
     r_tot = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     t_tot = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     # ln p_t(b) - ln p_r(b) = [ln(tc+s) - ln(rc+s)] + const, with
@@ -226,15 +248,19 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
                - F.log(F.coalesce(F.col("rc"), F.lit(0))
                        + F.lit(smoothing))).alias("lr")))
     c = F.col(text_col)
+    feats = ngram_buckets(c, n_buckets, n)
+    # the hoisted const applies once per FEATURE (== per token only at
+    # n=1; an n-gram doc carries max(n_tokens - n + 1, 0) features)
     exploded = raw.df.select(
         F.col(id_col),
         F.size(_tokens(c)).cast(T.IntegerType()).alias("n_tokens"),
-        F.explode_outer(token_buckets(c, n_buckets)).alias("bucket"))
+        F.size(feats).cast(T.IntegerType()).alias("n_feats"),
+        F.explode_outer(feats).alias("bucket"))
     return (exploded
             .join(F.broadcast(lr), "bucket", "left")
-            .groupBy(id_col, "n_tokens")
+            .groupBy(id_col, "n_tokens", "n_feats")
             .agg((F.round(F.sum(F.coalesce(F.col("lr"), F.lit(0.0)))
-                          + F.col("n_tokens") * F.lit(const), 4)
+                          + F.col("n_feats") * F.lit(const), 4)
                   + F.lit(0.0)).alias("logw"))
             .select(F.col(id_col), F.col("n_tokens"), F.col("logw")))
 

@@ -153,6 +153,51 @@ def test_dsir_guards(spark, sdocs):
         token_buckets(F.col("text"), 10 ** 6)
 
 
+def test_dsir_bigram_features_see_order(spark):
+    """n=2 distinguishes token ORDER where unigrams cannot: raw docs
+    'x y' and 'y x' have identical unigram logw but different bigram
+    logw against a target of 'x y' docs (the reason DSIR's paper uses
+    unigram+bigram features)."""
+    raw = data([(0, "x y"), (1, "y x")], spark=spark,
+               schema="doc_id bigint, text string", name="dsbr")
+    target = data([(10, "x y")], spark=spark,
+                  schema="doc_id bigint, text string", name="dsbt")
+    uni = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(raw, target, n_buckets=64).collect()}
+    bi = {r["doc_id"]: r["logw"]
+          for r in dsir_log_weights(raw, target, n_buckets=64,
+                                    n=2).collect()}
+    assert uni[0] == uni[1]          # unigram-blind to order
+    assert bi[0] > bi[1]             # bigram sees it
+    # hand-computed: target bigrams {'x y': 1} (T=1), raw {'x y':1,'y x':1}
+    s, nb = 1, 64
+    def lr(tc, rc):
+        return (math.log((tc + s) / (1 + s * nb))
+                - math.log((rc + s) / (2 + s * nb)))
+    assert bi[0] == pytest.approx(round(lr(1, 1), 4), abs=1e-9)
+    assert bi[1] == pytest.approx(round(lr(0, 1), 4), abs=1e-9)
+
+
+def test_dsir_bigram_identical_corpora_zero(spark, sdocs):
+    out = dsir_log_weights(sdocs, sdocs, n=2)
+    assert [r["logw"] for r in out.collect()] == [0.0] * 4
+
+
+def test_quality_classifier_bigram_features(spark, sdocs):
+    """n=2: the model keys on word PAIRS — 'buy now' scores, the same
+    words apart do not; short docs yield no features (intercept only)."""
+    wts = _weights(spark, [(_bucket("buy now"), 25)])
+    out = {r["doc_id"]: r["score_milli"]
+           for r in quality_classifier(sdocs, wts, n=2).collect()}
+    assert out[1] == 25   # 'spam spam spam buy now' contains the pair
+    assert out[3] == 0    # 'buy spam now' does not
+    one_word = data([(9, "solo")], spark=spark,
+                    schema="doc_id bigint, text string", name="ow")
+    r = quality_classifier(one_word, wts, n=2,
+                           intercept_milli=7).collect()[0]
+    assert r["score_milli"] == 7 and r["n_tokens"] == 1
+
+
 def _gumbel_key(doc_id: int, score: float, temp: float = 1.0,
                 seed: int = 42) -> float:
     u = (int(hashlib.md5(f"{doc_id}-{seed}".encode()).hexdigest()[:8], 16)
