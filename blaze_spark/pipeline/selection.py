@@ -75,6 +75,14 @@ def ngram_buckets(col: Column, n_buckets: int, n: int = 1) -> Column:
     :func:`token_buckets`, so DSIR's paper-form unigram+bigram features
     and fastText-style word-n-gram models share one engine-portable
     bucket identity."""
+    _validate_features(n_buckets, n)
+    return F.transform(
+        _feature_array(col, n),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+        .cast(T.LongType()) % n_buckets)
+
+
+def _validate_features(n_buckets: int, n: int) -> None:
     if not 1 <= n_buckets <= _MAX_BUCKETS:
         raise ValueError(
             f"n_buckets must be in [1, {_MAX_BUCKETS}], got {n_buckets}: "
@@ -82,11 +90,25 @@ def ngram_buckets(col: Column, n_buckets: int, n: int = 1) -> Column:
             "bounded")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    feats = _tokens(col) if n == 1 else ngram_array(col, n)
-    return F.transform(
-        feats,
-        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
-        .cast(T.LongType()) % n_buckets)
+
+
+def _feature_array(col: Column, n: int) -> Column:
+    """Raw STRING features (tokens, or space-joined n-grams)."""
+    return _tokens(col) if n == 1 else ngram_array(col, n)
+
+
+def _bucket_of(feat: Column, n_buckets: int) -> Column:
+    """md5 bucket of one feature string — a plain codegen expression.
+
+    PLACEMENT MATTERS (the PLANS.md r5 interpreted-HOF rule): hashing
+    INSIDE a ``transform()`` lambda runs interpreted per array element
+    and was measured ~20× slower on the scoring passes; explode the
+    raw feature strings first and hash the exploded column with THIS
+    expression inside whole-stage codegen.  ``ngram_buckets`` (the
+    array form) exists for per-row map-lookup scoring where the array
+    shape is inherent (quality_classifier's literal-map path)."""
+    return (F.conv(F.substring(F.md5(feat), 1, 8), 16, 10)
+            .cast(T.LongType()) % n_buckets)
 
 
 def hashed_bucket_counts(t: Table, text_col: str = "text",
@@ -98,9 +120,12 @@ def hashed_bucket_counts(t: Table, text_col: str = "text",
 
     One scan, one map-side-combinable aggregation on a ≤ ``n_buckets``
     key space; the result is small enough to broadcast or collect."""
+    # explode raw strings, hash post-explode in codegen (_bucket_of)
+    _validate_features(n_buckets, n)
     return (t.df
-            .select(F.explode(ngram_buckets(F.col(text_col), n_buckets, n))
-                    .alias("bucket"))
+            .select(F.explode(_feature_array(F.col(text_col), n))
+                    .alias("feat"))
+            .select(_bucket_of(F.col("feat"), n_buckets).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
 
@@ -154,7 +179,7 @@ def quality_classifier(t: Table, weights: DataFrame,
     in tests."""
     wts = _normalized_weights(weights, bucket_col, weight_col)
     c = F.col(text_col)
-    buckets = ngram_buckets(c, n_buckets, n)
+    _validate_features(n_buckets, n)
     n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
     n_weights = wts.count()
     if n_weights <= max_map_literal:
@@ -164,19 +189,29 @@ def quality_classifier(t: Table, weights: DataFrame,
                 F.lit([r["bucket"] for r in rows]),
                 F.lit([r["weight_milli"] for r in rows]))
             score = F.aggregate(
-                buckets, F.lit(intercept_milli).cast(T.LongType()),
+                ngram_buckets(c, n_buckets, n),
+                F.lit(intercept_milli).cast(T.LongType()),
                 lambda acc, b: acc + F.coalesce(
                     F.try_element_at(m, b), F.lit(0).cast(T.LongType())))
         else:
             score = F.lit(intercept_milli).cast(T.LongType())
-        return t.df.select(
-            F.col(id_col),
-            n_tokens.alias("n_tokens"),
-            score.alias("score_milli"),
-            (score >= threshold_milli).cast(T.IntegerType()).alias("keep"))
+        # two-step select: `keep` references the scored column, and
+        # CollapseProject keeps the non-cheap HOF aggregate from being
+        # inlined (and so evaluated) twice per row
+        keyed = t.df.select(F.col(id_col), n_tokens.alias("n_tokens"),
+                            score.alias("score_milli"))
+        return keyed.select(
+            F.col(id_col), F.col("n_tokens"), F.col("score_milli"),
+            (F.col("score_milli") >= threshold_milli)
+            .cast(T.IntegerType()).alias("keep"))
+    # raw strings explode, md5 bucket computed post-explode in codegen
+    # (the PLANS.md r5 HOF placement rule — see _bucket_of)
     exploded = t.df.select(
         F.col(id_col), n_tokens.alias("n_tokens"),
-        F.explode_outer(buckets).alias("bucket"))
+        F.explode_outer(_feature_array(c, n)).alias("feat"))
+    exploded = exploded.select(
+        F.col(id_col), F.col("n_tokens"),
+        _bucket_of(F.col("feat"), n_buckets).alias("bucket"))
     scored = (exploded
               .join(F.broadcast(wts), "bucket", "left")
               .groupBy(id_col, "n_tokens")
@@ -219,8 +254,11 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     Pass ``raw_counts``/``target_counts`` (from
     :func:`hashed_bucket_counts`, or any (bucket, cnt) frame) to skip
     the fit passes — at corpus scale you fit once per snapshot.  The
-    log-ratio relation is bounded by ``n_buckets`` and broadcasts, so
-    scoring adds one explode + one per-doc aggregation to the scan."""
+    counts are collected driver-side (BOUNDED: ≤ ``n_buckets`` rows by
+    construction) and the log-ratio relation re-enters as a literal
+    broadcast, so each corpus is tokenized exactly once for the fit
+    and once for the scoring — no hidden re-execution of the fit
+    subtree for totals or the broadcast build."""
     if smoothing < 1:
         raise ValueError(f"smoothing must be a positive integer, got "
                          f"{smoothing} (zero would send unseen-bucket "
@@ -232,30 +270,45 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
         raw_counts = hashed_bucket_counts(raw, text_col, n_buckets, n)
     if target_counts is None:
         target_counts = hashed_bucket_counts(target, text_col, n_buckets, n)
-    r_tot = raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    t_tot = target_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # the counts relations are BOUNDED (≤ n_buckets rows, enforced):
+    # collect them once and build totals + the log-ratio relation
+    # driver-side, instead of re-executing the fit subtrees three more
+    # times (two scalar total jobs + the broadcast build — at corpus
+    # scale each re-execution was a full tokenize pass)
+    rc = {r["bucket"]: r["cnt"] for r in raw_counts.collect()}
+    tc = {r["bucket"]: r["cnt"] for r in target_counts.collect()}
+    r_tot, t_tot = sum(rc.values()), sum(tc.values())
     # ln p_t(b) - ln p_r(b) = [ln(tc+s) - ln(rc+s)] + const, with
     # const = ln(R + s·B) - ln(T + s·B) hoisted out of the bounded
-    # bucket relation and applied once per token (n_tokens · const)
+    # bucket relation and applied once per feature (n_feats · const);
+    # buckets absent from BOTH maps have lr = ln(s) - ln(s) = 0, which
+    # is exactly what the scoring join's missing-bucket coalesce(0.0)
+    # assigns, so enumerating only the union of seen buckets is exact
+    spark = raw.df.sparkSession
+    lr_rows = [(int(b), math.log(tc.get(b, 0) + smoothing)
+                - math.log(rc.get(b, 0) + smoothing))
+               for b in sorted(set(rc) | set(tc))]
+    lr = spark.createDataFrame(lr_rows or [(0, 0.0)],
+                               "bucket long, lr double")
     const = (math.log(r_tot + smoothing * n_buckets)
              - math.log(t_tot + smoothing * n_buckets))
-    lr = (target_counts.withColumnRenamed("cnt", "tc")
-          .join(raw_counts.withColumnRenamed("cnt", "rc"),
-                "bucket", "full")
-          .select(
-              "bucket",
-              (F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(smoothing))
-               - F.log(F.coalesce(F.col("rc"), F.lit(0))
-                       + F.lit(smoothing))).alias("lr")))
     c = F.col(text_col)
-    feats = ngram_buckets(c, n_buckets, n)
+    _validate_features(n_buckets, n)
     # the hoisted const applies once per FEATURE (== per token only at
-    # n=1; an n-gram doc carries max(n_tokens - n + 1, 0) features)
+    # n=1; an n-gram doc carries max(n_tokens - n + 1, 0) features);
+    # raw feature STRINGS explode and the md5 bucket is computed on the
+    # exploded column in codegen — hashing inside the array transform
+    # ran interpreted per token and measured ~20× slower (PLANS.md r5
+    # HOF placement rule; the r10 bench caught exactly this)
     exploded = raw.df.select(
         F.col(id_col),
         F.size(_tokens(c)).cast(T.IntegerType()).alias("n_tokens"),
-        F.size(feats).cast(T.IntegerType()).alias("n_feats"),
-        F.explode_outer(feats).alias("bucket"))
+        F.size(_feature_array(c, n)).cast(T.IntegerType())
+        .alias("n_feats"),
+        F.explode_outer(_feature_array(c, n)).alias("feat"))
+    exploded = exploded.select(
+        F.col(id_col), F.col("n_tokens"), F.col("n_feats"),
+        _bucket_of(F.col("feat"), n_buckets).alias("bucket"))
     return (exploded
             .join(F.broadcast(lr), "bucket", "left")
             .groupBy(id_col, "n_tokens", "n_feats")

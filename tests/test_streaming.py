@@ -661,6 +661,40 @@ def test_streaming_quality_classifier_matches_batch(spark, sf_dir):
     assert got.keep.nunique() == 2  # both classes present — non-vacuous
 
 
+def test_streaming_dsir_scoring_matches_batch(spark, sf_dir):
+    """DSIR scoring on a stream: with PRECOMPUTED corpus counts (the
+    100 TB form — fit once per snapshot), the scoring pass is explode →
+    broadcast log-ratio join → per-doc agg, which runs per micro-batch
+    under foreachBatch semantics (to_memory's complete/append path) and
+    must match the batch scores exactly."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import dsir_log_weights, hashed_bucket_counts
+    from blaze_spark.streaming import StreamTable
+
+    docs = data(f"{sf_dir}/documents.parquet", spark=spark,
+                name="documents")
+    target = docs[docs.source.isin(["src0", "src1"])]
+    raw_counts = hashed_bucket_counts(docs, n_buckets=512).cache()
+    tgt_counts = hashed_bucket_counts(target, n_buckets=512).cache()
+
+    st = stream_data(spark, f"{sf_dir}/documents.parquet")
+    out = dsir_log_weights(st, n_buckets=512, raw_counts=raw_counts,
+                           target_counts=tgt_counts)
+    # the per-doc aggregation is stateful on a stream -> complete mode
+    # (the contamination-probe precedent); at the corpus tier you run
+    # the scoring inside foreachBatch instead, where each micro-batch
+    # is a plain batch frame
+    StreamTable(out).to_memory("dsir_stream", output_mode="complete")
+    got = spark.table("dsir_stream").toPandas()
+
+    batch = dsir_log_weights(docs, n_buckets=512, raw_counts=raw_counts,
+                             target_counts=tgt_counts).toPandas()
+    key = ["doc_id", "n_tokens", "logw"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == \
+        sorted(map(tuple, batch[key].itertuples(index=False)))
+    assert len(got) > 0 and got.logw.nunique() > 1
+
+
 def test_streaming_contamination_probe_static_broadcast(spark, sf_dir):
     """Decontamination on a stream: the benchmark n-gram set is a STATIC
     broadcast relation (stream-static join), so the streaming corpus scan
