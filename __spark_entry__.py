@@ -2562,6 +2562,47 @@ def dsir_resample_docs(spark, sf_dir):
                            temperature=0.5).orderBy("doc_id")
 
 
+def targeted_corpus_build(spark, sf_dir):
+    """Flagship composite for the selection family — the shape of a real
+    targeted training-set build: Gopher rule gate (rule-based filter) →
+    hashed linear quality classifier (model-based filter) → DSIR
+    log-weights against a curated-target stand-in (sources src0-src2,
+    measured on the GATED corpus) → Gumbel-top-k importance resample
+    (150 docs, T=0.5) → leakage-safe md5 train/val/test split
+    (salt=7, decorrelated from the Gumbel noise's salt).  Every stage
+    is engine-portable (integer scores, round-4/6 float exports), so
+    the oracle value-checks the exact surviving docs, their weights,
+    their ranking keys, and their split assignment end-to-end."""
+    import hashlib
+
+    from blaze_spark.pipeline import (dsir_log_weights,
+                                      quality_classifier,
+                                      train_val_test_split,
+                                      weighted_sample)
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_rules(d, min_words=5, min_stop_hits=1)
+    gated = Table(g.df.filter(F.col("gopher_pass") == 1)
+                  .select("doc_id", "text", "source"), "gated_docs")
+    lex = [("the", 10), ("a", 10), ("of", 10), ("and", 10), ("to", 10),
+           ("slow", -15), ("filter", -15)]
+    wts = spark.createDataFrame(
+        [(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096, m)
+         for w, m in lex], "bucket long, weight_milli long")
+    qc = quality_classifier(gated, wts, intercept_milli=-20,
+                            threshold_milli=-20)
+    kept = Table(gated.df.join(
+        qc.filter(F.col("keep") == 1).select("doc_id"), "doc_id"),
+        "kept_docs")
+    target = kept[kept.source.isin(["src0", "src1", "src2"])]
+    w = dsir_log_weights(kept, target, n_buckets=1024)
+    sampled = weighted_sample(w, "logw", n=150, temperature=0.5)
+    out = train_val_test_split(Table(sampled, "sampled"),
+                               fractions=(0.8, 0.1, 0.1), salt=7)
+    return out.df.select("doc_id", "n_tokens", "logw", "sample_key",
+                         "split").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2608,13 +2649,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection) and batched_topk_embeddings (new oracle-able
         # operator — VERDICT r9 #5 query batching);
         # rolling_range_user_values, rank_orders_per_customer,
-        # grouping_sets_order_stats and lag_events (green r9 rows,
-        # unchanged code) rotate below the boundary to keep the sample
-        # at exactly 50.  Nothing failing rotated out (r9 had zero
-        # failures).
+        # grouping_sets_order_stats, lag_events and
+        # pivot_status_by_priority (green r9 rows, unchanged code)
+        # rotate below the boundary to keep the sample at exactly 50.
+        # Nothing failing rotated out (r9 had zero failures).
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_resample_docs": dsir_resample_docs,
+        "targeted_corpus_build": targeted_corpus_build,
         "batched_topk_embeddings": batched_topk_embeddings,
         "gopher_rules_docs": gopher_rules_docs,
         "blaze_client_fk_hop": blaze_client_fk_hop,
@@ -2661,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
         "cube_order_stats": cube_order_stats,
-        "pivot_status_by_priority": pivot_status_by_priority,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
@@ -2670,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "pivot_status_by_priority": pivot_status_by_priority,
         "lag_events": lag_events,
         "rank_orders_per_customer": rank_orders_per_customer,
         "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -4366,6 +4408,130 @@ def oracle_sql() -> dict[str, str]:
                                                doc_id) AS rn
                   FROM keyed)
             WHERE rn <= 100
+        """,
+        # the selection flagship composite: gopher gate -> classifier ->
+        # DSIR -> Gumbel resample -> md5 split, all engine-portable
+        "targeted_corpus_build": r"""
+            WITH sig AS (
+                SELECT doc_id, text, source,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(trim(x)) > 0) AS lines
+                FROM documents),
+            gop AS (
+                SELECT doc_id, text, source FROM sig
+                WHERE len(toks) >= 5 AND len(toks) <= 100000
+                  AND CAST(list_sum(list_transform(toks,
+                          t -> length(t))) AS DOUBLE) / len(toks)
+                      BETWEEN 3.0 AND 10.0
+                  AND (len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\.\.\.|…')))
+                      / len(toks) <= 0.1
+                  AND (CASE WHEN len(lines) > 0
+                            THEN len(list_filter(lines,
+                                 x -> regexp_matches(ltrim(x),
+                                                     '^[-*•‣▪]')))
+                                 / len(lines)
+                            ELSE 0.0 END) <= 0.9
+                  AND (CASE WHEN len(lines) > 0
+                            THEN len(list_filter(lines,
+                                 x -> regexp_matches(rtrim(x),
+                                                     '(\.\.\.|…)$')))
+                                 / len(lines)
+                            ELSE 0.0 END) <= 0.3
+                  AND len(list_filter(toks,
+                          x -> regexp_matches(x, '[a-z]')))
+                      / len(toks) >= 0.8
+                  AND CAST(list_contains(toks, 'the') AS INT)
+                      + CAST(list_contains(toks, 'be') AS INT)
+                      + CAST(list_contains(toks, 'to') AS INT)
+                      + CAST(list_contains(toks, 'of') AS INT)
+                      + CAST(list_contains(toks, 'and') AS INT)
+                      + CAST(list_contains(toks, 'that') AS INT)
+                      + CAST(list_contains(toks, 'have') AS INT)
+                      + CAST(list_contains(toks, 'with') AS INT) >= 1),
+            lex(w, wm) AS (VALUES
+                ('the', 10), ('a', 10), ('of', 10), ('and', 10),
+                ('to', 10), ('slow', -15), ('filter', -15)),
+            wts AS (
+                SELECT CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket,
+                       SUM(wm) AS wm
+                FROM lex GROUP BY 1),
+            gtb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM gop)),
+            qc AS (
+                SELECT gtb.doc_id,
+                       -20 + COALESCE(SUM(w.wm), 0) AS score
+                FROM gtb LEFT JOIN wts w USING (bucket)
+                GROUP BY gtb.doc_id),
+            kept AS (
+                SELECT g.* FROM gop g JOIN qc USING (doc_id)
+                WHERE qc.score >= -20),
+            ktb AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM (SELECT doc_id, source,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM kept)),
+            rc AS (SELECT bucket, count(*) AS rc FROM ktb GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS tc FROM ktb
+                   WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM ktb) AS r_tot,
+                           (SELECT count(*) FROM ktb
+                            WHERE source IN ('src0', 'src1', 'src2'))
+                               AS t_tot),
+            lr AS (
+                SELECT rc.bucket,
+                       ln(COALESCE(tc.tc, 0) + 1) - ln(rc.rc + 1) AS lr
+                FROM rc LEFT JOIN tc USING (bucket)),
+            sc AS (
+                SELECT ktb.doc_id, SUM(lr.lr) AS s
+                FROM ktb LEFT JOIN lr USING (bucket)
+                GROUP BY ktb.doc_id),
+            w AS (
+                SELECT k.doc_id,
+                       CAST(len(regexp_split_to_array(trim(lower(k.text)),
+                                                      '\s+')) AS INT)
+                           AS n_tokens,
+                       round(sc.s
+                             + len(regexp_split_to_array(
+                                   trim(lower(k.text)), '\s+'))
+                               * (ln(tot.r_tot + 1024)
+                                  - ln(tot.t_tot + 1024)),
+                             4) + 0.0 AS logw
+                FROM kept k JOIN sc USING (doc_id), tot),
+            keyed AS (
+                SELECT doc_id, n_tokens, logw,
+                       round(logw / 0.5
+                             + -ln(-ln((CAST(concat('0x',
+                                   substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '-42'), 1, 8))
+                                   AS BIGINT) + 1) / 4294967297.0)),
+                             6) + 0.0 AS sample_key
+                FROM w),
+            samp AS (
+                SELECT doc_id, n_tokens, logw, sample_key
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY sample_key DESC, doc_id) AS rn
+                      FROM keyed)
+                WHERE rn <= 150)
+            SELECT doc_id, n_tokens, logw, sample_key,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                             || '-7'), 1, 8) < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                             || '-7'), 1, 8) < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM samp ORDER BY doc_id
         """,
         "batched_topk_embeddings": """
             WITH scored AS (

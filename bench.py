@@ -99,6 +99,8 @@ NEW_QUERIES_R10 = [
     "quality_classifier_docs",
     "dsir_weights_docs",
     "dsir_resample_docs",
+    # gate -> classify -> DSIR -> resample -> split, end to end
+    "targeted_corpus_build",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
