@@ -230,7 +230,8 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
                      n_buckets: int = 4096, smoothing: int = 1,
                      raw_counts: DataFrame | None = None,
                      target_counts: DataFrame | None = None,
-                     n: int = 1) -> DataFrame:
+                     n: int = 1,
+                     max_map_literal: int = 10_000) -> DataFrame:
     """Per-document DSIR importance log-weights (Xie et al. 2023): how
     much more likely each raw document is under the TARGET corpus'
     hashed n-gram distribution than under the raw corpus' own —
@@ -255,10 +256,15 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     :func:`hashed_bucket_counts`, or any (bucket, cnt) frame) to skip
     the fit passes — at corpus scale you fit once per snapshot.  The
     counts are collected driver-side (BOUNDED: ≤ ``n_buckets`` rows by
-    construction) and the log-ratio relation re-enters as a literal
-    broadcast, so each corpus is tokenized exactly once for the fit
-    and once for the scoring — no hidden re-execution of the fit
-    subtree for totals or the broadcast build."""
+    construction), so each corpus is tokenized exactly once for the
+    fit and once for the scoring — no hidden re-execution of the fit
+    subtree for totals or the broadcast build.  With ≤
+    ``max_map_literal`` occupied buckets (the common case) the
+    log-ratio relation folds into a literal map and scoring is ONE
+    shuffle-free projection (measured ~7× over the explode/join form
+    at sf0.1 and sf10); past that it falls back to explode →
+    broadcast-join → per-doc aggregation.  Both paths are pinned equal
+    in tests."""
     if smoothing < 1:
         raise ValueError(f"smoothing must be a positive integer, got "
                          f"{smoothing} (zero would send unseen-bucket "
@@ -288,23 +294,48 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     lr_rows = [(int(b), math.log(tc.get(b, 0) + smoothing)
                 - math.log(rc.get(b, 0) + smoothing))
                for b in sorted(set(rc) | set(tc))]
-    lr = spark.createDataFrame(lr_rows or [(0, 0.0)],
-                               "bucket long, lr double")
     const = (math.log(r_tot + smoothing * n_buckets)
              - math.log(t_tot + smoothing * n_buckets))
     c = F.col(text_col)
     _validate_features(n_buckets, n)
+    n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
+    n_feats = F.size(_feature_array(c, n)).cast(T.IntegerType())
     # the hoisted const applies once per FEATURE (== per token only at
-    # n=1; an n-gram doc carries max(n_tokens - n + 1, 0) features);
-    # raw feature STRINGS explode and the md5 bucket is computed on the
-    # exploded column in codegen — hashing inside the array transform
-    # ran interpreted per token and measured ~20× slower (PLANS.md r5
-    # HOF placement rule; the r10 bench caught exactly this)
+    # n=1; an n-gram doc carries max(n_tokens - n + 1, 0) features)
+    if len(lr_rows) <= max_map_literal:
+        # the log-ratio relation folds into a LITERAL map and scoring
+        # is ONE shuffle-free projection — measured 6.6-7.7× faster
+        # than the explode → broadcast-join → re-agg form at sf0.1 AND
+        # sf10 (PLANS.md r10: the 42M-row Generate+HashAggregate costs
+        # far more than one interpreted map-lookup fold per doc);
+        # missing buckets coalesce to 0.0 == lr of an unseen bucket
+        if lr_rows:
+            m = F.map_from_arrays(
+                F.lit([b for b, _ in lr_rows]),
+                F.lit([v for _, v in lr_rows]))
+            score = F.aggregate(
+                ngram_buckets(c, n_buckets, n), F.lit(0.0),
+                lambda acc, b: acc + F.coalesce(
+                    F.try_element_at(m, b), F.lit(0.0)))
+        else:
+            score = F.lit(0.0)
+        keyed = raw.df.select(
+            F.col(id_col), n_tokens.alias("n_tokens"),
+            n_feats.alias("n_feats"), score.alias("s"))
+        # second select so CollapseProject cannot inline (and so
+        # re-evaluate) the non-cheap HOF fold into the export
+        return keyed.select(
+            F.col(id_col), F.col("n_tokens"),
+            (F.round(F.col("s") + F.col("n_feats") * F.lit(const), 4)
+             + F.lit(0.0)).alias("logw"))
+    # > max_map_literal occupied buckets: raw feature STRINGS explode
+    # and the md5 bucket is computed on the exploded column in codegen
+    # (the PLANS.md r5 HOF placement rule — see _bucket_of)
+    lr = spark.createDataFrame(lr_rows, "bucket long, lr double")
     exploded = raw.df.select(
         F.col(id_col),
-        F.size(_tokens(c)).cast(T.IntegerType()).alias("n_tokens"),
-        F.size(_feature_array(c, n)).cast(T.IntegerType())
-        .alias("n_feats"),
+        n_tokens.alias("n_tokens"),
+        n_feats.alias("n_feats"),
         F.explode_outer(_feature_array(c, n)).alias("feat"))
     exploded = exploded.select(
         F.col(id_col), F.col("n_tokens"), F.col("n_feats"),

@@ -132,6 +132,18 @@ def test_dsir_hand_computed(spark):
     assert out[0] > out[1]
 
 
+def test_dsir_scoring_paths_equal(spark, sdocs):
+    """The literal-map fold and the explode/broadcast-join fallback are
+    one contract: identical rows (round-4 absorbs the per-doc sum-order
+    difference between an array fold and a hash aggregate)."""
+    target = data([(7, "the cat and the hat")], spark=spark,
+                  schema="doc_id bigint, text string", name="dspe")
+    lit = dsir_log_weights(sdocs, target)
+    join = dsir_log_weights(sdocs, target, max_map_literal=0)
+    assert sorted(map(tuple, lit.collect())) == \
+        sorted(map(tuple, join.collect()))
+
+
 def test_dsir_precomputed_counts_match_fit(spark, sdocs):
     target = data([(7, "the cat and the hat")], spark=spark,
                   schema="doc_id bigint, text string", name="dstgt")
