@@ -663,10 +663,10 @@ def test_streaming_quality_classifier_matches_batch(spark, sf_dir):
 
 def test_streaming_dsir_scoring_matches_batch(spark, sf_dir):
     """DSIR scoring on a stream: with PRECOMPUTED corpus counts (the
-    100 TB form — fit once per snapshot), the scoring pass is explode →
-    broadcast log-ratio join → per-doc agg, which runs per micro-batch
-    under foreachBatch semantics (to_memory's complete/append path) and
-    must match the batch scores exactly."""
+    100 TB form — fit once per snapshot), the literal-map scoring fold
+    is ONE STATELESS projection, so it composes with readStream in
+    plain append mode — no aggregation state at all — and must match
+    the batch scores exactly."""
     from blaze_spark import data
     from blaze_spark.pipeline import dsir_log_weights, hashed_bucket_counts
     from blaze_spark.streaming import StreamTable
@@ -680,11 +680,7 @@ def test_streaming_dsir_scoring_matches_batch(spark, sf_dir):
     st = stream_data(spark, f"{sf_dir}/documents.parquet")
     out = dsir_log_weights(st, n_buckets=512, raw_counts=raw_counts,
                            target_counts=tgt_counts)
-    # the per-doc aggregation is stateful on a stream -> complete mode
-    # (the contamination-probe precedent); at the corpus tier you run
-    # the scoring inside foreachBatch instead, where each micro-batch
-    # is a plain batch frame
-    StreamTable(out).to_memory("dsir_stream", output_mode="complete")
+    StreamTable(out).to_memory("dsir_stream", output_mode="append")
     got = spark.table("dsir_stream").toPandas()
 
     batch = dsir_log_weights(docs, n_buckets=512, raw_counts=raw_counts,
