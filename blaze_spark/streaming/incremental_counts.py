@@ -1,0 +1,136 @@
+"""Incremental hashed-feature counts store — the streaming-native fit
+side of DSIR (`pipeline/selection.py`).
+
+`dsir_log_weights`' scale form takes PRECOMPUTED (bucket, cnt)
+relations ("fit once per corpus snapshot").  On a live ingest there is
+no snapshot: this module maintains the counts as an ingest-partitioned
+parquet store with the exact discipline of the signature and PQ stores
+(`incremental_dedup` / `incremental_ann`):
+
+- one bounded (≤ ``n_buckets`` rows) partial-counts directory per
+  batch, keyed by the ``foreachBatch`` batch id → a checkpoint REPLAY
+  overwrites its own subdirectory (exactly-once);
+- reads sum over ``_SUCCESS``-complete ingests only — a crashed
+  half-written batch is never counted;
+- a ``_COUNTS_FORMAT`` stamp carrying (n_buckets, n) so a store built
+  with one feature space fails loudly under another (bucket ids are
+  meaningless across spaces);
+- generation-manifest aware (``resolve_store_root``) and compactable
+  through the shared engine — rename swap locally, copy-then-repoint
+  ``_CURRENT`` flip on object stores.
+
+Scale: each ingest directory is ≤ ``n_buckets`` rows regardless of
+batch size (the partial aggregation happens IN the batch's Spark job),
+so the store grows with batch COUNT, not corpus size; reading is a sum
+over ≤ batches × n_buckets tiny rows, and periodic
+:func:`compact_counts_store` collapses that back to one directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table
+from ..pipeline.selection import hashed_bucket_counts
+from .incremental_dedup import (_check_sig_format, _compact_store_impl,
+                                _ingest_ids, resolve_store_root)
+
+__all__ = ["counts_format", "ingest_counts_batch", "read_bucket_counts",
+           "incremental_bucket_counts", "compact_counts_store"]
+
+
+def counts_format(n_buckets: int, n: int) -> str:
+    """Store identity: counts are only additive within ONE feature
+    space (same bucket count, same n-gram order)."""
+    return f"1:b{n_buckets}:n{n}"
+
+
+def _check_counts_format(spark, store_path: str, has_existing: bool,
+                         expected: str) -> None:
+    _check_sig_format(spark, store_path, has_existing, expected,
+                      marker_name="_COUNTS_FORMAT",
+                      what="hashed-counts store",
+                      fmt_label="feature space")
+
+
+def ingest_counts_batch(batch: Table, store_path: str,
+                        n_buckets: int = 4096, n: int = 1,
+                        text_col: str = "text",
+                        batch_id: int | None = None) -> None:
+    """Count ONE batch's hashed features and add the partial counts to
+    the store.  ``batch_id`` defaults to (max existing ingest id) + 1;
+    pass the ``foreachBatch`` batch id from streaming so a checkpoint
+    replay overwrites its own subdirectory (exactly-once)."""
+    spark = batch.df.sparkSession
+    root = resolve_store_root(spark, store_path)
+    existing = _ingest_ids(spark, root)
+    _check_counts_format(spark, root, bool(existing),
+                         counts_format(n_buckets, n))
+    if batch_id is None:
+        batch_id = (max(existing) + 1) if existing else 0
+    counts = hashed_bucket_counts(batch, text_col, n_buckets, n)
+    # ≤ n_buckets rows: one output file keeps the per-batch footprint
+    # (and the read-side listing cost) minimal
+    (counts.repartition(1).write.mode("overwrite")
+     .parquet(f"{root}/ingest={batch_id}"))
+
+
+def read_bucket_counts(spark, store_path: str, n_buckets: int = 4096,
+                       n: int = 1) -> DataFrame:
+    """The store's total (bucket, cnt) relation — complete ingests
+    only, summed; validates the feature space matches.  Feed directly
+    to ``dsir_log_weights(raw_counts=..., target_counts=...)``."""
+    root = resolve_store_root(spark, store_path)
+    complete = _ingest_ids(spark, root, complete_only=True)
+    if not complete:
+        raise ValueError(
+            f"hashed-counts store at {store_path!r} has no complete "
+            "ingests — nothing to read yet (the path may not exist, "
+            "the stream may not have committed its first batch, or "
+            "every ingest directory is missing its _SUCCESS marker)")
+    _check_counts_format(spark, root, True, counts_format(n_buckets, n))
+    df = spark.read.parquet(root)
+    if "ingest" in df.columns:
+        df = df.filter(F.col("ingest").isin(complete)).drop("ingest")
+    return (df.groupBy("bucket")
+            .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
+
+
+def incremental_bucket_counts(stream, store_path: str, checkpoint: str,
+                              n_buckets: int = 4096, n: int = 1,
+                              text_col: str = "text"):
+    """Maintain the counts store from a Structured Streaming source:
+    ``foreachBatch`` → :func:`ingest_counts_batch` keyed by the batch
+    id.  Returns the started StreamingQuery."""
+    def _on_batch(bdf: DataFrame, batch_id: int):
+        ingest_counts_batch(Table(bdf, "counts_batch"), store_path,
+                            n_buckets=n_buckets, n=n, text_col=text_col,
+                            batch_id=batch_id)
+
+    return (stream.df.writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def compact_counts_store(spark, store_path: str,
+                         strategy: str | None = None) -> None:
+    """Collapse the complete ingest directories into one (the shared
+    compaction engine: complete-only input, format marker carried,
+    atomic rename swap or manifest repoint).  The rewrite keeps the
+    PARTIAL rows (one (bucket, cnt) row per original ingest per
+    bucket) rather than pre-summing — :func:`read_bucket_counts` sums
+    on read either way, and the rewrite stays a pure file-layout
+    operation like the other stores'.  No inner partition column
+    (``part_col=None`` → the engine's single-directory rewrite): the
+    whole relation is ≤ batches × n_buckets tiny rows."""
+    _compact_store_impl(spark, store_path, 1, None,
+                        ["_COUNTS_FORMAT"], strategy,
+                        "compact_counts_store")
+
+
+# silent-empty audit: eager store write — remote inputs raise at entry
+from ..core import _localize_guard as _lg  # noqa: E402
+
+ingest_counts_batch = _lg(ingest_counts_batch)
