@@ -2438,6 +2438,38 @@ def incremental_dedup_batches(spark, sf_dir):
                     F.round("est_jaccard", 4).alias("est_jaccard")))
 
 
+def incremental_counts_batches(spark, sf_dir):
+    """Incremental hashed-counts store contract (r10 —
+    streaming.incremental_counts, the streaming-native DSIR fit side):
+    the corpus is ingested as three deterministic doc_id%3 batches and
+    the store's summed relation must EQUAL the one-shot
+    hashed_bucket_counts fit bucket-for-bucket.  Returns the joined
+    (bucket, store_cnt, fit_cnt, match) relation — every row must have
+    match=1.  Rows-only: the ingest-store probe is not
+    SQL-expressible."""
+    import tempfile
+
+    from blaze_spark.pipeline import hashed_bucket_counts
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_counts_batch, read_bucket_counts)
+
+    d = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="inccounts_contract_") + "/store"
+    for bid in range(3):
+        b = Table(d.df.filter(F.col("doc_id") % 3 == bid)
+                  .select("doc_id", "text"))
+        ingest_counts_batch(b, store, n_buckets=1024, batch_id=bid)
+    fit = hashed_bucket_counts(d, n_buckets=1024) \
+        .withColumnRenamed("cnt", "fit_cnt")
+    got = read_bucket_counts(spark, store, n_buckets=1024) \
+        .withColumnRenamed("cnt", "store_cnt")
+    return (got.join(fit, "bucket", "full")
+            .select("bucket", "store_cnt", "fit_cnt",
+                    (F.col("store_cnt") == F.col("fit_cnt"))
+                    .cast("int").alias("match"))
+            .orderBy("bucket"))
+
+
 def incremental_simhash_batches(spark, sf_dir):
     """Simhash variant of the incremental-dedup contract (same two-batch
     shape as incremental_dedup_batches): exact copies in batch 2 must
@@ -2750,6 +2782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_incremental_simhash": consistency_incremental_simhash,
         "consistency_incremental_pq": consistency_incremental_pq,
         "incremental_dedup_batches": incremental_dedup_batches,
+        # r10: counts-store == one-shot-fit equality (rows-only store
+        # probe, below the boundary like the other incremental stores)
+        "incremental_counts_batches": incremental_counts_batches,
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "approx_sketches": approx_sketches,
         "recall_minhash_lsh": recall_minhash_lsh,
