@@ -280,9 +280,30 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     # collect them once and build totals + the log-ratio relation
     # driver-side, instead of re-executing the fit subtrees three more
     # times (two scalar total jobs + the broadcast build — at corpus
-    # scale each re-execution was a full tokenize pass)
-    rc = {r["bucket"]: r["cnt"] for r in raw_counts.collect()}
-    tc = {r["bucket"]: r["cnt"] for r in target_counts.collect()}
+    # scale each re-execution was a full tokenize pass).  The limit+1
+    # cap turns a mis-shaped USER-supplied counts frame (e.g. raw
+    # per-token rows instead of (bucket, cnt)) into a loud error
+    # instead of an unbounded driver collect
+    def _bounded(df: DataFrame, side: str) -> dict:
+        types = dict(df.dtypes)
+        integral = ("tinyint", "smallint", "int", "bigint")
+        if (types.get("bucket") not in integral
+                or types.get("cnt") not in integral):
+            raise ValueError(
+                f"dsir_log_weights: {side} must be a (bucket, cnt) "
+                f"integer relation (hashed_bucket_counts output), got "
+                f"columns {df.dtypes}")
+        rows = df.limit(_MAX_BUCKETS + 1).collect()
+        if len(rows) > _MAX_BUCKETS:
+            raise ValueError(
+                f"dsir_log_weights: {side} has more than "
+                f"{_MAX_BUCKETS} rows — counts relations are bounded "
+                "by n_buckets by construction; was a raw token-level "
+                "frame passed instead of hashed_bucket_counts output?")
+        return {r["bucket"]: r["cnt"] for r in rows}
+
+    rc = _bounded(raw_counts, "raw_counts")
+    tc = _bounded(target_counts, "target_counts")
     r_tot, t_tot = sum(rc.values()), sum(tc.values())
     # ln p_t(b) - ln p_r(b) = [ln(tc+s) - ln(rc+s)] + const, with
     # const = ln(R + s·B) - ln(T + s·B) hoisted out of the bounded
