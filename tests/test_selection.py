@@ -93,6 +93,30 @@ def test_quality_classifier_duplicate_buckets_sum(spark, sdocs):
         assert rows[0] == 2 * 15
 
 
+def test_quality_classifier_out_of_range_buckets_dropped(spark, sdocs):
+    """ADVICE r10: weight rows with buckets outside [0, n_buckets) can
+    never match a hashed feature — they must neither change scores nor
+    count toward the literal/broadcast sizing (a model padded with junk
+    ids must not be pushed off the fast literal-map path)."""
+    good = [(_bucket("the"), 10), (_bucket("spam"), -50)]
+    junk = [(-5, 999), (B, 123), (B + 7, -1), (10 ** 12, 5)]
+    want = sorted(map(tuple,
+                      quality_classifier(sdocs,
+                                         _weights(spark, good)).collect()))
+    for kw in ({}, {"max_map_literal": 0}):
+        got = sorted(map(tuple,
+                         quality_classifier(
+                             sdocs, _weights(spark, good + junk),
+                             **kw).collect()))
+        assert got == want
+    # sizing ignores junk: 2 real weights + junk stays on the literal
+    # path (shuffle-free) even with max_map_literal=2
+    from blaze_spark.plans import exchange_count
+    out = quality_classifier(sdocs, _weights(spark, good + junk),
+                             max_map_literal=2)
+    assert exchange_count(out) == 0
+
+
 def test_quality_classifier_empty_weights(spark, sdocs):
     out = quality_classifier(sdocs, _weights(spark, []),
                              intercept_milli=3, threshold_milli=4)
@@ -153,6 +177,33 @@ def test_dsir_precomputed_counts_match_fit(spark, sdocs):
         target_counts=hashed_bucket_counts(target))
     assert sorted(map(tuple, fit.collect())) == \
         sorted(map(tuple, pre.collect()))
+
+
+def test_dsir_counts_frame_duplicate_buckets_sum(spark, sdocs):
+    """ADVICE r10: a user-supplied counts frame with duplicate bucket
+    rows (e.g. an unaggregated UNION of two stores' partials) must SUM
+    per bucket, not silently keep one partial (last-wins dicts)."""
+    target = data([(7, "the cat and the hat")], spark=spark,
+                  schema="doc_id bigint, text string", name="dsdup")
+    rc = hashed_bucket_counts(sdocs)
+    tc = hashed_bucket_counts(target)
+
+    def split(df):
+        # every bucket row twice with the count split 1 / (cnt-1) —
+        # the unaggregated two-partials shape; sums reproduce df
+        return (df.select("bucket", F.lit(1).cast("long").alias("cnt"))
+                .unionByName(
+                    df.select("bucket", (F.col("cnt") - 1)
+                              .cast("long").alias("cnt"))))
+
+    want = sorted(map(tuple,
+                      dsir_log_weights(sdocs, raw_counts=rc,
+                                       target_counts=tc).collect()))
+    got = sorted(map(tuple,
+                     dsir_log_weights(sdocs, raw_counts=split(rc),
+                                      target_counts=split(tc))
+                     .collect()))
+    assert got == want
 
 
 def test_dsir_guards(spark, sdocs):

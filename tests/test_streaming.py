@@ -470,6 +470,45 @@ def test_incremental_counts_store_matches_batch_fit(spark, tmp_path):
                    for c in os.listdir(store) if c.startswith("ingest"))
 
 
+def test_counts_store_read_survives_corrupt_crashed_ingest(spark,
+                                                           tmp_path):
+    """VERDICT r10 #2: ``read_bucket_counts`` must list the complete
+    ingest directories EXPLICITLY — a crashed batch that died mid-write
+    can leave a half-written parquet footer, and a root-wide read's
+    schema inference may touch that file and fail the whole read even
+    though partition pruning would have excluded its rows."""
+    import os
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import hashed_bucket_counts
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_counts_batch, read_bucket_counts)
+
+    store = str(tmp_path / "counts_store")
+    rows = [(i, f"tok{i % 5} common words") for i in range(20)]
+    for bid, part in enumerate([rows[:10], rows[10:]]):
+        b = data(part, spark=spark, schema="doc_id long, text string",
+                 name=f"cc{bid}")
+        ingest_counts_batch(b, store, n_buckets=128, batch_id=bid)
+
+    # the crash fixture: an ingest directory holding ONLY a truncated
+    # parquet file, no _SUCCESS
+    crashed = os.path.join(store, "ingest=7")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1 truncated mid-write, not a valid footer")
+
+    full = data(rows, spark=spark, schema="doc_id long, text string",
+                name="ccfull")
+    expect = sorted(map(tuple,
+                        hashed_bucket_counts(full, n_buckets=128)
+                        .collect()))
+    got = sorted(map(tuple,
+                     read_bucket_counts(spark, store, n_buckets=128)
+                     .collect()))
+    assert got == expect
+
+
 def test_incremental_counts_feed_dsir(spark, tmp_path, sf_dir):
     """The store's relation plugs straight into dsir_log_weights as
     raw_counts/target_counts and reproduces the direct fit exactly."""
@@ -980,6 +1019,16 @@ def test_incremental_pq_index_matches_batch_encode(spark, tmp_path):
     import shutil
     shutil.copytree(store + "/ingest=1", store + "/ingest=9")
     os.remove(store + "/ingest=9/_SUCCESS")
+    assert read_pq_index(spark, store, cb, cents).df.count() == len(want)
+
+    # ...even when the crashed ingest died MID-WRITE leaving a corrupt
+    # parquet footer: reads list the complete directories explicitly
+    # (VERDICT r10 #2), so schema inference can never touch it
+    for dirpath, _, files in os.walk(store + "/ingest=9"):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(dirpath, f), "wb") as fh:
+                    fh.write(b"PAR1 truncated mid-write, not a footer")
     assert read_pq_index(spark, store, cb, cents).df.count() == len(want)
 
 
