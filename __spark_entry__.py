@@ -2635,6 +2635,54 @@ def targeted_corpus_build(spark, sf_dir):
                          "split").orderBy("doc_id")
 
 
+def blaze_client_selection(spark, sf_dir):
+    """Remote model-based selection (r11, VERDICT r10 #1): the FULL
+    classifier → semi-join gate → DSIR → Gumbel-resample chain
+    serializes over ``blaze://`` and runs SERVER-side — the shape of a
+    remote curation service.  The bounded (bucket, weight_milli) model
+    ships as a LITERAL table inside the tree node (the r9 FK/ddof
+    closure pattern); the DSIR target corpus rides as a SUBTREE over
+    the registered dataset (reference: the server executes any
+    registered expression — blaze/server/server.py:411-477, client
+    blaze/server/client.py:249-258); only the 100-row resampled result
+    crosses the wire.  Every stage is engine-portable (integer milli
+    scores, round-4/6 exports), so the oracle value-checks the exact
+    surviving docs and their keys."""
+    import hashlib
+
+    from blaze_spark import data, join
+    from blaze_spark.pipeline import (dsir_log_weights,
+                                      quality_classifier,
+                                      weighted_sample)
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        lex = [("the", 10), ("a", 10), ("of", 10), ("and", 10),
+               ("to", 10), ("slow", -15), ("filter", -15)]
+        wts = spark.createDataFrame(
+            [(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096, m)
+             for w, m in lex], "bucket long, weight_milli long")
+        qc = quality_classifier(rt, wts, n_buckets=4096,
+                                intercept_milli=-20, threshold_milli=-20)
+        kept = join(rt, qc[qc.keep == 1][["doc_id"]],
+                    "doc_id", "doc_id", how="semi")
+        target = kept[kept.source.isin(["src0", "src1", "src2"])]
+        w = dsir_log_weights(kept, target, n_buckets=1024)
+        s = weighted_sample(w, "logw", n=100, temperature=0.5)
+        expr = s[["doc_id", "n_tokens", "logw",
+                  "sample_key"]].sort("doc_id")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2685,6 +2733,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pivot_status_by_priority (green r9 rows, unchanged code)
         # rotate below the boundary to keep the sample at exactly 50.
         # Nothing failing rotated out (r9 had zero failures).
+        # r11 head: blaze_client_selection (NEW oracle-able entry — the
+        # selection family over the wire dialect, VERDICT r10 #1),
+        # then the r10-head entries whose query/operator paths changed
+        # this round (quality_classifier junk-bucket bounding, DSIR
+        # counts-frame duplicate summing, batched_topk count hoist +
+        # eager chunk materialization); cube_order_stats (green r10
+        # row, unchanged code) rotates below the boundary to keep the
+        # sample at exactly 50.  Nothing failing rotated out (r10 had
+        # zero failures).
+        "blaze_client_selection": blaze_client_selection,
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_resample_docs": dsir_resample_docs,
@@ -2734,7 +2792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_counts": left_join_counts,
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
-        "cube_order_stats": cube_order_stats,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
@@ -2743,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_video_frames entries plus url_domain_stats (whose
         # domain_mix plan changed); nothing failing rotated out (r8 had
         # zero failures) =================================================
+        "cube_order_stats": cube_order_stats,
         "pivot_status_by_priority": pivot_status_by_priority,
         "lag_events": lag_events,
         "rank_orders_per_customer": rank_orders_per_customer,
@@ -4567,6 +4625,84 @@ def oracle_sql() -> dict[str, str]:
                              || '-7'), 1, 8) < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM samp ORDER BY doc_id
+        """,
+        # the remote selection chain (r11): same math as the local
+        # entries — the wire changes WHERE it runs, never the answer
+        "blaze_client_selection": r"""
+            WITH lex(w, wm) AS (VALUES
+                ('the', 10), ('a', 10), ('of', 10), ('and', 10),
+                ('to', 10), ('slow', -15), ('filter', -15)),
+            wts AS (
+                SELECT CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket,
+                       SUM(wm) AS wm
+                FROM lex GROUP BY 1),
+            tb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM documents)),
+            qc AS (
+                SELECT tb.doc_id,
+                       -20 + COALESCE(SUM(w.wm), 0) AS score
+                FROM tb LEFT JOIN wts w USING (bucket)
+                GROUP BY tb.doc_id),
+            kept AS (
+                SELECT d.* FROM documents d JOIN qc USING (doc_id)
+                WHERE qc.score >= -20),
+            ktb AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM (SELECT doc_id, source,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(text)), '\s+')) AS tok
+                      FROM kept)),
+            rc AS (SELECT bucket, count(*) AS rc FROM ktb GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS tc FROM ktb
+                   WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM ktb) AS r_tot,
+                           (SELECT count(*) FROM ktb
+                            WHERE source IN ('src0', 'src1', 'src2'))
+                               AS t_tot),
+            lr AS (
+                SELECT rc.bucket,
+                       ln(COALESCE(tc.tc, 0) + 1) - ln(rc.rc + 1) AS lr
+                FROM rc LEFT JOIN tc USING (bucket)),
+            sc AS (
+                SELECT ktb.doc_id, SUM(lr.lr) AS s
+                FROM ktb LEFT JOIN lr USING (bucket)
+                GROUP BY ktb.doc_id),
+            w AS (
+                SELECT k.doc_id,
+                       CAST(len(regexp_split_to_array(trim(lower(k.text)),
+                                                      '\s+')) AS INT)
+                           AS n_tokens,
+                       round(sc.s
+                             + len(regexp_split_to_array(
+                                   trim(lower(k.text)), '\s+'))
+                               * (ln(tot.r_tot + 1024)
+                                  - ln(tot.t_tot + 1024)),
+                             4) + 0.0 AS logw
+                FROM kept k JOIN sc USING (doc_id), tot),
+            keyed AS (
+                SELECT doc_id, n_tokens, logw,
+                       round(logw / 0.5
+                             + -ln(-ln((CAST(concat('0x',
+                                   substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '-42'), 1, 8))
+                                   AS BIGINT) + 1) / 4294967297.0)),
+                             6) + 0.0 AS sample_key
+                FROM w)
+            SELECT doc_id, n_tokens, logw, sample_key
+            FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+                                               doc_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 100
+            ORDER BY doc_id
         """,
         "batched_topk_embeddings": """
             WITH scored AS (

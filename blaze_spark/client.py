@@ -30,7 +30,11 @@ intersect / except / pivot / unpivot / explode / hash_sample / merge
 and the unary curation passes (language_id, quality_features,
 fingerprint, repetition_features, pii_scrub, token_stats — routed
 through ``_derived`` so they preserve the remote leaf and record their
-node, r8).  Bare reductions aggregate server-side through a one-entry
+node, r8), plus the model-based selection family (r11:
+hashed_bucket_counts / quality_classifier / dsir_log_weights /
+weighted_sample — their bounded model/counts relations ship as
+literal tables inside the node; corpora ride as same-server
+subtrees).  Bare reductions aggregate server-side through a one-entry
 summary tree (``rt.col.sum().compute()`` never reads the empty local
 frame), and so do the 1-D column ops (compute/peek/distinct/sort/head)
 and Table iteration.  Every pipeline/operator entry point OUTSIDE this

@@ -420,7 +420,16 @@ class ColExpr:
                 "isin", T.BooleanType())
             out._isin_semi = (src, vals)
             return out
-        return self._make(self._col.isin(vals), "isin", T.BooleanType())
+        out = self._make(self._col.isin(vals), "isin", T.BooleanType())
+        # small literal sets serialize (interop._expr replays the
+        # 'isin' node); the large-set semi-join marker stays local-only
+        # — a >10k-value list has no business riding the wire as a
+        # literal (register the value set as a dataset and semi-join)
+        if self._tree is not None and all(
+                isinstance(v, (bool, int, float, str, type(None)))
+                for v in vals):
+            out._tree = {"op": "isin", "args": [self._tree, vals]}
+        return out
 
     # -- glob-style like (blaze/expr/strings.py:57-83; translated to SQL
     #    %/_ at blaze/compute/sql.py:1276-1278) ---------------------------

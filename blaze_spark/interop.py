@@ -206,7 +206,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # passes on registered datasets without shipping code
                   "language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
-                  "gopher_rules", "hash_sample"}
+                  "gopher_rules", "hash_sample",
+                  # model-based selection family (r11): the bounded
+                  # model/counts relations ride as literal row lists
+                  # inside the node; corpora ride as subtrees
+                  "hashed_bucket_counts", "quality_classifier",
+                  "dsir_log_weights", "weighted_sample"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -320,6 +325,9 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             # args: [child, frac, on, salt?]
             return child.hash_sample(args[1], on=args[2],
                                      salt=args[3] if len(args) > 3 else 42)
+        if op in ("hashed_bucket_counts", "quality_classifier",
+                  "dsir_log_weights", "weighted_sample"):
+            return _selection_node(op, args, child, walk)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
                   "gopher_rules"):
@@ -349,6 +357,73 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         raise ValueError(f"unknown table op: {op}")
 
     return walk(tree)
+
+
+def _selection_node(op: str, args: list, child: Table, walk):
+    """Replay a model-based selection node (r11).  The model/counts
+    relations arrive as literal ``[[bucket, value], ...]`` row lists
+    (BOUNDED — the client collects them under the ``_MAX_BUCKETS``
+    guard before serializing) or, for counts, as a subtree over the
+    registered datasets; keyword args are re-validated by the local
+    entry points, so a hostile node fails the same way a bad local
+    call does."""
+    from .pipeline import (dsir_log_weights, hashed_bucket_counts,
+                           quality_classifier, weighted_sample)
+
+    spark = child.df.sparkSession
+
+    def _counts_df(enc):
+        if enc is None:
+            return None
+        if isinstance(enc, dict):
+            return walk(enc).df
+        return spark.createDataFrame(
+            [(int(b), int(c)) for b, c in enc], "bucket long, cnt long")
+
+    _SEL_KW = {
+        "quality_classifier": {"text_col", "id_col", "n_buckets",
+                               "intercept_milli", "threshold_milli",
+                               "max_map_literal", "n"},
+        "dsir_log_weights": {"text_col", "id_col", "n_buckets",
+                             "smoothing", "n", "max_map_literal"},
+        "weighted_sample": {"n", "key_threshold", "id_col",
+                            "temperature", "seed", "max_n"},
+    }
+
+    def _kw(raw_kw: dict, which: str) -> dict:
+        bad = set(raw_kw) - _SEL_KW[which]
+        if bad:
+            raise ValueError(
+                f"{which} wire node carries unknown keyword(s) "
+                f"{sorted(bad)} — re-serialize with a matching client "
+                "version")
+        return dict(raw_kw)
+
+    if op == "hashed_bucket_counts":
+        # args: [child, text_col, n_buckets, n]
+        return Table(hashed_bucket_counts(child, args[1], args[2],
+                                          args[3]), "bucket_counts")
+    if op == "quality_classifier":
+        # args: [child, [[bucket, weight_milli], ...], {kw}]
+        wdf = spark.createDataFrame(
+            [(int(b), int(w)) for b, w in args[1]],
+            "bucket long, weight_milli long")
+        return Table(quality_classifier(child, wdf,
+                                        **_kw(args[2],
+                                              "quality_classifier")),
+                     "quality_classifier")
+    if op == "dsir_log_weights":
+        # args: [child, target_tree|None, raw_counts, target_counts,
+        #        {kw}] — counts: None | literal rows | subtree
+        target = walk(args[1]) if args[1] is not None else None
+        return Table(dsir_log_weights(
+            child, target, raw_counts=_counts_df(args[2]),
+            target_counts=_counts_df(args[3]),
+            **_kw(args[4], "dsir_log_weights")), "dsir_log_weights")
+    # weighted_sample — args: [child, score_col, {kw}]
+    return Table(weighted_sample(child, args[1],
+                                 **_kw(args[2], "weighted_sample")),
+                 "weighted_sample")
 
 
 def compute_tree(tree: dict, *, spark: SparkSession | None = None,

@@ -17,6 +17,7 @@ from blaze_spark.pipeline import (
     dsir_log_weights,
     hashed_bucket_counts,
     quality_classifier,
+    weighted_sample,
 )
 
 B = 4096
@@ -332,12 +333,38 @@ def test_weighted_sample_threshold_form_is_shuffle_free(spark):
     assert exchange_count(out) == 0
 
 
-def test_selection_remote_guard(spark, sdocs):
-    """No wire-dialect form -> a remote table raises at entry."""
+def test_selection_remote_dispatch_records_trees(spark, sdocs):
+    """r11: remote inputs no longer raise at entry — each entry point
+    records its wire node over the input's tree and returns a remote
+    expression with the exact local output schema (real HTTP
+    round-trips: test_server.test_remote_selection_family_runs_
+    server_side)."""
     remote = data([(0, "t")], spark=spark,
                   schema="doc_id bigint, text string", name="rsel")
     remote._client = object()  # simulate a blaze:// table
-    with pytest.raises(TypeError, match="wire dialect"):
-        quality_classifier(remote, _weights(spark, []))
-    with pytest.raises(TypeError, match="wire dialect"):
+    remote._tree = {"op": "symbol", "args": ["rsel"]}
+
+    out = quality_classifier(remote, _weights(spark, [(5, 10)]))
+    assert out._tree["op"] == "quality_classifier"
+    assert out._tree["args"][1] == [[5, 10]]
+    assert out.df.schema.simpleString() == \
+        "struct<doc_id:bigint,n_tokens:int,score_milli:bigint,keep:int>"
+
+    counts = hashed_bucket_counts(remote, n_buckets=64)
+    assert counts._tree["op"] == "hashed_bucket_counts"
+    d = dsir_log_weights(remote, target_counts=counts,
+                         raw_counts=hashed_bucket_counts(sdocs,
+                                                         n_buckets=64),
+                         n_buckets=64)
+    # remote counts ride as a SUBTREE, local counts as literal rows
+    assert d._tree["args"][3]["op"] == "hashed_bucket_counts"
+    assert isinstance(d._tree["args"][2], list)
+    assert d.df.schema.simpleString() == \
+        "struct<doc_id:bigint,n_tokens:int,logw:double>"
+
+    ws = weighted_sample(d, "logw", n=3)
+    assert ws._tree["op"] == "weighted_sample"
+    assert "sample_key" in ws.df.columns
+    # a mixed local/remote target still fails loudly
+    with pytest.raises(TypeError, match="SAME server"):
         dsir_log_weights(remote, sdocs)

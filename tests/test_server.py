@@ -640,6 +640,130 @@ def test_remote_curation_passes_run_server_side(spark, star):
         srv.stop()
 
 
+def test_remote_selection_family_runs_server_side(spark, star):
+    """r11 (VERDICT r10 #1): the model-based selection family
+    serializes over blaze:// — bounded model/counts relations ship as
+    literal tables in the node, corpora ride as subtrees — and every
+    remote answer is byte-equal to the local one."""
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import (dsir_log_weights,
+                                      hashed_bucket_counts,
+                                      quality_classifier,
+                                      weighted_sample)
+    from blaze_spark.server import BlazeSparkServer
+
+    docs = star["documents"]
+    srv = BlazeSparkServer({"documents": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+
+        # fit side: counts relation computes server-side
+        want = sorted(map(tuple,
+                          hashed_bucket_counts(docs, n_buckets=256)
+                          .collect()))
+        rem = hashed_bucket_counts(rt, n_buckets=256)
+        assert rem._tree is not None and rem._client is not None
+        got = sorted(map(tuple, rem.compute().itertuples(index=False)))
+        assert got == want
+
+        # classifier: literal weights incl. duplicate + out-of-range
+        # rows (normalized client-side before serializing)
+        w = spark.createDataFrame(
+            [(5, 100), (5, 23), (-2, 9), (70_000, 1), (17, -40)],
+            "bucket long, weight_milli long")
+        want = sorted(map(tuple,
+                          quality_classifier(docs, w, n_buckets=512,
+                                             threshold_milli=10)
+                          .collect()))
+        got = sorted(map(tuple,
+                         quality_classifier(rt, w, n_buckets=512,
+                                            threshold_milli=10)
+                         .compute().itertuples(index=False)))
+        assert got == want
+
+        # DSIR: remote target subtree (isin selection rides the wire)
+        tgt_l = docs[docs.source.isin(["src0", "src1"])]
+        tgt_r = rt[rt.source.isin(["src0", "src1"])]
+        want = sorted(map(tuple,
+                          dsir_log_weights(docs, tgt_l, n_buckets=512)
+                          .collect()))
+        got = sorted(map(tuple,
+                         dsir_log_weights(rt, tgt_r, n_buckets=512)
+                         .compute().itertuples(index=False)))
+        assert got == want
+
+        # DSIR with literal counts frames + chained weighted_sample,
+        # and a REMOTE counts expression as raw_counts (subtree)
+        rc = hashed_bucket_counts(docs, n_buckets=512)
+        tc = hashed_bucket_counts(tgt_l, n_buckets=512)
+        loc = dsir_log_weights(docs, raw_counts=rc, target_counts=tc,
+                               n_buckets=512)
+        rem = dsir_log_weights(rt, raw_counts=hashed_bucket_counts(
+            rt, n_buckets=512), target_counts=tc, n_buckets=512)
+        assert sorted(map(tuple, rem.compute().itertuples(index=False))) \
+            == sorted(map(tuple, loc.collect()))
+        ws_l = sorted(map(tuple,
+                          weighted_sample(Table(loc), "logw", n=25)
+                          .collect()))
+        ws_r = sorted(map(tuple,
+                          weighted_sample(rem, "logw", n=25)
+                          .compute().itertuples(index=False)))
+        assert ws_r == ws_l
+    finally:
+        srv.stop()
+
+
+def test_selection_wire_fail_loud_paths(spark, star):
+    """The selection dialect's loud edges: a local/foreign-server
+    target raises (never a silent empty), a non-serializable remote
+    prefix raises at entry, an unknown-keyword node from a newer
+    client is rejected server-side (the var_samp skew precedent), and
+    pre-r11 servers reject the ops via the from_tree whitelist."""
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline import (dsir_log_weights,
+                                      quality_classifier,
+                                      weighted_sample)
+    from blaze_spark.server import BlazeSparkServer
+
+    docs = star["documents"]
+    srv = BlazeSparkServer({"documents": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        # mixing a remote raw with a local target corpus raises
+        with pytest.raises(TypeError, match="SAME server"):
+            dsir_log_weights(rt, docs, n_buckets=256)
+        # a remote weights TABLE cannot ship as a literal model
+        with pytest.raises(TypeError, match="LOCAL"):
+            quality_classifier(rt, rt, n_buckets=256)
+        # a non-serializable remote prefix fails at entry, not empty
+        broken = rt._new(rt.df)
+        broken._tree = None
+        with pytest.raises(ValueError, match="serializable"):
+            weighted_sample(broken, "n_chars", n=5)
+        # version skew: a node with keywords this server doesn't know
+        # (a newer client) is rejected loudly, never half-applied
+        tree = {"op": "weighted_sample",
+                "args": [{"op": "symbol", "args": ["documents"]},
+                         "quality",
+                         {"n": 5, "id_col": "doc_id",
+                          "future_knob": True}]}
+        with pytest.raises(ValueError, match="matching client"):
+            from_tree(tree, datasets={"documents": docs})
+    finally:
+        srv.stop()
+    # pre-r11 skew direction: a server whose dialect lacks these ops
+    # rejects them via the whitelist check BEFORE touching args — the
+    # client surfaces the 4xx; replicate the whitelist behavior
+    with pytest.raises(ValueError, match="unknown table op"):
+        from_tree({"op": "quality_classifier_v99", "args": []},
+                  datasets={"documents": docs})
+
+
 def test_client_attribute_probe_is_side_effect_safe(spark):
     """ADVICE r7 (low): hasattr/duck-typing on a Client must not raise
     ConnectionError from plain attribute access — unreachable servers
