@@ -2565,12 +2565,16 @@ def dsir_weights_docs(spark, sf_dir):
     floats are ln() over those integers and one round-4 per-doc export
     (the udaf_geomean oracle precedent).  The log-ratio relation is
     bounded by n_buckets and broadcasts; scoring adds one explode +
-    one per-doc aggregation to the raw scan."""
+    one per-doc aggregation to the raw scan.  r11: the target is a
+    FILTER of the raw corpus, so the fit runs as ONE dual-count
+    tokenization pass (``target_filter=`` — VERDICT r10 #3; pinned
+    equal to the two-fit form in pytest)."""
     from blaze_spark.pipeline import dsir_log_weights
 
     d = _t(spark, sf_dir, "documents")
-    target = d[d.source.isin(["src0", "src1", "src2"])]
-    return dsir_log_weights(d, target, n_buckets=1024).orderBy("doc_id")
+    return dsir_log_weights(
+        d, target_filter=d.source.isin(["src0", "src1", "src2"]),
+        n_buckets=1024).orderBy("doc_id")
 
 
 def dsir_resample_docs(spark, sf_dir):

@@ -399,10 +399,19 @@ def _selection_node(op: str, args: list, child: Table, walk):
                 "version")
         return dict(raw_kw)
 
+    def _tf(idx):
+        # optional trailing target_filter expression subtree (r11
+        # one-pass dual-count fit); absent in earlier r11 trees
+        if len(args) <= idx or args[idx] is None:
+            return None
+        return _expr(args[idx], child)
+
     if op == "hashed_bucket_counts":
-        # args: [child, text_col, n_buckets, n]
+        # args: [child, text_col, n_buckets, n, (target_filter_expr)]
         return Table(hashed_bucket_counts(child, args[1], args[2],
-                                          args[3]), "bucket_counts")
+                                          args[3],
+                                          target_filter=_tf(4)),
+                     "bucket_counts")
     if op == "quality_classifier":
         # args: [child, [[bucket, weight_milli], ...], {kw}]
         wdf = spark.createDataFrame(
@@ -414,11 +423,13 @@ def _selection_node(op: str, args: list, child: Table, walk):
                      "quality_classifier")
     if op == "dsir_log_weights":
         # args: [child, target_tree|None, raw_counts, target_counts,
-        #        {kw}] — counts: None | literal rows | subtree
+        #        {kw}, (target_filter_expr)] — counts: None | literal
+        #        rows | subtree
         target = walk(args[1]) if args[1] is not None else None
         return Table(dsir_log_weights(
             child, target, raw_counts=_counts_df(args[2]),
             target_counts=_counts_df(args[3]),
+            target_filter=_tf(5),
             **_kw(args[4], "dsir_log_weights")), "dsir_log_weights")
     # weighted_sample — args: [child, score_col, {kw}]
     return Table(weighted_sample(child, args[1],

@@ -207,6 +207,51 @@ def test_dsir_counts_frame_duplicate_buckets_sum(spark, sdocs):
     assert got == want
 
 
+def test_dsir_one_pass_dual_count_fit(spark, sdocs):
+    """VERDICT r10 #3: when the target is a FILTER of raw,
+    ``target_filter=`` fits BOTH count relations in one tokenization —
+    identical weights to the two-fit form, and the dual fit's plan
+    reads the corpus exactly once."""
+    pred = F.col("doc_id").isin([0, 2])
+    want = sorted(map(tuple,
+                      dsir_log_weights(sdocs, sdocs[sdocs.doc_id
+                                                    .isin([0, 2])])
+                      .collect()))
+    got = sorted(map(tuple,
+                     dsir_log_weights(sdocs, target_filter=pred)
+                     .collect()))
+    assert got == want
+    # SQL-string predicates work too
+    got2 = sorted(map(tuple,
+                      dsir_log_weights(sdocs,
+                                       target_filter="doc_id IN (0, 2)")
+                      .collect()))
+    assert got2 == want
+
+    # one scan: the dual-count fit relation reads its source ONCE
+    from blaze_spark import data as _data
+    from blaze_spark.plans import physical_plan
+    pdocs = _data("/root/testdata/sf0.001/documents.parquet",
+                  spark=spark, name="pdocs")
+    dual = hashed_bucket_counts(
+        pdocs, target_filter=F.col("source").isin(["src0"]))
+    assert all(r["cnt"] >= r["target_cnt"] >= 0
+               for r in dual.collect())
+    import re
+    plan = physical_plan(dual)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
+
+    # exclusivity: target_filter replaces the other target forms
+    with pytest.raises(ValueError, match="pass it alone"):
+        dsir_log_weights(sdocs, sdocs, target_filter=pred)
+    with pytest.raises(ValueError, match="pass it alone"):
+        dsir_log_weights(sdocs, target_filter=pred,
+                         raw_counts=hashed_bucket_counts(sdocs))
+    with pytest.raises(TypeError, match="target_filter"):
+        dsir_log_weights(sdocs, target_filter=42)
+
+
 def test_dsir_guards(spark, sdocs):
     with pytest.raises(ValueError, match="target"):
         dsir_log_weights(sdocs)

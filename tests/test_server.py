@@ -711,6 +711,16 @@ def test_remote_selection_family_runs_server_side(spark, star):
                           weighted_sample(rem, "logw", n=25)
                           .compute().itertuples(index=False)))
         assert ws_r == ws_l
+
+        # one-pass dual-count fit over the wire: target_filter rides
+        # as an expression subtree bound to the raw table server-side
+        want = sorted(map(tuple, dsir_log_weights(
+            docs, target_filter=docs.source.isin(["src0", "src1"]),
+            n_buckets=512).collect()))
+        got = sorted(map(tuple, dsir_log_weights(
+            rt, target_filter=rt.source.isin(["src0", "src1"]),
+            n_buckets=512).compute().itertuples(index=False)))
+        assert got == want
     finally:
         srv.stop()
 
