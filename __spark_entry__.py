@@ -2470,6 +2470,60 @@ def incremental_counts_batches(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def streaming_dsir_pipeline(spark, sf_dir):
+    """Streaming-native DSIR END-TO-END (r11, VERDICT r10 #6) — what a
+    production stream actually runs: raw and target hashed-counts
+    STORES built by three deterministic batch ingests each (the
+    ``foreachBatch`` path — checkpoint-replay-safe, ``_SUCCESS``-
+    gated), ``read_bucket_counts`` feeds both relations into
+    ``dsir_log_weights(raw_counts=, target_counts=)``, and
+    ``weighted_sample`` resamples 100 docs.  The result is full-joined
+    against the ONE-SHOT pipeline (single-pass ``target_filter=`` fit
+    on the same corpus): every row must carry match=1 — the store
+    changes WHERE the counts come from, never which documents survive.
+    Rows-only: the ingest-store probe is not SQL-expressible."""
+    import tempfile
+
+    from blaze_spark.pipeline import dsir_log_weights, weighted_sample
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_counts_batch, read_bucket_counts)
+
+    d = _t(spark, sf_dir, "documents")
+    tgt_pred = F.col("source").isin(["src0", "src1", "src2"])
+    base = tempfile.mkdtemp(prefix="streaming_dsir_")
+    raw_store, tgt_store = base + "/raw", base + "/target"
+    for bid in range(3):
+        part = d.df.filter(F.col("doc_id") % 3 == bid)
+        ingest_counts_batch(Table(part.select("doc_id", "text")),
+                            raw_store, n_buckets=1024, batch_id=bid)
+        ingest_counts_batch(
+            Table(part.filter(tgt_pred).select("doc_id", "text")),
+            tgt_store, n_buckets=1024, batch_id=bid)
+    via_store = weighted_sample(
+        Table(dsir_log_weights(
+            d, n_buckets=1024,
+            raw_counts=read_bucket_counts(spark, raw_store,
+                                          n_buckets=1024),
+            target_counts=read_bucket_counts(spark, tgt_store,
+                                             n_buckets=1024)),
+            "dsir_store"),
+        "logw", n=100, temperature=0.5)
+    one_shot = weighted_sample(
+        Table(dsir_log_weights(d, target_filter=tgt_pred,
+                               n_buckets=1024), "dsir_oneshot"),
+        "logw", n=100, temperature=0.5)
+    s = via_store.select("doc_id", "logw", "sample_key")
+    o = one_shot.select(F.col("doc_id"),
+                        F.col("logw").alias("logw_1"),
+                        F.col("sample_key").alias("key_1"))
+    return (s.join(o, "doc_id", "full")
+            .select("doc_id", "logw", "sample_key",
+                    ((F.col("logw") == F.col("logw_1"))
+                     & (F.col("sample_key") == F.col("key_1")))
+                    .cast("int").alias("match"))
+            .orderBy("doc_id"))
+
+
 def incremental_simhash_batches(spark, sf_dir):
     """Simhash variant of the incremental-dedup contract (same two-batch
     shape as incremental_dedup_batches): exact copies in batch 2 must
@@ -2675,8 +2729,12 @@ def blaze_client_selection(spark, sf_dir):
                                 intercept_milli=-20, threshold_milli=-20)
         kept = join(rt, qc[qc.keep == 1][["doc_id"]],
                     "doc_id", "doc_id", how="semi")
-        target = kept[kept.source.isin(["src0", "src1", "src2"])]
-        w = dsir_log_weights(kept, target, n_buckets=1024)
+        # one-pass dual-count DSIR fit, server-side: the target
+        # predicate rides the wire as an expression subtree
+        w = dsir_log_weights(
+            kept,
+            target_filter=kept.source.isin(["src0", "src1", "src2"]),
+            n_buckets=1024)
         s = weighted_sample(w, "logw", n=100, temperature=0.5)
         expr = s[["doc_id", "n_tokens", "logw",
                   "sample_key"]].sort("doc_id")
@@ -2847,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: counts-store == one-shot-fit equality (rows-only store
         # probe, below the boundary like the other incremental stores)
         "incremental_counts_batches": incremental_counts_batches,
+        "streaming_dsir_pipeline": streaming_dsir_pipeline,
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "approx_sketches": approx_sketches,
         "recall_minhash_lsh": recall_minhash_lsh,

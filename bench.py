@@ -103,7 +103,18 @@ NEW_QUERIES_R10 = [
     "targeted_corpus_build",
 ]
 
-BENCH_QUERIES = LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
+# r11: the wire-dialect selection chain (in-process HTTP server +
+# client; classifier -> semi-join gate -> one-pass DSIR -> resample
+# run SERVER-side, only 100 rows cross the wire) and the
+# streaming-native DSIR composite (6 counts-store ingests + store-fed
+# scoring full-joined against the one-shot pipeline).
+NEW_QUERIES_R11 = [
+    "blaze_client_selection",
+    "streaming_dsir_pipeline",
+]
+
+BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
+                 + NEW_QUERIES_R11)
 
 
 def main():

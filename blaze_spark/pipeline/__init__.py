@@ -79,6 +79,7 @@ from .pq import (  # noqa: F401
     write_pq_codes,
 )
 from .selection import (  # noqa: F401
+    calibrate_key_threshold,
     dsir_log_weights,
     hashed_bucket_counts,
     ngram_buckets,

@@ -460,6 +460,87 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
             .select(F.col(id_col), F.col("n_tokens"), F.col("logw")))
 
 
+def _gumbel_key(score_col: str, id_col: str, temperature: float,
+                seed: int) -> Column:
+    """The Gumbel-top-k ranking key (round-6): score/T + Gumbel noise
+    seeded from the engine-portable md5-uniform convention.  ONE
+    definition shared by :func:`weighted_sample` and
+    :func:`calibrate_key_threshold` so calibration can never drift
+    from the sampler."""
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(
+                F.coalesce(F.col(id_col).cast("string"),
+                           F.lit("__null__")),
+                F.lit(f"-{seed}"))), 1, 8), 16, 10)
+          .cast(T.LongType()) + F.lit(1)) / F.lit(float(2 ** 32 + 1)))
+    gumbel = -F.log(-F.log(u))
+    return F.round(F.col(score_col) / F.lit(float(temperature))
+                   + gumbel, 6)
+
+
+def calibrate_key_threshold(t: Table | DataFrame, score_col: str,
+                            target_n: int, id_col: str = "doc_id",
+                            temperature: float = 1.0, seed: int = 42,
+                            max_sample: int = 200_000,
+                            n_rows: int | None = None) -> float:
+    """Calibrate ``key_threshold`` for :func:`weighted_sample`'s
+    unbounded filter form so that E[rows kept] ≈ ``target_n`` — the
+    missing step between the bounded top-n mode (guarded by ``max_n``)
+    and the 100 TB shuffle-free filter mode (VERDICT r10 #4).
+
+    Method: compute the SAME round-6 ranking key the sampler uses
+    (:func:`_gumbel_key` — shared code, so no drift), on a BOUNDED
+    deterministic hash-sample of ≤ ~``max_sample`` rows (md5 of
+    ``id || '-cal<seed>'`` — a DIFFERENT salt string than the Gumbel
+    noise's ``id || '-<seed>'``, so sample membership is independent
+    of the ranking key), then return the k-th largest sampled key
+    with ``k = round(target_n · m / N)``.  Rows with key ≥ the
+    returned threshold then number ≈ ``target_n`` (exact when the
+    sample is the full corpus, binomial-noise-accurate otherwise —
+    tighten with a larger ``max_sample``).
+
+    Driver state is ≤ ~``max_sample`` floats; the corpus is read once
+    (pass ``n_rows`` to skip the sizing count and make it once
+    total).  Returns ``-inf`` when ``target_n`` ≥ the corpus size
+    (the filter then keeps everything)."""
+    if target_n < 1:
+        raise ValueError(f"target_n must be >= 1, got {target_n}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if max_sample < 1:
+        raise ValueError(f"max_sample must be >= 1, got {max_sample}")
+    df = t.df if isinstance(t, Table) else t
+    n = n_rows if n_rows is not None else df.count()
+    if n == 0:
+        raise ValueError("calibrate_key_threshold: corpus is empty")
+    if target_n >= n:
+        return float("-inf")
+    frac = min(1.0, max_sample / n)
+    sdf = df
+    if frac < 1.0:
+        # deterministic decorrelated membership: first 8 md5 hex of
+        # id||'-cal<seed>' as a uniform in [0, 1)
+        u_cal = (F.conv(F.substring(
+            F.md5(F.concat(
+                F.coalesce(F.col(id_col).cast("string"),
+                           F.lit("__null__")),
+                F.lit(f"-cal{seed}"))), 1, 8), 16, 10)
+            .cast(T.LongType()) / F.lit(float(2 ** 32)))
+        sdf = df.filter(u_cal < F.lit(frac))
+    keys = [r["k"] for r in
+            sdf.select(_gumbel_key(score_col, id_col, temperature,
+                                   seed).alias("k"))
+            .filter(F.col("k").isNotNull()).collect()]
+    m = len(keys)
+    if m == 0:
+        raise ValueError(
+            "calibrate_key_threshold: the calibration sample is empty "
+            "— raise max_sample (or check id_col/score_col for NULLs)")
+    k = min(m, max(1, round(target_n * m / n)))
+    keys.sort(reverse=True)
+    return float(keys[k - 1])
+
+
 def weighted_sample(t: Table | DataFrame, score_col: str,
                     n: int | None = None,
                     key_threshold: float | None = None,
@@ -493,7 +574,8 @@ def weighted_sample(t: Table | DataFrame, score_col: str,
     - ``key_threshold=``: keep every row with key ≥ threshold — a pure
       shuffle-free projection+filter with NO size bound: the 100 TB
       form (Poisson-style: membership independent per row, E[kept]
-      set by the threshold; calibrate on a small exact-n run).
+      set by the threshold; :func:`calibrate_key_threshold` computes
+      one with E[kept] ≈ a target count from a bounded hash-sample).
 
     Output: the input columns plus ``sample_key`` (the rounded
     ranking key, exported so a kept set is auditable)."""
@@ -503,14 +585,7 @@ def weighted_sample(t: Table | DataFrame, score_col: str,
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     df = t.df if isinstance(t, Table) else t
-    u = ((F.conv(F.substring(
-            F.md5(F.concat(
-                F.coalesce(F.col(id_col).cast("string"),
-                           F.lit("__null__")),
-                F.lit(f"-{seed}"))), 1, 8), 16, 10)
-          .cast(T.LongType()) + F.lit(1)) / F.lit(float(2 ** 32 + 1)))
-    gumbel = -F.log(-F.log(u))
-    key = F.round(F.col(score_col) / F.lit(float(temperature)) + gumbel, 6)
+    key = _gumbel_key(score_col, id_col, temperature, seed)
     keyed = df.withColumn("sample_key", key + F.lit(0.0))
     if n is not None:
         if not 1 <= n <= max_n:
@@ -751,3 +826,11 @@ def weighted_sample(t, score_col: str, n: int | None = None,
                       "temperature": float(temperature),
                       "seed": int(seed), "max_n": int(max_n)}]}
     return _wire_result(t, local, node)
+
+
+# calibrate_key_threshold is an EAGER scalar fit (collects sampled
+# keys driver-side) with no wire-dialect form — remote inputs raise at
+# entry rather than calibrating over the empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+calibrate_key_threshold = _lg(calibrate_key_threshold)

@@ -378,6 +378,44 @@ def test_weighted_sample_threshold_form_is_shuffle_free(spark):
     assert exchange_count(out) == 0
 
 
+def test_calibrate_key_threshold(spark):
+    """VERDICT r10 #4: the calibrated threshold for weighted_sample's
+    unbounded filter form gives E[kept] ≈ target_n — EXACT (and equal
+    to the top-n set) when the calibration sample is the full corpus,
+    inside a binomial band on a subsample; deterministic across
+    calls."""
+    from blaze_spark.pipeline import calibrate_key_threshold
+
+    rows = [(i, float((i * 37) % 100) / 10.0) for i in range(2000)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, score double", name="calib")
+
+    # full-corpus sample: the k-th largest key is exact
+    thr = calibrate_key_threshold(t, "score", 100, max_sample=10_000)
+    kept_ids = {r["doc_id"] for r in
+                weighted_sample(t, "score",
+                                key_threshold=thr).collect()}
+    top_ids = {r["doc_id"] for r in
+               weighted_sample(t, "score", n=100).collect()}
+    assert len(kept_ids) == 100 and kept_ids == top_ids
+    # deterministic: same inputs -> same threshold (md5, no RNG)
+    assert thr == calibrate_key_threshold(t, "score", 100,
+                                          max_sample=10_000)
+
+    # bounded subsample (~600 of 2000): kept count lands in the
+    # binomial band around the 500 target
+    thr2 = calibrate_key_threshold(t, "score", 500, max_sample=600)
+    kept2 = weighted_sample(t, "score", key_threshold=thr2).count()
+    assert 350 <= kept2 <= 650, kept2
+
+    # target >= corpus keeps everything; guards are loud
+    assert calibrate_key_threshold(t, "score", 5000) == float("-inf")
+    with pytest.raises(ValueError, match="target_n"):
+        calibrate_key_threshold(t, "score", 0)
+    with pytest.raises(ValueError, match="temperature"):
+        calibrate_key_threshold(t, "score", 10, temperature=0)
+
+
 def test_selection_remote_dispatch_records_trees(spark, sdocs):
     """r11: remote inputs no longer raise at entry — each entry point
     records its wire node over the input's tree and returns a remote

@@ -535,6 +535,18 @@ def test_incremental_counts_feed_dsir(spark, tmp_path, sf_dir):
         sorted(map(tuple, direct.collect()))
 
 
+def test_streaming_dsir_pipeline_matches_one_shot(spark, sf_dir):
+    """r11 (VERDICT r10 #6): the store-fed DSIR composite (3-batch
+    counts ingests -> read_bucket_counts -> dsir_log_weights ->
+    weighted_sample) selects EXACTLY the one-shot pipeline's documents
+    with identical weights and ranking keys."""
+    import __spark_entry__ as entry
+
+    out = entry.streaming_dsir_pipeline(spark, sf_dir).collect()
+    assert out
+    assert all(r["match"] == 1 for r in out)
+
+
 def test_compact_pq_store(spark, tmp_path):
     """VERDICT r9 #4: per-ingest compaction for the PQ code store —
     three ingests collapse to one complete keep dir with fewer files,
