@@ -82,6 +82,7 @@ from .selection import (  # noqa: F401
     calibrate_key_threshold,
     dsir_log_weights,
     hashed_bucket_counts,
+    model_weights,
     ngram_buckets,
     quality_classifier,
     token_buckets,

@@ -165,6 +165,34 @@ def hashed_bucket_counts(t: Table, text_col: str = "text",
                  F.sum("is_t").cast(T.LongType()).alias("target_cnt")))
 
 
+def model_weights(spark, vocab: dict, n_buckets: int = 4096,
+                  scale: int = 1000) -> DataFrame:
+    """Import a trained linear model's vocabulary as a
+    :func:`quality_classifier` weights table: ``{feature_string:
+    float_weight}`` → bounded (bucket LONG, weight_milli LONG) rows.
+
+    Features hash with the family's engine-portable md5 convention
+    (first 8 hex digits → LONG, mod ``n_buckets``) — pass the feature
+    strings EXACTLY as the model was trained (the classifier tokenizes
+    documents with curation's trim/lower/whitespace split, so a
+    fastText/sklearn vocabulary trained on that tokenization lines up;
+    word-n-gram features are their space-joined token strings).
+    Weights quantize to integer milli-units (``round(w · scale)``) so
+    scores stay LONG-exact; hash collisions SUM downstream
+    (`_normalized_weights` — the hashing-trick contract).  Pass the
+    model's intercept separately as
+    ``intercept_milli=round(b · scale)``."""
+    import hashlib
+
+    _validate_features(n_buckets, 1)
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    rows = [(int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+             % n_buckets, int(round(float(w) * scale)))
+            for f, w in vocab.items()]
+    return spark.createDataFrame(rows, "bucket long, weight_milli long")
+
+
 def _normalized_weights(weights: DataFrame,
                         bucket_col: str, weight_col: str) -> DataFrame:
     # duplicate buckets SUM (hash collisions in a user-exported model

@@ -118,6 +118,36 @@ def test_quality_classifier_out_of_range_buckets_dropped(spark, sdocs):
     assert exchange_count(out) == 0
 
 
+def test_model_weights_import_helper(spark, sdocs):
+    """r11: model_weights turns a trained {feature: float_weight}
+    vocabulary into the (bucket, weight_milli) table — same md5
+    buckets and milli-quantization as the inline construction, so
+    scores are identical; colliding features SUM downstream; empty
+    vocab behaves like the empty model."""
+    from blaze_spark.pipeline import model_weights
+
+    vocab = {"the": 0.01, "a": 0.0101, "spam": -0.05}
+    inline = _weights(spark, [(_bucket(w), round(f * 1000))
+                              for w, f in vocab.items()])
+    want = sorted(map(tuple,
+                      quality_classifier(sdocs, inline,
+                                         intercept_milli=5).collect()))
+    got = sorted(map(tuple,
+                     quality_classifier(
+                         sdocs, model_weights(spark, vocab),
+                         intercept_milli=5).collect()))
+    assert got == want
+    # scale controls the fixed-point quantum
+    w2 = model_weights(spark, {"the": 0.5}, scale=10)
+    assert [tuple(r) for r in w2.collect()] == [(_bucket("the"), 5)]
+    # empty vocab -> every score is the intercept
+    out = quality_classifier(sdocs, model_weights(spark, {}),
+                             intercept_milli=7)
+    assert {r["score_milli"] for r in out.collect()} == {7}
+    with pytest.raises(ValueError, match="scale"):
+        model_weights(spark, vocab, scale=0)
+
+
 def test_quality_classifier_empty_weights(spark, sdocs):
     out = quality_classifier(sdocs, _weights(spark, []),
                              intercept_milli=3, threshold_milli=4)
