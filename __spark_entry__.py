@@ -2745,6 +2745,40 @@ def blaze_client_selection(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def ngram_lm_docs(spark, sf_dir):
+    """Bucketized bigram LM scoring (pipeline/lm.ngram_lm_logprob — the
+    CCNet perplexity signal, Wenzek et al. 2020): every document scored
+    as Σ ln P(gram | ctx) under an add-1 LM fit on the corpus itself
+    (ONE tokenization pass — the n-gram START INDEX explodes and
+    gram/context strings slice out of the carried token array in
+    codegen).  Exact integer bucket counts on both engines; the only
+    floats are ln()/exp() over those integers behind round-4 exports
+    (the dsir_weights_docs precedent).  Scoring: positioned-index
+    explode → two broadcast joins of the bounded ln() relations →
+    per-doc re-agg, all codegen (the fold form measured slower here
+    AND unsafe under filter pushdown — PLANS.md r11)."""
+    from blaze_spark.pipeline import ngram_lm_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_lm_logprob(d, n_buckets=1024, n=2).orderBy("doc_id")
+
+
+def perplexity_filter_docs(spark, sf_dir):
+    """CCNet-style perplexity band filter (pipeline/lm.perplexity_filter):
+    keep the documents whose per-gram perplexity under the corpus bigram
+    LM lands in the band [19, 37] — the classic 'drop gibberish
+    AND drop boilerplate' selection.  Membership compares on the round-4
+    exported ppl so the kept set is value-checked exactly: the oracle
+    verifies WHICH documents survive, not just how many."""
+    from blaze_spark.pipeline import perplexity_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_filter(d, n_buckets=1024, n=2,
+                            min_ppl=19.0, max_ppl=37.0)
+    return out.select("doc_id", "source", "n_grams", "logp",
+                      "avg_logp", "ppl").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2804,6 +2838,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row, unchanged code) rotates below the boundary to keep the
         # sample at exactly 50.  Nothing failing rotated out (r10 had
         # zero failures).
+        # Mid-r11 head additions: ngram_lm_docs + perplexity_filter_docs
+        # (NEW oracle-able operators — pipeline/lm.py CCNet-style
+        # bucketized n-gram LM perplexity scoring/filtering);
+        # full_outer_activity and intersect_except_customers (green r10
+        # rows, unchanged code) rotate below the boundary to keep the
+        # sample at exactly 50.
+        "ngram_lm_docs": ngram_lm_docs,
+        "perplexity_filter_docs": perplexity_filter_docs,
         "blaze_client_selection": blaze_client_selection,
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
@@ -2852,10 +2894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
         "left_join_counts": left_join_counts,
+        # ==== driver sample boundary (50) — below here: green driver rows
+        # from earlier rounds + the rows-only entries.  Mid-r11 rotated
+        # out full_outer_activity and intersect_except_customers (green
+        # r10 rows, unchanged code) for the two new lm.py entries.
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
-        # ==== driver sample boundary (50) — below here: green driver rows
-        # from earlier rounds + the rows-only entries.  r9 rotated out
+        # r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
         # trunc_10min_buckets (all green r8 rows, unchanged code) to make
         # room for the new blaze_client_fk_hop, cross_doc_scrub_docs and
@@ -4475,6 +4520,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # Bucketized bigram LM: gram/context buckets from the SAME
+        # md5-first-8-hex convention; ctx = the gram minus its final
+        # token (regexp strip — both engines return '' on no match).
+        # Exact integer counts; ln()/exp() only behind round-4 exports.
+        "ngram_lm_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(COALESCE(cg.c, 0) + 1)
+                           - ln(COALESCE(cc.c2, 0) + 1024)) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.ng, 0) AS INT) AS n_grams,
+                   round(COALESCE(sc.s, 0.0), 4) + 0.0 AS logp,
+                   CASE WHEN sc.ng > 0
+                        THEN round(sc.s / sc.ng, 4) + 0.0 END AS avg_logp,
+                   CASE WHEN sc.ng > 0
+                        THEN round(exp(-sc.s / sc.ng), 4) + 0.0 END AS ppl
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # the same LM, then the CCNet band filter on the round-4 ppl
+        # export (membership value-checked: WHICH docs survive)
+        "perplexity_filter_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(COALESCE(cg.c, 0) + 1)
+                           - ln(COALESCE(cc.c2, 0) + 1024)) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp, s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 19.0 AND s.ppl <= 37.0
+            ORDER BY d.doc_id
+        """,
         "dsir_weights_docs": r"""
             WITH tb AS (
                 SELECT doc_id, source,

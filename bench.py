@@ -111,6 +111,11 @@ NEW_QUERIES_R10 = [
 NEW_QUERIES_R11 = [
     "blaze_client_selection",
     "streaming_dsir_pipeline",
+    # CCNet-style bucketized bigram LM: one-pass positioned-index fit
+    # (eager bounded collect, timed) + codegen explode scoring / the
+    # band filter above the scoring aggregation
+    "ngram_lm_docs",
+    "perplexity_filter_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
@@ -208,6 +213,8 @@ def main():
         "value_new": round(sum(timings_min[n] for n in NEW_QUERIES_R9), 3),
         "value_new_r10": round(sum(timings_min[n]
                                    for n in NEW_QUERIES_R10), 3),
+        "value_new_r11": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R11), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,

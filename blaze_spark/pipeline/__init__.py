@@ -78,6 +78,11 @@ from .pq import (  # noqa: F401
     save_codebooks,
     write_pq_codes,
 )
+from .lm import (  # noqa: F401
+    ngram_lm_fit,
+    ngram_lm_logprob,
+    perplexity_filter,
+)
 from .selection import (  # noqa: F401
     calibrate_key_threshold,
     dsir_log_weights,

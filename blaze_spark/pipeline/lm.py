@@ -1,0 +1,379 @@
+"""Hashed n-gram language-model scoring — CCNet-style perplexity
+filtering for training-data pipelines (Wenzek et al. 2020: score every
+crawled document under an LM fit on a trusted reference corpus, keep
+the low-perplexity band).
+
+The reference has no LM scorer; this extends the model-based selection
+family (``pipeline/selection.py``) with the third classic model-based
+filter: rule battery (curation.gopher_rules) → linear classifier
+(selection.quality_classifier) → LM perplexity (here).  It shares the
+family's engine-portable feature identity (curation's trim/lower/
+whitespace tokens, space-joined n-grams, md5 first-8-hex → LONG mod
+n_buckets buckets) so fits and scores line up bucket-for-bucket with
+DuckDB oracles and with the selection family's counts stores.
+
+Model: a bucketized add-α n-gram LM.  For an n-gram g with context c
+(its first n-1 tokens; the empty string when n == 1),
+
+    ln P(g | c) = ln(cnt[bucket(g)] + α) − ln(ctx_cnt[bucket(c)] + α·B)
+
+where ``cnt`` counts n-gram occurrences, ``ctx_cnt`` counts
+context-as-context occurrences (the number of n-grams whose context is
+c — the exact conditional denominator, NOT the raw (n−1)-gram count,
+which would also count each document's final (n−1)-gram that never
+precedes a token), and B = ``n_buckets`` is the bucketized vocabulary
+size.  Both relations are exact integer counts bounded by n_buckets;
+the only floats are ln() over those integers and the per-doc round-4
+exports (the dsir_log_weights / udaf_geomean oracle precedent).
+
+Plan shapes — measured, and DIFFERENT from DSIR's (PLANS.md r11):
+
+- ``ngram_lm_fit`` is ONE tokenization pass: the n-gram START INDEX
+  explodes (not the gram string), and gram/context strings slice out
+  of the carried token array post-explode in whole-stage codegen —
+  n-gram construction, the context strip, and both md5 buckets all
+  stay JVM-side (the PLANS.md r5 HOF placement rule, applied to the
+  gram builder itself).  Rows double pre-shuffle into (kind, bucket)
+  pairs and aggregate on a ≤ 2·n_buckets key space with map-side
+  combine.  Run once per reference snapshot and reuse (``counts=``).
+- ``ngram_lm_logprob`` scoring defaults to the SAME positioned-index
+  explode → broadcast-join of two bounded ln() relations → per-doc
+  re-aggregation.  DSIR's literal-map-fold verdict does NOT carry
+  over: an LM gram evaluates concat_ws(slice(...)) + two md5 families
+  per element INTERPRETED inside the fold lambda, so the codegen
+  explode wins (2.05 vs 2.48 s at sf0.1) — and, decisively, the fold
+  form is NOT safe to filter over (next bullet).  The fold is still
+  available (``prefer_literal=True``) for compositions where the
+  per-doc shuffle genuinely dominates its ~1.2× scoring cost.
+- ``perplexity_filter`` applies the band ABOVE the scoring aggregation,
+  where Catalyst cannot push the predicate through the projection by
+  substitution.  On the fold form that substitution re-evaluated the
+  ENTIRE scoring expression (map literal included) once per band
+  clause inside an interpreted Filter: 28.3 → 2.1 s at sf0.1 from
+  this restructure + the positioned-index builders (PLANS.md r11).
+- No driver state is unbounded: fits collect ≤ 2·n_buckets rows and
+  raise loudly past ``_MAX_BUCKETS`` (mis-shaped user counts frames
+  fail, never silently spill).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table
+from .curation import _tokens
+from .selection import _MAX_BUCKETS, _bucket_of, _validate_features
+
+
+def _gram_index(tk, n: int):
+    """1-based n-gram start positions of a token-array column: an empty
+    array (never a backwards sequence) for documents shorter than n."""
+    return F.when(
+        F.size(tk) >= n,
+        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))).otherwise(
+        F.array().cast(T.ArrayType(T.IntegerType())))
+
+
+def _gram_at(tk, i, n: int):
+    """The n-gram starting at position ``i`` — identical string identity
+    to curation.ngram_array (space-joined token slice), but built from a
+    MATERIALIZED token array so explode callers get it in codegen."""
+    return F.concat_ws(" ", F.slice(tk, i, n))
+
+
+def _ctx_at(tk, i, n: int):
+    """Its context: the (n−1)-token prefix at the same position; the
+    empty string when n == 1 (every unigram shares one context)."""
+    if n == 1:
+        return F.lit("")
+    return F.concat_ws(" ", F.slice(tk, i, n - 1))
+
+
+def _positioned(df: DataFrame, text_col: str, n: int,
+                *keep: str) -> DataFrame:
+    """One row per n-gram start position: ``(*keep, n_grams, tk, i)``
+    with the token array carried so gram/context strings slice out in
+    whole-stage codegen post-explode.  ``explode_outer``: documents
+    shorter than ``n`` keep one row with ``i`` NULL (their evidence-free
+    marker) so no re-join is needed to preserve them."""
+    tk = _tokens(F.col(text_col))
+    base = df.select(*keep, tk.alias("tk"))
+    n_grams = F.greatest(F.size(F.col("tk")) - F.lit(n - 1),
+                         F.lit(0)).cast(T.IntegerType())
+    return base.select(*keep, n_grams.alias("n_grams"), F.col("tk"),
+                       F.explode_outer(_gram_index(F.col("tk"), n))
+                       .alias("i"))
+
+
+def ngram_lm_fit(t: Table, text_col: str = "text",
+                 n_buckets: int = 4096, n: int = 2) -> DataFrame:
+    """Fit the bucketized n-gram LM in ONE tokenization pass: a
+    ``(kind STRING, bucket LONG, cnt LONG)`` relation with ≤ n_buckets
+    rows per kind — kind ``'gram'`` counts n-gram buckets, ``'ctx'``
+    counts context-as-context buckets (see the module docstring for why
+    that is the exact conditional denominator).
+
+    One scan; gram construction, context strip and both md5 buckets run
+    post-explode in codegen; the (kind, bucket) row doubling happens
+    pre-shuffle and aggregates with map-side combine.  The result is
+    small enough to collect or broadcast; persist it and rescore any
+    number of corpora against one reference snapshot (``counts=``)."""
+    _validate_features(n_buckets, n)
+    ex = _positioned(t.df, text_col, n).filter(F.col("i").isNotNull())
+    pairs = ex.select(F.explode(F.array(
+        F.struct(F.lit("gram").alias("kind"),
+                 _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
+                            n_buckets).alias("bucket")),
+        F.struct(F.lit("ctx").alias("kind"),
+                 _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
+                            n_buckets).alias("bucket")))).alias("kb"))
+    return (pairs.select("kb.kind", "kb.bucket")
+            .groupBy("kind", "bucket")
+            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+
+
+def _bounded_lm_counts(counts: DataFrame) -> tuple[dict, dict]:
+    """Collect a fit relation driver-side, validated and bounded —
+    duplicate (kind, bucket) rows SUM (a union of two snapshots'
+    partials is a legitimate counts frame; the selection family's
+    additive contract)."""
+    types = dict(counts.dtypes)
+    integral = ("tinyint", "smallint", "int", "bigint")
+    if (types.get("kind") != "string"
+            or types.get("bucket") not in integral
+            or types.get("cnt") not in integral):
+        raise ValueError(
+            "ngram_lm_logprob: counts must be a (kind STRING, bucket, "
+            f"cnt) integer relation (ngram_lm_fit output), got columns "
+            f"{counts.dtypes}")
+    agg = (counts.groupBy("kind", "bucket")
+           .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
+    rows = agg.limit(2 * _MAX_BUCKETS + 1).collect()
+    if len(rows) > 2 * _MAX_BUCKETS:
+        raise ValueError(
+            f"ngram_lm_logprob: counts has more than {2 * _MAX_BUCKETS} "
+            "rows — fit relations are bounded by 2·n_buckets by "
+            "construction; was a raw token-level frame passed instead "
+            "of ngram_lm_fit output?")
+    gram, ctx = {}, {}
+    for r in rows:
+        if r["kind"] == "gram":
+            gram[r["bucket"]] = r["cnt"]
+        elif r["kind"] == "ctx":
+            ctx[r["bucket"]] = r["cnt"]
+        else:
+            raise ValueError(
+                f"ngram_lm_logprob: unknown kind {r['kind']!r} in "
+                "counts (expected 'gram'/'ctx')")
+    return gram, ctx
+
+
+def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
+              smoothing):
+    """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
+    the hot path below does lookups and one subtraction per gram,
+    nothing transcendental)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if counts is not None and reference is not None:
+        raise ValueError(
+            "ngram_lm_logprob: pass either reference= (fit here) or "
+            "counts= (precomputed ngram_lm_fit output), not both")
+    if counts is None:
+        counts = ngram_lm_fit(reference if reference is not None else t,
+                              text_col, n_buckets, n)
+    gram, ctx = _bounded_lm_counts(counts)
+    ln_g = {b: math.log(c + smoothing) for b, c in gram.items()}
+    ln_c = {b: math.log(c + smoothing * n_buckets)
+            for b, c in ctx.items()}
+    return (ln_g, ln_c,
+            math.log(smoothing),              # unseen gram bucket
+            math.log(smoothing * n_buckets))  # unseen ctx bucket
+
+
+def ngram_lm_logprob(t: Table, reference: Table | None = None,
+                     counts: DataFrame | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 4096, n: int = 2,
+                     smoothing: float = 1.0,
+                     prefer_literal: bool = False) -> DataFrame:
+    """Score every document of ``t`` under the bucketized add-α n-gram
+    LM: ``(id_col, n_grams INT, logp, avg_logp, ppl)`` with
+
+    - ``logp``     = Σ_i ln P(gram_i | ctx_i)      (round-4)
+    - ``avg_logp`` = logp / n_grams                (round-4; NULL when
+      the document is shorter than ``n`` tokens — no evidence)
+    - ``ppl``      = exp(−avg_logp) per-gram perplexity (round-4)
+
+    The model fits on ``reference`` (CCNet's trusted corpus; defaults
+    to ``t`` itself — self-scoring flags outlier documents), or pass a
+    precomputed/persisted ``ngram_lm_fit`` relation as ``counts=`` —
+    the fit-once-per-snapshot 100 TB form.  Exactly one of
+    reference-fitting and ``counts=`` is used; passing both raises.
+
+    Default plan: positioned-index explode → two broadcast-hash joins
+    of the bounded ln() relations → per-doc re-aggregation, everything
+    per-gram in codegen.  ``prefer_literal=True`` folds the model into
+    literal maps instead — ONE shuffle-free projection, but the fold
+    lambda runs gram construction + two md5 families INTERPRETED per
+    element (measured ~1.2× the explode's scoring cost at sf0.1, vs
+    DSIR where the one-lookup-per-token fold won 7×), and a filter
+    composed over it gets substituted INTO the fold by predicate
+    pushdown (see perplexity_filter).  Use it only where the per-doc
+    shuffle genuinely dominates."""
+    _validate_features(n_buckets, n)
+    ln_g, ln_c, miss_g, miss_c = _lm_model(
+        t, reference, counts, text_col, n_buckets, n, smoothing)
+
+    if prefer_literal:
+        return _logprob_literal(t, ln_g, ln_c, miss_g, miss_c,
+                                text_col, id_col, n_buckets, n)
+
+    spark = t.df.sparkSession
+    lng = spark.createDataFrame(
+        [(int(b), v) for b, v in ln_g.items()],
+        "bucket long, lng double")
+    lnc = spark.createDataFrame(
+        [(int(b), v) for b, v in ln_c.items()],
+        "bucket long, lnc double")
+    ex = _positioned(t.df, text_col, n, id_col)
+    ex = ex.select(
+        F.col(id_col), F.col("n_grams"),
+        # i NULL == the document's single evidence-free marker row
+        F.col("i").isNotNull().alias("ev"),
+        _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
+                   n_buckets).alias("gb"),
+        _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
+                   n_buckets).alias("cb"))
+    scored = (ex
+              .join(F.broadcast(lng), ex["gb"] == lng["bucket"], "left")
+              .drop(lng["bucket"])
+              .join(F.broadcast(lnc), ex["cb"] == lnc["bucket"], "left")
+              .drop(lnc["bucket"])
+              .groupBy(id_col, "n_grams")
+              .agg(F.sum(F.when(
+                  F.col("ev"),
+                  F.coalesce(F.col("lng"), F.lit(miss_g))
+                  - F.coalesce(F.col("lnc"), F.lit(miss_c)))
+                  .otherwise(F.lit(0.0))).alias("s")))
+    return scored.select(F.col(id_col), F.col("n_grams"),
+                         *_lm_exports())
+
+
+def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
+                     miss_g: float, miss_c: float, text_col: str,
+                     id_col: str, n_buckets: int, n: int) -> DataFrame:
+    """The shuffle-free fold form: both ln() tables as literal maps, one
+    projection, the per-gram work interpreted inside the fold lambda."""
+    if ln_g:
+        mg = F.map_from_arrays(F.lit(list(ln_g)),
+                               F.lit([ln_g[b] for b in ln_g]))
+        num = lambda b: F.coalesce(F.try_element_at(mg, b),
+                                   F.lit(miss_g))           # noqa: E731
+    else:
+        num = lambda b: F.lit(miss_g)                       # noqa: E731
+    if ln_c:
+        mc = F.map_from_arrays(F.lit(list(ln_c)),
+                               F.lit([ln_c[b] for b in ln_c]))
+        den = lambda b: F.coalesce(F.try_element_at(mc, b),
+                                   F.lit(miss_c))           # noqa: E731
+    else:
+        den = lambda b: F.lit(miss_c)                       # noqa: E731
+    keyed = t.df.select(F.col(id_col),
+                        _tokens(F.col(text_col)).alias("tk"))
+    tk = F.col("tk")
+    n_grams = F.greatest(F.size(tk) - F.lit(n - 1),
+                         F.lit(0)).cast(T.IntegerType())
+    if n == 1:
+        # every unigram's context is '' — ONE constant denominator (the
+        # md5('') bucket, via the family's portable convention), hoisted
+        # out of the fold and applied once per gram
+        import hashlib
+        empty_b = (int(hashlib.md5(b"").hexdigest()[:8], 16)
+                   % n_buckets)
+        const = ln_c.get(empty_b, miss_c)
+        score = (F.aggregate(
+            _gram_index(tk, n), F.lit(0.0),
+            lambda acc, i: acc + num(_bucket_of(_gram_at(tk, i, n),
+                                                n_buckets)))
+            - n_grams.cast(T.DoubleType()) * F.lit(const))
+    else:
+        score = F.aggregate(
+            _gram_index(tk, n), F.lit(0.0),
+            lambda acc, i: acc
+            + num(_bucket_of(_gram_at(tk, i, n), n_buckets))
+            - den(_bucket_of(_ctx_at(tk, i, n), n_buckets)))
+    keyed = keyed.select(F.col(id_col), n_grams.alias("n_grams"),
+                         score.alias("s"))
+    # second select so CollapseProject cannot inline (and so
+    # re-evaluate) the non-cheap fold into the three exports
+    return keyed.select(F.col(id_col), F.col("n_grams"),
+                        *_lm_exports())
+
+
+def _lm_exports():
+    """The three float exports from the raw per-doc sum ``s`` — shared
+    by both execution paths so they cannot drift: round-4 + 0.0 (the
+    byte-hash -0.0 canonicalization, _fprobe convention)."""
+    s, ng = F.col("s"), F.col("n_grams")
+    avg = s / ng.cast(T.DoubleType())
+    return (
+        (F.round(s, 4) + F.lit(0.0)).alias("logp"),
+        F.when(ng > 0, F.round(avg, 4) + F.lit(0.0)).alias("avg_logp"),
+        F.when(ng > 0, F.round(F.exp(-avg), 4) + F.lit(0.0)).alias("ppl"),
+    )
+
+
+def perplexity_filter(t: Table, reference: Table | None = None,
+                      counts: DataFrame | None = None,
+                      max_ppl: float | None = None,
+                      min_ppl: float | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 4096, n: int = 2,
+                      smoothing: float = 1.0) -> DataFrame:
+    """CCNet-style perplexity band filter: keep the documents of ``t``
+    whose per-gram perplexity under the reference LM lies in
+    ``[min_ppl, max_ppl]`` (either bound optional, at least one
+    required).  Returns ``t``'s columns plus the three LM exports.
+
+    Membership compares on the round-4 exported ``ppl`` itself (the
+    Gumbel-top-k round-key precedent: band edges never hinge on a
+    last-ulp ln()/exp() disagreement between engines).  Documents
+    shorter than ``n`` tokens carry no evidence and are DROPPED (NULL
+    ppl — the same posture as a NULL-predicate filter).
+
+    The band sits ABOVE the scorer's per-doc aggregation, which is a
+    pushdown barrier: Catalyst cannot substitute the predicate into the
+    scoring expression (on the fold form it re-evaluated the whole
+    scorer once per band clause inside an interpreted Filter — 28.3 →
+    2.1 s at sf0.1 with this structure, PLANS.md r11).  The kept
+    scores then broadcast-hash-join back onto ``t`` on ``id_col``."""
+    if max_ppl is None and min_ppl is None:
+        raise ValueError(
+            "perplexity_filter: pass max_ppl and/or min_ppl — an "
+            "unbounded band keeps everything")
+    scores = ngram_lm_logprob(
+        t, reference=reference, counts=counts, text_col=text_col,
+        id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing)
+    key = F.col("ppl")
+    cond = F.lit(True)
+    if max_ppl is not None:
+        cond = cond & (key <= max_ppl)
+    if min_ppl is not None:
+        cond = cond & (key >= min_ppl)
+    kept = scores.filter(F.col("ppl").isNotNull() & cond)
+    return t.df.join(kept, id_col, "inner")
+
+
+# silent-empty audit (r8 convention): no wire-dialect form yet ->
+# remote (blaze://) table inputs raise at entry instead of scoring the
+# RemoteTable's empty schema-only frame
+from ..core import _localize_guard as _lg  # noqa: E402
+
+ngram_lm_fit = _lg(ngram_lm_fit)
+ngram_lm_logprob = _lg(ngram_lm_logprob)
+perplexity_filter = _lg(perplexity_filter)

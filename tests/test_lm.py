@@ -1,0 +1,205 @@
+"""Bucketized n-gram LM scoring (pipeline/lm.py): hand-computed
+expectations on a planted corpus, path-equality pins (literal-map vs
+explode-join, inline fit vs counts=), the exact conditional-denominator
+contract (context-as-context counts, not raw (n-1)-gram counts), plan
+hygiene (literal-map scoring is one shuffle-free projection), and the
+band-filter membership semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark import data
+from blaze_spark.pipeline import (
+    ngram_lm_fit,
+    ngram_lm_logprob,
+    perplexity_filter,
+)
+
+B = 64
+
+
+def _bucket(s: str, n_buckets: int = B) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+@pytest.fixture(scope="module")
+def ldocs(spark):
+    rows = [
+        (0, "the cat sat"),
+        (1, "the cat ran"),
+        (2, "the dog sat"),
+        (3, "x"),            # 1 token: no bigram evidence
+    ]
+    return data(rows, spark=spark, schema="doc_id bigint, text string",
+                name="ldocs")
+
+
+def _py_lm(rows, n_buckets=B, n=2, smoothing=1.0):
+    """Reference implementation: exact counts over bucketized grams."""
+    gram, ctx = {}, {}
+    doc_grams = {}
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] \
+            if len(toks) >= n else []
+        doc_grams[doc_id] = grams
+        for g in grams:
+            c = " ".join(g.split(" ")[:-1])
+            gram[_bucket(g, n_buckets)] = gram.get(_bucket(g, n_buckets), 0) + 1
+            ctx[_bucket(c, n_buckets)] = ctx.get(_bucket(c, n_buckets), 0) + 1
+    out = {}
+    for doc_id, grams in doc_grams.items():
+        s = 0.0
+        for g in grams:
+            c = " ".join(g.split(" ")[:-1])
+            s += (math.log(gram.get(_bucket(g, n_buckets), 0) + smoothing)
+                  - math.log(ctx.get(_bucket(c, n_buckets), 0)
+                             + smoothing * n_buckets))
+        out[doc_id] = (len(grams), s)
+    return out
+
+
+def test_fit_counts_exact(spark, ldocs):
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    rows = {(r["kind"], r["bucket"]): r["cnt"] for r in fit.collect()}
+    # 'the cat' appears twice; context 'the' precedes 3 bigrams
+    assert rows[("gram", _bucket("the cat"))] == 2
+    assert rows[("ctx", _bucket("the"))] == 3
+    # doc 3 has no bigrams: total gram mass is 6 (2 per 3-token doc)
+    assert sum(c for (k, _), c in rows.items() if k == "gram") == 6
+    # context counts EQUAL gram counts by construction (each gram has
+    # exactly one context) — the exact conditional denominator, which a
+    # raw unigram count would NOT satisfy (it would count doc-final
+    # tokens that never precede anything)
+    assert sum(c for (k, _), c in rows.items() if k == "ctx") == 6
+
+
+def test_logprob_hand_computed(spark, ldocs):
+    rows = [(0, "the cat sat"), (1, "the cat ran"),
+            (2, "the dog sat"), (3, "x")]
+    expect = _py_lm(rows)
+    got = {r["doc_id"]: r for r in
+           ngram_lm_logprob(ldocs, n_buckets=B, n=2).collect()}
+    for doc_id, (ng, s) in expect.items():
+        r = got[doc_id]
+        assert r["n_grams"] == ng
+        assert r["logp"] == pytest.approx(round(s, 4), abs=1e-9)
+        if ng:
+            assert r["avg_logp"] == pytest.approx(round(s / ng, 4))
+            assert r["ppl"] == pytest.approx(round(math.exp(-s / ng), 4))
+        else:
+            assert r["logp"] == 0.0
+            assert r["avg_logp"] is None and r["ppl"] is None
+
+
+def test_unigram_constant_denominator(spark, ldocs):
+    rows = [(0, "the cat sat"), (1, "the cat ran"),
+            (2, "the dog sat"), (3, "x")]
+    expect = _py_lm(rows, n=1)
+    got = {r["doc_id"]: (r["n_grams"], r["logp"]) for r in
+           ngram_lm_logprob(ldocs, n_buckets=B, n=1).collect()}
+    for doc_id, (ng, s) in expect.items():
+        assert got[doc_id] == (ng, pytest.approx(round(s, 4), abs=1e-9))
+
+
+def test_counts_path_equals_inline(spark, ldocs):
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    a = ngram_lm_logprob(ldocs, n_buckets=B, n=2)
+    b = ngram_lm_logprob(ldocs, counts=fit, n_buckets=B, n=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_counts_partials_sum(spark, ldocs):
+    # a union of two snapshots' partials is a legitimate counts frame:
+    # duplicate (kind, bucket) rows SUM (the selection family's
+    # additive contract)
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    half = fit.withColumn(
+        "cnt", (F.col("cnt") / 2).cast("long"))
+    rest = fit.join(half.withColumnRenamed("cnt", "h"),
+                    ["kind", "bucket"]) \
+        .select("kind", "bucket", (F.col("cnt") - F.col("h")).alias("cnt"))
+    a = ngram_lm_logprob(ldocs, counts=fit, n_buckets=B, n=2)
+    b = ngram_lm_logprob(ldocs, counts=half.unionByName(rest),
+                         n_buckets=B, n=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_explode_path_equals_literal(spark, ldocs):
+    a = ngram_lm_logprob(ldocs, n_buckets=B, n=2)
+    b = ngram_lm_logprob(ldocs, n_buckets=B, n=2, prefer_literal=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and for the unigram constant-denominator special case
+    a1 = ngram_lm_logprob(ldocs, n_buckets=B, n=1)
+    b1 = ngram_lm_logprob(ldocs, n_buckets=B, n=1, prefer_literal=True)
+    assert sorted(map(tuple, a1.collect())) == \
+        sorted(map(tuple, b1.collect()))
+
+
+def test_literal_scoring_shuffle_free(spark, ldocs):
+    from blaze_spark.plans import exchange_count
+
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    out = ngram_lm_logprob(ldocs, counts=fit, n_buckets=B, n=2,
+                           prefer_literal=True)
+    assert exchange_count(out) == 0  # counts folded into the projection
+
+
+def test_reference_fit_scores_other_corpus(spark, ldocs):
+    other = data([(9, "the cat sat"), (10, "zz qq vv ww")],
+                 spark=spark, schema="doc_id bigint, text string",
+                 name="odocs")
+    out = {r["doc_id"]: r for r in
+           ngram_lm_logprob(other, reference=ldocs,
+                            n_buckets=B, n=2).collect()}
+    # in-distribution doc scores strictly better than the gibberish one
+    assert out[9]["avg_logp"] > out[10]["avg_logp"]
+    assert out[9]["ppl"] < out[10]["ppl"]
+
+
+def test_perplexity_filter_membership(spark, ldocs):
+    scores = {r["doc_id"]: r["ppl"] for r in
+              ngram_lm_logprob(ldocs, n_buckets=B, n=2).collect()
+              if r["ppl"] is not None}
+    cut = sorted(scores.values())[1]  # keep exactly the two lowest
+    kept = perplexity_filter(ldocs, n_buckets=B, n=2, max_ppl=cut)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(d for d, p in scores.items() if p <= cut)
+    assert 3 not in ids  # no-evidence doc (NULL ppl) always drops
+    assert set(kept.columns) >= {"doc_id", "text", "n_grams", "ppl"}
+
+
+def test_validation_errors(spark, ldocs):
+    with pytest.raises(ValueError, match="smoothing"):
+        ngram_lm_logprob(ldocs, smoothing=0.0)
+    with pytest.raises(ValueError, match="not both"):
+        ngram_lm_logprob(ldocs, reference=ldocs,
+                         counts=ngram_lm_fit(ldocs))
+    with pytest.raises(ValueError, match="kind STRING"):
+        ngram_lm_logprob(ldocs, counts=ldocs.df)
+    bad = spark.createDataFrame([("nope", 0, 1)],
+                                "kind string, bucket long, cnt long")
+    with pytest.raises(ValueError, match="unknown kind"):
+        ngram_lm_logprob(ldocs, counts=bad)
+    with pytest.raises(ValueError, match="unbounded band"):
+        perplexity_filter(ldocs)
+
+
+def test_remote_table_raises(spark, ldocs):
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"ldocs": ldocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::ldocs", spark=spark)
+        with pytest.raises(TypeError, match="wire dialect"):
+            ngram_lm_logprob(rt)
+        with pytest.raises(TypeError, match="wire dialect"):
+            perplexity_filter(rt, max_ppl=10.0)
+    finally:
+        srv.stop()
