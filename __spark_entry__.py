@@ -2779,6 +2779,32 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def dup_ngram_spans_docs(spark, sf_dir):
+    """Cross-document duplicated n-gram spans (pipeline/dedup.
+    cross_doc_dup_ngrams — Lee et al. 2021 exact-substring dedup at
+    token-window granularity): per-doc fraction of token positions
+    covered by a 5-gram that repeats verbatim in ≥ 2 distinct
+    documents.  The synthetic corpus carries ~70 such docs per 500
+    naturally (templated sentences), so no planted bed is needed; the
+    oracle value-checks every doc's exact coverage count."""
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_doc_dup_ngrams(d, n=5).df.orderBy("doc_id")
+
+
+def dup_ngram_scrub_docs(spark, sf_dir):
+    """The scrub form: the corpus rebuilt with every cross-document
+    duplicated 5-gram span REMOVED (uncovered tokens in original order,
+    single-space joined); fully-covered documents disappear — they were
+    pure boilerplate.  The oracle value-checks the exact rebuilt
+    strings, doc by doc."""
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_doc_dup_ngrams(d, n=5, scrub=True).df.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2844,8 +2870,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full_outer_activity and intersect_except_customers (green r10
         # rows, unchanged code) rotate below the boundary to keep the
         # sample at exactly 50.
+        # ... and dup_ngram_spans_docs + dup_ngram_scrub_docs (NEW
+        # oracle-able operators — cross-document duplicated n-gram
+        # spans, the Lee et al. exact-substring dedup granularity);
+        # rollup_nation_revenue and left_join_counts (green r10 rows,
+        # unchanged code) rotate below the boundary for them.
         "ngram_lm_docs": ngram_lm_docs,
         "perplexity_filter_docs": perplexity_filter_docs,
+        "dup_ngram_spans_docs": dup_ngram_spans_docs,
+        "dup_ngram_scrub_docs": dup_ngram_scrub_docs,
         "blaze_client_selection": blaze_client_selection,
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
@@ -2892,12 +2925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
-        "rollup_nation_revenue": rollup_nation_revenue,
-        "left_join_counts": left_join_counts,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
-        # out full_outer_activity and intersect_except_customers (green
-        # r10 rows, unchanged code) for the two new lm.py entries.
+        # out full_outer_activity, intersect_except_customers,
+        # rollup_nation_revenue and left_join_counts (green r10 rows,
+        # unchanged code) for the four new lm.py/dup-ngram entries.
+        "rollup_nation_revenue": rollup_nation_revenue,
+        "left_join_counts": left_join_counts,
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
         # r9 rotated out
@@ -4520,6 +4554,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # Cross-doc duplicated 5-gram spans: positioned grams, md5 keys,
+        # >= 2 distinct docs per key, positions i..i+4 covered
+        "dup_ngram_spans_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(toks[i:i+4], ' ')) AS key
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS i
+                      FROM tk)),
+            dup AS (
+                SELECT key FROM g GROUP BY key
+                HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+                SELECT doc_id, count(DISTINCT p) AS dup_tokens
+                FROM (SELECT g.doc_id,
+                             unnest(generate_series(g.i, g.i + 4)) AS p
+                      FROM g JOIN dup USING (key))
+                GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   CAST(len(tk.toks) AS INT) AS n_tokens,
+                   CAST(COALESCE(cov.dup_tokens, 0) AS INT) AS dup_tokens,
+                   round(CASE WHEN len(tk.toks) > 0
+                              THEN COALESCE(cov.dup_tokens, 0)
+                                   * 1.0 / len(tk.toks)
+                              ELSE 0.0 END, 4) + 0.0 AS dup_token_frac
+            FROM tk LEFT JOIN cov USING (doc_id)
+            ORDER BY tk.doc_id
+        """,
+        # the scrub form: uncovered tokens reassembled in order;
+        # fully-covered docs disappear (no kept tokens -> no group)
+        "dup_ngram_scrub_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(toks[i:i+4], ' ')) AS key
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS i
+                      FROM tk)),
+            dup AS (
+                SELECT key FROM g GROUP BY key
+                HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+                SELECT DISTINCT doc_id, p
+                FROM (SELECT g.doc_id,
+                             unnest(generate_series(g.i, g.i + 4)) AS p
+                      FROM g JOIN dup USING (key))),
+            toks AS (
+                SELECT doc_id, i AS p, toks[i] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks))) AS i
+                      FROM tk))
+            SELECT t.doc_id,
+                   string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+            FROM toks t LEFT JOIN cov
+                 ON t.doc_id = cov.doc_id AND t.p = cov.p
+            WHERE cov.p IS NULL
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
+        """,
         # Bucketized bigram LM: gram/context buckets from the SAME
         # md5-first-8-hex convention; ctx = the gram minus its final
         # token (regexp strip — both engines return '' on no match).

@@ -116,6 +116,10 @@ NEW_QUERIES_R11 = [
     # band filter above the scoring aggregation
     "ngram_lm_docs",
     "perplexity_filter_docs",
+    # cross-doc duplicated 5-gram spans: positioned-index explode,
+    # distinct-doc key counts, coverage union / scrub reassembly
+    "dup_ngram_spans_docs",
+    "dup_ngram_scrub_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

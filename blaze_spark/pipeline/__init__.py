@@ -10,6 +10,7 @@ deployment would call image/audio codecs.
 
 from .dedup import (  # noqa: F401
     cross_doc_dup_lines,
+    cross_doc_dup_ngrams,
     exact_dedup,
     exact_jaccard_pairs,
     normalized_dedup,

@@ -323,6 +323,105 @@ def cross_doc_dup_lines(t: Table, text_col: str = "text",
     return Table(kept, t._name)
 
 
+def cross_doc_dup_ngrams(t: Table, n: int = 5, min_docs: int = 2,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         scrub: bool = False) -> Table:
+    """Cross-document duplicated n-gram SPANS — Lee et al. 2021's
+    exact-substring deduplication at token-window granularity, the step
+    between :func:`cross_doc_dup_lines` (verbatim whole lines) and
+    MinHash (whole-document near-dups): a span that repeats across
+    documents is counted/removed even when it sits mid-line inside
+    otherwise-unique text (inlined licenses, quoted passages, templated
+    sentences).  Suffix arrays don't distribute; fixed-width n-gram
+    windows catch every verbatim repeat of ≥ n tokens with two
+    hash-aggregations and one co-partitioned join.
+
+    Scoring mode (default): per document ``n_tokens``, ``dup_tokens``
+    (distinct token positions covered by ANY n-gram window whose md5
+    appears in ≥ ``min_docs`` distinct documents), and
+    ``dup_token_frac`` (round-4) — the Lee et al. "fraction of tokens
+    in a duplicated span" signal a pipeline thresholds on.
+
+    ``scrub=True`` RETURNS the cleaned corpus instead: ``clean_text``
+    rebuilt from each document's uncovered tokens in original order
+    (single-space joined — the family's whitespace-normalized token
+    identity).  A document whose every token is covered disappears from
+    the scrubbed output, like a pure-boilerplate document in
+    :func:`cross_doc_dup_lines`.
+
+    Topology (100 TB): n-gram START INDEX explode with gram strings
+    sliced from the carried token array in codegen (the lm.py builders)
+    → distinct (gram md5, doc) pairs → per-hash distinct-doc counts
+    (both aggregations partial-combine map-side) → the ≥ min_docs keys
+    only equi-join back on the hash (co-partitioned with the counts)
+    → window positions explode → per-doc aggregate (scoring) or a
+    (doc, pos) anti-join + doc-bounded reassembly (scrub — the same
+    array_sort pattern as the line scrub).  No driver materialization.
+    """
+    from .curation import _tokens
+    from .lm import _gram_at, _gram_index
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document), got {min_docs}")
+    tk = _tokens(F.col(text_col))
+    base = t.df.select(F.col(id_col), tk.alias("__tk"))
+    pos = base.select(
+        F.col(id_col), F.col("__tk"),
+        F.explode(_gram_index(F.col("__tk"), n)).alias("__i"))
+    pos = pos.select(
+        F.col(id_col), F.col("__tk"), F.col("__i"),
+        F.md5(F.encode(_gram_at(F.col("__tk"), F.col("__i"), n),
+                       "UTF-8")).alias("__key"))
+    dup_keys = (pos.select("__key", F.col(id_col).alias("__doc"))
+                .distinct()
+                .groupBy("__key")
+                .agg(F.count(F.lit(1)).alias("__ndocs"))
+                .filter(F.col("__ndocs") >= min_docs)
+                .select("__key"))
+    covered = (pos.join(dup_keys, "__key")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("__i"),
+                           F.col("__i") + F.lit(n - 1))).alias("__p")))
+    if not scrub:
+        per_doc = (covered.groupBy(id_col)
+                   .agg(F.count_distinct(F.col("__p"))
+                        .cast("int").alias("dup_tokens")))
+        out = (base
+               .select(F.col(id_col),
+                       F.size(F.col("__tk")).cast("int")
+                       .alias("n_tokens"))
+               .join(per_doc, id_col, "left")
+               .select(F.col(id_col), F.col("n_tokens"),
+                       F.coalesce(F.col("dup_tokens"), F.lit(0))
+                       .alias("dup_tokens"))
+               .withColumn("dup_token_frac",
+                           F.round(F.when(F.col("n_tokens") > 0,
+                                          F.col("dup_tokens")
+                                          / F.col("n_tokens"))
+                                   .otherwise(F.lit(0.0)), 4)
+                           + F.lit(0.0)))
+        return Table(out, t._name)
+    toks = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__tk")).alias("__p0", "__tok"))
+    # positions are 1-based window starts; posexplode is 0-based
+    toks = toks.select(F.col(id_col),
+                       (F.col("__p0") + 1).alias("__p"), F.col("__tok"))
+    kept = (toks.join(covered.distinct(), [id_col, "__p"], "anti")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("__p", "__tok"))).alias("__pt"))
+            .select(F.col(id_col),
+                    F.concat_ws(" ",
+                                F.transform("__pt", lambda s: s["__tok"]))
+                    .alias("clean_text")))
+    return Table(kept, t._name)
+
+
 def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 32, shingle_k: int = 5,
                        seed: int = 42,
@@ -656,6 +755,7 @@ from ..core import _localize_guard as _lg  # noqa: E402
 
 exact_dedup = _lg(exact_dedup)
 cross_doc_dup_lines = _lg(cross_doc_dup_lines)
+cross_doc_dup_ngrams = _lg(cross_doc_dup_ngrams)
 normalized_dedup = _lg(normalized_dedup)
 minhash_signatures = _lg(minhash_signatures)
 minhash_candidates = _lg(minhash_candidates)

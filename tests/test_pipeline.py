@@ -1259,6 +1259,87 @@ def test_cross_doc_dup_lines_within_doc_repeat_not_flagged(spark):
     assert scored[1].n_dup_lines == 0
 
 
+def test_cross_doc_dup_ngrams_coverage(spark):
+    """Hand-computed span coverage: overlapping windows count each
+    position once; within-doc repeats are not cross-doc; sub-n shared
+    runs are invisible."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+
+    rows = [
+        (1, "a b c d e unique tail one"),     # shares 'a b c d e' span
+        (2, "a b c d e other ending two"),
+        (3, "totally different words here now"),
+        (4, "c d e short"),                   # only a 3-token overlap
+    ]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="xdn")
+    out = {r.doc_id: r for r in
+           cross_doc_dup_ngrams(t, n=5).df.collect()}
+    # docs 1/2 share exactly one 5-gram ('a b c d e') -> 5 covered
+    assert out[1].n_tokens == 8 and out[1].dup_tokens == 5
+    assert out[1].dup_token_frac == round(5 / 8, 4)
+    assert out[2].dup_tokens == 5
+    # sub-n overlap (doc 4's 'c d e') is below the window width
+    assert out[3].dup_tokens == 0 and out[4].dup_tokens == 0
+
+    cleaned = {r.doc_id: r.clean_text for r in
+               cross_doc_dup_ngrams(t, n=5, scrub=True).df.collect()}
+    assert cleaned[1] == "unique tail one"
+    assert cleaned[2] == "other ending two"
+    assert cleaned[3] == "totally different words here now"
+    assert cleaned[4] == "c d e short"
+
+
+def test_cross_doc_dup_ngrams_overlapping_spans_union(spark):
+    """Two overlapping duplicated windows cover the UNION of their
+    positions (6 tokens for a shared 6-token run at n=5), and a doc
+    that is entirely one duplicated span disappears from the scrub."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+
+    rows = [
+        (1, "p q r s t u"),                  # the whole doc is shared
+        (2, "x p q r s t u y"),
+        (3, "filler words avoid accidental repeats"),
+    ]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="xdn2")
+    out = {r.doc_id: r for r in
+           cross_doc_dup_ngrams(t, n=5).df.collect()}
+    assert out[1].dup_tokens == 6 and out[1].dup_token_frac == 1.0
+    assert out[2].dup_tokens == 6 and out[2].n_tokens == 8
+    cleaned = {r.doc_id: r.clean_text for r in
+               cross_doc_dup_ngrams(t, n=5, scrub=True).df.collect()}
+    assert 1 not in cleaned            # fully-covered doc disappears
+    assert cleaned[2] == "x y"         # order preserved around the span
+
+
+def test_cross_doc_dup_ngrams_min_docs_and_validation(spark):
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+
+    rows = [(1, "s h a r e d words one"), (2, "s h a r e d words two"),
+            (3, "s h a r e d words three")]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="xdn3")
+    # the 7-token run 's h a r e d words' is in all 3 docs (3
+    # overlapping 5-gram windows; only the final token differs)
+    at2 = {r.doc_id: r.dup_tokens for r in
+           cross_doc_dup_ngrams(t, n=5, min_docs=2).df.collect()}
+    at3 = {r.doc_id: r.dup_tokens for r in
+           cross_doc_dup_ngrams(t, n=5, min_docs=3).df.collect()}
+    assert at2 == at3 == {1: 7, 2: 7, 3: 7}
+    at4 = {r.doc_id: r.dup_tokens for r in
+           cross_doc_dup_ngrams(t, n=5, min_docs=4).df.collect()}
+    assert at4 == {1: 0, 2: 0, 3: 0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_docs"):
+        cross_doc_dup_ngrams(t, min_docs=1)
+    with _pytest.raises(ValueError, match="n must be"):
+        cross_doc_dup_ngrams(t, n=0)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (pipeline/pq.py) — compressed-domain ANN
 # ---------------------------------------------------------------------------
