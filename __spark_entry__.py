@@ -2779,6 +2779,35 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def blaze_client_lm(spark, sf_dir):
+    """Remote LM perplexity filtering (r11): the CCNet band filter runs
+    SERVER-side over ``blaze://`` — fit + score + band + projection all
+    serialize as one tree (pipeline/lm.py wire forms, the selection
+    family's literal-table closure pattern; reference: the server
+    executes any registered expression, blaze/server/server.py:411-477).
+    Only the kept rows cross the wire; the oracle value-checks exactly
+    WHICH documents a remote curation service would keep."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import perplexity_filter
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        pf = perplexity_filter(rt, n_buckets=1024, n=2,
+                               min_ppl=19.0, max_ppl=37.0)
+        expr = pf[["doc_id", "source", "n_grams", "logp",
+                   "avg_logp", "ppl"]].sort("doc_id")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def dup_ngram_spans_docs(spark, sf_dir):
     """Cross-document duplicated n-gram spans (pipeline/dedup.
     cross_doc_dup_ngrams — Lee et al. 2021 exact-substring dedup at
@@ -2875,10 +2904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spans, the Lee et al. exact-substring dedup granularity);
         # rollup_nation_revenue and left_join_counts (green r10 rows,
         # unchanged code) rotate below the boundary for them.
+        # ... and blaze_client_lm (the LM family over the wire dialect
+        # — real HTTP round trip); count_values_events (green r10 row,
+        # unchanged code) rotates below the boundary for it.
         "ngram_lm_docs": ngram_lm_docs,
         "perplexity_filter_docs": perplexity_filter_docs,
         "dup_ngram_spans_docs": dup_ngram_spans_docs,
         "dup_ngram_scrub_docs": dup_ngram_scrub_docs,
+        "blaze_client_lm": blaze_client_lm,
         "blaze_client_selection": blaze_client_selection,
         "quality_classifier_docs": quality_classifier_docs,
         "dsir_weights_docs": dsir_weights_docs,
@@ -2924,12 +2957,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
-        "count_values_events": count_values_events,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
-        # rollup_nation_revenue and left_join_counts (green r10 rows,
-        # unchanged code) for the four new lm.py/dup-ngram entries.
+        # rollup_nation_revenue, left_join_counts and
+        # count_values_events (green r10 rows, unchanged code) for the
+        # five new lm.py / dup-ngram / wire-LM entries.
+        "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
         "left_join_counts": left_join_counts,
         "full_outer_activity": full_outer_activity,
@@ -4554,6 +4588,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # the remote LM chain computes the SAME band filter server-side
+        # — one oracle definition, exercised through real HTTP
+        "blaze_client_lm": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(COALESCE(cg.c, 0) + 1)
+                           - ln(COALESCE(cc.c2, 0) + 1024)) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp, s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 19.0 AND s.ppl <= 37.0
+            ORDER BY d.doc_id
+        """,
         # Cross-doc duplicated 5-gram spans: positioned grams, md5 keys,
         # >= 2 distinct docs per key, positions i..i+4 covered
         "dup_ngram_spans_docs": r"""

@@ -120,6 +120,9 @@ NEW_QUERIES_R11 = [
     # distinct-doc key counts, coverage union / scrub reassembly
     "dup_ngram_spans_docs",
     "dup_ngram_scrub_docs",
+    # the LM band filter over the wire dialect (in-process HTTP server
+    # per rep; fit + score + band + projection all run server-side)
+    "blaze_client_lm",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

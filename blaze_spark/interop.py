@@ -211,7 +211,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # model/counts relations ride as literal row lists
                   # inside the node; corpora ride as subtrees
                   "hashed_bucket_counts", "quality_classifier",
-                  "dsir_log_weights", "weighted_sample"}
+                  "dsir_log_weights", "weighted_sample",
+                  # n-gram LM family (r11): same closure pattern — the
+                  # ≤ 2·n_buckets fit relation rides as literal rows,
+                  # the reference corpus as a same-server subtree
+                  "ngram_lm_fit", "ngram_lm_logprob",
+                  "perplexity_filter"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -328,6 +333,9 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op in ("hashed_bucket_counts", "quality_classifier",
                   "dsir_log_weights", "weighted_sample"):
             return _selection_node(op, args, child, walk)
+        if op in ("ngram_lm_fit", "ngram_lm_logprob",
+                  "perplexity_filter"):
+            return _lm_node(op, args, child, walk)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
                   "gopher_rules"):
@@ -435,6 +443,47 @@ def _selection_node(op: str, args: list, child: Table, walk):
     return Table(weighted_sample(child, args[1],
                                  **_kw(args[2], "weighted_sample")),
                  "weighted_sample")
+
+
+def _lm_node(op: str, args: list, child: Table, walk):
+    """Replay an n-gram LM node (r11).  The fit relation arrives as
+    literal ``[[kind, bucket, cnt], ...]`` rows (BOUNDED — the client
+    collects under the 2·_MAX_BUCKETS guard before serializing) or as
+    a subtree over the registered datasets; the reference corpus as a
+    subtree; keyword args re-validate through the local entry points,
+    so a hostile node fails the same way a bad local call does."""
+    from .pipeline import ngram_lm_fit, ngram_lm_logprob, \
+        perplexity_filter
+
+    spark = child.df.sparkSession
+
+    if op == "ngram_lm_fit":
+        # args: [child, text_col, n_buckets, n]
+        return Table(ngram_lm_fit(child, args[1], args[2], args[3]),
+                     "ngram_lm_fit")
+
+    # scoring ops — args: [child, ref_tree|None, counts_enc|None, {kw}]
+    reference = walk(args[1]) if args[1] is not None else None
+    counts = None
+    if args[2] is not None:
+        if isinstance(args[2], dict):
+            counts = walk(args[2]).df
+        else:
+            counts = spark.createDataFrame(
+                [(str(k), int(b), int(c)) for k, b, c in args[2]],
+                "kind string, bucket long, cnt long")
+    allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing"}
+    allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
+                else {"max_ppl", "min_ppl"})
+    kw = dict(args[3])
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    fn = (ngram_lm_logprob if op == "ngram_lm_logprob"
+          else perplexity_filter)
+    return Table(fn(child, reference, counts, **kw), op)
 
 
 def compute_tree(tree: dict, *, spark: SparkSession | None = None,

@@ -369,11 +369,130 @@ def perplexity_filter(t: Table, reference: Table | None = None,
     return t.df.join(kept, id_col, "inner")
 
 
-# silent-empty audit (r8 convention): no wire-dialect form yet ->
-# remote (blaze://) table inputs raise at entry instead of scoring the
-# RemoteTable's empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
+# ---------------------------------------------------------------------------
+# Wire dialect: the LM family serializes over blaze:// (the selection
+# family's r11 closure pattern — VERDICT r10 established the posture:
+# bounded relations ship as LITERAL tables in the node, corpora ride as
+# same-server subtrees; reference parity blaze/server/server.py:411-477
+# to_tree/from_tree).  A fit relation is ≤ 2·n_buckets rows, so a
+# remote perplexity-filtering service needs only the tree — no code or
+# corpus ever crosses the wire.
 
-ngram_lm_fit = _lg(ngram_lm_fit)
-ngram_lm_logprob = _lg(ngram_lm_logprob)
-perplexity_filter = _lg(perplexity_filter)
+import functools  # noqa: E402
+
+from .selection import _client_of, _require_tree, _wire_result  # noqa: E402
+
+_local_ngram_lm_fit = ngram_lm_fit
+_local_ngram_lm_logprob = ngram_lm_logprob
+_local_perplexity_filter = perplexity_filter
+
+_LM_SCHEMA = ("n_grams", T.IntegerType()), ("logp", T.DoubleType()), \
+    ("avg_logp", T.DoubleType()), ("ppl", T.DoubleType())
+
+
+def _literal_lm_counts(counts, client):
+    """Encode a fit relation for the wire: a same-server remote
+    expression rides as its subtree; a local bounded (kind, bucket,
+    cnt) frame collects (duplicates summed, kinds validated) into
+    sorted literal rows."""
+    if isinstance(counts, Table):
+        if _client_of(counts) is not client:
+            raise TypeError(
+                "counts is a table from a different server (or a "
+                "local Table) — fit relations must live on the same "
+                "server as the corpus, or be passed as a bounded "
+                "local DataFrame")
+        return _require_tree(counts, "ngram_lm counts")
+    gram, ctx = _bounded_lm_counts(counts)
+    return sorted([k, int(b), int(c)]
+                  for k, m in (("gram", gram), ("ctx", ctx))
+                  for b, c in m.items())
+
+
+def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
+                  n, smoothing, fn_name):
+    _validate_features(n_buckets, n)
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if counts is not None and reference is not None:
+        raise ValueError(
+            f"{fn_name}: pass either reference= (fit server-side) or "
+            "counts= (precomputed ngram_lm_fit output), not both")
+    client = t._client
+    ref_node = None
+    if reference is not None:
+        if _client_of(reference) is not client:
+            raise TypeError(
+                f"{fn_name} over blaze://: reference must live on the "
+                "SAME server as the corpus (register it there), or "
+                "pass a bounded local counts= frame instead")
+        ref_node = _require_tree(reference, f"{fn_name} reference")
+    enc = (None if counts is None
+           else _literal_lm_counts(counts, client))
+    return [_require_tree(t, fn_name), ref_node, enc,
+            {"text_col": text_col, "id_col": id_col,
+             "n_buckets": int(n_buckets), "n": int(n),
+             "smoothing": float(smoothing)}]
+
+
+@functools.wraps(_local_ngram_lm_fit)
+def ngram_lm_fit(t: Table, text_col: str = "text",
+                 n_buckets: int = 4096, n: int = 2):
+    if _client_of(t) is None:
+        return _local_ngram_lm_fit(t, text_col, n_buckets, n)
+    _validate_features(n_buckets, n)
+    node = {"op": "ngram_lm_fit",
+            "args": [_require_tree(t, "ngram_lm_fit"), text_col,
+                     int(n_buckets), int(n)]}
+    empty = t.df.sparkSession.createDataFrame(
+        [], "kind string, bucket long, cnt long")
+    return _wire_result(t, empty, node)
+
+
+@functools.wraps(_local_ngram_lm_logprob)
+def ngram_lm_logprob(t: Table, reference: Table | None = None,
+                     counts=None, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 4096,
+                     n: int = 2, smoothing: float = 1.0,
+                     prefer_literal: bool = False):
+    if _client_of(t) is None:
+        return _local_ngram_lm_logprob(
+            t, reference, counts, text_col, id_col, n_buckets, n,
+            smoothing, prefer_literal)
+    args = _lm_wire_args(t, reference, counts, text_col, id_col,
+                         n_buckets, n, smoothing, "ngram_lm_logprob")
+    args[3]["prefer_literal"] = bool(prefer_literal)
+    node = {"op": "ngram_lm_logprob", "args": args}
+    empty = t.df.sparkSession.createDataFrame([], T.StructType(
+        [t.df.schema[id_col]]
+        + [T.StructField(c, dt) for c, dt in _LM_SCHEMA]))
+    return _wire_result(t, empty, node)
+
+
+@functools.wraps(_local_perplexity_filter)
+def perplexity_filter(t: Table, reference: Table | None = None,
+                      counts=None, max_ppl: float | None = None,
+                      min_ppl: float | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 4096, n: int = 2,
+                      smoothing: float = 1.0):
+    if _client_of(t) is None:
+        return _local_perplexity_filter(
+            t, reference, counts, max_ppl, min_ppl, text_col, id_col,
+            n_buckets, n, smoothing)
+    if max_ppl is None and min_ppl is None:
+        raise ValueError(
+            "perplexity_filter: pass max_ppl and/or min_ppl — an "
+            "unbounded band keeps everything")
+    args = _lm_wire_args(t, reference, counts, text_col, id_col,
+                         n_buckets, n, smoothing, "perplexity_filter")
+    args[3]["max_ppl"] = None if max_ppl is None else float(max_ppl)
+    args[3]["min_ppl"] = None if min_ppl is None else float(min_ppl)
+    node = {"op": "perplexity_filter", "args": args}
+    # join output order: the key, the corpus' remaining columns, then
+    # the four LM exports
+    empty = t.df.sparkSession.createDataFrame([], T.StructType(
+        [t.df.schema[id_col]]
+        + [f for f in t.df.schema.fields if f.name != id_col]
+        + [T.StructField(c, dt) for c, dt in _LM_SCHEMA]))
+    return _wire_result(t, empty, node)

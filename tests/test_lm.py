@@ -190,16 +190,68 @@ def test_validation_errors(spark, ldocs):
         perplexity_filter(ldocs)
 
 
-def test_remote_table_raises(spark, ldocs):
+def test_wire_roundtrip_matches_local(spark, ldocs):
+    """The LM family over blaze://: remote fit (subtree), remote
+    self-score chained on it, and a band filter with LOCAL literal
+    counts — every value byte-equal to the local run after the
+    recorded-schema coercion (the client-entry convention)."""
     from blaze_spark.server import BlazeSparkServer
 
     srv = BlazeSparkServer({"ldocs": ldocs}, spark)
     srv.start(port=0)
     try:
         rt = data(f"blaze://127.0.0.1:{srv.port}::ldocs", spark=spark)
-        with pytest.raises(TypeError, match="wire dialect"):
-            ngram_lm_logprob(rt)
-        with pytest.raises(TypeError, match="wire dialect"):
-            perplexity_filter(rt, max_ppl=10.0)
+        fit_r = ngram_lm_fit(rt, n_buckets=B, n=2)
+        got = sorted(map(tuple, spark.createDataFrame(
+            fit_r.compute(), schema=fit_r.df.schema).collect()))
+        want = sorted(map(tuple,
+                          ngram_lm_fit(ldocs, n_buckets=B, n=2).collect()))
+        assert got == want
+        sc_r = ngram_lm_logprob(rt, counts=fit_r, n_buckets=B, n=2)
+        got = sorted(map(tuple, spark.createDataFrame(
+            sc_r.compute(), schema=sc_r.df.schema).collect()))
+        want = sorted(map(tuple,
+                          ngram_lm_logprob(ldocs, n_buckets=B,
+                                           n=2).collect()))
+        assert got == want
+        local_counts = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+        pf_r = perplexity_filter(rt, counts=local_counts, n_buckets=B,
+                                 n=2, max_ppl=100.0)
+        got = sorted(map(tuple, spark.createDataFrame(
+            pf_r.compute(), schema=pf_r.df.schema).collect()))
+        want = sorted(map(tuple, perplexity_filter(
+            ldocs, counts=local_counts, n_buckets=B, n=2,
+            max_ppl=100.0).select(*pf_r.df.columns).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        srv.stop()
+
+
+def test_wire_validation(spark, ldocs):
+    """Different-server counts/reference raise at entry; an unknown
+    node keyword rejects loudly server-side (version-skew posture)."""
+    import blaze_spark.interop as interop
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"ldocs": ldocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::ldocs", spark=spark)
+        with pytest.raises(TypeError, match="different server"):
+            ngram_lm_logprob(rt, counts=ldocs)   # local Table, not df
+        with pytest.raises(TypeError, match="SAME server"):
+            ngram_lm_logprob(rt, reference=ldocs)
+        with pytest.raises(ValueError, match="unbounded band"):
+            perplexity_filter(rt)
+        node = {"op": "ngram_lm_logprob",
+                "args": [{"op": "symbol", "args": ["ldocs"]}, None,
+                         None,
+                         {"text_col": "text", "id_col": "doc_id",
+                          "n_buckets": B, "n": 2, "smoothing": 1.0,
+                          "future_knob": 1}]}
+        with pytest.raises(ValueError,
+                           match="matching client version"):
+            interop.from_tree(node, spark=spark,
+                              datasets={"ldocs": ldocs})
     finally:
         srv.stop()
