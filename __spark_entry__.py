@@ -2524,6 +2524,47 @@ def streaming_dsir_pipeline(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def streaming_lm_pipeline(spark, sf_dir):
+    """Streaming-native LM perplexity filtering END-TO-END (r11): the
+    LM counts STORE built by three deterministic batch ingests (the
+    ``foreachBatch`` path — checkpoint-replay-safe, ``_SUCCESS``-gated,
+    ≤ 2·n_buckets rows per ingest), ``read_lm_counts`` feeds the fit
+    into ``perplexity_filter(counts=)``, and the kept set is
+    full-joined against the ONE-SHOT filter (inline fit on the same
+    corpus): every row must carry match=1 — the store changes WHERE
+    the counts come from, never which documents survive.  Rows-only:
+    the ingest-store probe is not SQL-expressible."""
+    import tempfile
+
+    from blaze_spark.pipeline import perplexity_filter
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_lm_counts_batch, read_lm_counts)
+
+    d = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="streaming_lm_")
+    store = base + "/lm"
+    for bid in range(3):
+        part = d.df.filter(F.col("doc_id") % 3 == bid)
+        ingest_lm_counts_batch(Table(part.select("doc_id", "text")),
+                               store, n_buckets=1024, n=2,
+                               batch_id=bid)
+    via_store = perplexity_filter(
+        d, counts=read_lm_counts(spark, store, n_buckets=1024, n=2),
+        n_buckets=1024, n=2, min_ppl=19.0, max_ppl=37.0)
+    one_shot = perplexity_filter(d, n_buckets=1024, n=2,
+                                 min_ppl=19.0, max_ppl=37.0)
+    s = via_store.select("doc_id", "logp", "ppl")
+    o = one_shot.select(F.col("doc_id"),
+                        F.col("logp").alias("logp_1"),
+                        F.col("ppl").alias("ppl_1"))
+    return (s.join(o, "doc_id", "full")
+            .select("doc_id", "logp", "ppl",
+                    ((F.col("logp") == F.col("logp_1"))
+                     & (F.col("ppl") == F.col("ppl_1")))
+                    .cast("int").alias("match"))
+            .orderBy("doc_id"))
+
+
 def incremental_simhash_batches(spark, sf_dir):
     """Simhash variant of the incremental-dedup contract (same two-batch
     shape as incremental_dedup_batches): exact copies in batch 2 must
@@ -3019,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probe, below the boundary like the other incremental stores)
         "incremental_counts_batches": incremental_counts_batches,
         "streaming_dsir_pipeline": streaming_dsir_pipeline,
+        "streaming_lm_pipeline": streaming_lm_pipeline,
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "approx_sketches": approx_sketches,
         "recall_minhash_lsh": recall_minhash_lsh,

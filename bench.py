@@ -123,6 +123,9 @@ NEW_QUERIES_R11 = [
     # the LM band filter over the wire dialect (in-process HTTP server
     # per rep; fit + score + band + projection all run server-side)
     "blaze_client_lm",
+    # streaming-native LM: 3 counts-store ingests + store-fed band
+    # filter full-joined against the one-shot pipeline
+    "streaming_lm_pipeline",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -38,7 +38,9 @@ from .incremental_dedup import (_check_sig_format, _compact_store_impl,
                                 _ingest_ids, resolve_store_root)
 
 __all__ = ["counts_format", "ingest_counts_batch", "read_bucket_counts",
-           "incremental_bucket_counts", "compact_counts_store"]
+           "incremental_bucket_counts", "compact_counts_store",
+           "lm_counts_format", "ingest_lm_counts_batch",
+           "read_lm_counts", "incremental_lm_counts"]
 
 
 def counts_format(n_buckets: int, n: int) -> str:
@@ -118,6 +120,77 @@ def incremental_bucket_counts(stream, store_path: str, checkpoint: str,
             .trigger(availableNow=True).start())
 
 
+def lm_counts_format(n_buckets: int, n: int) -> str:
+    """Store identity for an n-gram LM fit store: counts carry a
+    ``kind`` ('gram'/'ctx') dimension, so the format string is distinct
+    from the flat DSIR store's — pointing either reader at the other's
+    store fails loudly with a feature-space mismatch."""
+    return f"lm1:b{n_buckets}:n{n}"
+
+
+def ingest_lm_counts_batch(batch: Table, store_path: str,
+                           n_buckets: int = 4096, n: int = 2,
+                           text_col: str = "text",
+                           batch_id: int | None = None) -> None:
+    """Fit ONE batch's n-gram LM counts (``pipeline/lm.ngram_lm_fit``:
+    gram + context-as-context, one tokenization pass) and add the
+    partial (kind, bucket, cnt) rows to the store — ≤ 2·n_buckets rows
+    per ingest regardless of batch size.  Same exactly-once /
+    complete-only / format-stamp discipline as
+    :func:`ingest_counts_batch`; LM counts are additive across batches
+    for the same reason DSIR's are (both are occurrence counts)."""
+    from ..pipeline.lm import ngram_lm_fit
+
+    spark = batch.df.sparkSession
+    root = resolve_store_root(spark, store_path)
+    existing = _ingest_ids(spark, root)
+    _check_counts_format(spark, root, bool(existing),
+                         lm_counts_format(n_buckets, n))
+    if batch_id is None:
+        batch_id = (max(existing) + 1) if existing else 0
+    counts = ngram_lm_fit(batch, text_col, n_buckets, n)
+    (counts.repartition(1).write.mode("overwrite")
+     .parquet(f"{root}/ingest={batch_id}"))
+
+
+def read_lm_counts(spark, store_path: str, n_buckets: int = 4096,
+                   n: int = 2) -> DataFrame:
+    """The store's total (kind, bucket, cnt) relation — complete
+    ingests only, summed; validates the feature space.  Feed directly
+    to ``ngram_lm_logprob(counts=...)`` / ``perplexity_filter``."""
+    root = resolve_store_root(spark, store_path)
+    complete = _ingest_ids(spark, root, complete_only=True)
+    if not complete:
+        raise ValueError(
+            f"LM counts store at {store_path!r} has no complete "
+            "ingests — nothing to read yet (the path may not exist, "
+            "the stream may not have committed its first batch, or "
+            "every ingest directory is missing its _SUCCESS marker)")
+    _check_counts_format(spark, root, True,
+                         lm_counts_format(n_buckets, n))
+    df = (spark.read.option("basePath", root)
+          .parquet(*[f"{root}/ingest={i}" for i in complete])
+          .drop("ingest"))
+    return (df.groupBy("kind", "bucket")
+            .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
+
+
+def incremental_lm_counts(stream, store_path: str, checkpoint: str,
+                          n_buckets: int = 4096, n: int = 2,
+                          text_col: str = "text"):
+    """Maintain the LM counts store from a Structured Streaming source:
+    ``foreachBatch`` → :func:`ingest_lm_counts_batch` keyed by the
+    batch id.  Returns the started StreamingQuery."""
+    def _on_batch(bdf: DataFrame, batch_id: int):
+        ingest_lm_counts_batch(Table(bdf, "lm_counts_batch"),
+                               store_path, n_buckets=n_buckets, n=n,
+                               text_col=text_col, batch_id=batch_id)
+
+    return (stream.df.writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def compact_counts_store(spark, store_path: str,
                          strategy: str | None = None) -> None:
     """Collapse the complete ingest directories into one (the shared
@@ -138,3 +211,4 @@ def compact_counts_store(spark, store_path: str,
 from ..core import _localize_guard as _lg  # noqa: E402
 
 ingest_counts_batch = _lg(ingest_counts_batch)
+ingest_lm_counts_batch = _lg(ingest_lm_counts_batch)

@@ -1162,3 +1162,114 @@ def test_incremental_pq_index_read_errors_and_connect_complete_only(
     monkeypatch.undo()
 
     assert read_pq_index(spark, store, cb).df.count() == 100
+
+
+def test_incremental_lm_counts_store_matches_batch_fit(spark, tmp_path):
+    """r11: the streaming-native LM fit side — three batch ingests sum
+    to EXACTLY the one-shot ngram_lm_fit, scoring against the store
+    equals one-shot scoring, a crashed ingest is excluded, and the LM
+    store and the flat DSIR store refuse each other's readers."""
+    import os
+
+    import pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import ngram_lm_fit, ngram_lm_logprob
+    from blaze_spark.streaming.incremental_counts import (
+        compact_counts_store, ingest_lm_counts_batch, read_bucket_counts,
+        read_lm_counts)
+
+    store = str(tmp_path / "lm_store")
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared words here plus tok{i % 5}")
+            for i in range(30)]
+    batches = [rows[:10], rows[10:20], rows[20:]]
+    for bid, part in enumerate(batches):
+        b = data(part, spark=spark, schema="doc_id long, text string",
+                 name=f"lmb{bid}")
+        ingest_lm_counts_batch(b, store, n_buckets=256, n=2,
+                               batch_id=bid)
+
+    full = data(rows, spark=spark, schema="doc_id long, text string",
+                name="lmfull")
+    expect = sorted(map(tuple,
+                        ngram_lm_fit(full, n_buckets=256, n=2).collect()))
+    got = sorted(map(tuple,
+                     read_lm_counts(spark, store, n_buckets=256, n=2)
+                     .collect()))
+    assert got == expect
+
+    # store-fed scoring == one-shot scoring, row for row
+    scored_store = sorted(map(tuple, ngram_lm_logprob(
+        full, counts=read_lm_counts(spark, store, n_buckets=256, n=2),
+        n_buckets=256, n=2).collect()))
+    scored_once = sorted(map(tuple, ngram_lm_logprob(
+        full, n_buckets=256, n=2).collect()))
+    assert scored_store == scored_once
+
+    # feature-space / store-kind confusion fails loudly both ways
+    with pytest.raises(ValueError, match="feature space"):
+        read_lm_counts(spark, store, n_buckets=512, n=2)
+    with pytest.raises(ValueError, match="feature space"):
+        read_bucket_counts(spark, store, n_buckets=256)
+
+    # a crashed (incomplete) ingest is never counted
+    os.remove(os.path.join(store, "ingest=2", "_SUCCESS"))
+    partial = data(rows[:20], spark=spark,
+                   schema="doc_id long, text string", name="lmp")
+    expect2 = sorted(map(tuple, ngram_lm_fit(partial, n_buckets=256,
+                                             n=2).collect()))
+    got2 = sorted(map(tuple,
+                      read_lm_counts(spark, store, n_buckets=256, n=2)
+                      .collect()))
+    assert got2 == expect2
+
+    # compaction (shared engine) preserves the readable counts
+    compact_counts_store(spark, store)
+    got3 = sorted(map(tuple,
+                      read_lm_counts(spark, store, n_buckets=256, n=2)
+                      .collect()))
+    assert got3 == expect2
+
+
+def test_incremental_lm_counts_streaming_wrapper(spark, tmp_path):
+    """foreachBatch wiring: the LM store maintained from a real
+    Structured Streaming file source (availableNow), then read back
+    into a perplexity filter."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import ngram_lm_fit, perplexity_filter
+    from blaze_spark.streaming import stream_data
+    from blaze_spark.streaming.incremental_counts import (
+        incremental_lm_counts, read_lm_counts)
+
+    src_dir = tmp_path / "lmsrc"
+    src_dir.mkdir()
+    rows = [(i, f"w{i % 5} w{i % 3} common phrase here w{i % 2}")
+            for i in range(24)]
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows]})
+    pq.write_table(pa.Table.from_pandas(pdf), src_dir / "p0.parquet")
+
+    st = stream_data(spark, str(src_dir), fmt="parquet",
+                     schema="doc_id long, text string")
+    q = incremental_lm_counts(st, str(tmp_path / "lmstore2"),
+                              str(tmp_path / "lmckpt"),
+                              n_buckets=128, n=2)
+    q.awaitTermination(60)
+
+    full = data(rows, spark=spark, schema="doc_id long, text string",
+                name="lmsfull")
+    expect = sorted(map(tuple,
+                        ngram_lm_fit(full, n_buckets=128, n=2).collect()))
+    got = sorted(map(tuple,
+                     read_lm_counts(spark, str(tmp_path / "lmstore2"),
+                                    n_buckets=128, n=2).collect()))
+    assert got == expect
+    kept = perplexity_filter(
+        full, counts=read_lm_counts(spark, str(tmp_path / "lmstore2"),
+                                    n_buckets=128, n=2),
+        n_buckets=128, n=2, max_ppl=1e9)
+    assert kept.count() == len(rows)
