@@ -2820,6 +2820,26 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def temperature_mix_docs(spark, sf_dir):
+    """Temperature-flattened source mixing (pipeline/curation.
+    temperature_source_mix — the mT5/XLM-R α-sampling scheme): sources
+    src0-src9 collapse in-query into one over-represented pool (both
+    engines), α=0.5 flattens the mix, and apply_source_mix executes
+    the plan with the deterministic md5 keep decision — the oracle
+    value-checks exactly WHICH documents survive the rebalance."""
+    from blaze_spark.pipeline import (apply_source_mix,
+                                      temperature_source_mix)
+
+    d = _t(spark, sf_dir, "documents")
+    pool = F.when(F.col("source")
+                  .isin([f"src{i}" for i in range(10)]),
+                  F.lit("pool_a")).otherwise(F.col("source"))
+    sk = Table(d.df.withColumn("source", pool), "skewed_docs")
+    w = temperature_source_mix(sk, alpha=0.5)
+    kept = apply_source_mix(sk, w)
+    return kept.df.select("doc_id", "source").orderBy("doc_id")
+
+
 def blaze_client_lm(spark, sf_dir):
     """Remote LM perplexity filtering (r11): the CCNet band filter runs
     SERVER-side over ``blaze://`` — fit + score + band + projection all
@@ -2946,8 +2966,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_nation_revenue and left_join_counts (green r10 rows,
         # unchanged code) rotate below the boundary for them.
         # ... and blaze_client_lm (the LM family over the wire dialect
-        # — real HTTP round trip); count_values_events (green r10 row,
-        # unchanged code) rotates below the boundary for it.
+        # — real HTTP round trip) and temperature_mix_docs (mT5-style
+        # α-sampling rebalance, value-checked membership);
+        # count_values_events and coalesce_fill (green r10 rows,
+        # unchanged code) rotate below the boundary for them.
+        "temperature_mix_docs": temperature_mix_docs,
         "ngram_lm_docs": ngram_lm_docs,
         "perplexity_filter_docs": perplexity_filter_docs,
         "dup_ngram_spans_docs": dup_ngram_spans_docs,
@@ -2997,13 +3020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": q03_shipping_priority,
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
-        "coalesce_fill": coalesce_fill,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
-        # rollup_nation_revenue, left_join_counts and
-        # count_values_events (green r10 rows, unchanged code) for the
-        # five new lm.py / dup-ngram / wire-LM entries.
+        # rollup_nation_revenue, left_join_counts, count_values_events
+        # and coalesce_fill (green r10 rows, unchanged code) for the
+        # six new lm.py / dup-ngram / wire-LM / temperature-mix entries.
+        "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
         "left_join_counts": left_join_counts,
@@ -4630,6 +4653,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # temperature (alpha=0.5) source rebalance over an in-query
+        # skewed pool; membership via the md5 keep decision
+        "temperature_mix_docs": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN source IN ('src0','src1','src2','src3',
+                                            'src4','src5','src6','src7',
+                                            'src8','src9')
+                            THEN 'pool_a' ELSE source END AS source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt
+                FROM documents),
+            s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tt
+                  FROM q GROUP BY source),
+            sh AS (SELECT source, tt * 1.0 / sum(tt) OVER () AS share
+                   FROM s),
+            w AS (SELECT source,
+                         round(least(1.0,
+                               (pow(share, 0.5)
+                                / sum(pow(share, 0.5)) OVER ()) / share),
+                               4) AS sample_weight
+                  FROM sh)
+            SELECT q.doc_id, q.source
+            FROM q JOIN w USING (source)
+            WHERE w.sample_weight >= 1.0
+               OR substr(md5(coalesce(CAST(q.doc_id AS VARCHAR),
+                                      '__null__') || '-42'), 1, 8)
+                  < lower(lpad(to_hex(CAST(floor(w.sample_weight
+                                * 4294967296.0) AS BIGINT)), 8, '0'))
+            ORDER BY q.doc_id
+        """,
         # the remote LM chain computes the SAME band filter server-side
         # — one oracle definition, exercised through real HTTP
         "blaze_client_lm": r"""

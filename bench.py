@@ -126,6 +126,9 @@ NEW_QUERIES_R11 = [
     # streaming-native LM: 3 counts-store ingests + store-fed band
     # filter full-joined against the one-shot pipeline
     "streaming_lm_pipeline",
+    # mT5-style alpha-sampling source rebalance (weights window over
+    # ~#sources rows + broadcast md5-keyed execution)
+    "temperature_mix_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

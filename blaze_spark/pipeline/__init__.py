@@ -58,6 +58,7 @@ from .curation import (  # noqa: F401
     pii_scrub,
     repetition_features,
     source_mix,
+    temperature_source_mix,
     token_commonness,
     top_ngram_share,
 )

@@ -335,6 +335,46 @@ def source_mix(t: Table, text_col: str = "text",
     )
 
 
+def temperature_source_mix(t: Table, alpha: float = 0.3,
+                           text_col: str = "text",
+                           source_col: str = "source") -> DataFrame:
+    """Temperature-flattened mixture weights — the multilingual /
+    multi-source α-sampling of mT5 and XLM-R (sample sources
+    ∝ share^α): target token share ∝ actual_share^α, and
+    ``sample_weight = min(1, target_share / actual_share)`` thins the
+    over-represented sources toward the flattened mix WITHOUT
+    upsampling.  ``alpha=1`` keeps the natural mix (every weight 1);
+    ``alpha=0`` is :func:`source_mix`'s uniform plan.  Output schema
+    composes directly with :func:`apply_source_mix` (deterministic
+    md5-keyed execution — the whole chain stays oracle-checkable).
+
+    Same topology as :func:`source_mix`: one map-side-combinable
+    aggregation on the low-cardinality source key, then two
+    non-partitioned windows over ~#sources rows."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"alpha must be in [0, 1], got {alpha}: above 1 the plan "
+            "would UPSAMPLE minority sources, which a keep-probability "
+            "filter cannot express (duplicate rows instead)")
+    feats = quality_features(t, text_col).df
+    per_source = feats.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    powered = F.pow(share, F.lit(float(alpha)))
+    target = powered / F.sum(powered).over(w)
+    return per_source.select(
+        source_col, "n_docs", "total_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round(target, 4).alias("target_share"),
+        F.round(F.least(F.lit(1.0), target / share), 4)
+        .alias("sample_weight"),
+    )
+
+
 URL_PATTERN = r"https?://[^\s]+"
 DOMAIN_PATTERN = r"https?://([^/\s:?#]+)"
 
@@ -568,6 +608,7 @@ from ..core import _localize_guard as _lg  # noqa: E402
 top_ngram_share = _lg(top_ngram_share)
 contamination_report = _lg(contamination_report)
 source_mix = _lg(source_mix)
+temperature_source_mix = _lg(temperature_source_mix)
 extract_urls = _lg(extract_urls)
 domain_mix = _lg(domain_mix)
 blocklist_filter = _lg(blocklist_filter)

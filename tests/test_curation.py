@@ -134,6 +134,58 @@ def test_source_mix_weights(spark):
     assert out["s2"].sample_weight == 1.0  # never upsample
 
 
+def test_temperature_source_mix_formula(spark):
+    from blaze_spark.pipeline import temperature_source_mix
+
+    # shares .75/.25; at alpha=.5: sqrt -> .866/.5, normalized
+    # .6340/.3660; weight_s1 = .6340/.75, s2 capped at 1
+    t = data([(1, "a b c d e f", "s1"), (2, "g h", "s2")],
+             spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="tsm")
+    out = {r.source: r for r in
+           temperature_source_mix(t, alpha=0.5).collect()}
+    import math
+    tgt1 = math.sqrt(0.75) / (math.sqrt(0.75) + math.sqrt(0.25))
+    assert out["s1"].token_share == 0.75
+    assert out["s1"].target_share == round(tgt1, 4)
+    assert out["s1"].sample_weight == round(tgt1 / 0.75, 4)
+    assert out["s2"].sample_weight == 1.0  # never upsample
+
+    # alpha=1 keeps the natural mix; alpha=0 matches source_mix's
+    # uniform plan
+    nat = {r.source: r.sample_weight for r in
+           temperature_source_mix(t, alpha=1.0).collect()}
+    assert nat == {"s1": 1.0, "s2": 1.0}
+    uni = {r.source: r.sample_weight for r in
+           temperature_source_mix(t, alpha=0.0).collect()}
+    ref = {r.source: r.sample_weight for r in source_mix(t).collect()}
+    assert uni == ref
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_source_mix(t, alpha=1.5)
+
+
+def test_temperature_mix_composes_with_apply(spark):
+    from blaze_spark.pipeline import (apply_source_mix,
+                                      temperature_source_mix)
+
+    rows = [(i, "w " * (3 if i % 4 else 30), "big" if i % 4 == 0
+             else f"s{i % 3}") for i in range(80)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="tsm2")
+    w = temperature_source_mix(t, alpha=0.3)
+    kept = apply_source_mix(t, w)
+    n = kept.df.count()
+    assert 0 < n < 80           # the over-represented source thinned
+    # deterministic: the SAME rows survive on a re-run
+    again = apply_source_mix(t, temperature_source_mix(t, alpha=0.3))
+    assert sorted(r.doc_id for r in kept.df.collect()) == \
+        sorted(r.doc_id for r in again.df.collect())
+
+
 # -- tensordot general axes (blaze/expr/arrays.py:104-129) -------------------
 
 @pytest.fixture(scope="module")
