@@ -183,9 +183,18 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
         raise ValueError(
             "ngram_lm_logprob: pass either reference= (fit here) or "
             "counts= (precomputed ngram_lm_fit output), not both")
+    for side, v in (("reference", reference), ("counts", counts)):
+        if isinstance(v, Table) and getattr(v, "_client", None) is not None:
+            raise TypeError(
+                f"scoring a LOCAL corpus against a REMOTE {side} mixes "
+                "engines — compute() the remote expression first (or "
+                "register the corpus on the same server and score "
+                "there)")
     if counts is None:
         counts = ngram_lm_fit(reference if reference is not None else t,
                               text_col, n_buckets, n)
+    if isinstance(counts, Table):
+        counts = counts.df
     gram, ctx = _bounded_lm_counts(counts)
     ln_g = {b: math.log(c + smoothing) for b, c in gram.items()}
     ln_c = {b: math.log(c + smoothing * n_buckets)

@@ -241,6 +241,9 @@ def test_wire_validation(spark, ldocs):
             ngram_lm_logprob(rt, counts=ldocs)   # local Table, not df
         with pytest.raises(TypeError, match="SAME server"):
             ngram_lm_logprob(rt, reference=ldocs)
+        # the mirror image: LOCAL corpus, REMOTE fit — engines don't mix
+        with pytest.raises(TypeError, match="mixes engines"):
+            ngram_lm_logprob(ldocs, counts=ngram_lm_fit(rt, n_buckets=B))
         with pytest.raises(ValueError, match="unbounded band"):
             perplexity_filter(rt)
         node = {"op": "ngram_lm_logprob",
