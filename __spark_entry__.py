@@ -2820,6 +2820,30 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def edit_distance_verify_docs(spark, sf_dir):
+    """Character-level candidate verification (pipeline/dedup.
+    edit_distance_pairs): exact Levenshtein distance + normalized
+    similarity for a deterministic candidate set (doc i with doc i+1,
+    every 7th doc — the verify stage runs on CANDIDATES, never
+    all-pairs).  DuckDB's levenshtein agrees exactly, so the oracle
+    value-checks every distance."""
+    from blaze_spark.pipeline import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.df.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    cand = Table(
+        ids.select(F.col("doc_id").alias("doc_a"),
+                   (F.col("doc_id") + 1).alias("doc_b"))
+        .join(d.df.select(F.col("doc_id").alias("doc_b")), "doc_b"),
+        "cand")
+    out = edit_distance_pairs(d, cand)
+    return (out.df.select("doc_a", "doc_b", "edit_distance",
+                          "edit_similarity",
+                          F.col("truncated").cast("int")
+                          .alias("truncated"))
+            .orderBy("doc_a", "doc_b"))
+
+
 def temperature_mix_docs(spark, sf_dir):
     """Temperature-flattened source mixing (pipeline/curation.
     temperature_source_mix — the mT5/XLM-R α-sampling scheme): sources
@@ -2970,6 +2994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # α-sampling rebalance, value-checked membership);
         # count_values_events and coalesce_fill (green r10 rows,
         # unchanged code) rotate below the boundary for them.
+        # ... and edit_distance_verify_docs (Levenshtein candidate
+        # verification); relabel_drop (green r10 row, unchanged code)
+        # rotates below the boundary for it.
+        "edit_distance_verify_docs": edit_distance_verify_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "ngram_lm_docs": ngram_lm_docs,
         "perplexity_filter_docs": perplexity_filter_docs,
@@ -3019,13 +3047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strftime_buckets": strftime_buckets,
         "q03_shipping_priority": q03_shipping_priority,
         "apply_batch_filter": apply_batch_filter,
-        "relabel_drop": relabel_drop,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
-        # rollup_nation_revenue, left_join_counts, count_values_events
-        # and coalesce_fill (green r10 rows, unchanged code) for the
-        # six new lm.py / dup-ngram / wire-LM / temperature-mix entries.
+        # rollup_nation_revenue, left_join_counts, count_values_events,
+        # coalesce_fill and relabel_drop (green r10 rows, unchanged
+        # code) for the seven new lm.py / dup-ngram / wire-LM /
+        # temperature-mix / edit-distance entries.
+        "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
@@ -4653,6 +4682,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # Levenshtein candidate verification: deterministic (i, i+1)
+        # pairs every 7th doc; DuckDB's levenshtein agrees exactly
+        "edit_distance_verify_docs": r"""
+            WITH cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM documents a JOIN documents b
+                     ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 7 = 0),
+            src AS (
+                SELECT doc_id, substr(text, 1, 10000) AS t,
+                       len(text) > 10000 AS trunc
+                FROM documents)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(sa.t, sb.t) AS BIGINT)
+                       AS edit_distance,
+                   round(CASE WHEN greatest(len(sa.t), len(sb.t)) > 0
+                              THEN 1.0 - levenshtein(sa.t, sb.t) * 1.0
+                                   / greatest(len(sa.t), len(sb.t))
+                              ELSE 1.0 END, 4) + 0.0 AS edit_similarity,
+                   CAST(sa.trunc OR sb.trunc AS INT) AS truncated
+            FROM cand c JOIN src sa ON c.doc_a = sa.doc_id
+                        JOIN src sb ON c.doc_b = sb.doc_id
+            ORDER BY c.doc_a, c.doc_b
+        """,
         # temperature (alpha=0.5) source rebalance over an in-query
         # skewed pool; membership via the md5 keep decision
         "temperature_mix_docs": r"""

@@ -129,6 +129,8 @@ NEW_QUERIES_R11 = [
     # mT5-style alpha-sampling source rebalance (weights window over
     # ~#sources rows + broadcast md5-keyed execution)
     "temperature_mix_docs",
+    # Levenshtein candidate verification (two equi-joins + per-pair DP)
+    "edit_distance_verify_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     cross_doc_dup_lines,
     cross_doc_dup_ngrams,
     exact_dedup,
+    edit_distance_pairs,
     exact_jaccard_pairs,
     normalized_dedup,
     minhash_signatures,

@@ -581,6 +581,63 @@ def ngram_jaccard_pairs(t: Table, candidates: Table, text_col: str = "text",
     return Table(carry_caches(out, c), "ngram_jaccard_pairs")
 
 
+def edit_distance_pairs(t: Table, candidates: Table,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_chars: int = 10_000,
+                        max_dist: int | None = None) -> Table:
+    """Exact Levenshtein verification for candidate pairs only — the
+    character-level verifier next to :func:`ngram_jaccard_pairs`'s
+    token-set one: near-dups that differ by small in-token edits
+    (typos, number substitutions, template fills) score near-identical
+    here even when token-set Jaccard dilutes them.
+
+    Output: (doc_a, doc_b, edit_distance LONG, edit_similarity) with
+    ``edit_similarity = 1 − dist / max(len_a, len_b)`` (round-4; two
+    empty texts are identical → 1.0).  ``max_dist`` (optional) keeps
+    only pairs within the bound — Spark's ``levenshtein(l, r, k)``
+    short-circuits its O(len²) DP once the running distance exceeds k,
+    which at 100 TB is the difference between verifying candidates and
+    quadratic-scanning long documents; unbounded distance is computed
+    only when ``max_dist`` is None.  Texts are hard-capped at
+    ``max_chars`` (the DP is quadratic in LENGTH, not corpus size —
+    a single pathological 1 MB document pair would cost 10¹² cells;
+    the prefix is compared and the cap recorded in ``truncated``).
+
+    Topology: two broadcast-or-shuffle equi-joins of the candidate ids
+    against the docs table (the same shape as the Jaccard verifier) —
+    never all-pairs; the DP runs once per CANDIDATE pair."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
+    src = _spread(
+        t.df.select(F.col(id_col).alias("doc_id"),
+                    F.substring(F.col(text_col), 1, max_chars).alias("__t"),
+                    (F.length(F.col(text_col)) > max_chars)
+                    .alias("__trunc")),
+        "doc_id")
+    c = candidates.df
+    joined = (
+        c.join(src.withColumnsRenamed(
+            {"doc_id": "doc_a", "__t": "t_a", "__trunc": "tr_a"}), "doc_a")
+        .join(src.withColumnsRenamed(
+            {"doc_id": "doc_b", "__t": "t_b", "__trunc": "tr_b"}), "doc_b"))
+    dist = (F.levenshtein("t_a", "t_b") if max_dist is None
+            else F.levenshtein("t_a", "t_b", max_dist))
+    longest = F.greatest(F.length("t_a"), F.length("t_b"))
+    out = joined.select(
+        "doc_a", "doc_b",
+        dist.cast(T.LongType()).alias("edit_distance"),
+        (F.round(F.when(longest > 0,
+                        1.0 - dist / longest).otherwise(F.lit(1.0)), 4)
+         + F.lit(0.0)).alias("edit_similarity"),
+        (F.col("tr_a") | F.col("tr_b")).alias("truncated"))
+    if max_dist is not None:
+        # levenshtein(l, r, k) returns -1 past the bound — those pairs
+        # failed verification by definition
+        out = out.filter((F.col("edit_distance") >= 0)
+                         & (F.col("edit_distance") <= max_dist))
+    return Table(carry_caches(out, c), "edit_distance_pairs")
+
+
 def exact_jaccard_pairs(t: Table, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         min_jaccard: float = 0.8,
@@ -760,6 +817,7 @@ normalized_dedup = _lg(normalized_dedup)
 minhash_signatures = _lg(minhash_signatures)
 minhash_candidates = _lg(minhash_candidates)
 ngram_jaccard_pairs = _lg(ngram_jaccard_pairs)
+edit_distance_pairs = _lg(edit_distance_pairs)
 exact_jaccard_pairs = _lg(exact_jaccard_pairs)
 simhash = _lg(simhash)
 simhash_candidates = _lg(simhash_candidates)

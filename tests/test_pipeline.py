@@ -1340,6 +1340,54 @@ def test_cross_doc_dup_ngrams_min_docs_and_validation(spark):
         cross_doc_dup_ngrams(t, n=0)
 
 
+def test_edit_distance_pairs_exact_and_bounded(spark):
+    from blaze_spark import data
+    from blaze_spark.core import Table
+    from blaze_spark.pipeline import edit_distance_pairs
+
+    docs = data([(1, "the quick brown fox"), (2, "the quick browm fox"),
+                 (3, "unrelated words entirely"), (4, "")],
+                spark=spark, schema="doc_id long, text string",
+                name="edp")
+    cand = Table(spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4)], "doc_a long, doc_b long"), "edc")
+    out = {(r.doc_a, r.doc_b): r for r in
+           edit_distance_pairs(docs, cand).df.collect()}
+    assert out[(1, 2)].edit_distance == 1
+    assert out[(1, 2)].edit_similarity == round(1 - 1 / 19, 4)
+    assert out[(1, 3)].edit_distance > 10
+    assert out[(4, 4)].edit_distance == 0      # two empty texts
+    assert out[(4, 4)].edit_similarity == 1.0
+    # bounded form drops pairs past max_dist (levenshtein's -1 cutoff)
+    bounded = {(r.doc_a, r.doc_b) for r in
+               edit_distance_pairs(docs, cand, max_dist=3).df.collect()}
+    assert bounded == {(1, 2), (4, 4)}
+
+
+def test_edit_distance_pairs_truncation_cap(spark):
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.core import Table
+    from blaze_spark.pipeline import edit_distance_pairs
+
+    long_a = "x" * 50 + "tail one"
+    long_b = "x" * 50 + "tail two"
+    docs = data([(1, long_a), (2, long_b)],
+                spark=spark, schema="doc_id long, text string",
+                name="edt")
+    cand = Table(spark.createDataFrame([(1, 2)],
+                                       "doc_a long, doc_b long"), "edt2")
+    r = edit_distance_pairs(docs, cand, max_chars=50).df.first()
+    # only the identical 50-char prefixes are compared, and the cap is
+    # surfaced
+    assert r.edit_distance == 0 and bool(r.truncated)
+    full = edit_distance_pairs(docs, cand).df.first()
+    assert full.edit_distance == 3 and not bool(full.truncated)
+    with _pytest.raises(ValueError, match="max_chars"):
+        edit_distance_pairs(docs, cand, max_chars=0)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (pipeline/pq.py) — compressed-domain ANN
 # ---------------------------------------------------------------------------
