@@ -2820,6 +2820,34 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def blaze_client_mix(spark, sf_dir):
+    """Remote mixture rebalance (mid-r11): temperature_source_mix
+    computes the α-sampling plan SERVER-side and apply_source_mix
+    executes it there too — the weights ride between the two as a
+    same-server SUBTREE, so neither the corpus nor the plan crosses
+    the wire (pipeline/curation.py wire forms; only the kept rows
+    return).  Oracle value-checks exactly which documents survive."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import (apply_source_mix,
+                                      temperature_source_mix)
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        w = temperature_source_mix(rt, alpha=0.5)
+        kept = apply_source_mix(rt, w)
+        expr = kept[["doc_id", "source"]].sort("doc_id")
+        pdf = expr.compute()
+        schema = expr.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def edit_distance_verify_docs(spark, sf_dir):
     """Character-level candidate verification (pipeline/dedup.
     edit_distance_pairs): exact Levenshtein distance + normalized
@@ -2997,6 +3025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ... and edit_distance_verify_docs (Levenshtein candidate
         # verification); relabel_drop (green r10 row, unchanged code)
         # rotates below the boundary for it.
+        # ... and blaze_client_mix (the mixture pair over the wire —
+        # weights ride between fit and execute as a same-server
+        # subtree); apply_batch_filter (green r10 row, unchanged code)
+        # rotates below the boundary for it.
+        "blaze_client_mix": blaze_client_mix,
         "edit_distance_verify_docs": edit_distance_verify_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "ngram_lm_docs": ngram_lm_docs,
@@ -3046,14 +3079,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
         "q03_shipping_priority": q03_shipping_priority,
-        "apply_batch_filter": apply_batch_filter,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
         # rollup_nation_revenue, left_join_counts, count_values_events,
-        # coalesce_fill and relabel_drop (green r10 rows, unchanged
-        # code) for the seven new lm.py / dup-ngram / wire-LM /
-        # temperature-mix / edit-distance entries.
+        # coalesce_fill, relabel_drop and apply_batch_filter (green r10
+        # rows, unchanged code) for the eight new lm.py / dup-ngram /
+        # wire-LM / temperature-mix / edit-distance / wire-mix entries.
+        "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
@@ -4682,6 +4715,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR log-weights: exact integer bucket counts; ln() over those
         # integers + one round-4 per-doc export (udaf_geomean precedent)
+        # the remote mixture chain computes the SAME alpha=0.5 plan on
+        # the NATURAL sources server-side — membership value-checked
+        "blaze_client_mix": r"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt
+                FROM documents),
+            s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tt
+                  FROM q GROUP BY source),
+            sh AS (SELECT source, tt * 1.0 / sum(tt) OVER () AS share
+                   FROM s),
+            w AS (SELECT source,
+                         round(least(1.0,
+                               (pow(share, 0.5)
+                                / sum(pow(share, 0.5)) OVER ()) / share),
+                               4) AS sample_weight
+                  FROM sh)
+            SELECT q.doc_id, q.source
+            FROM q JOIN w USING (source)
+            WHERE w.sample_weight >= 1.0
+               OR substr(md5(coalesce(CAST(q.doc_id AS VARCHAR),
+                                      '__null__') || '-42'), 1, 8)
+                  < lower(lpad(to_hex(CAST(floor(w.sample_weight
+                                * 4294967296.0) AS BIGINT)), 8, '0'))
+            ORDER BY q.doc_id
+        """,
         # Levenshtein candidate verification: deterministic (i, i+1)
         # pairs every 7th doc; DuckDB's levenshtein agrees exactly
         "edit_distance_verify_docs": r"""

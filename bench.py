@@ -131,6 +131,9 @@ NEW_QUERIES_R11 = [
     "temperature_mix_docs",
     # Levenshtein candidate verification (two equi-joins + per-pair DP)
     "edit_distance_verify_docs",
+    # the mixture pair over the wire (weights ride fit->execute as a
+    # same-server subtree; in-process HTTP server per rep)
+    "blaze_client_mix",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -19,6 +19,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .core import ColExpr, Reduction, Table, by, concat, join, summary
 from .sources import data
@@ -216,7 +217,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # ≤ 2·n_buckets fit relation rides as literal rows,
                   # the reference corpus as a same-server subtree
                   "ngram_lm_fit", "ngram_lm_logprob",
-                  "perplexity_filter"}
+                  "perplexity_filter",
+                  # mid-r11 literal-args table ops: dup-span
+                  # scoring/scrub and the mixture-plan pair (weights
+                  # as literal rows or a same-server subtree)
+                  "cross_doc_dup_ngrams", "temperature_source_mix",
+                  "apply_source_mix"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -336,6 +342,9 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op in ("ngram_lm_fit", "ngram_lm_logprob",
                   "perplexity_filter"):
             return _lm_node(op, args, child, walk)
+        if op in ("cross_doc_dup_ngrams", "temperature_source_mix",
+                  "apply_source_mix"):
+            return _mix_dedup_node(op, args, child, walk)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
                   "gopher_rules"):
@@ -484,6 +493,45 @@ def _lm_node(op: str, args: list, child: Table, walk):
     fn = (ngram_lm_logprob if op == "ngram_lm_logprob"
           else perplexity_filter)
     return Table(fn(child, reference, counts, **kw), op)
+
+
+def _mix_dedup_node(op: str, args: list, child: Table, walk):
+    """Replay a mid-r11 literal-args table node: dup-span
+    scoring/scrub, temperature mixture weights, or mixture execution
+    (weights as bounded literal rows or a same-server subtree)."""
+    from .pipeline import (apply_source_mix, cross_doc_dup_ngrams,
+                           temperature_source_mix)
+
+    def _kw(raw_kw: dict, allowed: set) -> dict:
+        bad = set(raw_kw) - allowed
+        if bad:
+            raise ValueError(
+                f"{op} wire node carries unknown keyword(s) "
+                f"{sorted(bad)} — re-serialize with a matching client "
+                "version")
+        return dict(raw_kw)
+
+    if op == "cross_doc_dup_ngrams":
+        kw = _kw(args[1], {"n", "min_docs", "text_col", "id_col",
+                           "scrub"})
+        return cross_doc_dup_ngrams(child, **kw)
+    if op == "temperature_source_mix":
+        kw = _kw(args[1], {"alpha", "text_col", "source_col"})
+        return Table(temperature_source_mix(child, **kw),
+                     "temperature_source_mix")
+    # apply_source_mix — args: [child, weights_enc, {kw}]
+    kw = _kw(args[2], {"source_col", "id_col", "seed"})
+    if isinstance(args[1], dict):
+        weights = walk(args[1]).df
+    else:
+        spark = child.df.sparkSession
+        src_col = kw.get("source_col", "source")
+        weights = spark.createDataFrame(
+            [(s, float(w)) for s, w in args[1]],
+            T.StructType([T.StructField(src_col, T.StringType()),
+                          T.StructField("sample_weight",
+                                        T.DoubleType())]))
+    return apply_source_mix(child, weights, **kw)
 
 
 def compute_tree(tree: dict, *, spark: SparkSession | None = None,

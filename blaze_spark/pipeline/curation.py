@@ -608,10 +608,99 @@ from ..core import _localize_guard as _lg  # noqa: E402
 top_ngram_share = _lg(top_ngram_share)
 contamination_report = _lg(contamination_report)
 source_mix = _lg(source_mix)
-temperature_source_mix = _lg(temperature_source_mix)
 extract_urls = _lg(extract_urls)
 domain_mix = _lg(domain_mix)
 blocklist_filter = _lg(blocklist_filter)
 corpus_report = _lg(corpus_report)
-apply_source_mix = _lg(apply_source_mix)
 token_commonness = _lg(token_commonness)
+
+
+# ---------------------------------------------------------------------------
+# Wire dialect (mid-r11): the mixture-plan pair serializes — a remote
+# rebalancing service computes weights AND executes the plan
+# server-side, with only the plan (or the kept rows) crossing the
+# wire.  The weights relation is ~#sources rows, so a LOCAL weights
+# frame ships as literal rows (the selection-family closure pattern);
+# a same-server weights expression (e.g. a remote
+# temperature_source_mix result) rides as a subtree.
+import functools  # noqa: E402
+
+_local_temperature_source_mix = temperature_source_mix
+_local_apply_source_mix = apply_source_mix
+
+
+def _wire():
+    # LAZY: selection imports THIS module at its top (shared
+    # tokenization), so importing selection's wire helpers eagerly here
+    # would be circular
+    from .selection import (_MAX_BUCKETS, _client_of, _require_tree,
+                            _wire_result)
+    return _MAX_BUCKETS, _client_of, _require_tree, _wire_result
+
+
+@functools.wraps(_local_temperature_source_mix)
+def temperature_source_mix(t: Table, alpha: float = 0.3,
+                           text_col: str = "text",
+                           source_col: str = "source"):
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    if _client_of(t) is None:
+        return _local_temperature_source_mix(t, alpha, text_col,
+                                             source_col)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    node = {"op": "temperature_source_mix",
+            "args": [_require_tree(t, "temperature_source_mix"),
+                     {"alpha": float(alpha), "text_col": text_col,
+                      "source_col": source_col}]}
+    spark = t.df.sparkSession
+    schema = T.StructType(
+        [t.df.schema[source_col],
+         T.StructField("n_docs", T.LongType()),
+         T.StructField("total_tokens", T.LongType()),
+         T.StructField("token_share", T.DoubleType()),
+         T.StructField("target_share", T.DoubleType()),
+         T.StructField("sample_weight", T.DoubleType())])
+    return _wire_result(t, spark.createDataFrame([], schema), node)
+
+
+@functools.wraps(_local_apply_source_mix)
+def apply_source_mix(t: Table, weights, source_col: str = "source",
+                     id_col: str = "doc_id", seed: int = 42) -> Table:
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    if _client_of(t) is None:
+        if isinstance(weights, Table) \
+                and getattr(weights, "_client", None) is not None:
+            raise TypeError(
+                "applying a REMOTE weights plan to a LOCAL corpus "
+                "mixes engines — compute() the weights first (or "
+                "register the corpus on the same server)")
+        if isinstance(weights, Table):
+            weights = weights.df
+        return _local_apply_source_mix(t, weights, source_col, id_col,
+                                       seed)
+    client = t._client
+    if isinstance(weights, Table):
+        if _client_of(weights) is not client:
+            raise TypeError(
+                "weights is a table from a different server (or a "
+                "local Table) — the plan must live on the same server "
+                "as the corpus, or be passed as a bounded local "
+                "DataFrame")
+        enc = _require_tree(weights, "apply_source_mix weights")
+    else:
+        rows = (weights.select(F.col(source_col).cast(T.StringType()),
+                               F.col("sample_weight")
+                               .cast(T.DoubleType()))
+                .limit(_MAX_BUCKETS + 1).collect())
+        if len(rows) > _MAX_BUCKETS:
+            raise ValueError(
+                f"apply_source_mix: weights has more than "
+                f"{_MAX_BUCKETS} rows — mixture plans are per-SOURCE "
+                "relations; was a per-document frame passed?")
+        enc = sorted(([r[0], float(r[1])] for r in rows),
+                     key=lambda p: (p[0] is None, p[0]))
+    node = {"op": "apply_source_mix",
+            "args": [_require_tree(t, "apply_source_mix"), enc,
+                     {"source_col": source_col, "id_col": id_col,
+                      "seed": int(seed)}]}
+    return _wire_result(t, t.df, node)

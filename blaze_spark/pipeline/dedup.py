@@ -812,12 +812,58 @@ from ..core import _localize_guard as _lg  # noqa: E402
 
 exact_dedup = _lg(exact_dedup)
 cross_doc_dup_lines = _lg(cross_doc_dup_lines)
-cross_doc_dup_ngrams = _lg(cross_doc_dup_ngrams)
 normalized_dedup = _lg(normalized_dedup)
 minhash_signatures = _lg(minhash_signatures)
 minhash_candidates = _lg(minhash_candidates)
 ngram_jaccard_pairs = _lg(ngram_jaccard_pairs)
+# edit_distance_pairs stays guarded DELIBERATELY: its candidates input
+# comes from the approximate generators (MinHash/SimHash), which are
+# not wire-expressible — a remote verify over locally generated
+# candidates would silently mix engines
 edit_distance_pairs = _lg(edit_distance_pairs)
 exact_jaccard_pairs = _lg(exact_jaccard_pairs)
 simhash = _lg(simhash)
 simhash_candidates = _lg(simhash_candidates)
+
+
+# ---------------------------------------------------------------------------
+# Wire dialect (mid-r11): cross_doc_dup_ngrams is a pure literal-args
+# table op (no models, no candidate inputs), so it serializes as a
+# unary tree node — the curation-pass pattern — and a remote scrub
+# service runs it without the corpus ever crossing the wire.
+import functools  # noqa: E402
+
+from .selection import _client_of, _require_tree, _wire_result  # noqa: E402
+
+_local_cross_doc_dup_ngrams = cross_doc_dup_ngrams
+
+
+@functools.wraps(_local_cross_doc_dup_ngrams)
+def cross_doc_dup_ngrams(t: Table, n: int = 5, min_docs: int = 2,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         scrub: bool = False) -> Table:
+    if _client_of(t) is None:
+        return _local_cross_doc_dup_ngrams(t, n, min_docs, text_col,
+                                           id_col, scrub)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document), got {min_docs}")
+    node = {"op": "cross_doc_dup_ngrams",
+            "args": [_require_tree(t, "cross_doc_dup_ngrams"),
+                     {"n": int(n), "min_docs": int(min_docs),
+                      "text_col": text_col, "id_col": id_col,
+                      "scrub": bool(scrub)}]}
+    spark = t.df.sparkSession
+    if scrub:
+        schema = T.StructType(
+            [t.df.schema[id_col],
+             T.StructField("clean_text", T.StringType())])
+    else:
+        schema = T.StructType(
+            [t.df.schema[id_col],
+             T.StructField("n_tokens", T.IntegerType()),
+             T.StructField("dup_tokens", T.IntegerType()),
+             T.StructField("dup_token_frac", T.DoubleType())])
+    return _wire_result(t, spark.createDataFrame([], schema), node)

@@ -186,6 +186,70 @@ def test_temperature_mix_composes_with_apply(spark):
         sorted(r.doc_id for r in again.df.collect())
 
 
+def test_mixture_pair_over_wire(spark):
+    """temperature_source_mix + apply_source_mix serialize over
+    blaze://: remote weights subtree, local literal-rows weights, and
+    the mixed-engine refusals."""
+    import pytest as _pytest
+
+    from blaze_spark.pipeline import apply_source_mix
+    from blaze_spark.pipeline import temperature_source_mix as tsm
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(i, "w " * (2 if i % 3 else 20), f"s{i % 3}")
+            for i in range(40)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="wmix")
+    srv = BlazeSparkServer({"wmix": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::wmix", spark=spark)
+        wr = tsm(rt, alpha=0.5)
+        got_w = sorted(map(tuple, spark.createDataFrame(
+            wr.compute(), schema=wr.df.schema).collect()))
+        want_w = sorted(map(tuple, tsm(t, alpha=0.5).collect()))
+        assert got_w == want_w
+        # remote weights subtree feeds remote execution
+        kept_ids = sorted(apply_source_mix(rt, wr).compute().doc_id)
+        local_ids = sorted(
+            r.doc_id for r in
+            apply_source_mix(t, tsm(t, alpha=0.5)).df.collect())
+        assert kept_ids == local_ids and 0 < len(kept_ids) < 40
+        # a LOCAL weights frame ships as literal rows
+        assert sorted(apply_source_mix(
+            rt, tsm(t, alpha=0.5)).compute().doc_id) == local_ids
+        with _pytest.raises(TypeError, match="mixes engines"):
+            apply_source_mix(t, wr)
+        with _pytest.raises(TypeError, match="different server"):
+            apply_source_mix(rt, t)   # a local TABLE is not a plan
+    finally:
+        srv.stop()
+
+
+def test_dup_ngrams_over_wire(spark):
+    from blaze_spark.pipeline import cross_doc_dup_ngrams
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(1, "a b c d e tail one"), (2, "a b c d e tail two"),
+            (3, "all different words here now")]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string", name="wdng")
+    srv = BlazeSparkServer({"wdng": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::wdng", spark=spark)
+        for scrub in (False, True):
+            r = cross_doc_dup_ngrams(rt, n=5, scrub=scrub)
+            got = sorted(map(tuple, spark.createDataFrame(
+                r.compute(), schema=r.df.schema).collect()))
+            want = sorted(map(tuple, cross_doc_dup_ngrams(
+                t, n=5, scrub=scrub).df.collect()))
+            assert got == want
+    finally:
+        srv.stop()
+
+
 # -- tensordot general axes (blaze/expr/arrays.py:104-129) -------------------
 
 @pytest.fixture(scope="module")
