@@ -376,6 +376,18 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
     return walk(tree)
 
 
+def _arity(op: str, args: list, max_args: int):
+    """Positional-args nodes carry a FIXED arity (new knobs ride in the
+    kwargs dict, whose unknown keys already reject loudly) — so extra
+    positional args from a newer client must fail the same way instead
+    of being silently ignored (ADVICE r11)."""
+    if len(args) > max_args:
+        raise ValueError(
+            f"{op} wire node carries {len(args)} args (expected at "
+            f"most {max_args}) — re-serialize with a matching client "
+            "version")
+
+
 def _selection_node(op: str, args: list, child: Table, walk):
     """Replay a model-based selection node (r11).  The model/counts
     relations arrive as literal ``[[bucket, value], ...]`` row lists
@@ -425,12 +437,14 @@ def _selection_node(op: str, args: list, child: Table, walk):
 
     if op == "hashed_bucket_counts":
         # args: [child, text_col, n_buckets, n, (target_filter_expr)]
+        _arity(op, args, 5)
         return Table(hashed_bucket_counts(child, args[1], args[2],
                                           args[3],
                                           target_filter=_tf(4)),
                      "bucket_counts")
     if op == "quality_classifier":
         # args: [child, [[bucket, weight_milli], ...], {kw}]
+        _arity(op, args, 3)
         wdf = spark.createDataFrame(
             [(int(b), int(w)) for b, w in args[1]],
             "bucket long, weight_milli long")
@@ -442,6 +456,7 @@ def _selection_node(op: str, args: list, child: Table, walk):
         # args: [child, target_tree|None, raw_counts, target_counts,
         #        {kw}, (target_filter_expr)] — counts: None | literal
         #        rows | subtree
+        _arity(op, args, 6)
         target = walk(args[1]) if args[1] is not None else None
         return Table(dsir_log_weights(
             child, target, raw_counts=_counts_df(args[2]),
@@ -449,6 +464,7 @@ def _selection_node(op: str, args: list, child: Table, walk):
             target_filter=_tf(5),
             **_kw(args[4], "dsir_log_weights")), "dsir_log_weights")
     # weighted_sample — args: [child, score_col, {kw}]
+    _arity(op, args, 3)
     return Table(weighted_sample(child, args[1],
                                  **_kw(args[2], "weighted_sample")),
                  "weighted_sample")
@@ -467,11 +483,23 @@ def _lm_node(op: str, args: list, child: Table, walk):
     spark = child.df.sparkSession
 
     if op == "ngram_lm_fit":
-        # args: [child, text_col, n_buckets, n]
-        return Table(ngram_lm_fit(child, args[1], args[2], args[3]),
+        # args: [child, text_col, n_buckets, n, ({kw} — r12: unigrams)]
+        _arity(op, args, 5)
+        kw = {}
+        if len(args) > 4 and args[4]:
+            bad = set(args[4]) - {"unigrams"}
+            if bad:
+                raise ValueError(
+                    f"{op} wire node carries unknown keyword(s) "
+                    f"{sorted(bad)} — re-serialize with a matching "
+                    "client version")
+            kw = dict(args[4])
+        return Table(ngram_lm_fit(child, args[1], args[2], args[3],
+                                  **kw),
                      "ngram_lm_fit")
 
     # scoring ops — args: [child, ref_tree|None, counts_enc|None, {kw}]
+    _arity(op, args, 4)
     reference = walk(args[1]) if args[1] is not None else None
     counts = None
     if args[2] is not None:
@@ -481,7 +509,8 @@ def _lm_node(op: str, args: list, child: Table, walk):
             counts = spark.createDataFrame(
                 [(str(k), int(b), int(c)) for k, b, c in args[2]],
                 "kind string, bucket long, cnt long")
-    allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing"}
+    allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing",
+               "backoff"}
     allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
                 else {"max_ppl", "min_ppl"})
     kw = dict(args[3])
@@ -512,15 +541,20 @@ def _mix_dedup_node(op: str, args: list, child: Table, walk):
         return dict(raw_kw)
 
     if op == "cross_doc_dup_ngrams":
+        _arity(op, args, 2)
         kw = _kw(args[1], {"n", "min_docs", "text_col", "id_col",
                            "scrub"})
         return cross_doc_dup_ngrams(child, **kw)
     if op == "temperature_source_mix":
-        kw = _kw(args[1], {"alpha", "text_col", "source_col"})
+        _arity(op, args, 2)
+        kw = _kw(args[1], {"alpha", "text_col", "source_col",
+                           "allow_upsample"})
         return Table(temperature_source_mix(child, **kw),
                      "temperature_source_mix")
     # apply_source_mix — args: [child, weights_enc, {kw}]
-    kw = _kw(args[2], {"source_col", "id_col", "seed"})
+    _arity(op, args, 3)
+    kw = _kw(args[2], {"source_col", "id_col", "seed",
+                       "allow_upsample"})
     if isinstance(args[1], dict):
         weights = walk(args[1]).df
     else:

@@ -337,7 +337,8 @@ def source_mix(t: Table, text_col: str = "text",
 
 def temperature_source_mix(t: Table, alpha: float = 0.3,
                            text_col: str = "text",
-                           source_col: str = "source") -> DataFrame:
+                           source_col: str = "source",
+                           allow_upsample: bool = False) -> DataFrame:
     """Temperature-flattened mixture weights — the multilingual /
     multi-source α-sampling of mT5 and XLM-R (sample sources
     ∝ share^α): target token share ∝ actual_share^α, and
@@ -348,14 +349,24 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
     composes directly with :func:`apply_source_mix` (deterministic
     md5-keyed execution — the whole chain stays oracle-checkable).
 
+    ``allow_upsample=True`` (r12, VERDICT r11 #2) drops the min(1, ·)
+    cap: ``sample_weight = target_share / actual_share`` can exceed 1
+    for under-represented sources — mT5's actual regime, where
+    low-resource languages REPEAT across epochs.  Execute such a plan
+    with ``apply_source_mix(..., allow_upsample=True)`` (weights > 1
+    explode into deterministic copies there; the default executor
+    CLAMPS them at 1 — its long-documented weight≥1-keeps-all
+    semantics — so the duplicates only materialize when the executor
+    opts in too).
+
     Same topology as :func:`source_mix`: one map-side-combinable
     aggregation on the low-cardinality source key, then two
     non-partitioned windows over ~#sources rows."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(
-            f"alpha must be in [0, 1], got {alpha}: above 1 the plan "
-            "would UPSAMPLE minority sources, which a keep-probability "
-            "filter cannot express (duplicate rows instead)")
+            f"alpha must be in [0, 1], got {alpha}: sampling "
+            "temperatures flatten toward uniform as alpha drops; "
+            "above 1 they would sharpen the natural skew instead")
     feats = quality_features(t, text_col).df
     per_source = feats.groupBy(source_col).agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
@@ -366,12 +377,13 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
     share = F.col("total_tokens") / F.sum("total_tokens").over(w)
     powered = F.pow(share, F.lit(float(alpha)))
     target = powered / F.sum(powered).over(w)
+    weight = (target / share if allow_upsample
+              else F.least(F.lit(1.0), target / share))
     return per_source.select(
         source_col, "n_docs", "total_tokens",
         F.round(share, 4).alias("token_share"),
         F.round(target, 4).alias("target_share"),
-        F.round(F.least(F.lit(1.0), target / share), 4)
-        .alias("sample_weight"),
+        F.round(weight, 4).alias("sample_weight"),
     )
 
 
@@ -554,10 +566,26 @@ def corpus_report(t: Table, text_col: str = "text",
 
 def apply_source_mix(t: Table, weights: DataFrame,
                      source_col: str = "source", id_col: str = "doc_id",
-                     seed: int = 42) -> Table:
+                     seed: int = 42,
+                     allow_upsample: bool = False) -> Table:
     """Execute a mixture plan: keep each document with its source's
     ``sample_weight`` probability (the output of :func:`source_mix`, or
     any (source, sample_weight) relation).
+
+    ``allow_upsample=True`` (r12, VERDICT r11 #2) additionally REPEATS
+    documents whose source weight exceeds 1 — the mT5 regime where
+    low-resource sources recur across epochs.  Weight w explodes into
+    ``floor(w)`` unconditional copies plus one fractional copy kept by
+    the same deterministic md5 decision, so E[copies] = w exactly; the
+    output gains a 0-based ``copy_idx`` INT column (the epoch index a
+    packing stage can shuffle on) and remains a pure deterministic
+    projection — same hash, same multiset, on every re-run and engine.
+    The explode is doc-bounded (``floor(w)+1`` rows per doc) and the
+    plan relation is validated executor-side: any weight above
+    ``_MAX_UPSAMPLE`` raises during the broadcast build rather than
+    quietly exploding a corpus by six orders of magnitude.  With the
+    default ``allow_upsample=False`` the schema and semantics are
+    byte-identical to r11 (weights ≥ 1 keep all rows, once).
 
     The weights relation is ~#sources rows and is explicitly broadcast, so
     the corpus scan filters in place — no shuffle.  The keep decision is
@@ -593,12 +621,47 @@ def apply_source_mix(t: Table, weights: DataFrame,
     # two's-complement string that lpad TRUNCATES to 'ffffffff', which
     # would silently invert a corrupt mixture plan into keep-all.
     w = F.col("sample_weight")
-    thr = F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(16 ** 8))))), 8, "0")
-    joined = t.df.join(
-        F.broadcast(weights.select(source_col, "sample_weight")), source_col)
-    kept = joined.filter(
-        (w >= 1.0) | ((w > 0.0) & (u < thr))).drop("sample_weight")
+    if not allow_upsample:
+        thr = F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(16 ** 8))))),
+                     8, "0")
+        joined = t.df.join(
+            F.broadcast(weights.select(source_col, "sample_weight")),
+            source_col)
+        kept = joined.filter(
+            (w >= 1.0) | ((w > 0.0) & (u < thr))).drop("sample_weight")
+        return Table(kept, t._name)
+    # upsampling path: floor(w) unconditional copies + one fractional
+    # copy under the SAME md5 keep decision.  The fractional threshold
+    # is over w − floor(w), so frac == 0 yields "00000000", which no
+    # 8-hex hash sorts below — sequence(0, floor(w)) is then uniform
+    # (the last candidate simply never survives).  Weight sanity runs
+    # executor-side in the plan relation's filter (assert_true inside
+    # a predicate is never pruned, unlike an unused projected column),
+    # ~#sources rows, so a corrupt plan raises at the broadcast build.
+    checked = weights.select(source_col, "sample_weight").filter(
+        F.assert_true(
+            F.col("sample_weight") <= F.lit(float(_MAX_UPSAMPLE)),
+            F.concat(F.lit("apply_source_mix: sample_weight "),
+                     F.col("sample_weight").cast("string"),
+                     F.lit(f" exceeds the upsample bound "
+                           f"{_MAX_UPSAMPLE} — is this a mixture "
+                           "plan?"))).isNull())
+    frac = w - F.floor(w)
+    thr = F.lpad(F.lower(F.hex(F.floor(frac * F.lit(float(16 ** 8))))),
+                 8, "0")
+    joined = t.df.join(F.broadcast(checked), source_col)
+    cand = joined.filter(w > 0.0).withColumn(
+        "copy_idx",
+        F.explode(F.sequence(F.lit(0),
+                             F.floor(w).cast(T.IntegerType()))))
+    kept = cand.filter((F.col("copy_idx") < F.floor(w)) | (u < thr)) \
+        .drop("sample_weight")
     return Table(kept, t._name)
+
+
+# any weight above this is a corrupt plan, not a mixture: even mT5's
+# most aggressive low-resource rebalances repeat sources O(100)×
+_MAX_UPSAMPLE = 10_000
 
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
@@ -641,17 +704,22 @@ def _wire():
 @functools.wraps(_local_temperature_source_mix)
 def temperature_source_mix(t: Table, alpha: float = 0.3,
                            text_col: str = "text",
-                           source_col: str = "source"):
+                           source_col: str = "source",
+                           allow_upsample: bool = False):
     _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
     if _client_of(t) is None:
         return _local_temperature_source_mix(t, alpha, text_col,
-                                             source_col)
+                                             source_col, allow_upsample)
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    kw = {"alpha": float(alpha), "text_col": text_col,
+          "source_col": source_col}
+    if allow_upsample:
+        # only present when set: capped plans keep the r11 form, an
+        # uncapped plan rejects loudly on an r11 server (unknown kw)
+        kw["allow_upsample"] = True
     node = {"op": "temperature_source_mix",
-            "args": [_require_tree(t, "temperature_source_mix"),
-                     {"alpha": float(alpha), "text_col": text_col,
-                      "source_col": source_col}]}
+            "args": [_require_tree(t, "temperature_source_mix"), kw]}
     spark = t.df.sparkSession
     schema = T.StructType(
         [t.df.schema[source_col],
@@ -665,7 +733,8 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
 
 @functools.wraps(_local_apply_source_mix)
 def apply_source_mix(t: Table, weights, source_col: str = "source",
-                     id_col: str = "doc_id", seed: int = 42) -> Table:
+                     id_col: str = "doc_id", seed: int = 42,
+                     allow_upsample: bool = False) -> Table:
     _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
     if _client_of(t) is None:
         if isinstance(weights, Table) \
@@ -677,7 +746,7 @@ def apply_source_mix(t: Table, weights, source_col: str = "source",
         if isinstance(weights, Table):
             weights = weights.df
         return _local_apply_source_mix(t, weights, source_col, id_col,
-                                       seed)
+                                       seed, allow_upsample)
     client = t._client
     if isinstance(weights, Table):
         if _client_of(weights) is not client:
@@ -697,10 +766,24 @@ def apply_source_mix(t: Table, weights, source_col: str = "source",
                 f"apply_source_mix: weights has more than "
                 f"{_MAX_BUCKETS} rows — mixture plans are per-SOURCE "
                 "relations; was a per-document frame passed?")
+        for r in rows:
+            # contract error naming the bad row, not a bare float(None)
+            # TypeError (ADVICE r11) — mirroring the NULL-source
+            # handling in the sort key below
+            if r[1] is None:
+                raise ValueError(
+                    "apply_source_mix: weights row for source "
+                    f"{r[0]!r} has NULL sample_weight — a mixture "
+                    "plan must carry a weight for every listed source")
         enc = sorted(([r[0], float(r[1])] for r in rows),
                      key=lambda p: (p[0] is None, p[0]))
+    kw = {"source_col": source_col, "id_col": id_col,
+          "seed": int(seed)}
+    local_df = t.df
+    if allow_upsample:
+        kw["allow_upsample"] = True  # loud on r11 servers (unknown kw)
+        local_df = t.df.withColumn(
+            "copy_idx", F.lit(0).cast(T.IntegerType()))
     node = {"op": "apply_source_mix",
-            "args": [_require_tree(t, "apply_source_mix"), enc,
-                     {"source_col": source_col, "id_col": id_col,
-                      "seed": int(seed)}]}
-    return _wire_result(t, t.df, node)
+            "args": [_require_tree(t, "apply_source_mix"), enc, kw]}
+    return _wire_result(t, local_df, node)

@@ -109,79 +109,125 @@ def _positioned(df: DataFrame, text_col: str, n: int,
                        .alias("i"))
 
 
+def _uni_at(tk, i, n: int):
+    """The PREDICTED token of the n-gram at position ``i`` — its last
+    token, the thing the backoff distribution is over."""
+    return F.element_at(tk, i + F.lit(n - 1))
+
+
 def ngram_lm_fit(t: Table, text_col: str = "text",
-                 n_buckets: int = 4096, n: int = 2) -> DataFrame:
+                 n_buckets: int = 4096, n: int = 2,
+                 unigrams: bool = False) -> DataFrame:
     """Fit the bucketized n-gram LM in ONE tokenization pass: a
     ``(kind STRING, bucket LONG, cnt LONG)`` relation with ≤ n_buckets
     rows per kind — kind ``'gram'`` counts n-gram buckets, ``'ctx'``
     counts context-as-context buckets (see the module docstring for why
     that is the exact conditional denominator).
 
-    One scan; gram construction, context strip and both md5 buckets run
-    post-explode in codegen; the (kind, bucket) row doubling happens
-    pre-shuffle and aggregates with map-side combine.  The result is
-    small enough to collect or broadcast; persist it and rescore any
-    number of corpora against one reference snapshot (``counts=``)."""
+    ``unigrams=True`` (requires ``n >= 2``) additionally emits kind
+    ``'uni'``: counts of each gram's PREDICTED (last) token's bucket —
+    the lower-order relation stupid-backoff scoring backs off to
+    (``backoff=`` in :func:`ngram_lm_logprob`).  Σ uni-cnt equals
+    Σ gram-cnt exactly (each gram contributes its final token), so the
+    backoff normalizer needs no extra pass.  A ``unigrams=True`` fit
+    remains a valid add-α counts frame (the 'uni' rows are ignored
+    there).
+
+    One scan; gram construction, context strip and the md5 buckets run
+    post-explode in codegen; the (kind, bucket) row doubling (tripling
+    with unigrams) happens pre-shuffle and aggregates with map-side
+    combine.  The result is small enough to collect or broadcast;
+    persist it and rescore any number of corpora against one reference
+    snapshot (``counts=``)."""
     _validate_features(n_buckets, n)
+    if unigrams and n < 2:
+        raise ValueError(
+            "ngram_lm_fit: unigrams=True requires n >= 2 — a unigram "
+            "LM has no lower-order relation to back off to")
     ex = _positioned(t.df, text_col, n).filter(F.col("i").isNotNull())
-    pairs = ex.select(F.explode(F.array(
+    kinds = [
         F.struct(F.lit("gram").alias("kind"),
                  _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
                             n_buckets).alias("bucket")),
         F.struct(F.lit("ctx").alias("kind"),
                  _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
-                            n_buckets).alias("bucket")))).alias("kb"))
+                            n_buckets).alias("bucket")),
+    ]
+    if unigrams:
+        kinds.append(
+            F.struct(F.lit("uni").alias("kind"),
+                     _bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
+                                n_buckets).alias("bucket")))
+    pairs = ex.select(F.explode(F.array(*kinds)).alias("kb"))
     return (pairs.select("kb.kind", "kb.bucket")
             .groupBy("kind", "bucket")
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
 
 
-def _bounded_lm_counts(counts: DataFrame) -> tuple[dict, dict]:
+def _bounded_lm_counts(counts: DataFrame,
+                       fn_name: str = "ngram_lm_logprob"
+                       ) -> tuple[dict, dict, dict]:
     """Collect a fit relation driver-side, validated and bounded —
     duplicate (kind, bucket) rows SUM (a union of two snapshots'
     partials is a legitimate counts frame; the selection family's
-    additive contract)."""
+    additive contract).  ``fn_name`` names the actual entry point in
+    every error (ADVICE r11: perplexity_filter and the wire literal
+    path reach this too).  The third dict is the 'uni' relation —
+    empty unless the fit ran with ``unigrams=True`` (backoff form)."""
     types = dict(counts.dtypes)
     integral = ("tinyint", "smallint", "int", "bigint")
     if (types.get("kind") != "string"
             or types.get("bucket") not in integral
             or types.get("cnt") not in integral):
         raise ValueError(
-            "ngram_lm_logprob: counts must be a (kind STRING, bucket, "
+            f"{fn_name}: counts must be a (kind STRING, bucket, "
             f"cnt) integer relation (ngram_lm_fit output), got columns "
             f"{counts.dtypes}")
     agg = (counts.groupBy("kind", "bucket")
            .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
-    rows = agg.limit(2 * _MAX_BUCKETS + 1).collect()
-    if len(rows) > 2 * _MAX_BUCKETS:
+    rows = agg.limit(3 * _MAX_BUCKETS + 1).collect()
+    if len(rows) > 3 * _MAX_BUCKETS:
         raise ValueError(
-            f"ngram_lm_logprob: counts has more than {2 * _MAX_BUCKETS} "
-            "rows — fit relations are bounded by 2·n_buckets by "
+            f"{fn_name}: counts has more than {3 * _MAX_BUCKETS} "
+            "rows — fit relations are bounded by 3·n_buckets by "
             "construction; was a raw token-level frame passed instead "
             "of ngram_lm_fit output?")
-    gram, ctx = {}, {}
+    gram, ctx, uni = {}, {}, {}
     for r in rows:
         if r["kind"] == "gram":
             gram[r["bucket"]] = r["cnt"]
         elif r["kind"] == "ctx":
             ctx[r["bucket"]] = r["cnt"]
+        elif r["kind"] == "uni":
+            uni[r["bucket"]] = r["cnt"]
         else:
             raise ValueError(
-                f"ngram_lm_logprob: unknown kind {r['kind']!r} in "
-                "counts (expected 'gram'/'ctx')")
-    return gram, ctx
+                f"{fn_name}: unknown kind {r['kind']!r} in "
+                "counts (expected 'gram'/'ctx'/'uni')")
+    return gram, ctx, uni
 
 
 def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
-              smoothing):
+              smoothing, backoff=None, fn_name="ngram_lm_logprob"):
     """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
-    the hot path below does lookups and one subtraction per gram,
-    nothing transcendental)."""
+    the hot path below does lookups and one subtraction — or a
+    two-branch greatest() for backoff — per gram, nothing
+    transcendental).  Returns ``("add_alpha", ln_g, ln_c, miss_g,
+    miss_c)`` or ``("backoff", ln_g, ln_c, ln_u, miss_u)``."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if backoff is not None:
+        if not 0.0 < backoff <= 1.0:
+            raise ValueError(
+                f"{fn_name}: backoff must be in (0, 1] (Brants et "
+                f"al.'s λ, typically 0.4), got {backoff}")
+        if n < 2:
+            raise ValueError(
+                f"{fn_name}: backoff requires n >= 2 — a unigram LM "
+                "has no lower-order relation to back off to")
     if counts is not None and reference is not None:
         raise ValueError(
-            "ngram_lm_logprob: pass either reference= (fit here) or "
+            f"{fn_name}: pass either reference= (fit here) or "
             "counts= (precomputed ngram_lm_fit output), not both")
     for side, v in (("reference", reference), ("counts", counts)):
         if isinstance(v, Table) and getattr(v, "_client", None) is not None:
@@ -192,14 +238,37 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
                 "there)")
     if counts is None:
         counts = ngram_lm_fit(reference if reference is not None else t,
-                              text_col, n_buckets, n)
+                              text_col, n_buckets, n,
+                              unigrams=backoff is not None)
     if isinstance(counts, Table):
         counts = counts.df
-    gram, ctx = _bounded_lm_counts(counts)
+    gram, ctx, uni = _bounded_lm_counts(counts, fn_name)
+    if backoff is not None:
+        if not uni:
+            raise ValueError(
+                f"{fn_name}: backoff= needs 'uni' rows in the counts "
+                "relation — refit with ngram_lm_fit(..., "
+                "unigrams=True)")
+        # stupid backoff (Brants et al. 2007): per-gram score
+        # ln max(cnt_g/cnt_c, λ·P_uni) — the MLE ratio is raw (its
+        # discriminative power IS the point; unseen/collision-orphaned
+        # buckets fall to the backoff branch), the unigram base
+        # distribution is add-α smoothed so the floor stays finite.
+        # N = Σ uni-cnt = total grams (each gram contributes its
+        # final token) — no extra normalizer pass.
+        n_total = sum(uni.values())
+        lam = math.log(backoff)
+        den = math.log(n_total + smoothing * n_buckets)
+        ln_g = {b: math.log(c) for b, c in gram.items()}
+        ln_c = {b: math.log(c) for b, c in ctx.items()}
+        ln_u = {b: lam + math.log(c + smoothing) - den
+                for b, c in uni.items()}
+        return ("backoff", ln_g, ln_c, ln_u,
+                lam + math.log(smoothing) - den)  # unseen token bucket
     ln_g = {b: math.log(c + smoothing) for b, c in gram.items()}
     ln_c = {b: math.log(c + smoothing * n_buckets)
             for b, c in ctx.items()}
-    return (ln_g, ln_c,
+    return ("add_alpha", ln_g, ln_c,
             math.log(smoothing),              # unseen gram bucket
             math.log(smoothing * n_buckets))  # unseen ctx bucket
 
@@ -209,7 +278,9 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 4096, n: int = 2,
                      smoothing: float = 1.0,
-                     prefer_literal: bool = False) -> DataFrame:
+                     prefer_literal: bool = False,
+                     backoff: float | None = None,
+                     _fn_name: str = "ngram_lm_logprob") -> DataFrame:
     """Score every document of ``t`` under the bucketized add-α n-gram
     LM: ``(id_col, n_grams INT, logp, avg_logp, ppl)`` with
 
@@ -233,16 +304,37 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     DSIR where the one-lookup-per-token fold won 7×), and a filter
     composed over it gets substituted INTO the fold by predicate
     pushdown (see perplexity_filter).  Use it only where the per-doc
-    shuffle genuinely dominates."""
+    shuffle genuinely dominates.
+
+    ``backoff=λ`` (λ ∈ (0, 1], Brants et al.'s 0.4) switches the model
+    to STUPID BACKOFF — CCNet's discriminative power lives in the
+    smoothing, and add-α flattens sparse bigrams where backoff does
+    not: per-gram ``ln P = ln max(cnt_g/cnt_c, λ·(cnt_u+α)/(N+α·B))``,
+    the raw MLE ratio when the gram's evidence exists, else λ× the
+    add-α-floored unigram probability of the PREDICTED token (kind
+    ``'uni'`` — fit with ``unigrams=True``; a reference-fit here does
+    so automatically).  Distributable with no renormalization; 'ppl'
+    is then a score-perplexity (stupid backoff is unnormalized —
+    bucket collisions can even push the MLE ratio above 1).  Backoff
+    requires the explode path (three broadcast ln() joins) —
+    ``prefer_literal=True`` with ``backoff`` raises."""
     _validate_features(n_buckets, n)
-    ln_g, ln_c, miss_g, miss_c = _lm_model(
-        t, reference, counts, text_col, n_buckets, n, smoothing)
+    if prefer_literal and backoff is not None:
+        raise ValueError(
+            f"{_fn_name}: backoff= scores via the positioned-index "
+            "explode path (three broadcast joins) — prefer_literal=True "
+            "is add-α only")
+    model = _lm_model(t, reference, counts, text_col, n_buckets, n,
+                      smoothing, backoff, _fn_name)
 
     if prefer_literal:
+        _, ln_g, ln_c, miss_g, miss_c = model
         return _logprob_literal(t, ln_g, ln_c, miss_g, miss_c,
                                 text_col, id_col, n_buckets, n)
 
     spark = t.df.sparkSession
+    kind = model[0]
+    ln_g, ln_c = model[1], model[2]
     lng = spark.createDataFrame(
         [(int(b), v) for b, v in ln_g.items()],
         "bucket long, lng double")
@@ -250,25 +342,45 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
         [(int(b), v) for b, v in ln_c.items()],
         "bucket long, lnc double")
     ex = _positioned(t.df, text_col, n, id_col)
-    ex = ex.select(
+    cols = [
         F.col(id_col), F.col("n_grams"),
         # i NULL == the document's single evidence-free marker row
         F.col("i").isNotNull().alias("ev"),
         _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
                    n_buckets).alias("gb"),
         _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
-                   n_buckets).alias("cb"))
-    scored = (ex
+                   n_buckets).alias("cb")]
+    if kind == "backoff":
+        cols.append(_bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
+                               n_buckets).alias("ub"))
+    ex = ex.select(*cols)
+    joined = (ex
               .join(F.broadcast(lng), ex["gb"] == lng["bucket"], "left")
               .drop(lng["bucket"])
               .join(F.broadcast(lnc), ex["cb"] == lnc["bucket"], "left")
-              .drop(lnc["bucket"])
+              .drop(lnc["bucket"]))
+    if kind == "backoff":
+        _, _, _, ln_u, miss_u = model
+        lnu = spark.createDataFrame(
+            [(int(b), v) for b, v in ln_u.items()],
+            "bucket long, lnu double")
+        joined = (joined
+                  .join(F.broadcast(lnu),
+                        joined["ub"] == lnu["bucket"], "left")
+                  .drop(lnu["bucket"]))
+        back = F.coalesce(F.col("lnu"), F.lit(miss_u))
+        per_gram = F.when(
+            F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
+            F.greatest(F.col("lng") - F.col("lnc"), back)
+        ).otherwise(back)
+    else:
+        _, _, _, miss_g, miss_c = model
+        per_gram = (F.coalesce(F.col("lng"), F.lit(miss_g))
+                    - F.coalesce(F.col("lnc"), F.lit(miss_c)))
+    scored = (joined
               .groupBy(id_col, "n_grams")
-              .agg(F.sum(F.when(
-                  F.col("ev"),
-                  F.coalesce(F.col("lng"), F.lit(miss_g))
-                  - F.coalesce(F.col("lnc"), F.lit(miss_c)))
-                  .otherwise(F.lit(0.0))).alias("s")))
+              .agg(F.sum(F.when(F.col("ev"), per_gram)
+                         .otherwise(F.lit(0.0))).alias("s")))
     return scored.select(F.col(id_col), F.col("n_grams"),
                          *_lm_exports())
 
@@ -343,7 +455,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       min_ppl: float | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_buckets: int = 4096, n: int = 2,
-                      smoothing: float = 1.0) -> DataFrame:
+                      smoothing: float = 1.0,
+                      backoff: float | None = None) -> DataFrame:
     """CCNet-style perplexity band filter: keep the documents of ``t``
     whose per-gram perplexity under the reference LM lies in
     ``[min_ppl, max_ppl]`` (either bound optional, at least one
@@ -365,9 +478,12 @@ def perplexity_filter(t: Table, reference: Table | None = None,
         raise ValueError(
             "perplexity_filter: pass max_ppl and/or min_ppl — an "
             "unbounded band keeps everything")
-    scores = ngram_lm_logprob(
+    # _local_ngram_lm_logprob (bound below): the module-level name is
+    # rebound to the wire wrapper, which has no _fn_name knob
+    scores = _local_ngram_lm_logprob(
         t, reference=reference, counts=counts, text_col=text_col,
-        id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing)
+        id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,
+        backoff=backoff, _fn_name="perplexity_filter")
     key = F.col("ppl")
     cond = F.lit(True)
     if max_ppl is not None:
@@ -399,7 +515,7 @@ _LM_SCHEMA = ("n_grams", T.IntegerType()), ("logp", T.DoubleType()), \
     ("avg_logp", T.DoubleType()), ("ppl", T.DoubleType())
 
 
-def _literal_lm_counts(counts, client):
+def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
     """Encode a fit relation for the wire: a same-server remote
     expression rides as its subtree; a local bounded (kind, bucket,
     cnt) frame collects (duplicates summed, kinds validated) into
@@ -412,17 +528,26 @@ def _literal_lm_counts(counts, client):
                 "server as the corpus, or be passed as a bounded "
                 "local DataFrame")
         return _require_tree(counts, "ngram_lm counts")
-    gram, ctx = _bounded_lm_counts(counts)
+    gram, ctx, uni = _bounded_lm_counts(counts, fn_name)
     return sorted([k, int(b), int(c)]
-                  for k, m in (("gram", gram), ("ctx", ctx))
+                  for k, m in (("gram", gram), ("ctx", ctx),
+                               ("uni", uni))
                   for b, c in m.items())
 
 
 def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
-                  n, smoothing, fn_name):
+                  n, smoothing, fn_name, backoff=None):
     _validate_features(n_buckets, n)
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if backoff is not None:
+        if not 0.0 < backoff <= 1.0:
+            raise ValueError(
+                f"{fn_name}: backoff must be in (0, 1], got {backoff}")
+        if n < 2:
+            raise ValueError(
+                f"{fn_name}: backoff requires n >= 2 — a unigram LM "
+                "has no lower-order relation to back off to")
     if counts is not None and reference is not None:
         raise ValueError(
             f"{fn_name}: pass either reference= (fit server-side) or "
@@ -437,22 +562,37 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
                 "pass a bounded local counts= frame instead")
         ref_node = _require_tree(reference, f"{fn_name} reference")
     enc = (None if counts is None
-           else _literal_lm_counts(counts, client))
-    return [_require_tree(t, fn_name), ref_node, enc,
-            {"text_col": text_col, "id_col": id_col,
-             "n_buckets": int(n_buckets), "n": int(n),
-             "smoothing": float(smoothing)}]
+           else _literal_lm_counts(counts, client, fn_name))
+    kw = {"text_col": text_col, "id_col": id_col,
+          "n_buckets": int(n_buckets), "n": int(n),
+          "smoothing": float(smoothing)}
+    if backoff is not None:
+        # only present when set: default-smoothing trees stay valid on
+        # r11 servers, backoff trees reject there loudly (unknown kw)
+        kw["backoff"] = float(backoff)
+    return [_require_tree(t, fn_name), ref_node, enc, kw]
 
 
 @functools.wraps(_local_ngram_lm_fit)
 def ngram_lm_fit(t: Table, text_col: str = "text",
-                 n_buckets: int = 4096, n: int = 2):
+                 n_buckets: int = 4096, n: int = 2,
+                 unigrams: bool = False):
     if _client_of(t) is None:
-        return _local_ngram_lm_fit(t, text_col, n_buckets, n)
+        return _local_ngram_lm_fit(t, text_col, n_buckets, n, unigrams)
     _validate_features(n_buckets, n)
-    node = {"op": "ngram_lm_fit",
-            "args": [_require_tree(t, "ngram_lm_fit"), text_col,
-                     int(n_buckets), int(n)]}
+    if unigrams and n < 2:
+        raise ValueError(
+            "ngram_lm_fit: unigrams=True requires n >= 2 — a unigram "
+            "LM has no lower-order relation to back off to")
+    args = [_require_tree(t, "ngram_lm_fit"), text_col,
+            int(n_buckets), int(n)]
+    if unigrams:
+        # appended only when set (kw dict, r12): default fits keep the
+        # r11 4-arg form; an r11 server ignores the 5th arg (its arity
+        # guard is r12), but backoff scoring then fails loudly on the
+        # uni-less fit, so skew never scores silently wrong
+        args.append({"unigrams": True})
+    node = {"op": "ngram_lm_fit", "args": args}
     empty = t.df.sparkSession.createDataFrame(
         [], "kind string, bucket long, cnt long")
     return _wire_result(t, empty, node)
@@ -463,13 +603,19 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      counts=None, text_col: str = "text",
                      id_col: str = "doc_id", n_buckets: int = 4096,
                      n: int = 2, smoothing: float = 1.0,
-                     prefer_literal: bool = False):
+                     prefer_literal: bool = False,
+                     backoff: float | None = None):
     if _client_of(t) is None:
         return _local_ngram_lm_logprob(
             t, reference, counts, text_col, id_col, n_buckets, n,
-            smoothing, prefer_literal)
+            smoothing, prefer_literal, backoff)
+    if prefer_literal and backoff is not None:
+        raise ValueError(
+            "ngram_lm_logprob: backoff= scores via the positioned-"
+            "index explode path — prefer_literal=True is add-α only")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
-                         n_buckets, n, smoothing, "ngram_lm_logprob")
+                         n_buckets, n, smoothing, "ngram_lm_logprob",
+                         backoff)
     args[3]["prefer_literal"] = bool(prefer_literal)
     node = {"op": "ngram_lm_logprob", "args": args}
     empty = t.df.sparkSession.createDataFrame([], T.StructType(
@@ -484,17 +630,19 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       min_ppl: float | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_buckets: int = 4096, n: int = 2,
-                      smoothing: float = 1.0):
+                      smoothing: float = 1.0,
+                      backoff: float | None = None):
     if _client_of(t) is None:
         return _local_perplexity_filter(
             t, reference, counts, max_ppl, min_ppl, text_col, id_col,
-            n_buckets, n, smoothing)
+            n_buckets, n, smoothing, backoff)
     if max_ppl is None and min_ppl is None:
         raise ValueError(
             "perplexity_filter: pass max_ppl and/or min_ppl — an "
             "unbounded band keeps everything")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
-                         n_buckets, n, smoothing, "perplexity_filter")
+                         n_buckets, n, smoothing, "perplexity_filter",
+                         backoff)
     args[3]["max_ppl"] = None if max_ppl is None else float(max_ppl)
     args[3]["min_ppl"] = None if min_ppl is None else float(min_ppl)
     node = {"op": "perplexity_filter", "args": args}

@@ -205,6 +205,13 @@ def _normalized_weights(weights: DataFrame,
                  .alias("weight_milli")))
 
 
+# sizing memo for quality_classifier: semanticHash(normalized+bounded
+# weights plan) -> collected (bucket, weight_milli) rows.  Each entry
+# is ≤ _MAX_BUCKETS rows (~1 MB); 8 distinct models bound the memo.
+_WEIGHT_ROWS_CACHE: dict = {}
+_WEIGHT_ROWS_CACHE_MAX = 8
+
+
 def quality_classifier(t: Table, weights: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_buckets: int = 4096,
@@ -239,7 +246,14 @@ def quality_classifier(t: Table, weights: DataFrame,
     (scoring a 100 TB corpus is then a pure scan); larger models fall
     back to explode → broadcast-join → per-doc aggregation whose
     shuffle carries one row per document.  Both paths are pinned equal
-    in tests."""
+    in tests.
+
+    Sizing the model costs ONE bounded collect per distinct weights
+    plan, memoized by Spark semantic hash (VERDICT r11: a loop scoring
+    100 corpora against one model must not launch 100 sizing jobs —
+    the batched_topk count-hoist discipline).  The usual semantic-hash
+    caveat applies (CachedTable's): a weights PLAN whose underlying
+    data mutates between calls re-reads only on a fresh plan."""
     _validate_features(n_buckets, n)
     # bound the model relation (ADVICE r10): buckets outside
     # [0, n_buckets) can never match a hashed feature, so drop them
@@ -252,18 +266,30 @@ def quality_classifier(t: Table, weights: DataFrame,
            .filter((F.col("bucket") >= 0) & (F.col("bucket") < n_buckets)))
     c = F.col(text_col)
     n_tokens = F.size(_tokens(c)).cast(T.IntegerType())
-    n_weights = wts.count()
-    if n_weights > _MAX_BUCKETS:
-        # unreachable while _validate_features caps n_buckets at
-        # _MAX_BUCKETS (the filter bounds distinct buckets by
-        # n_buckets) — kept as the invariant guard so a future bound
-        # change cannot silently reopen the unbounded broadcast
-        raise ValueError(
-            f"quality_classifier: weights has more than {_MAX_BUCKETS} "
-            "distinct in-range buckets — the model relation is "
-            "broadcast and must stay bounded")
+    cache_key = wts.semanticHash()  # driver-side analysis, no job
+    rows = _WEIGHT_ROWS_CACHE.get(cache_key)
+    if rows is None:
+        # ≤ _MAX_BUCKETS+1 (bucket, weight_milli) rows ≈ ~1 MB worst
+        # case — the same relation the join path broadcasts anyway
+        rows = wts.limit(_MAX_BUCKETS + 1).collect()
+        if len(rows) > _MAX_BUCKETS:
+            # unreachable while _validate_features caps n_buckets at
+            # _MAX_BUCKETS (the filter bounds distinct buckets by
+            # n_buckets) — kept as the invariant guard so a future
+            # bound change cannot silently reopen the unbounded
+            # broadcast
+            raise ValueError(
+                f"quality_classifier: weights has more than "
+                f"{_MAX_BUCKETS} distinct in-range buckets — the model "
+                "relation is broadcast and must stay bounded")
+        _WEIGHT_ROWS_CACHE[cache_key] = rows
+        while len(_WEIGHT_ROWS_CACHE) > _WEIGHT_ROWS_CACHE_MAX:
+            _WEIGHT_ROWS_CACHE.pop(next(iter(_WEIGHT_ROWS_CACHE)))
+    else:
+        # LRU touch: re-insert at the back
+        _WEIGHT_ROWS_CACHE[cache_key] = _WEIGHT_ROWS_CACHE.pop(cache_key)
+    n_weights = len(rows)
     if n_weights <= max_map_literal:
-        rows = wts.collect()  # bounded: ≤ max_map_literal ≤ 10k rows
         if rows:
             m = F.map_from_arrays(
                 F.lit([r["bucket"] for r in rows]),

@@ -767,6 +767,7 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  queries_per_batch: int = 10_000, backend=None,
                  n_queries: int | None = None,
+                 materialize_chunks: bool = True,
                  **backend_kwargs) -> Table:
     """Top-k for query sets LARGER than the per-call guards (VERDICT r9
     #5): slices the query side into deterministic hash-of-id chunks of
@@ -805,7 +806,19 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
     ``n_batches`` of it staying live until the final union executes —
     the bounded-memory promise is end-to-end, not per-task only (the
     :func:`pq_neardup_pairs` discipline).  The checkpointed chunk is
-    ≤ ``queries_per_batch × k`` rows."""
+    ≤ ``queries_per_batch × k`` rows.
+
+    The trade (ADVICE r11): ``localCheckpoint`` TRUNCATES lineage and
+    stores the chunk's blocks on executors, so losing an executor
+    mid-run makes earlier chunks unrecoverable — the whole query fails
+    and must restart, instead of recomputing the lost partitions.  It
+    also makes the call partially eager (chunks run as they are built,
+    not at the final action).  On preemptible/spot executors, or when
+    full lineage-based fault tolerance matters more than peak driver/
+    broadcast memory, pass ``materialize_chunks=False``: the union
+    stays fully lazy with intact lineage, at the cost of all
+    ``n_batches`` of backend state staying referenced until the final
+    action executes."""
     import math
 
     backend = backend if backend is not None else ann_topk
@@ -831,11 +844,12 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
                  else Table(queries.df.filter(bucket == F.lit(i))))
         part = backend(corpus, chunk, k=k, id_col=id_col,
                        vec_col=vec_col, **kw).df
-        if n_batches > 1:
+        if n_batches > 1 and materialize_chunks:
             # freeze this chunk's ≤ chunk×k rows so the backend's
             # per-chunk broadcasts/query blocks drop their last plan
             # reference and the context cleaner can reclaim them
-            # before the next chunk builds its own
+            # before the next chunk builds its own (see the docstring
+            # for the lineage-truncation fault-tolerance trade)
             part = part.localCheckpoint(eager=True)
         parts.append(part)
     out = parts[0]

@@ -784,3 +784,112 @@ def test_domain_mix_share_has_no_window(spark):
     plan = physical_plan(domain_mix(t))
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# -- r12: deterministic upsampling (VERDICT r11 #2) ------------------------
+
+def _mix_u(doc_id, seed=42):
+    import hashlib
+    return hashlib.md5(f"{doc_id}-{seed}".encode()).hexdigest()[:8]
+
+
+def _mix_thr(frac):
+    import math
+    return format(math.floor(frac * 16 ** 8), "08x")
+
+
+def test_apply_source_mix_upsample_multiset(spark):
+    """allow_upsample=True: weight w explodes into floor(w) full copies
+    plus one md5-decided fractional copy — the exact (doc_id, copy_idx)
+    multiset is hand-computable, deterministic, and engine-portable."""
+    from blaze_spark.pipeline import apply_source_mix
+
+    rows = [(i, "t", ["a", "b", "c", "d"][i % 4]) for i in range(80)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="upm")
+    w = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.5), ("c", 0.0), ("d", 2.0)],
+        "source string, sample_weight double")
+    out = apply_source_mix(t, w, allow_upsample=True).df
+    got = sorted((r.doc_id, r.copy_idx) for r in out.collect())
+    want = []
+    for i, _, src in rows:
+        wv = {"a": 2.5, "b": 0.5, "c": 0.0, "d": 2.0}[src]
+        if wv <= 0:
+            continue
+        full = int(wv)
+        want += [(i, k) for k in range(full)]
+        if _mix_u(i) < _mix_thr(wv - full):
+            want.append((i, full))
+    assert got == sorted(want)
+    # integer weights: exactly w copies, no fractional survivor
+    d_copies = [c for (i, c) in got if i % 4 == 3]
+    assert len(d_copies) == 20 * 2
+    # E[copies] ~ w for the fractional source
+    a_ids = [i for (i, c) in got if i % 4 == 0]
+    assert 2 * 20 <= len(a_ids) <= 3 * 20
+    # fractional-only weights agree with the capped path row-for-row
+    capped = apply_source_mix(t, w).df
+    assert sorted(r.doc_id for r in capped.collect()
+                  if r.source == "b") == \
+        sorted(i for (i, c) in got if i % 4 == 1)
+    # the default path's schema is untouched (no copy_idx column)
+    assert "copy_idx" not in capped.columns
+
+
+def test_apply_source_mix_upsample_bound(spark):
+    from blaze_spark.pipeline import apply_source_mix
+
+    t = data([(1, "t", "s")], spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="upb")
+    w = spark.createDataFrame([("s", 20000.0)],
+                              "source string, sample_weight double")
+    out = apply_source_mix(t, w, allow_upsample=True)
+    with pytest.raises(Exception, match="upsample bound"):
+        out.df.collect()
+
+
+def test_upsample_mix_over_wire(spark):
+    """The uncapped plan + upsampling executor serialize; a NULL
+    sample_weight in a literal-encoded plan is a contract error naming
+    the source (ADVICE r11), not a bare float(None) TypeError."""
+    from blaze_spark.pipeline import apply_source_mix
+    from blaze_spark.pipeline import temperature_source_mix as tsm
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(i, "w " * (2 if i % 3 else 30), f"s{i % 3}")
+            for i in range(60)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="upw")
+    srv = BlazeSparkServer({"upw": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::upw", spark=spark)
+        wr = tsm(rt, alpha=0.3, allow_upsample=True)
+        got_w = sorted(map(tuple, spark.createDataFrame(
+            wr.compute(), schema=wr.df.schema).collect()))
+        want_w = sorted(map(tuple, tsm(t, alpha=0.3,
+                                       allow_upsample=True).collect()))
+        assert got_w == want_w
+        assert any(r[-1] > 1.0 for r in want_w)  # genuinely uncapped
+        kept_pdf = apply_source_mix(rt, wr, allow_upsample=True) \
+            .compute()
+        got = sorted(map(tuple, kept_pdf[["doc_id", "copy_idx"]]
+                         .itertuples(index=False)))
+        want = sorted(
+            (r.doc_id, r.copy_idx) for r in apply_source_mix(
+                t, tsm(t, alpha=0.3, allow_upsample=True),
+                allow_upsample=True).df.collect())
+        assert got == want
+        assert max(c for _, c in got) >= 1  # duplicates materialized
+        # NULL weight in a local literal-encoded plan: contract error
+        bad = spark.createDataFrame(
+            [("s0", None), ("s1", 1.0), ("s2", 1.0)],
+            "source string, sample_weight double")
+        with pytest.raises(ValueError, match="NULL sample_weight"):
+            apply_source_mix(rt, bad)
+    finally:
+        srv.stop()

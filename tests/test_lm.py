@@ -258,3 +258,183 @@ def test_wire_validation(spark, ldocs):
                               datasets={"ldocs": ldocs})
     finally:
         srv.stop()
+
+
+# -- r12: stupid-backoff smoothing ----------------------------------------
+
+def _py_backoff(rows, n_buckets=B, n=2, smoothing=1.0, lam=0.4):
+    """Reference stupid backoff (Brants et al. 2007) over bucketized
+    counts: per-gram ln max(cnt_g/cnt_c, λ·(cnt_u+α)/(N+α·B)) — the
+    MLE branch only when BOTH its buckets carry evidence."""
+    gram, ctx, uni = {}, {}, {}
+    doc_grams = {}
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        grams = ([toks[i:i + n] for i in range(len(toks) - n + 1)]
+                 if len(toks) >= n else [])
+        doc_grams[doc_id] = grams
+        for g in grams:
+            bg = _bucket(" ".join(g), n_buckets)
+            bc = _bucket(" ".join(g[:-1]), n_buckets)
+            bu = _bucket(g[-1], n_buckets)
+            gram[bg] = gram.get(bg, 0) + 1
+            ctx[bc] = ctx.get(bc, 0) + 1
+            uni[bu] = uni.get(bu, 0) + 1
+    total = sum(uni.values())
+    den = math.log(total + smoothing * n_buckets)
+    out = {}
+    for doc_id, grams in doc_grams.items():
+        s = 0.0
+        for g in grams:
+            bg = _bucket(" ".join(g), n_buckets)
+            bc = _bucket(" ".join(g[:-1]), n_buckets)
+            bu = _bucket(g[-1], n_buckets)
+            lb = (math.log(lam)
+                  + math.log(uni.get(bu, 0) + smoothing) - den)
+            if bg in gram and bc in ctx:
+                s += max(math.log(gram[bg]) - math.log(ctx[bc]), lb)
+            else:
+                s += lb
+        out[doc_id] = (len(grams), s)
+    return out
+
+
+def test_fit_unigrams_relation(spark, ldocs):
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2, unigrams=True)
+    rows = {(r["kind"], r["bucket"]): r["cnt"] for r in fit.collect()}
+    # the PREDICTED token of each bigram: 'sat' is predicted twice
+    # ('cat sat', 'dog sat'), 'cat' twice ('the cat' ×2)
+    assert rows[("uni", _bucket("sat"))] == 2
+    assert rows[("uni", _bucket("cat"))] == 2
+    # Σ uni == Σ gram (each gram contributes its final token) — the
+    # backoff normalizer needs no extra pass
+    assert sum(c for (k, _), c in rows.items() if k == "uni") == \
+        sum(c for (k, _), c in rows.items() if k == "gram") == 6
+    # a unigrams fit is still a valid add-α counts frame
+    a = ngram_lm_logprob(ldocs, n_buckets=B, n=2)
+    b = ngram_lm_logprob(ldocs, counts=fit, n_buckets=B, n=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_lm_fit(ldocs, n_buckets=B, n=1, unigrams=True)
+
+
+def test_backoff_hand_computed(spark, ldocs):
+    rows = [(0, "the cat sat"), (1, "the cat ran"),
+            (2, "the dog sat"), (3, "x")]
+    expect = _py_backoff(rows, lam=0.4)
+    got = {r["doc_id"]: r for r in
+           ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                            backoff=0.4).collect()}
+    for doc_id, (ng, s) in expect.items():
+        r = got[doc_id]
+        assert r["n_grams"] == ng
+        assert r["logp"] == pytest.approx(round(s, 4), abs=1e-9)
+    # an explicit unigrams=True fit via counts= pins path equality
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2, unigrams=True)
+    b = {r["doc_id"]: r for r in
+         ngram_lm_logprob(ldocs, counts=fit, n_buckets=B, n=2,
+                          backoff=0.4).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == \
+        {k: tuple(v) for k, v in b.items()}
+
+
+def test_backoff_sharpens_ood_separation(spark, ldocs):
+    """The smoothing IS the discriminator (VERDICT r11): under backoff
+    an in-distribution doc keeps raw-MLE bigram scores while gibberish
+    pays the λ-discounted unigram floor, so the ppl gap must be at
+    least as wide as add-α's on the same fit."""
+    other = data([(9, "the cat sat"), (10, "zz qq vv ww")],
+                 spark=spark, schema="doc_id bigint, text string",
+                 name="odocs2")
+    bo = {r["doc_id"]: r for r in
+          ngram_lm_logprob(other, reference=ldocs, n_buckets=B, n=2,
+                           backoff=0.4).collect()}
+    aa = {r["doc_id"]: r for r in
+          ngram_lm_logprob(other, reference=ldocs, n_buckets=B,
+                           n=2).collect()}
+    assert bo[9]["avg_logp"] > bo[10]["avg_logp"]
+    assert (bo[9]["avg_logp"] - bo[10]["avg_logp"]) >= \
+        (aa[9]["avg_logp"] - aa[10]["avg_logp"])
+
+
+def test_backoff_band_filter(spark, ldocs):
+    scores = {r["doc_id"]: r["ppl"] for r in
+              ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                               backoff=0.4).collect()
+              if r["ppl"] is not None}
+    cut = sorted(scores.values())[1]
+    kept = perplexity_filter(ldocs, n_buckets=B, n=2, backoff=0.4,
+                             max_ppl=cut)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(d for d, p in scores.items() if p <= cut)
+
+
+def test_backoff_validation(spark, ldocs):
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        ngram_lm_logprob(ldocs, n_buckets=B, backoff=1.5)
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_lm_logprob(ldocs, n_buckets=B, n=1, backoff=0.4)
+    with pytest.raises(ValueError, match="add-α only"):
+        ngram_lm_logprob(ldocs, n_buckets=B, backoff=0.4,
+                         prefer_literal=True)
+    # an add-α fit carries no 'uni' rows: refit, never score silently
+    plain = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    with pytest.raises(ValueError, match="unigrams=True"):
+        ngram_lm_logprob(ldocs, counts=plain, n_buckets=B, backoff=0.4)
+    # the error names the actual entry point (ADVICE r11)
+    with pytest.raises(ValueError,
+                       match="perplexity_filter: backoff= needs"):
+        perplexity_filter(ldocs, counts=plain, n_buckets=B,
+                          backoff=0.4, max_ppl=50.0)
+
+
+def test_backoff_wire_roundtrip(spark, ldocs):
+    """Backoff over blaze://: unigram fit + backoff band filter run
+    server-side and match local; r12 fit trees with unknown keywords
+    reject loudly (arity + kw guards, ADVICE r11)."""
+    import blaze_spark.interop as interop
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"ldocs": ldocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::ldocs", spark=spark)
+        fit_r = ngram_lm_fit(rt, n_buckets=B, n=2, unigrams=True)
+        got = sorted(map(tuple, spark.createDataFrame(
+            fit_r.compute(), schema=fit_r.df.schema).collect()))
+        want = sorted(map(tuple, ngram_lm_fit(
+            ldocs, n_buckets=B, n=2, unigrams=True).collect()))
+        assert got == want
+        sc_r = ngram_lm_logprob(rt, counts=fit_r, n_buckets=B, n=2,
+                                backoff=0.4)
+        got = sorted(map(tuple, spark.createDataFrame(
+            sc_r.compute(), schema=sc_r.df.schema).collect()))
+        want = sorted(map(tuple, ngram_lm_logprob(
+            ldocs, n_buckets=B, n=2, backoff=0.4).collect()))
+        assert got == want and len(got) > 0
+        # literal-rows counts path carries the uni rows over the wire
+        local_fit = ngram_lm_fit(ldocs, n_buckets=B, n=2,
+                                 unigrams=True)
+        pf_r = perplexity_filter(rt, counts=local_fit, n_buckets=B,
+                                 n=2, backoff=0.4, max_ppl=100.0)
+        got = sorted(map(tuple, spark.createDataFrame(
+            pf_r.compute(), schema=pf_r.df.schema).collect()))
+        want = sorted(map(tuple, perplexity_filter(
+            ldocs, counts=local_fit, n_buckets=B, n=2, backoff=0.4,
+            max_ppl=100.0).select(*pf_r.df.columns).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        srv.stop()
+    # version-skew guards on the fit node
+    with pytest.raises(ValueError, match="matching client version"):
+        interop.from_tree(
+            {"op": "ngram_lm_fit",
+             "args": [{"op": "symbol", "args": ["ldocs"]}, "text", B,
+                      2, {"future_knob": True}]},
+            spark=spark, datasets={"ldocs": ldocs})
+    with pytest.raises(ValueError, match="matching client version"):
+        interop.from_tree(
+            {"op": "ngram_lm_fit",
+             "args": [{"op": "symbol", "args": ["ldocs"]}, "text", B,
+                      2, {"unigrams": True}, "extra"]},
+            spark=spark, datasets={"ldocs": ldocs})

@@ -2157,3 +2157,24 @@ def test_ann_topk_derives_dim_for_lsh_route(spark):
     out = ann_topk(emb32, q, k=3, exact_max=100, threshold=0.9).df
     assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
     out.count()   # executes the UDF path — shape mismatch would raise
+
+
+def test_batched_topk_lazy_optout(spark, emb):
+    """ADVICE r11: materialize_chunks=False keeps the union fully lazy
+    (no localCheckpoint — full lineage for preemptible executors) and
+    answers stay equal to the eager default."""
+    from blaze_spark import Table
+    from blaze_spark.pipeline import batched_topk
+
+    q = Table(emb.df.filter("vec_id < 12"))
+    eager = {(r.query_id, r.neighbor_id, r.cosine)
+             for r in batched_topk(emb, q, k=3,
+                                   queries_per_batch=4).df.collect()}
+    lazy = batched_topk(emb, q, k=3, queries_per_batch=4,
+                        materialize_chunks=False)
+    got = {(r.query_id, r.neighbor_id, r.cosine)
+           for r in lazy.df.collect()}
+    assert got == eager
+    # genuinely lazy: no LogicalRDD (checkpointed block) leaves in the plan
+    plan = lazy.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan and "Scan ExistingRDD" not in plan

@@ -481,3 +481,43 @@ def test_selection_remote_dispatch_records_trees(spark, sdocs):
     # a mixed local/remote target still fails loudly
     with pytest.raises(TypeError, match="SAME server"):
         dsir_log_weights(remote, sdocs)
+
+
+def test_classifier_sizing_one_job_per_weights_plan(spark, sdocs):
+    """VERDICT r11: sizing the model is ONE bounded collect per
+    distinct weights plan, memoized by semantic hash — a loop scoring
+    many corpora against one model launches one sizing job, not one
+    per call (the batched_topk count-hoist discipline)."""
+    from blaze_spark.pipeline import selection as sel
+
+    wts = _weights(spark, [(_bucket("the"), 10), (_bucket("spam"), -50)])
+    sel._WEIGHT_ROWS_CACHE.clear()
+    sc = spark.sparkContext
+    sc.setJobGroup("qc-sizing-cold", "first classifier construction")
+    try:
+        quality_classifier(sdocs, wts, threshold_milli=0)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    cold = len(tracker.getJobIdsForGroup("qc-sizing-cold"))
+    assert cold >= 1  # the one bounded sizing collect (CollectLimit
+    #                   may split it into incremental attempts)
+    sc.setJobGroup("qc-sizing-warm", "repeated classifier construction")
+    try:
+        for _ in range(4):
+            # plan construction only — no scoring action inside the group
+            quality_classifier(sdocs, wts, threshold_milli=0)
+    finally:
+        sc.setJobGroup(None, None)
+    warm = len(tracker.getJobIdsForGroup("qc-sizing-warm"))
+    assert warm == 0, f"repeat construction launched {warm} jobs"
+    assert len(sel._WEIGHT_ROWS_CACHE) == 1
+    # the memoized plan still scores correctly
+    out = {r["doc_id"]: r["score_milli"] for r in
+           quality_classifier(sdocs, wts).collect()}
+    assert out[1] == -150  # 'spam' ×3 → 3 × −50
+    # a DIFFERENT weights plan is a fresh entry, and the memo is LRU-bounded
+    for i in range(sel._WEIGHT_ROWS_CACHE_MAX + 2):
+        quality_classifier(
+            sdocs, _weights(spark, [(_bucket("the"), 10 + i)]))
+    assert len(sel._WEIGHT_ROWS_CACHE) <= sel._WEIGHT_ROWS_CACHE_MAX
