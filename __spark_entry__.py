@@ -2820,6 +2820,53 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def ngram_lm_backoff_docs(spark, sf_dir):
+    """Stupid-backoff LM band filter (r12, VERDICT r11 #1 —
+    pipeline/lm.py backoff=λ, Brants et al. 2007): per-gram
+    ln max(cnt_g/cnt_c, λ·(cnt_u+α)/(N+α·B)) — the raw MLE ratio when
+    the gram's evidence exists, else λ× the add-α-floored unigram
+    probability of the PREDICTED token.  CCNet's discriminative power
+    lives in the smoothing: add-α flattens sparse bigrams, backoff
+    does not.  Fit adds the 'uni' relation in the SAME one-pass
+    positioned-index scan (Σ uni == Σ gram, so the normalizer is
+    free); scoring is three broadcast ln() joins, all codegen.  The
+    oracle value-checks WHICH documents survive the [16.5, 19.5] band
+    (membership on the round-4 exported ppl, the
+    perplexity_filter_docs precedent)."""
+    from blaze_spark.pipeline import perplexity_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_filter(d, n_buckets=1024, n=2, backoff=0.4,
+                            min_ppl=16.5, max_ppl=19.5)
+    return out.select("doc_id", "source", "n_grams", "logp",
+                      "avg_logp", "ppl").orderBy("doc_id")
+
+
+def upsample_mix_docs(spark, sf_dir):
+    """Deterministic UPSAMPLING mixture execution (r12, VERDICT r11
+    #2 — pipeline/curation.py allow_upsample): sources src0-src9
+    collapse in-query into one over-represented pool, α=0.5 pushes
+    the minority sources' target shares ABOVE their natural shares
+    (sample_weight > 1 — the mT5 regime where low-resource sources
+    repeat across epochs), and apply_source_mix explodes weight w
+    into floor(w) full copies plus one md5-decided fractional copy
+    with a 0-based copy_idx.  The oracle value-checks the EXACT
+    output multiset (doc_id, source, copy_idx) — E[copies] = w with
+    no randomness anywhere."""
+    from blaze_spark.pipeline import (apply_source_mix,
+                                      temperature_source_mix)
+
+    d = _t(spark, sf_dir, "documents")
+    pool = F.when(F.col("source")
+                  .isin([f"src{i}" for i in range(10)]),
+                  F.lit("pool_a")).otherwise(F.col("source"))
+    sk = Table(d.df.withColumn("source", pool), "skewed_docs")
+    w = temperature_source_mix(sk, alpha=0.5, allow_upsample=True)
+    kept = apply_source_mix(sk, w, allow_upsample=True)
+    return (kept.df.select("doc_id", "source", "copy_idx")
+            .orderBy("doc_id", "copy_idx"))
+
+
 def blaze_client_mix(spark, sf_dir):
     """Remote mixture rebalance (mid-r11): temperature_source_mix
     computes the α-sampling plan SERVER-side and apply_source_mix
@@ -3029,6 +3076,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights ride between fit and execute as a same-server
         # subtree); apply_batch_filter (green r10 row, unchanged code)
         # rotates below the boundary for it.
+        # r12 head: ngram_lm_backoff_docs (NEW — stupid-backoff LM
+        # smoothing, VERDICT r11 #1) and upsample_mix_docs (NEW —
+        # deterministic upsampling mixture execution, VERDICT r11 #2);
+        # strftime_buckets and q03_shipping_priority (green r11 rows,
+        # unchanged code) rotate below the boundary to keep the sample
+        # at exactly 50.  The r11-head LM/mix/selection/batched-topk
+        # entries stay in the window — their operator code changed
+        # this round (backoff plumbing, upsample plumbing, sizing
+        # memo, materialize_chunks flag), so each gets a fresh row.
+        "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
+        "upsample_mix_docs": upsample_mix_docs,
         "blaze_client_mix": blaze_client_mix,
         "edit_distance_verify_docs": edit_distance_verify_docs,
         "temperature_mix_docs": temperature_mix_docs,
@@ -3077,8 +3135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_parts": math_parts,
         "datetime_parts": datetime_parts,
         "monthly_orders": monthly_orders,
-        "strftime_buckets": strftime_buckets,
-        "q03_shipping_priority": q03_shipping_priority,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
@@ -3086,6 +3142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coalesce_fill, relabel_drop and apply_batch_filter (green r10
         # rows, unchanged code) for the eight new lm.py / dup-ngram /
         # wire-LM / temperature-mix / edit-distance / wire-mix entries.
+        # r12 rotated strftime_buckets + q03_shipping_priority (green
+        # r11 rows, unchanged code) below for the two new r12 entries.
+        "strftime_buckets": strftime_buckets,
+        "q03_shipping_priority": q03_shipping_priority,
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
@@ -4984,6 +5044,106 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 19.0 AND s.ppl <= 37.0
             ORDER BY d.doc_id
+        """,
+        # Stupid backoff (r12): the same bucket convention plus the
+        # 'uni' relation (bucket of the gram's PREDICTED/last token);
+        # per-gram greatest(MLE ratio, λ·add-α unigram) with the MLE
+        # branch only when BOTH its buckets carry evidence.  Band
+        # membership value-checked on the round-4 ppl export.
+        "ngram_lm_backoff_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c,
+                       CAST(concat('0x', substr(md5(tok_u), 1, 8)) AS BIGINT)
+                           % 1024 AS u
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram,
+                             toks[i+1] AS tok_u
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            cu AS (SELECT u AS b, count(*) AS c3 FROM gb GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM gb),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(CASE WHEN cg.c IS NOT NULL
+                                 AND cc.c2 IS NOT NULL
+                                THEN greatest(
+                                    ln(cg.c) - ln(cc.c2),
+                                    ln(0.4)
+                                    + ln(COALESCE(cu.c3, 0) + 1.0)
+                                    - ln(tot.n + 1024.0))
+                                ELSE ln(0.4)
+                                     + ln(COALESCE(cu.c3, 0) + 1.0)
+                                     - ln(tot.n + 1024.0) END) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                        LEFT JOIN cu ON gb.u = cu.b
+                        CROSS JOIN tot
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp,
+                   s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 16.5 AND s.ppl <= 19.5
+            ORDER BY d.doc_id
+        """,
+        # Deterministic upsampling (r12): the temperature plan WITHOUT
+        # the min(1,·) cap, then weight w explodes into floor(w) full
+        # copies + one md5-decided fractional copy — the exact
+        # (doc_id, source, copy_idx) multiset is value-checked.
+        "upsample_mix_docs": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN source IN ('src0','src1','src2','src3',
+                                            'src4','src5','src6','src7',
+                                            'src8','src9')
+                            THEN 'pool_a' ELSE source END AS source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt
+                FROM documents),
+            s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tt
+                  FROM q GROUP BY source),
+            sh AS (SELECT source, tt * 1.0 / sum(tt) OVER () AS share
+                   FROM s),
+            w AS (SELECT source,
+                         round((pow(share, 0.5)
+                                / sum(pow(share, 0.5)) OVER ()) / share,
+                               4) AS sample_weight
+                  FROM sh),
+            idx AS (SELECT unnest(generate_series(0,
+                        (SELECT CAST(floor(max(sample_weight)) AS BIGINT)
+                         FROM w))) AS copy_idx)
+            SELECT q.doc_id, q.source,
+                   CAST(idx.copy_idx AS INT) AS copy_idx
+            FROM q JOIN w USING (source)
+                 JOIN idx ON idx.copy_idx
+                             <= CAST(floor(w.sample_weight) AS BIGINT)
+            WHERE w.sample_weight > 0
+              AND (idx.copy_idx < floor(w.sample_weight)
+                   OR substr(md5(coalesce(CAST(q.doc_id AS VARCHAR),
+                                          '__null__') || '-42'), 1, 8)
+                      < lower(lpad(to_hex(CAST(floor((w.sample_weight
+                                    - floor(w.sample_weight))
+                                    * 4294967296.0) AS BIGINT)),
+                               8, '0')))
+            ORDER BY q.doc_id, copy_idx
         """,
         "dsir_weights_docs": r"""
             WITH tb AS (
