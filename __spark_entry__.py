@@ -2842,6 +2842,81 @@ def ngram_lm_backoff_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def blaze_client_dedup(spark, sf_dir):
+    """Remote dedup service (r12, VERDICT r11 #3): exact_dedup and
+    cross_doc_dup_lines run SERVER-side over blaze:// on corpora
+    DERIVED there through the dialect — prefix truncation
+    (str.slice) plants real exact-duplicate groups, a literal
+    replace (str.replace) plants a cross-document boilerplate line —
+    so the corpus never crosses the wire, only the dedup accounting
+    does.  The oracle value-checks per-doc line counts AND each
+    keeper's copy count."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import cross_doc_dup_lines, exact_dedup
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        # exact-dup groups: docs collide on their 30-char prefix
+        pref = rt.transform(text=rt.text.str.slice(0, 30))
+        kd = exact_dedup(pref)
+        kpdf = kd.compute()[["keeper_id", "n_copies"]]
+        # cross-doc boilerplate: every ' table ' occurrence becomes a
+        # shared footer line (literal replace — dialect-recorded)
+        planted = rt.transform(
+            text=rt.text.str.replace(
+                " table ", "\nCOMMON FOOTER LINE\n"))
+        ld = cross_doc_dup_lines(planted)
+        lpdf = ld.compute()[["doc_id", "n_lines", "n_dup_lines",
+                             "dup_line_frac"]]
+    finally:
+        srv.stop()
+    lines = spark.createDataFrame(
+        lpdf, schema="doc_id bigint, n_lines int, n_dup_lines int, "
+                     "dup_line_frac double")
+    keep = spark.createDataFrame(
+        kpdf, schema="keeper_id bigint, n_copies bigint")
+    out = (lines.join(keep,
+                      lines["doc_id"] == keep["keeper_id"], "left")
+           .select("doc_id", "n_lines", "n_dup_lines", "dup_line_frac",
+                   F.coalesce(F.col("n_copies"), F.lit(0))
+                   .cast("int").alias("n_copies")))
+    return out.orderBy("doc_id")
+
+
+def blaze_client_contamination(spark, sf_dir):
+    """Remote decontamination (r12, VERDICT r11 #4): the benchmark
+    suite is a same-server EXPRESSION over the registered corpus (a
+    selection subtree — the MB-scale test relation never crosses the
+    wire as rows), and contamination_report executes the broadcast
+    3-gram probe server-side.  Oracle value-checks every per-doc
+    overlap count and the threshold flag."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import contamination_report
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        test = rt[rt.doc_id % 10 == 0]
+        expr = contamination_report(rt, test, n=3, threshold=0.2)
+        pdf = expr.compute()[["doc_id", "n_ngrams", "n_contaminated",
+                              "contamination_rate", "contaminated"]]
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        pdf, schema="doc_id bigint, n_ngrams bigint, "
+                    "n_contaminated bigint, contamination_rate double, "
+                    "contaminated int").orderBy("doc_id")
+
+
 def upsample_mix_docs(spark, sf_dir):
     """Deterministic UPSAMPLING mixture execution (r12, VERDICT r11
     #2 — pipeline/curation.py allow_upsample): sources src0-src9
@@ -3085,8 +3160,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries stay in the window — their operator code changed
         # this round (backoff plumbing, upsample plumbing, sizing
         # memo, materialize_chunks flag), so each gets a fresh row.
+        # ... and blaze_client_dedup + blaze_client_contamination (the
+        # r12 wire-dialect sweep, VERDICT r11 #3/#4 — exact/line dedup
+        # and decontamination run server-side on dialect-derived
+        # corpora); datetime_parts and monthly_orders (green r11 rows,
+        # unchanged code) rotate below the boundary for them.
         "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
         "upsample_mix_docs": upsample_mix_docs,
+        "blaze_client_dedup": blaze_client_dedup,
+        "blaze_client_contamination": blaze_client_contamination,
         "blaze_client_mix": blaze_client_mix,
         "edit_distance_verify_docs": edit_distance_verify_docs,
         "temperature_mix_docs": temperature_mix_docs,
@@ -3133,8 +3215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": string_funcs,
         "string_predicates": string_predicates,
         "math_parts": math_parts,
-        "datetime_parts": datetime_parts,
-        "monthly_orders": monthly_orders,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
@@ -3142,8 +3222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coalesce_fill, relabel_drop and apply_batch_filter (green r10
         # rows, unchanged code) for the eight new lm.py / dup-ngram /
         # wire-LM / temperature-mix / edit-distance / wire-mix entries.
-        # r12 rotated strftime_buckets + q03_shipping_priority (green
-        # r11 rows, unchanged code) below for the two new r12 entries.
+        # r12 rotated strftime_buckets + q03_shipping_priority +
+        # datetime_parts + monthly_orders (green r11 rows, unchanged
+        # code) below for the four new r12 entries.
+        "datetime_parts": datetime_parts,
+        "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
         "q03_shipping_priority": q03_shipping_priority,
         "apply_batch_filter": apply_batch_filter,
@@ -5044,6 +5127,76 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 19.0 AND s.ppl <= 37.0
             ORDER BY d.doc_id
+        """,
+        # Remote dedup service (r12): the dialect-derived corpora — a
+        # 30-char prefix corpus for exact-dup groups, a literal-replace
+        # planted boilerplate line for cross-doc line dedup — rebuilt
+        # in SQL; per-doc line accounting AND per-keeper copy counts
+        # value-checked.
+        "blaze_client_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       replace(text, ' table ',
+                               chr(10) || 'COMMON FOOTER LINE'
+                               || chr(10)) AS text
+                FROM documents),
+            pl AS (
+                SELECT doc_id, trim(line) AS tl
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(text, '\n'))
+                                 AS line
+                      FROM planted)),
+            cnt AS (
+                SELECT tl, count(DISTINCT doc_id) AS ndocs
+                FROM pl WHERE len(tl) >= 1 GROUP BY tl),
+            score AS (
+                SELECT pl.doc_id,
+                       CAST(sum(CASE WHEN len(pl.tl) >= 1
+                                     THEN 1 ELSE 0 END) AS INT)
+                           AS n_lines,
+                       CAST(sum(CASE WHEN len(pl.tl) >= 1
+                                      AND cnt.ndocs > 1
+                                     THEN 1 ELSE 0 END) AS INT)
+                           AS n_dup_lines
+                FROM pl LEFT JOIN cnt USING (tl)
+                GROUP BY pl.doc_id),
+            k AS (
+                SELECT min(doc_id) AS keeper_id,
+                       count(*) AS n_copies
+                FROM documents GROUP BY substr(text, 1, 30))
+            SELECT s.doc_id, s.n_lines, s.n_dup_lines,
+                   round(CASE WHEN s.n_lines > 0
+                              THEN s.n_dup_lines * 1.0 / s.n_lines
+                              ELSE 0.0 END, 4) + 0.0 AS dup_line_frac,
+                   CAST(COALESCE(k.n_copies, 0) AS INT) AS n_copies
+            FROM score s LEFT JOIN k ON s.doc_id = k.keeper_id
+            ORDER BY s.doc_id
+        """,
+        # Remote decontamination (r12): full corpus as train, the
+        # registered corpus' %10 slice as the same-server benchmark
+        # subtree; 3-gram overlap per doc (contamination_check_docs'
+        # convention, train unfiltered)
+        "blaze_client_contamination": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            ex AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS ngram
+                FROM tk),
+            test_g AS (SELECT DISTINCT ngram FROM ex WHERE doc_id % 10 = 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   round(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS contamination_rate,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        / count(*) >= 0.2 AS INT) AS contaminated
+            FROM ex t LEFT JOIN test_g g USING (ngram)
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
         """,
         # Stupid backoff (r12): the same bucket convention plus the
         # 'uni' relation (bucket of the gram's PREDICTED/last token);

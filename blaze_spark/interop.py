@@ -222,7 +222,15 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # scoring/scrub and the mixture-plan pair (weights
                   # as literal rows or a same-server subtree)
                   "cross_doc_dup_ngrams", "temperature_source_mix",
-                  "apply_source_mix"}
+                  "apply_source_mix",
+                  # r12 sweep (VERDICT r11 #3/#4): the remaining
+                  # literal-args pipeline ops — exact/normalized/line
+                  # dedup, the curation reports, blocklists, cluster
+                  # resolution, and decontamination (its test corpus
+                  # rides as a same-server subtree).  The approximate
+                  # generators (random planes, trained quantizers)
+                  # stay deliberately non-serializable.
+                  *_PIPE_WIRE}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -345,6 +353,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op in ("cross_doc_dup_ngrams", "temperature_source_mix",
                   "apply_source_mix"):
             return _mix_dedup_node(op, args, child, walk)
+        if op in _PIPE_WIRE:
+            return _pipeline_node(op, args, child, walk)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
                   "gopher_rules"):
@@ -522,6 +532,69 @@ def _lm_node(op: str, args: list, child: Table, walk):
     fn = (ngram_lm_logprob if op == "ngram_lm_logprob"
           else perplexity_filter)
     return Table(fn(child, reference, counts, **kw), op)
+
+
+# r12 wire sweep (VERDICT r11 #3/#4): op -> (keyword whitelist, shape).
+# Shapes: "unary" = [child, {kw}]; "binary" = [child, other_tree, {kw}]
+# (the second table rides as a same-server subtree — decontamination's
+# test corpus, canonical_docs' pair list); "terms" = [child, [str, ...],
+# {kw}] (a literal KB-scale blocklist); "opt_tree" = [child,
+# subtree|None, {kw}] (token_commonness' optional prebuilt vocabulary).
+_PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
+    "exact_dedup": (frozenset({"text_col", "id_col"}), "unary"),
+    "normalized_dedup": (frozenset({"text_col", "id_col"}), "unary"),
+    "cross_doc_dup_lines": (
+        frozenset({"text_col", "id_col", "min_chars", "scrub"}), "unary"),
+    "top_ngram_share": (frozenset({"n", "text_col", "id_col"}), "unary"),
+    "source_mix": (frozenset({"text_col", "source_col"}), "unary"),
+    "extract_urls": (frozenset({"text_col"}), "unary"),
+    "domain_mix": (frozenset({"text_col", "id_col"}), "unary"),
+    "corpus_report": (frozenset({"text_col", "source_col"}), "unary"),
+    "token_commonness": (
+        frozenset({"text_col", "id_col", "vocab_size"}), "opt_tree"),
+    "blocklist_filter": (frozenset({"text_col", "mode"}), "terms"),
+    "contamination_report": (
+        frozenset({"n", "text_col", "id_col", "threshold"}), "binary"),
+    "connected_components": (
+        frozenset({"src", "dst", "max_iter"}), "unary"),
+    "dedup_clusters": (frozenset({"left", "right", "max_iter"}), "unary"),
+    "canonical_docs": (
+        frozenset({"id_col", "left", "right", "max_iter"}), "binary"),
+}
+
+
+def _pipeline_node(op: str, args: list, child: Table, walk):
+    """Replay an r12 swept pipeline node.  Keyword args re-validate
+    through the local entry points; unknown keywords and extra
+    positional args reject loudly (the version-skew posture)."""
+    from . import pipeline as _pl
+
+    allowed, shape = _PIPE_WIRE[op]
+    _arity(op, args, 2 if shape == "unary" else 3)
+    raw_kw = args[-1] if len(args) > 1 and isinstance(args[-1], dict) \
+        else {}
+    bad = set(raw_kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    kw = dict(raw_kw)
+    pos = [child]
+    if shape == "binary":
+        pos.append(walk(args[1]))
+    elif shape == "terms":
+        if not isinstance(args[1], list) or \
+                not all(isinstance(x, str) for x in args[1]):
+            raise ValueError(
+                f"{op} wire node expects a literal list of term "
+                "strings as args[1]")
+        pos.append(args[1])
+    elif shape == "opt_tree":
+        if args[1] is not None:
+            kw["vocab"] = walk(args[1]).df
+    fn = getattr(_pl, op)
+    out = fn(*pos, **kw)
+    return out if isinstance(out, Table) else Table(out, op)
 
 
 def _mix_dedup_node(op: str, args: list, child: Table, walk):

@@ -127,10 +127,89 @@ def canonical_docs(docs, pairs, id_col: str = "doc_id",
     return Table(out, "canonical_docs")
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
+# r12 wire sweep (VERDICT r11 #3): cluster resolution serializes — the
+# pair list is itself a server-side expression (e.g. a registered
+# near-dup pair dataset), so a remote dedup service resolves clusters
+# without the edges ever crossing the wire.  Schemas are HAND-WRITTEN:
+# the local label-propagation loop runs eager per-round jobs
+# (localCheckpoint + isEmpty), which must never fire at
+# plan-construction time.
+import functools  # noqa: E402
 
-connected_components = _lg(connected_components)
-dedup_clusters = _lg(dedup_clusters)
-canonical_docs = _lg(canonical_docs)
+from pyspark.sql import types as T  # noqa: E402
+
+from .selection import (_client_of, _require_tree, _same_server,  # noqa: E402
+                        _wire_result)
+
+_local_connected_components = connected_components
+_local_dedup_clusters = dedup_clusters
+_local_canonical_docs = canonical_docs
+
+
+def _remote(x):
+    return isinstance(x, Table) and getattr(x, "_client", None) is not None
+
+
+@functools.wraps(_local_connected_components)
+def connected_components(edges, src: str = "a", dst: str = "b",
+                         max_iter: int = 20,
+                         checkpoint: bool = True) -> Table:
+    if not _remote(edges):
+        return _local_connected_components(edges, src, dst, max_iter,
+                                           checkpoint)
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    node = {"op": "connected_components",
+            "args": [_require_tree(edges, "connected_components"),
+                     {"src": src, "dst": dst,
+                      "max_iter": int(max_iter)}]}
+    empty = edges.df.sparkSession.createDataFrame(
+        [], "node long, comp long")
+    return _wire_result(edges, empty, node)
+
+
+@functools.wraps(_local_dedup_clusters)
+def dedup_clusters(pairs, left: str = "doc_a", right: str = "doc_b",
+                   max_iter: int = 20) -> Table:
+    if not _remote(pairs):
+        return _local_dedup_clusters(pairs, left, right, max_iter)
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    node = {"op": "dedup_clusters",
+            "args": [_require_tree(pairs, "dedup_clusters"),
+                     {"left": left, "right": right,
+                      "max_iter": int(max_iter)}]}
+    empty = pairs.df.sparkSession.createDataFrame(
+        [], "doc_id long, cluster_id long, is_canonical boolean")
+    return _wire_result(pairs, empty, node)
+
+
+@functools.wraps(_local_canonical_docs)
+def canonical_docs(docs, pairs, id_col: str = "doc_id",
+                   left: str = "doc_a", right: str = "doc_b",
+                   max_iter: int = 20) -> Table:
+    if not _remote(docs) and not _remote(pairs):
+        return _local_canonical_docs(docs, pairs, id_col, left, right,
+                                     max_iter)
+    if not (_remote(docs) and _remote(pairs)) \
+            or not _same_server(docs, pairs):
+        raise TypeError(
+            "canonical_docs over blaze://: docs and pairs must live on "
+            "the SAME server (derive or register the pair list there); "
+            "mixing a local side with a remote one would scan the "
+            "empty schema-only frame")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    node = {"op": "canonical_docs",
+            "args": [_require_tree(docs, "canonical_docs"),
+                     _require_tree(pairs, "canonical_docs pairs"),
+                     {"id_col": id_col, "left": left, "right": right,
+                      "max_iter": int(max_iter)}]}
+    # docs' columns, with cluster_id (LONG — the cc label domain)
+    # and keep appended; the left-join key leads, as in the local plan
+    fields = [docs.df.schema[id_col]] \
+        + [f for f in docs.df.schema.fields if f.name != id_col] \
+        + [T.StructField("cluster_id", T.LongType()),
+           T.StructField("keep", T.BooleanType())]
+    empty = docs.df.sparkSession.createDataFrame([], T.StructType(fields))
+    return _wire_result(docs, empty, node)

@@ -664,18 +664,10 @@ def apply_source_mix(t: Table, weights: DataFrame,
 _MAX_UPSAMPLE = 10_000
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
-
-top_ngram_share = _lg(top_ngram_share)
-contamination_report = _lg(contamination_report)
-source_mix = _lg(source_mix)
-extract_urls = _lg(extract_urls)
-domain_mix = _lg(domain_mix)
-blocklist_filter = _lg(blocklist_filter)
-corpus_report = _lg(corpus_report)
-token_commonness = _lg(token_commonness)
+# r8 silent-empty audit: ops with no wire-dialect form raise at entry
+# on remote inputs instead of computing over the empty schema-only
+# frame.  r12 (VERDICT r11 #3/#4): this module's whole guarded set
+# gained wire forms (bottom of the file) — nothing left to guard here.
 
 
 # ---------------------------------------------------------------------------
@@ -787,3 +779,182 @@ def apply_source_mix(t: Table, weights, source_col: str = "source",
     node = {"op": "apply_source_mix",
             "args": [_require_tree(t, "apply_source_mix"), enc, kw]}
     return _wire_result(t, local_df, node)
+
+
+# r12 wire sweep (VERDICT r11 #3/#4): the curation reports, URL/domain
+# passes, blocklists, vocabulary commonness and decontamination are
+# literal-args table ops — they serialize as plain nodes.  Lazy plans
+# derive the recorded schema from the LOCAL plan over the remote
+# table's schema-only empty frame (the _unary_pass precedent, zero
+# jobs); token_commonness hand-writes its schema instead (its local
+# path runs an eager vocabulary-total collect — exactly the plan-time
+# job the r12 quality_classifier fix removed).
+
+_local_top_ngram_share = top_ngram_share
+_local_contamination_report = contamination_report
+_local_source_mix = source_mix
+_local_extract_urls = extract_urls
+_local_domain_mix = domain_mix
+_local_blocklist_filter = blocklist_filter
+_local_corpus_report = corpus_report
+_local_token_commonness = token_commonness
+
+
+def _sweep_node(t, op, local_df, kw, *extra):
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    node = {"op": op, "args": [_require_tree(t, op), *extra, kw]}
+    return _wire_result(t, local_df, node)
+
+
+def _is_remote(x):
+    return isinstance(x, Table) and getattr(x, "_client", None) is not None
+
+
+@functools.wraps(_local_top_ngram_share)
+def top_ngram_share(t: Table, n: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    if not _is_remote(t):
+        return _local_top_ngram_share(t, n, text_col, id_col)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    local = Table(_local_top_ngram_share(t, n, text_col, id_col), t._name)
+    return _sweep_node(t, "top_ngram_share", local.df,
+                       {"n": int(n), "text_col": text_col,
+                        "id_col": id_col})
+
+
+@functools.wraps(_local_source_mix)
+def source_mix(t: Table, text_col: str = "text",
+               source_col: str = "source"):
+    if not _is_remote(t):
+        return _local_source_mix(t, text_col, source_col)
+    local = _local_source_mix(t, text_col, source_col)
+    return _sweep_node(t, "source_mix", local,
+                       {"text_col": text_col, "source_col": source_col})
+
+
+@functools.wraps(_local_extract_urls)
+def extract_urls(t: Table, text_col: str = "text") -> Table:
+    if not _is_remote(t):
+        return _local_extract_urls(t, text_col)
+    local = _local_extract_urls(t, text_col)
+    return _sweep_node(t, "extract_urls", local.df,
+                       {"text_col": text_col})
+
+
+@functools.wraps(_local_domain_mix)
+def domain_mix(t: Table, text_col: str = "text",
+               id_col: str = "doc_id"):
+    if not _is_remote(t):
+        return _local_domain_mix(t, text_col, id_col)
+    local = _local_domain_mix(t, text_col, id_col)
+    return _sweep_node(t, "domain_mix", local,
+                       {"text_col": text_col, "id_col": id_col})
+
+
+@functools.wraps(_local_blocklist_filter)
+def blocklist_filter(t: Table, terms: list[str], text_col: str = "text",
+                     mode: str = "drop") -> Table:
+    if not _is_remote(t):
+        return _local_blocklist_filter(t, terms, text_col, mode)
+    if mode not in ("drop", "keep"):
+        raise ValueError("mode must be 'drop' or 'keep'")
+    if not all(isinstance(w, str) for w in terms):
+        raise TypeError("blocklist_filter: terms must be strings")
+    # the term list is literal KBs by design (the docstring's regex
+    # cliff) — it rides IN the node, never as a dataset
+    return _sweep_node(t, "blocklist_filter", t.df,
+                       {"text_col": text_col, "mode": mode},
+                       list(terms))
+
+
+@functools.wraps(_local_corpus_report)
+def corpus_report(t: Table, text_col: str = "text",
+                  source_col: str = "source"):
+    if not _is_remote(t):
+        return _local_corpus_report(t, text_col, source_col)
+    local = _local_corpus_report(t, text_col, source_col)
+    return _sweep_node(t, "corpus_report", local,
+                       {"text_col": text_col, "source_col": source_col})
+
+
+@functools.wraps(_local_token_commonness)
+def token_commonness(t: Table, text_col: str = "text",
+                     id_col: str = "doc_id", vocab_size: int = 50_000,
+                     vocab=None):
+    if not _is_remote(t):
+        if _is_remote(vocab):
+            raise TypeError(
+                "token_commonness: a REMOTE vocabulary with a LOCAL "
+                "corpus mixes engines — compute() the vocabulary "
+                "first, or register the corpus on the same server")
+        if isinstance(vocab, Table):
+            vocab = vocab.df
+        return _local_token_commonness(t, text_col, id_col, vocab_size,
+                                       vocab)
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    if vocab is None:
+        enc = None
+    elif isinstance(vocab, Table):
+        from .selection import _same_server
+        if not _same_server(t, vocab):
+            raise TypeError(
+                "vocab is a table from a different server (or a local "
+                "Table) — the vocabulary must live on the same server "
+                "as the corpus (register it there), or be left None "
+                "to build server-side")
+        enc = _require_tree(vocab, "token_commonness vocab")
+    else:
+        raise TypeError(
+            "token_commonness over blaze://: pass the vocabulary as a "
+            "same-server expression (ngram/token counts registered or "
+            "derived there) or None — a local DataFrame cannot ride "
+            "the wire (top-50k vocabularies exceed the literal-row "
+            "budget)")
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    # hand-written schema: the local path would run its eager
+    # vocabulary-total collect at plan-construction time
+    schema = T.StructType(
+        [t.df.schema[id_col],
+         T.StructField("n_tokens", T.IntegerType()),
+         T.StructField("oov_rate", T.DoubleType()),
+         T.StructField("commonness", T.DoubleType())])
+    empty = t.df.sparkSession.createDataFrame([], schema)
+    return _sweep_node(t, "token_commonness", empty,
+                       {"text_col": text_col, "id_col": id_col,
+                        "vocab_size": int(vocab_size)}, enc)
+
+
+@functools.wraps(_local_contamination_report)
+def contamination_report(train: Table, test: Table, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         threshold: float = 0.2):
+    remote_train, remote_test = _is_remote(train), _is_remote(test)
+    if not remote_train and not remote_test:
+        return _local_contamination_report(train, test, n, text_col,
+                                           id_col, threshold)
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    from .selection import _same_server
+    if not remote_train or not remote_test \
+            or not _same_server(train, test):
+        raise TypeError(
+            "contamination_report over blaze://: train and test must "
+            "live on the SAME server (register the benchmark suite "
+            "there — it rides as a subtree, MBs never cross the wire); "
+            "mixing a local corpus with a remote one would scan the "
+            "empty schema-only frame")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    node = {"op": "contamination_report",
+            "args": [_require_tree(train, "contamination_report"),
+                     _require_tree(test, "contamination_report test"),
+                     {"n": int(n), "text_col": text_col,
+                      "id_col": id_col, "threshold": float(threshold)}]}
+    # lazy local plan over the two empty frames → recorded schema
+    local = _local_contamination_report(train, test, n, text_col,
+                                        id_col, threshold)
+    out = train._new(local)
+    out._client = train._client
+    out._tree = node
+    return out

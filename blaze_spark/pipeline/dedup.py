@@ -807,12 +807,11 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
 
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
+# at entry instead of computing over the empty schema-only frame.
+# (r12: exact_dedup / normalized_dedup / cross_doc_dup_lines left this
+# list — they serialize now, wire forms below.)
 from ..core import _localize_guard as _lg  # noqa: E402
 
-exact_dedup = _lg(exact_dedup)
-cross_doc_dup_lines = _lg(cross_doc_dup_lines)
-normalized_dedup = _lg(normalized_dedup)
 minhash_signatures = _lg(minhash_signatures)
 minhash_candidates = _lg(minhash_candidates)
 ngram_jaccard_pairs = _lg(ngram_jaccard_pairs)
@@ -867,3 +866,58 @@ def cross_doc_dup_ngrams(t: Table, n: int = 5, min_docs: int = 2,
              T.StructField("dup_tokens", T.IntegerType()),
              T.StructField("dup_token_frac", T.DoubleType())])
     return _wire_result(t, spark.createDataFrame([], schema), node)
+
+
+# r12 wire sweep (VERDICT r11 #3): the exact-dedup family and line
+# dedup/scrub are pure literal-args unary table ops — they serialize as
+# plain nodes (the cross_doc_dup_ngrams pattern).  Their plans are
+# fully lazy, so the recorded schema frame is simply the LOCAL plan
+# built over the remote table's schema-only empty frame (the
+# _unary_pass precedent) — zero jobs at construction.
+
+_local_exact_dedup = exact_dedup
+_local_normalized_dedup = normalized_dedup
+_local_cross_doc_dup_lines = cross_doc_dup_lines
+
+
+def _sweep_node(t: Table, op: str, local_plan: Table, kw: dict,
+                *extra) -> Table:
+    node = {"op": op, "args": [_require_tree(t, op), *extra, kw]}
+    return _wire_result(t, local_plan.df, node)
+
+
+@functools.wraps(_local_exact_dedup)
+def exact_dedup(t: Table, text_col: str = "text",
+                id_col: str = "doc_id") -> Table:
+    if _client_of(t) is None:
+        return _local_exact_dedup(t, text_col, id_col)
+    return _sweep_node(t, "exact_dedup",
+                       _local_exact_dedup(t, text_col, id_col),
+                       {"text_col": text_col, "id_col": id_col})
+
+
+@functools.wraps(_local_normalized_dedup)
+def normalized_dedup(t: Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> Table:
+    if _client_of(t) is None:
+        return _local_normalized_dedup(t, text_col, id_col)
+    return _sweep_node(t, "normalized_dedup",
+                       _local_normalized_dedup(t, text_col, id_col),
+                       {"text_col": text_col, "id_col": id_col})
+
+
+@functools.wraps(_local_cross_doc_dup_lines)
+def cross_doc_dup_lines(t: Table, text_col: str = "text",
+                        id_col: str = "doc_id", min_chars: int = 1,
+                        scrub: bool = False) -> Table:
+    if _client_of(t) is None:
+        return _local_cross_doc_dup_lines(t, text_col, id_col,
+                                          min_chars, scrub)
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+    return _sweep_node(
+        t, "cross_doc_dup_lines",
+        _local_cross_doc_dup_lines(t, text_col, id_col, min_chars,
+                                   scrub),
+        {"text_col": text_col, "id_col": id_col,
+         "min_chars": int(min_chars), "scrub": bool(scrub)})

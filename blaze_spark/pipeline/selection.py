@@ -678,6 +678,18 @@ def _client_of(x):
     return getattr(x, "_client", None) if isinstance(x, Table) else None
 
 
+def _same_server(a, b) -> bool:
+    """Two remote tables live on the same server when they share a
+    client OR their clients point at the same normalized URL (the
+    core.with_fk precedent — two data() calls against one server must
+    compose)."""
+    ca, cb = _client_of(a), _client_of(b)
+    if ca is None or cb is None:
+        return False
+    return ca is cb or getattr(ca, "url", None) == getattr(cb, "url",
+                                                           object())
+
+
 def _require_tree(t: Table, fn_name: str) -> dict:
     if t._tree is None:
         raise ValueError(

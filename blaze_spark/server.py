@@ -17,6 +17,12 @@ Endpoint parity with the reference server (blaze/server/server.py):
   is refused (arbitrary code on loads).
 - ``POST /add`` — register a dataset at runtime (reference addserver:
   server.py:694-753); OFF unless ``allow_add=True``.
+- opt-in request profiling — ``{"expr": ..., "profile": true}`` adds a
+  ``profile`` object (parse/plan/execute/serialize/total wall seconds)
+  to the JSON response, or a ``blaze:profile`` schema-metadata entry to
+  an Arrow response (reference: the ``allow_profiler``/
+  ``profiler_output`` cProfile-per-request gate, server.py:122-136).
+  OFF unless ``allow_profiler=True``; sits behind the auth gate.
 
 Implementation is stdlib ``http.server`` (ThreadingHTTPServer) — the
 reference used Flask; the transport is incidental, the contract is the
@@ -66,11 +72,20 @@ class BlazeSparkServer:
                  spark: SparkSession | None = None,
                  allow_data_uris: bool = False,
                  auth_token: str | None = None,
-                 allow_add: bool = False):
+                 allow_add: bool = False,
+                 allow_profiler: bool = False):
         self.datasets = dict(datasets)
         self.spark = spark
         self.allow_data_uris = allow_data_uris
         self.auth_token = auth_token
+        # per-request timing breakdown (reference opt-in profiler:
+        # allow_profiler/profiler_output, blaze/server/server.py:
+        # 122-136 — there a cProfile dump per request, here the
+        # stage-level parse/plan/execute/serialize wall times in the
+        # response).  OFF by default: timings leak schema/plan shape
+        # to any caller, so it is a diagnostic the operator opts into
+        # — and it sits BEHIND the auth gate like every route.
+        self.allow_profiler = allow_profiler
         # POST /add registers new datasets at runtime (reference
         # addserver, blaze/server/server.py:694-753).  It makes the
         # server read caller-named URIs, so it is OFF by default — same
@@ -125,24 +140,52 @@ class BlazeSparkServer:
         self.datasets[name] = t
         return {"added": name, "datashape": t.dshape}
 
-    def _compute_table(self, payload: dict):
+    def _compute_table(self, payload: dict, prof: dict | None = None):
+        from time import perf_counter as tic
+
         if "expr" not in payload:
             raise ValueError("payload must contain 'expr'")
+        t0 = tic()
         t = from_tree(payload["expr"], spark=self.spark,
                       datasets=self.datasets,
                       allow_data_uris=self.allow_data_uris)
-        return t.compute(), t.dshape
+        if prof is not None:
+            prof["parse_s"] = tic() - t0
+            t1 = tic()
+            try:  # force Catalyst analysis+optimization, timed apart
+                t.df._jdf.queryExecution().optimizedPlan()
+            except Exception:
+                pass  # Spark Connect: no _jdf — plan time folds into execute
+            prof["plan_s"] = tic() - t1
+        t2 = tic()
+        pdf = t.compute()
+        if prof is not None:
+            prof["execute_s"] = tic() - t2
+        return pdf, t.dshape
 
-    def _compute(self, payload: dict) -> dict:
-        pdf, dshape = self._compute_table(payload)
-        return {
+    @staticmethod
+    def _finish_profile(prof: dict, t_ser: float) -> dict:
+        prof["serialize_s"] = t_ser
+        prof["total_s"] = sum(prof.values())
+        return {k: round(v, 6) for k, v in prof.items()}
+
+    def _compute(self, payload: dict, prof: dict | None = None) -> dict:
+        from time import perf_counter as tic
+
+        pdf, dshape = self._compute_table(payload, prof)
+        t3 = tic()
+        out = {
             "data": json.loads(pdf.to_json(orient="values",
                                            date_format="iso")),
             "names": list(pdf.columns),
             "datashape": dshape,
         }
+        if prof is not None:
+            out["profile"] = self._finish_profile(prof, tic() - t3)
+        return out
 
-    def _compute_arrow(self, payload: dict) -> bytes:
+    def _compute_arrow(self, payload: dict,
+                       prof: dict | None = None) -> bytes:
         """Arrow IPC stream response: the columnar analogue of the
         reference's msgpack 'efficient data field' format
         (blaze/server/serialization/serialization.py SerializationFormat
@@ -150,15 +193,26 @@ class BlazeSparkServer:
         moves batches in).  Column names travel in the Arrow schema;
         the datashape rides in the schema's custom metadata."""
         import io
+        from time import perf_counter as tic
 
         import pyarrow as pa
 
-        pdf, dshape = self._compute_table(payload)
+        pdf, dshape = self._compute_table(payload, prof)
+        t3 = tic()
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        tbl = tbl.replace_schema_metadata(
-            {**(tbl.schema.metadata or {}), b"blaze:datashape":
-             dshape.encode()})
+        meta = {**(tbl.schema.metadata or {}),
+                b"blaze:datashape": dshape.encode()}
         buf = io.BytesIO()
+        if prof is None:
+            tbl = tbl.replace_schema_metadata(meta)
+            with pa.ipc.new_stream(buf, tbl.schema) as w:
+                w.write_table(tbl)
+            return buf.getvalue()
+        # profiled Arrow response: the breakdown rides in the schema
+        # metadata (where the datashape already travels)
+        meta[b"blaze:profile"] = json.dumps(
+            self._finish_profile(prof, tic() - t3)).encode()
+        tbl = tbl.replace_schema_metadata(meta)
         with pa.ipc.new_stream(buf, tbl.schema) as w:
             w.write_table(tbl)
         return buf.getvalue()
@@ -272,9 +326,21 @@ class BlazeSparkServer:
                         payload = msgpack.unpackb(body, raw=False)
                     else:
                         payload = json.loads(body)
+                    # opt-in profiling (reference allow_profiler,
+                    # blaze/server/server.py:122-136): request key
+                    # "profile": true; 403 unless the OPERATOR enabled
+                    # it — a diagnostic, never on by default
+                    profile = bool(isinstance(payload, dict)
+                                   and payload.pop("profile", False))
+                    if profile and not server_self.allow_profiler:
+                        self._send(403, {"error":
+                            "profiling is disabled; start the server "
+                            "with allow_profiler=True"})
+                        return
+                    prof = {} if profile else None
                     accept = (self.headers.get("Accept") or "").lower()
                     if "application/vnd.blaze+arrow" in accept:
-                        raw = server_self._compute_arrow(payload)
+                        raw = server_self._compute_arrow(payload, prof)
                         self.send_response(200)
                         self.send_header("Content-Type",
                                          "application/vnd.blaze+arrow")
@@ -282,7 +348,8 @@ class BlazeSparkServer:
                         self.end_headers()
                         self.wfile.write(raw)
                     else:
-                        self._send(200, server_self._compute(payload))
+                        self._send(200, server_self._compute(payload,
+                                                             prof))
                 except PermissionError as e:
                     # policy rejection (data-URI leaf while disabled) —
                     # distinguishable from engine failure (ADVICE r2)

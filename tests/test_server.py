@@ -1000,22 +1000,21 @@ def test_remote_column_ops_and_iteration(spark, served, star):
 def test_pipeline_ops_reject_remote_tables(spark, served):
     """r8 silent-empty audit: every pipeline/operator entry point with no
     wire-dialect form raises IMMEDIATELY on a remote table instead of
-    building a local plan over the empty schema-only frame.  The five
-    serialized curation passes are the deliberate exceptions (they run
-    server-side — covered above)."""
+    building a local plan over the empty schema-only frame.  After the
+    r12 sweep the guarded set is exactly the NON-serializable ops: the
+    approximate generators (random planes, trained quantizers, sampled
+    fits), candidate-input verifiers, eager store/packing builders and
+    the multimodal decoders — everything literal-args serialized."""
     from blaze_spark import data, pipeline as pl
     from blaze_spark import operators as ops
 
     rt = data(f"blaze://127.0.0.1:{served.port}::orders", spark=spark)
 
     guarded = [
-        pl.exact_dedup, pl.normalized_dedup, pl.minhash_signatures,
+        pl.minhash_signatures,
         pl.minhash_candidates, pl.exact_jaccard_pairs, pl.simhash,
         pl.simhash_candidates, pl.cosine_topk, pl.neardup_pairs,
         pl.embedding_neardup_pairs, pl.lsh_cosine_topk,
-        pl.connected_components, pl.canonical_docs,
-        pl.top_ngram_share, pl.contamination_report, pl.source_mix,
-        pl.extract_urls, pl.domain_mix, pl.corpus_report,
         pl.train_val_test_split, pl.pack_sequences, pl.chunk_documents,
         pl.attach_fake_binary, pl.decode_images,
         pl.extract_image_features, pl.sample_video_frames,
@@ -1023,8 +1022,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     ]
     from blaze_spark.pipeline.multimodal import resize_images
     guarded.append(resize_images)
-    guarded += [pl.quantize_embeddings, pl.dequantize_embeddings,
-                pl.token_commonness]
+    guarded += [pl.quantize_embeddings, pl.dequantize_embeddings]
     guarded += [pl.pq_fit, pl.pq_encode, pl.pq_decode, pl.pq_topk,
                 pl.ivf_pq_topk, pl.write_pq_codes]
     from blaze_spark.streaming.incremental_ann import ingest_pq_batch
@@ -1138,3 +1136,84 @@ def test_hostile_trees_fail_closed(spark, star):
         except (ValueError, TypeError, KeyError, IndexError, Exception) as e:
             # must be a CONTROLLED error, not a successful resolution
             assert not isinstance(e, AssertionError), tree
+
+
+def test_profiler_route_gated_and_breakdown(spark, star):
+    """r12 (VERDICT r11 #6): opt-in per-request profiling — OFF by
+    default (403), behind the auth gate (401 first), and when enabled
+    the response carries the parse/plan/execute/serialize/total wall
+    breakdown (reference allow_profiler, blaze/server/server.py:
+    122-136)."""
+    from blaze_spark.server import BlazeSparkServer
+
+    tree = {"op": "head", "args": [
+        {"op": "symbol", "args": ["orders"]}, 3]}
+
+    # default server: profiling is disabled
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark)
+    srv.start(port=0)
+    try:
+        code, body = _post(srv, "/compute",
+                           {"expr": tree, "profile": True})
+        assert code == 403 and "allow_profiler=True" in body["error"]
+        # and an unprofiled request is unaffected (no profile key)
+        code, body = _post(srv, "/compute", {"expr": tree})
+        assert code == 200 and "profile" not in body
+    finally:
+        srv.stop()
+
+    # enabled server: the breakdown arrives; auth still gates first
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark,
+                           allow_profiler=True, auth_token="s3cret")
+    srv.start(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree, "profile": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401  # auth gate runs BEFORE the profiler
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree, "profile": True}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        prof = body["profile"]
+        assert set(prof) == {"parse_s", "plan_s", "execute_s",
+                             "serialize_s", "total_s"}
+        assert all(v >= 0 for v in prof.values())
+        assert prof["total_s"] >= prof["execute_s"] > 0
+        assert len(body["data"]) == 3  # the result still computes
+        # "profile": false behaves exactly like an absent key
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree, "profile": False}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req) as r:
+            assert "profile" not in json.loads(r.read())
+        # Arrow response: the breakdown rides in the schema metadata
+        import io
+
+        import pyarrow as pa
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/compute",
+            data=json.dumps({"expr": tree, "profile": True}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret",
+                     "Accept": "application/vnd.blaze+arrow"})
+        with urllib.request.urlopen(req) as r:
+            raw = r.read()
+        tbl = pa.ipc.open_stream(io.BytesIO(raw)).read_all()
+        meta = tbl.schema.metadata
+        prof = json.loads(meta[b"blaze:profile"])
+        assert set(prof) == {"parse_s", "plan_s", "execute_s",
+                             "serialize_s", "total_s"}
+        assert tbl.num_rows == 3
+    finally:
+        srv.stop()
