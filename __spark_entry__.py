@@ -2888,6 +2888,48 @@ def blaze_client_dedup(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def blaze_client_packing(spark, sf_dir):
+    """Remote dataset assembly (late r12): the training_shards_pipeline
+    chain — sliding-window chunking → leakage-proof split → token-
+    budget sequence packing (distributed prefix sum) → per-shard
+    accounting — runs ENTIRELY server-side over blaze:// as one tree
+    (chunk/split/pack wire nodes + dialect transform/selection/
+    projection/relabel/by).  pack_sequences' driver-frozen boundary
+    sampling and bucket-offset collects execute at server replay;
+    only the ~#shards accounting rows cross the wire.  Same oracle
+    layout as training_shards_pipeline."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import (chunk_documents, pack_sequences,
+                                      train_val_test_split)
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    srv = BlazeSparkServer({"documents": d}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        ch = chunk_documents(rt, max_tokens=64, overlap=8)
+        ch = ch.transform(chunk_key=ch.doc_id * 1000 + ch.chunk_id)
+        st = train_val_test_split(ch, fractions=(0.9, 0.05, 0.05),
+                                  on="doc_id")
+        train = st[st.split == "train"][
+            ["chunk_key", "doc_id", "chunk_text"]].relabel(
+            chunk_text="text")
+        packed = pack_sequences(train, budget=2000,
+                                order_by="chunk_key", partitions=4)
+        g = by([packed.shard],
+               n_chunks=packed.chunk_key.nelements(),
+               n_docs=packed.doc_id.nunique(),
+               total_tokens=packed.n_tokens.sum(),
+               first_chunk=packed.chunk_key.min())
+        pdf = g.sort("shard").compute()
+        schema = g.df.schema
+    finally:
+        srv.stop()
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def blaze_client_contamination(spark, sf_dir):
     """Remote decontamination (r12, VERDICT r11 #4): the benchmark
     suite is a same-server EXPRESSION over the registered corpus (a
@@ -3165,10 +3207,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and decontamination run server-side on dialect-derived
         # corpora); datetime_parts and monthly_orders (green r11 rows,
         # unchanged code) rotate below the boundary for them.
+        # ... and blaze_client_packing (late r12 — the whole dataset-
+        # assembly chain server-side, pack_sequences' eager stages at
+        # replay); math_parts (green r11 row, unchanged code) rotates
+        # below the boundary for it.
         "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
         "upsample_mix_docs": upsample_mix_docs,
         "blaze_client_dedup": blaze_client_dedup,
         "blaze_client_contamination": blaze_client_contamination,
+        "blaze_client_packing": blaze_client_packing,
         "blaze_client_mix": blaze_client_mix,
         "edit_distance_verify_docs": edit_distance_verify_docs,
         "temperature_mix_docs": temperature_mix_docs,
@@ -3214,7 +3261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,
         "string_predicates": string_predicates,
-        "math_parts": math_parts,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
@@ -3225,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 rotated strftime_buckets + q03_shipping_priority +
         # datetime_parts + monthly_orders (green r11 rows, unchanged
         # code) below for the four new r12 entries.
+        "math_parts": math_parts,
         "datetime_parts": datetime_parts,
         "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
@@ -3634,6 +3681,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_email + n_ip) AS BIGINT) AS total_pii
             FROM kept GROUP BY source ORDER BY source
         """,
+        "blaze_client_packing": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       -- coalesce: NULL text must agree with the engine's
+                       -- 0-token coalesce (ADVICE r7), not propagate NULL
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+                FROM documents),
+            n AS (
+                SELECT doc_id, toks, len(toks) AS nt,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            ELSE greatest(1, CAST(ceil((len(toks) - 8)
+                                 / 56.0) AS INT)) END AS nch
+                FROM q),
+            c AS (
+                SELECT doc_id, nt, toks,
+                       unnest(range(0, nch)) AS chunk_id
+                FROM n WHERE nch > 0),
+            x AS (
+                SELECT doc_id, doc_id * 1000 + chunk_id AS chunk_key,
+                       least(chunk_id * 56 + 64, nt) - chunk_id * 56
+                           AS chunk_tokens
+                FROM c),
+            tr AS (
+                SELECT * FROM x
+                WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 8)
+                      < 'e6666666'),
+            cum AS (
+                SELECT chunk_key, doc_id, chunk_tokens,
+                       sum(chunk_tokens) OVER (ORDER BY chunk_key
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - chunk_tokens AS tok_start
+                FROM tr)
+            SELECT CAST(floor(tok_start / 2000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+                   min(chunk_key) AS first_chunk
+            FROM cum GROUP BY shard
+        """,
+        # the remote assembly chain computes the SAME layout
         "training_shards_pipeline": r"""
             WITH q AS (
                 SELECT doc_id,

@@ -136,8 +136,23 @@ NEW_QUERIES_R11 = [
     "blaze_client_mix",
 ]
 
+# r12: stupid-backoff LM scoring (third broadcast ln() join + the
+# greatest() branch), deterministic upsampling execution (weights > 1
+# explode into copies), and the wire-dialect dedup/decontamination
+# services (in-process HTTP server per rep; the corpora are DERIVED
+# server-side through the dialect).
+NEW_QUERIES_R12 = [
+    "ngram_lm_backoff_docs",
+    "upsample_mix_docs",
+    "blaze_client_dedup",
+    "blaze_client_contamination",
+    # the whole dataset-assembly chain server-side (chunk → split →
+    # pack → shard accounting; in-process HTTP server per rep)
+    "blaze_client_packing",
+]
+
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
-                 + NEW_QUERIES_R11)
+                 + NEW_QUERIES_R11 + NEW_QUERIES_R12)
 
 
 def main():
@@ -233,6 +248,8 @@ def main():
                                    for n in NEW_QUERIES_R10), 3),
         "value_new_r11": round(sum(timings_min[n]
                                    for n in NEW_QUERIES_R11), 3),
+        "value_new_r12": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R12), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,

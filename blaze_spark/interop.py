@@ -560,6 +560,16 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "dedup_clusters": (frozenset({"left", "right", "max_iter"}), "unary"),
     "canonical_docs": (
         frozenset({"id_col", "left", "right", "max_iter"}), "binary"),
+    # the packing family (late r12): split/chunk are pure projections,
+    # pack_sequences runs its driver-frozen boundary sampling + bucket
+    # offsets SERVER-side at replay (where the compute belongs)
+    "train_val_test_split": (
+        frozenset({"fractions", "on", "salt", "labels"}), "unary"),
+    "pack_sequences": (
+        frozenset({"budget", "text_col", "order_by", "partitions"}),
+        "unary"),
+    "chunk_documents": (
+        frozenset({"max_tokens", "overlap", "text_col"}), "unary"),
 }
 
 

@@ -242,10 +242,74 @@ def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
     return Table(out, t._name)
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
+# Wire dialect (late r12, extending the VERDICT r11 #3 sweep): the
+# packing family serializes — split/chunk are pure literal-args
+# projections (recorded schema = the lazy local plan over the remote
+# leaf's empty frame), pack_sequences runs its eager boundary sampling
+# and bucket-offset collects SERVER-side at replay, so its client-side
+# schema is HAND-WRITTEN (plan construction must stay jobless).
+import functools  # noqa: E402
 
-train_val_test_split = _lg(train_val_test_split)
-pack_sequences = _lg(pack_sequences)
-chunk_documents = _lg(chunk_documents)
+from .selection import _client_of, _require_tree, _wire_result  # noqa: E402
+
+_local_train_val_test_split = train_val_test_split
+_local_pack_sequences = pack_sequences
+_local_chunk_documents = chunk_documents
+
+
+@functools.wraps(_local_train_val_test_split)
+def train_val_test_split(t: Table, fractions=(0.98, 0.01, 0.01),
+                         on: str = "doc_id", salt: int = 42,
+                         labels=("train", "val", "test")) -> Table:
+    if _client_of(t) is None:
+        return _local_train_val_test_split(t, fractions, on, salt,
+                                           labels)
+    local = _local_train_val_test_split(t, fractions, on, salt, labels)
+    node = {"op": "train_val_test_split",
+            "args": [_require_tree(t, "train_val_test_split"),
+                     {"fractions": [float(f) for f in fractions],
+                      "on": on, "salt": int(salt),
+                      "labels": [str(x) for x in labels]}]}
+    return _wire_result(t, local.df, node)
+
+
+@functools.wraps(_local_pack_sequences)
+def pack_sequences(t: Table, budget: int, text_col: str = "text",
+                   order_by: str = "doc_id",
+                   partitions: int | None = None) -> Table:
+    if _client_of(t) is None:
+        return _local_pack_sequences(t, budget, text_col, order_by,
+                                     partitions)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if order_by not in t.df.columns:
+        raise ValueError(f"no column {order_by!r} to order by")
+    node = {"op": "pack_sequences",
+            "args": [_require_tree(t, "pack_sequences"),
+                     {"budget": int(budget), "text_col": text_col,
+                      "order_by": order_by,
+                      "partitions": (None if partitions is None
+                                     else int(partitions))}]}
+    # hand-written schema: the local path samples range boundaries and
+    # collects bucket totals eagerly — that belongs server-side at
+    # replay, never at plan-construction time
+    schema = T.StructType(
+        list(t.df.schema.fields)
+        + [T.StructField("n_tokens", T.LongType()),
+           T.StructField("tok_start", T.LongType()),
+           T.StructField("shard", T.LongType())])
+    empty = t.df.sparkSession.createDataFrame([], schema)
+    return _wire_result(t, empty, node)
+
+
+@functools.wraps(_local_chunk_documents)
+def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text") -> Table:
+    if _client_of(t) is None:
+        return _local_chunk_documents(t, max_tokens, overlap, text_col)
+    local = _local_chunk_documents(t, max_tokens, overlap, text_col)
+    node = {"op": "chunk_documents",
+            "args": [_require_tree(t, "chunk_documents"),
+                     {"max_tokens": int(max_tokens),
+                      "overlap": int(overlap), "text_col": text_col}]}
+    return _wire_result(t, local.df, node)

@@ -1015,7 +1015,6 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
         pl.minhash_candidates, pl.exact_jaccard_pairs, pl.simhash,
         pl.simhash_candidates, pl.cosine_topk, pl.neardup_pairs,
         pl.embedding_neardup_pairs, pl.lsh_cosine_topk,
-        pl.train_val_test_split, pl.pack_sequences, pl.chunk_documents,
         pl.attach_fake_binary, pl.decode_images,
         pl.extract_image_features, pl.sample_video_frames,
         pl.pair_recall,

@@ -248,3 +248,42 @@ def test_sweep_plan_construction_is_jobless(spark, sweep_docs,
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("sweep-construct")
     assert len(jobs) == 0, f"plan construction launched {len(jobs)} jobs"
+
+
+def test_packing_family_over_wire(spark, sweep_docs, sweep_srv):
+    """Late r12: split/chunk/pack serialize — split and chunk as lazy
+    projections, pack_sequences with its eager boundary sampling and
+    bucket-offset collects running SERVER-side at replay."""
+    from blaze_spark.pipeline import (chunk_documents, pack_sequences,
+                                      train_val_test_split)
+
+    rt = _rt(spark, sweep_srv, "sweep_docs")
+    got, want = _vals(
+        train_val_test_split(rt, fractions=(0.6, 0.2, 0.2)),
+        train_val_test_split(sweep_docs, fractions=(0.6, 0.2, 0.2)).df,
+        ["doc_id", "split"])
+    assert got == want and len({s for _, s in got}) == 3
+    got, want = _vals(chunk_documents(rt, max_tokens=4, overlap=1),
+                      chunk_documents(sweep_docs, max_tokens=4,
+                                      overlap=1).df,
+                      ["doc_id", "chunk_id", "chunk_text",
+                       "chunk_tokens"])
+    assert got == want and len(got) > 30
+    cols = ["doc_id", "n_tokens", "tok_start", "shard"]
+    r = pack_sequences(rt, budget=16)
+    # hand-written schema must match the local plan's exactly
+    local = pack_sequences(sweep_docs, budget=16).df
+    assert [(f.name, f.dataType) for f in r.df.schema.fields] == \
+        [(f.name, f.dataType) for f in local.schema.fields]
+    got, want = _vals(r, local, cols)
+    assert got == want and max(s for *_, s in got) >= 1
+    # construction of the pack plan is jobless (the sampling collects
+    # run server-side at replay, not here)
+    sc = spark.sparkContext
+    sc.setJobGroup("pack-construct", "pack_sequences wire construction")
+    try:
+        pack_sequences(rt, budget=32)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker()
+               .getJobIdsForGroup("pack-construct")) == 0
