@@ -2057,7 +2057,37 @@ def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
     return Table(out, "hypertable_rollup")
 
 
-hypertable_rollup = _localize_guard(hypertable_rollup)
+_local_hypertable_rollup = hypertable_rollup
+
+
+def hypertable_rollup(t: Table, ts_col: str, units=("year", "month", "day"),
+                      **reductions: Reduction) -> Table:
+    """Wire-aware entry (late r12): a remote table serializes as a
+    ``hypertable_rollup`` node — ts_col/units as literals, the named
+    reductions as their recorded subtrees (the by/summary pattern);
+    a reduction built outside the dialect raises with guidance.  Local
+    tables run :func:`_local_hypertable_rollup` unchanged."""
+    if getattr(t, "_client", None) is None:
+        return _local_hypertable_rollup(t, ts_col, units, **reductions)
+    # lazy import: pipeline.selection imports core at ITS top
+    from .pipeline.selection import _require_tree, _wire_result
+
+    if not reductions:
+        raise ValueError("hypertable_rollup needs at least one "
+                         "named reduction")
+    rts = {}
+    for n, r in reductions.items():
+        if r._tree is None:
+            raise ValueError(
+                f"hypertable_rollup reduction {n!r} is not serializable "
+                "to the tree dialect (built from ops outside the "
+                "recorded subset) — compute() locally instead")
+        rts[n] = r._tree
+    node = {"op": "hypertable_rollup",
+            "args": [_require_tree(t, "hypertable_rollup"), ts_col,
+                     [str(u) for u in units], rts]}
+    local = _local_hypertable_rollup(t, ts_col, units, **reductions)
+    return _wire_result(t, local.df, node)
 
 
 def summary(**reductions: Reduction) -> Table:

@@ -230,7 +230,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # rides as a same-server subtree).  The approximate
                   # generators (random planes, trained quantizers)
                   # stay deliberately non-serializable.
-                  *_PIPE_WIRE}
+                  *_PIPE_WIRE, "hypertable_rollup"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -355,6 +355,20 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return _mix_dedup_node(op, args, child, walk)
         if op in _PIPE_WIRE:
             return _pipeline_node(op, args, child, walk)
+        if op == "hypertable_rollup":
+            # args: [child, ts_col, units, {name: reduction_tree}] —
+            # the time-hierarchy continuous aggregate (late r12)
+            _arity(op, args, 4)
+            from .core import hypertable_rollup as _ht
+
+            units = args[2]
+            if (not isinstance(units, list)
+                    or not all(isinstance(u, str) for u in units)):
+                raise ValueError(
+                    "hypertable_rollup wire node expects a list of "
+                    "unit strings as args[2]")
+            reds = {n: _reduction(r, child) for n, r in args[3].items()}
+            return _ht(child, args[1], tuple(units), **reds)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
                   "gopher_rules"):
@@ -570,6 +584,29 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
         "unary"),
     "chunk_documents": (
         frozenset({"max_tokens", "overlap", "text_col"}), "unary"),
+    # the extension operators (late r12): literal-kwargs lazy plans —
+    # both join sides ride as same-server subtrees
+    "asof_join": (
+        frozenset({"on", "by", "right_cols", "suffix"}), "binary"),
+    "salted_join": (
+        frozenset({"on_left", "on_right", "salt", "how"}), "binary"),
+    "range_join": (
+        frozenset({"value_col", "lo_col", "hi_col", "how"}), "binary"),
+    "bucketed_range_join": (
+        frozenset({"value_col", "lo_col", "hi_col", "bucket_width"}),
+        "binary"),
+    "sessionize": (
+        frozenset({"key", "order_by", "gap", "gap_col", "session_col"}),
+        "unary"),
+}
+
+# extension ops resolve from their own modules, not blaze_spark.pipeline
+_PIPE_MODULES = {
+    "asof_join": "blaze_spark.operators.joins_ext",
+    "salted_join": "blaze_spark.operators.joins_ext",
+    "range_join": "blaze_spark.operators.range_join",
+    "bucketed_range_join": "blaze_spark.operators.range_join",
+    "sessionize": "blaze_spark.operators.sessionize",
 }
 
 
@@ -602,7 +639,12 @@ def _pipeline_node(op: str, args: list, child: Table, walk):
     elif shape == "opt_tree":
         if args[1] is not None:
             kw["vocab"] = walk(args[1]).df
-    fn = getattr(_pl, op)
+    if op in _PIPE_MODULES:
+        import importlib
+
+        fn = getattr(importlib.import_module(_PIPE_MODULES[op]), op)
+    else:
+        fn = getattr(_pl, op)
     out = fn(*pos, **kw)
     return out if isinstance(out, Table) else Table(out, op)
 

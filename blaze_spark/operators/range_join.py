@@ -54,9 +54,44 @@ def bucketed_range_join(left: Table, right: Table, value_col: str,
     return Table(exact.select(*keep), "bucketed_range_join")
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
+# Wire dialect (late r12): both range-join forms are literal-kwargs
+# lazy plans — binary nodes, both sides as same-server subtrees.
+import functools  # noqa: E402
 
-range_join = _lg(range_join)
-bucketed_range_join = _lg(bucketed_range_join)
+from ..pipeline.selection import (_require_tree, _same_server,  # noqa: E402
+                                  _wire_result)
+from .joins_ext import _binary_wire, _check_sides, _remote  # noqa: E402
+
+_local_range_join = range_join
+_local_bucketed_range_join = bucketed_range_join
+
+
+@functools.wraps(_local_range_join)
+def range_join(left: Table, right: Table, value_col: str,
+               lo_col: str, hi_col: str, how: str = "inner") -> Table:
+    if not _remote(left) and not _remote(right):
+        return _local_range_join(left, right, value_col, lo_col,
+                                 hi_col, how)
+    _check_sides("range_join", left, right)
+    local = _local_range_join(left, right, value_col, lo_col, hi_col,
+                              how)
+    return _binary_wire(
+        "range_join", left, right, local,
+        {"value_col": value_col, "lo_col": lo_col, "hi_col": hi_col,
+         "how": how})
+
+
+@functools.wraps(_local_bucketed_range_join)
+def bucketed_range_join(left: Table, right: Table, value_col: str,
+                        lo_col: str, hi_col: str,
+                        bucket_width: float) -> Table:
+    if not _remote(left) and not _remote(right):
+        return _local_bucketed_range_join(left, right, value_col,
+                                          lo_col, hi_col, bucket_width)
+    _check_sides("bucketed_range_join", left, right)
+    local = _local_bucketed_range_join(left, right, value_col, lo_col,
+                                       hi_col, bucket_width)
+    return _binary_wire(
+        "bucketed_range_join", left, right, local,
+        {"value_col": value_col, "lo_col": lo_col, "hi_col": hi_col,
+         "bucket_width": float(bucket_width)})

@@ -51,8 +51,38 @@ def sessionize(t: Table, key, order_by, gap, gap_col=None,
         .drop("__new_s"))
 
 
-# r8 silent-empty audit: no wire-dialect form -> remote inputs raise
-# at entry instead of computing over the empty schema-only frame
-from ..core import _localize_guard as _lg  # noqa: E402
+# Wire dialect (late r12): sessionize is a literal-kwargs lazy window
+# plan — a unary node.  Column args must be plain NAMES and the gap a
+# JSON scalar for the wire form; expression args keep it local-only.
+import functools  # noqa: E402
 
-sessionize = _lg(sessionize)
+from ..pipeline.selection import (_client_of, _require_tree,  # noqa: E402
+                                  _wire_result)
+
+_local_sessionize = sessionize
+
+
+@functools.wraps(_local_sessionize)
+def sessionize(t: Table, key, order_by, gap, gap_col=None,
+               session_col: str = "session_id") -> Table:
+    if _client_of(t) is None:
+        return _local_sessionize(t, key, order_by, gap, gap_col,
+                                 session_col)
+    for nm, v in (("key", key), ("order_by", order_by),
+                  ("gap_col", gap_col)):
+        if v is not None and not isinstance(v, str):
+            raise TypeError(
+                f"sessionize over blaze://: {nm} must be a column NAME "
+                "(expression arguments keep the operator local-only) — "
+                "compute() the remote expression first")
+    if not isinstance(gap, (int, float)) or isinstance(gap, bool):
+        raise TypeError(
+            "sessionize over blaze://: gap must be a JSON-scalar "
+            "number for the wire form")
+    local = _local_sessionize(t, key, order_by, gap, gap_col,
+                              session_col)
+    node = {"op": "sessionize",
+            "args": [_require_tree(t, "sessionize"),
+                     {"key": key, "order_by": order_by, "gap": gap,
+                      "gap_col": gap_col, "session_col": session_col}]}
+    return _wire_result(t, local.df, node)

@@ -1028,18 +1028,16 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     guarded.append(ingest_pq_batch)
     guarded.append(pl.ann_topk)
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
-    from blaze_spark.operators.joins_ext import asof_join, salted_join
-    from blaze_spark.operators.sessionize import sessionize
-    from blaze_spark import hypertable_rollup
-    guarded += [ivf_assign, ivf_topk, kmeans_fit, asof_join,
-                salted_join, sessionize, hypertable_rollup]
+    from blaze_spark.operators.joins_ext import asof_join
+    guarded += [ivf_assign, ivf_topk, kmeans_fit]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):
             fn(rt)
-    # second-position remote input is caught too
+    # mixed-engine binary inputs are caught too (the late-r12 extension
+    # joins serialize, but only with BOTH sides on one server)
     local = data("/root/testdata/sf0.001/orders.parquet", spark=spark)
-    with pytest.raises(TypeError, match="wire dialect"):
+    with pytest.raises(TypeError, match="SAME server"):
         asof_join(local, rt, on="x", by="y")
     # sql() refuses a remote temp view (would query the empty frame)
     from blaze_spark.interop import sql

@@ -287,3 +287,101 @@ def test_packing_family_over_wire(spark, sweep_docs, sweep_srv):
         sc.setJobGroup(None, None)
     assert len(sc.statusTracker()
                .getJobIdsForGroup("pack-construct")) == 0
+
+
+@pytest.fixture(scope="module")
+def sweep_events(spark):
+    import datetime as dt
+    rows = [(f"u{i % 3}", i, float(i % 7),
+             dt.datetime(2024, 1 + (i % 12), 1 + (i % 27), i % 24))
+            for i in range(60)]
+    return data(rows, spark=spark,
+                schema="user string, t bigint, v double, ts timestamp",
+                name="sweep_events")
+
+
+def test_extension_ops_over_wire(spark, sweep_events, sweep_srv):
+    """Late r12: the extension operators serialize — asof/salted/range
+    joins as binary nodes (both sides same-server subtrees), sessionize
+    as a unary literal-kwargs node, hypertable_rollup carrying its
+    reduction subtrees.  Values compared to the local runs."""
+    from blaze_spark import hypertable_rollup
+    from blaze_spark.operators.joins_ext import asof_join, salted_join
+    from blaze_spark.operators.range_join import (bucketed_range_join,
+                                                  range_join)
+    from blaze_spark.operators.sessionize import sessionize
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"sweep_events": sweep_events}, spark)
+    srv.start(port=0)
+    try:
+        rt = _rt(spark, srv, "sweep_events")
+        # asof: the quote side is a same-server EXPRESSION (a slice)
+        rq = rt[rt.t % 2 == 0][["user", "t", "v"]]
+        lq = Table(sweep_events.df.filter(F.col("t") % 2 == 0)
+                   .select("user", "t", "v"), "lq")
+        got, want = _vals(
+            asof_join(rt, rq, on="t", by="user"),
+            asof_join(sweep_events, lq, on="t", by="user").df,
+            ["user", "t", "v", "v_right"])
+
+        def _nn(rows):  # pandas NULL-double -> NaN; local collect -> None
+            return [tuple(None if isinstance(x, float) and x != x else x
+                          for x in r) for r in rows]
+
+        assert _nn(got) == _nn(want) and len(got) == 60
+        # salted: equals the plain join by contract (right side renamed
+        # server-side through the dialect so no columns collide)
+        rq2 = rq.relabel(user="qu", t="qt")
+        lq2 = Table(lq.df.withColumnRenamed("user", "qu")
+                    .withColumnRenamed("t", "qt"), "lq2")
+        got, want = _vals(
+            salted_join(rt[["user", "t"]], rq2, "user", "qu", salt=4),
+            salted_join(Table(sweep_events.df.select("user", "t"),
+                              "l"), lq2, "user", "qu", salt=4).df,
+            ["t", "qt", "v"])
+        assert got == want and len(got) > 60
+        # range joins: bands derived server-side from the same table
+        rb = rt[rt.t < 3].transform(lo=rt.t * 10, hi=rt.t * 10 + 25)[
+            ["lo", "hi"]]
+        lb = Table(sweep_events.df.filter(F.col("t") < 3)
+                   .selectExpr("t*10 AS lo", "t*10+25 AS hi"), "lb")
+        got, want = _vals(
+            range_join(rt[["user", "t"]], rb, "t", "lo", "hi"),
+            range_join(Table(sweep_events.df.select("user", "t"), "l"),
+                       lb, "t", "lo", "hi").df,
+            ["user", "t", "lo", "hi"])
+        assert got == want and len(got) > 0
+        got2, want2 = _vals(
+            bucketed_range_join(rt[["user", "t"]], rb, "t", "lo", "hi",
+                                bucket_width=8.0),
+            bucketed_range_join(
+                Table(sweep_events.df.select("user", "t"), "l"), lb,
+                "t", "lo", "hi", bucket_width=8.0).df,
+            ["user", "t", "lo", "hi"])
+        assert got2 == want2 and sorted(got2) == sorted(got)
+        # sessionize: unary literal-kwargs node
+        got, want = _vals(
+            sessionize(rt, "user", "t", gap=2),
+            sessionize(sweep_events, "user", "t", gap=2).df,
+            ["user", "t", "session_id"])
+        assert got == want and max(s for *_, s in got) >= 1
+        # hypertable rollup: reductions ride as recorded subtrees
+        hr = hypertable_rollup(rt, "ts", units=("year", "month"),
+                               total=rt.v.sum(), n=rt.t.nelements())
+        hl = hypertable_rollup(sweep_events, "ts",
+                               units=("year", "month"),
+                               total=sweep_events.v.sum(),
+                               n=sweep_events.t.nelements())
+        got, want = _vals(hr, hl.df, ["grain", "bucket", "total", "n"])
+        assert got == want and {g for g, *_ in got} == \
+            {"total", "year", "month"}
+        # mixed engines refuse
+        with pytest.raises(TypeError, match="SAME server"):
+            asof_join(sweep_events, rq, on="t", by="user")
+        with pytest.raises(TypeError, match="SAME server"):
+            range_join(rt, lb, "t", "lo", "hi")
+        with pytest.raises(TypeError, match="column NAME"):
+            sessionize(rt, rt.user, "t", gap=2)
+    finally:
+        srv.stop()
