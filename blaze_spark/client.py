@@ -66,6 +66,8 @@ from .core import Table
 
 __all__ = ["Client", "RemoteTable", "DEFAULT_PORT"]
 
+_UNSET = object()  # "use the client default" sentinel for _request
+
 # reference blaze/server/server.py:46
 DEFAULT_PORT = 6363
 
@@ -98,6 +100,7 @@ class Client:
 
     def __init__(self, url: str, *, spark: SparkSession | None = None,
                  auth_token: str | None = None, timeout: float = 60.0,
+                 compute_timeout: float | None = None,
                  serial: str = "arrow"):
         if serial not in ("arrow", "json"):
             raise ValueError("serial must be 'arrow' or 'json' (pickle is "
@@ -105,14 +108,24 @@ class Client:
                              "module exists server-side)")
         self.url = _normalize_url(url)
         self.auth_token = auth_token
+        # ``timeout`` bounds the METADATA routes (datashape/schema/add)
+        # so an unreachable server fails fast at data().  ``compute``
+        # is different: a remote expression legitimately runs for
+        # minutes-to-hours at corpus scale, so /compute defaults to NO
+        # deadline (compute_timeout=None) — the r12 sf10 bench caught
+        # the old shared 60 s default killing a ~70 s server-side
+        # decontamination probe mid-socket-read.  Pass a number to
+        # re-impose one.
         self.timeout = timeout
+        self.compute_timeout = compute_timeout
         self.serial = serial
         self._spark = spark
         self._schemas: dict[str, T.StructType] | None = None
 
     # -- transport ---------------------------------------------------------
     def _request(self, path: str, payload: dict | None = None, *,
-                 raw: bool = False, accept: str | None = None):
+                 raw: bool = False, accept: str | None = None,
+                 timeout: float | None | object = _UNSET):
         headers = {"Content-Type": "application/json"}
         if accept is not None:
             headers["Accept"] = accept
@@ -123,12 +136,22 @@ class Client:
             data=json.dumps(payload).encode() if payload is not None
             else None,
             headers=headers)
+        if timeout is _UNSET:
+            timeout = self.timeout
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
                 body = r.read()
                 if accept is not None:
                     return body, (r.headers.get("Content-Type") or "")
                 return body.decode() if raw else json.loads(body)
+        except TimeoutError:
+            # socket.timeout escapes the URLError handler below as a
+            # bare OSError — name the knob instead (r12 sf10 bench)
+            raise TimeoutError(
+                f"blaze server {self.url}{path} did not answer within "
+                f"{timeout}s — long remote computes need a larger (or "
+                "None) compute_timeout= / timeout= on the client"
+            ) from None
         except urllib.error.HTTPError as e:
             try:
                 detail = json.loads(e.read()).get("error", "")
@@ -218,14 +241,16 @@ class Client:
         if self.serial == "arrow":
             body, ctype = self._request(
                 "/compute", {"expr": tree},
-                accept="application/vnd.blaze+arrow")
+                accept="application/vnd.blaze+arrow",
+                timeout=self.compute_timeout)
             if "arrow" in ctype:
                 import pyarrow as pa
 
                 return pa.ipc.open_stream(body).read_all().to_pandas()
             parsed = json.loads(body)
             return pd.DataFrame(parsed["data"], columns=parsed["names"])
-        body = self._request("/compute", {"expr": tree})
+        body = self._request("/compute", {"expr": tree},
+                             timeout=self.compute_timeout)
         return pd.DataFrame(body["data"], columns=body["names"])
 
 

@@ -87,7 +87,8 @@ def data(source: Any, *, spark: SparkSession | None = None,
                 if tail and not any(c in tail for c in ":]/"):
                     url, dataset = head, tail
             ckw = {k: options.pop(k) for k in
-                   ("auth_token", "serial", "timeout") if k in options}
+                   ("auth_token", "serial", "timeout",
+                    "compute_timeout") if k in options}
             if options:
                 raise TypeError(
                     f"unsupported blaze:// options: {sorted(options)}")

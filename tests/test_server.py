@@ -1214,3 +1214,29 @@ def test_profiler_route_gated_and_breakdown(spark, star):
         assert tbl.num_rows == 3
     finally:
         srv.stop()
+
+
+def test_compute_timeout_knob(spark, star):
+    """r12 (caught by the sf10 scale bench): /compute has NO client
+    deadline by default — a remote expression legitimately runs for
+    minutes at corpus scale — while metadata routes keep the fast-fail
+    timeout; an explicit compute_timeout raises a NAMED TimeoutError
+    instead of a bare socket 'timed out'."""
+    from blaze_spark import data
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"orders": star["orders"]}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::orders", spark=spark)
+        assert rt._client.compute_timeout is None  # no compute deadline
+        assert rt._client.timeout == 60.0          # metadata fast-fail
+        # an explicit (absurd) deadline fails loudly, naming the knob
+        tight = data(f"blaze://127.0.0.1:{srv.port}::orders",
+                     spark=spark, compute_timeout=1e-4)
+        with pytest.raises(TimeoutError, match="compute_timeout"):
+            tight.head(3).compute()
+        # and the default still computes
+        assert len(rt.head(3).compute()) == 3
+    finally:
+        srv.stop()
