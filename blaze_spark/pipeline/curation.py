@@ -585,7 +585,14 @@ def apply_source_mix(t: Table, weights: DataFrame,
     ``_MAX_UPSAMPLE`` raises during the broadcast build rather than
     quietly exploding a corpus by six orders of magnitude.  With the
     default ``allow_upsample=False`` the schema and semantics are
-    byte-identical to r11 (weights ≥ 1 keep all rows, once).
+    byte-identical to r11 for CAPPED plans (weights of exactly 1 keep
+    all rows, once) — but a plan carrying any ``sample_weight > 1``
+    now RAISES (r13, VERDICT r12 #2): an upsampling plan
+    (``temperature_source_mix(allow_upsample=True)`` output) hitting
+    the clamping executor used to silently keep-once, a distribution
+    shift the caller never asked for.  The raise is executor-side in
+    the same broadcast-build filter as the upsample bound, and names
+    the ``allow_upsample=`` knob.
 
     The weights relation is ~#sources rows and is explicitly broadcast, so
     the corpus scan filters in place — no shuffle.  The keep decision is
@@ -622,11 +629,25 @@ def apply_source_mix(t: Table, weights: DataFrame,
     # would silently invert a corrupt mixture plan into keep-all.
     w = F.col("sample_weight")
     if not allow_upsample:
+        # fail-loud on an upsampling plan (VERDICT r12 #2): silently
+        # clamping a >1 weight to keep-once is a distribution shift,
+        # not an execution.  1 + 1e-9 tolerates round-4 plan exports
+        # of exactly 1; executor-side assert_true in the broadcast
+        # relation's filter (the _MAX_UPSAMPLE pattern) so corrupt
+        # plans raise at the broadcast build, never prune away.
+        checked = weights.select(source_col, "sample_weight").filter(
+            F.assert_true(
+                F.col("sample_weight") <= F.lit(1.0 + 1e-9),
+                F.concat(F.lit("apply_source_mix: sample_weight "),
+                         F.col("sample_weight").cast("string"),
+                         F.lit(" exceeds 1 — this is an UPSAMPLING "
+                               "plan; execute it with apply_source_mix"
+                               "(..., allow_upsample=True) instead of "
+                               "letting the default executor clamp it "
+                               "to keep-once"))).isNull())
         thr = F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(16 ** 8))))),
                      8, "0")
-        joined = t.df.join(
-            F.broadcast(weights.select(source_col, "sample_weight")),
-            source_col)
+        joined = t.df.join(F.broadcast(checked), source_col)
         kept = joined.filter(
             (w >= 1.0) | ((w > 0.0) & (u < thr))).drop("sample_weight")
         return Table(kept, t._name)

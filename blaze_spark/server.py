@@ -165,8 +165,19 @@ class BlazeSparkServer:
 
     @staticmethod
     def _finish_profile(prof: dict, t_ser: float) -> dict:
+        from time import perf_counter as tic
+
+        t_req = prof.pop("__t0", None)
         prof["serialize_s"] = t_ser
+        # total_s is the STAGE SUM (parse + plan + execute + serialize);
+        # wall_s (r13, VERDICT r12 #3) is true wall time from request
+        # receipt to profile close, so handler overhead (body read,
+        # auth, JSON decode, queueing inside the handler) is the
+        # difference.  The final socket write of the response is
+        # necessarily excluded — the profile rides IN that write.
         prof["total_s"] = sum(prof.values())
+        if t_req is not None:
+            prof["wall_s"] = tic() - t_req
         return {k: round(v, 6) for k, v in prof.items()}
 
     def _compute(self, payload: dict, prof: dict | None = None) -> dict:
@@ -293,6 +304,9 @@ class BlazeSparkServer:
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:
+                    from time import perf_counter as tic
+
+                    t_req = tic()  # request receipt — wall_s anchor
                     n = int(self.headers.get("Content-Length", 0))
                     ctype = (self.headers.get("Content-Type") or
                              "application/json").split(";")[0].strip()
@@ -337,7 +351,7 @@ class BlazeSparkServer:
                             "profiling is disabled; start the server "
                             "with allow_profiler=True"})
                         return
-                    prof = {} if profile else None
+                    prof = {"__t0": t_req} if profile else None
                     accept = (self.headers.get("Accept") or "").lower()
                     if "application/vnd.blaze+arrow" in accept:
                         raw = server_self._compute_arrow(payload, prof)

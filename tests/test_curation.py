@@ -830,12 +830,38 @@ def test_apply_source_mix_upsample_multiset(spark):
     a_ids = [i for (i, c) in got if i % 4 == 0]
     assert 2 * 20 <= len(a_ids) <= 3 * 20
     # fractional-only weights agree with the capped path row-for-row
-    capped = apply_source_mix(t, w).df
+    # (the default executor only accepts capped plans since r13, so
+    # restrict the plan to its <= 1 rows)
+    capped = apply_source_mix(
+        t, w.filter(w.sample_weight <= 1.0)).df
     assert sorted(r.doc_id for r in capped.collect()
                   if r.source == "b") == \
         sorted(i for (i, c) in got if i % 4 == 1)
     # the default path's schema is untouched (no copy_idx column)
     assert "copy_idx" not in capped.columns
+
+
+def test_apply_source_mix_default_rejects_upsample_plan(spark):
+    """r13 (VERDICT r12 #2): an upsampling plan (any sample_weight > 1)
+    hitting the DEFAULT executor raises naming allow_upsample= — the
+    old silent clamp to keep-once was a distribution shift the caller
+    never asked for.  Weights of exactly 1 (capped plans' round-4
+    exports) still pass."""
+    from blaze_spark.pipeline import apply_source_mix
+
+    t = data([(i, "t", "a" if i % 2 else "b") for i in range(10)],
+             spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="upraise")
+    w = spark.createDataFrame([("a", 2.5), ("b", 0.5)],
+                              "source string, sample_weight double")
+    out = apply_source_mix(t, w)  # lazy: the plan builds fine
+    with pytest.raises(Exception, match="allow_upsample"):
+        out.df.collect()
+    # weight exactly 1.0 is a capped plan, not an upsample: keeps all
+    w1 = spark.createDataFrame([("a", 1.0), ("b", 1.0)],
+                               "source string, sample_weight double")
+    assert apply_source_mix(t, w1).df.count() == 10
 
 
 def test_apply_source_mix_upsample_bound(spark):

@@ -1182,9 +1182,13 @@ def test_profiler_route_gated_and_breakdown(spark, star):
             body = json.loads(r.read())
         prof = body["profile"]
         assert set(prof) == {"parse_s", "plan_s", "execute_s",
-                             "serialize_s", "total_s"}
+                             "serialize_s", "total_s", "wall_s"}
         assert all(v >= 0 for v in prof.values())
         assert prof["total_s"] >= prof["execute_s"] > 0
+        # wall_s (r13, VERDICT r12 #3) anchors at request receipt, so
+        # it bounds the stage sum from ABOVE: handler overhead (body
+        # read, auth, JSON decode) is wall_s - total_s >= 0
+        assert prof["wall_s"] >= prof["total_s"]
         assert len(body["data"]) == 3  # the result still computes
         # "profile": false behaves exactly like an absent key
         req = urllib.request.Request(
@@ -1210,7 +1214,8 @@ def test_profiler_route_gated_and_breakdown(spark, star):
         meta = tbl.schema.metadata
         prof = json.loads(meta[b"blaze:profile"])
         assert set(prof) == {"parse_s", "plan_s", "execute_s",
-                             "serialize_s", "total_s"}
+                             "serialize_s", "total_s", "wall_s"}
+        assert prof["wall_s"] >= prof["total_s"]
         assert tbl.num_rows == 3
     finally:
         srv.stop()
