@@ -2842,6 +2842,28 @@ def ngram_lm_backoff_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def ngram_lm_backoff3_docs(spark, sf_dir):
+    """MULTI-ORDER stupid backoff (r13, VERDICT r12 #2 — pipeline/
+    lm.py): n=3 scoring recurses through the full order ladder,
+    per-gram ln max(MLE_3, λ·MLE_2, λ²·P_uni) — the intermediate
+    bigram relations ('gram2'/'ctx2': the 2-token SUFFIX of each
+    trigram and its 1-token context) are emitted by the SAME one-pass
+    positioned-index fit, so Σ gram2 == Σ gram and every order's MLE
+    is a proper conditional over the same event set.  Scoring is five
+    broadcast ln() joins, all codegen; evidence-less orders fall out
+    of the NULL-skipping greatest().  The oracle value-checks WHICH
+    documents survive the [1.8, 2.0] band (membership on the round-4
+    exported ppl — self-fit trigram score-perplexities sit near
+    exp(0.6) because most trigrams are corpus-unique)."""
+    from blaze_spark.pipeline import perplexity_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_filter(d, n_buckets=1024, n=3, backoff=0.4,
+                            min_ppl=1.8, max_ppl=2.0)
+    return out.select("doc_id", "source", "n_grams", "logp",
+                      "avg_logp", "ppl").orderBy("doc_id")
+
+
 def blaze_client_dedup(spark, sf_dir):
     """Remote dedup service (r12, VERDICT r11 #3): exact_dedup and
     cross_doc_dup_lines run SERVER-side over blaze:// on corpora
@@ -3211,6 +3233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assembly chain server-side, pack_sequences' eager stages at
         # replay); math_parts (green r11 row, unchanged code) rotates
         # below the boundary for it.
+        # r13 head: ngram_lm_backoff3_docs (NEW — multi-order stupid
+        # backoff, VERDICT r12 #2); string_predicates (green r12 row,
+        # unchanged code) rotates below the boundary for it.  The LM
+        # and mixture entries stay in the window — lm.py and
+        # curation.py changed this round (order-ladder scoring, the
+        # default-executor upsample raise), so each gets a fresh row.
+        "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
         "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
         "upsample_mix_docs": upsample_mix_docs,
         "blaze_client_dedup": blaze_client_dedup,
@@ -3260,7 +3289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_orders": hash_sample_orders,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,
-        "string_predicates": string_predicates,
         # ==== driver sample boundary (50) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
@@ -3270,7 +3298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wire-LM / temperature-mix / edit-distance / wire-mix entries.
         # r12 rotated strftime_buckets + q03_shipping_priority +
         # datetime_parts + monthly_orders (green r11 rows, unchanged
-        # code) below for the four new r12 entries.
+        # code) below for the four new r12 entries.  r13 rotated
+        # string_predicates (green r12 row, unchanged code) below for
+        # ngram_lm_backoff3_docs.
+        "string_predicates": string_predicates,
         "math_parts": math_parts,
         "datetime_parts": datetime_parts,
         "monthly_orders": monthly_orders,
@@ -5346,6 +5377,78 @@ def oracle_sql() -> dict[str, str]:
                    s.ppl
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 16.5 AND s.ppl <= 19.5
+            ORDER BY d.doc_id
+        """,
+        # Multi-order stupid backoff (r13): the trigram ladder — per
+        # gram greatest(MLE_3, ln(0.4)+MLE_2, 2·ln(0.4)+add-α uni),
+        # each lower order counted as the k-token SUFFIX at trigram
+        # positions (so every order sums to the same event total).
+        # DuckDB's greatest() skips NULL operands exactly like
+        # Spark's, so evidence-less orders fall out of the max.
+        "ngram_lm_backoff3_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram3), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(ctx3), 1, 8)) AS BIGINT)
+                           % 1024 AS c,
+                       CAST(concat('0x', substr(md5(gram2), 1, 8)) AS BIGINT)
+                           % 1024 AS g2,
+                       CAST(concat('0x', substr(md5(ctx2), 1, 8)) AS BIGINT)
+                           % 1024 AS c2,
+                       CAST(concat('0x', substr(md5(tok_u), 1, 8)) AS BIGINT)
+                           % 1024 AS u
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+2], ' ') AS gram3,
+                             array_to_string(toks[i:i+1], ' ') AS ctx3,
+                             array_to_string(toks[i+1:i+2], ' ') AS gram2,
+                             toks[i+1] AS ctx2,
+                             toks[i+2] AS tok_u
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 2))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS n_g FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS n_c FROM gb GROUP BY 1),
+            cg2 AS (SELECT g2 AS b, count(*) AS n_g2 FROM gb GROUP BY 1),
+            cc2 AS (SELECT c2 AS b, count(*) AS n_c2 FROM gb GROUP BY 1),
+            cu AS (SELECT u AS b, count(*) AS n_u FROM gb GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM gb),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(greatest(
+                           CASE WHEN cg.n_g IS NOT NULL
+                                 AND cc.n_c IS NOT NULL
+                                THEN ln(cg.n_g) - ln(cc.n_c) END,
+                           CASE WHEN cg2.n_g2 IS NOT NULL
+                                 AND cc2.n_c2 IS NOT NULL
+                                THEN ln(0.4) + ln(cg2.n_g2)
+                                     - ln(cc2.n_c2) END,
+                           2 * ln(0.4)
+                           + ln(COALESCE(cu.n_u, 0) + 1.0)
+                           - ln(tot.n + 1024.0))) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                        LEFT JOIN cg2 ON gb.g2 = cg2.b
+                        LEFT JOIN cc2 ON gb.c2 = cc2.b
+                        LEFT JOIN cu ON gb.u = cu.b
+                        CROSS JOIN tot
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp,
+                   s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 1.8 AND s.ppl <= 2.0
             ORDER BY d.doc_id
         """,
         # Deterministic upsampling (r12): the temperature plan WITHOUT

@@ -115,6 +115,11 @@ def _uni_at(tk, i, n: int):
     return F.element_at(tk, i + F.lit(n - 1))
 
 
+# stupid-backoff orders beyond this are pointless (Brants et al. use
+# n ≤ 5) and each order adds 2·n_buckets rows to the bounded fit
+_MAX_BACKOFF_ORDER = 8
+
+
 def ngram_lm_fit(t: Table, text_col: str = "text",
                  n_buckets: int = 4096, n: int = 2,
                  unigrams: bool = False) -> DataFrame:
@@ -124,26 +129,44 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
     counts context-as-context buckets (see the module docstring for why
     that is the exact conditional denominator).
 
-    ``unigrams=True`` (requires ``n >= 2``) additionally emits kind
-    ``'uni'``: counts of each gram's PREDICTED (last) token's bucket —
-    the lower-order relation stupid-backoff scoring backs off to
-    (``backoff=`` in :func:`ngram_lm_logprob`).  Σ uni-cnt equals
-    Σ gram-cnt exactly (each gram contributes its final token), so the
-    backoff normalizer needs no extra pass.  A ``unigrams=True`` fit
-    remains a valid add-α counts frame (the 'uni' rows are ignored
-    there).
+    ``unigrams=True`` (requires ``2 <= n <= _MAX_BACKOFF_ORDER``)
+    additionally emits the lower-order relations stupid-backoff
+    scoring recurses through (``backoff=`` in
+    :func:`ngram_lm_logprob`):
 
-    One scan; gram construction, context strip and the md5 buckets run
-    post-explode in codegen; the (kind, bucket) row doubling (tripling
-    with unigrams) happens pre-shuffle and aggregates with map-side
-    combine.  The result is small enough to collect or broadcast;
-    persist it and rescore any number of corpora against one reference
-    snapshot (``counts=``)."""
+    - kind ``'uni'``: counts of each gram's PREDICTED (last) token's
+      bucket.  Σ uni-cnt equals Σ gram-cnt exactly (each gram
+      contributes its final token), so the backoff normalizer needs
+      no extra pass;
+    - for ``n >= 3`` (r13, VERDICT r12 #2 — multi-order recursion),
+      kinds ``'gram{k}'``/``'ctx{k}'`` for each intermediate order
+      ``k`` in ``2..n-1``: the bucket of the k-token SUFFIX of each
+      n-gram (``gram{k}``) and of that suffix's (k−1)-token context
+      (``ctx{k}``).  Counting suffixes AT n-gram positions (rather
+      than re-indexing k-grams from scratch) keeps the fit one pass
+      and makes each order's MLE a proper conditional over the same
+      event set: Σ gram{k}-cnt == Σ gram-cnt.
+
+    A ``unigrams=True`` fit remains a valid add-α counts frame (the
+    extra kinds are ignored there), and an ``n=2`` fit emits exactly
+    the r12 three kinds — byte-identical.
+
+    One scan; gram construction, context strips and the md5 buckets
+    run post-explode in codegen; the (kind, bucket) row fan-out
+    (2 kinds add-α, 2n−1 kinds full backoff) happens pre-shuffle and
+    aggregates with map-side combine.  The result is small enough to
+    collect or broadcast; persist it and rescore any number of corpora
+    against one reference snapshot (``counts=``)."""
     _validate_features(n_buckets, n)
     if unigrams and n < 2:
         raise ValueError(
             "ngram_lm_fit: unigrams=True requires n >= 2 — a unigram "
             "LM has no lower-order relation to back off to")
+    if unigrams and n > _MAX_BACKOFF_ORDER:
+        raise ValueError(
+            f"ngram_lm_fit: unigrams=True bounds n at "
+            f"{_MAX_BACKOFF_ORDER} (each backoff order adds "
+            f"2·n_buckets rows to the bounded fit), got n={n}")
     ex = _positioned(t.df, text_col, n).filter(F.col("i").isNotNull())
     kinds = [
         F.struct(F.lit("gram").alias("kind"),
@@ -154,6 +177,17 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
                             n_buckets).alias("bucket")),
     ]
     if unigrams:
+        for k in range(n - 1, 1, -1):
+            # order-k suffix of the n-gram starts at position i+(n−k)
+            off = F.col("i") + F.lit(n - k)
+            kinds.append(F.struct(
+                F.lit(f"gram{k}").alias("kind"),
+                _bucket_of(_gram_at(F.col("tk"), off, k),
+                           n_buckets).alias("bucket")))
+            kinds.append(F.struct(
+                F.lit(f"ctx{k}").alias("kind"),
+                _bucket_of(_ctx_at(F.col("tk"), off, k),
+                           n_buckets).alias("bucket")))
         kinds.append(
             F.struct(F.lit("uni").alias("kind"),
                      _bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
@@ -164,16 +198,25 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
 
 
+import re as _re
+
+# 'gram'/'ctx' (order n), 'uni', or an intermediate backoff order
+# 'gram{k}'/'ctx{k}' with 2 <= k < n (multi-order fits, r13)
+_KIND_RE = _re.compile(r"^(?:gram|ctx)(?:[2-9])?$|^uni$")
+_MAX_LM_KINDS = 2 * _MAX_BACKOFF_ORDER - 1
+
+
 def _bounded_lm_counts(counts: DataFrame,
                        fn_name: str = "ngram_lm_logprob"
-                       ) -> tuple[dict, dict, dict]:
+                       ) -> dict[str, dict]:
     """Collect a fit relation driver-side, validated and bounded —
     duplicate (kind, bucket) rows SUM (a union of two snapshots'
     partials is a legitimate counts frame; the selection family's
     additive contract).  ``fn_name`` names the actual entry point in
     every error (ADVICE r11: perplexity_filter and the wire literal
-    path reach this too).  The third dict is the 'uni' relation —
-    empty unless the fit ran with ``unigrams=True`` (backoff form)."""
+    path reach this too).  Returns kind → {bucket: cnt}; kinds beyond
+    'gram'/'ctx' ('uni' and the intermediate 'gram{k}'/'ctx{k}'
+    orders) are present only for ``unigrams=True`` (backoff) fits."""
     types = dict(counts.dtypes)
     integral = ("tinyint", "smallint", "int", "bigint")
     if (types.get("kind") != "string"
@@ -185,35 +228,35 @@ def _bounded_lm_counts(counts: DataFrame,
             f"{counts.dtypes}")
     agg = (counts.groupBy("kind", "bucket")
            .agg(F.sum("cnt").cast(T.LongType()).alias("cnt")))
-    rows = agg.limit(3 * _MAX_BUCKETS + 1).collect()
-    if len(rows) > 3 * _MAX_BUCKETS:
+    cap = _MAX_LM_KINDS * _MAX_BUCKETS
+    rows = agg.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
-            f"{fn_name}: counts has more than {3 * _MAX_BUCKETS} "
-            "rows — fit relations are bounded by 3·n_buckets by "
+            f"{fn_name}: counts has more than {cap} rows — fit "
+            "relations are bounded by (2n−1)·n_buckets by "
             "construction; was a raw token-level frame passed instead "
             "of ngram_lm_fit output?")
-    gram, ctx, uni = {}, {}, {}
+    kinds: dict[str, dict] = {}
     for r in rows:
-        if r["kind"] == "gram":
-            gram[r["bucket"]] = r["cnt"]
-        elif r["kind"] == "ctx":
-            ctx[r["bucket"]] = r["cnt"]
-        elif r["kind"] == "uni":
-            uni[r["bucket"]] = r["cnt"]
-        else:
+        if not _KIND_RE.match(r["kind"] or ""):
             raise ValueError(
-                f"{fn_name}: unknown kind {r['kind']!r} in "
-                "counts (expected 'gram'/'ctx'/'uni')")
-    return gram, ctx, uni
+                f"{fn_name}: unknown kind {r['kind']!r} in counts "
+                "(expected 'gram'/'ctx'/'uni' or an intermediate "
+                "'gram{k}'/'ctx{k}' backoff order)")
+        kinds.setdefault(r["kind"], {})[r["bucket"]] = r["cnt"]
+    return kinds
 
 
 def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
               smoothing, backoff=None, fn_name="ngram_lm_logprob"):
     """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
-    the hot path below does lookups and one subtraction — or a
-    two-branch greatest() for backoff — per gram, nothing
-    transcendental).  Returns ``("add_alpha", ln_g, ln_c, miss_g,
-    miss_c)`` or ``("backoff", ln_g, ln_c, ln_u, miss_u)``."""
+    the hot path below does lookups and one subtraction — or one
+    NULL-skipping greatest() over the order ladder for backoff — per
+    gram, nothing transcendental).  Returns ``("add_alpha", ln_g,
+    ln_c, miss_g, miss_c)`` or ``("backoff", ln_g, ln_c, ln_u, miss_u,
+    levels)`` where ``levels`` is ``[(k, ln_gk, ln_ck), ...]`` for the
+    intermediate orders n−1..2 (empty when n == 2) with each order's
+    ``(n−k)·ln λ`` multiplier folded into ``ln_gk`` driver-side."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     if backoff is not None:
@@ -225,6 +268,11 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
             raise ValueError(
                 f"{fn_name}: backoff requires n >= 2 — a unigram LM "
                 "has no lower-order relation to back off to")
+        if n > _MAX_BACKOFF_ORDER:
+            raise ValueError(
+                f"{fn_name}: backoff bounds n at {_MAX_BACKOFF_ORDER} "
+                f"(each order adds 2·n_buckets rows to the bounded "
+                f"fit), got n={n}")
     if counts is not None and reference is not None:
         raise ValueError(
             f"{fn_name}: pass either reference= (fit here) or "
@@ -242,29 +290,54 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
                               unigrams=backoff is not None)
     if isinstance(counts, Table):
         counts = counts.df
-    gram, ctx, uni = _bounded_lm_counts(counts, fn_name)
+    kinds = _bounded_lm_counts(counts, fn_name)
+    gram, ctx = kinds.get("gram", {}), kinds.get("ctx", {})
     if backoff is not None:
+        uni = kinds.get("uni", {})
         if not uni:
             raise ValueError(
                 f"{fn_name}: backoff= needs 'uni' rows in the counts "
                 "relation — refit with ngram_lm_fit(..., "
                 "unigrams=True)")
-        # stupid backoff (Brants et al. 2007): per-gram score
-        # ln max(cnt_g/cnt_c, λ·P_uni) — the MLE ratio is raw (its
-        # discriminative power IS the point; unseen/collision-orphaned
-        # buckets fall to the backoff branch), the unigram base
-        # distribution is add-α smoothed so the floor stays finite.
-        # N = Σ uni-cnt = total grams (each gram contributes its
-        # final token) — no extra normalizer pass.
-        n_total = sum(uni.values())
+        # stupid backoff (Brants et al. 2007), multi-order since r13:
+        # per-gram score ln max over the order ladder
+        #   MLE_n, λ·MLE_{n−1}, ..., λ^{n−2}·MLE_2, λ^{n−1}·P_uni
+        # — each order's MLE ratio is raw (its discriminative power IS
+        # the point; unseen/collision-orphaned buckets contribute NULL
+        # and fall out of the max), the unigram base distribution is
+        # add-α smoothed so the floor stays finite.  N = Σ uni-cnt =
+        # total grams (each gram contributes its final token) — no
+        # extra normalizer pass.  NOTE the deliberate max()-vs-Brants
+        # deviation: Brants scores the raw MLE whenever gram evidence
+        # exists; here a seen-but-rare gram takes the BACKOFF value
+        # when that is larger, a floor against hash-collision noise
+        # (pinned by test_lm.py::test_backoff_greatest_deviation).
         lam = math.log(backoff)
+        n_total = sum(uni.values())
         den = math.log(n_total + smoothing * n_buckets)
         ln_g = {b: math.log(c) for b, c in gram.items()}
         ln_c = {b: math.log(c) for b, c in ctx.items()}
-        ln_u = {b: lam + math.log(c + smoothing) - den
+        ln_u = {b: (n - 1) * lam + math.log(c + smoothing) - den
                 for b, c in uni.items()}
+        levels = []
+        for k in range(n - 1, 1, -1):
+            gk = kinds.get(f"gram{k}", {})
+            ck = kinds.get(f"ctx{k}", {})
+            if not gk or not ck:
+                raise ValueError(
+                    f"{fn_name}: multi-order backoff (n={n}) needs "
+                    f"'gram{k}'/'ctx{k}' rows in the counts relation "
+                    "— refit with ngram_lm_fit(..., unigrams=True) on "
+                    "this client version")
+            # fold the (n−k)·ln λ hop multiplier into the gram table
+            mult = (n - k) * lam
+            levels.append((k,
+                           {b: mult + math.log(c)
+                            for b, c in gk.items()},
+                           {b: math.log(c) for b, c in ck.items()}))
         return ("backoff", ln_g, ln_c, ln_u,
-                lam + math.log(smoothing) - den)  # unseen token bucket
+                (n - 1) * lam + math.log(smoothing) - den,  # unseen tok
+                levels)
     ln_g = {b: math.log(c + smoothing) for b, c in gram.items()}
     ln_c = {b: math.log(c + smoothing * n_buckets)
             for b, c in ctx.items()}
@@ -309,14 +382,24 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     ``backoff=λ`` (λ ∈ (0, 1], Brants et al.'s 0.4) switches the model
     to STUPID BACKOFF — CCNet's discriminative power lives in the
     smoothing, and add-α flattens sparse bigrams where backoff does
-    not: per-gram ``ln P = ln max(cnt_g/cnt_c, λ·(cnt_u+α)/(N+α·B))``,
-    the raw MLE ratio when the gram's evidence exists, else λ× the
-    add-α-floored unigram probability of the PREDICTED token (kind
-    ``'uni'`` — fit with ``unigrams=True``; a reference-fit here does
-    so automatically).  Distributable with no renormalization; 'ppl'
-    is then a score-perplexity (stupid backoff is unnormalized —
-    bucket collisions can even push the MLE ratio above 1).  Backoff
-    requires the explode path (three broadcast ln() joins) —
+    not.  Per-gram the score is the max over the full order ladder
+    (multi-order recursion since r13, VERDICT r12 #2):
+
+        ln P = max(MLE_n, λ·MLE_{n−1}, ..., λ^{n−2}·MLE_2,
+                   λ^{n−1}·(cnt_u+α)/(N+α·B))
+
+    where ``MLE_k`` is the raw ratio of the k-token SUFFIX's counts
+    (evidence-less orders fall out of the max) and the floor is the
+    add-α unigram probability of the PREDICTED token.  The fit must
+    carry the lower-order kinds — ``unigrams=True``; a reference-fit
+    here does so automatically.  Distributable with no
+    renormalization; 'ppl' is then a score-perplexity (stupid backoff
+    is unnormalized — bucket collisions can even push an MLE ratio
+    above 1).  Deliberate deviation from Brants et al.: a SEEN gram
+    still takes a backoff value when that is larger (max, not the
+    first-seen-order conditional) — a floor against hash-collision
+    noise, pinned by ``test_backoff_greatest_deviation``.  Backoff
+    requires the explode path (2n−1 broadcast ln() joins) —
     ``prefer_literal=True`` with ``backoff`` raises."""
     _validate_features(n_buckets, n)
     if prefer_literal and backoff is not None:
@@ -350,7 +433,14 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                    n_buckets).alias("gb"),
         _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
                    n_buckets).alias("cb")]
+    levels = model[5] if kind == "backoff" else []
     if kind == "backoff":
+        for k, _, _ in levels:
+            off = F.col("i") + F.lit(n - k)
+            cols.append(_bucket_of(_gram_at(F.col("tk"), off, k),
+                                   n_buckets).alias(f"gb{k}"))
+            cols.append(_bucket_of(_ctx_at(F.col("tk"), off, k),
+                                   n_buckets).alias(f"cb{k}"))
         cols.append(_bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
                                n_buckets).alias("ub"))
     ex = ex.select(*cols)
@@ -360,7 +450,21 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
               .join(F.broadcast(lnc), ex["cb"] == lnc["bucket"], "left")
               .drop(lnc["bucket"]))
     if kind == "backoff":
-        _, _, _, ln_u, miss_u = model
+        _, _, _, ln_u, miss_u, _ = model
+        for k, ln_gk, ln_ck in levels:
+            lgk = spark.createDataFrame(
+                [(int(b), v) for b, v in ln_gk.items()],
+                f"bucket long, lng{k} double")
+            lck = spark.createDataFrame(
+                [(int(b), v) for b, v in ln_ck.items()],
+                f"bucket long, lnc{k} double")
+            joined = (joined
+                      .join(F.broadcast(lgk),
+                            joined[f"gb{k}"] == lgk["bucket"], "left")
+                      .drop(lgk["bucket"])
+                      .join(F.broadcast(lck),
+                            joined[f"cb{k}"] == lck["bucket"], "left")
+                      .drop(lck["bucket"]))
         lnu = spark.createDataFrame(
             [(int(b), v) for b, v in ln_u.items()],
             "bucket long, lnu double")
@@ -369,10 +473,27 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                         joined["ub"] == lnu["bucket"], "left")
                   .drop(lnu["bucket"]))
         back = F.coalesce(F.col("lnu"), F.lit(miss_u))
-        per_gram = F.when(
-            F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
-            F.greatest(F.col("lng") - F.col("lnc"), back)
-        ).otherwise(back)
+        if not levels:
+            # n == 2: the r12 expression, verbatim
+            per_gram = F.when(
+                F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
+                F.greatest(F.col("lng") - F.col("lnc"), back)
+            ).otherwise(back)
+        else:
+            # the order ladder: greatest() SKIPS NULL operands, so an
+            # evidence-less order simply falls out of the max; the
+            # unigram floor is always non-null.  Each level's λ-hop
+            # multiplier is already folded into its gram table.
+            cand = [F.when(
+                F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
+                F.col("lng") - F.col("lnc"))]
+            for k, _, _ in levels:
+                cand.append(F.when(
+                    F.col(f"lng{k}").isNotNull()
+                    & F.col(f"lnc{k}").isNotNull(),
+                    F.col(f"lng{k}") - F.col(f"lnc{k}")))
+            cand.append(back)
+            per_gram = F.greatest(*cand)
     else:
         _, _, _, miss_g, miss_c = model
         per_gram = (F.coalesce(F.col("lng"), F.lit(miss_g))
@@ -528,10 +649,9 @@ def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
                 "server as the corpus, or be passed as a bounded "
                 "local DataFrame")
         return _require_tree(counts, "ngram_lm counts")
-    gram, ctx, uni = _bounded_lm_counts(counts, fn_name)
+    kinds = _bounded_lm_counts(counts, fn_name)
     return sorted([k, int(b), int(c)]
-                  for k, m in (("gram", gram), ("ctx", ctx),
-                               ("uni", uni))
+                  for k, m in kinds.items()
                   for b, c in m.items())
 
 
@@ -548,6 +668,10 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
             raise ValueError(
                 f"{fn_name}: backoff requires n >= 2 — a unigram LM "
                 "has no lower-order relation to back off to")
+        if n > _MAX_BACKOFF_ORDER:
+            raise ValueError(
+                f"{fn_name}: backoff bounds n at "
+                f"{_MAX_BACKOFF_ORDER}, got n={n}")
     if counts is not None and reference is not None:
         raise ValueError(
             f"{fn_name}: pass either reference= (fit server-side) or "
@@ -584,6 +708,10 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
         raise ValueError(
             "ngram_lm_fit: unigrams=True requires n >= 2 — a unigram "
             "LM has no lower-order relation to back off to")
+    if unigrams and n > _MAX_BACKOFF_ORDER:
+        raise ValueError(
+            f"ngram_lm_fit: unigrams=True bounds n at "
+            f"{_MAX_BACKOFF_ORDER}, got n={n}")
     args = [_require_tree(t, "ngram_lm_fit"), text_col,
             int(n_buckets), int(n)]
     if unigrams:
