@@ -151,8 +151,22 @@ NEW_QUERIES_R12 = [
     "blaze_client_packing",
 ]
 
+# r13: multi-order stupid backoff (two extra broadcast ln() joins for
+# the trigram ladder), token-true budgets (vocab fold / BPE pandas_udf
+# counting feeding the same distributed prefix sum), and trained-PQ
+# application over the wire (codebooks + query block in the node, ADC
+# scan server-side; fit + encode + server round trip timed whole).
+NEW_QUERIES_R13 = [
+    "ngram_lm_backoff3_docs",
+    "pack_tokenized_docs",
+    "chunk_tokenized_docs",
+    "pack_bpe_docs",
+    "blaze_client_pq",
+]
+
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
-                 + NEW_QUERIES_R11 + NEW_QUERIES_R12)
+                 + NEW_QUERIES_R11 + NEW_QUERIES_R12
+                 + NEW_QUERIES_R13)
 
 
 def main():
@@ -250,6 +264,8 @@ def main():
                                    for n in NEW_QUERIES_R11), 3),
         "value_new_r12": round(sum(timings_min[n]
                                    for n in NEW_QUERIES_R12), 3),
+        "value_new_r13": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R13), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,

@@ -230,7 +230,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # rides as a same-server subtree).  The approximate
                   # generators (random planes, trained quantizers)
                   # stay deliberately non-serializable.
-                  *_PIPE_WIRE, "hypertable_rollup"}
+                  *_PIPE_WIRE, "hypertable_rollup",
+                  # r13: trained-artifact APPLICATION — the codebooks
+                  # and the bounded query block ride as literal
+                  # relations, the code scan runs where the store
+                  # lives.  Fits stay non-serializable (eager/random).
+                  "pq_topk"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -355,6 +360,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return _mix_dedup_node(op, args, child, walk)
         if op in _PIPE_WIRE:
             return _pipeline_node(op, args, child, walk)
+        if op == "pq_topk":
+            return _pq_node(op, args, child, walk)
         if op == "hypertable_rollup":
             # args: [child, ts_col, units, {name: reduction_tree}] —
             # the time-hierarchy continuous aggregate (late r12)
@@ -507,17 +514,21 @@ def _lm_node(op: str, args: list, child: Table, walk):
     spark = child.df.sparkSession
 
     if op == "ngram_lm_fit":
-        # args: [child, text_col, n_buckets, n, ({kw} — r12: unigrams)]
+        # args: [child, text_col, n_buckets, n,
+        #        ({kw} — r12: unigrams; r13: tokenizer)]
         _arity(op, args, 5)
         kw = {}
         if len(args) > 4 and args[4]:
-            bad = set(args[4]) - {"unigrams"}
+            bad = set(args[4]) - {"unigrams", "tokenizer"}
             if bad:
                 raise ValueError(
                     f"{op} wire node carries unknown keyword(s) "
                     f"{sorted(bad)} — re-serialize with a matching "
                     "client version")
             kw = dict(args[4])
+            if "tokenizer" in kw:
+                from .pipeline.tokenizer import tokenizer_from_wire
+                kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
         return Table(ngram_lm_fit(child, args[1], args[2], args[3],
                                   **kw),
                      "ngram_lm_fit")
@@ -534,7 +545,7 @@ def _lm_node(op: str, args: list, child: Table, walk):
                 [(str(k), int(b), int(c)) for k, b, c in args[2]],
                 "kind string, bucket long, cnt long")
     allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing",
-               "backoff"}
+               "backoff", "tokenizer"}
     allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
                 else {"max_ppl", "min_ppl"})
     kw = dict(args[3])
@@ -543,6 +554,9 @@ def _lm_node(op: str, args: list, child: Table, walk):
         raise ValueError(
             f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
             "— re-serialize with a matching client version")
+    if "tokenizer" in kw:
+        from .pipeline.tokenizer import tokenizer_from_wire
+        kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
     fn = (ngram_lm_logprob if op == "ngram_lm_logprob"
           else perplexity_filter)
     return Table(fn(child, reference, counts, **kw), op)
@@ -560,7 +574,8 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "cross_doc_dup_lines": (
         frozenset({"text_col", "id_col", "min_chars", "scrub"}), "unary"),
     "top_ngram_share": (frozenset({"n", "text_col", "id_col"}), "unary"),
-    "source_mix": (frozenset({"text_col", "source_col"}), "unary"),
+    "source_mix": (
+        frozenset({"text_col", "source_col", "tokenizer"}), "unary"),
     "extract_urls": (frozenset({"text_col"}), "unary"),
     "domain_mix": (frozenset({"text_col", "id_col"}), "unary"),
     "corpus_report": (frozenset({"text_col", "source_col"}), "unary"),
@@ -580,10 +595,12 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "train_val_test_split": (
         frozenset({"fractions", "on", "salt", "labels"}), "unary"),
     "pack_sequences": (
-        frozenset({"budget", "text_col", "order_by", "partitions"}),
+        frozenset({"budget", "text_col", "order_by", "partitions",
+                   "tokenizer"}),
         "unary"),
     "chunk_documents": (
-        frozenset({"max_tokens", "overlap", "text_col"}), "unary"),
+        frozenset({"max_tokens", "overlap", "text_col", "tokenizer"}),
+        "unary"),
     # the extension operators (late r12): literal-kwargs lazy plans —
     # both join sides ride as same-server subtrees
     "asof_join": (
@@ -626,6 +643,11 @@ def _pipeline_node(op: str, args: list, child: Table, walk):
             f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
             "— re-serialize with a matching client version")
     kw = dict(raw_kw)
+    if "tokenizer" in kw:
+        # r13: tokenizers ride as bounded wire dicts (vocab/merges are
+        # literal relations); hostile forms fail in tokenizer_from_wire
+        from .pipeline.tokenizer import tokenizer_from_wire
+        kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
     pos = [child]
     if shape == "binary":
         pos.append(walk(args[1]))
@@ -647,6 +669,40 @@ def _pipeline_node(op: str, args: list, child: Table, walk):
         fn = getattr(_pl, op)
     out = fn(*pos, **kw)
     return out if isinstance(out, Table) else Table(out, op)
+
+
+def _pq_node(op: str, args: list, child: Table, walk):
+    """Replay a trained-PQ application node (r13): args = [codes_tree,
+    codebooks_enc, queries_enc, {kw}].  The codebooks rebuild from
+    their bounded literal dict; queries arrive as sorted literal
+    (id, vector) rows or a same-server subtree; keyword args
+    re-validate through the local entry point."""
+    from .pipeline.pq import codebooks_from_wire, pq_topk
+
+    _arity(op, args, 4)
+    allowed = {"k", "id_col", "code_col", "vec_col", "round_to",
+               "max_queries"}
+    kw = dict(args[3]) if len(args) > 3 and args[3] else {}
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    codebooks = codebooks_from_wire(args[1])
+    if isinstance(args[2], dict):
+        queries = walk(args[2])
+    else:
+        if not isinstance(args[2], list) or not args[2]:
+            raise ValueError(
+                f"{op} wire node expects literal (id, vector) query "
+                "rows or a subtree as args[2]")
+        spark = child.df.sparkSession
+        id_col = kw.get("id_col", "vec_id")
+        vec_col = kw.get("vec_col", "embedding")
+        queries = Table(spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in args[2]],
+            f"{id_col} long, {vec_col} array<double>"), "queries")
+    return pq_topk(child, queries, codebooks, **kw)
 
 
 def _mix_dedup_node(op: str, args: list, child: Table, walk):
@@ -673,7 +729,10 @@ def _mix_dedup_node(op: str, args: list, child: Table, walk):
     if op == "temperature_source_mix":
         _arity(op, args, 2)
         kw = _kw(args[1], {"alpha", "text_col", "source_col",
-                           "allow_upsample"})
+                           "allow_upsample", "tokenizer"})
+        if "tokenizer" in kw:
+            from .pipeline.tokenizer import tokenizer_from_wire
+            kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
         return Table(temperature_source_mix(child, **kw),
                      "temperature_source_mix")
     # apply_source_mix — args: [child, weights_enc, {kw}]

@@ -68,6 +68,13 @@ from .packing import (  # noqa: F401
     pack_sequences,
     train_val_test_split,
 )
+from .tokenizer import (  # noqa: F401
+    BPETokenizer,
+    Tokenizer,
+    VocabTokenizer,
+    WhitespaceTokenizer,
+    tokenizer_from_wire,
+)
 from .pq import (  # noqa: F401
     ivf_pq_range_search,
     ivf_pq_topk,

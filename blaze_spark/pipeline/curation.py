@@ -303,7 +303,8 @@ def gopher_rules(t: Table, text_col: str = "text",
 
 
 def source_mix(t: Table, text_col: str = "text",
-               source_col: str = "source") -> DataFrame:
+               source_col: str = "source",
+               tokenizer=None) -> DataFrame:
     """Per-source corpus composition and uniform-mix downsampling weights:
     (source, n_docs, total_tokens, avg_quality, token_share,
     sample_weight) where ``sample_weight`` is the keep-probability that
@@ -313,12 +314,20 @@ def source_mix(t: Table, text_col: str = "text",
     then executes the plan with a DETERMINISTIC md5-keyed keep decision,
     never ``rand()``).
 
+    ``tokenizer=`` (r13) accounts ``total_tokens`` (and hence the
+    shares and weights) in TRUE tokenizer tokens — a mixture plan
+    should balance the tokens the trainer will see, not whitespace
+    words; ``None`` keeps the whitespace count byte-identical.
+
     The expensive part is one map-side-combinable aggregation on the
     (low-cardinality) source key; the two non-partitioned windows after it
     run over ~#sources rows, so the single-task window stage is trivially
     small — the standard shape for mixture accounting at corpus scale.
     """
     feats = quality_features(t, text_col).df
+    if tokenizer is not None:
+        feats = feats.withColumn(
+            "n_tokens", tokenizer.n_tokens(F.col(text_col)))
     per_source = feats.groupBy(source_col).agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
         F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
@@ -338,7 +347,8 @@ def source_mix(t: Table, text_col: str = "text",
 def temperature_source_mix(t: Table, alpha: float = 0.3,
                            text_col: str = "text",
                            source_col: str = "source",
-                           allow_upsample: bool = False) -> DataFrame:
+                           allow_upsample: bool = False,
+                           tokenizer=None) -> DataFrame:
     """Temperature-flattened mixture weights — the multilingual /
     multi-source α-sampling of mT5 and XLM-R (sample sources
     ∝ share^α): target token share ∝ actual_share^α, and
@@ -359,6 +369,10 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
     semantics — so the duplicates only materialize when the executor
     opts in too).
 
+    ``tokenizer=`` (r13) accounts the shares in TRUE tokenizer tokens
+    (the :func:`source_mix` semantics); ``None`` keeps the whitespace
+    count byte-identical.
+
     Same topology as :func:`source_mix`: one map-side-combinable
     aggregation on the low-cardinality source key, then two
     non-partitioned windows over ~#sources rows."""
@@ -368,6 +382,9 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
             "temperatures flatten toward uniform as alpha drops; "
             "above 1 they would sharpen the natural skew instead")
     feats = quality_features(t, text_col).df
+    if tokenizer is not None:
+        feats = feats.withColumn(
+            "n_tokens", tokenizer.n_tokens(F.col(text_col)))
     per_source = feats.groupBy(source_col).agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
         F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
@@ -718,11 +735,13 @@ def _wire():
 def temperature_source_mix(t: Table, alpha: float = 0.3,
                            text_col: str = "text",
                            source_col: str = "source",
-                           allow_upsample: bool = False):
+                           allow_upsample: bool = False,
+                           tokenizer=None):
     _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
     if _client_of(t) is None:
         return _local_temperature_source_mix(t, alpha, text_col,
-                                             source_col, allow_upsample)
+                                             source_col, allow_upsample,
+                                             tokenizer)
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     kw = {"alpha": float(alpha), "text_col": text_col,
@@ -731,6 +750,9 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
         # only present when set: capped plans keep the r11 form, an
         # uncapped plan rejects loudly on an r11 server (unknown kw)
         kw["allow_upsample"] = True
+    if tokenizer is not None:
+        from .tokenizer import _tokenizer_wire
+        kw["tokenizer"] = _tokenizer_wire(tokenizer)
     node = {"op": "temperature_source_mix",
             "args": [_require_tree(t, "temperature_source_mix"), kw]}
     spark = t.df.sparkSession
@@ -846,12 +868,17 @@ def top_ngram_share(t: Table, n: int = 2, text_col: str = "text",
 
 @functools.wraps(_local_source_mix)
 def source_mix(t: Table, text_col: str = "text",
-               source_col: str = "source"):
+               source_col: str = "source", tokenizer=None):
     if not _is_remote(t):
-        return _local_source_mix(t, text_col, source_col)
-    local = _local_source_mix(t, text_col, source_col)
-    return _sweep_node(t, "source_mix", local,
-                       {"text_col": text_col, "source_col": source_col})
+        return _local_source_mix(t, text_col, source_col, tokenizer)
+    local = _local_source_mix(t, text_col, source_col, tokenizer)
+    kw = {"text_col": text_col, "source_col": source_col}
+    if tokenizer is not None:
+        # only present when set (loud on r12 servers — never a silent
+        # whitespace recount)
+        from .tokenizer import _tokenizer_wire
+        kw["tokenizer"] = _tokenizer_wire(tokenizer)
+    return _sweep_node(t, "source_mix", local, kw)
 
 
 @functools.wraps(_local_extract_urls)

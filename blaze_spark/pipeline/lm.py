@@ -94,13 +94,18 @@ def _ctx_at(tk, i, n: int):
 
 
 def _positioned(df: DataFrame, text_col: str, n: int,
-                *keep: str) -> DataFrame:
+                *keep: str, tokenizer=None) -> DataFrame:
     """One row per n-gram start position: ``(*keep, n_grams, tk, i)``
     with the token array carried so gram/context strings slice out in
     whole-stage codegen post-explode.  ``explode_outer``: documents
     shorter than ``n`` keep one row with ``i`` NULL (their evidence-free
-    marker) so no re-join is needed to preserve them."""
-    tk = _tokens(F.col(text_col))
+    marker) so no re-join is needed to preserve them.  ``tokenizer=``
+    (r13) swaps the whitespace token array for the tokenizer's pieces
+    — the n-grams are then over TRUE tokens (note the default path
+    lowercases via ``_tokens``; a tokenizer's casing is its own
+    ``lowercase=`` knob)."""
+    tk = (_tokens(F.col(text_col)) if tokenizer is None
+          else tokenizer.pieces(F.col(text_col)))
     base = df.select(*keep, tk.alias("tk"))
     n_grams = F.greatest(F.size(F.col("tk")) - F.lit(n - 1),
                          F.lit(0)).cast(T.IntegerType())
@@ -122,7 +127,7 @@ _MAX_BACKOFF_ORDER = 8
 
 def ngram_lm_fit(t: Table, text_col: str = "text",
                  n_buckets: int = 4096, n: int = 2,
-                 unigrams: bool = False) -> DataFrame:
+                 unigrams: bool = False, tokenizer=None) -> DataFrame:
     """Fit the bucketized n-gram LM in ONE tokenization pass: a
     ``(kind STRING, bucket LONG, cnt LONG)`` relation with ≤ n_buckets
     rows per kind — kind ``'gram'`` counts n-gram buckets, ``'ctx'``
@@ -167,7 +172,8 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
             f"ngram_lm_fit: unigrams=True bounds n at "
             f"{_MAX_BACKOFF_ORDER} (each backoff order adds "
             f"2·n_buckets rows to the bounded fit), got n={n}")
-    ex = _positioned(t.df, text_col, n).filter(F.col("i").isNotNull())
+    ex = _positioned(t.df, text_col, n,
+                     tokenizer=tokenizer).filter(F.col("i").isNotNull())
     kinds = [
         F.struct(F.lit("gram").alias("kind"),
                  _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
@@ -248,7 +254,8 @@ def _bounded_lm_counts(counts: DataFrame,
 
 
 def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
-              smoothing, backoff=None, fn_name="ngram_lm_logprob"):
+              smoothing, backoff=None, fn_name="ngram_lm_logprob",
+              tokenizer=None):
     """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
     the hot path below does lookups and one subtraction — or one
     NULL-skipping greatest() over the order ladder for backoff — per
@@ -287,7 +294,8 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
     if counts is None:
         counts = ngram_lm_fit(reference if reference is not None else t,
                               text_col, n_buckets, n,
-                              unigrams=backoff is not None)
+                              unigrams=backoff is not None,
+                              tokenizer=tokenizer)
     if isinstance(counts, Table):
         counts = counts.df
     kinds = _bounded_lm_counts(counts, fn_name)
@@ -353,6 +361,7 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      smoothing: float = 1.0,
                      prefer_literal: bool = False,
                      backoff: float | None = None,
+                     tokenizer=None,
                      _fn_name: str = "ngram_lm_logprob") -> DataFrame:
     """Score every document of ``t`` under the bucketized add-α n-gram
     LM: ``(id_col, n_grams INT, logp, avg_logp, ppl)`` with
@@ -408,12 +417,13 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
             "explode path (three broadcast joins) — prefer_literal=True "
             "is add-α only")
     model = _lm_model(t, reference, counts, text_col, n_buckets, n,
-                      smoothing, backoff, _fn_name)
+                      smoothing, backoff, _fn_name, tokenizer)
 
     if prefer_literal:
         _, ln_g, ln_c, miss_g, miss_c = model
         return _logprob_literal(t, ln_g, ln_c, miss_g, miss_c,
-                                text_col, id_col, n_buckets, n)
+                                text_col, id_col, n_buckets, n,
+                                tokenizer)
 
     spark = t.df.sparkSession
     kind = model[0]
@@ -424,7 +434,7 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     lnc = spark.createDataFrame(
         [(int(b), v) for b, v in ln_c.items()],
         "bucket long, lnc double")
-    ex = _positioned(t.df, text_col, n, id_col)
+    ex = _positioned(t.df, text_col, n, id_col, tokenizer=tokenizer)
     cols = [
         F.col(id_col), F.col("n_grams"),
         # i NULL == the document's single evidence-free marker row
@@ -508,7 +518,8 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
 
 def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
                      miss_g: float, miss_c: float, text_col: str,
-                     id_col: str, n_buckets: int, n: int) -> DataFrame:
+                     id_col: str, n_buckets: int, n: int,
+                     tokenizer=None) -> DataFrame:
     """The shuffle-free fold form: both ln() tables as literal maps, one
     projection, the per-gram work interpreted inside the fold lambda."""
     if ln_g:
@@ -525,8 +536,9 @@ def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
                                    F.lit(miss_c))           # noqa: E731
     else:
         den = lambda b: F.lit(miss_c)                       # noqa: E731
-    keyed = t.df.select(F.col(id_col),
-                        _tokens(F.col(text_col)).alias("tk"))
+    tkx = (_tokens(F.col(text_col)) if tokenizer is None
+           else tokenizer.pieces(F.col(text_col)))
+    keyed = t.df.select(F.col(id_col), tkx.alias("tk"))
     tk = F.col("tk")
     n_grams = F.greatest(F.size(tk) - F.lit(n - 1),
                          F.lit(0)).cast(T.IntegerType())
@@ -577,7 +589,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_buckets: int = 4096, n: int = 2,
                       smoothing: float = 1.0,
-                      backoff: float | None = None) -> DataFrame:
+                      backoff: float | None = None,
+                      tokenizer=None) -> DataFrame:
     """CCNet-style perplexity band filter: keep the documents of ``t``
     whose per-gram perplexity under the reference LM lies in
     ``[min_ppl, max_ppl]`` (either bound optional, at least one
@@ -604,7 +617,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
     scores = _local_ngram_lm_logprob(
         t, reference=reference, counts=counts, text_col=text_col,
         id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,
-        backoff=backoff, _fn_name="perplexity_filter")
+        backoff=backoff, tokenizer=tokenizer,
+        _fn_name="perplexity_filter")
     key = F.col("ppl")
     cond = F.lit(True)
     if max_ppl is not None:
@@ -656,7 +670,7 @@ def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
 
 
 def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
-                  n, smoothing, fn_name, backoff=None):
+                  n, smoothing, fn_name, backoff=None, tokenizer=None):
     _validate_features(n_buckets, n)
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
@@ -694,15 +708,21 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
         # only present when set: default-smoothing trees stay valid on
         # r11 servers, backoff trees reject there loudly (unknown kw)
         kw["backoff"] = float(backoff)
+    if tokenizer is not None:
+        # same posture (r13): tokenizer plans reject loudly on older
+        # servers — never a silent whitespace recount
+        from .tokenizer import _tokenizer_wire
+        kw["tokenizer"] = _tokenizer_wire(tokenizer)
     return [_require_tree(t, fn_name), ref_node, enc, kw]
 
 
 @functools.wraps(_local_ngram_lm_fit)
 def ngram_lm_fit(t: Table, text_col: str = "text",
                  n_buckets: int = 4096, n: int = 2,
-                 unigrams: bool = False):
+                 unigrams: bool = False, tokenizer=None):
     if _client_of(t) is None:
-        return _local_ngram_lm_fit(t, text_col, n_buckets, n, unigrams)
+        return _local_ngram_lm_fit(t, text_col, n_buckets, n, unigrams,
+                                   tokenizer)
     _validate_features(n_buckets, n)
     if unigrams and n < 2:
         raise ValueError(
@@ -714,12 +734,18 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
             f"{_MAX_BACKOFF_ORDER}, got n={n}")
     args = [_require_tree(t, "ngram_lm_fit"), text_col,
             int(n_buckets), int(n)]
+    kw5 = {}
     if unigrams:
         # appended only when set (kw dict, r12): default fits keep the
         # r11 4-arg form; an r11 server ignores the 5th arg (its arity
         # guard is r12), but backoff scoring then fails loudly on the
         # uni-less fit, so skew never scores silently wrong
-        args.append({"unigrams": True})
+        kw5["unigrams"] = True
+    if tokenizer is not None:
+        from .tokenizer import _tokenizer_wire
+        kw5["tokenizer"] = _tokenizer_wire(tokenizer)
+    if kw5:
+        args.append(kw5)
     node = {"op": "ngram_lm_fit", "args": args}
     empty = t.df.sparkSession.createDataFrame(
         [], "kind string, bucket long, cnt long")
@@ -732,18 +758,18 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      id_col: str = "doc_id", n_buckets: int = 4096,
                      n: int = 2, smoothing: float = 1.0,
                      prefer_literal: bool = False,
-                     backoff: float | None = None):
+                     backoff: float | None = None, tokenizer=None):
     if _client_of(t) is None:
         return _local_ngram_lm_logprob(
             t, reference, counts, text_col, id_col, n_buckets, n,
-            smoothing, prefer_literal, backoff)
+            smoothing, prefer_literal, backoff, tokenizer)
     if prefer_literal and backoff is not None:
         raise ValueError(
             "ngram_lm_logprob: backoff= scores via the positioned-"
             "index explode path — prefer_literal=True is add-α only")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "ngram_lm_logprob",
-                         backoff)
+                         backoff, tokenizer)
     args[3]["prefer_literal"] = bool(prefer_literal)
     node = {"op": "ngram_lm_logprob", "args": args}
     empty = t.df.sparkSession.createDataFrame([], T.StructType(
@@ -759,18 +785,18 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_buckets: int = 4096, n: int = 2,
                       smoothing: float = 1.0,
-                      backoff: float | None = None):
+                      backoff: float | None = None, tokenizer=None):
     if _client_of(t) is None:
         return _local_perplexity_filter(
             t, reference, counts, max_ppl, min_ppl, text_col, id_col,
-            n_buckets, n, smoothing, backoff)
+            n_buckets, n, smoothing, backoff, tokenizer)
     if max_ppl is None and min_ppl is None:
         raise ValueError(
             "perplexity_filter: pass max_ppl and/or min_ppl — an "
             "unbounded band keeps everything")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "perplexity_filter",
-                         backoff)
+                         backoff, tokenizer)
     args[3]["max_ppl"] = None if max_ppl is None else float(max_ppl)
     args[3]["min_ppl"] = None if min_ppl is None else float(min_ppl)
     node = {"op": "perplexity_filter", "args": args}

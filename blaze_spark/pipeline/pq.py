@@ -738,3 +738,129 @@ ivf_pq_topk = _lg(ivf_pq_topk)
 pq_range_search = _lg(pq_range_search)
 ivf_pq_range_search = _lg(ivf_pq_range_search)
 write_pq_codes = _lg(write_pq_codes)
+
+
+# ---------------------------------------------------------------------------
+# Wire dialect for TRAINED-artifact APPLICATION (r13, VERDICT r12
+# missing #3): a trained codebook is a bounded (m·ks, dsub) relation —
+# exactly the model_weights literal-table precedent — so ADC top-k
+# scoring against a SERVER-side code store serializes: the codebooks
+# and the bounded query block ride inside the node, the 8-byte-code
+# scan runs where the store lives, and only Q×k result rows cross the
+# wire.  FITS stay guarded (pq_fit/pq_encode are eager and sample-
+# dependent — the r10 posture); register the store's codes table on
+# the server (read_pq_codes at server build) and score over blaze://.
+import functools as _functools  # noqa: E402
+
+from .selection import _client_of as _cof  # noqa: E402
+from .selection import _require_tree as _rt  # noqa: E402
+from .selection import _same_server as _ss  # noqa: E402
+from .selection import _wire_result as _wr  # noqa: E402
+
+# 8 MB of float64 — far above any sane (m ≤ 64, ks ≤ 256) codebook,
+# far below anything that should ride a JSON node
+_MAX_CODEBOOK_FLOATS = 1_000_000
+
+
+def codebooks_to_wire(codebooks) -> dict:
+    """Encode trained ``(m, ks, dsub)`` codebooks as a bounded literal
+    relation for a wire node (float64 repr round-trips exactly through
+    JSON, so the replayed ADC tables are bit-identical)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be a (m, ks, dsub) array, got shape "
+            f"{cb.shape}")
+    if cb.size > _MAX_CODEBOOK_FLOATS:
+        raise ValueError(
+            f"codebooks carry {cb.size} floats (> "
+            f"{_MAX_CODEBOOK_FLOATS}) — is this a trained PQ codebook "
+            "or a corpus?")
+    m, ks, dsub = cb.shape
+    return {"m": int(m), "ks": int(ks), "dsub": int(dsub),
+            "data": [float(x) for x in cb.reshape(-1)]}
+
+
+def codebooks_from_wire(enc) -> np.ndarray:
+    """Rebuild codebooks from their wire dict; mis-shaped/hostile nodes
+    fail loudly."""
+    if not isinstance(enc, dict) or \
+            set(enc) != {"m", "ks", "dsub", "data"}:
+        raise ValueError(
+            "codebooks wire form must be a {m, ks, dsub, data} dict "
+            "(codebooks_to_wire output)")
+    m, ks, dsub = int(enc["m"]), int(enc["ks"]), int(enc["dsub"])
+    if m < 1 or ks < 1 or dsub < 1 or m * ks * dsub > \
+            _MAX_CODEBOOK_FLOATS:
+        raise ValueError(
+            f"codebooks wire form declares an invalid shape "
+            f"({m}, {ks}, {dsub})")
+    data = enc["data"]
+    if len(data) != m * ks * dsub:
+        raise ValueError(
+            f"codebooks wire form carries {len(data)} floats, "
+            f"declared shape needs {m * ks * dsub}")
+    return np.asarray(data, dtype=np.float64).reshape(m, ks, dsub)
+
+
+def _queries_wire(queries, id_col, vec_col, max_queries, fn_name):
+    """Encode the query block: a same-server expression rides as its
+    subtree; a local Table/DataFrame collects BOUNDED (the _adc_guard
+    limit) into sorted literal rows."""
+    qdf = queries.df if isinstance(queries, Table) else queries
+    cap = max_queries if max_queries is not None else 10_000
+    rows = (qdf.select(F.col(id_col).cast("long"), F.col(vec_col))
+            .limit(int(cap) + 1).collect())
+    if len(rows) > cap:
+        raise ValueError(
+            f"{fn_name}: the query block exceeds max_queries={cap} — "
+            "literal wire queries are bounded; register the query set "
+            "on the server and pass the same-server expression instead")
+    for r in rows:
+        if r[0] is None or r[1] is None:
+            raise ValueError(
+                f"{fn_name}: query rows must carry non-null "
+                f"({id_col}, {vec_col})")
+    return sorted([int(r[0]), [float(x) for x in r[1]]] for r in rows)
+
+
+_guarded_pq_topk = pq_topk
+
+
+@_functools.wraps(_guarded_pq_topk)
+def pq_topk(codes: Table, queries, codebooks, k: int = 5,
+            id_col: str = "vec_id", code_col: str = "pq_code",
+            vec_col: str = "embedding", round_to: int | None = 4,
+            max_queries: int = 10_000) -> Table:
+    client = _cof(codes)
+    if client is None:
+        if _cof(queries) is not None:
+            raise TypeError(
+                "pq_topk: REMOTE queries against a LOCAL code store "
+                "mixes engines — compute() the queries first, or "
+                "register the store on the same server")
+        return _guarded_pq_topk(codes, queries, codebooks, k, id_col,
+                                code_col, vec_col, round_to,
+                                max_queries)
+    if isinstance(queries, Table) and _cof(queries) is not None:
+        if not _ss(codes, queries):
+            raise TypeError(
+                "pq_topk: queries live on a DIFFERENT server than the "
+                "code store — register them together, or pass a "
+                "bounded local query frame")
+        q_enc = _rt(queries, "pq_topk queries")
+    else:
+        q_enc = _queries_wire(queries, id_col, vec_col, max_queries,
+                              "pq_topk")
+    node = {"op": "pq_topk",
+            "args": [_rt(codes, "pq_topk"),
+                     codebooks_to_wire(codebooks), q_enc,
+                     {"k": int(k), "id_col": id_col,
+                      "code_col": code_col, "vec_col": vec_col,
+                      "round_to": (None if round_to is None
+                                   else int(round_to)),
+                      "max_queries": (None if max_queries is None
+                                      else int(max_queries))}]}
+    empty = codes.df.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double")
+    return _wr(codes, empty, node)
