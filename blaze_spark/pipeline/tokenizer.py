@@ -21,13 +21,21 @@ Three engine profiles, one two-method contract (``pieces(col)`` →
   shape that beat explode 7×, PLANS.md r10), so counting is a
   shuffle-free projection and DuckDB reproduces it exactly
   (``list_transform`` + ``list_contains``).
-- :class:`BPETokenizer` — TRUE greedy byte-pair encoding over
-  whitespace-pre-split words (Sennrich et al. 2016: start from
-  characters, repeatedly apply the lowest-rank merge present), as an
-  Arrow-batched pandas UDF with a per-batch word memo (Zipf: a batch
-  re-tokenizes few distinct words).  Not SQL-expressible — pinned by
-  pytest against a pure-Python reference and a rows-only registry
-  entry instead of a DuckDB oracle.
+- :class:`BPETokenizer` — TRUE greedy byte-pair encoding (Sennrich et
+  al. 2016: start from symbols, repeatedly apply the lowest-rank merge
+  present), as an Arrow-batched pandas UDF with a per-batch unit memo
+  (Zipf: a batch re-tokenizes few distinct words).  Two symbol
+  schemes: whitespace-pre-split character BPE (default), or
+  ``byte_level=True`` — the GPT-2 scheme (regex pre-tokenizer +
+  byte→unicode mapping, Radford et al. 2019), so a REAL GPT-2/RoBERTa
+  merges table counts exactly the tokens the trainer will see.  Load
+  real artifacts with ``BPETokenizer.from_tokenizer_json`` (HF
+  ``tokenizer.json``), ``BPETokenizer.from_merges_txt`` (GPT-2
+  ``merges.txt``) or ``VocabTokenizer.from_vocab_file``
+  (``vocab.txt``/``vocab.json``).  Not SQL-expressible — pinned by
+  pytest against a pure-Python reference and hand-computed GPT-2
+  tokenizations, and a rows-only registry entry instead of a DuckDB
+  oracle.
 
 All three are wire-serializable (``to_wire``/:func:`tokenizer_from_wire`
 — the ``model_weights`` bounded-literal-relation precedent): the vocab /
@@ -168,29 +176,172 @@ class VocabTokenizer(Tokenizer):
                 "fallback_chars": self.fallback_chars,
                 "lowercase": self.lowercase}
 
+    @classmethod
+    def from_vocab_file(cls, path: str, fallback_chars: int = 4,
+                        lowercase: bool = False):
+        """Load a vocabulary artifact: a WordPiece-style ``vocab.txt``
+        (one token per line) or a ``vocab.json`` (``{token: id}`` dict
+        or a plain list).  ``[unused..]``/special bracket tokens and
+        ``##``-continuation pieces are kept verbatim — membership is
+        whole-word, so they simply never match and cost the OOV
+        fallback, which is the honest budget for a word-level count."""
+        if path.endswith(".json"):
+            import json
+
+            with open(path, encoding="utf-8") as f:
+                spec = json.load(f)
+            if isinstance(spec, dict):
+                words = list(spec.keys())
+            elif isinstance(spec, list):
+                words = [str(w) for w in spec]
+            else:
+                raise ValueError(
+                    f"{path}: vocab JSON must be a dict or list, got "
+                    f"{type(spec).__name__}")
+        else:
+            with open(path, encoding="utf-8") as f:
+                words = [ln.rstrip("\n") for ln in f]
+            words = [w for w in words if w]
+        return cls(words, fallback_chars=fallback_chars,
+                   lowercase=lowercase)
+
+
+def _bytes_to_unicode() -> dict:
+    """GPT-2's public byte→printable-unicode table (Radford et al.
+    2019 release, ``encoder.py``): printable latin-1 bytes map to
+    themselves, the rest to U+0100.. in order — so arbitrary UTF-8
+    becomes a reversible string of non-space symbols and byte-level
+    merges tables (GPT-2 / RoBERTa ``merges.txt``) apply verbatim."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _gpt2_pretokenize(text: str) -> list:
+    """GPT-2's pre-tokenizer regex
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|
+    \\s+(?!\\S)|\\s+`` as an explicit scanner (Python ``re`` lacks
+    ``\\p``; ``str.isalpha``/``isnumeric`` are the same L*/N*
+    categories).  Exact semantics incl. the backtracking subtlety: a
+    whitespace RUN before a non-space yields its first ``r−1`` chars
+    (``\\s+(?!\\S)``), the LAST char then either glues onto the next
+    token (a literal space, via the alternatives' ``' ?'``) or stands
+    alone (``\\n`` etc., via ``\\s+``)."""
+    out = []
+    i, L = 0, len(text)
+    while i < L:
+        ch = text[i]
+        hit = None
+        if ch == "'":
+            for c in _CONTRACTIONS:
+                if text.startswith(c, i):
+                    hit = c
+                    break
+        if hit is not None:
+            out.append(hit)
+            i += len(hit)
+            continue
+        j = i
+        sp = ""
+        if ch == " " and i + 1 < L and not text[i + 1].isspace():
+            sp = " "
+            j = i + 1
+            ch = text[j]
+        if ch.isalpha():
+            k = j + 1
+            while k < L and text[k].isalpha():
+                k += 1
+            out.append(sp + text[j:k])
+            i = k
+            continue
+        if ch.isnumeric():
+            k = j + 1
+            while k < L and text[k].isnumeric():
+                k += 1
+            out.append(sp + text[j:k])
+            i = k
+            continue
+        if not ch.isspace():
+            k = j + 1
+            while k < L and not (text[k].isspace() or text[k].isalpha()
+                                 or text[k].isnumeric()):
+                k += 1
+            out.append(sp + text[j:k])
+            i = k
+            continue
+        k = i + 1
+        while k < L and text[k].isspace():
+            k += 1
+        if k == L:                      # trailing run: \s+(?!\S) whole
+            out.append(text[i:k])
+            i = k
+        elif k - i == 1:                # single non-" " ws char: \s+
+            out.append(ch)
+            i = k
+        else:                           # run before \S: first r−1 chars
+            out.append(text[i:k - 1])
+            i = k - 1
+    return out
+
 
 class BPETokenizer(Tokenizer):
-    """Greedy byte-pair encoding (Sennrich et al. 2016) over
-    whitespace-pre-split words: each word starts as its character
-    sequence and repeatedly applies the LOWEST-RANK merge pair present
-    (``merges`` order is the rank), exactly the classic BPE apply
-    loop.  No end-of-word marker is appended (document-level token
-    budgets don't need one; a marker-trained merges table can encode
-    it in its pairs).
+    """Greedy byte-pair encoding (Sennrich et al. 2016): each unit
+    starts as its symbol sequence and repeatedly applies the
+    LOWEST-RANK merge pair present (``merges`` order is the rank),
+    exactly the classic BPE apply loop.
 
-    Runs as an Arrow-batched pandas UDF with a per-batch word memo —
+    Two pre-tokenization modes:
+
+    - default (``byte_level=False``): whitespace-pre-split words,
+      character symbols, no end-of-word marker (document-level token
+      budgets don't need one; a marker-trained merges table can encode
+      it in its pairs).
+    - ``byte_level=True``: the GPT-2 scheme (Radford et al. 2019) —
+      the GPT-2 regex pre-tokenizer (leading spaces glue onto the next
+      word, contractions and digit/punctuation runs split off,
+      whitespace runs count), UTF-8 bytes mapped through the public
+      byte→unicode table (space becomes ``Ġ``), so a real GPT-2 /
+      RoBERTa ``merges.txt`` produces the SAME token counts the
+      trainer's tokenizer will (pinned in pytest against hand-computed
+      GPT-2 tokenizations).  ``add_prefix_space=True`` is the RoBERTa
+      variant (prepend one space when the text doesn't start with
+      whitespace).
+
+    Runs as an Arrow-batched pandas UDF with a per-batch unit memo —
     the only Python in the tokenizer family; ``merges`` is bounded at
     ``_MAX_BUCKETS`` pairs and travels in the UDF closure (sub-MB).
+    Load real artifacts with :meth:`from_tokenizer_json` (HuggingFace
+    ``tokenizer.json``) or :meth:`from_merges_txt` (GPT-2-style
+    ``merges.txt``).
     """
 
-    def __init__(self, merges, lowercase: bool = False):
+    def __init__(self, merges, lowercase: bool = False,
+                 byte_level: bool = False,
+                 add_prefix_space: bool = False):
         merges = [(str(a), str(b)) for a, b in merges]
         if len(merges) > _MAX_BUCKETS:
             raise ValueError(
                 f"merges has more than {_MAX_BUCKETS} pairs — BPE "
                 "merge tables are bounded literal relations")
+        if add_prefix_space and not byte_level:
+            raise ValueError(
+                "add_prefix_space is a byte-level (GPT-2/RoBERTa) "
+                "pre-tokenizer option — pass byte_level=True")
         self.merges = merges
         self.lowercase = bool(lowercase)
+        self.byte_level = bool(byte_level)
+        self.add_prefix_space = bool(add_prefix_space)
 
     @staticmethod
     def _apply_word(word: str, ranks: dict) -> list[str]:
@@ -212,6 +363,10 @@ class BPETokenizer(Tokenizer):
 
         ranks = {pair: i for i, pair in enumerate(self.merges)}
         lower = self.lowercase
+        byte_level = self.byte_level
+        prefix_space = self.add_prefix_space
+        b2u = _bytes_to_unicode() if byte_level else None
+        contractions = _CONTRACTIONS
 
         # inlined (not self._apply_word): cloudpickle then ships the
         # function BY VALUE, so executors don't need blaze_spark
@@ -229,17 +384,88 @@ class BPETokenizer(Tokenizer):
                 parts[bi:bi + 2] = [parts[bi] + parts[bi + 1]]
             return parts
 
+        def pretok(text, contractions=contractions):
+            # _gpt2_pretokenize inlined by value (see apply_word note)
+            out = []
+            i, L = 0, len(text)
+            while i < L:
+                ch = text[i]
+                hit = None
+                if ch == "'":
+                    for c in contractions:
+                        if text.startswith(c, i):
+                            hit = c
+                            break
+                if hit is not None:
+                    out.append(hit)
+                    i += len(hit)
+                    continue
+                j = i
+                sp = ""
+                if ch == " " and i + 1 < L and not text[i + 1].isspace():
+                    sp = " "
+                    j = i + 1
+                    ch = text[j]
+                if ch.isalpha():
+                    k = j + 1
+                    while k < L and text[k].isalpha():
+                        k += 1
+                    out.append(sp + text[j:k])
+                    i = k
+                    continue
+                if ch.isnumeric():
+                    k = j + 1
+                    while k < L and text[k].isnumeric():
+                        k += 1
+                    out.append(sp + text[j:k])
+                    i = k
+                    continue
+                if not ch.isspace():
+                    k = j + 1
+                    while k < L and not (text[k].isspace()
+                                         or text[k].isalpha()
+                                         or text[k].isnumeric()):
+                        k += 1
+                    out.append(sp + text[j:k])
+                    i = k
+                    continue
+                k = i + 1
+                while k < L and text[k].isspace():
+                    k += 1
+                if k == L:
+                    out.append(text[i:k])
+                    i = k
+                elif k - i == 1:
+                    out.append(ch)
+                    i = k
+                else:
+                    out.append(text[i:k - 1])
+                    i = k - 1
+            return out
+
+        def units_of(text, b2u=b2u):
+            if byte_level:
+                if prefix_space and text and not text[0].isspace():
+                    text = " " + text
+                return ["".join(b2u[b] for b in u.encode("utf-8"))
+                        for u in pretok(text)]
+            return text.split()
+
         def _tok(s):
             memo: dict = {}
             out = []
             for text in s:
-                if text is None or not text.strip():
+                # byte-level counts whitespace-only text too (GPT-2
+                # emits real tokens for "\n\n"); the word modes keep
+                # the package's blank-text → 0-token convention
+                if text is None or (not byte_level and not text.strip()) \
+                        or not text:
                     out.append([] if want_pieces else 0)
                     continue
                 t = text.lower() if lower else text
                 if want_pieces:
                     acc = []
-                    for w in t.split():
+                    for w in units_of(t):
                         got = memo.get(w)
                         if got is None:
                             got = apply_word(w)
@@ -248,7 +474,7 @@ class BPETokenizer(Tokenizer):
                     out.append(acc)
                 else:
                     n = 0
-                    for w in t.split():
+                    for w in units_of(t):
                         got = memo.get(w)
                         if got is None:
                             got = len(apply_word(w))
@@ -268,9 +494,92 @@ class BPETokenizer(Tokenizer):
         return self._udf(want_pieces=False)(col)
 
     def to_wire(self) -> dict:
-        return {"kind": "bpe",
-                "merges": [[a, b] for a, b in self.merges],
-                "lowercase": self.lowercase}
+        enc = {"kind": "bpe",
+               "merges": [[a, b] for a, b in self.merges],
+               "lowercase": self.lowercase}
+        # emitted only when set: default plans keep the r13 wire form
+        # byte-identical and a pre-byte-level server rejects loudly
+        # instead of silently counting in character-BPE tokens
+        if self.byte_level:
+            enc["byte_level"] = True
+        if self.add_prefix_space:
+            enc["add_prefix_space"] = True
+        return enc
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str, lowercase: bool = False):
+        """Load a HuggingFace ``tokenizer.json`` (the serialized
+        ``tokenizers`` pipeline — a PUBLIC, documented format):
+        ``model.type`` must be ``"BPE"``; ``model.merges`` supplies
+        the ranks (either ``"a b"`` strings or ``["a", "b"]`` pairs);
+        a ``ByteLevel`` pre-tokenizer anywhere in the
+        ``pre_tokenizer`` chain switches on the GPT-2 byte scheme and
+        carries ``add_prefix_space``.  Counting-irrelevant components
+        (normalizer, post-processor, decoder, added special tokens)
+        are ignored — document budgets count content tokens."""
+        import json
+
+        with open(path) as f:
+            spec = json.load(f)
+        if not isinstance(spec, dict) or "model" not in spec:
+            raise ValueError(
+                f"{path} is not a tokenizer.json (no 'model' key)")
+        model = spec["model"]
+        mtype = model.get("type")
+        if mtype != "BPE":
+            raise ValueError(
+                f"{path}: model.type is {mtype!r} — only BPE merges "
+                "tables apply here (WordPiece vocabularies load as "
+                "VocabTokenizer.from_vocab_file)")
+        merges = []
+        for m in model.get("merges", []):
+            if isinstance(m, str):
+                a, sep, b = m.partition(" ")
+                if not sep:
+                    raise ValueError(
+                        f"{path}: malformed merge entry {m!r}")
+                merges.append((a, b))
+            else:
+                if len(m) != 2:
+                    raise ValueError(
+                        f"{path}: malformed merge entry {m!r}")
+                merges.append((m[0], m[1]))
+        byte_level = False
+        add_prefix_space = False
+        pre = spec.get("pre_tokenizer") or {}
+        chain = pre.get("pretokenizers", [pre]) \
+            if pre.get("type") == "Sequence" else [pre]
+        for p in chain:
+            if isinstance(p, dict) and p.get("type") == "ByteLevel":
+                byte_level = True
+                add_prefix_space = bool(p.get("add_prefix_space",
+                                              False))
+        return cls(merges, lowercase=lowercase, byte_level=byte_level,
+                   add_prefix_space=add_prefix_space)
+
+    @classmethod
+    def from_merges_txt(cls, path: str, lowercase: bool = False,
+                        byte_level: bool = True,
+                        add_prefix_space: bool = False):
+        """Load a GPT-2-style ``merges.txt`` (the format of the
+        original GPT-2 release and every HF ``save_pretrained`` BPE):
+        one ``a b`` pair per line in rank order, ``#``-prefixed
+        header/comment lines skipped.  These artifacts are byte-level
+        in practice, so ``byte_level`` defaults True here."""
+        merges = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                a, sep, b = line.partition(" ")
+                if not sep or not a or not b or " " in b:
+                    raise ValueError(
+                        f"{path}: malformed merges line {line!r} — "
+                        "expected exactly 'left right' per line")
+                merges.append((a, b))
+        return cls(merges, lowercase=lowercase, byte_level=byte_level,
+                   add_prefix_space=add_prefix_space)
 
 
 def tokenizer_from_wire(enc) -> Tokenizer | None:
@@ -296,8 +605,12 @@ def tokenizer_from_wire(enc) -> Tokenizer | None:
                               fallback_chars=int(enc["fallback_chars"]),
                               lowercase=lower)
     if kind == "bpe":
-        _expect_keys(enc, {"kind", "merges", "lowercase"})
-        return BPETokenizer(enc["merges"], lowercase=lower)
+        _expect_keys(enc, {"kind", "merges", "lowercase",
+                           "byte_level", "add_prefix_space"})
+        return BPETokenizer(
+            enc["merges"], lowercase=lower,
+            byte_level=bool(enc.get("byte_level", False)),
+            add_prefix_space=bool(enc.get("add_prefix_space", False)))
     raise ValueError(
         f"unknown tokenizer kind {kind!r} — re-serialize with a "
         "matching client version")

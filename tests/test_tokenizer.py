@@ -231,3 +231,179 @@ def test_tokenizer_wire_version_skew(spark, tdocs):
                                    "lowercase": False, "evil": 1}
     with pytest.raises(ValueError, match="unknown key"):
         from_tree(bad, spark=spark, datasets={"tokdocs": tdocs})
+
+
+# ---- byte-level BPE + real-artifact import (r13, second half) ------
+
+
+def test_bytes_to_unicode_table():
+    """Pin the GPT-2 byte→unicode table: printable latin-1 maps to
+    itself, space is Ġ (U+0120), newline Ċ (U+010A); 256 entries,
+    injective (reversible)."""
+    from blaze_spark.pipeline.tokenizer import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    assert len(b2u) == 256
+    assert len(set(b2u.values())) == 256
+    assert b2u[ord("a")] == "a" and b2u[ord("!")] == "!"
+    assert b2u[ord(" ")] == "Ġ"     # Ġ
+    assert b2u[ord("\n")] == "Ċ"    # Ċ
+    assert b2u[ord("\t")] == "ĉ"    # ĉ = 256 + 9
+
+
+def test_gpt2_pretokenize_exact():
+    """The scanner reproduces GPT-2's pre-tokenizer regex, including
+    the contraction splits, leading-space gluing, digit/punct runs,
+    and the whitespace-run backtracking subtlety."""
+    from blaze_spark.pipeline.tokenizer import _gpt2_pretokenize as pt
+
+    assert pt("Hello world") == ["Hello", " world"]
+    assert pt("it's 2x") == ["it", "'s", " 2", "x"]
+    assert pt("don't stop") == ["don", "'t", " stop"]
+    assert pt("hello,world") == ["hello", ",", "world"]
+    assert pt(" leading") == [" leading"]
+    # ws-run before \S yields its first r−1 chars, the final literal
+    # space glues onto the next token; \n never glues
+    assert pt("a  b") == ["a", " ", " b"]
+    assert pt("a\n\nb") == ["a", "\n", "\n", "b"]
+    assert pt("a\nb") == ["a", "\n", "b"]
+    assert pt("\tx") == ["\t", "x"]
+    # trailing whitespace run is one token (\s+(?!\S))
+    assert pt("hi  ") == ["hi", "  "]
+    # " 's" → punct run takes the space+apostrophe, letter run the s
+    assert pt("a 's") == ["a", " '", "s"]
+    assert pt("v1.2") == ["v", "1", ".", "2"]
+    assert pt("") == []
+
+
+def test_byte_level_bpe_hand_computed(spark):
+    """End-to-end GPT-2-style counting on a tiny merges table, every
+    expectation hand-derived (Ġ = byte-level space)."""
+    from blaze_spark import data
+
+    G = "Ġ"
+    merges = [(G, "t"), ("h", "e"), (G + "t", "he")]
+    bpe = BPETokenizer(merges, byte_level=True)
+    rows = [(1, "the the"), (2, "café"), (3, "a\n\nb"), (4, None),
+            (5, "\n\n")]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="bl_docs")
+    got = {r.doc_id: (r.n, r.p) for r in t.df.select(
+        "doc_id", bpe.n_tokens(F.col("text")).alias("n"),
+        bpe.pieces(F.col("text")).alias("p")).collect()}
+    # "the" → t|he (rank-1 h+e; Ġt needs a leading space);
+    # " the" → Ġt|he → Ġthe (rank 0 then 2)
+    assert got[1] == (3, ["t", "he", G + "the"])
+    # é = 0xC3 0xA9 → Ã © ; no merges apply → c a f Ã ©
+    assert got[2] == (5, ["c", "a", "f", "\xc3", "\xa9"])
+    # pretokens a, \n, \n, b — byte-level COUNTS whitespace tokens
+    assert got[3] == (4, ["a", "Ċ", "Ċ", "b"])
+    assert got[4] == (0, [])
+    assert got[5] == (2, ["Ċ", "Ċ"])
+    # RoBERTa add_prefix_space: "the" scores as " the" → 1 token
+    bpe2 = BPETokenizer(merges, byte_level=True,
+                        add_prefix_space=True)
+    got2 = t.df.select(bpe2.n_tokens(F.col("text")).alias("n")) \
+        .where(F.col("doc_id") == 1).collect()
+    assert got2[0].n == 2  # " the the" → Ġthe, Ġthe
+    # add_prefix_space without byte_level is a construction error
+    with pytest.raises(ValueError, match="byte_level"):
+        BPETokenizer(merges, add_prefix_space=True)
+
+
+def test_from_tokenizer_json(tmp_path):
+    """HF tokenizer.json import: merges in both public shapes, the
+    ByteLevel pre-tokenizer (bare or inside a Sequence) switching on
+    the byte scheme + add_prefix_space; non-BPE models refuse."""
+    import json
+
+    G = "Ġ"
+    spec = {"model": {"type": "BPE",
+                      "vocab": {"t": 0, "he": 1},
+                      "merges": [f"{G} t", "h e"]},
+            "pre_tokenizer": {"type": "ByteLevel",
+                              "add_prefix_space": True}}
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(spec))
+    tok = BPETokenizer.from_tokenizer_json(str(p))
+    assert tok.merges == [(G, "t"), ("h", "e")]
+    assert tok.byte_level and tok.add_prefix_space
+
+    # list-pair merges + Sequence pre-tokenizer chain
+    spec["model"]["merges"] = [[G, "t"], ["h", "e"]]
+    spec["pre_tokenizer"] = {
+        "type": "Sequence",
+        "pretokenizers": [{"type": "Digits"},
+                          {"type": "ByteLevel",
+                           "add_prefix_space": False}]}
+    p.write_text(json.dumps(spec))
+    tok = BPETokenizer.from_tokenizer_json(str(p))
+    assert tok.merges == [(G, "t"), ("h", "e")]
+    assert tok.byte_level and not tok.add_prefix_space
+
+    # no pre_tokenizer → plain character BPE
+    del spec["pre_tokenizer"]
+    p.write_text(json.dumps(spec))
+    assert not BPETokenizer.from_tokenizer_json(str(p)).byte_level
+
+    spec["model"]["type"] = "WordPiece"
+    p.write_text(json.dumps(spec))
+    with pytest.raises(ValueError, match="WordPiece"):
+        BPETokenizer.from_tokenizer_json(str(p))
+    p.write_text(json.dumps({"no_model": 1}))
+    with pytest.raises(ValueError, match="model"):
+        BPETokenizer.from_tokenizer_json(str(p))
+
+
+def test_from_merges_txt_and_vocab_file(tmp_path):
+    import json
+
+    G = "Ġ"
+    m = tmp_path / "merges.txt"
+    m.write_text(f"#version: 0.2\n{G} t\nh e\n{G}t he\n",
+                 encoding="utf-8")
+    tok = BPETokenizer.from_merges_txt(str(m))
+    assert tok.merges == [(G, "t"), ("h", "e"), (G + "t", "he")]
+    assert tok.byte_level  # GPT-2 merges.txt artifacts are byte-level
+    m.write_text("ab\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="malformed"):
+        BPETokenizer.from_merges_txt(str(m))
+    m.write_text("a b c\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="malformed"):
+        BPETokenizer.from_merges_txt(str(m))
+
+    v = tmp_path / "vocab.txt"
+    v.write_text("[PAD]\nthe\nquick\n##ing\n", encoding="utf-8")
+    vt = VocabTokenizer.from_vocab_file(str(v))
+    assert vt.vocab == ["[PAD]", "the", "quick", "##ing"]
+    vj = tmp_path / "vocab.json"
+    vj.write_text(json.dumps({"the": 0, "a": 1}))
+    assert VocabTokenizer.from_vocab_file(str(vj)).vocab == ["the", "a"]
+    vj.write_text(json.dumps(["x", "y"]))
+    assert VocabTokenizer.from_vocab_file(str(vj)).vocab == ["x", "y"]
+    vj.write_text(json.dumps(3))
+    with pytest.raises(ValueError, match="dict or list"):
+        VocabTokenizer.from_vocab_file(str(vj))
+
+
+def test_byte_level_wire_roundtrip(spark):
+    """byte_level/add_prefix_space ride the wire only when set (the
+    default BPE node stays byte-identical to r13's first half), and
+    rebuild to identical counts."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.tokenizer import tokenizer_from_wire
+
+    G = "Ġ"
+    merges = [(G, "t"), ("h", "e"), (G + "t", "he")]
+    plain = BPETokenizer(merges)
+    assert "byte_level" not in plain.to_wire()
+    assert "add_prefix_space" not in plain.to_wire()
+    bl = BPETokenizer(merges, byte_level=True, add_prefix_space=True)
+    enc = bl.to_wire()
+    assert enc["byte_level"] is True and enc["add_prefix_space"] is True
+    back = tokenizer_from_wire(enc)
+    t = data([(1, "the the"), (2, "café time")], spark=spark,
+             schema="doc_id bigint, text string", name="blw_docs")
+    a = t.df.select(bl.n_tokens(F.col("text")).alias("n")).collect()
+    b = t.df.select(back.n_tokens(F.col("text")).alias("n")).collect()
+    assert [r.n for r in a] == [r.n for r in b]
