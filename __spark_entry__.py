@@ -2961,6 +2961,28 @@ def ngram_lm_backoff3_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def ngram_lm_interp_docs(spark, sf_dir):
+    """Interpolated (Jelinek–Mercer) LM band filter (r13 second half —
+    pipeline/lm.py interpolate=λ; Jelinek & Mercer 1980, the smoothing
+    family CCNet's KenLM defaults descend from): per-gram
+    ln(λ·MLE_2 + (1−λ)·(cnt_u+α)/(N+α·B)) — the NORMALIZED
+    alternative to stupid backoff: each order mixes a proper
+    conditional, so 'ppl' is a true perplexity comparable across
+    models, where backoff scores are not.  Same fit relation and plan
+    shape as backoff (three broadcast ln() joins, mixture arithmetic
+    in codegen); measured on the PLANS.md r13 separation fixture:
+    interp λ=0.8 separates scrambled-OOD 26× vs backoff 17× vs add-α
+    4.3×.  The oracle value-checks WHICH documents survive the
+    [20.0, 21.5] band (membership on the round-4 exported ppl)."""
+    from blaze_spark.pipeline import perplexity_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_filter(d, n_buckets=1024, n=2, interpolate=0.5,
+                            min_ppl=20.0, max_ppl=21.5)
+    return out.select("doc_id", "source", "n_grams", "logp",
+                      "avg_logp", "ppl").orderBy("doc_id")
+
+
 def blaze_client_dedup(spark, sf_dir):
     """Remote dedup service (r12, VERDICT r11 #3): exact_dedup and
     cross_doc_dup_lines run SERVER-side over blaze:// on corpora
@@ -3343,6 +3365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r12/r10 rows, unchanged code) rotate below for them.
         # The pack/chunk/shards entries stay in the window —
         # packing.py changed this round.
+        # ... and ngram_lm_interp_docs (NEW — Jelinek–Mercer
+        # interpolated smoothing, the normalized member of the family,
+        # closing ROADMAP #9's deferral with the measured separation
+        # fixture); hash_sample_orders (green r12 row, unchanged code)
+        # rotates below the boundary for it.
+        "ngram_lm_interp_docs": ngram_lm_interp_docs,
         "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
         "pack_tokenized_docs": pack_tokenized_docs,
         "chunk_tokenized_docs": chunk_tokenized_docs,
@@ -5440,6 +5468,63 @@ def oracle_sql() -> dict[str, str]:
         # per-gram greatest(MLE ratio, λ·add-α unigram) with the MLE
         # branch only when BOTH its buckets carry evidence.  Band
         # membership value-checked on the round-4 ppl export.
+        # Jelinek–Mercer interpolation (r13 second half): per-gram
+        # ln(0.5·MLE_2 + 0.5·addα-uni) — the MLE mixes in as
+        # exp(ln−ln) to mirror the Spark expression's operation
+        # sequence (driver-hoisted ln tables, exp in codegen), and an
+        # evidence-less bigram mixes in 0 (its λ-mass falls through
+        # to the unigram base).
+        "ngram_lm_interp_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c,
+                       CAST(concat('0x', substr(md5(tok_u), 1, 8)) AS BIGINT)
+                           % 1024 AS u
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram,
+                             toks[i+1] AS tok_u
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            cu AS (SELECT u AS b, count(*) AS c3 FROM gb GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM gb),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(0.5 * (CASE WHEN cg.c IS NOT NULL
+                                          AND cc.c2 IS NOT NULL
+                                         THEN exp(ln(cg.c) - ln(cc.c2))
+                                         ELSE 0.0 END)
+                              + 0.5 * exp(ln(COALESCE(cu.c3, 0) + 1.0)
+                                          - ln(tot.n + 1024.0)))) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                        LEFT JOIN cu ON gb.u = cu.b
+                        CROSS JOIN tot
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp,
+                   s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 20.0 AND s.ppl <= 21.5
+            ORDER BY d.doc_id
+        """,
         "ngram_lm_backoff_docs": r"""
             WITH tk AS (
                 SELECT doc_id,

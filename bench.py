@@ -162,6 +162,7 @@ NEW_QUERIES_R13 = [
     "chunk_tokenized_docs",
     "pack_bpe_docs",
     "blaze_client_pq",
+    "ngram_lm_interp_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

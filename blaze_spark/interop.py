@@ -235,7 +235,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # and the bounded query block ride as literal
                   # relations, the code scan runs where the store
                   # lives.  Fits stay non-serializable (eager/random).
-                  "pq_topk"}
+                  "pq_topk", "ivf_pq_topk"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -362,6 +362,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return _pipeline_node(op, args, child, walk)
         if op == "pq_topk":
             return _pq_node(op, args, child, walk)
+        if op == "ivf_pq_topk":
+            return _ivf_pq_node(op, args, child, walk)
         if op == "hypertable_rollup":
             # args: [child, ts_col, units, {name: reduction_tree}] —
             # the time-hierarchy continuous aggregate (late r12)
@@ -545,7 +547,7 @@ def _lm_node(op: str, args: list, child: Table, walk):
                 [(str(k), int(b), int(c)) for k, b, c in args[2]],
                 "kind string, bucket long, cnt long")
     allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing",
-               "backoff", "tokenizer"}
+               "backoff", "interpolate", "tokenizer"}
     allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
                 else {"max_ppl", "min_ppl"})
     kw = dict(args[3])
@@ -703,6 +705,42 @@ def _pq_node(op: str, args: list, child: Table, walk):
             [(int(q), [float(x) for x in v]) for q, v in args[2]],
             f"{id_col} long, {vec_col} array<double>"), "queries")
     return pq_topk(child, queries, codebooks, **kw)
+
+
+def _ivf_pq_node(op: str, args: list, child: Table, walk):
+    """Replay an IVF-PQ application node (r13 second half): args =
+    [codes_tree, centroids_enc, codebooks_enc, queries_enc, {kw}].
+    Same posture as _pq_node plus the coarse centroids as a second
+    bounded literal — the nprobe-pruned isin filter then applies at
+    THIS server's scan."""
+    from .pipeline.pq import centroids_from_wire, codebooks_from_wire, \
+        ivf_pq_topk
+
+    _arity(op, args, 5)
+    allowed = {"k", "nprobe", "id_col", "code_col", "vec_col",
+               "cell_col", "round_to", "max_queries"}
+    kw = dict(args[4]) if len(args) > 4 and args[4] else {}
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    centroids = centroids_from_wire(args[1])
+    codebooks = codebooks_from_wire(args[2])
+    if isinstance(args[3], dict):
+        queries = walk(args[3])
+    else:
+        if not isinstance(args[3], list) or not args[3]:
+            raise ValueError(
+                f"{op} wire node expects literal (id, vector) query "
+                "rows or a subtree as args[3]")
+        spark = child.df.sparkSession
+        id_col = kw.get("id_col", "vec_id")
+        vec_col = kw.get("vec_col", "embedding")
+        queries = Table(spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in args[3]],
+            f"{id_col} long, {vec_col} array<double>"), "queries")
+    return ivf_pq_topk(child, queries, centroids, codebooks, **kw)
 
 
 def _mix_dedup_node(op: str, args: list, child: Table, walk):

@@ -255,29 +255,45 @@ def _bounded_lm_counts(counts: DataFrame,
 
 def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
               smoothing, backoff=None, fn_name="ngram_lm_logprob",
-              tokenizer=None):
+              tokenizer=None, interpolate=None):
     """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
     the hot path below does lookups and one subtraction — or one
-    NULL-skipping greatest() over the order ladder for backoff — per
-    gram, nothing transcendental).  Returns ``("add_alpha", ln_g,
-    ln_c, miss_g, miss_c)`` or ``("backoff", ln_g, ln_c, ln_u, miss_u,
-    levels)`` where ``levels`` is ``[(k, ln_gk, ln_ck), ...]`` for the
-    intermediate orders n−1..2 (empty when n == 2) with each order's
-    ``(n−k)·ln λ`` multiplier folded into ``ln_gk`` driver-side."""
+    NULL-skipping greatest() over the order ladder for backoff, or the
+    Jelinek–Mercer mixture chain for interpolate — per gram).  Returns
+    ``("add_alpha", ln_g, ln_c, miss_g, miss_c)``, ``("backoff", ln_g,
+    ln_c, ln_u, miss_u, levels)`` or ``("interp", ln_g, ln_c, ln_u,
+    miss_u, levels, lam)``; ``levels`` is ``[(k, ln_gk, ln_ck), ...]``
+    for the intermediate orders n−1..2 (empty when n == 2) — for
+    backoff each order's ``(n−k)·ln λ`` multiplier is folded into
+    ``ln_gk`` driver-side, for interp the tables are raw (the mixture
+    weights apply in the scoring expression)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    if backoff is not None:
-        if not 0.0 < backoff <= 1.0:
+    if backoff is not None and interpolate is not None:
+        raise ValueError(
+            f"{fn_name}: backoff= and interpolate= are alternative "
+            "smoothing schemes — pass one")
+    if interpolate is not None:
+        if not 0.0 < interpolate < 1.0:
+            raise ValueError(
+                f"{fn_name}: interpolate must be in (0, 1) — the "
+                "Jelinek–Mercer λ; 1 is pure MLE (ln 0 on unseen "
+                f"grams), 0 ignores the n-gram evidence — got "
+                f"{interpolate}")
+    lower_lam = backoff if backoff is not None else interpolate
+    if lower_lam is not None:
+        which = "backoff" if backoff is not None else "interpolate"
+        if backoff is not None and not 0.0 < backoff <= 1.0:
             raise ValueError(
                 f"{fn_name}: backoff must be in (0, 1] (Brants et "
                 f"al.'s λ, typically 0.4), got {backoff}")
         if n < 2:
             raise ValueError(
-                f"{fn_name}: backoff requires n >= 2 — a unigram LM "
-                "has no lower-order relation to back off to")
+                f"{fn_name}: {which} requires n >= 2 — a unigram LM "
+                "has no lower-order relation to fall back on")
         if n > _MAX_BACKOFF_ORDER:
             raise ValueError(
-                f"{fn_name}: backoff bounds n at {_MAX_BACKOFF_ORDER} "
+                f"{fn_name}: {which} bounds n at {_MAX_BACKOFF_ORDER} "
                 f"(each order adds 2·n_buckets rows to the bounded "
                 f"fit), got n={n}")
     if counts is not None and reference is not None:
@@ -294,17 +310,17 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
     if counts is None:
         counts = ngram_lm_fit(reference if reference is not None else t,
                               text_col, n_buckets, n,
-                              unigrams=backoff is not None,
+                              unigrams=lower_lam is not None,
                               tokenizer=tokenizer)
     if isinstance(counts, Table):
         counts = counts.df
     kinds = _bounded_lm_counts(counts, fn_name)
     gram, ctx = kinds.get("gram", {}), kinds.get("ctx", {})
-    if backoff is not None:
+    if lower_lam is not None:
         uni = kinds.get("uni", {})
         if not uni:
             raise ValueError(
-                f"{fn_name}: backoff= needs 'uni' rows in the counts "
+                f"{fn_name}: {which}= needs 'uni' rows in the counts "
                 "relation — refit with ngram_lm_fit(..., "
                 "unigrams=True)")
         # stupid backoff (Brants et al. 2007), multi-order since r13:
@@ -320,12 +336,17 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
         # exists; here a seen-but-rare gram takes the BACKOFF value
         # when that is larger, a floor against hash-collision noise
         # (pinned by test_lm.py::test_backoff_greatest_deviation).
-        lam = math.log(backoff)
+        interp = interpolate is not None
+        lam = 0.0 if interp else math.log(backoff)
         n_total = sum(uni.values())
         den = math.log(n_total + smoothing * n_buckets)
         ln_g = {b: math.log(c) for b, c in gram.items()}
         ln_c = {b: math.log(c) for b, c in ctx.items()}
-        ln_u = {b: (n - 1) * lam + math.log(c + smoothing) - den
+        # backoff folds each hop's λ-multiplier in driver-side; interp
+        # keeps raw conditionals (the mixture weights apply per gram
+        # in the scoring expression, where the SUM needs linear space)
+        ln_u = {b: (0 if interp else (n - 1) * lam)
+                + math.log(c + smoothing) - den
                 for b, c in uni.items()}
         levels = []
         for k in range(n - 1, 1, -1):
@@ -333,19 +354,21 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
             ck = kinds.get(f"ctx{k}", {})
             if not gk or not ck:
                 raise ValueError(
-                    f"{fn_name}: multi-order backoff (n={n}) needs "
+                    f"{fn_name}: multi-order {which} (n={n}) needs "
                     f"'gram{k}'/'ctx{k}' rows in the counts relation "
                     "— refit with ngram_lm_fit(..., unigrams=True) on "
                     "this client version")
-            # fold the (n−k)·ln λ hop multiplier into the gram table
-            mult = (n - k) * lam
+            mult = 0.0 if interp else (n - k) * lam
             levels.append((k,
                            {b: mult + math.log(c)
                             for b, c in gk.items()},
                            {b: math.log(c) for b, c in ck.items()}))
-        return ("backoff", ln_g, ln_c, ln_u,
-                (n - 1) * lam + math.log(smoothing) - den,  # unseen tok
-                levels)
+        miss_u = ((0 if interp else (n - 1) * lam)
+                  + math.log(smoothing) - den)  # unseen predicted tok
+        if interp:
+            return ("interp", ln_g, ln_c, ln_u, miss_u, levels,
+                    float(interpolate))
+        return ("backoff", ln_g, ln_c, ln_u, miss_u, levels)
     ln_g = {b: math.log(c + smoothing) for b, c in gram.items()}
     ln_c = {b: math.log(c + smoothing * n_buckets)
             for b, c in ctx.items()}
@@ -362,6 +385,7 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      prefer_literal: bool = False,
                      backoff: float | None = None,
                      tokenizer=None,
+                     interpolate: float | None = None,
                      _fn_name: str = "ngram_lm_logprob") -> DataFrame:
     """Score every document of ``t`` under the bucketized add-α n-gram
     LM: ``(id_col, n_grams INT, logp, avg_logp, ppl)`` with
@@ -409,15 +433,35 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     first-seen-order conditional) — a floor against hash-collision
     noise, pinned by ``test_backoff_greatest_deviation``.  Backoff
     requires the explode path (2n−1 broadcast ln() joins) —
-    ``prefer_literal=True`` with ``backoff`` raises."""
+    ``prefer_literal=True`` with ``backoff`` raises.
+
+    ``interpolate=λ`` (λ ∈ (0, 1), Jelinek & Mercer 1980; CCNet's
+    KenLM default is interpolated KN — this is the JM member of the
+    same family) is the NORMALIZED alternative: per-gram
+
+        P = λ·MLE_n + (1−λ)·(λ·MLE_{n−1} + (1−λ)·(... P_uni))
+
+    recursing through the same order ladder down to the add-α unigram
+    base.  Each level mixes a proper conditional distribution over
+    buckets, so P sums to 1 over the predicted-bucket axis and 'ppl'
+    is a TRUE perplexity — comparable across models and corpora,
+    which unnormalized stupid backoff scores are not.  Evidence-less
+    orders contribute 0 to the mixture (their λ-mass falls through to
+    the lower orders); the chain is bounded below by
+    (1−λ)^{n−1}·P_uni > 0.  Same plan shape as backoff (2n−1
+    broadcast ln() joins, mixture arithmetic in codegen);
+    ``prefer_literal=True`` with ``interpolate`` raises, and passing
+    both ``backoff=`` and ``interpolate=`` raises."""
     _validate_features(n_buckets, n)
-    if prefer_literal and backoff is not None:
+    if prefer_literal and (backoff is not None
+                           or interpolate is not None):
         raise ValueError(
-            f"{_fn_name}: backoff= scores via the positioned-index "
-            "explode path (three broadcast joins) — prefer_literal=True "
-            "is add-α only")
+            f"{_fn_name}: backoff=/interpolate= score via the "
+            "positioned-index explode path (broadcast ln() joins) — "
+            "prefer_literal=True is add-α only")
     model = _lm_model(t, reference, counts, text_col, n_buckets, n,
-                      smoothing, backoff, _fn_name, tokenizer)
+                      smoothing, backoff, _fn_name, tokenizer,
+                      interpolate)
 
     if prefer_literal:
         _, ln_g, ln_c, miss_g, miss_c = model
@@ -443,8 +487,9 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                    n_buckets).alias("gb"),
         _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
                    n_buckets).alias("cb")]
-    levels = model[5] if kind == "backoff" else []
-    if kind == "backoff":
+    laddered = kind in ("backoff", "interp")
+    levels = model[5] if laddered else []
+    if laddered:
         for k, _, _ in levels:
             off = F.col("i") + F.lit(n - k)
             cols.append(_bucket_of(_gram_at(F.col("tk"), off, k),
@@ -459,8 +504,8 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
               .drop(lng["bucket"])
               .join(F.broadcast(lnc), ex["cb"] == lnc["bucket"], "left")
               .drop(lnc["bucket"]))
-    if kind == "backoff":
-        _, _, _, ln_u, miss_u, _ = model
+    if laddered:
+        ln_u, miss_u = model[3], model[4]
         for k, ln_gk, ln_ck in levels:
             lgk = spark.createDataFrame(
                 [(int(b), v) for b, v in ln_gk.items()],
@@ -483,7 +528,28 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                         joined["ub"] == lnu["bucket"], "left")
                   .drop(lnu["bucket"]))
         back = F.coalesce(F.col("lnu"), F.lit(miss_u))
-        if not levels:
+        if kind == "interp":
+            # Jelinek–Mercer mixture chain, lowest order first: the
+            # unigram base is always present; an evidence-less order
+            # mixes in 0 (its λ-mass falls through).  exp/ln per gram
+            # — still codegen, and the ln() tables stay shared with
+            # backoff so the two schemes cannot drift.
+            lam = model[6]
+            p = F.exp(back)
+            for k, _, _ in reversed(levels):      # ascending 2..n−1
+                mle = F.when(
+                    F.col(f"lng{k}").isNotNull()
+                    & F.col(f"lnc{k}").isNotNull(),
+                    F.exp(F.col(f"lng{k}") - F.col(f"lnc{k}"))
+                ).otherwise(F.lit(0.0))
+                p = F.lit(lam) * mle + F.lit(1.0 - lam) * p
+            mle_n = F.when(
+                F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
+                F.exp(F.col("lng") - F.col("lnc"))
+            ).otherwise(F.lit(0.0))
+            per_gram = F.log(F.lit(lam) * mle_n
+                             + F.lit(1.0 - lam) * p)
+        elif not levels:
             # n == 2: the r12 expression, verbatim
             per_gram = F.when(
                 F.col("lng").isNotNull() & F.col("lnc").isNotNull(),
@@ -590,7 +656,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       n_buckets: int = 4096, n: int = 2,
                       smoothing: float = 1.0,
                       backoff: float | None = None,
-                      tokenizer=None) -> DataFrame:
+                      tokenizer=None,
+                      interpolate: float | None = None) -> DataFrame:
     """CCNet-style perplexity band filter: keep the documents of ``t``
     whose per-gram perplexity under the reference LM lies in
     ``[min_ppl, max_ppl]`` (either bound optional, at least one
@@ -617,7 +684,7 @@ def perplexity_filter(t: Table, reference: Table | None = None,
     scores = _local_ngram_lm_logprob(
         t, reference=reference, counts=counts, text_col=text_col,
         id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,
-        backoff=backoff, tokenizer=tokenizer,
+        backoff=backoff, tokenizer=tokenizer, interpolate=interpolate,
         _fn_name="perplexity_filter")
     key = F.col("ppl")
     cond = F.lit(True)
@@ -670,21 +737,31 @@ def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
 
 
 def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
-                  n, smoothing, fn_name, backoff=None, tokenizer=None):
+                  n, smoothing, fn_name, backoff=None, tokenizer=None,
+                  interpolate=None):
     _validate_features(n_buckets, n)
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    if backoff is not None:
-        if not 0.0 < backoff <= 1.0:
-            raise ValueError(
-                f"{fn_name}: backoff must be in (0, 1], got {backoff}")
+    if backoff is not None and interpolate is not None:
+        raise ValueError(
+            f"{fn_name}: backoff= and interpolate= are alternative "
+            "smoothing schemes — pass one")
+    if backoff is not None and not 0.0 < backoff <= 1.0:
+        raise ValueError(
+            f"{fn_name}: backoff must be in (0, 1], got {backoff}")
+    if interpolate is not None and not 0.0 < interpolate < 1.0:
+        raise ValueError(
+            f"{fn_name}: interpolate must be in (0, 1), got "
+            f"{interpolate}")
+    if backoff is not None or interpolate is not None:
+        which = "backoff" if backoff is not None else "interpolate"
         if n < 2:
             raise ValueError(
-                f"{fn_name}: backoff requires n >= 2 — a unigram LM "
-                "has no lower-order relation to back off to")
+                f"{fn_name}: {which} requires n >= 2 — a unigram LM "
+                "has no lower-order relation to fall back on")
         if n > _MAX_BACKOFF_ORDER:
             raise ValueError(
-                f"{fn_name}: backoff bounds n at "
+                f"{fn_name}: {which} bounds n at "
                 f"{_MAX_BACKOFF_ORDER}, got n={n}")
     if counts is not None and reference is not None:
         raise ValueError(
@@ -708,6 +785,10 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
         # only present when set: default-smoothing trees stay valid on
         # r11 servers, backoff trees reject there loudly (unknown kw)
         kw["backoff"] = float(backoff)
+    if interpolate is not None:
+        # same posture (r13): interp plans reject loudly on servers
+        # that would otherwise silently score add-α
+        kw["interpolate"] = float(interpolate)
     if tokenizer is not None:
         # same posture (r13): tokenizer plans reject loudly on older
         # servers — never a silent whitespace recount
@@ -758,18 +839,22 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      id_col: str = "doc_id", n_buckets: int = 4096,
                      n: int = 2, smoothing: float = 1.0,
                      prefer_literal: bool = False,
-                     backoff: float | None = None, tokenizer=None):
+                     backoff: float | None = None, tokenizer=None,
+                     interpolate: float | None = None):
     if _client_of(t) is None:
         return _local_ngram_lm_logprob(
             t, reference, counts, text_col, id_col, n_buckets, n,
-            smoothing, prefer_literal, backoff, tokenizer)
-    if prefer_literal and backoff is not None:
+            smoothing, prefer_literal, backoff, tokenizer,
+            interpolate)
+    if prefer_literal and (backoff is not None
+                           or interpolate is not None):
         raise ValueError(
-            "ngram_lm_logprob: backoff= scores via the positioned-"
-            "index explode path — prefer_literal=True is add-α only")
+            "ngram_lm_logprob: backoff=/interpolate= score via the "
+            "positioned-index explode path — prefer_literal=True is "
+            "add-α only")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "ngram_lm_logprob",
-                         backoff, tokenizer)
+                         backoff, tokenizer, interpolate)
     args[3]["prefer_literal"] = bool(prefer_literal)
     node = {"op": "ngram_lm_logprob", "args": args}
     empty = t.df.sparkSession.createDataFrame([], T.StructType(
@@ -785,18 +870,19 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_buckets: int = 4096, n: int = 2,
                       smoothing: float = 1.0,
-                      backoff: float | None = None, tokenizer=None):
+                      backoff: float | None = None, tokenizer=None,
+                      interpolate: float | None = None):
     if _client_of(t) is None:
         return _local_perplexity_filter(
             t, reference, counts, max_ppl, min_ppl, text_col, id_col,
-            n_buckets, n, smoothing, backoff, tokenizer)
+            n_buckets, n, smoothing, backoff, tokenizer, interpolate)
     if max_ppl is None and min_ppl is None:
         raise ValueError(
             "perplexity_filter: pass max_ppl and/or min_ppl — an "
             "unbounded band keeps everything")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "perplexity_filter",
-                         backoff, tokenizer)
+                         backoff, tokenizer, interpolate)
     args[3]["max_ppl"] = None if max_ppl is None else float(max_ppl)
     args[3]["min_ppl"] = None if min_ppl is None else float(min_ppl)
     node = {"op": "perplexity_filter", "args": args}

@@ -864,3 +864,95 @@ def pq_topk(codes: Table, queries, codebooks, k: int = 5,
     empty = codes.df.sparkSession.createDataFrame(
         [], "query_id long, neighbor_id long, cosine double")
     return _wr(codes, empty, node)
+
+
+# IVF-PQ application over the wire (r13 second half — the same
+# trained-artifact posture as pq_topk above, plus the coarse
+# centroids as a second bounded literal): nprobe-pruned ADC runs
+# where the cell-partitioned store lives, so the partition-pruning
+# isin filter applies AT THE SERVER'S SCAN and only Q×k rows cross.
+
+def centroids_to_wire(centroids) -> dict:
+    """Encode trained coarse centroids — a bounded (k_cells, d)
+    float64 relation — for a wire node (same exact-repr JSON
+    round-trip as codebooks_to_wire)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    if c.ndim != 2:
+        raise ValueError(
+            f"centroids must be a (k_cells, d) array, got shape "
+            f"{c.shape}")
+    if c.size > _MAX_CODEBOOK_FLOATS:
+        raise ValueError(
+            f"centroids carry {c.size} floats (> "
+            f"{_MAX_CODEBOOK_FLOATS}) — is this a trained coarse "
+            "quantizer or a corpus?")
+    k_cells, d = c.shape
+    return {"k_cells": int(k_cells), "d": int(d),
+            "data": [float(x) for x in c.reshape(-1)]}
+
+
+def centroids_from_wire(enc) -> np.ndarray:
+    """Rebuild coarse centroids from their wire dict; mis-shaped/
+    hostile nodes fail loudly."""
+    if not isinstance(enc, dict) or set(enc) != {"k_cells", "d",
+                                                 "data"}:
+        raise ValueError(
+            "centroids wire form must be a {k_cells, d, data} dict "
+            "(centroids_to_wire output)")
+    k_cells, d = int(enc["k_cells"]), int(enc["d"])
+    if k_cells < 1 or d < 1 or k_cells * d > _MAX_CODEBOOK_FLOATS:
+        raise ValueError(
+            f"centroids wire form declares an invalid shape "
+            f"({k_cells}, {d})")
+    data = enc["data"]
+    if len(data) != k_cells * d:
+        raise ValueError(
+            f"centroids wire form carries {len(data)} floats, "
+            f"declared shape needs {k_cells * d}")
+    return np.asarray(data, dtype=np.float64).reshape(k_cells, d)
+
+
+_guarded_ivf_pq_topk = ivf_pq_topk
+
+
+@_functools.wraps(_guarded_ivf_pq_topk)
+def ivf_pq_topk(codes: Table, queries, centroids, codebooks,
+                k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
+                code_col: str = "pq_code", vec_col: str = "embedding",
+                cell_col: str = "cell", round_to: int | None = 4,
+                max_queries: int = 10_000) -> Table:
+    client = _cof(codes)
+    if client is None:
+        if _cof(queries) is not None:
+            raise TypeError(
+                "ivf_pq_topk: REMOTE queries against a LOCAL code "
+                "store mixes engines — compute() the queries first, "
+                "or register the store on the same server")
+        return _guarded_ivf_pq_topk(codes, queries, centroids,
+                                    codebooks, k, nprobe, id_col,
+                                    code_col, vec_col, cell_col,
+                                    round_to, max_queries)
+    if isinstance(queries, Table) and _cof(queries) is not None:
+        if not _ss(codes, queries):
+            raise TypeError(
+                "ivf_pq_topk: queries live on a DIFFERENT server than "
+                "the code store — register them together, or pass a "
+                "bounded local query frame")
+        q_enc = _rt(queries, "ivf_pq_topk queries")
+    else:
+        q_enc = _queries_wire(queries, id_col, vec_col, max_queries,
+                              "ivf_pq_topk")
+    node = {"op": "ivf_pq_topk",
+            "args": [_rt(codes, "ivf_pq_topk"),
+                     centroids_to_wire(centroids),
+                     codebooks_to_wire(codebooks), q_enc,
+                     {"k": int(k), "nprobe": int(nprobe),
+                      "id_col": id_col, "code_col": code_col,
+                      "vec_col": vec_col, "cell_col": cell_col,
+                      "round_to": (None if round_to is None
+                                   else int(round_to)),
+                      "max_queries": (None if max_queries is None
+                                      else int(max_queries))}]}
+    empty = codes.df.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double")
+    return _wr(codes, empty, node)

@@ -605,3 +605,192 @@ def test_backoff_multiorder_wire_roundtrip(spark, ldocs):
                              backoff=0.4)
     finally:
         srv.stop()
+
+
+# -- r13 (second half): interpolated (Jelinek–Mercer) smoothing ------------
+
+def _py_interp(rows, n_buckets=B, n=2, smoothing=1.0, lam=0.5):
+    """Reference JM interpolation over bucketized counts: per-gram
+    ln Σ-mixture through the order ladder down to the add-α unigram;
+    every lower order counts the k-token SUFFIX at n-gram positions
+    (so each order's conditional is over the same event set)."""
+    per_k = {k: ({}, {}) for k in range(2, n + 1)}   # k -> (gram, ctx)
+    uni = {}
+    doc_grams = {}
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        grams = ([toks[i:i + n] for i in range(len(toks) - n + 1)]
+                 if len(toks) >= n else [])
+        doc_grams[doc_id] = grams
+        for g in grams:
+            bu = _bucket(g[-1], n_buckets)
+            uni[bu] = uni.get(bu, 0) + 1
+            for k in range(2, n + 1):
+                suf = g[n - k:]
+                gk, ck = per_k[k]
+                bg = _bucket(" ".join(suf), n_buckets)
+                bc = _bucket(" ".join(suf[:-1]), n_buckets)
+                gk[bg] = gk.get(bg, 0) + 1
+                ck[bc] = ck.get(bc, 0) + 1
+    total = sum(uni.values())
+    den = math.log(total + smoothing * n_buckets)
+    out = {}
+    for doc_id, grams in doc_grams.items():
+        s = 0.0
+        for g in grams:
+            bu = _bucket(g[-1], n_buckets)
+            p = math.exp(math.log(uni.get(bu, 0) + smoothing) - den)
+            for k in range(2, n + 1):
+                suf = g[n - k:]
+                gk, ck = per_k[k]
+                bg = _bucket(" ".join(suf), n_buckets)
+                bc = _bucket(" ".join(suf[:-1]), n_buckets)
+                mle = (math.exp(math.log(gk[bg]) - math.log(ck[bc]))
+                       if bg in gk and bc in ck else 0.0)
+                p = lam * mle + (1.0 - lam) * p
+            s += math.log(p)
+        out[doc_id] = (len(grams), s)
+    return out
+
+
+def test_interp_hand_computed(spark, ldocs):
+    rows = [(0, "the cat sat"), (1, "the cat ran"),
+            (2, "the dog sat"), (3, "x")]
+    expect = _py_interp(rows, lam=0.5)
+    got = {r["doc_id"]: r for r in
+           ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                            interpolate=0.5).collect()}
+    for doc_id, (ng, s) in expect.items():
+        r = got[doc_id]
+        assert r["n_grams"] == ng
+        if ng:
+            assert r["logp"] == pytest.approx(round(s, 4), abs=1e-9)
+            assert r["ppl"] == pytest.approx(
+                round(math.exp(-s / ng), 4), abs=1e-9)
+        else:
+            assert r["ppl"] is None
+    # a true probability: every per-doc avg_logp is <= 0 here (tiny
+    # corpus, no bucket collisions at B=64 with 7 distinct tokens)
+    assert all(r["logp"] <= 0 for r in got.values())
+
+
+def test_interp_multiorder_hand_computed(spark):
+    rows = [(0, "a b c a b c a b d"), (1, "c b a"), (2, "a b c"),
+            (3, "z z z z")]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="i3docs")
+    expect = _py_interp(rows, n=3, lam=0.4)
+    got = {r["doc_id"]: r for r in
+           ngram_lm_logprob(t, n_buckets=B, n=3,
+                            interpolate=0.4).collect()}
+    for doc_id, (ng, s) in expect.items():
+        assert got[doc_id]["n_grams"] == ng
+        if ng:
+            assert got[doc_id]["logp"] == pytest.approx(
+                round(s, 4), abs=1e-9)
+
+
+def test_interp_validation(spark, ldocs):
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        ngram_lm_logprob(ldocs, n_buckets=B, interpolate=1.0)
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        ngram_lm_logprob(ldocs, n_buckets=B, interpolate=0.0)
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_lm_logprob(ldocs, n_buckets=B, n=1, interpolate=0.5)
+    with pytest.raises(ValueError, match="alternative smoothing"):
+        ngram_lm_logprob(ldocs, n_buckets=B, backoff=0.4,
+                         interpolate=0.5)
+    with pytest.raises(ValueError, match="prefer_literal"):
+        ngram_lm_logprob(ldocs, n_buckets=B, interpolate=0.5,
+                         prefer_literal=True)
+    plain = ngram_lm_fit(ldocs, n_buckets=B, n=2)  # no 'uni' rows
+    with pytest.raises(ValueError, match="interpolate= needs"):
+        ngram_lm_logprob(ldocs, counts=plain, n_buckets=B,
+                         interpolate=0.5)
+
+
+def test_interp_band_filter(spark, ldocs):
+    scored = ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                              interpolate=0.5).collect()
+    ppls = sorted(r["ppl"] for r in scored if r["ppl"] is not None)
+    cut = (ppls[0] + ppls[-1]) / 2
+    kept = perplexity_filter(ldocs, n_buckets=B, n=2, interpolate=0.5,
+                             max_ppl=cut)
+    want = {r["doc_id"] for r in scored
+            if r["ppl"] is not None and r["ppl"] <= cut}
+    assert {r["doc_id"] for r in kept.collect()} == want
+
+
+def test_interp_wire_roundtrip(spark, ldocs):
+    from blaze_spark import data as bs_data
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"ldocs": ldocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = bs_data(f"blaze://127.0.0.1:{srv.port}::ldocs",
+                     spark=spark)
+        local = ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                                 interpolate=0.5)
+        remote = ngram_lm_logprob(rt, n_buckets=B, n=2,
+                                  interpolate=0.5)
+        got = sorted(map(tuple, spark.createDataFrame(
+            remote.compute(), schema=remote.df.schema).collect()))
+        assert got == sorted(map(tuple, local.collect()))
+        # the interpolate kw rides only when set — default trees stay
+        # byte-identical to the r12 form
+        from blaze_spark.interop import to_tree
+        plain = ngram_lm_logprob(rt, n_buckets=B, n=2)
+        assert "interpolate" not in to_tree(plain)["args"][3]
+    finally:
+        srv.stop()
+
+
+def _sep_fixture_rows():
+    """The smoothing-quality fixture (PLANS.md r13): a reference
+    corpus with strong deterministic bigram structure, in-domain test
+    docs drawn from the same chains, and OOD docs that are the SAME
+    unigrams scrambled — so unigram evidence alone cannot separate
+    and the scheme's treatment of unseen bigrams is what's measured."""
+    chains = [
+        "the cat sat on the mat", "the dog ran in the park",
+        "a bird flew over a tree", "the fish swam in the pond",
+    ]
+    ref = [(i, chains[i % 4]) for i in range(40)]
+    in_dom = [(100 + i, chains[i % 4]) for i in range(8)]
+    # deterministic scramble: reverse + rotate mixes words ACROSS
+    # chain templates, killing every trained bigram
+    words = " ".join(chains).split()
+    ood = []
+    for i in range(8):
+        w = list(reversed(words[i::3]))[:6]
+        ood.append((200 + i, " ".join(w)))
+    return ref, in_dom + ood
+
+
+def test_smoothing_separation_fixture(spark):
+    """All three schemes must separate in-domain from scrambled OOD
+    (mean OOD ppl ≥ 2× mean in-domain ppl); the laddered schemes must
+    separate at least as well as add-α — the measured numbers are
+    recorded in PLANS.md r13."""
+    ref_rows, test_rows = _sep_fixture_rows()
+    ref = data(ref_rows, spark=spark,
+               schema="doc_id bigint, text string", name="sep_ref")
+    tst = data(test_rows, spark=spark,
+               schema="doc_id bigint, text string", name="sep_tst")
+    seps = {}
+    for name, kw in [("add_alpha", {}),
+                     ("backoff", {"backoff": 0.4}),
+                     ("interp", {"interpolate": 0.5})]:
+        got = ngram_lm_logprob(tst, reference=ref, n_buckets=256,
+                               n=2, **kw).collect()
+        ppl = {r["doc_id"]: r["ppl"] for r in got
+               if r["ppl"] is not None}
+        in_mean = sum(v for k, v in ppl.items() if k < 200) / \
+            sum(1 for k in ppl if k < 200)
+        ood_mean = sum(v for k, v in ppl.items() if k >= 200) / \
+            sum(1 for k in ppl if k >= 200)
+        seps[name] = ood_mean / in_mean
+    assert all(s >= 2.0 for s in seps.values()), seps
+    assert seps["backoff"] >= seps["add_alpha"], seps
+    assert seps["interp"] >= seps["add_alpha"], seps

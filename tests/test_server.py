@@ -1022,10 +1022,11 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     from blaze_spark.pipeline.multimodal import resize_images
     guarded.append(resize_images)
     guarded += [pl.quantize_embeddings, pl.dequantize_embeddings]
-    # pq_topk left this set in r13: trained-codebook APPLICATION
-    # serializes (the fits/encoders stay guarded)
+    # pq_topk (r13) and ivf_pq_topk (r13 second half) left this set:
+    # trained-artifact APPLICATION serializes (the fits/encoders stay
+    # guarded)
     guarded += [pl.pq_fit, pl.pq_encode, pl.pq_decode,
-                pl.ivf_pq_topk, pl.write_pq_codes]
+                pl.write_pq_codes]
     from blaze_spark.streaming.incremental_ann import ingest_pq_batch
     guarded.append(ingest_pq_batch)
     guarded.append(pl.ann_topk)

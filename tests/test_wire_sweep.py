@@ -457,3 +457,79 @@ def test_pq_topk_wire_application(spark):
     bad["args"][2] = "not-rows"
     with pytest.raises(ValueError, match="query"):
         from_tree(bad, spark=spark, datasets={"codes": codes})
+
+
+def test_ivf_pq_topk_wire_application(spark):
+    """IVF-PQ over the wire (r13 second half): coarse centroids AND
+    trained codebooks ride as bounded literal relations, the
+    nprobe-pruned ADC scans the SERVER-side cell-tagged code store —
+    remote == local EXACTLY; hostile centroids reject loudly; with
+    nprobe >= k_cells the remote result equals remote pq_topk's pairs
+    (the local differential contract, preserved across the wire)."""
+    import copy
+    import json
+
+    from blaze_spark import pipeline as pl
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline.ivf import ivf_assign, kmeans_fit
+    from blaze_spark.pipeline.pq import (centroids_from_wire,
+                                         centroids_to_wire)
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(16)])
+            for i in range(60)]
+    emb = data(rows, spark=spark,
+               schema="vec_id bigint, embedding array<float>",
+               name="ivfemb")
+    cents = kmeans_fit(emb, k=4, iters=3)
+    cb = pl.pq_fit(emb, m=4, ks=8, iters=3, train_rows=60)
+    codes = pl.pq_encode(ivf_assign(emb, cents), cb)
+    q = Table(emb.df.filter(F.col("vec_id") < 5), "q")
+    want = sorted(map(tuple, pl.ivf_pq_topk(
+        codes, q, cents, cb, k=4, nprobe=2).df.collect()))
+
+    # centroids wire round-trip is bit-exact
+    enc = json.loads(json.dumps(centroids_to_wire(cents)))
+    assert (centroids_from_wire(enc) == cents).all()
+
+    srv = BlazeSparkServer({"codes": codes}, spark)
+    srv.start(port=0)
+    try:
+        rc = data(f"blaze://127.0.0.1:{srv.port}::codes", spark=spark)
+        out = pl.ivf_pq_topk(rc, q.df, cents, cb, k=4, nprobe=2)
+        got = sorted(map(tuple, spark.createDataFrame(
+            out.compute(), schema=out.df.schema).collect()))
+        assert got == want and len(got) == 5 * 4
+        node = out._tree
+
+        # nprobe >= k_cells degenerates to the full ADC scan: the
+        # remote differential contract equals remote pq_topk
+        full = pl.ivf_pq_topk(rc, q.df, cents, cb, k=4, nprobe=4)
+        flat = pl.pq_topk(rc, q.df, cb, k=4)
+        a = sorted(map(tuple, spark.createDataFrame(
+            full.compute(), schema=full.df.schema).collect()))
+        b = sorted(map(tuple, spark.createDataFrame(
+            flat.compute(), schema=flat.df.schema).collect()))
+        assert a == b
+
+        with pytest.raises(TypeError, match="mixes engines"):
+            pl.ivf_pq_topk(codes, rc, cents, cb, k=4)
+        with pytest.raises(ValueError, match="max_queries"):
+            pl.ivf_pq_topk(rc, emb.df, cents, cb, k=4, max_queries=2)
+    finally:
+        srv.stop()
+
+    # version skew: unknown keyword rejects
+    bad = copy.deepcopy(node)
+    bad["args"][4]["future_knob"] = 1
+    with pytest.raises(ValueError, match="matching client version"):
+        from_tree(bad, spark=spark, datasets={"codes": codes})
+    # hostile centroids: truncated data rejects before any scan
+    bad = copy.deepcopy(node)
+    bad["args"][1]["data"] = bad["args"][1]["data"][:-1]
+    with pytest.raises(ValueError, match="floats"):
+        from_tree(bad, spark=spark, datasets={"codes": codes})
+    # mis-shaped centroids dict rejects
+    bad = copy.deepcopy(node)
+    bad["args"][1] = {"k_cells": 4}
+    with pytest.raises(ValueError, match="centroids wire form"):
+        from_tree(bad, spark=spark, datasets={"codes": codes})
