@@ -2961,6 +2961,23 @@ def ngram_lm_backoff3_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def pack_sep_docs(spark, sf_dir):
+    """Separator-aware packing (r13 second half — packing.py
+    sep_tokens=): a trainer inserts an EOS between packed documents,
+    so each document costs n_tokens + 1 in the running budget;
+    tok_start/shard are offsets in the separator-INCLUSIVE stream
+    while n_tokens stays the document's own count.  Same distributed
+    prefix sum; the oracle recomputes the (+1)-cost cumsum."""
+    from blaze_spark.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget=5000, partitions=4, sep_tokens=1)
+    g = by([packed.shard], n_docs=packed.doc_id.nelements(),
+           total_tokens=packed.n_tokens.sum(),
+           first_doc=packed.doc_id.min(), last_doc=packed.doc_id.max())
+    return g.df
+
+
 def ngram_lm_interp_docs(spark, sf_dir):
     """Interpolated (Jelinek–Mercer) LM band filter (r13 second half —
     pipeline/lm.py interpolate=λ; Jelinek & Mercer 1980, the smoothing
@@ -3370,7 +3387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closing ROADMAP #9's deferral with the measured separation
         # fixture); hash_sample_orders (green r12 row, unchanged code)
         # rotates below the boundary for it.
+        # ... and pack_sep_docs (NEW — separator-aware budget
+        # accounting, the EOS-per-doc form every trainer actually
+        # packs with); sample_orders (green r12 row, unchanged code)
+        # rotates below the boundary for it.
         "ngram_lm_interp_docs": ngram_lm_interp_docs,
+        "pack_sep_docs": pack_sep_docs,
         "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
         "pack_tokenized_docs": pack_tokenized_docs,
         "chunk_tokenized_docs": chunk_tokenized_docs,
@@ -3986,6 +4008,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "pack_sep_docs": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+')) END AS nt
+                FROM documents),
+            c AS (
+                SELECT doc_id, nt,
+                       sum(nt + 1) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - (nt + 1) AS tok_start
+                FROM q)
+            SELECT CAST(floor(tok_start / 5000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY shard
         """,
         "pack_sequences_docs": r"""
             WITH q AS (

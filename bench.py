@@ -163,6 +163,7 @@ NEW_QUERIES_R13 = [
     "pack_bpe_docs",
     "blaze_client_pq",
     "ngram_lm_interp_docs",
+    "pack_sep_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

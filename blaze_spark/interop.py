@@ -598,7 +598,7 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
         frozenset({"fractions", "on", "salt", "labels"}), "unary"),
     "pack_sequences": (
         frozenset({"budget", "text_col", "order_by", "partitions",
-                   "tokenizer"}),
+                   "tokenizer", "sep_tokens"}),
         "unary"),
     "chunk_documents": (
         frozenset({"max_tokens", "overlap", "text_col", "tokenizer"}),

@@ -73,7 +73,7 @@ def train_val_test_split(t: Table, fractions=(0.98, 0.01, 0.01),
 def pack_sequences(t: Table, budget: int, text_col: str = "text",
                    order_by: str = "doc_id",
                    partitions: int | None = None,
-                   tokenizer=None) -> Table:
+                   tokenizer=None, sep_tokens: int = 0) -> Table:
     """Assign documents to fixed-token-budget shards (contiguous fill):
     adds ``n_tokens``, ``tok_start`` (global token offset) and
     ``shard`` = ``floor(tok_start / budget)``.
@@ -85,6 +85,14 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     byte-identical.  Only the ``n_tokens`` projection changes — the
     distributed prefix sum, the shard rule and the determinism
     argument are count-agnostic.
+
+    ``sep_tokens=`` (r13 second half) counts the per-document
+    separator tokens a trainer inserts between packed documents
+    (EOS, or BOS+EOS = 2): each document costs ``n_tokens +
+    sep_tokens`` in the running budget — ``tok_start``/``shard`` are
+    offsets in the separator-INCLUSIVE token stream, while the
+    exported ``n_tokens`` stays the document's own count.  0 (the
+    default) is byte-identical to the r13 form.
 
     Contiguous fill is the standard sequence-packing layout for training
     shards: documents in a stable total order (``order_by`` must be
@@ -126,6 +134,9 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if sep_tokens < 0:
+        raise ValueError(
+            f"sep_tokens must be >= 0, got {sep_tokens}")
     if tokenizer is None:
         toks = F.coalesce(
             F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
@@ -136,6 +147,12 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
                           F.lit(0)).cast("long")
     spark = t.df.sparkSession
     base = t.df.withColumn("n_tokens", toks)
+    # the budget accounting column: sep_tokens=0 keeps the plan (and
+    # every column expression) byte-identical to the pre-knob form
+    cost = "n_tokens" if sep_tokens == 0 else "__cost"
+    if sep_tokens:
+        base = base.withColumn(
+            "__cost", F.col("n_tokens") + F.lit(int(sep_tokens)))
 
     n_parts = partitions or max(
         spark.sparkContext.defaultParallelism, 1)
@@ -180,12 +197,12 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
     from pyspark.sql import Window
     w = (Window.partitionBy("__pid").orderBy(order_by)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = bucketed.withColumn("__cum", F.sum("n_tokens").over(w))
+    local = bucketed.withColumn("__cum", F.sum(cost).over(w))
 
     # one row per bucket: (pid, total) — tiny, driver-safe; bucket ids
     # are ordinal in key order by construction
     totals = (bucketed.groupBy("__pid")
-              .agg(F.sum("n_tokens").alias("tot"))
+              .agg(F.sum(cost).alias("tot"))
               .collect())
     totals.sort(key=lambda r: r["__pid"])
     rows, acc = [], 0
@@ -196,13 +213,13 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
                                    "__pid int, __off long")
     out = (local.join(F.broadcast(off_df), "__pid", "left")
            .withColumn("tok_start",
-                       (F.col("__cum") - F.col("n_tokens")
+                       (F.col("__cum") - F.col(cost)
                         + F.coalesce(F.col("__off"), F.lit(0)))
                        .cast("long"))
            .withColumn("shard",
                        F.floor(F.col("tok_start") / F.lit(budget))
                        .cast("long"))
-           .drop("__pid", "__cum", "__off"))
+           .drop("__pid", "__cum", "__off", "__cost"))
     from .dedup import scoped_persist
 
     return scoped_persist(Table(out, t._name), bucketed)
@@ -303,18 +320,25 @@ def train_val_test_split(t: Table, fractions=(0.98, 0.01, 0.01),
 def pack_sequences(t: Table, budget: int, text_col: str = "text",
                    order_by: str = "doc_id",
                    partitions: int | None = None,
-                   tokenizer=None) -> Table:
+                   tokenizer=None, sep_tokens: int = 0) -> Table:
     if _client_of(t) is None:
         return _local_pack_sequences(t, budget, text_col, order_by,
-                                     partitions, tokenizer)
+                                     partitions, tokenizer, sep_tokens)
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if sep_tokens < 0:
+        raise ValueError(
+            f"sep_tokens must be >= 0, got {sep_tokens}")
     if order_by not in t.df.columns:
         raise ValueError(f"no column {order_by!r} to order by")
     kw = {"budget": int(budget), "text_col": text_col,
           "order_by": order_by,
           "partitions": (None if partitions is None
                          else int(partitions))}
+    if sep_tokens:
+        # only present when set: separator-free plans keep the r13
+        # form; sep plans reject loudly on older servers (unknown kw)
+        kw["sep_tokens"] = int(sep_tokens)
     if tokenizer is not None:
         # only present when set: whitespace plans keep the r12 form;
         # tokenizer plans reject loudly on r12 servers (unknown kw) —

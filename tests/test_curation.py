@@ -919,3 +919,60 @@ def test_upsample_mix_over_wire(spark):
             apply_source_mix(rt, bad)
     finally:
         srv.stop()
+
+
+def test_pack_sequences_sep_tokens(spark):
+    """sep_tokens counts the trainer's per-doc separators in the
+    budget accounting: tok_start/shard are offsets in the
+    separator-INCLUSIVE stream, n_tokens stays the document's own
+    count; sep_tokens=0 is byte-identical to the default."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import pack_sequences
+
+    rows = [(i, "tok " * 3) for i in range(10)]   # 3 tokens each
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="pksep")
+    out = pack_sequences(t, budget=5, sep_tokens=1).df \
+        .orderBy("doc_id").collect()
+    acc = 0
+    for r in out:
+        assert r.n_tokens == 3                    # raw text count
+        assert r.tok_start == acc                 # sep-inclusive offset
+        assert r.shard == acc // 5
+        acc += r.n_tokens + 1                     # +1 EOS per doc
+    # docs cost 4 each: starts 0,4,8,... -> shards 0,0,1,2,3,4,...
+    assert [r.shard for r in out][:4] == [0, 0, 1, 2]
+    # default equality pin: sep_tokens=0 == the knob-free call
+    a = pack_sequences(t, budget=5).df.collect()
+    b = pack_sequences(t, budget=5, sep_tokens=0).df.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="sep_tokens"):
+        pack_sequences(t, budget=5, sep_tokens=-1)
+
+
+def test_pack_sequences_sep_tokens_wire(spark):
+    """The sep_tokens kw rides only when set (default trees stay in
+    the r13 form) and the remote result equals local."""
+    from blaze_spark import data as bs_data
+    from blaze_spark.interop import to_tree
+    from blaze_spark.pipeline import pack_sequences
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(i, "tok " * (i % 4 + 1)) for i in range(30)]
+    t = bs_data(rows, spark=spark, schema="doc_id long, text string",
+                name="pksepw")
+    srv = BlazeSparkServer({"pksepw": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = bs_data(f"blaze://127.0.0.1:{srv.port}::pksepw",
+                     spark=spark)
+        remote = pack_sequences(rt, budget=7, sep_tokens=2)
+        local = pack_sequences(t, budget=7, sep_tokens=2)
+        got = sorted(map(tuple, spark.createDataFrame(
+            remote.compute(), schema=remote.df.schema).collect()))
+        assert got == sorted(map(tuple, local.df.collect()))
+        assert to_tree(remote)["args"][1]["sep_tokens"] == 2
+        plain = pack_sequences(rt, budget=7)
+        assert "sep_tokens" not in to_tree(plain)["args"][1]
+    finally:
+        srv.stop()
