@@ -442,16 +442,21 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
         P = λ·MLE_n + (1−λ)·(λ·MLE_{n−1} + (1−λ)·(... P_uni))
 
     recursing through the same order ladder down to the add-α unigram
-    base.  Each level mixes a proper conditional distribution over
-    buckets, so P sums to 1 over the predicted-bucket axis and 'ppl'
-    is a TRUE perplexity — comparable across models and corpora,
-    which unnormalized stupid backoff scores are not.  Evidence-less
-    orders contribute 0 to the mixture (their λ-mass falls through to
-    the lower orders); the chain is bounded below by
-    (1−λ)^{n−1}·P_uni > 0.  Same plan shape as backoff (2n−1
-    broadcast ln() joins, mixture arithmetic in codegen);
-    ``prefer_literal=True`` with ``interpolate`` raises, and passing
-    both ``backoff=`` and ``interpolate=`` raises."""
+    base.  Each level mixes a properly normalized conditional
+    (Σ_grams cnt_g/cnt_c = 1 per context bucket over the gram-event
+    decomposition; Σ_tokens (c+α)/(N+αB) = 1), so the mixture is
+    normalized and 'ppl' is a TRUE perplexity — comparable across
+    models and corpora, which unnormalized stupid backoff scores are
+    not.  (Up to hash-bucketing: a cross-bucket collision can still
+    push one per-gram ratio above 1, the same caveat the whole
+    bucketized family carries — but unlike backoff there is no
+    by-construction mass inflation.)  Evidence-less orders contribute
+    0 to the mixture (their λ-mass falls through to the lower
+    orders); the chain is bounded below by (1−λ)^{n−1}·P_uni > 0.
+    Same plan shape as backoff (2n−1 broadcast ln() joins, mixture
+    arithmetic in codegen); ``prefer_literal=True`` with
+    ``interpolate`` raises, and passing both ``backoff=`` and
+    ``interpolate=`` raises."""
     _validate_features(n_buckets, n)
     if prefer_literal and (backoff is not None
                            or interpolate is not None):

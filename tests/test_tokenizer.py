@@ -407,3 +407,38 @@ def test_byte_level_wire_roundtrip(spark):
     a = t.df.select(bl.n_tokens(F.col("text")).alias("n")).collect()
     b = t.df.select(back.n_tokens(F.col("text")).alias("n")).collect()
     assert [r.n for r in a] == [r.n for r in b]
+
+
+def test_byte_level_udf_matches_module_reference(spark):
+    """The UDF inlines the pre-tokenizer scanner BY VALUE (cloudpickle
+    closure — executors never import blaze_spark); this pins the
+    inlined copy against the module-level composition
+    (_gpt2_pretokenize → byte map → _apply_word) on adversarial text,
+    so the two can never drift silently."""
+    from blaze_spark import data
+    from blaze_spark.pipeline.tokenizer import (_bytes_to_unicode,
+                                                _gpt2_pretokenize)
+
+    G = "Ġ"
+    merges = [(G, "t"), ("h", "e"), (G + "t", "he"), ("l", "l"),
+              ("Ċ", "Ċ"), ("1", "2")]
+    texts = [
+        "the the", "it's 2x12", "don't  stop\nnow", "a\n\n\nb",
+        "héllo wörld", "tabs\tand\nnewlines  ", "  lead", "v1.2,x;y",
+        "'s's't", "ĠĊ literal unicode", "123 456", "\n\n",
+    ]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="blsync_docs")
+    bpe = BPETokenizer(merges, byte_level=True)
+    got = {r.doc_id: list(r.p) for r in t.df.select(
+        "doc_id", bpe.pieces(F.col("text")).alias("p")).collect()}
+
+    b2u = _bytes_to_unicode()
+    ranks = {m: i for i, m in enumerate(merges)}
+    for i, s in enumerate(texts):
+        want = []
+        for u in _gpt2_pretokenize(s):
+            mapped = "".join(b2u[b] for b in u.encode("utf-8"))
+            want.extend(BPETokenizer._apply_word(mapped, ranks))
+        assert got[i] == want, (s, got[i], want)
