@@ -1633,6 +1633,28 @@ def pack_bpe_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def pack_wordpiece_docs(spark, sf_dir):
+    """Sequence packing under TRUE WordPiece (r13 second half — the
+    BERT scheme: greedy longest-match-first, ## continuations,
+    whole-word UNK): a real vocab.txt counts trainer-true tokens,
+    where VocabTokenizer is the SQL-expressible approximation of the
+    same artifact.  Not SQL-expressible (the greedy max-munch loop is
+    iterative) — rows-only; pinned by tests/test_tokenizer.py against
+    hand-derived BERT tokenizations and the module-level reference."""
+    from blaze_spark.pipeline import WordPieceTokenizer, pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    wp = WordPieceTokenizer(
+        ["the", "a", "an", "of", "to", "and", "in", "is", "scan",
+         "join", "hash", "row", "batch", "filter", "##s", "##ing",
+         "##er", "##ed", "##e", "##r", "##n", "##t"])
+    packed = pack_sequences(d, budget=4096, partitions=4,
+                            tokenizer=wp)
+    return (packed.df.select("doc_id", "n_tokens", "tok_start",
+                             "shard")
+            .orderBy("doc_id"))
+
+
 def training_shards_pipeline(spark, sf_dir):
     """The full dataset-ASSEMBLY chain as one composite (the step after
     corpus_curation_pipeline in a real build): sliding-window chunking ->
@@ -3464,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codebooks aren't SQL-expressible — exact remote==local
         # equality pinned in tests/test_wire_sweep.py).
         "pack_bpe_docs": pack_bpe_docs,
+        "pack_wordpiece_docs": pack_wordpiece_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,

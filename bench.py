@@ -164,6 +164,7 @@ NEW_QUERIES_R13 = [
     "blaze_client_pq",
     "ngram_lm_interp_docs",
     "pack_sep_docs",
+    "pack_wordpiece_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -73,6 +73,7 @@ from .tokenizer import (  # noqa: F401
     Tokenizer,
     VocabTokenizer,
     WhitespaceTokenizer,
+    WordPieceTokenizer,
     tokenizer_from_wire,
 )
 from .pq import (  # noqa: F401

@@ -7,7 +7,7 @@ BPE/SentencePiece tokens, where whitespace counts are off 1.3-1.8× and
 language-dependent.  These operators now accept ``tokenizer=``; the
 default (``None``) keeps the whitespace split byte-identical.
 
-Three engine profiles, one two-method contract (``pieces(col)`` →
+Four engine profiles, one two-method contract (``pieces(col)`` →
 ``array<string>``, ``n_tokens(col)`` → ``long``):
 
 - :class:`WhitespaceTokenizer` — the explicit form of the default.
@@ -36,6 +36,11 @@ Three engine profiles, one two-method contract (``pieces(col)`` →
   pytest against a pure-Python reference and hand-computed GPT-2
   tokenizations, and a rows-only registry entry instead of a DuckDB
   oracle.
+- :class:`WordPieceTokenizer` — TRUE WordPiece (BERT, Devlin et al.
+  2019): greedy longest-match-first with ``##`` continuations and the
+  whole-word-UNK rule, so a real BERT ``vocab.txt`` counts
+  trainer-true tokens.  Same Arrow-batched UDF shape as BPE;
+  rows-only, pinned against hand-derived BERT tokenizations.
 
 All three are wire-serializable (``to_wire``/:func:`tokenizer_from_wire`
 — the ``model_weights`` bounded-literal-relation precedent): the vocab /
@@ -59,7 +64,7 @@ from pyspark.sql import functions as F
 from .selection import _MAX_BUCKETS
 
 __all__ = ["Tokenizer", "WhitespaceTokenizer", "VocabTokenizer",
-           "BPETokenizer", "tokenizer_from_wire"]
+           "BPETokenizer", "WordPieceTokenizer", "tokenizer_from_wire"]
 
 
 class Tokenizer:
@@ -604,6 +609,14 @@ def tokenizer_from_wire(enc) -> Tokenizer | None:
         return VocabTokenizer(enc["vocab"],
                               fallback_chars=int(enc["fallback_chars"]),
                               lowercase=lower)
+    if kind == "wordpiece":
+        _expect_keys(enc, {"kind", "vocab", "unk_token",
+                           "max_input_chars_per_word", "lowercase"})
+        return WordPieceTokenizer(
+            enc["vocab"], unk_token=str(enc["unk_token"]),
+            max_input_chars_per_word=int(
+                enc["max_input_chars_per_word"]),
+            lowercase=lower)
     if kind == "bpe":
         _expect_keys(enc, {"kind", "merges", "lowercase",
                            "byte_level", "add_prefix_space"})
@@ -635,3 +648,177 @@ def _tokenizer_wire(tok) -> dict | None:
             "tokenizer must be a blaze_spark Tokenizer (Whitespace/"
             f"Vocab/BPE), got {type(tok).__name__}")
     return tok.to_wire()
+
+
+class WordPieceTokenizer(Tokenizer):
+    """TRUE WordPiece (the BERT scheme, Devlin et al. 2019 /
+    Wu et al. 2016): per whitespace word, greedy LONGEST-match-first
+    over the vocabulary, continuation pieces carrying the ``##``
+    prefix; a word with any unmatchable remainder (or longer than
+    ``max_input_chars_per_word``) becomes one ``unk_token``.  This is
+    the exact tokenization a BERT-family trainer applies, so a real
+    ``vocab.txt`` counts trainer-true tokens — where
+    :class:`VocabTokenizer` is the deliberately SQL-expressible
+    whole-word-or-char-chunk APPROXIMATION of the same artifact.
+
+    Same execution shape as BPE: an Arrow-batched pandas UDF with a
+    per-batch word memo, the vocabulary as a by-value closure set
+    (bounded at ``_MAX_BUCKETS`` entries); rows-only in the registry
+    (the greedy loop is not SQL-expressible), pinned in pytest against
+    hand-derived BERT tokenizations.
+    """
+
+    def __init__(self, vocab, unk_token: str = "[UNK]",
+                 max_input_chars_per_word: int = 100,
+                 lowercase: bool = False):
+        if isinstance(vocab, DataFrame):
+            if len(vocab.columns) != 1:
+                raise ValueError(
+                    "vocab DataFrame must have exactly one string "
+                    f"column, got {vocab.columns}")
+            rows = vocab.limit(_MAX_BUCKETS + 1).collect()
+            vocab = [r[0] for r in rows if r[0] is not None]
+        vocab = list(dict.fromkeys(str(w) for w in vocab))
+        if len(vocab) > _MAX_BUCKETS:
+            raise ValueError(
+                f"vocab has more than {_MAX_BUCKETS} entries — "
+                "vocabularies ship as bounded literal relations")
+        if max_input_chars_per_word < 1:
+            raise ValueError(
+                "max_input_chars_per_word must be >= 1, got "
+                f"{max_input_chars_per_word}")
+        self.vocab = vocab
+        self.unk_token = str(unk_token)
+        self.max_input_chars_per_word = int(max_input_chars_per_word)
+        self.lowercase = bool(lowercase)
+
+    @staticmethod
+    def _apply_word(word: str, vocab: set, unk: str,
+                    max_chars: int) -> list:
+        if len(word) > max_chars:
+            return [unk]
+        pieces, start, n = [], 0, len(word)
+        while start < n:
+            end = n
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [unk]      # BERT: ANY bad span -> whole-word UNK
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def _udf(self, want_pieces: bool):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        vocab = set(self.vocab)
+        unk = self.unk_token
+        max_chars = self.max_input_chars_per_word
+        lower = self.lowercase
+
+        # inlined by value (the apply_word convention): executors
+        # never import blaze_spark to unpickle the UDF; the sync pin
+        # compares against the module-level _apply_word
+        def apply_word(word, vocab=vocab, unk=unk,
+                       max_chars=max_chars):
+            if len(word) > max_chars:
+                return [unk]
+            pieces, start, n = [], 0, len(word)
+            while start < n:
+                end = n
+                cur = None
+                while start < end:
+                    sub = word[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    return [unk]
+                pieces.append(cur)
+                start = end
+            return pieces
+
+        def _tok(s):
+            memo: dict = {}
+            out = []
+            for text in s:
+                if text is None or not text.strip():
+                    out.append([] if want_pieces else 0)
+                    continue
+                t = text.lower() if lower else text
+                if want_pieces:
+                    acc = []
+                    for w in t.split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = apply_word(w)
+                            memo[w] = got
+                        acc.extend(got)
+                    out.append(acc)
+                else:
+                    n = 0
+                    for w in t.split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = len(apply_word(w))
+                            memo[w] = got
+                        n += got
+                    out.append(n)
+            return pd.Series(out)
+
+        _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_tok, "array<string>" if want_pieces
+                          else "long")
+
+    def pieces(self, col: Column) -> Column:
+        return self._udf(want_pieces=True)(col)
+
+    def n_tokens(self, col: Column) -> Column:
+        return self._udf(want_pieces=False)(col)
+
+    def to_wire(self) -> dict:
+        return {"kind": "wordpiece", "vocab": list(self.vocab),
+                "unk_token": self.unk_token,
+                "max_input_chars_per_word":
+                    self.max_input_chars_per_word,
+                "lowercase": self.lowercase}
+
+    @classmethod
+    def from_vocab_file(cls, path: str, unk_token: str = "[UNK]",
+                        max_input_chars_per_word: int = 100,
+                        lowercase: bool = False):
+        """Load a BERT ``vocab.txt`` (one token per line, ``##``
+        continuations included) or a ``vocab.json`` dict/list — the
+        same formats :meth:`VocabTokenizer.from_vocab_file` reads,
+        applied with the TRUE WordPiece algorithm."""
+        if path.endswith(".json"):
+            import json
+
+            with open(path, encoding="utf-8") as f:
+                spec = json.load(f)
+            if isinstance(spec, dict):
+                words = list(spec.keys())
+            elif isinstance(spec, list):
+                words = [str(w) for w in spec]
+            else:
+                raise ValueError(
+                    f"{path}: vocab JSON must be a dict or list, got "
+                    f"{type(spec).__name__}")
+        else:
+            with open(path, encoding="utf-8") as f:
+                words = [ln.rstrip("\n") for ln in f]
+            words = [w for w in words if w]
+        return cls(words, unk_token=unk_token,
+                   max_input_chars_per_word=max_input_chars_per_word,
+                   lowercase=lowercase)

@@ -442,3 +442,80 @@ def test_byte_level_udf_matches_module_reference(spark):
             mapped = "".join(b2u[b] for b in u.encode("utf-8"))
             want.extend(BPETokenizer._apply_word(mapped, ranks))
         assert got[i] == want, (s, got[i], want)
+
+
+# ---- true WordPiece (BERT) -----------------------------------------
+
+
+def test_wordpiece_hand_computed(spark):
+    """The exact BERT algorithm: greedy longest-match-first, ##
+    continuations, whole-word UNK on any unmatchable remainder, the
+    max_input_chars_per_word guard."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import WordPieceTokenizer
+
+    vocab = ["un", "##aff", "##able", "runn", "##ing", "the",
+             "a", "ab", "abc", "##c"]
+    wp = WordPieceTokenizer(vocab)
+    rows = [(1, "unaffable"), (2, "the running"), (3, "abc abcc"),
+            (4, "abq"), (5, None), (6, "x" * 101)]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="wp_docs")
+    got = {r.doc_id: (r.n, list(r.p)) for r in t.df.select(
+        "doc_id", wp.n_tokens(F.col("text")).alias("n"),
+        wp.pieces(F.col("text")).alias("p")).collect()}
+    assert got[1] == (3, ["un", "##aff", "##able"])
+    assert got[2] == (3, ["the", "runn", "##ing"])
+    # greedy longest match: "abc" is ONE piece, "abcc" = abc + ##c
+    assert got[3] == (3, ["abc", "abc", "##c"])
+    # any unmatchable remainder ('q') -> the WHOLE word is [UNK]
+    assert got[4] == (1, ["[UNK]"])
+    assert got[5] == (0, [])
+    # over max_input_chars_per_word -> [UNK]
+    assert got[6] == (1, ["[UNK]"])
+    # sync pin: the module-level reference reproduces every Spark row
+    # (the UDF runs an inlined-by-value copy of the same loop)
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        want = []
+        for w in text.split():
+            want.extend(WordPieceTokenizer._apply_word(
+                w, set(vocab), "[UNK]", 100))
+        assert got[doc_id][1] == want, (text, want)
+
+
+def test_wordpiece_from_vocab_file_and_wire(spark, tmp_path):
+    import json
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import WordPieceTokenizer, pack_sequences
+    from blaze_spark.pipeline.tokenizer import tokenizer_from_wire
+
+    v = tmp_path / "vocab.txt"
+    v.write_text("[PAD]\n[UNK]\nthe\nun\n##aff\n##able\n",
+                 encoding="utf-8")
+    wp = WordPieceTokenizer.from_vocab_file(str(v))
+    assert "##aff" in wp.vocab and wp.unk_token == "[UNK]"
+    vj = tmp_path / "vocab.json"
+    vj.write_text(json.dumps({"the": 0, "##s": 1}))
+    assert WordPieceTokenizer.from_vocab_file(str(vj)).vocab == \
+        ["the", "##s"]
+
+    # wire round-trip to identical counts; unknown keys reject
+    enc = wp.to_wire()
+    assert enc["kind"] == "wordpiece"
+    back = tokenizer_from_wire(json.loads(json.dumps(enc)))
+    t = data([(1, "the unaffable thing")], spark=spark,
+             schema="doc_id bigint, text string", name="wpw_docs")
+    a = t.df.select(wp.n_tokens(F.col("text")).alias("n")).collect()
+    b = t.df.select(back.n_tokens(F.col("text")).alias("n")).collect()
+    assert [r.n for r in a] == [r.n for r in b] == [5]  # 1+3+UNK
+    with pytest.raises(ValueError, match="unknown key"):
+        tokenizer_from_wire({**enc, "evil": 1})
+
+    # threads through the token-budget operators like any Tokenizer
+    packed = pack_sequences(t, budget=4, tokenizer=wp).df.collect()
+    assert packed[0].n_tokens == 5
+    with pytest.raises(ValueError, match="max_input_chars"):
+        WordPieceTokenizer(["a"], max_input_chars_per_word=0)
