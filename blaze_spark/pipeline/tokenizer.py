@@ -512,16 +512,19 @@ class BPETokenizer(Tokenizer):
         return enc
 
     @classmethod
-    def from_tokenizer_json(cls, path: str, lowercase: bool = False):
+    def from_tokenizer_json(cls, path: str, lowercase: bool | None = None):
         """Load a HuggingFace ``tokenizer.json`` (the serialized
         ``tokenizers`` pipeline — a PUBLIC, documented format):
         ``model.type`` must be ``"BPE"``; ``model.merges`` supplies
         the ranks (either ``"a b"`` strings or ``["a", "b"]`` pairs);
         a ``ByteLevel`` pre-tokenizer anywhere in the
         ``pre_tokenizer`` chain switches on the GPT-2 byte scheme and
-        carries ``add_prefix_space``.  Counting-irrelevant components
-        (normalizer, post-processor, decoder, added special tokens)
-        are ignored — document budgets count content tokens."""
+        carries ``add_prefix_space``; a ``Lowercase`` normalizer (or
+        ``BertNormalizer`` with ``lowercase: true``) sets lowercase
+        unless the argument overrides it.  Other counting-irrelevant
+        components (strip/NFC normalizers, post-processor, decoder,
+        added special tokens) are ignored — document budgets count
+        content tokens."""
         import json
 
         with open(path) as f:
@@ -529,13 +532,15 @@ class BPETokenizer(Tokenizer):
         if not isinstance(spec, dict) or "model" not in spec:
             raise ValueError(
                 f"{path} is not a tokenizer.json (no 'model' key)")
+        if lowercase is None:
+            lowercase = _spec_lowercase(spec)
         model = spec["model"]
         mtype = model.get("type")
         if mtype != "BPE":
             raise ValueError(
                 f"{path}: model.type is {mtype!r} — only BPE merges "
-                "tables apply here (WordPiece vocabularies load as "
-                "VocabTokenizer.from_vocab_file)")
+                "tables apply here (WordPiece artifacts load as "
+                "WordPieceTokenizer.from_tokenizer_json)")
         merges = []
         for m in model.get("merges", []):
             if isinstance(m, str):
@@ -585,6 +590,24 @@ class BPETokenizer(Tokenizer):
                 merges.append((a, b))
         return cls(merges, lowercase=lowercase, byte_level=byte_level,
                    add_prefix_space=add_prefix_space)
+
+
+def _spec_lowercase(spec: dict) -> bool:
+    """Detect a lowercasing normalizer in a tokenizer.json spec: a
+    bare/chained ``Lowercase``, or ``BertNormalizer`` with
+    ``lowercase: true`` (its default)."""
+    norm = spec.get("normalizer") or {}
+    chain = norm.get("normalizers", [norm]) \
+        if norm.get("type") == "Sequence" else [norm]
+    for p in chain:
+        if not isinstance(p, dict):
+            continue
+        if p.get("type") == "Lowercase":
+            return True
+        if p.get("type") == "BertNormalizer" and \
+                bool(p.get("lowercase", True)):
+            return True
+    return False
 
 
 def tokenizer_from_wire(enc) -> Tokenizer | None:
@@ -822,3 +845,36 @@ class WordPieceTokenizer(Tokenizer):
         return cls(words, unk_token=unk_token,
                    max_input_chars_per_word=max_input_chars_per_word,
                    lowercase=lowercase)
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str,
+                            lowercase: bool | None = None):
+        """Load a HuggingFace ``tokenizer.json`` whose ``model.type``
+        is ``WordPiece`` (the BERT-family export): vocabulary,
+        ``unk_token`` and ``max_input_chars_per_word`` come from the
+        model block; a ``Lowercase``/``BertNormalizer`` normalizer
+        sets lowercase unless the argument overrides it."""
+        import json
+
+        with open(path) as f:
+            spec = json.load(f)
+        if not isinstance(spec, dict) or "model" not in spec:
+            raise ValueError(
+                f"{path} is not a tokenizer.json (no 'model' key)")
+        model = spec["model"]
+        mtype = model.get("type")
+        if mtype != "WordPiece":
+            raise ValueError(
+                f"{path}: model.type is {mtype!r} — BPE artifacts "
+                "load as BPETokenizer.from_tokenizer_json")
+        vocab = model.get("vocab")
+        if not isinstance(vocab, dict) or not vocab:
+            raise ValueError(
+                f"{path}: WordPiece model carries no vocab dict")
+        if lowercase is None:
+            lowercase = _spec_lowercase(spec)
+        return cls(list(vocab.keys()),
+                   unk_token=str(model.get("unk_token", "[UNK]")),
+                   max_input_chars_per_word=int(
+                       model.get("max_input_chars_per_word", 100)),
+                   lowercase=bool(lowercase))

@@ -519,3 +519,50 @@ def test_wordpiece_from_vocab_file_and_wire(spark, tmp_path):
     assert packed[0].n_tokens == 5
     with pytest.raises(ValueError, match="max_input_chars"):
         WordPieceTokenizer(["a"], max_input_chars_per_word=0)
+
+
+def test_tokenizer_json_normalizer_and_wordpiece_model(tmp_path):
+    """A Lowercase (or BertNormalizer) normalizer in tokenizer.json
+    sets lowercase unless overridden; model.type=WordPiece loads as a
+    WordPieceTokenizer with the model's unk/max_chars; cross-model
+    loads refuse with a pointer to the right loader."""
+    import json
+
+    from blaze_spark.pipeline import WordPieceTokenizer
+
+    spec = {"model": {"type": "BPE", "vocab": {"t": 0},
+                      "merges": ["h e"]},
+            "normalizer": {"type": "Lowercase"}}
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(spec))
+    assert BPETokenizer.from_tokenizer_json(str(p)).lowercase
+    # explicit override beats the spec
+    assert not BPETokenizer.from_tokenizer_json(
+        str(p), lowercase=False).lowercase
+    # BertNormalizer inside a Sequence, lowercase defaulting true
+    spec["normalizer"] = {"type": "Sequence", "normalizers": [
+        {"type": "NFD"}, {"type": "BertNormalizer"}]}
+    p.write_text(json.dumps(spec))
+    assert BPETokenizer.from_tokenizer_json(str(p)).lowercase
+    spec["normalizer"] = {"type": "Sequence", "normalizers": [
+        {"type": "BertNormalizer", "lowercase": False}]}
+    p.write_text(json.dumps(spec))
+    assert not BPETokenizer.from_tokenizer_json(str(p)).lowercase
+
+    wspec = {"model": {"type": "WordPiece",
+                       "vocab": {"the": 0, "##s": 1, "[UNK]": 2},
+                       "unk_token": "[UNK]",
+                       "max_input_chars_per_word": 50},
+             "normalizer": {"type": "Lowercase"}}
+    p.write_text(json.dumps(wspec))
+    wp = WordPieceTokenizer.from_tokenizer_json(str(p))
+    assert wp.vocab == ["the", "##s", "[UNK]"]
+    assert wp.unk_token == "[UNK]"
+    assert wp.max_input_chars_per_word == 50 and wp.lowercase
+    # cross-model loads refuse, each naming the right loader
+    p.write_text(json.dumps(spec))  # a BPE spec
+    with pytest.raises(ValueError, match="BPETokenizer.from_tokenizer"):
+        WordPieceTokenizer.from_tokenizer_json(str(p))
+    p.write_text(json.dumps(wspec))  # a WordPiece spec
+    with pytest.raises(ValueError, match="WordPieceTokenizer"):
+        BPETokenizer.from_tokenizer_json(str(p))
