@@ -240,11 +240,12 @@ def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
     of whitespace words: the window slides over
     ``tokenizer.pieces(text)``, so chunk boundaries sit at token
     boundaries and ``chunk_tokens`` is the exact budget the trainer
-    sees.  ``chunk_text`` is the space-joined pieces — for subword
-    tokenizers that is the standard lossy detokenization (budgets and
-    boundaries are what chunking guarantees; a faithful detokenizer is
-    tokenizer-specific).  ``None`` keeps the whitespace path
-    byte-identical.
+    sees.  ``chunk_text`` comes from ``tokenizer.detokenize`` — the
+    standard lossy space join for word-unit tokenizers, but the EXACT
+    inverse for byte-level BPE (r13 second half: the byte map is a
+    bijection and byte-level pieces concatenate, so each chunk's text
+    is the original byte span verbatim).  ``None`` keeps the
+    whitespace path byte-identical.
 
     Pure per-row JVM work — tokenize once, ``explode(sequence(...))``,
     ``slice`` + ``array_join`` per chunk: no shuffle, no Python
@@ -279,7 +280,10 @@ def chunk_documents(t: Table, max_tokens: int, overlap: int = 0,
                        F.slice("__toks",
                                F.col("chunk_id") * stride + 1,
                                max_tokens))
-           .withColumn("chunk_text", F.array_join("chunk_toks", " "))
+           .withColumn("chunk_text",
+                       F.array_join("chunk_toks", " ") if tokenizer
+                       is None else
+                       tokenizer.detokenize(F.col("chunk_toks")))
            .withColumn("chunk_tokens", F.size("chunk_toks"))
            .drop("__toks", "__nt", "__nch", "chunk_toks"))
     return Table(out, t._name)

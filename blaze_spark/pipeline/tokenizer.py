@@ -87,6 +87,13 @@ class Tokenizer:
     def n_tokens(self, col: Column) -> Column:
         return F.size(self.pieces(col)).cast("long")
 
+    def detokenize(self, pieces: Column) -> Column:
+        """Rebuild text from a piece array.  The default (space join)
+        is the standard LOSSY subword detokenization; byte-level BPE
+        overrides it with the exact inverse (the byte map is a
+        bijection and byte-level pieces concatenate)."""
+        return F.array_join(pieces, " ")
+
     def to_wire(self) -> dict:  # pragma: no cover
         raise NotImplementedError
 
@@ -497,6 +504,35 @@ class BPETokenizer(Tokenizer):
 
     def n_tokens(self, col: Column) -> Column:
         return self._udf(want_pieces=False)(col)
+
+    def detokenize(self, pieces: Column) -> Column:
+        """byte_level=True: EXACT inverse — concatenate pieces and map
+        each symbol back through the byte table, so a chunk's text is
+        the original byte span verbatim (whitespace runs included).  A
+        chunk boundary can split a multi-byte codepoint (pieces are
+        merge units over BYTES); such a dangling prefix/suffix decodes
+        as U+FFFD, pinned in pytest.  Non-byte-level keeps the lossy
+        space join."""
+        if not self.byte_level:
+            return super().detokenize(pieces)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        inv = {c: b for b, c in _bytes_to_unicode().items()}
+
+        def _detok(s):
+            out = []
+            for ps in s:
+                if ps is None:
+                    out.append(None)
+                    continue
+                joined = "".join(ps)
+                out.append(bytes(inv[ch] for ch in joined)
+                           .decode("utf-8", errors="replace"))
+            return pd.Series(out)
+
+        _detok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_detok, "string")(pieces)
 
     def to_wire(self) -> dict:
         enc = {"kind": "bpe",

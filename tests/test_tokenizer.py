@@ -566,3 +566,45 @@ def test_tokenizer_json_normalizer_and_wordpiece_model(tmp_path):
     p.write_text(json.dumps(wspec))  # a WordPiece spec
     with pytest.raises(ValueError, match="WordPieceTokenizer"):
         BPETokenizer.from_tokenizer_json(str(p))
+
+
+def test_byte_level_chunk_text_roundtrips(spark):
+    """chunk_documents with a byte-level tokenizer rebuilds each
+    chunk's text EXACTLY (inverse byte map + concatenation) —
+    whitespace runs included; a chunk boundary that splits a
+    multi-byte codepoint decodes its dangling bytes as U+FFFD."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import chunk_documents
+
+    G = "Ġ"
+    merges = [(G, "t"), ("h", "e"), (G + "t", "he")]
+    bpe = BPETokenizer(merges, byte_level=True)
+    texts = ["the the cat!", "a\n\n  b", "héllo wörld"]
+    t = data([(i, s) for i, s in enumerate(texts)], spark=spark,
+             schema="doc_id bigint, text string", name="bldetok")
+    # one big chunk per doc: chunk_text == the original text verbatim
+    one = chunk_documents(t, max_tokens=100, tokenizer=bpe).df
+    got = {r.doc_id: r.chunk_text for r in one.collect()}
+    assert got == {i: s for i, s in enumerate(texts)}
+    # multi-chunk: the concatenation of chunk texts == the original
+    many = chunk_documents(t, max_tokens=2, tokenizer=bpe).df
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk_text)
+                  for r in many.collect())
+    rebuilt = {}
+    for d, _, txt in rows:
+        rebuilt[d] = rebuilt.get(d, "") + txt
+    # docs 0 and 1 split only at codepoint boundaries
+    assert rebuilt[0] == texts[0] and rebuilt[1] == texts[1]
+    # a chunk boundary INSIDE é/ö yields U+FFFD at the dangling
+    # edges but the total piece budget stays exact
+    tot = sum(r.chunk_tokens for r in many.collect()
+              if r.doc_id == 2)
+    n2 = t.df.filter(F.col("doc_id") == 2).select(
+        bpe.n_tokens(F.col("text")).alias("n")).collect()[0].n
+    assert tot == n2
+    assert any("\ufffd" in txt for d, _, txt in rows if d == 2)
+    # the word-unit tokenizers keep the lossy space join
+    vt = VocabTokenizer(["the"], fallback_chars=4)
+    ch = chunk_documents(t, max_tokens=100, tokenizer=vt).df
+    got0 = [r.chunk_text for r in ch.collect() if r.doc_id == 0][0]
+    assert got0 == "the the cat!"  # space-joined pieces ("cat!" = 1 chunk)
