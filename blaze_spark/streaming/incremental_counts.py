@@ -120,41 +120,73 @@ def incremental_bucket_counts(stream, store_path: str, checkpoint: str,
             .trigger(availableNow=True).start())
 
 
-def lm_counts_format(n_buckets: int, n: int) -> str:
+def lm_counts_format(n_buckets: int, n: int,
+                     unigrams: bool = False,
+                     tokenizer=None) -> str:
     """Store identity for an n-gram LM fit store: counts carry a
     ``kind`` ('gram'/'ctx') dimension, so the format string is distinct
     from the flat DSIR store's — pointing either reader at the other's
-    store fails loudly with a feature-space mismatch."""
-    return f"lm1:b{n_buckets}:n{n}"
+    store fails loudly with a feature-space mismatch.
+
+    ``unigrams=True`` (r13 second half) appends ``:u1`` — a
+    lower-order-carrying store (backoff/interp scoring needs 'uni' +
+    intermediate kinds) is a DIFFERENT feature space from a plain one:
+    mixing them would sum relations only half the ingests emitted.  A
+    non-default ``tokenizer`` appends ``:tok<md5-8>`` of its canonical
+    wire form, so a store fitted under one tokenization can never be
+    silently extended or read under another.  Defaults keep the r11
+    stamp byte-identical (existing stores stay valid)."""
+    fmt = f"lm1:b{n_buckets}:n{n}"
+    if unigrams:
+        fmt += ":u1"
+    if tokenizer is not None:
+        import hashlib
+        import json
+
+        from ..pipeline.tokenizer import _tokenizer_wire
+        enc = json.dumps(_tokenizer_wire(tokenizer), sort_keys=True,
+                         separators=(",", ":"))
+        fmt += ":tok" + hashlib.md5(enc.encode()).hexdigest()[:8]
+    return fmt
 
 
 def ingest_lm_counts_batch(batch: Table, store_path: str,
                            n_buckets: int = 4096, n: int = 2,
                            text_col: str = "text",
-                           batch_id: int | None = None) -> None:
+                           batch_id: int | None = None,
+                           unigrams: bool = False,
+                           tokenizer=None) -> None:
     """Fit ONE batch's n-gram LM counts (``pipeline/lm.ngram_lm_fit``:
     gram + context-as-context, one tokenization pass) and add the
     partial (kind, bucket, cnt) rows to the store — ≤ 2·n_buckets rows
-    per ingest regardless of batch size.  Same exactly-once /
-    complete-only / format-stamp discipline as
+    per ingest regardless of batch size (≤ (2n−1)·n_buckets with
+    ``unigrams=True``, which also emits the lower-order kinds so the
+    store can feed ``backoff=``/``interpolate=`` scoring).  Same
+    exactly-once / complete-only / format-stamp discipline as
     :func:`ingest_counts_batch`; LM counts are additive across batches
-    for the same reason DSIR's are (both are occurrence counts)."""
+    for the same reason DSIR's are (both are occurrence counts), and
+    the multi-order kinds are additive for the same reason.  A
+    ``tokenizer=`` changes the feature space — the stamp carries its
+    hash, so a store can never silently mix tokenizations."""
     from ..pipeline.lm import ngram_lm_fit
 
     spark = batch.df.sparkSession
     root = resolve_store_root(spark, store_path)
     existing = _ingest_ids(spark, root)
     _check_counts_format(spark, root, bool(existing),
-                         lm_counts_format(n_buckets, n))
+                         lm_counts_format(n_buckets, n, unigrams,
+                                          tokenizer))
     if batch_id is None:
         batch_id = (max(existing) + 1) if existing else 0
-    counts = ngram_lm_fit(batch, text_col, n_buckets, n)
+    counts = ngram_lm_fit(batch, text_col, n_buckets, n,
+                          unigrams=unigrams, tokenizer=tokenizer)
     (counts.repartition(1).write.mode("overwrite")
      .parquet(f"{root}/ingest={batch_id}"))
 
 
 def read_lm_counts(spark, store_path: str, n_buckets: int = 4096,
-                   n: int = 2) -> DataFrame:
+                   n: int = 2, unigrams: bool = False,
+                   tokenizer=None) -> DataFrame:
     """The store's total (kind, bucket, cnt) relation — complete
     ingests only, summed; validates the feature space.  Feed directly
     to ``ngram_lm_logprob(counts=...)`` / ``perplexity_filter``."""
@@ -167,7 +199,8 @@ def read_lm_counts(spark, store_path: str, n_buckets: int = 4096,
             "the stream may not have committed its first batch, or "
             "every ingest directory is missing its _SUCCESS marker)")
     _check_counts_format(spark, root, True,
-                         lm_counts_format(n_buckets, n))
+                         lm_counts_format(n_buckets, n, unigrams,
+                                          tokenizer))
     df = (spark.read.option("basePath", root)
           .parquet(*[f"{root}/ingest={i}" for i in complete])
           .drop("ingest"))
@@ -177,14 +210,16 @@ def read_lm_counts(spark, store_path: str, n_buckets: int = 4096,
 
 def incremental_lm_counts(stream, store_path: str, checkpoint: str,
                           n_buckets: int = 4096, n: int = 2,
-                          text_col: str = "text"):
+                          text_col: str = "text",
+                          unigrams: bool = False, tokenizer=None):
     """Maintain the LM counts store from a Structured Streaming source:
     ``foreachBatch`` → :func:`ingest_lm_counts_batch` keyed by the
     batch id.  Returns the started StreamingQuery."""
     def _on_batch(bdf: DataFrame, batch_id: int):
         ingest_lm_counts_batch(Table(bdf, "lm_counts_batch"),
                                store_path, n_buckets=n_buckets, n=n,
-                               text_col=text_col, batch_id=batch_id)
+                               text_col=text_col, batch_id=batch_id,
+                               unigrams=unigrams, tokenizer=tokenizer)
 
     return (stream.df.writeStream.foreachBatch(_on_batch)
             .option("checkpointLocation", checkpoint)

@@ -1273,3 +1273,54 @@ def test_incremental_lm_counts_streaming_wrapper(spark, tmp_path):
                                     n_buckets=128, n=2),
         n_buckets=128, n=2, max_ppl=1e9)
     assert kept.count() == len(rows)
+
+
+def test_lm_store_unigrams_feeds_backoff_and_interp(spark, tmp_path):
+    """r13 second half: a unigrams=True LM counts store carries the
+    lower-order kinds, so store-fed backoff/interp scoring equals the
+    one-shot reference fit; the :u1 stamp keeps plain and
+    lower-order-carrying stores from silently mixing, and a tokenizer
+    hash in the stamp keeps tokenizations from mixing."""
+    import pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import (VocabTokenizer, ngram_lm_fit,
+                                      ngram_lm_logprob)
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_lm_counts_batch, lm_counts_format, read_lm_counts)
+
+    rows = [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 7}")
+            for i in range(40)]
+    full = data(rows, spark=spark,
+                schema="doc_id bigint, text string", name="lmu_full")
+    store = str(tmp_path / "lmustore")
+    for lo, hi in ((0, 20), (20, 40)):
+        b = data(rows[lo:hi], spark=spark,
+                 schema="doc_id bigint, text string", name="lmu_b")
+        ingest_lm_counts_batch(b, store, n_buckets=128, n=2,
+                               unigrams=True)
+    counts = read_lm_counts(spark, store, n_buckets=128, n=2,
+                            unigrams=True)
+    # store-fed == one-shot for BOTH laddered schemes
+    ref = ngram_lm_fit(full, n_buckets=128, n=2, unigrams=True)
+    for kw in ({"backoff": 0.4}, {"interpolate": 0.5}):
+        a = ngram_lm_logprob(full, counts=counts, n_buckets=128, n=2,
+                             **kw)
+        b2 = ngram_lm_logprob(full, counts=ref, n_buckets=128, n=2,
+                              **kw)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b2.collect()))
+    # a plain reader refuses the :u1 store (and vice versa)
+    with pytest.raises(ValueError, match="feature space"):
+        read_lm_counts(spark, store, n_buckets=128, n=2)
+    with pytest.raises(ValueError, match="feature space"):
+        ingest_lm_counts_batch(full, store, n_buckets=128, n=2)
+    # tokenizer hash: a different tokenization is a different store
+    vt = VocabTokenizer(["tok0", "tok1"], fallback_chars=4)
+    assert lm_counts_format(128, 2, True, vt) != \
+        lm_counts_format(128, 2, True)
+    with pytest.raises(ValueError, match="feature space"):
+        read_lm_counts(spark, store, n_buckets=128, n=2,
+                       unigrams=True, tokenizer=vt)
+    # defaults keep the r11 stamp byte-identical
+    assert lm_counts_format(128, 2) == "lm1:b128:n2"
