@@ -1655,6 +1655,59 @@ def pack_wordpiece_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def word_frequencies_docs(spark, sf_dir):
+    """The distributed phase of tokenizer TRAINING (r13 second half,
+    pipeline/tokenizer_train.py): the corpus' top-200 whitespace words
+    by (cnt DESC, word ASC) — one codegen scan, a map-side-combinable
+    groupBy, a bounded TakeOrdered (never a full sort).  This relation
+    is the family's counts= artifact: every published subword trainer
+    (HF BpeTrainer, GPT-2's original) runs its merge loop over exactly
+    this word-frequency table, so at 100 TB the ONLY corpus-scale work
+    is this one aggregation.  The deterministic tie-break makes the
+    LIMIT boundary oracle-checkable."""
+    from blaze_spark.pipeline import word_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    return word_frequencies(d, max_words=200)
+
+
+def train_vocab_tokens_docs(spark, sf_dir):
+    """END-TO-END ORACLE-CHECKED TOKENIZER TRAINING (r13 second half):
+    train the SQL-expressible member (train_vocab — top-64 words as
+    whole-word pieces, char-chunk OOV fallback) on documents, then
+    count every document's tokens under the TRAINED tokenizer.  DuckDB
+    re-derives the identical vocabulary (same top-N tie-break) and
+    re-prices every word, so training AND application are value-checked
+    end to end — the trained counterpart of the pack_tokenized_docs
+    artifact entry."""
+    from blaze_spark.pipeline import train_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    vt = train_vocab(d, vocab_size=64)
+    return (d.df.select("doc_id",
+                        vt.n_tokens(F.col("text")).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def train_bpe_docs(spark, sf_dir):
+    """Distributed BPE TRAINING + application (r13 second half,
+    Sennrich et al. 2016): word_frequencies (the one corpus-scale
+    aggregation) -> the driver-side incremental merge loop over the
+    bounded word table (128 merges, deterministic tie-breaks) -> the
+    trained tokenizer's Arrow-batched apply over every document.
+    Rows-only (the merge loop is iterative, not SQL-expressible);
+    the loop itself is pinned in tests/test_tokenizer_train.py against
+    a from-scratch naive reference and the hand-derived Sennrich
+    corpus, and determinism is pinned across runs."""
+    from blaze_spark.pipeline import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    tok = train_bpe(d, num_merges=128, min_pair_count=2)
+    return (d.df.select("doc_id",
+                        tok.n_tokens(F.col("text")).alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
 def training_shards_pipeline(spark, sf_dir):
     """The full dataset-ASSEMBLY chain as one composite (the step after
     corpus_curation_pipeline in a real build): sliding-window chunking ->
@@ -3413,6 +3466,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # accounting, the EOS-per-doc form every trainer actually
         # packs with); sample_orders (green r12 row, unchanged code)
         # rotates below the boundary for it.
+        # ... and word_frequencies_docs + train_vocab_tokens_docs (NEW
+        # — distributed tokenizer TRAINING, pipeline/tokenizer_train.py:
+        # the corpus-scale word-count phase, and end-to-end train→apply
+        # under the trained vocab tokenizer, both DuckDB-rederivable;
+        # the BPE/WordPiece trainers are the rows-only train_bpe_docs
+        # below the boundary, pinned against a naive reference);
+        # slice_offset and slice_step (green r12 rows, unchanged code)
+        # rotate below the boundary for them.
+        "word_frequencies_docs": word_frequencies_docs,
+        "train_vocab_tokens_docs": train_vocab_tokens_docs,
         "ngram_lm_interp_docs": ngram_lm_interp_docs,
         "pack_sep_docs": pack_sep_docs,
         "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
@@ -3487,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equality pinned in tests/test_wire_sweep.py).
         "pack_bpe_docs": pack_bpe_docs,
         "pack_wordpiece_docs": pack_wordpiece_docs,
+        "train_bpe_docs": train_bpe_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,
@@ -5721,6 +5785,46 @@ def oracle_sql() -> dict[str, str]:
         # recomputed via list_transform + list_contains, then the same
         # window cumsum / shard rule as pack_sequences_docs.  All
         # integer arithmetic — byte-exact.
+        # Tokenizer training, distributed phase (r13 second half): the
+        # exact top-200 word-frequency relation, (cnt DESC, word ASC)
+        # total order so the LIMIT boundary is deterministic.
+        "word_frequencies_docs": r"""
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM w GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 200
+        """,
+        # End-to-end trained-tokenizer application (r13 second half):
+        # DuckDB re-derives the SAME top-64 vocabulary (same
+        # tie-break) and re-prices every word — in-vocab 1 piece, OOV
+        # ceil(len/4) char chunks.
+        "train_vocab_tokens_docs": r"""
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+            v AS (
+                SELECT list(word ORDER BY cnt DESC, word ASC) AS vocab
+                FROM (SELECT word, COUNT(*) AS cnt
+                      FROM w GROUP BY word
+                      ORDER BY cnt DESC, word ASC LIMIT 64)),
+            tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(tk.toks, x ->
+                       CASE WHEN list_contains(v.vocab, x) THEN 1
+                            ELSE (length(x) + 3) // 4 END))
+                       AS BIGINT) AS n_tokens
+            FROM tk, v ORDER BY doc_id
+        """,
         "pack_tokenized_docs": r"""
             WITH tk AS (
                 SELECT doc_id,

@@ -165,6 +165,8 @@ NEW_QUERIES_R13 = [
     "ngram_lm_interp_docs",
     "pack_sep_docs",
     "pack_wordpiece_docs",
+    "word_frequencies_docs",
+    "train_bpe_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -76,6 +76,12 @@ from .tokenizer import (  # noqa: F401
     WordPieceTokenizer,
     tokenizer_from_wire,
 )
+from .tokenizer_train import (  # noqa: F401
+    train_bpe,
+    train_vocab,
+    train_wordpiece,
+    word_frequencies,
+)
 from .pq import (  # noqa: F401
     ivf_pq_range_search,
     ivf_pq_topk,

@@ -1033,6 +1033,10 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join
     guarded += [ivf_assign, ivf_topk, kmeans_fit]
+    # tokenizer TRAINERS are eager driver-side fits (r13 second half);
+    # the TRAINED tokenizer then serializes like any imported artifact
+    guarded += [pl.word_frequencies, pl.train_bpe, pl.train_wordpiece,
+                pl.train_vocab]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):

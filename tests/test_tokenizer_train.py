@@ -1,0 +1,255 @@
+"""Tokenizer TRAINING (pipeline/tokenizer_train.py, r13 second half):
+the distributed word-count phase (hand-counted expectations, the
+blank/NULL convention, the deterministic top-N boundary), the driver
+merge loops (the classic Sennrich corpus pinned exactly, the
+incremental loop property-checked against a from-scratch naive
+reference, the WordPiece likelihood criterion pinned on a corpus where
+it DISAGREES with raw pair frequency), and the round trip: train →
+apply → wire."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark import data
+from blaze_spark.pipeline import (
+    train_bpe,
+    train_vocab,
+    train_wordpiece,
+    word_frequencies,
+)
+from blaze_spark.pipeline.tokenizer import tokenizer_from_wire
+from blaze_spark.pipeline.tokenizer_train import (
+    _train_merges,
+    _wp_join,
+)
+
+ROWS = [
+    (1, "low low low low low lower lower", "a"),
+    (2, "newest newest newest newest newest newest", "a"),
+    (3, "widest widest widest", "b"),
+    (4, "   ", "b"),
+    (5, None, "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def tdocs(spark):
+    return data(ROWS, spark=spark,
+                schema="doc_id bigint, text string, source string",
+                name="traindocs")
+
+
+def test_word_frequencies_hand_counted(spark, tdocs):
+    rows = word_frequencies(tdocs).collect()
+    # (cnt DESC, word ASC) total order; blank + NULL texts vanish
+    assert [(r["word"], r["cnt"]) for r in rows] == [
+        ("newest", 6), ("low", 5), ("widest", 3), ("lower", 2)]
+
+
+def test_word_frequencies_top_n_boundary_and_min_count(spark, tdocs):
+    top = word_frequencies(tdocs, max_words=2).collect()
+    assert [(r["word"], r["cnt"]) for r in top] == [
+        ("newest", 6), ("low", 5)]
+    floor = word_frequencies(tdocs, min_count=3).collect()
+    assert {r["word"] for r in floor} == {"newest", "low", "widest"}
+
+
+def test_train_bpe_sennrich_corpus(spark):
+    """The classic corpus (Sennrich et al. 2016 §3.2's example shape):
+    {low:5, lower:2, newest:6, widest:3} — merge order hand-derived:
+    (e,s)=9 ties (s,t)=9, lex-smallest wins; then (es,t)=9, (l,o)=7,
+    (lo,w)=7, (e,w)=6 ties (n,e)... lex; then (ew,est)=6."""
+    wf = data([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+              spark=spark, schema="word string, cnt long",
+              name="sennrich")
+    tok = train_bpe(word_freq=wf.df, num_merges=6, min_pair_count=1)
+    assert tok.merges == [("e", "s"), ("es", "t"), ("l", "o"),
+                          ("lo", "w"), ("e", "w"), ("ew", "est")]
+    # the trained tokenizer segments its own training words
+    got = tok._apply_word("newest", {p: i for i, p in
+                                     enumerate(tok.merges)})
+    assert got == ["n", "ewest"]  # (e,w)+(ew,est) chain both applied
+
+
+def _naive_bpe(freq: dict, num: int, minc: int):
+    """From-scratch reference: recount every pair every round."""
+    seqs = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(num):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            for p in zip(s, s[1:]):
+                pc[p] += freq[w]
+        cand = [(c, p) for p, c in pc.items() if c >= minc]
+        if not cand:
+            break
+        best_c = max(c for c, _ in cand)
+        p = min(p for c, p in cand if c == best_c)
+        merges.append(p)
+        for w, s in seqs.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == p[0] and s[i + 1] == p[1]:
+                    ns.append(p[0] + p[1])
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    return merges
+
+
+def test_incremental_loop_matches_naive_reference():
+    rng = random.Random(20260816)
+    for _ in range(40):
+        freq = {"".join(rng.choice("abcd")
+                        for _ in range(rng.randint(1, 9))):
+                rng.randint(1, 9)
+                for _ in range(rng.randint(1, 50))}
+        fast, _, _ = _train_merges(freq, list, 15, 1, wordpiece=False)
+        assert fast == _naive_bpe(freq, 15, 1)
+
+
+def test_wordpiece_criterion_disagrees_with_raw_frequency():
+    """Pin the likelihood criterion: pair (t,##h) is the most FREQUENT
+    (27, between very common symbols) but (q,##z) scores higher —
+    27/(27·27) < 2/(2·2) — so WordPiece picks (q,##z) first where
+    BPE-style counting would pick (t,##h)."""
+    freq = {"the": 9, "that": 9, "this": 9, "qz": 2}
+    to_sym = lambda w: [w[0]] + ["##" + c for c in w[1:]]  # noqa: E731
+    wp, sym, _ = _train_merges(freq, to_sym, 1, 1, wordpiece=True)
+    bp, _, _ = _train_merges(freq, to_sym, 1, 1, wordpiece=False)
+    assert wp == [("q", "##z")]
+    assert bp == [("t", "##h")]
+
+
+def test_train_wordpiece_vocab_shape(spark, tdocs):
+    wp = train_wordpiece(tdocs, vocab_size=40, min_pair_count=2)
+    assert wp.vocab[0] == "[UNK]"
+    # alphabet: word-initial chars plain, continuations ##-prefixed
+    assert "l" in wp.vocab and "##o" in wp.vocab
+    assert len(wp.vocab) <= 40
+    # merged tokens keep the continuation prefix discipline
+    merged = [v for v in wp.vocab if len(v.lstrip("#")) > 1]
+    assert merged, "no merges learned"
+    for m in merged:
+        assert not m.startswith("###")
+    # and the trained tokenizer applies: frequent whole words resolve
+    # to few pieces, with no [UNK] on training text
+    out = tdocs.df.filter(F.col("text").isNotNull()).select(
+        wp.pieces(F.col("text")).alias("p")).collect()
+    for r in out:
+        assert "[UNK]" not in r["p"]
+
+
+def test_train_vocab_is_topk(spark, tdocs):
+    vt = train_vocab(tdocs, vocab_size=3)
+    assert vt.vocab == ["newest", "low", "widest"]
+    n = tdocs.df.select(F.sum(vt.n_tokens(F.col("text")))).first()[0]
+    # every training token is in-vocab except 'lower' (2 occurrences,
+    # 5 chars → ceil(5/4)=2 pieces each)
+    assert n == 6 + 5 + 3 + 2 * 2
+
+
+def test_byte_level_training_learns_space_glue(spark, tdocs):
+    tok = train_bpe(tdocs, num_merges=8, byte_level=True,
+                    min_pair_count=2)
+    assert tok.byte_level
+    # GPT-2 pre-tokens glue the leading space: merges live in the
+    # byte→unicode space where space is Ġ
+    assert any("Ġ" in a or "Ġ" in b for a, b in tok.merges)
+    # trained-tokenizer counts are stable and >0 on real text
+    n = tdocs.df.filter(F.col("doc_id") == 1).select(
+        tok.n_tokens(F.col("text"))).first()[0]
+    assert n >= 7  # at least one piece per word
+
+
+def test_trained_tokenizers_wire_roundtrip(spark, tdocs):
+    bpe = train_bpe(tdocs, num_merges=6, min_pair_count=2)
+    back = tokenizer_from_wire(bpe.to_wire())
+    assert back.merges == bpe.merges
+    assert back.byte_level == bpe.byte_level
+    wp = train_wordpiece(tdocs, vocab_size=40)
+    back_wp = tokenizer_from_wire(wp.to_wire())
+    assert back_wp.vocab == wp.vocab
+    vt = train_vocab(tdocs, vocab_size=4, fallback_chars=3)
+    back_vt = tokenizer_from_wire(vt.to_wire())
+    assert back_vt.vocab == vt.vocab
+    assert back_vt.fallback_chars == 3
+
+
+def test_word_freq_path_equals_corpus_path(spark, tdocs):
+    wf = word_frequencies(tdocs)
+    a = train_bpe(tdocs, num_merges=6, min_pair_count=2)
+    b = train_bpe(word_freq=wf, num_merges=6, min_pair_count=2)
+    assert a.merges == b.merges
+
+
+def test_early_stop_below_min_pair_count(spark, tdocs):
+    tok = train_bpe(tdocs, num_merges=500, min_pair_count=4)
+    # only pairs inside 'newest'(6) and 'low'(5) reach count 4; the
+    # loop must stop early, not error or pad
+    assert 0 < len(tok.merges) < 500
+
+
+def test_trainer_validation(spark, tdocs):
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(tdocs, num_merges=0)
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(tdocs, num_merges=100_000)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_wordpiece(tdocs, vocab_size=0)
+    with pytest.raises(ValueError, match="max_words"):
+        word_frequencies(tdocs, max_words=0)
+    with pytest.raises(ValueError, match="min_count"):
+        word_frequencies(tdocs, min_count=0)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        train_bpe(tdocs, min_pair_count=0)
+    with pytest.raises(ValueError, match="not both"):
+        train_bpe(tdocs, word_freq=word_frequencies(tdocs))
+    with pytest.raises(ValueError, match="not both"):
+        train_bpe()
+    # mis-shaped word_freq frames fail loudly
+    bad = tdocs.df.select("doc_id", "text")
+    with pytest.raises(ValueError, match="word STRING"):
+        train_bpe(word_freq=bad)
+    neg = data([("w", -1)], spark=spark, schema="word string, cnt long",
+               name="negwf")
+    with pytest.raises(ValueError, match="non-positive"):
+        train_bpe(word_freq=neg.df)
+    # alphabet larger than vocab_size: loud, never silent truncation
+    wide = data([(chr(0x4E00 + i), 1) for i in range(30)], spark=spark,
+                schema="word string, cnt long", name="widewf")
+    with pytest.raises(ValueError, match="alphabet"):
+        train_wordpiece(word_freq=wide.df, vocab_size=10,
+                        min_pair_count=1)
+
+
+def test_duplicate_words_sum(spark):
+    """The additive counts-frame contract: a union of two snapshots'
+    word counts is a legitimate word_freq input."""
+    wf = data([("ab", 3), ("ab", 4), ("ac", 5)], spark=spark,
+              schema="word string, cnt long", name="dupwf")
+    tok = train_bpe(word_freq=wf.df, num_merges=1, min_pair_count=1)
+    # ab: 7 > ac: 5
+    assert tok.merges == [("a", "b")]
+
+
+def test_determinism_across_runs(spark, tdocs):
+    a = train_wordpiece(tdocs, vocab_size=40)
+    b = train_wordpiece(tdocs, vocab_size=40)
+    assert a.vocab == b.vocab
+    x = train_bpe(tdocs, num_merges=8, byte_level=True)
+    y = train_bpe(tdocs, num_merges=8, byte_level=True)
+    assert x.merges == y.merges
+
+
+def test_wp_join_continuation_discipline():
+    assert _wp_join("a", "##b") == "ab"
+    assert _wp_join("##a", "##b") == "##ab"
+    assert _wp_join("a", "b") == "ab"
