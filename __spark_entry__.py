@@ -2984,6 +2984,29 @@ def ngram_lm_backoff_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def ngram_lm_kn_docs(spark, sf_dir):
+    """Interpolated Kneser–Ney band filter (r13 second half,
+    pipeline/lm.py kneser_ney=D — Kneser & Ney 1995, Chen & Goodman
+    1999's interpolated form; KenLM's and therefore CCNet's actual
+    default): absolute discounting at the top order, the freed mass
+    interpolating the unigram CONTINUATION distribution (how many
+    distinct contexts a token follows, not how often it occurs — the
+    'San Francisco' effect, pinned in tests).  The fit adds the
+    type-count relations (tcont/tden/tfol — distinct-count kinds) in
+    a second aggregation over the same positioned explode; scoring is
+    3 broadcast joins + the discount chain in codegen.  The oracle
+    re-derives every count AND type relation in DuckDB (count
+    DISTINCT over the same md5 buckets) and value-checks band
+    membership + all four score exports."""
+    from blaze_spark.pipeline import perplexity_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_filter(d, n_buckets=1024, n=2, kneser_ney=0.75,
+                            min_ppl=17.0, max_ppl=18.5)
+    return out.select("doc_id", "source", "n_grams", "logp",
+                      "avg_logp", "ppl").orderBy("doc_id")
+
+
 def blaze_client_pq(spark, sf_dir):
     """Trained-PQ application over the wire (r13, VERDICT r12 missing
     #3): the codebook — a bounded (m·ks, dsub) relation, the
@@ -3474,6 +3497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below the boundary, pinned against a naive reference);
         # slice_offset and slice_step (green r12 rows, unchanged code)
         # rotate below the boundary for them.
+        # ... and ngram_lm_kn_docs (NEW — interpolated Kneser–Ney, the
+        # family's strongest member: continuation-type-count fits and
+        # the absolute-discount chain, fully DuckDB-rederivable);
+        # tail_orders (green r12 row, unchanged code) rotates below
+        # the boundary for it.
+        "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "word_frequencies_docs": word_frequencies_docs,
         "train_vocab_tokens_docs": train_vocab_tokens_docs,
         "ngram_lm_interp_docs": ngram_lm_interp_docs,
@@ -3523,12 +3552,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
+        # ==== driver sample boundary (50) — crosslingual_dedup_docs
+        # is entry #50; r13 second half rotated tail_orders,
+        # slice_offset and slice_step (green r12 rows, unchanged code)
+        # below it for ngram_lm_kn_docs, word_frequencies_docs and
+        # train_vocab_tokens_docs.
         "tail_orders": tail_orders,
         "slice_offset": slice_offset,
         "slice_step": slice_step,
         "sample_orders": sample_orders,
         "hash_sample_orders": hash_sample_orders,
-        # ==== driver sample boundary (50) — below here: green driver rows
+        # ==== (former boundary position) — below here: green driver rows
         # from earlier rounds + the rows-only entries.  Mid-r11 rotated
         # out full_outer_activity, intersect_except_customers,
         # rollup_nation_revenue, left_join_counts, count_values_events,
@@ -5706,6 +5740,75 @@ def oracle_sql() -> dict[str, str]:
                    s.ppl
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 16.5 AND s.ppl <= 19.5
+            ORDER BY d.doc_id
+        """,
+        # Interpolated Kneser–Ney (r13 second half): event counts at
+        # the top order, DISTINCT-type counts below — tf = N1+(c·)
+        # per ctx bucket, t1 = N1+(·u) per predicted-token bucket,
+        # T = total bigram types — then per gram
+        # max(cg−D,0)/cc + (D·tf/cc)·((t1+α)/(T+α·B)), mirroring the
+        # Spark float op order (raw counts as doubles, one ln at the
+        # end), band membership on the round-4 exported ppl.
+        "ngram_lm_kn_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c,
+                       CAST(concat('0x', substr(md5(tok_u), 1, 8)) AS BIGINT)
+                           % 1024 AS u
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram,
+                             toks[i+1] AS tok_u
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, CAST(count(*) AS DOUBLE) AS c
+                   FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, CAST(count(*) AS DOUBLE) AS c2
+                   FROM gb GROUP BY 1),
+            tf AS (SELECT c AS b, CAST(count(DISTINCT g) AS DOUBLE) AS f
+                   FROM gb GROUP BY 1),
+            t1 AS (SELECT u AS b, CAST(count(DISTINCT g) AS DOUBLE) AS tc
+                   FROM gb GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                    FROM (SELECT DISTINCT g, u FROM gb)),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(
+                           (CASE WHEN cg.c IS NOT NULL
+                                  AND cc.c2 IS NOT NULL
+                                 THEN greatest(cg.c - 0.75, 0.0) / cc.c2
+                                 ELSE 0.0 END)
+                           + (CASE WHEN cc.c2 IS NOT NULL
+                                   THEN (0.75 * tf.f) / cc.c2
+                                   ELSE 1.0 END)
+                             * ((COALESCE(t1.tc, 0.0) + 1.0)
+                                / (tot.n + 1024.0)))) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                        LEFT JOIN tf ON gb.c = tf.b
+                        LEFT JOIN t1 ON gb.u = t1.b
+                        CROSS JOIN tot
+                GROUP BY 1),
+            scored AS (
+                SELECT doc_id, CAST(ng AS INT) AS n_grams,
+                       round(s, 4) + 0.0 AS logp,
+                       round(s / ng, 4) + 0.0 AS avg_logp,
+                       round(exp(-s / ng), 4) + 0.0 AS ppl
+                FROM sc WHERE ng > 0)
+            SELECT d.doc_id, d.source, s.n_grams, s.logp, s.avg_logp,
+                   s.ppl
+            FROM documents d JOIN scored s USING (doc_id)
+            WHERE s.ppl >= 17.0 AND s.ppl <= 18.5
             ORDER BY d.doc_id
         """,
         # Multi-order stupid backoff (r13): the trigram ladder — per

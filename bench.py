@@ -167,6 +167,7 @@ NEW_QUERIES_R13 = [
     "pack_wordpiece_docs",
     "word_frequencies_docs",
     "train_bpe_docs",
+    "ngram_lm_kn_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

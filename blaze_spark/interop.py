@@ -521,7 +521,8 @@ def _lm_node(op: str, args: list, child: Table, walk):
         _arity(op, args, 5)
         kw = {}
         if len(args) > 4 and args[4]:
-            bad = set(args[4]) - {"unigrams", "tokenizer"}
+            bad = set(args[4]) - {"unigrams", "tokenizer",
+                                  "continuations"}
             if bad:
                 raise ValueError(
                     f"{op} wire node carries unknown keyword(s) "
@@ -547,7 +548,7 @@ def _lm_node(op: str, args: list, child: Table, walk):
                 [(str(k), int(b), int(c)) for k, b, c in args[2]],
                 "kind string, bucket long, cnt long")
     allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing",
-               "backoff", "interpolate", "tokenizer"}
+               "backoff", "interpolate", "tokenizer", "kneser_ney"}
     allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
                 else {"max_ppl", "min_ppl"})
     kw = dict(args[3])

@@ -127,7 +127,8 @@ _MAX_BACKOFF_ORDER = 8
 
 def ngram_lm_fit(t: Table, text_col: str = "text",
                  n_buckets: int = 4096, n: int = 2,
-                 unigrams: bool = False, tokenizer=None) -> DataFrame:
+                 unigrams: bool = False, tokenizer=None,
+                 continuations: bool = False) -> DataFrame:
     """Fit the bucketized n-gram LM in ONE tokenization pass: a
     ``(kind STRING, bucket LONG, cnt LONG)`` relation with ≤ n_buckets
     rows per kind — kind ``'gram'`` counts n-gram buckets, ``'ctx'``
@@ -156,6 +157,30 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
     extra kinds are ignored there), and an ``n=2`` fit emits exactly
     the r12 three kinds — byte-identical.
 
+    ``continuations=True`` (r13 second half — Kneser–Ney) additionally
+    emits the TYPE-count relations interpolated KN scoring needs
+    (``kneser_ney=`` in :func:`ngram_lm_logprob`), counted over the
+    SAME suffix-at-n-gram-position event set:
+
+    - ``tcont{k}`` (k in 1..n−1): N1+(·u) — distinct (k+1)-suffix
+      types per k-suffix bucket u (the continuation counts; tcont1 is
+      Kneser–Ney's unigram continuation distribution);
+    - ``tden{k}`` (k in 2..n−1): N1+(·c·) — distinct (k+1)-suffix
+      types per k-suffix-CONTEXT bucket (the middle-order
+      denominators);
+    - ``tfol{k}`` (k in 2..n): N1+(c·) — distinct k-suffix types per
+      their context bucket (each order's backoff-weight numerator;
+      ``tfol{n}`` keys the top order's raw-count denominator space).
+
+    Type counts are DISTINCT counts and therefore NOT additive across
+    partial fits: a union of two snapshots' continuation relations is
+    NOT a valid KN fit (unlike every event-count kind, which sums).
+    Fit KN counts per corpus snapshot; the incremental LM store
+    deliberately has no ``continuations`` knob for this reason.  The
+    type pass is a second aggregation over the same positioned explode
+    (distinct → count), so a continuations fit costs ~2× the add-α
+    fit's scan.
+
     One scan; gram construction, context strips and the md5 buckets
     run post-explode in codegen; the (kind, bucket) row fan-out
     (2 kinds add-α, 2n−1 kinds full backoff) happens pre-shuffle and
@@ -172,6 +197,11 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
             f"ngram_lm_fit: unigrams=True bounds n at "
             f"{_MAX_BACKOFF_ORDER} (each backoff order adds "
             f"2·n_buckets rows to the bounded fit), got n={n}")
+    if continuations and not 2 <= n <= _MAX_BACKOFF_ORDER:
+        raise ValueError(
+            f"ngram_lm_fit: continuations=True requires 2 <= n <= "
+            f"{_MAX_BACKOFF_ORDER} (Kneser–Ney needs a lower order "
+            f"to interpolate with), got n={n}")
     ex = _positioned(t.df, text_col, n,
                      tokenizer=tokenizer).filter(F.col("i").isNotNull())
     kinds = [
@@ -199,17 +229,53 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
                      _bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
                                 n_buckets).alias("bucket")))
     pairs = ex.select(F.explode(F.array(*kinds)).alias("kb"))
-    return (pairs.select("kb.kind", "kb.bucket")
-            .groupBy("kind", "bucket")
-            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+    events = (pairs.select("kb.kind", "kb.bucket")
+              .groupBy("kind", "bucket")
+              .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+    if not continuations:
+        return events
+    tk, i = F.col("tk"), F.col("i")
+    tkinds = []
+
+    def _triple(kind, hi, lo):
+        tkinds.append(F.struct(F.lit(kind).alias("kind"),
+                               hi.alias("hi"), lo.alias("lo")))
+
+    for k in range(1, n):
+        # the k-suffix of the n-gram at i starts at i+(n−k); its
+        # one-longer (k+1)-suffix — the TYPE identity whose distinct
+        # set all three relations count — starts one token earlier
+        off_k = i + F.lit(n - k)
+        off_k1 = i + F.lit(n - k - 1)
+        hi = _bucket_of(_gram_at(tk, off_k1, k + 1), n_buckets)
+        _triple(f"tcont{k}", hi,
+                _bucket_of(_gram_at(tk, off_k, k), n_buckets))
+        if k >= 2:
+            loc = _bucket_of(_ctx_at(tk, off_k, k), n_buckets)
+            _triple(f"tden{k}", hi, loc)
+            _triple(f"tfol{k}",
+                    _bucket_of(_gram_at(tk, off_k, k), n_buckets), loc)
+    _triple(f"tfol{n}", _bucket_of(_gram_at(tk, i, n), n_buckets),
+            _bucket_of(_ctx_at(tk, i, n), n_buckets))
+    types = (ex.select(F.explode(F.array(*tkinds)).alias("kb"))
+             .select("kb.kind", "kb.hi", "kb.lo").distinct()
+             .select("kind", F.col("lo").alias("bucket"))
+             .groupBy("kind", "bucket")
+             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+    return events.unionByName(types)
 
 
 import re as _re
 
-# 'gram'/'ctx' (order n), 'uni', or an intermediate backoff order
-# 'gram{k}'/'ctx{k}' with 2 <= k < n (multi-order fits, r13)
-_KIND_RE = _re.compile(r"^(?:gram|ctx)(?:[2-9])?$|^uni$")
-_MAX_LM_KINDS = 2 * _MAX_BACKOFF_ORDER - 1
+# 'gram'/'ctx' (order n), 'uni', an intermediate backoff order
+# 'gram{k}'/'ctx{k}' with 2 <= k < n (multi-order fits, r13), or a
+# Kneser–Ney TYPE-count kind 'tcont{k}'/'tden{k}'/'tfol{k}'
+# (continuations fits, r13 second half)
+_KIND_RE = _re.compile(
+    r"^(?:gram|ctx)(?:[2-9])?$|^uni$|^t(?:cont|den|fol)[1-8]$")
+# events (2n−1) + KN types (3n−4) at n = _MAX_BACKOFF_ORDER
+_MAX_LM_KINDS = (2 * _MAX_BACKOFF_ORDER - 1) + \
+    (3 * _MAX_BACKOFF_ORDER - 4)
 
 
 def _bounded_lm_counts(counts: DataFrame,
@@ -239,7 +305,7 @@ def _bounded_lm_counts(counts: DataFrame,
     if len(rows) > cap:
         raise ValueError(
             f"{fn_name}: counts has more than {cap} rows — fit "
-            "relations are bounded by (2n−1)·n_buckets by "
+            "relations are bounded by (#kinds)·n_buckets by "
             "construction; was a raw token-level frame passed instead "
             "of ngram_lm_fit output?")
     kinds: dict[str, dict] = {}
@@ -247,15 +313,95 @@ def _bounded_lm_counts(counts: DataFrame,
         if not _KIND_RE.match(r["kind"] or ""):
             raise ValueError(
                 f"{fn_name}: unknown kind {r['kind']!r} in counts "
-                "(expected 'gram'/'ctx'/'uni' or an intermediate "
-                "'gram{k}'/'ctx{k}' backoff order)")
+                "(expected 'gram'/'ctx'/'uni', an intermediate "
+                "'gram{k}'/'ctx{k}' backoff order, or a Kneser–Ney "
+                "'tcont{k}'/'tden{k}'/'tfol{k}' type kind)")
         kinds.setdefault(r["kind"], {})[r["bucket"]] = r["cnt"]
     return kinds
 
 
+def _validate_kn(kneser_ney, n: int, fn_name: str) -> None:
+    if kneser_ney is not True and not (
+            isinstance(kneser_ney, (int, float))
+            and 0.0 < float(kneser_ney) <= 1.0):
+        raise ValueError(
+            f"{fn_name}: kneser_ney must be True (estimate the "
+            "discount as n1/(n1+2·n2), Chen & Goodman 1999 eq. 26) "
+            f"or an absolute discount D in (0, 1], got {kneser_ney!r}")
+    if not 2 <= n <= _MAX_BACKOFF_ORDER:
+        raise ValueError(
+            f"{fn_name}: kneser_ney requires 2 <= n <= "
+            f"{_MAX_BACKOFF_ORDER} (the unigram base is the "
+            f"continuation distribution), got n={n}")
+
+
+def _kn_model(kinds: dict, n: int, n_buckets: int, smoothing,
+              kneser_ney, fn_name: str):
+    """Resolve a continuations fit into the interpolated Kneser–Ney
+    model (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    form): raw event counts at the top order, continuation TYPE
+    counts below, one absolute discount D whose freed mass
+    (D·N1+(c·)/den) interpolates each lower order.  Returns
+    ``("kn", gram, top, levels, t1, T, D)`` with ``top[b] = (ctx_cnt,
+    tfol_n)`` merged on the shared ctx-bucket key, ``levels`` =
+    ``[(k, tcont_k, {b: (tden_k, tfol_k)}), ...]`` for orders
+    n−1..2, and the unigram base ``(tcont1 + α)/(T + α·B)`` add-α
+    smoothed so the floor stays finite (the family's convention)."""
+    gram, ctx = kinds.get("gram", {}), kinds.get("ctx", {})
+
+    def need(kind):
+        m = kinds.get(kind, {})
+        if not m:
+            raise ValueError(
+                f"{fn_name}: kneser_ney= needs {kind!r} rows in the "
+                "counts relation — refit with ngram_lm_fit(..., "
+                "continuations=True)")
+        return m
+
+    tfoln, t1 = need(f"tfol{n}"), need("tcont1")
+    if kneser_ney is True:
+        n1 = sum(1 for c in gram.values() if c == 1)
+        n2 = sum(1 for c in gram.values() if c == 2)
+        if n1 == 0:
+            raise ValueError(
+                f"{fn_name}: kneser_ney=True cannot estimate the "
+                "discount — no singleton gram buckets (heavy bucket "
+                "collisions, or a tiny/repetitive corpus); pass an "
+                "explicit discount, e.g. kneser_ney=0.75")
+        D = n1 / (n1 + 2.0 * n2)
+    else:
+        D = float(kneser_ney)
+
+    def merged(cnts, types, label):
+        out = {}
+        for b, c in cnts.items():
+            f = types.get(b)
+            if f is None:
+                raise ValueError(
+                    f"{fn_name}: counts relation is inconsistent — "
+                    f"bucket {b} has {label} counts but no matching "
+                    "type row.  KN type counts are per-snapshot "
+                    "(distinct counts do NOT sum): refit with "
+                    "continuations=True instead of unioning partial "
+                    "fits")
+            out[b] = (float(c), float(f))
+        return out
+
+    top = merged(ctx, tfoln, "ctx event")
+    levels = []
+    for k in range(n - 1, 1, -1):
+        tc = {b: float(c) for b, c in need(f"tcont{k}").items()}
+        mid = merged(need(f"tden{k}"), need(f"tfol{k}"),
+                     f"tden{k} type")
+        levels.append((k, tc, mid))
+    T = float(sum(t1.values()))
+    return ("kn", {b: float(c) for b, c in gram.items()}, top,
+            levels, {b: float(c) for b, c in t1.items()}, T, D)
+
+
 def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
               smoothing, backoff=None, fn_name="ngram_lm_logprob",
-              tokenizer=None, interpolate=None):
+              tokenizer=None, interpolate=None, kneser_ney=None):
     """Resolve the fit → per-bucket ln() tables (hoisted driver-side:
     the hot path below does lookups and one subtraction — or one
     NULL-skipping greatest() over the order ladder for backoff, or the
@@ -269,10 +415,13 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
     weights apply in the scoring expression)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    if backoff is not None and interpolate is not None:
+    if sum(x is not None for x in (backoff, interpolate,
+                                   kneser_ney)) > 1:
         raise ValueError(
-            f"{fn_name}: backoff= and interpolate= are alternative "
-            "smoothing schemes — pass one")
+            f"{fn_name}: backoff=, interpolate= and kneser_ney= are "
+            "alternative smoothing schemes — pass one")
+    if kneser_ney is not None:
+        _validate_kn(kneser_ney, n, fn_name)
     if interpolate is not None:
         if not 0.0 < interpolate < 1.0:
             raise ValueError(
@@ -311,10 +460,14 @@ def _lm_model(t: Table, reference, counts, text_col, n_buckets, n,
         counts = ngram_lm_fit(reference if reference is not None else t,
                               text_col, n_buckets, n,
                               unigrams=lower_lam is not None,
-                              tokenizer=tokenizer)
+                              tokenizer=tokenizer,
+                              continuations=kneser_ney is not None)
     if isinstance(counts, Table):
         counts = counts.df
     kinds = _bounded_lm_counts(counts, fn_name)
+    if kneser_ney is not None:
+        return _kn_model(kinds, n, n_buckets, smoothing, kneser_ney,
+                         fn_name)
     gram, ctx = kinds.get("gram", {}), kinds.get("ctx", {})
     if lower_lam is not None:
         uni = kinds.get("uni", {})
@@ -386,6 +539,7 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      backoff: float | None = None,
                      tokenizer=None,
                      interpolate: float | None = None,
+                     kneser_ney=None,
                      _fn_name: str = "ngram_lm_logprob") -> DataFrame:
     """Score every document of ``t`` under the bucketized add-α n-gram
     LM: ``(id_col, n_grams INT, logp, avg_logp, ppl)`` with
@@ -455,18 +609,50 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     orders); the chain is bounded below by (1−λ)^{n−1}·P_uni > 0.
     Same plan shape as backoff (2n−1 broadcast ln() joins, mixture
     arithmetic in codegen); ``prefer_literal=True`` with
-    ``interpolate`` raises, and passing both ``backoff=`` and
-    ``interpolate=`` raises."""
+    ``interpolate`` raises, and the three smoothing knobs are
+    mutually exclusive.
+
+    ``kneser_ney=D`` (D ∈ (0, 1], or ``True`` to estimate D as
+    n1/(n1+2·n2) from the gram counts-of-counts; Kneser & Ney 1995,
+    Chen & Goodman 1999's interpolated form — KenLM's and therefore
+    CCNet's actual default) is the strongest member: absolute
+    discounting at the top order frees exactly D per seen gram type,
+    and the freed mass interpolates LOWER-order CONTINUATION
+    distributions — P_cont(w) ∝ how many distinct contexts w
+    follows, not how often w occurs ("San Francisco" makes
+    "Francisco" frequent but a terrible novel-context prediction).
+    Per gram, with c the context and u the predicted token:
+
+        P = max(cnt(cw)−D, 0)/cnt(c) + D·N1+(c·)/cnt(c) · P_lower
+        P_lower(k) = max(N1+(·u_k)−D, 0)/N1+(·c_k·)
+                     + D·N1+(c_k·)/N1+(·c_k·) · P_lower(k−1)
+        P_base = (N1+(·u) + α)/(N1+(··) + α·B)
+
+    All the N1+ relations are the TYPE counts a
+    ``continuations=True`` fit emits (a reference-fit here does so
+    automatically); scoring is the same positioned-index explode with
+    3 + 2·(n−2) + 1 broadcast joins of bounded count relations and
+    the mixture chain in codegen.  The model is normalized (up to the
+    family's bucket-collision caveat), so 'ppl' is a true perplexity.
+    An unseen context bucket defers its whole level (num 0, weight
+    1); the add-α continuation base keeps the floor finite.  KN fits
+    are PER-SNAPSHOT: type counts are distinct counts and do not sum
+    across partial fits (the incremental LM store deliberately cannot
+    carry them).  ``prefer_literal=True`` with ``kneser_ney`` raises."""
     _validate_features(n_buckets, n)
     if prefer_literal and (backoff is not None
-                           or interpolate is not None):
+                           or interpolate is not None
+                           or kneser_ney is not None):
         raise ValueError(
-            f"{_fn_name}: backoff=/interpolate= score via the "
-            "positioned-index explode path (broadcast ln() joins) — "
+            f"{_fn_name}: backoff=/interpolate=/kneser_ney= score via "
+            "the positioned-index explode path (broadcast joins) — "
             "prefer_literal=True is add-α only")
     model = _lm_model(t, reference, counts, text_col, n_buckets, n,
                       smoothing, backoff, _fn_name, tokenizer,
-                      interpolate)
+                      interpolate, kneser_ney)
+    if model[0] == "kn":
+        return _logprob_kn(t, model, text_col, id_col, n_buckets, n,
+                           smoothing, tokenizer)
 
     if prefer_literal:
         _, ln_g, ln_c, miss_g, miss_c = model
@@ -640,6 +826,95 @@ def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
                         *_lm_exports())
 
 
+def _logprob_kn(t: Table, model, text_col: str, id_col: str,
+                n_buckets: int, n: int, alpha, tokenizer) -> DataFrame:
+    """Interpolated Kneser–Ney scoring: the positioned-index explode →
+    per-order broadcast joins of the bounded count/type relations
+    (the two ctx-keyed relations of each order ride MERGED as one
+    two-column join, so the join count is 3 + 2·(n−2) + 1) → the
+    discount/interpolation chain per gram in whole-stage codegen →
+    per-doc re-aggregation.  Counts join as raw doubles (the mixture
+    is linear; one ln() per gram at the end)."""
+    _, gram, top, levels, t1, T, D = model
+    spark = t.df.sparkSession
+    ex = _positioned(t.df, text_col, n, id_col, tokenizer=tokenizer)
+    tk, i = F.col("tk"), F.col("i")
+    cols = [
+        F.col(id_col), F.col("n_grams"),
+        F.col("i").isNotNull().alias("ev"),
+        _bucket_of(_gram_at(tk, i, n), n_buckets).alias("gb"),
+        _bucket_of(_ctx_at(tk, i, n), n_buckets).alias("cb")]
+    for k, _, _ in levels:
+        off = i + F.lit(n - k)
+        cols.append(_bucket_of(_gram_at(tk, off, k),
+                               n_buckets).alias(f"gb{k}"))
+        cols.append(_bucket_of(_ctx_at(tk, off, k),
+                               n_buckets).alias(f"cb{k}"))
+    cols.append(_bucket_of(_uni_at(tk, i, n), n_buckets).alias("ub"))
+    ex = ex.select(*cols)
+    gdf = spark.createDataFrame(
+        [(int(b), v) for b, v in gram.items()],
+        "bucket long, cg double")
+    cdf = spark.createDataFrame(
+        [(int(b), cc, tf) for b, (cc, tf) in top.items()],
+        "bucket long, cc double, tfn double")
+    joined = (ex
+              .join(F.broadcast(gdf), ex["gb"] == gdf["bucket"], "left")
+              .drop(gdf["bucket"])
+              .join(F.broadcast(cdf), ex["cb"] == cdf["bucket"], "left")
+              .drop(cdf["bucket"]))
+    for k, tc, mid in levels:
+        tcdf = spark.createDataFrame(
+            [(int(b), v) for b, v in tc.items()],
+            f"bucket long, tc{k} double")
+        middf = spark.createDataFrame(
+            [(int(b), td, tf) for b, (td, tf) in mid.items()],
+            f"bucket long, td{k} double, tf{k} double")
+        joined = (joined
+                  .join(F.broadcast(tcdf),
+                        joined[f"gb{k}"] == tcdf["bucket"], "left")
+                  .drop(tcdf["bucket"])
+                  .join(F.broadcast(middf),
+                        joined[f"cb{k}"] == middf["bucket"], "left")
+                  .drop(middf["bucket"]))
+    t1df = spark.createDataFrame(
+        [(int(b), v) for b, v in t1.items()],
+        "bucket long, t1 double")
+    joined = (joined
+              .join(F.broadcast(t1df),
+                    joined["ub"] == t1df["bucket"], "left")
+              .drop(t1df["bucket"]))
+    # the chain, lowest order first: the continuation-unigram base is
+    # always present (add-α floor); an unseen context bucket defers
+    # its whole level — numerator 0, interpolation weight 1
+    p = (F.coalesce(F.col("t1"), F.lit(0.0)) + F.lit(float(alpha))) \
+        / F.lit(T + float(alpha) * n_buckets)
+    for k, _, _ in reversed(levels):          # ascending 2..n−1
+        num = F.when(
+            F.col(f"tc{k}").isNotNull() & F.col(f"td{k}").isNotNull(),
+            F.greatest(F.col(f"tc{k}") - F.lit(D), F.lit(0.0))
+            / F.col(f"td{k}")).otherwise(F.lit(0.0))
+        gam = F.when(
+            F.col(f"td{k}").isNotNull(),
+            (F.lit(D) * F.col(f"tf{k}")) / F.col(f"td{k}")
+        ).otherwise(F.lit(1.0))
+        p = num + gam * p
+    num_t = F.when(
+        F.col("cg").isNotNull() & F.col("cc").isNotNull(),
+        F.greatest(F.col("cg") - F.lit(D), F.lit(0.0)) / F.col("cc")
+    ).otherwise(F.lit(0.0))
+    gam_t = F.when(F.col("cc").isNotNull(),
+                   (F.lit(D) * F.col("tfn")) / F.col("cc")
+                   ).otherwise(F.lit(1.0))
+    per_gram = F.log(num_t + gam_t * p)
+    scored = (joined
+              .groupBy(id_col, "n_grams")
+              .agg(F.sum(F.when(F.col("ev"), per_gram)
+                         .otherwise(F.lit(0.0))).alias("s")))
+    return scored.select(F.col(id_col), F.col("n_grams"),
+                         *_lm_exports())
+
+
 def _lm_exports():
     """The three float exports from the raw per-doc sum ``s`` — shared
     by both execution paths so they cannot drift: round-4 + 0.0 (the
@@ -662,7 +937,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       smoothing: float = 1.0,
                       backoff: float | None = None,
                       tokenizer=None,
-                      interpolate: float | None = None) -> DataFrame:
+                      interpolate: float | None = None,
+                      kneser_ney=None) -> DataFrame:
     """CCNet-style perplexity band filter: keep the documents of ``t``
     whose per-gram perplexity under the reference LM lies in
     ``[min_ppl, max_ppl]`` (either bound optional, at least one
@@ -690,7 +966,7 @@ def perplexity_filter(t: Table, reference: Table | None = None,
         t, reference=reference, counts=counts, text_col=text_col,
         id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,
         backoff=backoff, tokenizer=tokenizer, interpolate=interpolate,
-        _fn_name="perplexity_filter")
+        kneser_ney=kneser_ney, _fn_name="perplexity_filter")
     key = F.col("ppl")
     cond = F.lit(True)
     if max_ppl is not None:
@@ -743,14 +1019,17 @@ def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
 
 def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
                   n, smoothing, fn_name, backoff=None, tokenizer=None,
-                  interpolate=None):
+                  interpolate=None, kneser_ney=None):
     _validate_features(n_buckets, n)
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    if backoff is not None and interpolate is not None:
+    if sum(x is not None for x in (backoff, interpolate,
+                                   kneser_ney)) > 1:
         raise ValueError(
-            f"{fn_name}: backoff= and interpolate= are alternative "
-            "smoothing schemes — pass one")
+            f"{fn_name}: backoff=, interpolate= and kneser_ney= are "
+            "alternative smoothing schemes — pass one")
+    if kneser_ney is not None:
+        _validate_kn(kneser_ney, n, fn_name)
     if backoff is not None and not 0.0 < backoff <= 1.0:
         raise ValueError(
             f"{fn_name}: backoff must be in (0, 1], got {backoff}")
@@ -794,6 +1073,12 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
         # same posture (r13): interp plans reject loudly on servers
         # that would otherwise silently score add-α
         kw["interpolate"] = float(interpolate)
+    if kneser_ney is not None:
+        # True ships as-is — the discount estimate belongs where the
+        # counts live (server-side at replay); older servers reject
+        # the unknown keyword loudly
+        kw["kneser_ney"] = (True if kneser_ney is True
+                            else float(kneser_ney))
     if tokenizer is not None:
         # same posture (r13): tokenizer plans reject loudly on older
         # servers — never a silent whitespace recount
@@ -805,10 +1090,11 @@ def _lm_wire_args(t, reference, counts, text_col, id_col, n_buckets,
 @functools.wraps(_local_ngram_lm_fit)
 def ngram_lm_fit(t: Table, text_col: str = "text",
                  n_buckets: int = 4096, n: int = 2,
-                 unigrams: bool = False, tokenizer=None):
+                 unigrams: bool = False, tokenizer=None,
+                 continuations: bool = False):
     if _client_of(t) is None:
         return _local_ngram_lm_fit(t, text_col, n_buckets, n, unigrams,
-                                   tokenizer)
+                                   tokenizer, continuations)
     _validate_features(n_buckets, n)
     if unigrams and n < 2:
         raise ValueError(
@@ -817,6 +1103,10 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
     if unigrams and n > _MAX_BACKOFF_ORDER:
         raise ValueError(
             f"ngram_lm_fit: unigrams=True bounds n at "
+            f"{_MAX_BACKOFF_ORDER}, got n={n}")
+    if continuations and not 2 <= n <= _MAX_BACKOFF_ORDER:
+        raise ValueError(
+            f"ngram_lm_fit: continuations=True requires 2 <= n <= "
             f"{_MAX_BACKOFF_ORDER}, got n={n}")
     args = [_require_tree(t, "ngram_lm_fit"), text_col,
             int(n_buckets), int(n)]
@@ -827,6 +1117,10 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
         # guard is r12), but backoff scoring then fails loudly on the
         # uni-less fit, so skew never scores silently wrong
         kw5["unigrams"] = True
+    if continuations:
+        # same skew posture: KN fit trees reject loudly on pre-r13
+        # servers instead of silently dropping the type kinds
+        kw5["continuations"] = True
     if tokenizer is not None:
         from .tokenizer import _tokenizer_wire
         kw5["tokenizer"] = _tokenizer_wire(tokenizer)
@@ -845,21 +1139,23 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
                      n: int = 2, smoothing: float = 1.0,
                      prefer_literal: bool = False,
                      backoff: float | None = None, tokenizer=None,
-                     interpolate: float | None = None):
+                     interpolate: float | None = None,
+                     kneser_ney=None):
     if _client_of(t) is None:
         return _local_ngram_lm_logprob(
             t, reference, counts, text_col, id_col, n_buckets, n,
             smoothing, prefer_literal, backoff, tokenizer,
-            interpolate)
+            interpolate, kneser_ney)
     if prefer_literal and (backoff is not None
-                           or interpolate is not None):
+                           or interpolate is not None
+                           or kneser_ney is not None):
         raise ValueError(
-            "ngram_lm_logprob: backoff=/interpolate= score via the "
-            "positioned-index explode path — prefer_literal=True is "
-            "add-α only")
+            "ngram_lm_logprob: backoff=/interpolate=/kneser_ney= "
+            "score via the positioned-index explode path — "
+            "prefer_literal=True is add-α only")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "ngram_lm_logprob",
-                         backoff, tokenizer, interpolate)
+                         backoff, tokenizer, interpolate, kneser_ney)
     args[3]["prefer_literal"] = bool(prefer_literal)
     node = {"op": "ngram_lm_logprob", "args": args}
     empty = t.df.sparkSession.createDataFrame([], T.StructType(
@@ -876,18 +1172,20 @@ def perplexity_filter(t: Table, reference: Table | None = None,
                       n_buckets: int = 4096, n: int = 2,
                       smoothing: float = 1.0,
                       backoff: float | None = None, tokenizer=None,
-                      interpolate: float | None = None):
+                      interpolate: float | None = None,
+                      kneser_ney=None):
     if _client_of(t) is None:
         return _local_perplexity_filter(
             t, reference, counts, max_ppl, min_ppl, text_col, id_col,
-            n_buckets, n, smoothing, backoff, tokenizer, interpolate)
+            n_buckets, n, smoothing, backoff, tokenizer, interpolate,
+            kneser_ney)
     if max_ppl is None and min_ppl is None:
         raise ValueError(
             "perplexity_filter: pass max_ppl and/or min_ppl — an "
             "unbounded band keeps everything")
     args = _lm_wire_args(t, reference, counts, text_col, id_col,
                          n_buckets, n, smoothing, "perplexity_filter",
-                         backoff, tokenizer, interpolate)
+                         backoff, tokenizer, interpolate, kneser_ney)
     args[3]["max_ppl"] = None if max_ppl is None else float(max_ppl)
     args[3]["min_ppl"] = None if min_ppl is None else float(min_ppl)
     node = {"op": "perplexity_filter", "args": args}

@@ -781,7 +781,8 @@ def test_smoothing_separation_fixture(spark):
     seps = {}
     for name, kw in [("add_alpha", {}),
                      ("backoff", {"backoff": 0.4}),
-                     ("interp", {"interpolate": 0.5})]:
+                     ("interp", {"interpolate": 0.5}),
+                     ("kn", {"kneser_ney": 0.75})]:
         got = ngram_lm_logprob(tst, reference=ref, n_buckets=256,
                                n=2, **kw).collect()
         ppl = {r["doc_id"]: r["ppl"] for r in got
@@ -794,3 +795,259 @@ def test_smoothing_separation_fixture(spark):
     assert all(s >= 2.0 for s in seps.values()), seps
     assert seps["backoff"] >= seps["add_alpha"], seps
     assert seps["interp"] >= seps["add_alpha"], seps
+    assert seps["kn"] >= seps["add_alpha"], seps
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney (r13 second half): continuation-TYPE-count
+# fits, the discount/interpolation chain, the novel-context pin, the
+# estimated discount, and the wire form.
+
+def _py_kn(rows, n_buckets=B, n=2, D=0.75, alpha=1.0):
+    """Independent interpolated-KN reference (bigram + trigram): exact
+    event counts and DISTINCT bucket-pair type sets under the module's
+    suffix-at-position convention."""
+    cg, cc = {}, {}
+    tc2, td2, tf2m = {}, {}, {}
+    t_c1, t_f3, t_c2, t_d2, t_f2 = set(), set(), set(), set(), set()
+    events = {}
+    for doc_id, text in rows:
+        tk = text.strip().lower().split()
+        events[doc_id] = []
+        for j in range(max(len(tk) - n + 1, 0)):
+            g = " ".join(tk[j:j + n])
+            c = " ".join(tk[j:j + n - 1])
+            u = tk[j + n - 1]
+            gb, cb, ub = _bucket(g, n_buckets), _bucket(c, n_buckets), \
+                _bucket(u, n_buckets)
+            cg[gb] = cg.get(gb, 0) + 1
+            cc[cb] = cc.get(cb, 0) + 1
+            t_f3.add((gb, cb))
+            if n == 2:
+                t_c1.add((gb, ub))
+                events[doc_id].append((gb, cb, None, None, ub))
+            else:                               # n == 3
+                s2 = " ".join(tk[j + 1:j + 3])
+                c2 = tk[j + 1]
+                g2b, c2b = _bucket(s2, n_buckets), _bucket(c2, n_buckets)
+                t_c2.add((gb, g2b))
+                t_d2.add((gb, c2b))
+                t_f2.add((g2b, c2b))
+                t_c1.add((g2b, ub))
+                events[doc_id].append((gb, cb, g2b, c2b, ub))
+
+    def agg(pairs):
+        d = {}
+        for hi, lo in pairs:
+            d[lo] = d.get(lo, 0) + 1
+        return d
+
+    tfn, t1 = agg(t_f3), agg(t_c1)
+    tc2, td2, tf2m = agg(t_c2), agg(t_d2), agg(t_f2)
+    T = len(t_c1)
+    out = {}
+    for doc_id, evs in events.items():
+        s = 0.0
+        for gb, cb, g2b, c2b, ub in evs:
+            p = (t1.get(ub, 0) + alpha) / (T + alpha * n_buckets)
+            if n == 3:
+                num2 = (max(tc2.get(g2b, 0) - D, 0.0) / td2[c2b]
+                        if c2b in td2 else 0.0)
+                gam2 = ((D * tf2m[c2b]) / td2[c2b]
+                        if c2b in td2 else 1.0)
+                p = num2 + gam2 * p
+            num = max(cg[gb] - D, 0.0) / cc[cb] if cb in cc else 0.0
+            gam = (D * tfn[cb]) / cc[cb] if cb in cc else 1.0
+            s += math.log(num + gam * p)
+        out[doc_id] = (len(evs), round(s, 4) + 0.0)
+    return out
+
+
+def test_kn_fit_type_kinds(spark, ldocs):
+    """continuations=True emits exactly the KN type kinds, with
+    hand-verifiable distinct counts: ldocs' bigram types are
+    {'the cat'×2 docs → 1 type, 'cat sat', 'cat ran', 'the dog',
+    'dog sat'} = 5 types over 64 buckets (no collisions on this
+    corpus), so Σ tcont1 = 5 and Σ tfol2 = #distinct ctx→gram types
+    grouped per ctx."""
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2, continuations=True)
+    kinds = {}
+    for r in fit.collect():
+        kinds.setdefault(r["kind"], {})[r["bucket"]] = r["cnt"]
+    assert set(kinds) == {"gram", "ctx", "tcont1", "tfol2"}
+    assert sum(kinds["tcont1"].values()) == 5
+    assert sum(kinds["tfol2"].values()) == 5
+    # 'sat' continues 2 distinct grams (cat sat, dog sat)
+    assert kinds["tcont1"][_bucket("sat")] == 2
+    # ctx 'the' is followed by 2 distinct gram types, ctx 'cat' by 2
+    assert kinds["tfol2"][_bucket("the")] == 2
+    assert kinds["tfol2"][_bucket("cat")] == 2
+    assert kinds["tfol2"][_bucket("dog")] == 1
+    # n=2 default fit byte-unchanged (no type kinds)
+    plain = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    assert {r["kind"] for r in plain.collect()} == {"gram", "ctx"}
+
+
+def test_kn_hand_computed(spark, ldocs):
+    rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "the dog sat"),
+            (3, "x")]
+    want = _py_kn(rows, n_buckets=B, n=2, D=0.75)
+    got = ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                           kneser_ney=0.75).collect()
+    for r in got:
+        ng, lp = want[r["doc_id"]]
+        assert r["n_grams"] == ng
+        assert r["logp"] == lp, (r["doc_id"], r["logp"], lp)
+
+
+def test_kn_trigram_hand_computed(spark):
+    rows = [(1, "the cat sat on the mat today"),
+            (2, "the dog sat on the log today"),
+            (3, "a cat and a dog play outside now"),
+            (4, "one two three one two three one two"),
+            (5, "xy z")]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="kn3docs")
+    want = _py_kn(rows, n_buckets=4096, n=3, D=0.6)
+    got = ngram_lm_logprob(t, n_buckets=4096, n=3,
+                           kneser_ney=0.6).collect()
+    for r in got:
+        ng, lp = want[r["doc_id"]]
+        assert r["n_grams"] == ng and r["logp"] == lp, \
+            (r["doc_id"], r["logp"], lp)
+
+
+def test_kn_continuation_beats_frequency(spark):
+    """THE Kneser–Ney property (the 'San Francisco' effect): two
+    tokens equally FREQUENT in the reference, one seen after many
+    distinct contexts ('red' — 4), one only ever after 'san'
+    ('francisco' — 1 context, 4 occurrences).  In a NOVEL context
+    the continuation base must prefer 'red'; add-α, which backs off
+    to nothing and sees two equally-unseen grams, ties them."""
+    ref = data([(0, "big red small red dark red light red"),
+                (1, "san francisco san francisco san francisco "
+                    "san francisco")],
+               spark=spark, schema="doc_id bigint, text string",
+               name="kn_ref")
+    tst = data([(10, "blue red"), (11, "blue francisco")],
+               spark=spark, schema="doc_id bigint, text string",
+               name="kn_tst")
+    kn = {r["doc_id"]: r["logp"]
+          for r in ngram_lm_logprob(tst, reference=ref, n_buckets=4096,
+                                    n=2, kneser_ney=0.75).collect()}
+    assert kn[10] > kn[11], kn
+    aa = {r["doc_id"]: r["logp"]
+          for r in ngram_lm_logprob(tst, reference=ref, n_buckets=4096,
+                                    n=2).collect()}
+    assert aa[10] == aa[11], aa
+
+
+def test_kn_estimate_discount(spark, ldocs):
+    """kneser_ney=True == the explicit Chen & Goodman estimate
+    n1/(n1+2·n2) computed from the gram counts-of-counts."""
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2, continuations=True)
+    gram = [r["cnt"] for r in fit.collect() if r["kind"] == "gram"]
+    n1 = sum(1 for c in gram if c == 1)
+    n2 = sum(1 for c in gram if c == 2)
+    D = n1 / (n1 + 2.0 * n2)
+    got_t = sorted(map(tuple, ngram_lm_logprob(
+        ldocs, n_buckets=B, n=2, kneser_ney=True).collect()))
+    got_d = sorted(map(tuple, ngram_lm_logprob(
+        ldocs, n_buckets=B, n=2, kneser_ney=D).collect()))
+    assert got_t == got_d
+
+
+def test_kn_band_filter(spark, ldocs):
+    scores = {r["doc_id"]: r["ppl"]
+              for r in ngram_lm_logprob(ldocs, n_buckets=B, n=2,
+                                        kneser_ney=0.75).collect()
+              if r["ppl"] is not None}
+    cut = sorted(scores.values())[1]
+    kept = perplexity_filter(ldocs, n_buckets=B, n=2,
+                             kneser_ney=0.75, max_ppl=cut)
+    assert {r["doc_id"] for r in kept.collect()} == \
+        {d for d, p in scores.items() if p <= cut}
+
+
+def test_kn_validation(spark, ldocs):
+    with pytest.raises(ValueError, match="alternative smoothing"):
+        ngram_lm_logprob(ldocs, n_buckets=B, kneser_ney=0.75,
+                         backoff=0.4)
+    with pytest.raises(ValueError, match="alternative smoothing"):
+        ngram_lm_logprob(ldocs, n_buckets=B, kneser_ney=0.75,
+                         interpolate=0.5)
+    with pytest.raises(ValueError, match="discount D in"):
+        ngram_lm_logprob(ldocs, n_buckets=B, kneser_ney=1.5)
+    with pytest.raises(ValueError, match="discount D in"):
+        ngram_lm_logprob(ldocs, n_buckets=B, kneser_ney=0.0)
+    with pytest.raises(ValueError, match="kneser_ney requires"):
+        ngram_lm_logprob(ldocs, n_buckets=B, n=1, kneser_ney=0.75)
+    with pytest.raises(ValueError, match="add-α only"):
+        ngram_lm_logprob(ldocs, n_buckets=B, kneser_ney=0.75,
+                         prefer_literal=True)
+    with pytest.raises(ValueError, match="continuations=True"):
+        ngram_lm_fit(ldocs, n_buckets=B, n=1, continuations=True)
+    # an add-α fit has no type kinds: loud refit guidance
+    plain = ngram_lm_fit(ldocs, n_buckets=B, n=2)
+    with pytest.raises(ValueError, match="continuations=True"):
+        ngram_lm_logprob(ldocs, counts=plain, n_buckets=B, n=2,
+                         kneser_ney=0.75)
+    # a hand-built frame with event rows but missing type rows for a
+    # bucket is inconsistent (type counts do not sum across snapshots)
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2,
+                       continuations=True).collect()
+    broken = [tuple(r) for r in fit
+              if not (r["kind"] == "tfol2"
+                      and r["bucket"] == _bucket("the"))]
+    bdf = spark.createDataFrame(broken,
+                                "kind string, bucket long, cnt long")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ngram_lm_logprob(ldocs, counts=bdf, n_buckets=B, n=2,
+                         kneser_ney=0.75)
+
+
+def test_kn_wire_roundtrip(spark, ldocs):
+    """KN over blaze://: the continuations fit and KN scoring run
+    server-side and match local; the literal-rows counts path carries
+    the type kinds; kneser_ney=True estimates server-side."""
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"ldocs": ldocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::ldocs", spark=spark)
+        fit_r = ngram_lm_fit(rt, n_buckets=B, n=2, continuations=True)
+        got = sorted(map(tuple, spark.createDataFrame(
+            fit_r.compute(), schema=fit_r.df.schema).collect()))
+        want = sorted(map(tuple, ngram_lm_fit(
+            ldocs, n_buckets=B, n=2, continuations=True).collect()))
+        assert got == want
+        sc_r = ngram_lm_logprob(rt, counts=fit_r, n_buckets=B, n=2,
+                                kneser_ney=0.75)
+        got = sorted(map(tuple, spark.createDataFrame(
+            sc_r.compute(), schema=sc_r.df.schema).collect()))
+        want = sorted(map(tuple, ngram_lm_logprob(
+            ldocs, n_buckets=B, n=2, kneser_ney=0.75).collect()))
+        assert got == want and len(got) > 0
+        # estimated discount serializes as True and resolves remotely
+        est_r = ngram_lm_logprob(rt, counts=fit_r, n_buckets=B, n=2,
+                                 kneser_ney=True)
+        got = sorted(map(tuple, spark.createDataFrame(
+            est_r.compute(), schema=est_r.df.schema).collect()))
+        want = sorted(map(tuple, ngram_lm_logprob(
+            ldocs, n_buckets=B, n=2, kneser_ney=True).collect()))
+        assert got == want
+        # literal local counts frame ships the type kinds in the node
+        local_fit = ngram_lm_fit(ldocs, n_buckets=B, n=2,
+                                 continuations=True)
+        pf_r = perplexity_filter(rt, counts=local_fit, n_buckets=B,
+                                 n=2, kneser_ney=0.75, max_ppl=1000.0)
+        got = sorted(map(tuple, spark.createDataFrame(
+            pf_r.compute(), schema=pf_r.df.schema).collect()))
+        want = sorted(map(tuple, perplexity_filter(
+            ldocs, counts=local_fit, n_buckets=B, n=2,
+            kneser_ney=0.75,
+            max_ppl=1000.0).select(*pf_r.df.columns).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        srv.stop()
