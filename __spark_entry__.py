@@ -3007,6 +3007,32 @@ def ngram_lm_kn_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def bloom_decontaminate_docs(spark, sf_dir):
+    """Bloom-prefiltered decontamination (r13 second half,
+    pipeline/bloom.py): the scale path when the deny set is a CORPUS,
+    not a benchmark — its distinct-gram relation won't broadcast, but
+    a bloom at ~10 bits/gram will.  Build packs k xxhash64 positions
+    per reference 3-gram into a (word_idx, bits) relation via bit_or
+    aggregation; probing is k broadcast-hash joins, ALL map-side (the
+    corpus scan never shuffles), and AQE reuses the single bloom
+    build across the k joins (ReusedExchange, pinned in
+    tests/test_bloom.py).  Zero false negatives by construction —
+    dropping the flagged set removes every truly contaminated doc;
+    at this m the FPR is ~1e-9, and tests pin row-for-row equality
+    with the exact contamination_report when oversized.  Rows-only
+    (DuckDB has no xxHash64)."""
+    from blaze_spark.pipeline import bloom_contamination, \
+        build_ngram_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    deny = Table(d.df.filter(F.col("doc_id") % 20 == 0), "documents")
+    bl = build_ngram_bloom(deny, n=3, m_bits=1 << 22, k=7)
+    corpus = Table(d.df.filter(F.col("doc_id") % 20 != 0),
+                   "documents")
+    rep = bloom_contamination(corpus, bl, n=3, threshold=0.2)
+    return rep.filter(F.col("contaminated") == 1).orderBy("doc_id")
+
+
 def blaze_client_pq(spark, sf_dir):
     """Trained-PQ application over the wire (r13, VERDICT r12 missing
     #3): the codebook — a bounded (m·ks, dsub) relation, the
@@ -3585,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_docs": pack_bpe_docs,
         "pack_wordpiece_docs": pack_wordpiece_docs,
         "train_bpe_docs": train_bpe_docs,
+        "bloom_decontaminate_docs": bloom_decontaminate_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,

@@ -168,6 +168,7 @@ NEW_QUERIES_R13 = [
     "word_frequencies_docs",
     "train_bpe_docs",
     "ngram_lm_kn_docs",
+    "bloom_decontaminate_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -76,6 +76,17 @@ from .tokenizer import (  # noqa: F401
     WordPieceTokenizer,
     tokenizer_from_wire,
 )
+from .bloom import (  # noqa: F401
+    BloomFilter,
+    bloom_contains,
+    bloom_contamination,
+    build_bloom,
+    build_ngram_bloom,
+    expected_fpr,
+    load_bloom,
+    optimal_k,
+    save_bloom,
+)
 from .tokenizer_train import (  # noqa: F401
     train_bpe,
     train_vocab,

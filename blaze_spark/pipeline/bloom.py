@@ -1,0 +1,273 @@
+"""Bloom-filter membership prefilters (r13 second half): the scale
+path for testing a 100 TB corpus against a reference set that is too
+large to broadcast as an exact join relation.
+
+The existing decontamination operator (``curation.contamination_report``)
+broadcasts the reference's DISTINCT n-grams — exactly right when the
+reference is a benchmark suite (MBs).  The case it cannot cover is a
+CORPUS-SIZED reference: "drop every document already in last year's
+training set", "flag any gram seen in the deny corpus" — there the
+distinct-gram relation is tens of GB (strings + hash-set overhead) and
+the only exact plan is a corpus-wide shuffle join.  A Bloom filter
+(Bloom 1970) packs the same membership test into ~1.44·log2(1/fpr)
+bits per item (~10 bits at 1% FPR, 7 hashes) with ZERO false
+negatives: nothing contaminated ever slips through; false positives
+only over-flag, and the flagged subset (a tiny fraction of the corpus)
+can be re-checked exactly — the standard two-phase rescue.
+
+Everything stays JVM-side; there is no UDF and no driver bitmap:
+
+- **Build**: one scan of the reference — k positions per key
+  (``xxhash64(key, seed_j) mod m``), packed into a ``(word_idx LONG,
+  bits LONG)`` relation by ``bit_or`` aggregation (map-side
+  combinable; OR is idempotent, so duplicate keys cost nothing).  The
+  result is ≤ m/64 rows — m = 2^30 bits packs into 16.8 M rows ≈
+  256 MB, broadcastable where the exact relation is not.
+- **Probe**: k broadcast-hash joins on ``word_idx`` (one per hash,
+  bit-tested with ``bits & mask``), ALL map-side — the corpus scan
+  stays shuffle-free end to end.  Spark reuses the single broadcast
+  exchange across the k joins.
+
+Not SQL-expressible (DuckDB has no xxHash64), so the registry entry is
+rows-only; the contracts are pinned in pytest instead: membership is a
+SUPERSET (every inserted key hits — zero false negatives, exercised
+through the full pack/probe round trip), the measured FPR on disjoint
+keys tracks the analytic ``(1 − e^{−kn/m})^k``, and save/load round
+trips bit-identically.
+
+Sizing: ``optimal_k(m_bits, n_items)`` = round(m/n·ln 2);
+``expected_fpr(m_bits, k, n_items)`` for the plan.  At 10^9 reference
+grams and m = 2^33 (1 GiB packed), k = 6 gives ~1.6% FPR; the packed
+relation is ~134 M rows / 2 GiB serialized — the ceiling of what a
+healthy cluster broadcasts, and the module's hard ``m_bits`` cap.
+
+No wire-dialect form (a bloom is a derived artifact like a trained
+quantizer); remote tables raise via the localize guard.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import Table, _localize_guard
+from .curation import ngram_array
+
+__all__ = ["BloomFilter", "build_bloom", "build_ngram_bloom",
+           "bloom_contains", "bloom_contamination", "save_bloom",
+           "load_bloom", "expected_fpr", "optimal_k"]
+
+_MAX_M_BITS = 1 << 33          # 1 GiB packed — the broadcast ceiling
+_MAX_K = 16
+
+
+class BloomFilter:
+    """A packed bloom bitmap as a Spark relation: ``df`` is
+    ``(word_idx LONG, bits LONG)`` with one row per non-zero 64-bit
+    word, plus the two probe parameters.  Build with
+    :func:`build_bloom` / :func:`build_ngram_bloom`, persist with
+    :func:`save_bloom`."""
+
+    def __init__(self, df: DataFrame, m_bits: int, k: int):
+        _validate_mk(m_bits, k)
+        if set(df.columns) != {"word_idx", "bits"}:
+            raise ValueError(
+                "BloomFilter df must be a (word_idx, bits) relation, "
+                f"got columns {df.columns}")
+        self.df = df
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+
+    def expected_fpr(self, n_items: int) -> float:
+        return expected_fpr(self.m_bits, self.k, n_items)
+
+
+def _validate_mk(m_bits: int, k: int) -> None:
+    if not 64 <= m_bits <= _MAX_M_BITS:
+        raise ValueError(
+            f"m_bits must be in [64, {_MAX_M_BITS}] (the packed "
+            f"relation is broadcast at probe time), got {m_bits}")
+    if not 1 <= k <= _MAX_K:
+        raise ValueError(f"k must be in [1, {_MAX_K}], got {k}")
+
+
+def expected_fpr(m_bits: int, k: int, n_items: int) -> float:
+    """The analytic false-positive rate ``(1 − e^{−k·n/m})^k``."""
+    if n_items <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n_items / float(m_bits))) ** k
+
+
+def optimal_k(m_bits: int, n_items: int) -> int:
+    """The FPR-minimizing hash count ``round((m/n)·ln 2)``, floored
+    at 1 and capped at the module bound."""
+    if n_items <= 0:
+        return 1
+    return max(1, min(_MAX_K,
+                      round(m_bits / float(n_items) * math.log(2))))
+
+
+def _positions(key, m_bits: int, k: int):
+    """The k probe positions of one key column: xxhash64 seeded by
+    pairing the key with the hash index (xxHash of the 2-column row
+    differs per j), pmod into [0, m)."""
+    return [F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+            for j in range(k)]
+
+
+@_localize_guard
+def build_bloom(t: Table, key_col: str, m_bits: int = 1 << 23,
+                k: int = 7) -> BloomFilter:
+    """Build a bloom over the values of ``key_col`` (NULLs skipped —
+    NULL is not a member).  One scan: explode to k positions per key,
+    pack with a map-side-combinable ``bit_or`` aggregation on ≤ m/64
+    word keys.  Duplicate keys are free (OR is idempotent), so no
+    distinct pass is needed."""
+    _validate_mk(m_bits, k)
+    df = t.df if isinstance(t, Table) else t
+    keys = df.select(F.col(key_col).alias("bk")) \
+             .filter(F.col("bk").isNotNull())
+    pos = keys.select(F.explode(F.array(
+        *_positions(F.col("bk"), m_bits, k))).alias("pos"))
+    packed = (pos
+              .select(F.expr("pos div 64").alias("word_idx"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(pos % 64 AS INT))").alias("m"))
+              .groupBy("word_idx")
+              .agg(F.bit_or("m").alias("bits")))
+    return BloomFilter(packed, m_bits, k)
+
+
+@_localize_guard
+def build_ngram_bloom(t: Table, n: int = 3, text_col: str = "text",
+                      m_bits: int = 1 << 23,
+                      k: int = 7) -> BloomFilter:
+    """Bloom over the reference's distinct token n-grams — the
+    curation family's exact gram identity (trim/lower/whitespace,
+    space-joined), so a probe-side gram built the same way tests the
+    same string.  The deny-corpus decontamination shape: build once
+    over the reference snapshot, persist, probe every future corpus
+    shuffle-free."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = t.df.select(
+        F.explode(ngram_array(F.col(text_col), n)).alias("g"))
+    return build_bloom(Table(grams, "ngrams"), "g", m_bits, k)
+
+
+def _require_bloom(bloom) -> BloomFilter:
+    if not isinstance(bloom, BloomFilter):
+        raise TypeError(
+            "expected a BloomFilter (build_bloom/build_ngram_bloom/"
+            f"load_bloom output), got {type(bloom)}")
+    return bloom
+
+
+def _hit_expr(df: DataFrame, bloom: BloomFilter, key) -> DataFrame:
+    """Chain the k probe joins onto ``df`` and append a boolean
+    ``_bloom_hit``: k broadcast-hash joins on word_idx, each bit-tested
+    in codegen, ANDed.  All map-side — no shuffle enters the plan."""
+    out = df
+    hit = F.lit(True)
+    for j, pos in enumerate(_positions(key, bloom.m_bits, bloom.k)):
+        out = out.withColumn(f"_bp{j}", pos)
+        side = bloom.df.select(
+            F.col("word_idx").alias(f"_bw{j}"),
+            F.col("bits").alias(f"_bb{j}"))
+        out = out.join(F.broadcast(side),
+                       F.expr(f"_bp{j} div 64") == F.col(f"_bw{j}"),
+                       "left")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                      f"CAST(_bp{j} % 64 AS INT))")
+        hit = hit & F.coalesce(
+            F.col(f"_bb{j}").bitwiseAND(mask) != 0, F.lit(False))
+    out = out.withColumn("_bloom_hit", hit)
+    drop = [c for j in range(bloom.k)
+            for c in (f"_bp{j}", f"_bw{j}", f"_bb{j}")]
+    return out.drop(*drop)
+
+
+@_localize_guard
+def bloom_contains(t: Table, bloom, key_col: str,
+                   out_col: str = "bloom_hit") -> DataFrame:
+    """``t`` plus a boolean ``out_col``: True iff ``key_col`` MAY be
+    in the reference set (guaranteed True for every inserted key —
+    zero false negatives; False positives at the built filter's FPR).
+    NULL keys are not members (False)."""
+    bloom = _require_bloom(bloom)
+    df = t.df if isinstance(t, Table) else t
+    if key_col not in df.columns:
+        raise ValueError(f"no column {key_col!r} in {df.columns}")
+    probed = _hit_expr(df, bloom, F.col(key_col))
+    return probed.withColumn(
+        out_col,
+        F.when(F.col(key_col).isNull(), F.lit(False))
+        .otherwise(F.col("_bloom_hit"))).drop("_bloom_hit")
+
+
+@_localize_guard
+def bloom_contamination(t: Table, bloom, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.2) -> DataFrame:
+    """``contamination_report`` against a BLOOM of the reference's
+    n-grams instead of the exact broadcast set: per training document,
+    the share of its distinct n-grams that (may) appear in the
+    reference.  Same output shape — ``(id_col, n_ngrams,
+    n_contaminated, contamination_rate, contaminated)``.
+
+    Guarantees: a document with NO flagged gram is certainly clean
+    (zero false negatives), so dropping the flagged set removes every
+    truly contaminated document.  False positives inflate
+    ``contamination_rate`` by ≈ the filter's FPR; for an exact final
+    report, run ``contamination_report`` on just the flagged subset
+    (a tiny fraction of the corpus) — the two-phase rescue."""
+    bloom = _require_bloom(bloom)
+    grams = t.df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            ngram_array(F.col(text_col), n))).alias("g"))
+    probed = _hit_expr(grams, bloom, F.col("g"))
+    return (probed.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_ngrams"),
+                 F.sum(F.col("_bloom_hit").cast(T.IntegerType()))
+                 .cast(T.LongType()).alias("n_contaminated"))
+            .select(
+                F.col(id_col), F.col("n_ngrams"),
+                F.col("n_contaminated"),
+                F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4)
+                .alias("contamination_rate"),
+                (F.col("n_contaminated") / F.col("n_ngrams")
+                 >= threshold).cast(T.IntegerType())
+                .alias("contaminated")))
+
+
+# two reserved word_idx rows carry the probe parameters, so a saved
+# bloom is ONE parquet relation (no sidecar to lose)
+_META_M, _META_K = -1, -2
+
+
+def save_bloom(bloom, path: str) -> None:
+    """Persist the packed bitmap + parameters as one parquet relation
+    (parameters ride as reserved negative word_idx rows)."""
+    bloom = _require_bloom(bloom)
+    spark = bloom.df.sparkSession
+    meta = spark.createDataFrame(
+        [(_META_M, bloom.m_bits), (_META_K, bloom.k)],
+        "word_idx long, bits long")
+    bloom.df.unionByName(meta).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    df = spark.read.parquet(path)
+    meta = {r["word_idx"]: r["bits"]
+            for r in df.filter(F.col("word_idx") < 0).collect()}
+    if _META_M not in meta or _META_K not in meta:
+        raise ValueError(
+            f"{path!r} is not a saved bloom filter (missing the "
+            "reserved parameter rows) — was it written by save_bloom?")
+    return BloomFilter(df.filter(F.col("word_idx") >= 0),
+                       int(meta[_META_M]), int(meta[_META_K]))

@@ -1,0 +1,141 @@
+"""Bloom-filter membership prefilters (pipeline/bloom.py): the
+zero-false-negative contract through the full pack/probe round trip,
+measured FPR vs the analytic estimate, exact equality with
+contamination_report when the filter is sized so FPs vanish, plan
+hygiene (no shuffle on the probe side, the k probe joins reuse ONE
+bloom build at runtime), and persistence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark import data
+from blaze_spark.pipeline import (
+    BloomFilter,
+    bloom_contains,
+    bloom_contamination,
+    build_bloom,
+    build_ngram_bloom,
+    expected_fpr,
+    load_bloom,
+    optimal_k,
+    save_bloom,
+)
+from blaze_spark.pipeline.curation import contamination_report
+
+
+@pytest.fixture(scope="module")
+def refkeys(spark):
+    return data([(i, f"key{i}") for i in range(500)], spark=spark,
+                schema="i bigint, key string", name="refkeys")
+
+
+def test_zero_false_negatives(spark, refkeys):
+    bl = build_bloom(refkeys, "key", m_bits=1 << 14, k=5)
+    got = bloom_contains(refkeys, bl, "key")
+    assert got.filter(~F.col("bloom_hit")).count() == 0
+    # and the packed relation is bounded by m/64
+    assert bl.df.count() <= (1 << 14) // 64
+
+
+def test_fpr_tracks_analytic(spark, refkeys):
+    m, k, n = 1 << 12, 4, 500
+    bl = build_bloom(refkeys, "key", m_bits=m, k=k)
+    probe = data([(i, f"disjoint{i}") for i in range(5000)],
+                 spark=spark, schema="i bigint, key string",
+                 name="disjoint")
+    fp = bloom_contains(probe, bl, "key") \
+        .filter(F.col("bloom_hit")).count()
+    est = expected_fpr(m, k, n)
+    assert est * 0.25 <= fp / 5000.0 <= est * 3.0, (fp, est)
+
+
+def test_contamination_matches_exact_when_oversized(spark):
+    """With m sized so the analytic FPR is ~1e-12 at this scale, the
+    bloom report must equal contamination_report ROW FOR ROW — the
+    prefilter degrades to the exact operator as m grows."""
+    docs = data([(1, "alpha beta gamma delta epsilon zeta"),
+                 (2, "eta theta iota kappa lam mu"),
+                 (3, "alpha beta gamma nine ten eleven"),
+                 (4, "x y")],
+                spark=spark, schema="doc_id bigint, text string",
+                name="bc_docs")
+    ref = data([(9, "alpha beta gamma delta")], spark=spark,
+               schema="doc_id bigint, text string", name="bc_ref")
+    bl = build_ngram_bloom(ref, n=3, m_bits=1 << 20, k=7)
+    got = sorted(map(tuple,
+                     bloom_contamination(docs, bl, n=3,
+                                         threshold=0.3).collect()))
+    want = sorted(map(tuple,
+                      contamination_report(docs, ref, n=3,
+                                           threshold=0.3).collect()))
+    assert got == want and len(got) == 3  # doc 4 has no 3-gram
+
+
+def test_null_and_missing_keys(spark):
+    withnull = data([(1, "a"), (2, None)], spark=spark,
+                    schema="i bigint, key string", name="bn")
+    bl = build_bloom(withnull, "key", m_bits=1 << 10, k=3)
+    got = {r["i"]: r["bloom_hit"]
+           for r in bloom_contains(withnull, bl, "key").collect()}
+    assert got[1] is True and got[2] is False
+    with pytest.raises(ValueError, match="no column"):
+        bloom_contains(withnull, bl, "nope")
+
+
+def test_save_load_roundtrip(spark, refkeys, tmp_path):
+    bl = build_bloom(refkeys, "key", m_bits=1 << 13, k=6)
+    path = str(tmp_path / "bloom")
+    save_bloom(bl, path)
+    bl2 = load_bloom(spark, path)
+    assert (bl2.m_bits, bl2.k) == (bl.m_bits, bl.k)
+    assert sorted(map(tuple, bl2.df.collect())) == \
+        sorted(map(tuple, bl.df.collect()))
+    # a random parquet is not a bloom store
+    refkeys.df.write.mode("overwrite").parquet(str(tmp_path / "not"))
+    with pytest.raises(Exception):
+        load_bloom(spark, str(tmp_path / "not"))
+
+
+def test_validation(spark, refkeys):
+    with pytest.raises(ValueError, match="m_bits"):
+        build_bloom(refkeys, "key", m_bits=32)
+    with pytest.raises(ValueError, match="m_bits"):
+        build_bloom(refkeys, "key", m_bits=(1 << 33) + 64)
+    with pytest.raises(ValueError, match="k must"):
+        build_bloom(refkeys, "key", k=0)
+    with pytest.raises(ValueError, match="k must"):
+        build_bloom(refkeys, "key", k=99)
+    with pytest.raises(ValueError, match="word_idx"):
+        BloomFilter(refkeys.df, 1 << 10, 3)
+    with pytest.raises(TypeError, match="BloomFilter"):
+        bloom_contains(refkeys, refkeys.df, "key")
+    with pytest.raises(ValueError, match="n must"):
+        build_ngram_bloom(refkeys, n=0, text_col="key")
+
+
+def test_probe_plan_no_shuffle_one_build(spark, refkeys):
+    """The corpus side of a probe never shuffles (broadcast-hash
+    joins only), and at runtime AQE reuses ONE bloom build across the
+    k probe joins (ReusedExchange), so a persisted bloom broadcasts
+    once per stage regardless of k."""
+    k = 5
+    bl = build_bloom(refkeys, "key", m_bits=1 << 14, k=k)
+    out = bloom_contains(refkeys, bl, "key")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("ReusedExchange") >= k - 2
+
+
+def test_sizing_math():
+    assert optimal_k(1 << 13, 500) == min(16, round(
+        (1 << 13) / 500 * math.log(2)))
+    assert optimal_k(1 << 10, 0) == 1
+    assert expected_fpr(1 << 20, 7, 0) == 0.0
+    # 10 bits/item at k=7 is the classic ~1% point
+    assert 0.005 < expected_fpr(10_000, 7, 1_000) < 0.02

@@ -1037,6 +1037,11 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     # the TRAINED tokenizer then serializes like any imported artifact
     guarded += [pl.word_frequencies, pl.train_bpe, pl.train_wordpiece,
                 pl.train_vocab]
+    # bloom filters are derived artifacts like trained quantizers —
+    # no wire node; remote inputs raise instead of probing an empty
+    # frame (r13 second half)
+    guarded += [pl.build_bloom, pl.build_ngram_bloom,
+                pl.bloom_contains, pl.bloom_contamination]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):
