@@ -2992,9 +2992,11 @@ def ngram_lm_kn_docs(spark, sf_dir):
     interpolating the unigram CONTINUATION distribution (how many
     distinct contexts a token follows, not how often it occurs — the
     'San Francisco' effect, pinned in tests).  The fit adds the
-    type-count relations (tcont/tden/tfol — distinct-count kinds) in
-    a second aggregation over the same positioned explode; scoring is
-    3 broadcast joins + the discount chain in codegen.  The oracle
+    type-count relations (tcont/tden/tfol — distinct-count kinds)
+    FUSED into the same one-pass tokenization scan as the event
+    counts (NULL-sub rows sum, type rows distinct-count through a
+    two-stage agg); scoring is 3 broadcast joins + the discount
+    chain in codegen.  The oracle
     re-derives every count AND type relation in DuckDB (count
     DISTINCT over the same md5 buckets) and value-checks band
     membership + all four score exports."""

@@ -177,9 +177,11 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
     NOT a valid KN fit (unlike every event-count kind, which sums).
     Fit KN counts per corpus snapshot; the incremental LM store
     deliberately has no ``continuations`` knob for this reason.  The
-    type pass is a second aggregation over the same positioned explode
-    (distinct → count), so a continuations fit costs ~2× the add-α
-    fit's scan.
+    type rows FUSE into the same single tokenization scan as the
+    event rows (event rows carry a NULL ``sub`` and sum; type rows
+    carry the (k+1)-suffix identity and distinct-count through a
+    two-stage aggregation), so a continuations fit still reads the
+    corpus exactly once.
 
     One scan; gram construction, context strips and the md5 buckets
     run post-explode in codegen; the (kind, bucket) row fan-out
@@ -228,18 +230,29 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
             F.struct(F.lit("uni").alias("kind"),
                      _bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
                                 n_buckets).alias("bucket")))
-    pairs = ex.select(F.explode(F.array(*kinds)).alias("kb"))
-    events = (pairs.select("kb.kind", "kb.bucket")
-              .groupBy("kind", "bucket")
-              .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
     if not continuations:
-        return events
+        pairs = ex.select(F.explode(F.array(*kinds)).alias("kb"))
+        return (pairs.select("kb.kind", "kb.bucket")
+                .groupBy("kind", "bucket")
+                .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+    # Kneser–Ney type counts, fused into the SAME tokenization scan:
+    # event rows ride with sub=NULL (their multiplicity sums), type
+    # rows carry the (k+1)-suffix TYPE identity in sub (their
+    # distinct set is what gets counted).  Stage 1 collapses
+    # duplicates per (kind, bucket, sub) — map-side combinable, and
+    # for type rows it IS the distinct — stage 2 folds to the final
+    # (kind, bucket, cnt): Σ multiplicity for event kinds, row count
+    # for type kinds.  One corpus scan instead of two; both shuffles
+    # are on combined/bounded key spaces.
     tk, i = F.col("tk"), F.col("i")
-    tkinds = []
+    null_sub = F.lit(None).cast(T.LongType())
+    trip = [F.struct(kb["kind"].alias("kind"),
+                     kb["bucket"].alias("bucket"),
+                     null_sub.alias("sub")) for kb in kinds]
 
-    def _triple(kind, hi, lo):
-        tkinds.append(F.struct(F.lit(kind).alias("kind"),
-                               hi.alias("hi"), lo.alias("lo")))
+    def _type_row(kind, lo, hi):
+        trip.append(F.struct(F.lit(kind).alias("kind"),
+                             lo.alias("bucket"), hi.alias("sub")))
 
     for k in range(1, n):
         # the k-suffix of the n-gram at i starts at i+(n−k); its
@@ -248,21 +261,27 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
         off_k = i + F.lit(n - k)
         off_k1 = i + F.lit(n - k - 1)
         hi = _bucket_of(_gram_at(tk, off_k1, k + 1), n_buckets)
-        _triple(f"tcont{k}", hi,
-                _bucket_of(_gram_at(tk, off_k, k), n_buckets))
+        _type_row(f"tcont{k}",
+                  _bucket_of(_gram_at(tk, off_k, k), n_buckets), hi)
         if k >= 2:
             loc = _bucket_of(_ctx_at(tk, off_k, k), n_buckets)
-            _triple(f"tden{k}", hi, loc)
-            _triple(f"tfol{k}",
-                    _bucket_of(_gram_at(tk, off_k, k), n_buckets), loc)
-    _triple(f"tfol{n}", _bucket_of(_gram_at(tk, i, n), n_buckets),
-            _bucket_of(_ctx_at(tk, i, n), n_buckets))
-    types = (ex.select(F.explode(F.array(*tkinds)).alias("kb"))
-             .select("kb.kind", "kb.hi", "kb.lo").distinct()
-             .select("kind", F.col("lo").alias("bucket"))
-             .groupBy("kind", "bucket")
-             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
-    return events.unionByName(types)
+            _type_row(f"tden{k}", loc, hi)
+            _type_row(f"tfol{k}", loc,
+                      _bucket_of(_gram_at(tk, off_k, k), n_buckets))
+    _type_row(f"tfol{n}", _bucket_of(_ctx_at(tk, i, n), n_buckets),
+              _bucket_of(_gram_at(tk, i, n), n_buckets))
+    stage1 = (ex.select(F.explode(F.array(*trip)).alias("kb"))
+              .select("kb.kind", "kb.bucket", "kb.sub")
+              .groupBy("kind", "bucket", "sub")
+              .agg(F.count(F.lit(1)).alias("c1")))
+    return (stage1.groupBy("kind", "bucket")
+            .agg(F.sum(F.when(F.col("sub").isNull(),
+                              F.col("c1"))).alias("ec"),
+                 F.count(F.when(F.col("sub").isNotNull(),
+                                F.lit(1))).alias("tc"))
+            .select("kind", "bucket",
+                    F.coalesce(F.col("ec"), F.col("tc"))
+                    .cast(T.LongType()).alias("cnt")))
 
 
 import re as _re
