@@ -3009,6 +3009,25 @@ def ngram_lm_kn_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def train_unigram_docs(spark, sf_dir):
+    """Unigram-LM tokenizer training + application (r13 second half,
+    Kudo 2018 — the SentencePiece model, completing the big-three
+    subword families): word_frequencies (the one corpus-scale phase)
+    → driver-side EM over the full segmentation lattice
+    (forward-backward expected counts, pinned EQUAL to brute-force
+    enumeration in tests) → SentencePiece-criterion pruning →
+    Viterbi apply through the Arrow-batched UDF.  Rows-only (dynamic
+    programming is not SQL-expressible); determinism pinned."""
+    from blaze_spark.pipeline import train_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    tok = train_unigram(d, vocab_size=128, max_piece_len=8)
+    return (d.df.select("doc_id",
+                        tok.n_tokens(F.col("text"))
+                        .alias("n_uni_tokens"))
+            .orderBy("doc_id"))
+
+
 def bloom_decontaminate_docs(spark, sf_dir):
     """Bloom-prefiltered decontamination (r13 second half,
     pipeline/bloom.py): the scale path when the deny set is a CORPUS,
@@ -3613,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_docs": pack_bpe_docs,
         "pack_wordpiece_docs": pack_wordpiece_docs,
         "train_bpe_docs": train_bpe_docs,
+        "train_unigram_docs": train_unigram_docs,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,

@@ -169,6 +169,7 @@ NEW_QUERIES_R13 = [
     "train_bpe_docs",
     "ngram_lm_kn_docs",
     "bloom_decontaminate_docs",
+    "train_unigram_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

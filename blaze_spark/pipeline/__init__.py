@@ -71,6 +71,7 @@ from .packing import (  # noqa: F401
 from .tokenizer import (  # noqa: F401
     BPETokenizer,
     Tokenizer,
+    UnigramTokenizer,
     VocabTokenizer,
     WhitespaceTokenizer,
     WordPieceTokenizer,
@@ -89,6 +90,7 @@ from .bloom import (  # noqa: F401
 )
 from .tokenizer_train import (  # noqa: F401
     train_bpe,
+    train_unigram,
     train_vocab,
     train_wordpiece,
     word_frequencies,

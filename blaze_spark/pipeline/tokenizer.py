@@ -64,7 +64,8 @@ from pyspark.sql import functions as F
 from .selection import _MAX_BUCKETS
 
 __all__ = ["Tokenizer", "WhitespaceTokenizer", "VocabTokenizer",
-           "BPETokenizer", "WordPieceTokenizer", "tokenizer_from_wire"]
+           "BPETokenizer", "WordPieceTokenizer", "UnigramTokenizer",
+           "tokenizer_from_wire"]
 
 
 class Tokenizer:
@@ -683,6 +684,10 @@ def tokenizer_from_wire(enc) -> Tokenizer | None:
             enc["merges"], lowercase=lower,
             byte_level=bool(enc.get("byte_level", False)),
             add_prefix_space=bool(enc.get("add_prefix_space", False)))
+    if kind == "unigram":
+        _expect_keys(enc, {"kind", "vocab", "lowercase", "unk_logp"})
+        return UnigramTokenizer(enc["vocab"], lowercase=lower,
+                                unk_logp=float(enc["unk_logp"]))
     raise ValueError(
         f"unknown tokenizer kind {kind!r} — re-serialize with a "
         "matching client version")
@@ -914,3 +919,152 @@ class WordPieceTokenizer(Tokenizer):
                    max_input_chars_per_word=int(
                        model.get("max_input_chars_per_word", 100)),
                    lowercase=bool(lowercase))
+
+
+class UnigramTokenizer(Tokenizer):
+    """Unigram-LM tokenizer (Kudo 2018 — the SentencePiece default
+    model): per whitespace word, the VITERBI segmentation maximizing
+    the sum of per-piece log-probabilities.  ``vocab`` is
+    ``{piece: logp}`` (or (piece, logp) pairs, logp ≤ 0).  A single
+    character outside the vocabulary segments as itself at
+    ``unk_logp`` (the char-level analogue of SentencePiece's
+    byte-fallback), so every word is representable and nothing
+    silently drops.  Ties prefer the LONGER piece at each boundary
+    (deterministic, pinned).  Same Arrow-batched-UDF execution shape
+    as BPE/WordPiece — rows-only in the registry (dynamic programming
+    is not SQL-expressible); train one with
+    ``tokenizer_train.train_unigram`` or load probabilities from any
+    artifact.  Completes the big-three subword families
+    (BPE / WordPiece / Unigram)."""
+
+    def __init__(self, vocab, lowercase: bool = False,
+                 unk_logp: float = -20.0):
+        items = vocab.items() if isinstance(vocab, dict) else list(vocab)
+        pieces: dict = {}
+        for p, lp in items:
+            p, lp = str(p), float(lp)
+            if not p:
+                raise ValueError("unigram vocab carries an empty piece")
+            if lp > 0.0:
+                raise ValueError(
+                    f"piece log-probs must be <= 0, got {p!r}: {lp}")
+            pieces.setdefault(p, lp)     # first occurrence wins
+        if len(pieces) > _MAX_BUCKETS:
+            raise ValueError(
+                f"vocab has more than {_MAX_BUCKETS} pieces — "
+                "vocabularies ship as bounded literal relations")
+        if not float(unk_logp) < 0.0:
+            raise ValueError(
+                f"unk_logp must be < 0, got {unk_logp}")
+        self.vocab = pieces
+        self.lowercase = bool(lowercase)
+        self.unk_logp = float(unk_logp)
+        self.max_piece_len = max((len(p) for p in pieces), default=1)
+
+    @staticmethod
+    def _apply_word(word: str, vocab: dict, unk_logp: float,
+                    max_len: int) -> list:
+        n = len(word)
+        NEG = float("-inf")
+        best = [0.0] + [NEG] * n
+        back = [0] * (n + 1)          # start index of the best piece
+        for e in range(1, n + 1):
+            # s ascending ⇒ the LONGEST piece writes first; strict >
+            # keeps it on ties (deterministic)
+            for s in range(max(0, e - max_len), e):
+                lp = vocab.get(word[s:e])
+                if lp is None and e - s == 1:
+                    lp = unk_logp
+                if lp is None or best[s] == NEG:
+                    continue
+                cand = best[s] + lp
+                if cand > best[e]:
+                    best[e] = cand
+                    back[e] = s
+        out, e = [], n
+        while e > 0:
+            s = back[e]
+            out.append(word[s:e])
+            e = s
+        out.reverse()
+        return out
+
+    def _udf(self, want_pieces: bool):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        vocab = dict(self.vocab)
+        unk = self.unk_logp
+        max_len = max(self.max_piece_len, 1)
+        lower = self.lowercase
+        NEG = float("-inf")
+
+        # inlined by value (the apply_word convention): executors
+        # never import blaze_spark to unpickle the UDF; the sync pin
+        # compares against the module-level _apply_word
+        def apply_word(word, vocab=vocab, unk=unk, max_len=max_len):
+            n = len(word)
+            best = [0.0] + [NEG] * n
+            back = [0] * (n + 1)
+            for e in range(1, n + 1):
+                for s in range(max(0, e - max_len), e):
+                    lp = vocab.get(word[s:e])
+                    if lp is None and e - s == 1:
+                        lp = unk
+                    if lp is None or best[s] == NEG:
+                        continue
+                    cand = best[s] + lp
+                    if cand > best[e]:
+                        best[e] = cand
+                        back[e] = s
+            out, e = [], n
+            while e > 0:
+                s = back[e]
+                out.append(word[s:e])
+                e = s
+            out.reverse()
+            return out
+
+        def _tok(s):
+            memo: dict = {}
+            out = []
+            for text in s:
+                if text is None or not text.strip():
+                    out.append([] if want_pieces else 0)
+                    continue
+                t = text.lower() if lower else text
+                if want_pieces:
+                    acc = []
+                    for w in t.split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = apply_word(w)
+                            memo[w] = got
+                        acc.extend(got)
+                    out.append(acc)
+                else:
+                    k = 0
+                    for w in t.split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = len(apply_word(w))
+                            memo[w] = got
+                        k += got
+                    out.append(k)
+            return pd.Series(out)
+
+        _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_tok, "array<string>" if want_pieces
+                          else "long")
+
+    def pieces(self, col: Column) -> Column:
+        return self._udf(want_pieces=True)(col)
+
+    def n_tokens(self, col: Column) -> Column:
+        return self._udf(want_pieces=False)(col)
+
+    def to_wire(self) -> dict:
+        return {"kind": "unigram",
+                "vocab": sorted([p, lp] for p, lp in self.vocab.items()),
+                "lowercase": self.lowercase,
+                "unk_logp": self.unk_logp}

@@ -54,6 +54,7 @@ on a schema-only frame.
 
 from __future__ import annotations
 
+import math
 from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame
@@ -67,7 +68,7 @@ from .tokenizer import (BPETokenizer, VocabTokenizer, WhitespaceTokenizer,
                         _gpt2_pretokenize)
 
 __all__ = ["word_frequencies", "train_bpe", "train_wordpiece",
-           "train_vocab"]
+           "train_vocab", "train_unigram"]
 
 
 def _byte_units_udf(lowercase: bool):
@@ -399,3 +400,180 @@ def train_vocab(t: Table | None = None, *, word_freq=None,
     vocab = [w for w, _ in top[:vocab_size]]
     return VocabTokenizer(vocab, fallback_chars=fallback_chars,
                           lowercase=lowercase)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM training (Kudo 2018, the SentencePiece model) — the same
+# split as BPE/WordPiece: word counts distributed, EM driver-side.
+
+_NEG = float("-inf")
+
+
+def _lse(xs):
+    m = max(xs)
+    if m == _NEG:
+        return _NEG
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+def _uni_em(words, freqs, lp, max_len, iters):
+    """Plain EM over the segmentation lattice: E-step computes exact
+    expected piece counts via forward-backward in log space (every
+    segmentation of every word, weighted by its posterior), M-step is
+    the MLE re-estimate.  (SentencePiece Bayesianifies the M-step
+    with a digamma prior — a documented deviation; the lattice math
+    is Kudo's exactly.)  Single chars keep a count floor so the model
+    always segments."""
+    for _ in range(iters):
+        exp_c: Counter = Counter()
+        for w, f in zip(words, freqs):
+            n = len(w)
+            fwd = [0.0] + [_NEG] * n
+            for e in range(1, n + 1):
+                cands = []
+                for s in range(max(0, e - max_len), e):
+                    p = lp.get(w[s:e])
+                    if p is not None and fwd[s] != _NEG:
+                        cands.append(fwd[s] + p)
+                if cands:
+                    fwd[e] = _lse(cands)
+            if fwd[n] == _NEG:
+                continue
+            bwd = [_NEG] * n + [0.0]
+            for s in range(n - 1, -1, -1):
+                cands = []
+                for e in range(s + 1, min(n, s + max_len) + 1):
+                    p = lp.get(w[s:e])
+                    if p is not None and bwd[e] != _NEG:
+                        cands.append(p + bwd[e])
+                if cands:
+                    bwd[s] = _lse(cands)
+            for s in range(n):
+                if fwd[s] == _NEG:
+                    continue
+                for e in range(s + 1, min(n, s + max_len) + 1):
+                    p = lp.get(w[s:e])
+                    if p is None or bwd[e] == _NEG:
+                        continue
+                    exp_c[w[s:e]] += f * math.exp(
+                        fwd[s] + p + bwd[e] - fwd[n])
+        for piece in lp:
+            if len(piece) == 1:
+                exp_c[piece] = max(exp_c.get(piece, 0.0), 1e-9)
+        total = sum(exp_c.values())
+        lp = {p: math.log(c / total) for p, c in exp_c.items()
+              if c > 0.0}
+    return lp
+
+
+def _uni_viterbi(w, lp, max_len, exclude=None):
+    """Best segmentation SCORE of ``w`` (optionally pretending one
+    piece does not exist — the pruning alternative)."""
+    n = len(w)
+    best = [0.0] + [_NEG] * n
+    for e in range(1, n + 1):
+        for s in range(max(0, e - max_len), e):
+            piece = w[s:e]
+            if piece == exclude:
+                continue
+            p = lp.get(piece)
+            if p is None or best[s] == _NEG:
+                continue
+            if best[s] + p > best[e]:
+                best[e] = best[s] + p
+    return best[n]
+
+
+@_localize_guard
+def train_unigram(t: Table | None = None, *, word_freq=None,
+                  vocab_size: int = 8192, text_col: str = "text",
+                  lowercase: bool = False, max_piece_len: int = 8,
+                  seed_multiplier: int = 4, em_iters: int = 2,
+                  shrink: float = 0.75,
+                  max_words: int = _MAX_BUCKETS, min_count: int = 1,
+                  unk_logp: float = -20.0) -> "UnigramTokenizer":
+    """Learn a unigram-LM vocabulary (Kudo 2018): seed with the
+    highest-frequency substrings (every single character always
+    included), run EM over the full segmentation lattice, then prune
+    the lowest-utility pieces — utility = expected count × (own logp
+    − best alternative segmentation score without the piece), the
+    SentencePiece pruning criterion — in ``shrink`` rounds until
+    ``vocab_size`` remains.  Returns the ready-to-apply
+    :class:`UnigramTokenizer` (wire-serializable, final probabilities
+    normalized).
+
+    Deviations from the SentencePiece trainer, documented: the M-step
+    is plain MLE (no digamma prior), pre-tokenization is the
+    package's whitespace identity, and characters fall back at
+    ``unk_logp`` instead of byte pieces.  Determinism: seeding,
+    pruning and ties all break on (score, piece) with the
+    lexicographically smallest piece preferred — bit-reproducible
+    given the same word-frequency table."""
+    from .tokenizer import UnigramTokenizer
+
+    if not 1 <= vocab_size <= _MAX_BUCKETS:
+        raise ValueError(
+            f"vocab_size must be in [1, {_MAX_BUCKETS}], got "
+            f"{vocab_size}")
+    if max_piece_len < 2:
+        raise ValueError(
+            f"max_piece_len must be >= 2, got {max_piece_len}")
+    if em_iters < 1:
+        raise ValueError(f"em_iters must be >= 1, got {em_iters}")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if seed_multiplier < 1:
+        raise ValueError(
+            f"seed_multiplier must be >= 1, got {seed_multiplier}")
+    freq = _resolve_word_freq(t, word_freq, "train_unigram", text_col,
+                              lowercase, False, max_words, min_count)
+    words = sorted(freq)
+    freqs = [freq[w] for w in words]
+    chars: Counter = Counter()
+    subs: Counter = Counter()
+    for w, f in zip(words, freqs):
+        for ch in w:
+            chars[ch] += f
+        n = len(w)
+        for s in range(n):
+            for e in range(s + 2, min(n, s + max_piece_len) + 1):
+                subs[w[s:e]] += f
+    base = len(chars)
+    if vocab_size < base + 1:
+        raise ValueError(
+            f"train_unigram: vocab_size={vocab_size} is smaller than "
+            f"the corpus alphabet + 1 ({base + 1}) — every character "
+            "must be representable; raise vocab_size")
+    n_seed = max(vocab_size, seed_multiplier * vocab_size) - base
+    seeded = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))
+    seeded = seeded[:n_seed]
+    total = float(sum(chars.values()) + sum(c for _, c in seeded))
+    lp = {p: math.log(c / total) for p, c in chars.items()}
+    lp.update({p: math.log(c / total) for p, c in seeded})
+
+    while True:
+        lp = _uni_em(words, freqs, lp, max_piece_len, em_iters)
+        multis = [p for p in lp if len(p) > 1]
+        if base + len(multis) <= vocab_size:
+            break
+        # utility: how much likelihood the piece buys over its own
+        # best decomposition, weighted by how much it is used
+        exp_like: dict = {}
+        for p in multis:
+            alt = _uni_viterbi(p, lp, max_piece_len, exclude=p)
+            gain = lp[p] - alt if alt != _NEG else float("inf")
+            exp_like[p] = math.exp(lp[p]) * gain
+        # strictly < len(multis): the loop guard gives
+        # len(multis) > vocab_size − base, and shrink < 1 floors below
+        # len — every round makes progress
+        keep_n = max(vocab_size - base,
+                     int(len(multis) * shrink))
+        ranked = sorted(multis,
+                        key=lambda p: (-exp_like[p], p))[:keep_n]
+        lp = {p: v for p, v in lp.items()
+              if len(p) == 1 or p in set(ranked)}
+    # normalize to a proper distribution for the applier
+    z = _lse(list(lp.values()))
+    final = {p: v - z for p, v in lp.items()}
+    return UnigramTokenizer(final, lowercase=lowercase,
+                            unk_logp=unk_logp)

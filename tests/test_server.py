@@ -1036,7 +1036,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     # tokenizer TRAINERS are eager driver-side fits (r13 second half);
     # the TRAINED tokenizer then serializes like any imported artifact
     guarded += [pl.word_frequencies, pl.train_bpe, pl.train_wordpiece,
-                pl.train_vocab]
+                pl.train_vocab, pl.train_unigram]
     # bloom filters are derived artifacts like trained quantizers —
     # no wire node; remote inputs raise instead of probing an empty
     # frame (r13 second half)

@@ -253,3 +253,132 @@ def test_wp_join_continuation_discipline():
     assert _wp_join("a", "##b") == "ab"
     assert _wp_join("##a", "##b") == "##ab"
     assert _wp_join("a", "b") == "ab"
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (Kudo 2018): Viterbi apply, EM vs full enumeration,
+# training quality, wire form, determinism, validation.
+
+import math
+
+from blaze_spark.pipeline import UnigramTokenizer, train_unigram
+from blaze_spark.pipeline.tokenizer import tokenizer_from_wire as _tfw
+from blaze_spark.pipeline.tokenizer_train import _lse, _uni_em
+
+
+def test_unigram_viterbi_hand_computed():
+    v = UnigramTokenizer({"a": -1.0, "b": -1.0, "ab": -1.5})
+    assert v._apply_word("ab", v.vocab, -20.0, 2) == ["ab"]
+    # char fallback for OOV chars, at unk_logp
+    assert v._apply_word("zab", v.vocab, -20.0, 2) == ["z", "ab"]
+    # exact tie prefers the LONGER piece (deterministic)
+    t = UnigramTokenizer({"a": -1.0, "b": -1.0, "ab": -2.0})
+    assert t._apply_word("ab", t.vocab, -20.0, 2) == ["ab"]
+
+
+def test_unigram_em_matches_enumeration():
+    """The forward-backward E-step equals brute-force enumeration of
+    EVERY segmentation, posterior-weighted — the lattice math is
+    exact, not approximate."""
+    words, freqs = ["ab", "abc", "b"], [3, 2, 5]
+    lp0 = {p: math.log(1 / 6) for p in ["a", "b", "c", "ab", "bc"]}
+    got = _uni_em(words, freqs, dict(lp0), 4, 1)
+
+    from collections import Counter
+    exp: Counter = Counter()
+    for w, f in zip(words, freqs):
+        segs = []
+
+        def rec(i, cur, w=w, segs=segs):
+            if i == len(w):
+                segs.append(list(cur))
+                return
+            for j in range(i + 1, min(len(w), i + 4) + 1):
+                if w[i:j] in lp0:
+                    cur.append(w[i:j])
+                    rec(j, cur)
+                    cur.pop()
+
+        rec(0, [])
+        tot = _lse([sum(lp0[p] for p in s) for s in segs])
+        for s in segs:
+            post = math.exp(sum(lp0[p] for p in s) - tot)
+            for p in s:
+                exp[p] += f * post
+    for ch in "abc":
+        exp[ch] = max(exp.get(ch, 0.0), 1e-9)
+    total = sum(exp.values())
+    want = {p: math.log(c / total) for p, c in exp.items() if c > 0}
+    assert set(got) == set(want)
+    assert all(abs(got[p] - want[p]) < 1e-12 for p in want)
+
+
+def test_train_unigram_learns_frequent_words(spark):
+    rows = [(i, "hello world " * 5 + f"rare{i}") for i in range(20)]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="unidocs")
+    tok = train_unigram(t, vocab_size=40, max_piece_len=6)
+    assert len(tok.vocab) <= 40
+    multis = {p for p in tok.vocab if len(p) > 1}
+    assert "hello" in multis and "world" in multis
+    # probabilities normalize (applier contract: all logp <= 0)
+    assert abs(math.exp(_lse(list(tok.vocab.values()))) - 1.0) < 1e-9
+    # frequent words segment as ONE piece through the Spark UDF
+    got = t.df.limit(1).select(
+        tok.pieces(F.col("text")).alias("p")).first()["p"]
+    assert got[:4] == ["hello", "world", "hello", "world"]
+
+
+def test_unigram_udf_matches_module_reference(spark):
+    rows = [(1, "hello world"), (2, "abz qqq"), (3, None), (4, "  ")]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="unisync")
+    tok = UnigramTokenizer({"hello": -2.0, "world": -2.0, "a": -3.0,
+                            "b": -3.0, "ab": -2.5, "q": -4.0})
+    got = {r["doc_id"]: r["p"] for r in t.df.select(
+        "doc_id", tok.pieces(F.col("text")).alias("p")).collect()}
+    for doc_id, text in rows:
+        if text is None or not text.strip():
+            assert got[doc_id] == []
+            continue
+        want = []
+        for w in text.split():
+            want.extend(UnigramTokenizer._apply_word(
+                w, tok.vocab, tok.unk_logp, tok.max_piece_len))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_unigram_wire_roundtrip_and_skew(spark, tdocs):
+    tok = train_unigram(tdocs, vocab_size=30, max_piece_len=6)
+    back = _tfw(tok.to_wire())
+    assert back.vocab == tok.vocab
+    assert back.unk_logp == tok.unk_logp
+    import pytest as _pt
+    with _pt.raises(ValueError, match="matching client version"):
+        _tfw({"kind": "unigram", "vocab": [], "lowercase": False,
+              "unk_logp": -20.0, "future": 1})
+
+
+def test_unigram_determinism(spark, tdocs):
+    a = train_unigram(tdocs, vocab_size=30)
+    b = train_unigram(tdocs, vocab_size=30)
+    assert a.vocab == b.vocab
+
+
+def test_unigram_validation(spark, tdocs):
+    with pytest.raises(ValueError, match="<= 0"):
+        UnigramTokenizer({"a": 0.5})
+    with pytest.raises(ValueError, match="empty piece"):
+        UnigramTokenizer({"": -1.0})
+    with pytest.raises(ValueError, match="unk_logp"):
+        UnigramTokenizer({"a": -1.0}, unk_logp=0.0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(tdocs, vocab_size=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        train_unigram(tdocs, max_piece_len=1)
+    with pytest.raises(ValueError, match="em_iters"):
+        train_unigram(tdocs, em_iters=0)
+    with pytest.raises(ValueError, match="shrink"):
+        train_unigram(tdocs, shrink=1.0)
+    with pytest.raises(ValueError, match="alphabet"):
+        train_unigram(tdocs, vocab_size=3)
