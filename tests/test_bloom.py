@@ -139,3 +139,88 @@ def test_sizing_math():
     assert expected_fpr(1 << 20, 7, 0) == 0.0
     # 10 bits/item at k=7 is the classic ~1% point
     assert 0.005 < expected_fpr(10_000, 7, 1_000) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Incremental bloom store (streaming/incremental_bloom.py): blooms are
+# OR-additive — the union filter of the batches equals the one-shot
+# build exactly — with the signature-store discipline (exactly-once
+# replays, complete-only reads, geometry stamp, compaction).
+
+def test_incremental_bloom_store_matches_batch_build(spark, tmp_path):
+    import os
+
+    from blaze_spark.streaming.incremental_bloom import (
+        compact_bloom_store, ingest_bloom_batch, read_bloom)
+
+    store = str(tmp_path / "bloom_store")
+    rows = [(i, f"key{i}") for i in range(30)]
+    batches = [rows[:10], rows[10:20], rows[20:]]
+    for bid, part in enumerate(batches):
+        b = data(part, spark=spark, schema="i bigint, key string",
+                 name=f"bb{bid}")
+        ingest_bloom_batch(b, store, key_col="key", m_bits=1 << 12,
+                           k=4, batch_id=bid)
+
+    full = data(rows, spark=spark, schema="i bigint, key string",
+                name="bbfull")
+    direct = build_bloom(full, "key", m_bits=1 << 12, k=4)
+    via = read_bloom(spark, store, m_bits=1 << 12, k=4)
+    assert sorted(map(tuple, via.df.collect())) == \
+        sorted(map(tuple, direct.df.collect()))
+    # zero false negatives through the store path
+    hits = bloom_contains(full, via, "key")
+    assert hits.filter(~F.col("bloom_hit")).count() == 0
+
+    # geometry / mode mismatches fail loudly
+    with pytest.raises(ValueError, match="filter geometry"):
+        read_bloom(spark, store, m_bits=1 << 13, k=4)
+    with pytest.raises(ValueError, match="filter geometry"):
+        read_bloom(spark, store, m_bits=1 << 12, k=4, n=2)
+    b = data(rows[:3], spark=spark, schema="i bigint, key string",
+             name="bbx")
+    with pytest.raises(ValueError, match="filter geometry"):
+        ingest_bloom_batch(b, store, n=2, text_col="key",
+                           m_bits=1 << 12, k=4)
+    with pytest.raises(ValueError, match="exactly one"):
+        ingest_bloom_batch(b, store, m_bits=1 << 12, k=4)
+    with pytest.raises(ValueError, match="exactly one"):
+        ingest_bloom_batch(b, store, key_col="key", n=2,
+                           m_bits=1 << 12, k=4)
+
+    # a crashed (_SUCCESS-less) ingest is never OR-merged
+    os.remove(os.path.join(store, "ingest=2", "_SUCCESS"))
+    partial = data(rows[:20], spark=spark,
+                   schema="i bigint, key string", name="bbp")
+    direct2 = build_bloom(partial, "key", m_bits=1 << 12, k=4)
+    got2 = read_bloom(spark, store, m_bits=1 << 12, k=4)
+    assert sorted(map(tuple, got2.df.collect())) == \
+        sorted(map(tuple, direct2.df.collect()))
+
+    # compaction preserves the readable filter
+    compact_bloom_store(spark, store)
+    got3 = read_bloom(spark, store, m_bits=1 << 12, k=4)
+    assert sorted(map(tuple, got3.df.collect())) == \
+        sorted(map(tuple, direct2.df.collect()))
+
+
+def test_incremental_bloom_streaming_and_empty(spark, tmp_path,
+                                               sf_dir):
+    from blaze_spark.streaming import stream_data
+    from blaze_spark.streaming.incremental_bloom import (
+        incremental_bloom, read_bloom)
+
+    store = str(tmp_path / "bloom_stream")
+    with pytest.raises(ValueError, match="no complete ingests"):
+        read_bloom(spark, store, m_bits=1 << 14, k=5, n=3)
+    q = incremental_bloom(
+        stream_data(spark, f"{sf_dir}/documents.parquet"), store,
+        str(tmp_path / "ckpt_bloom"), n=3, m_bits=1 << 14, k=5)
+    q.awaitTermination(120)
+    from blaze_spark import data as _data
+    docs = _data(f"{sf_dir}/documents.parquet", spark=spark,
+                 name="documents")
+    direct = build_ngram_bloom(docs, n=3, m_bits=1 << 14, k=5)
+    via = read_bloom(spark, store, m_bits=1 << 14, k=5, n=3)
+    assert sorted(map(tuple, via.df.collect())) == \
+        sorted(map(tuple, direct.df.collect()))
