@@ -685,9 +685,12 @@ def tokenizer_from_wire(enc) -> Tokenizer | None:
             byte_level=bool(enc.get("byte_level", False)),
             add_prefix_space=bool(enc.get("add_prefix_space", False)))
     if kind == "unigram":
-        _expect_keys(enc, {"kind", "vocab", "lowercase", "unk_logp"})
-        return UnigramTokenizer(enc["vocab"], lowercase=lower,
-                                unk_logp=float(enc["unk_logp"]))
+        _expect_keys(enc, {"kind", "vocab", "lowercase", "unk_logp",
+                           "space_marker"})
+        return UnigramTokenizer(
+            enc["vocab"], lowercase=lower,
+            unk_logp=float(enc["unk_logp"]),
+            space_marker=str(enc.get("space_marker", "")))
     raise ValueError(
         f"unknown tokenizer kind {kind!r} — re-serialize with a "
         "matching client version")
@@ -938,7 +941,7 @@ class UnigramTokenizer(Tokenizer):
     (BPE / WordPiece / Unigram)."""
 
     def __init__(self, vocab, lowercase: bool = False,
-                 unk_logp: float = -20.0):
+                 unk_logp: float = -20.0, space_marker: str = ""):
         items = vocab.items() if isinstance(vocab, dict) else list(vocab)
         pieces: dict = {}
         for p, lp in items:
@@ -959,6 +962,10 @@ class UnigramTokenizer(Tokenizer):
         self.vocab = pieces
         self.lowercase = bool(lowercase)
         self.unk_logp = float(unk_logp)
+        # SentencePiece convention: each word segments as marker+word
+        # (▁the), so real SP/HF-Unigram vocabularies apply VERBATIM —
+        # the analogue of byte-level BPE's Ġ space gluing
+        self.space_marker = str(space_marker)
         self.max_piece_len = max((len(p) for p in pieces), default=1)
 
     @staticmethod
@@ -997,6 +1004,7 @@ class UnigramTokenizer(Tokenizer):
         unk = self.unk_logp
         max_len = max(self.max_piece_len, 1)
         lower = self.lowercase
+        marker = self.space_marker
         NEG = float("-inf")
 
         # inlined by value (the apply_word convention): executors
@@ -1038,7 +1046,7 @@ class UnigramTokenizer(Tokenizer):
                     for w in t.split():
                         got = memo.get(w)
                         if got is None:
-                            got = apply_word(w)
+                            got = apply_word(marker + w)
                             memo[w] = got
                         acc.extend(got)
                     out.append(acc)
@@ -1047,7 +1055,7 @@ class UnigramTokenizer(Tokenizer):
                     for w in t.split():
                         got = memo.get(w)
                         if got is None:
-                            got = len(apply_word(w))
+                            got = len(apply_word(marker + w))
                             memo[w] = got
                         k += got
                     out.append(k)
@@ -1063,8 +1071,67 @@ class UnigramTokenizer(Tokenizer):
     def n_tokens(self, col: Column) -> Column:
         return self._udf(want_pieces=False)(col)
 
+    def detokenize(self, pieces: Column) -> Column:
+        if not self.space_marker:
+            return F.array_join(pieces, " ")
+        # the marker form is exactly invertible: concatenate, turn
+        # markers back into spaces, trim the leading one
+        return F.trim(F.replace(F.array_join(pieces, ""),
+                                F.lit(self.space_marker), F.lit(" ")))
+
     def to_wire(self) -> dict:
         return {"kind": "unigram",
                 "vocab": sorted([p, lp] for p, lp in self.vocab.items()),
                 "lowercase": self.lowercase,
-                "unk_logp": self.unk_logp}
+                "unk_logp": self.unk_logp,
+                "space_marker": self.space_marker}
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str,
+                            lowercase: bool | None = None):
+        """Load a HuggingFace ``tokenizer.json`` Unigram model (the
+        SentencePiece family — T5 / XLM-R / mBART ship this):
+        ``model.type`` must be ``"Unigram"``; ``model.vocab`` is the
+        ``[piece, logp]`` list.  If any piece carries the
+        SentencePiece word marker ``▁``, segmentation runs in marker
+        space (each word as ``▁word``) so the artifact's pieces apply
+        VERBATIM and counts are trainer-true.  The ``unk_id`` piece
+        is excluded from matching (it is a control token) and its
+        score — clamped below 0 — becomes the char-fallback
+        ``unk_logp``.  Scores of 0 are kept (valid log-probs);
+        normalizer handling matches the other importers."""
+        import json
+
+        with open(path) as f:
+            spec = json.load(f)
+        if not isinstance(spec, dict) or "model" not in spec:
+            raise ValueError(
+                f"{path} is not a tokenizer.json (no 'model' key)")
+        model = spec["model"]
+        mtype = model.get("type")
+        if mtype != "Unigram":
+            raise ValueError(
+                f"{path}: model.type is {mtype!r} — BPE/WordPiece "
+                "artifacts load through their own from_tokenizer_json")
+        vocab = model.get("vocab")
+        if not isinstance(vocab, list) or not vocab:
+            raise ValueError(
+                f"{path}: Unigram model carries no [piece, logp] "
+                "vocab list")
+        unk_id = model.get("unk_id")
+        unk_logp = -20.0
+        entries = []
+        for idx, pair in enumerate(vocab):
+            if not isinstance(pair, (list, tuple)) or len(pair) != 2:
+                raise ValueError(
+                    f"{path}: malformed vocab entry {pair!r}")
+            p, lp = str(pair[0]), float(pair[1])
+            if unk_id is not None and idx == int(unk_id):
+                unk_logp = min(lp, -1e-9)
+                continue
+            entries.append((p, min(lp, 0.0)))
+        marker = "▁" if any("▁" in p for p, _ in entries) else ""
+        if lowercase is None:
+            lowercase = _spec_lowercase(spec)
+        return cls(entries, lowercase=bool(lowercase),
+                   unk_logp=unk_logp, space_marker=marker)

@@ -382,3 +382,45 @@ def test_unigram_validation(spark, tdocs):
         train_unigram(tdocs, shrink=1.0)
     with pytest.raises(ValueError, match="alphabet"):
         train_unigram(tdocs, vocab_size=3)
+
+
+def test_unigram_from_tokenizer_json_marker_space(spark, tmp_path):
+    """A real-shape HF Unigram artifact (the SentencePiece family):
+    ▁-marked pieces apply VERBATIM — each word segments as ▁word —
+    the unk_id piece is excluded and its score becomes the fallback,
+    and detokenize inverts exactly in marker space."""
+    import json
+
+    spec = {"model": {"type": "Unigram", "unk_id": 0,
+                      "vocab": [["<unk>", 0.0],
+                                ["▁the", -1.0],
+                                ["▁quick", -2.0],
+                                ["▁", -4.0],
+                                ["qu", -5.0], ["ick", -5.0],
+                                ["t", -6.0], ["h", -6.0], ["e", -6.0],
+                                ["q", -6.0], ["u", -6.0], ["i", -6.0],
+                                ["c", -6.0], ["k", -6.0]]}}
+    p = tmp_path / "unigram.json"
+    p.write_text(json.dumps(spec))
+    tok = UnigramTokenizer.from_tokenizer_json(str(p))
+    assert tok.space_marker == "▁"
+    assert "<unk>" not in tok.vocab
+    assert tok.unk_logp < 0
+    t = data([(1, "the quick")], spark=spark,
+             schema="doc_id bigint, text string", name="unij")
+    got = t.df.select(tok.pieces(F.col("text")).alias("p"),
+                      tok.n_tokens(F.col("text")).alias("n")).first()
+    assert got["p"] == ["▁the", "▁quick"] and got["n"] == 2
+    # detokenize inverts exactly in marker space
+    back = t.df.select(
+        tok.detokenize(tok.pieces(F.col("text"))).alias("t")).first()
+    assert back["t"] == "the quick"
+    # wire round trip carries the marker
+    back_tok = tokenizer_from_wire(tok.to_wire())
+    assert back_tok.space_marker == "▁"
+    assert back_tok.vocab == tok.vocab
+    # wrong model type refuses with guidance
+    bad = tmp_path / "bpe.json"
+    bad.write_text(json.dumps({"model": {"type": "BPE", "merges": []}}))
+    with pytest.raises(ValueError, match="model.type"):
+        UnigramTokenizer.from_tokenizer_json(str(bad))
