@@ -1051,3 +1051,27 @@ def test_kn_wire_roundtrip(spark, ldocs):
         assert got == want and len(got) > 0
     finally:
         srv.stop()
+
+
+def test_kn_composes_with_tokenizer(spark, ldocs):
+    """kneser_ney= threads tokenizer= end to end: the type counts are
+    over the tokenizer's pieces (the fused fit uses one positioned
+    frame), scores differ from the whitespace path and stay finite,
+    and counts=/inline paths agree."""
+    from blaze_spark.pipeline import VocabTokenizer
+
+    vt = VocabTokenizer(["the", "cat"], fallback_chars=2)
+    fit = ngram_lm_fit(ldocs, n_buckets=B, n=2, continuations=True,
+                       tokenizer=vt)
+    via_counts = sorted(map(tuple, ngram_lm_logprob(
+        ldocs, counts=fit, n_buckets=B, n=2, kneser_ney=0.75,
+        tokenizer=vt).collect()))
+    inline = sorted(map(tuple, ngram_lm_logprob(
+        ldocs, n_buckets=B, n=2, kneser_ney=0.75,
+        tokenizer=vt).collect()))
+    assert via_counts == inline
+    plain = sorted(map(tuple, ngram_lm_logprob(
+        ldocs, n_buckets=B, n=2, kneser_ney=0.75).collect()))
+    assert via_counts != plain          # pieces changed the grams
+    for row in inline:
+        assert all(v == v for v in row if isinstance(v, float))
