@@ -3054,6 +3054,29 @@ def bloom_decontaminate_docs(spark, sf_dir):
     return rep.filter(F.col("contaminated") == 1).orderBy("doc_id")
 
 
+def bloom_two_phase_decontam_docs(spark, sf_dir):
+    """Two-phase EXACT decontamination (r13 second half,
+    pipeline/bloom.py): phase 1 flags any-hit documents through the
+    bloom (map-side, shuffle-free; zero false negatives ⇒ complete),
+    phase 2 broadcasts the pruned hit-gram set — the join direction
+    FLIPS — against one reference scan for the exact verdict.  The
+    filter here is deliberately small (2^16 bits under tens of
+    thousands of grams → substantial FPR), because the output is
+    EXACT for any geometry: FPs only add phase-2 work.  That is why
+    this bloom entry, unlike bloom_decontaminate_docs, carries a full
+    DuckDB oracle — the bloom changes the plan, not the answer."""
+    from blaze_spark.pipeline import bloom_two_phase_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    deny = Table(d.df.filter(F.col("doc_id") % 20 == 0), "documents")
+    corpus = Table(d.df.filter(F.col("doc_id") % 20 != 0),
+                   "documents")
+    rep = bloom_two_phase_contamination(corpus, deny, n=2,
+                                        threshold=0.2,
+                                        m_bits=1 << 16, k=5)
+    return rep.orderBy("doc_id")
+
+
 def blaze_client_pq(spark, sf_dir):
     """Trained-PQ application over the wire (r13, VERDICT r12 missing
     #3): the codebook — a bounded (m·ks, dsub) relation, the
@@ -3549,6 +3572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the absolute-discount chain, fully DuckDB-rederivable);
         # tail_orders (green r12 row, unchanged code) rotates below
         # the boundary for it.
+        # ... and bloom_two_phase_decontam_docs (NEW — two-phase exact
+        # decontamination: bloom prefilter + flipped-broadcast exact
+        # rescue; ORACLE-checked because the result is exact for any
+        # filter geometry); crosslingual_dedup_docs (green r12 row,
+        # unchanged code) rotates below the boundary for it.
+        "bloom_two_phase_decontam_docs": bloom_two_phase_decontam_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "word_frequencies_docs": word_frequencies_docs,
         "train_vocab_tokens_docs": train_vocab_tokens_docs,
@@ -3598,12 +3627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter_docs": repetition_filter_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "corpus_curation_pipeline": corpus_curation_pipeline,
-        "crosslingual_dedup_docs": crosslingual_dedup_docs,
-        # ==== driver sample boundary (50) — crosslingual_dedup_docs
+        # ==== driver sample boundary (50) — corpus_curation_pipeline
         # is entry #50; r13 second half rotated tail_orders,
-        # slice_offset and slice_step (green r12 rows, unchanged code)
-        # below it for ngram_lm_kn_docs, word_frequencies_docs and
-        # train_vocab_tokens_docs.
+        # slice_offset, slice_step and crosslingual_dedup_docs (green
+        # r12 rows, unchanged code) below it for ngram_lm_kn_docs,
+        # word_frequencies_docs, train_vocab_tokens_docs and
+        # bloom_two_phase_decontam_docs.
+        "crosslingual_dedup_docs": crosslingual_dedup_docs,
         "tail_orders": tail_orders,
         "slice_offset": slice_offset,
         "slice_step": slice_step,
@@ -5790,6 +5820,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 16.5 AND s.ppl <= 19.5
             ORDER BY d.doc_id
+        """,
+        # Two-phase exact decontamination (r13 second half): the bloom
+        # prefilter changes only the PLAN, so the oracle is the plain
+        # exact overlap — distinct 2-grams of the non-deny corpus LEFT
+        # JOINed against the deny slice's distinct 2-grams.
+        "bloom_two_phase_decontam_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            ex AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' ')))) AS ngram
+                FROM tk),
+            deny_g AS (SELECT DISTINCT ngram FROM ex
+                       WHERE doc_id % 20 = 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   round(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS contamination_rate,
+                   CAST(sum(CASE WHEN g.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                        / count(*) >= 0.2 AS INT) AS contaminated
+            FROM ex t LEFT JOIN deny_g g USING (ngram)
+            WHERE t.doc_id % 20 != 0
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
         """,
         # Interpolated Kneser–Ney (r13 second half): event counts at
         # the top order, DISTINCT-type counts below — tf = N1+(c·)

@@ -170,6 +170,7 @@ NEW_QUERIES_R13 = [
     "ngram_lm_kn_docs",
     "bloom_decontaminate_docs",
     "train_unigram_docs",
+    "bloom_two_phase_decontam_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

@@ -81,6 +81,7 @@ from .bloom import (  # noqa: F401
     BloomFilter,
     bloom_contains,
     bloom_contamination,
+    bloom_two_phase_contamination,
     build_bloom,
     build_ngram_bloom,
     expected_fpr,

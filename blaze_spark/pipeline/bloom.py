@@ -57,7 +57,8 @@ from ..core import Table, _localize_guard
 from .curation import ngram_array
 
 __all__ = ["BloomFilter", "build_bloom", "build_ngram_bloom",
-           "bloom_contains", "bloom_contamination", "save_bloom",
+           "bloom_contains", "bloom_contamination",
+           "bloom_two_phase_contamination", "save_bloom",
            "load_bloom", "expected_fpr", "optimal_k"]
 
 _MAX_M_BITS = 1 << 33          # 1 GiB packed — the broadcast ceiling
@@ -243,6 +244,70 @@ def bloom_contamination(t: Table, bloom, n: int = 3,
                 (F.col("n_contaminated") / F.col("n_ngrams")
                  >= threshold).cast(T.IntegerType())
                 .alias("contaminated")))
+
+
+@_localize_guard
+def bloom_two_phase_contamination(t: Table, reference: Table,
+                                  n: int = 3, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  threshold: float = 0.2,
+                                  m_bits: int = 1 << 23, k: int = 7,
+                                  bloom=None) -> DataFrame:
+    """EXACT decontamination at deny-corpus scale — the two-phase
+    rescue as ONE operator.  Phase 1 probes every corpus gram against
+    the bloom (map-side, shuffle-free): zero false negatives means a
+    gram that misses is CERTAINLY absent from the reference, so only
+    the HIT grams need verification and false positives only add
+    phase-2 work, never wrong output.  Phase 2 flips the join
+    direction: the hit-gram set (tiny after pruning) BROADCASTS
+    against one scan of the reference — never a corpus-wide shuffle,
+    never a reference-sized broadcast, which is exactly the plan
+    ``contamination_report`` cannot produce when the deny set is
+    itself a corpus.
+
+    Output is IDENTICAL to ``contamination_report(t, reference, ...)``
+    row for row, for ANY filter geometry — the bloom changes the
+    execution path, not the result (pinned in tests with a
+    deliberately undersized, high-FPR filter).  Pass a prebuilt
+    ``bloom=`` (e.g. ``read_bloom`` of an incremental store built
+    with the same ``n``) to skip the build scan; geometry mismatches
+    against a mis-built filter cannot corrupt the result, only its
+    cost."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if bloom is None:
+        bloom = build_ngram_bloom(reference, n, text_col, m_bits, k)
+    bloom = _require_bloom(bloom)
+    grams = t.df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            ngram_array(F.col(text_col), n))).alias("g"))
+    probed = _hit_expr(grams, bloom, F.col("g"))
+    per_doc = (probed.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast(T.LongType())
+                    .alias("n_ngrams")))
+    flagged = probed.filter(F.col("_bloom_hit")) \
+        .select(F.col(id_col), F.col("g"))
+    hitset = flagged.select("g").distinct()
+    ref_g = reference.df.select(
+        F.explode(F.array_distinct(
+            ngram_array(F.col(text_col), n))).alias("g"))
+    true_g = (ref_g.join(F.broadcast(hitset), "g", "left_semi")
+              .distinct().withColumn("_in_ref", F.lit(1)))
+    exact = (flagged.join(F.broadcast(true_g), "g", "left")
+             .groupBy(id_col)
+             .agg(F.sum(F.coalesce(F.col("_in_ref"), F.lit(0)))
+                  .alias("_n_exact")))
+    out = per_doc.join(exact, id_col, "left")
+    n_cont = F.coalesce(F.col("_n_exact"), F.lit(0)) \
+        .cast(T.LongType())
+    return out.select(
+        F.col(id_col), F.col("n_ngrams"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / F.col("n_ngrams"), 4)
+        .alias("contamination_rate"),
+        (n_cont / F.col("n_ngrams") >= threshold)
+        .cast(T.IntegerType()).alias("contaminated"))
 
 
 # two reserved word_idx rows carry the probe parameters, so a saved

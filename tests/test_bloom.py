@@ -224,3 +224,31 @@ def test_incremental_bloom_streaming_and_empty(spark, tmp_path,
     via = read_bloom(spark, store, m_bits=1 << 14, k=5, n=3)
     assert sorted(map(tuple, via.df.collect())) == \
         sorted(map(tuple, direct.df.collect()))
+
+
+def test_two_phase_exact_for_any_geometry(spark):
+    """The two-phase composite returns contamination_report's EXACT
+    output even with a deliberately undersized, high-FPR filter —
+    false positives only add phase-2 work, never wrong rows — and
+    with a prebuilt bloom=."""
+    from blaze_spark.pipeline import (bloom_two_phase_contamination,
+                                      build_ngram_bloom)
+
+    docs = data([(i, f"alpha beta gamma tok{i} tok{i+1} tok{i+2}")
+                 for i in range(40)], spark=spark,
+                schema="doc_id bigint, text string", name="tp_docs")
+    ref = data([(900, "alpha beta gamma"),
+                (901, "tok5 tok6 tok7 tok8")], spark=spark,
+               schema="doc_id bigint, text string", name="tp_ref")
+    want = sorted(map(tuple, contamination_report(
+        docs, ref, n=3, threshold=0.3).collect()))
+    assert any(r[4] == 1 for r in want)     # overlap actually planted
+    for m_bits, k in ((64, 2), (1 << 20, 7)):
+        got = sorted(map(tuple, bloom_two_phase_contamination(
+            docs, ref, n=3, threshold=0.3, m_bits=m_bits,
+            k=k).collect()))
+        assert got == want, (m_bits, k)
+    bl = build_ngram_bloom(ref, n=3, m_bits=1 << 12, k=3)
+    got2 = sorted(map(tuple, bloom_two_phase_contamination(
+        docs, ref, n=3, threshold=0.3, bloom=bl).collect()))
+    assert got2 == want

@@ -1041,7 +1041,8 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     # no wire node; remote inputs raise instead of probing an empty
     # frame (r13 second half)
     guarded += [pl.build_bloom, pl.build_ngram_bloom,
-                pl.bloom_contains, pl.bloom_contamination]
+                pl.bloom_contains, pl.bloom_contamination,
+                pl.bloom_two_phase_contamination]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):
