@@ -585,6 +585,12 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "token_commonness": (
         frozenset({"text_col", "id_col", "vocab_size"}), "opt_tree"),
     "blocklist_filter": (frozenset({"text_col", "mode"}), "terms"),
+    # tokenizer training's distributed phase (r13 second half): the
+    # top-N word count runs server-side; the TRAINERS stay client-side
+    # over the bounded computed relation
+    "word_frequencies": (
+        frozenset({"text_col", "lowercase", "byte_level", "max_words",
+                   "min_count"}), "unary"),
     "contamination_report": (
         frozenset({"n", "text_col", "id_col", "threshold"}), "binary"),
     "connected_components": (

@@ -46,10 +46,14 @@ trainer breaks ties by insertion order of its hash maps; we do not
 claim artifact-identical output to any specific trainer version, only
 algorithm fidelity + determinism.)
 
-Eager fits (they collect the bounded word table and loop driver-side),
-so the whole module is ``_localize_guard``-ed like the PQ/IVF fits:
-remote tables raise immediately with guidance instead of mis-fitting
-on a schema-only frame.
+Remote corpora (r13 second half): :func:`word_frequencies` is a wire
+DIALECT node — the top-N aggregation runs server-side and only the
+bounded relation crosses — while the trainers themselves stay
+local-only for CORPUS inputs (eager driver fits; a remote ``t``
+raises with guidance to route through ``word_freq=``).  A remote
+``word_freq=`` is computed (≤ ``max_words`` rows by construction)
+and validated like any local frame, so the full remote-training flow
+is ``train_bpe(word_freq=word_frequencies(remote_corpus))``.
 """
 
 from __future__ import annotations
@@ -61,7 +65,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import Table, _localize_guard
+from ..core import Table
 from .selection import _MAX_BUCKETS
 from .tokenizer import (BPETokenizer, VocabTokenizer, WhitespaceTokenizer,
                         WordPieceTokenizer, _bytes_to_unicode,
@@ -98,7 +102,16 @@ def _byte_units_udf(lowercase: bool):
     return pandas_udf(_units, "array<string>")
 
 
-@_localize_guard
+def _validate_wf_args(max_words: int, min_count: int) -> None:
+    if not 1 <= max_words <= _MAX_BUCKETS:
+        raise ValueError(
+            f"max_words must be in [1, {_MAX_BUCKETS}], got "
+            f"{max_words}: the word table is collected driver-side "
+            "for the merge loop and must stay bounded")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+
 def word_frequencies(t: Table, text_col: str = "text",
                      lowercase: bool = False, byte_level: bool = False,
                      max_words: int = _MAX_BUCKETS,
@@ -117,14 +130,14 @@ def word_frequencies(t: Table, text_col: str = "text",
     GPT-2-style :func:`train_bpe` consumes.
 
     Persist the result: it is this family's ``counts=`` — re-train at
-    any ``num_merges`` without re-scanning the corpus."""
-    if not 1 <= max_words <= _MAX_BUCKETS:
-        raise ValueError(
-            f"max_words must be in [1, {_MAX_BUCKETS}], got "
-            f"{max_words}: the word table is collected driver-side "
-            "for the merge loop and must stay bounded")
-    if min_count < 1:
-        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    any ``num_merges`` without re-scanning the corpus.
+
+    Wire-serializable (r13 second half): on a ``blaze://`` table the
+    top-N aggregation runs SERVER-side and only the bounded relation
+    crosses the wire — `train_*` then consume the computed result via
+    ``word_freq=``, so a tokenizer trains against a remote corpus
+    without the corpus ever moving."""
+    _validate_wf_args(max_words, min_count)
     if byte_level:
         units = _byte_units_udf(lowercase)(F.col(text_col))
     else:
@@ -144,6 +157,31 @@ def _collect_word_freq(wf, fn_name: str) -> dict:
     contract).  Accepts the :func:`word_frequencies` output or any
     user (word STRING, cnt integer) frame of ≤ ``_MAX_BUCKETS`` rows;
     mis-shaped or corpus-sized frames raise loudly."""
+    if isinstance(wf, Table) and getattr(wf, "_client", None) is not None:
+        # a remote word_frequencies relation: the top-N aggregation
+        # already ran server-side; only the bounded table crosses
+        pdf = wf.compute()
+        if set(pdf.columns) != {"word", "cnt"}:
+            raise ValueError(
+                f"{fn_name}: word_freq must be a (word, cnt) relation "
+                f"(word_frequencies output), got columns "
+                f"{list(pdf.columns)}")
+        if len(pdf) > _MAX_BUCKETS:
+            raise ValueError(
+                f"{fn_name}: word_freq has more than {_MAX_BUCKETS} "
+                "rows — the trainer's word table is bounded by "
+                "construction; was a raw token-level frame computed "
+                "instead?")
+        freq: dict = {}
+        for w, c in zip(pdf["word"].tolist(), pdf["cnt"].tolist()):
+            if not isinstance(w, str) or c is None or c != c \
+                    or int(c) <= 0:
+                raise ValueError(
+                    f"{fn_name}: word_freq carries a NULL or "
+                    f"non-positive row {(w, c)!r} — not a counts "
+                    "relation")
+            freq[w] = freq.get(w, 0) + int(c)
+        return freq
     if isinstance(wf, Table):
         wf = wf.df
     if not isinstance(wf, DataFrame):
@@ -276,13 +314,19 @@ def _resolve_word_freq(t, word_freq, fn_name, text_col, lowercase,
             f"{fn_name}: pass either a corpus table (count words "
             "here) or word_freq= (a persisted word_frequencies "
             "relation), not both / neither")
+    if t is not None and getattr(t, "_client", None) is not None:
+        raise TypeError(
+            f"{fn_name} is outside the remote wire dialect for CORPUS "
+            "inputs — the merge loop is an eager driver-side fit.  "
+            "Count words SERVER-side with word_frequencies(remote) "
+            "(a dialect node since r13) and pass that bounded "
+            "relation as word_freq= instead.")
     if word_freq is None:
         word_freq = word_frequencies(t, text_col, lowercase,
                                      byte_level, max_words, min_count)
     return _collect_word_freq(word_freq, fn_name)
 
 
-@_localize_guard
 def train_bpe(t: Table | None = None, *, word_freq=None,
               num_merges: int = 512, text_col: str = "text",
               lowercase: bool = False, byte_level: bool = False,
@@ -322,7 +366,6 @@ def train_bpe(t: Table | None = None, *, word_freq=None,
                         add_prefix_space=add_prefix_space)
 
 
-@_localize_guard
 def train_wordpiece(t: Table | None = None, *, word_freq=None,
                     vocab_size: int = 8192, text_col: str = "text",
                     lowercase: bool = False, min_pair_count: int = 2,
@@ -379,7 +422,6 @@ def train_wordpiece(t: Table | None = None, *, word_freq=None,
                               lowercase=lowercase)
 
 
-@_localize_guard
 def train_vocab(t: Table | None = None, *, word_freq=None,
                 vocab_size: int = 8192, text_col: str = "text",
                 lowercase: bool = False, fallback_chars: int = 4,
@@ -484,7 +526,6 @@ def _uni_viterbi(w, lp, max_len, exclude=None):
     return best[n]
 
 
-@_localize_guard
 def train_unigram(t: Table | None = None, *, word_freq=None,
                   vocab_size: int = 8192, text_col: str = "text",
                   lowercase: bool = False, max_piece_len: int = 8,
@@ -577,3 +618,37 @@ def train_unigram(t: Table | None = None, *, word_freq=None,
     final = {p: v - z for p, v in lp.items()}
     return UnigramTokenizer(final, lowercase=lowercase,
                             unk_logp=unk_logp)
+
+
+# ---------------------------------------------------------------------------
+# Wire dialect: word_frequencies serializes (the unary literal-args
+# pattern — interop._PIPE_WIRE); the trainers stay local-only for
+# corpus inputs and consume remote word_freq= relations via compute().
+
+import functools  # noqa: E402
+
+from .selection import _client_of, _require_tree, _wire_result  # noqa: E402
+
+_local_word_frequencies = word_frequencies
+
+
+@functools.wraps(_local_word_frequencies)
+def word_frequencies(t: Table, text_col: str = "text",
+                     lowercase: bool = False, byte_level: bool = False,
+                     max_words: int = _MAX_BUCKETS,
+                     min_count: int = 1):
+    if _client_of(t) is None:
+        return _local_word_frequencies(t, text_col, lowercase,
+                                       byte_level, max_words,
+                                       min_count)
+    _validate_wf_args(max_words, min_count)
+    node = {"op": "word_frequencies",
+            "args": [_require_tree(t, "word_frequencies"),
+                     {"text_col": text_col,
+                      "lowercase": bool(lowercase),
+                      "byte_level": bool(byte_level),
+                      "max_words": int(max_words),
+                      "min_count": int(min_count)}]}
+    spark = t.df.sparkSession
+    empty = spark.createDataFrame([], "word string, cnt long")
+    return _wire_result(t, empty, node)

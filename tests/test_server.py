@@ -1033,9 +1033,11 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join
     guarded += [ivf_assign, ivf_topk, kmeans_fit]
-    # tokenizer TRAINERS are eager driver-side fits (r13 second half);
-    # the TRAINED tokenizer then serializes like any imported artifact
-    guarded += [pl.word_frequencies, pl.train_bpe, pl.train_wordpiece,
+    # tokenizer TRAINERS are eager driver-side fits (r13 second half)
+    # for CORPUS inputs — word_frequencies itself LEFT this set late
+    # r13 (it serializes as a dialect node; the trainers consume its
+    # computed bounded relation via word_freq=)
+    guarded += [pl.train_bpe, pl.train_wordpiece,
                 pl.train_vocab, pl.train_unigram]
     # bloom filters are derived artifacts like trained quantizers —
     # no wire node; remote inputs raise instead of probing an empty

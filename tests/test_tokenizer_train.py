@@ -424,3 +424,45 @@ def test_unigram_from_tokenizer_json_marker_space(spark, tmp_path):
     bad.write_text(json.dumps({"model": {"type": "BPE", "merges": []}}))
     with pytest.raises(ValueError, match="model.type"):
         UnigramTokenizer.from_tokenizer_json(str(bad))
+
+
+def test_word_frequencies_wire_and_remote_training(spark, tdocs):
+    """Remote tokenizer training (r13 second half): the word count —
+    the ONLY corpus-scale phase — runs server-side as a dialect node;
+    the bounded relation crosses the wire and the merge loop trains
+    client-side to the identical tokenizer.  Corpus-input trainers
+    still refuse remote tables with routing guidance."""
+    import blaze_spark.interop as interop
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"traindocs": tdocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::traindocs",
+                  spark=spark)
+        wf_r = word_frequencies(rt, max_words=10)
+        got = sorted(map(tuple, wf_r.compute().itertuples(index=False)))
+        want = sorted(map(tuple,
+                          word_frequencies(tdocs, max_words=10)
+                          .collect()))
+        assert got == want and len(got) == 4
+        # the full remote-training flow: server counts, client trains
+        tok_r = train_bpe(word_freq=wf_r, num_merges=6,
+                          min_pair_count=2)
+        tok_l = train_bpe(tdocs, num_merges=6, min_pair_count=2)
+        assert tok_r.merges == tok_l.merges
+        vt_r = train_vocab(word_freq=wf_r, vocab_size=3)
+        assert vt_r.vocab == train_vocab(tdocs, vocab_size=3).vocab
+        # corpus-input trainers refuse remote tables, with guidance
+        for fn in (train_bpe, train_wordpiece, train_vocab):
+            with pytest.raises(TypeError, match="word_freq="):
+                fn(rt)
+    finally:
+        srv.stop()
+    # version-skew: unknown keywords reject loudly at replay
+    with pytest.raises(ValueError, match="matching client version"):
+        interop.from_tree(
+            {"op": "word_frequencies",
+             "args": [{"op": "symbol", "args": ["traindocs"]},
+                      {"future_knob": 1}]},
+            spark=spark, datasets={"traindocs": tdocs})
