@@ -503,8 +503,15 @@ def _uni_em(words, freqs, lp, max_len, iters):
             if len(piece) == 1:
                 exp_c[piece] = max(exp_c.get(piece, 0.0), 1e-9)
         total = sum(exp_c.values())
-        lp = {p: math.log(c / total) for p, c in exp_c.items()
-              if c > 0.0}
+        # guard the RATIO, not the count: a denormal expected count
+        # (a piece with vanishing posterior mass on a large corpus)
+        # can underflow c/total to exactly 0.0 — such a piece is dead
+        # weight and drops here rather than raising in log()
+        lp = {}
+        for p, c in exp_c.items():
+            r = c / total
+            if r > 0.0:
+                lp[p] = math.log(r)
     return lp
 
 
