@@ -88,6 +88,7 @@ from .bloom import (  # noqa: F401
     load_bloom,
     optimal_k,
     save_bloom,
+    size_for,
 )
 from .tokenizer_train import (  # noqa: F401
     train_bpe,

@@ -59,7 +59,7 @@ from .curation import ngram_array
 __all__ = ["BloomFilter", "build_bloom", "build_ngram_bloom",
            "bloom_contains", "bloom_contamination",
            "bloom_two_phase_contamination", "save_bloom",
-           "load_bloom", "expected_fpr", "optimal_k"]
+           "load_bloom", "expected_fpr", "optimal_k", "size_for"]
 
 _MAX_M_BITS = 1 << 33          # 1 GiB packed — the broadcast ceiling
 _MAX_K = 16
@@ -109,6 +109,26 @@ def optimal_k(m_bits: int, n_items: int) -> int:
         return 1
     return max(1, min(_MAX_K,
                       round(m_bits / float(n_items) * math.log(2))))
+
+
+def size_for(n_items: int, fpr: float) -> tuple:
+    """``(m_bits, k)`` for a target false-positive rate at ``n_items``
+    keys — the textbook ``m = −n·ln(fpr)/ln²2`` rounded up to a whole
+    64-bit word, ``k = optimal_k``.  Raises when the target needs
+    more than the module's broadcast-ceiling ``m_bits`` cap (shard the
+    deny set, or relax fpr)."""
+    if n_items <= 0:
+        raise ValueError(f"n_items must be > 0, got {n_items}")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    m = math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2))
+    m = max(64, ((m + 63) // 64) * 64)
+    if m > _MAX_M_BITS:
+        raise ValueError(
+            f"size_for: {n_items} keys at fpr={fpr} needs m_bits={m} "
+            f"> the {_MAX_M_BITS} broadcast ceiling — shard the deny "
+            "set across filters or relax fpr")
+    return m, optimal_k(m, n_items)
 
 
 def _positions(key, m_bits: int, k: int):

@@ -539,7 +539,8 @@ def train_unigram(t: Table | None = None, *, word_freq=None,
                   seed_multiplier: int = 4, em_iters: int = 2,
                   shrink: float = 0.75,
                   max_words: int = _MAX_BUCKETS, min_count: int = 1,
-                  unk_logp: float = -20.0) -> "UnigramTokenizer":
+                  unk_logp: float = -20.0,
+                  space_marker: str = "") -> "UnigramTokenizer":
     """Learn a unigram-LM vocabulary (Kudo 2018): seed with the
     highest-frequency substrings (every single character always
     included), run EM over the full segmentation lattice, then prune
@@ -549,6 +550,12 @@ def train_unigram(t: Table | None = None, *, word_freq=None,
     ``vocab_size`` remains.  Returns the ready-to-apply
     :class:`UnigramTokenizer` (wire-serializable, final probabilities
     normalized).
+
+    ``space_marker="▁"`` trains in SentencePiece's own convention —
+    every word enters the lattice as ``marker+word``, so learned
+    pieces carry the word boundary (``▁the``), the trained tokenizer
+    detokenizes EXACTLY, and the artifact round-trips with
+    ``UnigramTokenizer.from_tokenizer_json`` imports.
 
     Deviations from the SentencePiece trainer, documented: the M-step
     is plain MLE (no digamma prior), pre-tokenization is the
@@ -575,6 +582,10 @@ def train_unigram(t: Table | None = None, *, word_freq=None,
             f"seed_multiplier must be >= 1, got {seed_multiplier}")
     freq = _resolve_word_freq(t, word_freq, "train_unigram", text_col,
                               lowercase, False, max_words, min_count)
+    if space_marker:
+        # SentencePiece convention: the lattice sees marker+word, so
+        # boundary-carrying pieces are learnable and apply verbatim
+        freq = {space_marker + w: c for w, c in freq.items()}
     words = sorted(freq)
     freqs = [freq[w] for w in words]
     chars: Counter = Counter()
@@ -624,7 +635,8 @@ def train_unigram(t: Table | None = None, *, word_freq=None,
     z = _lse(list(lp.values()))
     final = {p: v - z for p, v in lp.items()}
     return UnigramTokenizer(final, lowercase=lowercase,
-                            unk_logp=unk_logp)
+                            unk_logp=unk_logp,
+                            space_marker=space_marker)
 
 
 # ---------------------------------------------------------------------------

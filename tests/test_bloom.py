@@ -252,3 +252,20 @@ def test_two_phase_exact_for_any_geometry(spark):
     got2 = sorted(map(tuple, bloom_two_phase_contamination(
         docs, ref, n=3, threshold=0.3, bloom=bl).collect()))
     assert got2 == want
+
+
+def test_size_for_targets_fpr():
+    from blaze_spark.pipeline import size_for
+
+    m, k = size_for(1_000, 0.01)
+    assert m % 64 == 0
+    # achieved fpr is at or below target (rounded-up m, optimal k)
+    assert expected_fpr(m, k, 1_000) <= 0.011
+    # and not absurdly oversized (within 2x of the textbook bits)
+    assert m <= 2 * int(-1_000 * math.log(0.01) / math.log(2) ** 2)
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        size_for(10**10, 1e-6)
+    with pytest.raises(ValueError, match="fpr"):
+        size_for(100, 1.5)
+    with pytest.raises(ValueError, match="n_items"):
+        size_for(0, 0.01)

@@ -466,3 +466,22 @@ def test_word_frequencies_wire_and_remote_training(spark, tdocs):
              "args": [{"op": "symbol", "args": ["traindocs"]},
                       {"future_knob": 1}]},
             spark=spark, datasets={"traindocs": tdocs})
+
+
+def test_train_unigram_marker_space(spark):
+    """space_marker trains in SentencePiece's own convention: learned
+    pieces carry the word boundary, frequent words surface as ▁word
+    pieces, and detokenization round-trips EXACTLY."""
+    rows = [(i, "hello world hello world") for i in range(10)]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="umark")
+    tok = train_unigram(t, vocab_size=60, max_piece_len=8,
+                        space_marker="▁")
+    assert tok.space_marker == "▁"
+    multis = {p for p in tok.vocab if len(p) > 1}
+    assert "▁hello" in multis and "▁world" in multis
+    got = t.df.limit(1).select(
+        tok.pieces(F.col("text")).alias("p"),
+        tok.detokenize(tok.pieces(F.col("text"))).alias("t")).first()
+    assert got["p"] == ["▁hello", "▁world", "▁hello", "▁world"]
+    assert got["t"] == "hello world hello world"
