@@ -3054,6 +3054,27 @@ def bloom_decontaminate_docs(spark, sf_dir):
     return rep.filter(F.col("contaminated") == 1).orderBy("doc_id")
 
 
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (r13 second half, Abbas et al. 2023 —
+    pipeline/similarity.semantic_dedup): k-means cells → within-cell
+    cosine pairs (the ID-only equi-join topology, vectors re-joined
+    per side) → label-propagation clusters → smallest-id survivor.
+    The within-cell restriction is the published approximation;
+    k_cells=1 is pinned EQUAL to the exact
+    embedding_neardup_pairs(exact=True) + canonical_docs pipeline in
+    pytest.  Deterministic end to end (smallest-id kmeans init, no
+    randomness) but not SQL-expressible (the Lloyd loop) —
+    rows-only."""
+    from blaze_spark.pipeline import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, threshold=0.98, k_cells=8,
+                         kmeans_iters=3)
+    return (out.df.select("vec_id", "cell", "cluster_id",
+                          F.col("keep").cast("int").alias("keep"))
+            .orderBy("vec_id"))
+
+
 def bloom_two_phase_decontam_docs(spark, sf_dir):
     """Two-phase EXACT decontamination (r13 second half,
     pipeline/bloom.py): phase 1 flags any-hit documents through the
@@ -3664,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_docs": train_bpe_docs,
         "train_unigram_docs": train_unigram_docs,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,

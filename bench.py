@@ -171,6 +171,7 @@ NEW_QUERIES_R13 = [
     "bloom_decontaminate_docs",
     "train_unigram_docs",
     "bloom_two_phase_decontam_docs",
+    "semantic_dedup_embeddings",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

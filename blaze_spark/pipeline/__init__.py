@@ -35,6 +35,7 @@ from .similarity import (  # noqa: F401
     lsh_tables_required,
     neardup_pairs,
     pq_neardup_pairs,
+    semantic_dedup,
 )
 from .cluster import (  # noqa: F401
     canonical_docs,

@@ -860,6 +860,86 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
 # at entry instead of computing over the empty schema-only frame
+def semantic_dedup(corpus: Table, threshold: float = 0.95,
+                   k_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", kmeans_iters: int = 5,
+                   max_cell: int = 5_000, seed: int = 42,
+                   centroids=None, max_iter: int = 20) -> Table:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication through
+    embedding space — k-means the corpus into cells, compare pairs
+    only WITHIN a cell, connect pairs at cosine ≥ ``threshold`` into
+    clusters and keep one representative per cluster.  Returns the
+    corpus annotated ``(…, cell, cluster_id, keep)`` — filter
+    ``keep`` for the deduplicated view.
+
+    The within-cell restriction IS the published approximation (the
+    paper reports ≥99% of near-dup mass lands intra-cluster at their
+    k); cross-cell duplicates are missed by design, and the exact
+    small-corpus oracle is ``canonical_docs`` over
+    ``embedding_neardup_pairs(exact=True)`` — pinned EQUAL here at
+    ``k_cells=1``.  Deviation from the paper, documented: the
+    survivor is the smallest id in each cluster (the package's
+    cluster convention — deterministic, join-free to re-derive)
+    rather than the member farthest from its centroid.
+
+    Plan shape: the fit is the existing bounded ``kmeans_fit`` (pass
+    ``centroids=`` to reuse a persisted codebook and skip it);
+    assignment is one Arrow pass; pair generation is the ID-ONLY
+    equi-self-join on the cell id (vectors ride neither the join nor
+    the shuffle — the embedding_neardup topology), vectors re-join
+    per side and the cosine is one codegen zip_with/aggregate dot.
+    ``max_cell`` blacklists degenerate cells via broadcast anti join
+    (size k_cells so typical cells land well under it: a cell of m
+    rows costs m²/2 candidate pairs).  Cluster resolution is the
+    bounded-round label propagation of ``canonical_docs``."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}")
+    if max_cell < 2:
+        raise ValueError(f"max_cell must be >= 2, got {max_cell}")
+    from .cluster import canonical_docs
+    from .ivf import ivf_assign, kmeans_fit
+
+    if centroids is None:
+        centroids = kmeans_fit(corpus, k=k_cells, iters=kmeans_iters,
+                               vec_col=vec_col, id_col=id_col,
+                               seed=seed)
+    tagged = ivf_assign(corpus, centroids, vec_col).df
+    c = tagged.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("n"),
+                      "cell").persist()
+    try:
+        hot = (c.groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .filter(F.col("cnt") > max_cell).select("cell"))
+        ids = c.select("vid", "cell") \
+            .join(F.broadcast(hot), "cell", "left_anti")
+        pairs = (ids.alias("l").join(ids.alias("r"), "cell")
+                 .filter(F.col("l.vid") < F.col("r.vid"))
+                 .select(F.col("l.vid").alias("vec_a"),
+                         F.col("r.vid").alias("vec_b")))
+        av = c.select(F.col("vid").alias("vec_a"),
+                      F.col("v").alias("va"), F.col("n").alias("na"))
+        bv = c.select(F.col("vid").alias("vec_b"),
+                      F.col("v").alias("vb"), F.col("n").alias("nb"))
+        cos = _dot(F.col("va"), F.col("vb")) / \
+            (F.col("na") * F.col("nb"))
+        dups = (pairs.join(av, "vec_a").join(bv, "vec_b")
+                .withColumn("cosine", cos)
+                .filter(F.col("cosine") >= threshold)
+                .select("vec_a", "vec_b"))
+        # canonical_docs' label propagation runs its eager bounded
+        # rounds HERE, so the persisted frame is consumed before the
+        # finally releases it
+        out = canonical_docs(Table(tagged, "semantic_dedup"), dups,
+                             id_col=id_col, left="vec_a",
+                             right="vec_b", max_iter=max_iter)
+    finally:
+        c.unpersist()
+    return Table(out.df, "semantic_dedup")
+
+
 from ..core import _localize_guard as _lg  # noqa: E402
 
 cosine_topk = _lg(cosine_topk)
@@ -869,3 +949,4 @@ lsh_cosine_topk = _lg(lsh_cosine_topk)
 ann_topk = _lg(ann_topk)
 batched_topk = _lg(batched_topk)
 pq_neardup_pairs = _lg(pq_neardup_pairs)
+semantic_dedup = _lg(semantic_dedup)

@@ -2178,3 +2178,58 @@ def test_batched_topk_lazy_optout(spark, emb):
     # genuinely lazy: no LogicalRDD (checkpointed block) leaves in the plan
     plan = lazy.df._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" not in plan and "Scan ExistingRDD" not in plan
+
+
+def test_semantic_dedup_removes_planted_cluster(spark, emb):
+    """SemDeDup (r13 second half): planted near-copies collapse to one
+    survivor (smallest id), untouched vectors keep themselves, and at
+    k_cells=1 the result EQUALS the exact small-corpus oracle
+    (canonical_docs over embedding_neardup_pairs(exact=True))."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import Table, concat
+    from blaze_spark.pipeline import (embedding_neardup_pairs,
+                                      semantic_dedup)
+    from blaze_spark.pipeline.cluster import canonical_docs
+
+    copies = Table(emb.df.filter("vec_id < 2")
+                   .withColumn("vec_id",
+                               (F.col("vec_id") + 900000).cast("long")))
+    both = concat(emb, copies)
+    out = semantic_dedup(both, threshold=0.99, k_cells=4,
+                         kmeans_iters=2).df
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == both.df.count()          # corpus-wide view
+    # each planted pair collapses: smallest id survives
+    for vid in (0, 1):
+        assert rows[vid]["keep"] is True
+        assert rows[vid + 900000]["keep"] is False
+        assert rows[vid + 900000]["cluster_id"] == vid
+    # untouched vectors keep themselves
+    assert rows[5]["keep"] is True and rows[5]["cluster_id"] == 5
+    # k_cells=1 == the exact pipeline, row for row
+    got = sorted((r["vec_id"], r["cluster_id"], r["keep"])
+                 for r in semantic_dedup(both, threshold=0.99,
+                                         k_cells=1,
+                                         kmeans_iters=1).df.collect())
+    exact_pairs = embedding_neardup_pairs(both, threshold=0.99,
+                                          exact=True)
+    want_df = canonical_docs(both, exact_pairs, id_col="vec_id",
+                             left="vec_a", right="vec_b").df
+    want = sorted((r["vec_id"], r["cluster_id"], r["keep"])
+                  for r in want_df.collect())
+    assert got == want
+    # determinism
+    again = sorted((r["vec_id"], r["cluster_id"], r["keep"])
+                   for r in semantic_dedup(both, threshold=0.99,
+                                           k_cells=4,
+                                           kmeans_iters=2).df.collect())
+    base = sorted((r["vec_id"], r["cluster_id"], r["keep"])
+                  for r in out.collect())
+    assert again == base
+    # validation
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        semantic_dedup(both, threshold=1.5)
+    with _pt.raises(ValueError, match="max_cell"):
+        semantic_dedup(both, max_cell=1)

@@ -1032,7 +1032,7 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     guarded.append(pl.ann_topk)
     from blaze_spark.pipeline.ivf import ivf_assign, ivf_topk, kmeans_fit
     from blaze_spark.operators.joins_ext import asof_join
-    guarded += [ivf_assign, ivf_topk, kmeans_fit]
+    guarded += [ivf_assign, ivf_topk, kmeans_fit, pl.semantic_dedup]
     # tokenizer TRAINERS are eager driver-side fits (r13 second half)
     # for CORPUS inputs — word_frequencies itself LEFT this set late
     # r13 (it serializes as a dialect node; the trainers consume its
