@@ -3054,6 +3054,21 @@ def bloom_decontaminate_docs(spark, sf_dir):
     return rep.filter(F.col("contaminated") == 1).orderBy("doc_id")
 
 
+def tokenizer_stats_docs(spark, sf_dir):
+    """Corpus tokenization report (r13 second half — the numbers a
+    tokenizer choice is judged by): fertility (tokens per whitespace
+    word — the standard multilingual-cost metric) and per-doc token
+    averages under the word-piece vocabulary, as one global
+    map-side-combinable aggregate.  DuckDB re-prices every word with
+    the identical piece-cost CASE and re-derives both round-4
+    ratios."""
+    from blaze_spark.pipeline import VocabTokenizer, tokenizer_stats
+
+    d = _t(spark, sf_dir, "documents")
+    vt = VocabTokenizer(_TOK_VOCAB, fallback_chars=4)
+    return tokenizer_stats(d, tokenizer=vt)
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup (r13 second half, Abbas et al. 2023 —
     pipeline/similarity.semantic_dedup): k-means cells → within-cell
@@ -3598,6 +3613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rescue; ORACLE-checked because the result is exact for any
         # filter geometry); crosslingual_dedup_docs (green r12 row,
         # unchanged code) rotates below the boundary for it.
+        # ... and tokenizer_stats_docs (NEW — the fertility/cost
+        # report under the word-piece vocabulary, DuckDB-rederivable);
+        # corpus_curation_pipeline (green r12 row, unchanged code)
+        # rotates below the boundary for it.
+        "tokenizer_stats_docs": tokenizer_stats_docs,
         "bloom_two_phase_decontam_docs": bloom_two_phase_decontam_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "word_frequencies_docs": word_frequencies_docs,
@@ -5842,6 +5862,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             WHERE s.ppl >= 16.5 AND s.ppl <= 19.5
             ORDER BY d.doc_id
+        """,
+        # Tokenizer fertility report (r13 second half): whitespace
+        # word counts vs word-piece costs (the pack_tokenized CASE),
+        # both round-4 ratios re-derived (DuckDB's / on integers is
+        # double division, mirroring Spark's long/long).
+        "tokenizer_stats_docs": r"""
+            WITH tk AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+            per AS (
+                SELECT len(toks) AS w,
+                       CAST(list_sum(list_transform(toks, x ->
+                           CASE WHEN list_contains(
+                                    ['join','hash','row','batch','scan',
+                                     'column','customer','filter','small',
+                                     'slow','merge','order','vector',
+                                     'line','data','table'], x) THEN 1
+                                ELSE (length(x) + 3) // 4 END))
+                           AS BIGINT) AS tks
+                FROM tk)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS total_words,
+                   CAST(sum(tks) AS BIGINT) AS total_tokens,
+                   round(sum(tks) / sum(w), 4) + 0.0 AS fertility,
+                   round(sum(tks) / count(*), 4) + 0.0
+                       AS avg_doc_tokens
+            FROM per
         """,
         # Two-phase exact decontamination (r13 second half): the bloom
         # prefilter changes only the PLAN, so the oracle is the plain

@@ -172,6 +172,7 @@ NEW_QUERIES_R13 = [
     "train_unigram_docs",
     "bloom_two_phase_decontam_docs",
     "semantic_dedup_embeddings",
+    "tokenizer_stats_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

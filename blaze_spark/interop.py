@@ -591,6 +591,7 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "word_frequencies": (
         frozenset({"text_col", "lowercase", "byte_level", "max_words",
                    "min_count"}), "unary"),
+    "tokenizer_stats": (frozenset({"text_col", "tokenizer"}), "unary"),
     "contamination_report": (
         frozenset({"n", "text_col", "id_col", "threshold"}), "binary"),
     "connected_components": (

@@ -92,6 +92,7 @@ from .bloom import (  # noqa: F401
     size_for,
 )
 from .tokenizer_train import (  # noqa: F401
+    tokenizer_stats,
     train_bpe,
     train_unigram,
     train_vocab,

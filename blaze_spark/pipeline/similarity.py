@@ -860,11 +860,34 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
 
 # r8 silent-empty audit: no wire-dialect form -> remote inputs raise
 # at entry instead of computing over the empty schema-only frame
+def _centroid_cos_udf(centroids):
+    """cosine(vector, its own cell's centroid) — one Arrow batch pass,
+    the keep="far_centroid" ranking key."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def _cos(v, cell):
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                        1e-12)
+        c = cn[cell.to_numpy().astype(int)]
+        return pd.Series((m * c).sum(axis=1))
+
+    _cos.__annotations__ = {"v": pd.Series, "cell": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
 def semantic_dedup(corpus: Table, threshold: float = 0.95,
                    k_cells: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding", kmeans_iters: int = 5,
                    max_cell: int = 5_000, seed: int = 42,
-                   centroids=None, max_iter: int = 20) -> Table:
+                   centroids=None, max_iter: int = 20,
+                   keep: str = "min_id") -> Table:
     """SemDeDup (Abbas et al. 2023): semantic deduplication through
     embedding space — k-means the corpus into cells, compare pairs
     only WITHIN a cell, connect pairs at cosine ≥ ``threshold`` into
@@ -877,10 +900,13 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
     k); cross-cell duplicates are missed by design, and the exact
     small-corpus oracle is ``canonical_docs`` over
     ``embedding_neardup_pairs(exact=True)`` — pinned EQUAL here at
-    ``k_cells=1``.  Deviation from the paper, documented: the
-    survivor is the smallest id in each cluster (the package's
-    cluster convention — deterministic, join-free to re-derive)
-    rather than the member farthest from its centroid.
+    ``k_cells=1``.  Survivor policy: ``keep="min_id"`` (default — the
+    package's cluster convention, deterministic and join-free to
+    re-derive) or ``keep="far_centroid"`` — the PAPER's rule: within
+    each cluster keep the member with the LOWEST cosine to its cell
+    centroid (they keep the outlier to preserve diversity; ties break
+    on the smaller id).  The latter costs one Arrow centroid-cosine
+    pass plus a window partitioned by cluster id.
 
     Plan shape: the fit is the existing bounded ``kmeans_fit`` (pass
     ``centroids=`` to reuse a persisted codebook and skip it);
@@ -897,6 +923,9 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
             f"threshold must be in (0, 1], got {threshold}")
     if max_cell < 2:
         raise ValueError(f"max_cell must be >= 2, got {max_cell}")
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'far_centroid', got {keep!r}")
     from .cluster import canonical_docs
     from .ivf import ivf_assign, kmeans_fit
 
@@ -937,7 +966,22 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
                              right="vec_b", max_iter=max_iter)
     finally:
         c.unpersist()
-    return Table(out.df, "semantic_dedup")
+    if keep == "min_id":
+        return Table(out.df, "semantic_dedup")
+    # the paper's rule: within each cluster the survivor is the member
+    # FARTHEST from its cell centroid (lowest cosine); one window over
+    # cluster_id (clusters are pair-bounded and small)
+    from pyspark.sql import Window
+
+    ranked = out.df.withColumn(
+        "_cc", _centroid_cos_udf(centroids)(F.col(vec_col),
+                                            F.col("cell")))
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.col("_cc").asc(), F.col(id_col).asc())
+    ranked = (ranked
+              .withColumn("keep", F.row_number().over(w) == 1)
+              .drop("_cc"))
+    return Table(ranked, "semantic_dedup")
 
 
 from ..core import _localize_guard as _lg  # noqa: E402

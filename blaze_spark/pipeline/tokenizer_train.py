@@ -72,7 +72,7 @@ from .tokenizer import (BPETokenizer, VocabTokenizer, WhitespaceTokenizer,
                         _gpt2_pretokenize)
 
 __all__ = ["word_frequencies", "train_bpe", "train_wordpiece",
-           "train_vocab", "train_unigram"]
+           "train_vocab", "train_unigram", "tokenizer_stats"]
 
 
 def _byte_units_udf(lowercase: bool):
@@ -670,4 +670,47 @@ def word_frequencies(t: Table, text_col: str = "text",
                       "min_count": int(min_count)}]}
     spark = t.df.sparkSession
     empty = spark.createDataFrame([], "word string, cnt long")
+    return _wire_result(t, empty, node)
+
+
+def _local_tokenizer_stats(t: Table, tokenizer=None,
+                           text_col: str = "text") -> DataFrame:
+    """One-row corpus tokenization report — the numbers a tokenizer
+    choice is judged by: ``(n_docs, total_words, total_tokens,
+    fertility, avg_doc_tokens)`` with fertility = tokens per
+    whitespace word (the standard multilingual-cost metric; ~1.0 for
+    English under a good subword vocab, 1.3-1.8× under a mismatched
+    one) and both ratios round-4.  ``tokenizer=None`` counts
+    whitespace tokens (fertility exactly 1.0 — the baseline row).
+    One scan, one map-side-combinable global aggregate."""
+    tok = tokenizer if tokenizer is not None else WhitespaceTokenizer()
+    words = WhitespaceTokenizer().n_tokens(F.col(text_col))
+    toks = tok.n_tokens(F.col(text_col))
+    agg = t.df.agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.sum(F.coalesce(words, F.lit(0))).cast(T.LongType())
+        .alias("total_words"),
+        F.sum(F.coalesce(toks, F.lit(0))).cast(T.LongType())
+        .alias("total_tokens"))
+    return agg.select(
+        "n_docs", "total_words", "total_tokens",
+        (F.round(F.col("total_tokens") / F.col("total_words"), 4)
+         + F.lit(0.0)).alias("fertility"),
+        (F.round(F.col("total_tokens") / F.col("n_docs"), 4)
+         + F.lit(0.0)).alias("avg_doc_tokens"))
+
+
+@functools.wraps(_local_tokenizer_stats)
+def tokenizer_stats(t: Table, tokenizer=None, text_col: str = "text"):
+    if _client_of(t) is None:
+        return _local_tokenizer_stats(t, tokenizer, text_col)
+    from .tokenizer import _tokenizer_wire
+    kw = {"text_col": text_col}
+    if tokenizer is not None:
+        kw["tokenizer"] = _tokenizer_wire(tokenizer)
+    node = {"op": "tokenizer_stats",
+            "args": [_require_tree(t, "tokenizer_stats"), kw]}
+    empty = t.df.sparkSession.createDataFrame(
+        [], "n_docs long, total_words long, total_tokens long, "
+            "fertility double, avg_doc_tokens double")
     return _wire_result(t, empty, node)

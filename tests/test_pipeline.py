@@ -2233,3 +2233,34 @@ def test_semantic_dedup_removes_planted_cluster(spark, emb):
         semantic_dedup(both, threshold=1.5)
     with _pt.raises(ValueError, match="max_cell"):
         semantic_dedup(both, max_cell=1)
+
+
+def test_semantic_dedup_far_centroid_policy(spark):
+    """keep="far_centroid" (the paper's rule): within a cluster the
+    survivor is the member with the LOWEST cosine to its cell
+    centroid.  Geometry: a crowd at +y pulls the k=1 centroid up, so
+    of the near-dup pair {1 (along +x), 2 (tilted −y)}, member 2 is
+    farther from the centroid and survives — where min_id keeps 1."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import semantic_dedup
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.995, -0.0999, 0.0, 0.0])] + \
+           [(10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(6)]
+    t = data(rows, spark=spark,
+             schema="vec_id long, embedding array<double>",
+             name="sd_far")
+    far = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(t, threshold=0.99, k_cells=1,
+                                   kmeans_iters=1,
+                                   keep="far_centroid").df.collect()}
+    assert far[2] is True and far[1] is False
+    # the crowd cluster keeps exactly one member
+    assert sum(far[10 + i] for i in range(6)) == 1
+    mid = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(t, threshold=0.99, k_cells=1,
+                                   kmeans_iters=1).df.collect()}
+    assert mid[1] is True and mid[2] is False
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep must"):
+        semantic_dedup(t, keep="oldest")

@@ -485,3 +485,34 @@ def test_train_unigram_marker_space(spark):
         tok.detokenize(tok.pieces(F.col("text"))).alias("t")).first()
     assert got["p"] == ["▁hello", "▁world", "▁hello", "▁world"]
     assert got["t"] == "hello world hello world"
+
+
+def test_tokenizer_stats_report_and_wire(spark, tdocs):
+    """The fertility report: whitespace baseline is exactly 1.0; a
+    vocab tokenizer's totals hand-check; the wire form runs the
+    aggregate server-side and matches local."""
+    from blaze_spark.pipeline import VocabTokenizer, tokenizer_stats
+    from blaze_spark.server import BlazeSparkServer
+
+    base = tokenizer_stats(tdocs).collect()[0]
+    assert base["n_docs"] == 5 and base["fertility"] == 1.0
+    assert base["total_words"] == base["total_tokens"] == 16
+    vt = VocabTokenizer(["newest", "low"], fallback_chars=4)
+    got = tokenizer_stats(tdocs, tokenizer=vt).collect()[0]
+    # newest×6=6, low×5=5, widest×3→2 pieces each=6, lower×2→2 each=4
+    assert got["total_tokens"] == 6 + 5 + 6 + 4
+    assert got["fertility"] == round(21 / 16, 4)
+    srv = BlazeSparkServer({"traindocs": tdocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::traindocs",
+                  spark=spark)
+        r = tokenizer_stats(rt, tokenizer=vt)
+        remote = sorted(map(tuple,
+                            r.compute().itertuples(index=False)))
+        local = sorted(map(tuple,
+                           tokenizer_stats(tdocs, tokenizer=vt)
+                           .collect()))
+        assert remote == local
+    finally:
+        srv.stop()
