@@ -199,3 +199,18 @@ def test_corpus_curation_pipeline_single_scan_pruned(spark):
     assert exchange_count(q) <= 3, plan
     # no window (row_number) dedup: the keep-first lowering is min_by
     assert "row_number" not in plan.lower(), plan
+
+
+def test_word_frequencies_plan_bounded_topn(star):
+    """Tokenizer training's distributed phase (r13 second half): one
+    partial-aggregated shuffle on the word key, then a BOUNDED
+    TakeOrderedAndProject — never a global sort — with the scan
+    pruned to the text column."""
+    from blaze_spark.pipeline import word_frequencies
+
+    q = word_frequencies(star["documents"], max_words=100)
+    plan = physical_plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrdered", ""), plan
+    assert exchange_count(q) == 1, plan
+    assert scan_columns(q) == ["text"], plan
