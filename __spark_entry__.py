@@ -3079,11 +3079,16 @@ def semantic_dedup_embeddings(spark, sf_dir):
     embedding_neardup_pairs(exact=True) + canonical_docs pipeline in
     pytest.  Deterministic end to end (smallest-id kmeans init, no
     randomness) but not SQL-expressible (the Lloyd loop) —
-    rows-only."""
+    rows-only.  k_cells SCALES with the corpus (cells stay ~250
+    vectors) — the paper's own deployment shape: within-cell pair
+    cost is N·cell/2, LINEAR in N at bounded cell size, where a
+    fixed k would grow quadratically (measured 11.5× wall for 10×
+    vectors at k=8 before this sizing)."""
     from blaze_spark.pipeline import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(e, threshold=0.98, k_cells=8,
+    k = max(8, e.df.count() // 250)
+    out = semantic_dedup(e, threshold=0.98, k_cells=k,
                          kmeans_iters=3)
     return (out.df.select("vec_id", "cell", "cluster_id",
                           F.col("keep").cast("int").alias("keep"))
