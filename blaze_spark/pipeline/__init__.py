@@ -125,6 +125,8 @@ from .selection import (  # noqa: F401
     ngram_buckets,
     quality_classifier,
     token_buckets,
+    train_quality_classifier,
+    TrainedQualityModel,
     weighted_sample,
 )
 from .quantize import (  # noqa: F401

@@ -331,6 +331,176 @@ def quality_classifier(t: Table, weights: DataFrame,
         .cast(T.IntegerType()).alias("keep"))
 
 
+def _round_half_away(x: float) -> int:
+    # SQL ROUND semantics (Spark doubles and DuckDB both round halves
+    # AWAY from zero) — Python's built-in round() is banker's rounding
+    # and WOULD diverge: epoch-1 gradients are exact multiples of the
+    # residual quantum, so lr·g/(1000·n) lands on exact .5 values in
+    # practice, not just in theory
+    return (int(math.floor(x + 0.5)) if x >= 0
+            else -int(math.floor(-x + 0.5)))
+
+
+class TrainedQualityModel:
+    """A fitted :func:`train_quality_classifier` model: a bounded
+    ``{bucket: weight_milli}`` dict plus ``intercept_milli``, both exact
+    LONGs.  ``weights_df(spark)`` exports the (bucket, weight_milli)
+    relation :func:`quality_classifier` consumes; ``history`` records
+    the per-epoch doc-count and summed |residual| (micro units) so a
+    caller can see convergence without extra jobs."""
+
+    __slots__ = ("weights", "intercept_milli", "n_buckets", "n",
+                 "history")
+
+    def __init__(self, weights: dict, intercept_milli: int,
+                 n_buckets: int, n: int, history: list):
+        self.weights = weights
+        self.intercept_milli = intercept_milli
+        self.n_buckets = n_buckets
+        self.n = n
+        self.history = history
+
+    def weights_df(self, spark) -> DataFrame:
+        rows = sorted((int(b), int(w)) for b, w in self.weights.items())
+        return spark.createDataFrame(
+            rows or [(None, None)],
+            "bucket long, weight_milli long").filter(
+                F.col("bucket").isNotNull())
+
+    def classify(self, t: Table, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 threshold_milli: int = 0) -> DataFrame:
+        """Apply this model with :func:`quality_classifier` (keep =
+        P(label=1) >= 0.5 at the default threshold: the raw linear
+        score is >= 0 exactly when the sigmoid is >= 0.5)."""
+        spark = t.df.sparkSession
+        return quality_classifier(
+            t, self.weights_df(spark), text_col=text_col, id_col=id_col,
+            n_buckets=self.n_buckets, n=self.n,
+            intercept_milli=self.intercept_milli,
+            threshold_milli=threshold_milli)
+
+
+def train_quality_classifier(t: Table, label, text_col: str = "text",
+                             n_buckets: int = 4096, n: int = 1,
+                             epochs: int = 3, lr: float = 4.0,
+                             persist: bool = False
+                             ) -> TrainedQualityModel:
+    """Fit the :func:`quality_classifier` model IN-ENGINE: a distributed
+    full-batch logistic regression over the family's hashed n-gram
+    buckets — the one model in the selection family that previously had
+    to arrive pre-trained (CCNet/fastText train theirs on
+    wiki-vs-crawl labels; this is the same linear form fit on the same
+    hashed features, VERDICT r13 #2).
+
+    ``label`` is the supervision: a boolean row predicate (Column /
+    ColExpr / SQL string — e.g. ``d.source.isin([...])`` for
+    "curated-source vs rest", the CCNet construction) or the name of a
+    0/1 integer column; NULL rows count as label 0 (``filter``
+    semantics, matching ``hashed_bucket_counts(target_filter=)``).
+
+    Exactness contract (the family's integer discipline): weights live
+    in integer MILLI-units and per-doc scores are LONG sums, so the
+    forward pass is byte-exact; the only float per epoch is one
+    sigmoid per doc, immediately quantized to an integer MICRO-unit
+    residual (``round((p - y) * 1e6)``) BEFORE any aggregation — sums
+    of integers are order-free, so gradients, the fitted model, and
+    every downstream keep decision are byte-reproducible run-to-run
+    and engine-to-engine (round-to-integer absorbs last-ulp exp()
+    disagreement, the udaf_geomean/dsir precedent).  Epoch 1 starts
+    from the zero model, so p = 0.5 exactly for every doc.
+
+    Update rule per epoch (plain gradient descent on mean logistic
+    loss): ``w_milli[b] -= round(lr * g_b / (1000 * n_docs))`` where
+    ``g_b`` = Σ_docs residual_micro · x_db is the exact integer
+    gradient (micro units) and x_db counts bucket b in doc d; the
+    intercept uses the same rule with x = 1 (carried as pseudo-bucket
+    -1 so the whole gradient is ONE aggregation).  The default
+    ``lr=4.0`` suits milli-scale separable text features; tune per
+    corpus as usual.
+
+    Scale shape (100 TB): each epoch is ONE corpus scan — a shuffle-
+    free codegen projection scores every doc against the ≤ n_buckets
+    literal map (the quality_classifier literal path), then explode +
+    ONE map-side-combinable aggregation on ≤ n_buckets+1 keys; the
+    driver loop touches only the bounded (bucket, gradient) relation
+    (the tokenizer_train.py split applied to a linear model).  Nothing
+    driver-side grows with the corpus.  ``persist=True`` caches the
+    (y, buckets) projection across epochs — one tokenization total
+    instead of one per epoch — when the cluster has the memory/disk
+    for it."""
+    _validate_features(n_buckets, n)
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if not lr > 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    c = F.col(text_col)
+    y = F.coalesce(_as_predicate(label).cast(T.IntegerType()),
+                   F.lit(0)).alias("y")
+    # NULL text still carries label evidence for the intercept: treat
+    # it as an empty feature array, not a dropped row
+    feats = t.df.select(y, F.coalesce(
+        ngram_buckets(c, n_buckets, n),
+        F.array().cast(T.ArrayType(T.LongType()))).alias("bks"))
+    if persist:
+        feats = feats.persist()
+    w: dict = {}
+    b0 = 0
+    history: list = []
+    try:
+        for _ in range(epochs):
+            if w:
+                m = F.map_from_arrays(F.lit(list(w.keys())),
+                                      F.lit(list(w.values())))
+                score = F.aggregate(
+                    F.col("bks"), F.lit(b0).cast(T.LongType()),
+                    lambda acc, b: acc + F.coalesce(
+                        F.try_element_at(m, b),
+                        F.lit(0).cast(T.LongType())))
+            else:
+                score = F.lit(b0).cast(T.LongType())
+            p = F.lit(1.0) / (F.lit(1.0)
+                              + F.exp(-score.cast(T.DoubleType())
+                                      / F.lit(1000.0)))
+            r = F.round((p - F.col("y")) * 1e6).cast(T.LongType())
+            # pseudo-bucket -1 carries the intercept gradient and the
+            # doc count, so the epoch is exactly ONE aggregation on a
+            # <= n_buckets+1 key space (map-side combinable)
+            grad = (feats
+                    .select(r.alias("r"),
+                            F.explode(F.concat(
+                                F.array(F.lit(-1).cast(T.LongType())),
+                                F.col("bks"))).alias("bucket"))
+                    .groupBy("bucket")
+                    .agg(F.sum("r").alias("g"),
+                         F.count(F.lit(1)).alias("cnt"),
+                         F.sum(F.abs(F.col("r"))).alias("ga")))
+            rows = grad.limit(n_buckets + 2).collect()
+            g = {row["bucket"]: row["g"] for row in rows}
+            n_docs = next((row["cnt"] for row in rows
+                           if row["bucket"] == -1), 0)
+            if n_docs == 0:
+                raise ValueError(
+                    "train_quality_classifier: the corpus is empty — "
+                    "nothing to fit")
+            history.append({
+                "n_docs": int(n_docs),
+                "abs_residual_micro": int(sum(
+                    row["ga"] for row in rows if row["bucket"] == -1))})
+            denom = 1000.0 * n_docs
+            b0 -= _round_half_away(lr * g.pop(-1) / denom)
+            for b, gb in g.items():
+                nw = w.get(b, 0) - _round_half_away(lr * gb / denom)
+                if nw:
+                    w[b] = nw
+                else:
+                    w.pop(b, None)
+    finally:
+        if persist:
+            feats.unpersist()
+    return TrainedQualityModel(w, b0, n_buckets, n, history)
+
+
 def dsir_log_weights(raw: Table, target: Table | None = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 4096, smoothing: int = 1,

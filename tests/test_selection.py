@@ -521,3 +521,181 @@ def test_classifier_sizing_one_job_per_weights_plan(spark, sdocs):
         quality_classifier(
             sdocs, _weights(spark, [(_bucket("the"), 10 + i)]))
     assert len(sel._WEIGHT_ROWS_CACHE) <= sel._WEIGHT_ROWS_CACHE_MAX
+
+
+# --- train_quality_classifier: the in-engine logistic fit (r14) ------
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    """A separable good-vs-spam corpus: label-1 docs draw from a
+    quality vocabulary, label-0 docs from a spam vocabulary, both mixed
+    with shared function words (the CCNet wiki-vs-crawl shape)."""
+    import random
+
+    rng = random.Random(7)
+    good = ["science", "history", "novel", "theory", "essay", "poem"]
+    spam = ["click", "buy", "free", "winner", "pills", "casino"]
+    common = ["the", "a", "of", "and", "is", "to"]
+    rows = []
+    for i in range(200):
+        lab = i % 2
+        vocab = good if lab else spam
+        toks = [rng.choice(vocab if rng.random() < 0.6 else common)
+                for _ in range(rng.randint(8, 30))]
+        rows.append((i, " ".join(toks), lab))
+    return data(rows, spark=spark,
+                schema="doc_id bigint, text string, y int",
+                name="labeled_docs")
+
+
+def test_train_classifier_learns_separable(spark, labeled_docs):
+    from blaze_spark.pipeline import train_quality_classifier
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=3)
+    out = m.classify(labeled_docs)
+    acc = (out.join(labeled_docs.df.select("doc_id", "y"), "doc_id")
+           .selectExpr("avg(CAST(keep = y AS DOUBLE)) a")
+           .collect()[0]["a"])
+    assert acc == 1.0
+    # residuals collapse once the fit separates (epoch 1 is always
+    # n_docs * 500000 exactly: the zero model scores p = 0.5 for all)
+    assert m.history[0]["abs_residual_micro"] == 200 * 500_000
+    assert (m.history[-1]["abs_residual_micro"]
+            < m.history[0]["abs_residual_micro"] // 10)
+
+
+def test_train_classifier_deterministic(spark, labeled_docs):
+    from blaze_spark.pipeline import train_quality_classifier
+
+    a = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=3)
+    b = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=3)
+    assert a.weights == b.weights
+    assert a.intercept_milli == b.intercept_milli
+    assert a.history == b.history
+
+
+def test_train_classifier_epoch1_hand_computed(spark, sdocs):
+    """Epoch 1 from the zero model is fully hand-computable: p = 0.5
+    exactly, residual_micro = 500000 - 1e6*y, gradient per bucket is
+    the exact integer sum over token occurrences, and the update
+    rounds halves AWAY from zero (SQL ROUND semantics)."""
+    from blaze_spark.pipeline import train_quality_classifier
+    from blaze_spark.pipeline.selection import _round_half_away
+
+    # labels: docs 1 and 3 are spam (y=0), docs 0 and 2 quality (y=1)
+    m = train_quality_classifier(sdocs, "doc_id IN (0, 2)",
+                                 n_buckets=B, epochs=1, lr=4.0)
+    toks = {0: "the cat sat on the mat".split(),
+            1: "spam spam spam buy now".split(),
+            2: "a quiet morning walk in the park".split(),
+            3: "buy spam now".split()}
+    y = {0: 1, 1: 0, 2: 1, 3: 0}
+    r = {d: 500_000 - 1_000_000 * y[d] for d in toks}
+    g: dict = {}
+    for d, ts in toks.items():
+        for t in ts:
+            g[_bucket(t)] = g.get(_bucket(t), 0) + r[d]
+    exp_w = {}
+    for b, gb in g.items():
+        w = -_round_half_away(4.0 * gb / (1000.0 * 4))
+        if w:
+            exp_w[b] = w
+    exp_b0 = -_round_half_away(4.0 * sum(r.values()) / (1000.0 * 4))
+    assert m.weights == exp_w
+    assert m.intercept_milli == exp_b0
+    assert m.history == [{"n_docs": 4,
+                          "abs_residual_micro": 4 * 500_000}]
+
+
+def test_train_classifier_label_forms_equal(spark, labeled_docs):
+    """A 0/1 integer column name and the equivalent boolean predicate
+    fit the same model (NULL labels count as 0, filter semantics)."""
+    from blaze_spark.pipeline import train_quality_classifier
+
+    a = train_quality_classifier(labeled_docs, "y", n_buckets=512,
+                                 epochs=2)
+    b = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2)
+    c = train_quality_classifier(labeled_docs,
+                                 labeled_docs.y == 1, n_buckets=512,
+                                 epochs=2)
+    assert a.weights == b.weights == c.weights
+    assert a.intercept_milli == b.intercept_milli == c.intercept_milli
+
+
+def test_train_classifier_null_text_feeds_intercept(spark):
+    """NULL text is an empty feature array, not a dropped row — the
+    doc still carries label evidence for the intercept (n_docs counts
+    it)."""
+    from blaze_spark.pipeline import train_quality_classifier
+
+    t = data([(0, "good words", 1), (1, None, 0), (2, None, 0)],
+             spark=spark, schema="doc_id bigint, text string, y int",
+             name="nulltext_docs")
+    m = train_quality_classifier(t, "y = 1", epochs=1)
+    assert m.history[0]["n_docs"] == 3
+    # zero model, y = (1,0,0): Σr = 500000 - 1000000 + 2*500000 ... =
+    # (500000-1000000) + 500000 + 500000 = 500000
+    assert m.intercept_milli == -_round_half_away_ref(4.0 * 500_000
+                                                      / (1000.0 * 3))
+
+
+def _round_half_away_ref(x):
+    import math as _m
+    return int(_m.floor(x + 0.5)) if x >= 0 else -int(_m.floor(-x + 0.5))
+
+
+def test_train_classifier_persist_path_equal(spark, labeled_docs):
+    from blaze_spark.pipeline import train_quality_classifier
+
+    a = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2, persist=True)
+    b = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2, persist=False)
+    assert a.weights == b.weights
+    assert a.intercept_milli == b.intercept_milli
+
+
+def test_train_classifier_round_half_away():
+    from blaze_spark.pipeline.selection import _round_half_away
+
+    # Python round() would give 0, -2, 2 on the first three — SQL
+    # ROUND (Spark doubles, DuckDB) rounds halves away from zero
+    assert _round_half_away(0.5) == 1
+    assert _round_half_away(-2.5) == -3
+    assert _round_half_away(2.5) == 3
+    assert _round_half_away(1.4) == 1
+    assert _round_half_away(-1.4) == -1
+
+
+def test_train_classifier_guards(spark, labeled_docs):
+    from blaze_spark.pipeline import train_quality_classifier
+
+    with pytest.raises(ValueError, match="epochs"):
+        train_quality_classifier(labeled_docs, "y = 1", epochs=0)
+    with pytest.raises(ValueError, match="lr"):
+        train_quality_classifier(labeled_docs, "y = 1", lr=0.0)
+    empty = data([], spark=spark,
+                 schema="doc_id bigint, text string, y int",
+                 name="empty_train_docs")
+    with pytest.raises(ValueError, match="empty"):
+        train_quality_classifier(empty, "y = 1", epochs=1)
+
+
+def test_train_classifier_weights_df_roundtrip(spark, labeled_docs):
+    """weights_df exports exactly the relation quality_classifier
+    consumes: classify() == quality_classifier(weights_df())."""
+    from blaze_spark.pipeline import (quality_classifier,
+                                      train_quality_classifier)
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2)
+    via_df = quality_classifier(
+        labeled_docs, m.weights_df(spark), n_buckets=512,
+        intercept_milli=m.intercept_milli).orderBy("doc_id").collect()
+    via_classify = m.classify(labeled_docs).orderBy("doc_id").collect()
+    assert via_df == via_classify
