@@ -2792,6 +2792,36 @@ def quality_classifier_docs(spark, sf_dir):
                               threshold_milli=-20).orderBy("doc_id")
 
 
+def train_quality_classifier_docs(spark, sf_dir):
+    """IN-ENGINE classifier training → application, end-to-end
+    value-checked (pipeline/selection.train_quality_classifier —
+    VERDICT r13 #2, the one model in the selection family that
+    previously had to arrive pre-trained): a distributed full-batch
+    logistic fit over the family's hashed md5 buckets, supervised by
+    the CCNet-style label (lang = 'en' vs rest), 2 epochs, then the
+    fitted model scores every document through quality_classifier.
+
+    Oracle-exact BY CONSTRUCTION, not by tolerance: weights are
+    integer milli-units, per-doc scores are LONG sums, and the one
+    float per epoch (the sigmoid) is quantized to an integer micro
+    residual BEFORE any aggregation, so sums are order-free; updates
+    round halves away from zero (SQL ROUND on both engines — Python's
+    banker's round WOULD diverge on epoch-1's exact .5 gradients).
+    The DuckDB twin below unrolls both epochs as CTE layers: epoch 1
+    from the zero model (p = 0.5 exactly), epoch 2 through exp().
+
+    Scale shape: each epoch is ONE corpus scan (shuffle-free literal-
+    map scoring + one map-side-combinable aggregation on ≤ n_buckets+1
+    keys); the driver loop touches only the bounded gradient relation
+    — the tokenizer_train.py split applied to a linear model."""
+    from blaze_spark.pipeline import train_quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    m = train_quality_classifier(d, "lang = 'en'", n_buckets=1024,
+                                 epochs=2, lr=4.0)
+    return m.classify(d).orderBy("doc_id")
+
+
 def dsir_weights_docs(spark, sf_dir):
     """DSIR importance log-weights (pipeline/selection.dsir_log_weights
     — Xie et al. 2023): per-doc ln-likelihood ratio of the TARGET
@@ -3622,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report under the word-piece vocabulary, DuckDB-rederivable);
         # corpus_curation_pipeline (green r12 row, unchanged code)
         # rotates below the boundary for it.
+        "train_quality_classifier_docs": train_quality_classifier_docs,
         "tokenizer_stats_docs": tokenizer_stats_docs,
         "bloom_two_phase_decontam_docs": bloom_two_phase_decontam_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
@@ -5378,6 +5409,74 @@ def oracle_sql() -> dict[str, str]:
         # hashed-feature model scoring: md5 bucket identity is portable
         # (CAST('0x'||hex AS BIGINT) == Spark conv(hex,16,10)); all
         # arithmetic is exact 64-bit integer milli-fixed-point
+        # In-engine logistic TRAINING unrolled as CTE layers: epoch 1
+        # from the zero model (p = 0.5 exactly, so residuals are exact
+        # integers), epoch 2 through exp() with the residual quantized
+        # to integer micro-units before aggregation (order-free sums);
+        # ROUND is half-away-from-zero on both engines.  The final
+        # SELECT applies the fitted (w2, b2) model — value-checked
+        # train→apply, the train_vocab_tokens_docs precedent.
+        "train_quality_classifier_docs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       COALESCE(CAST(lang = 'en' AS INT), 0) AS y,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks
+                FROM documents),
+            nd AS (SELECT COUNT(*) AS n FROM docs),
+            tb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8))
+                            AS BIGINT) % 1024 AS bucket
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)),
+            r1 AS (SELECT doc_id, 500000 - 1000000 * y AS r FROM docs),
+            g1 AS (SELECT tb.bucket, SUM(r1.r) AS g
+                   FROM tb JOIN r1 USING (doc_id) GROUP BY 1),
+            b1 AS (SELECT CAST(0 - ROUND(4.0 * (SELECT SUM(r) FROM r1)
+                                   / (1000.0 * (SELECT n FROM nd)))
+                          AS BIGINT) AS b0),
+            w1 AS (SELECT bucket,
+                          CAST(0 - ROUND(4.0 * g
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS wm
+                   FROM g1),
+            s2 AS (SELECT d.doc_id, d.y,
+                          (SELECT b0 FROM b1)
+                          + COALESCE(SUM(w1.wm), 0) AS score
+                   FROM docs d
+                   LEFT JOIN tb ON tb.doc_id = d.doc_id
+                   LEFT JOIN w1 USING (bucket)
+                   GROUP BY d.doc_id, d.y),
+            r2 AS (SELECT doc_id,
+                          CAST(ROUND((1.0 / (1.0 + EXP(-score/1000.0))
+                                      - y) * 1e6) AS BIGINT) AS r
+                   FROM s2),
+            g2 AS (SELECT tb.bucket, SUM(r2.r) AS g
+                   FROM tb JOIN r2 USING (doc_id) GROUP BY 1),
+            b2 AS (SELECT (SELECT b0 FROM b1)
+                          - CAST(ROUND(4.0 * (SELECT SUM(r) FROM r2)
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS b0),
+            w2 AS (SELECT g2.bucket,
+                          COALESCE(w1.wm, 0)
+                          - CAST(ROUND(4.0 * g2.g
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS wm
+                   FROM g2 LEFT JOIN w1 USING (bucket)),
+            sf AS (SELECT d.doc_id,
+                          (SELECT b0 FROM b2)
+                          + COALESCE(SUM(w2.wm), 0) AS score
+                   FROM docs d
+                   LEFT JOIN tb ON tb.doc_id = d.doc_id
+                   LEFT JOIN w2 USING (bucket)
+                   GROUP BY d.doc_id)
+            SELECT d.doc_id,
+                   CAST(len(d.toks) AS INT) AS n_tokens,
+                   CAST(sf.score AS BIGINT) AS score_milli,
+                   CAST(sf.score >= 0 AS INT) AS keep
+            FROM docs d JOIN sf USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "quality_classifier_docs": r"""
             WITH lex(w, wm) AS (VALUES
                 ('the', 10), ('a', 10), ('of', 10), ('and', 10),

@@ -213,6 +213,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # inside the node; corpora ride as subtrees
                   "hashed_bucket_counts", "quality_classifier",
                   "dsir_log_weights", "weighted_sample",
+                  # r14: in-engine classifier TRAINING — the label
+                  # predicate rides as an expression subtree, the whole
+                  # epoch loop runs where the corpus lives, and only
+                  # the fitted ≤ n_buckets+1 row model crosses back
+                  # (intercept at pseudo-bucket -1)
+                  "train_quality_classifier",
                   # n-gram LM family (r11): same closure pattern — the
                   # ≤ 2·n_buckets fit relation rides as literal rows,
                   # the reference corpus as a same-server subtree
@@ -350,7 +356,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return child.hash_sample(args[1], on=args[2],
                                      salt=args[3] if len(args) > 3 else 42)
         if op in ("hashed_bucket_counts", "quality_classifier",
-                  "dsir_log_weights", "weighted_sample"):
+                  "dsir_log_weights", "weighted_sample",
+                  "train_quality_classifier"):
             return _selection_node(op, args, child, walk)
         if op in ("ngram_lm_fit", "ngram_lm_logprob",
                   "perplexity_filter"):
@@ -446,6 +453,8 @@ def _selection_node(op: str, args: list, child: Table, walk):
         "quality_classifier": {"text_col", "id_col", "n_buckets",
                                "intercept_milli", "threshold_milli",
                                "max_map_literal", "n"},
+        "train_quality_classifier": {"text_col", "n_buckets", "n",
+                                     "epochs", "lr", "persist"},
         "dsir_log_weights": {"text_col", "id_col", "n_buckets",
                              "smoothing", "n", "max_map_literal"},
         "weighted_sample": {"n", "key_threshold", "id_col",
@@ -475,6 +484,19 @@ def _selection_node(op: str, args: list, child: Table, walk):
                                           args[3],
                                           target_filter=_tf(4)),
                      "bucket_counts")
+    if op == "train_quality_classifier":
+        # args: [child, label_expr_tree, {kw}] — the fit runs HERE
+        # (eager epoch loop over the registered corpus); the result
+        # relation is the bounded fitted model, intercept at -1
+        _arity(op, args, 3)
+        from .pipeline import train_quality_classifier as _tqc
+
+        label = _expr(args[1], child)
+        m = _tqc(child, label,
+                 **_kw(args[2], "train_quality_classifier"))
+        return Table(spark.createDataFrame(
+            m.to_rows(), "bucket long, weight_milli long"),
+            "trained_quality_model")
     if op == "quality_classifier":
         # args: [child, [[bucket, weight_milli], ...], {kw}]
         _arity(op, args, 3)

@@ -367,6 +367,32 @@ class TrainedQualityModel:
             "bucket long, weight_milli long").filter(
                 F.col("bucket").isNotNull())
 
+    def to_rows(self) -> list:
+        """The model as a bounded sorted row list with the intercept at
+        pseudo-bucket -1 — the wire/persistence encoding (no real
+        bucket is negative, so -1 is unambiguous)."""
+        return ([[-1, int(self.intercept_milli)]]
+                + sorted([int(b), int(w)]
+                         for b, w in self.weights.items()))
+
+    @classmethod
+    def from_rows(cls, rows, n_buckets: int, n: int = 1
+                  ) -> "TrainedQualityModel":
+        """Rebuild from :meth:`to_rows` output (or any (bucket,
+        weight_milli) iterable; duplicate buckets SUM — the family's
+        hash-collision contract).  ``history`` is empty: convergence
+        telemetry does not survive serialization."""
+        w: dict = {}
+        b0 = 0
+        for b, wm in rows:
+            b, wm = int(b), int(wm)
+            if b == -1:
+                b0 += wm
+            elif wm or b in w:
+                w[b] = w.get(b, 0) + wm
+        return cls({b: wm for b, wm in w.items() if wm}, b0,
+                   n_buckets, n, [])
+
     def classify(self, t: Table, text_col: str = "text",
                  id_col: str = "doc_id",
                  threshold_milli: int = 0) -> DataFrame:
@@ -842,6 +868,7 @@ _local_hashed_bucket_counts = hashed_bucket_counts
 _local_quality_classifier = quality_classifier
 _local_dsir_log_weights = dsir_log_weights
 _local_weighted_sample = weighted_sample
+_local_train_quality_classifier = train_quality_classifier
 
 
 def _client_of(x):
@@ -1038,6 +1065,36 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
          T.StructField("n_tokens", T.IntegerType()),
          T.StructField("logw", T.DoubleType())]))
     return _wire_result(raw, empty, node)
+
+
+@functools.wraps(_local_train_quality_classifier)
+def train_quality_classifier(t: Table, label, text_col: str = "text",
+                             n_buckets: int = 4096, n: int = 1,
+                             epochs: int = 3, lr: float = 4.0,
+                             persist: bool = False):
+    if _client_of(t) is None:
+        return _local_train_quality_classifier(
+            t, label, text_col, n_buckets, n, epochs, lr, persist)
+    # the fit is EAGER (a driver epoch loop), so the remote form is
+    # eager too: ONE round trip runs the whole loop where the corpus
+    # lives (each epoch's gradient job stays server-side — shipping
+    # per-epoch gradients over HTTP would turn a bounded-model fit
+    # into epochs× wire transfers of the same relation); only the
+    # fitted ≤ n_buckets+1 row model crosses back
+    _validate_features(n_buckets, n)
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if not lr > 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    node = {"op": "train_quality_classifier",
+            "args": [_require_tree(t, "train_quality_classifier"),
+                     _predicate_tree(label, "train_quality_classifier"),
+                     {"text_col": text_col, "n_buckets": int(n_buckets),
+                      "n": int(n), "epochs": int(epochs),
+                      "lr": float(lr), "persist": bool(persist)}]}
+    pdf = t._client.compute_tree(node)
+    return TrainedQualityModel.from_rows(
+        zip(pdf["bucket"], pdf["weight_milli"]), n_buckets, n)
 
 
 @functools.wraps(_local_weighted_sample)

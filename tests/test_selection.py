@@ -699,3 +699,63 @@ def test_train_classifier_weights_df_roundtrip(spark, labeled_docs):
         intercept_milli=m.intercept_milli).orderBy("doc_id").collect()
     via_classify = m.classify(labeled_docs).orderBy("doc_id").collect()
     assert via_df == via_classify
+
+
+def test_train_classifier_remote_eager_posts_tree(spark):
+    """The trainer is eager (a driver epoch loop), so the remote form
+    POSTs ONE fit tree — the whole loop runs where the corpus lives —
+    and rebuilds the model from the returned bounded relation
+    (intercept at pseudo-bucket -1).  Real HTTP:
+    test_server.test_remote_classifier_training_runs_server_side."""
+    import pandas as pd
+
+    from blaze_spark.pipeline import train_quality_classifier
+
+    remote = data([(0, "t", 0)], spark=spark,
+                  schema="doc_id bigint, text string, y int",
+                  name="rtrain")
+
+    class _FakeClient:
+        def __init__(self):
+            self.trees = []
+
+        def compute_tree(self, tree):
+            self.trees.append(tree)
+            return pd.DataFrame({"bucket": [-1, 7],
+                                 "weight_milli": [-200, 35]})
+
+    remote._client = _FakeClient()
+    remote._tree = {"op": "symbol", "args": ["rtrain"]}
+    m = train_quality_classifier(remote, remote.y == 1, n_buckets=64,
+                                 epochs=2)
+    assert m.intercept_milli == -200
+    assert m.weights == {7: 35}
+    assert m.n_buckets == 64 and m.history == []
+    (tree,) = remote._client.trees
+    assert tree["op"] == "train_quality_classifier"
+    assert tree["args"][2]["epochs"] == 2
+    assert tree["args"][2]["lr"] == 4.0
+    # a label that isn't a serializable remote expression fails loudly
+    with pytest.raises(TypeError, match="serializable"):
+        train_quality_classifier(remote, "y = 1")
+    # guards fire BEFORE any POST
+    with pytest.raises(ValueError, match="epochs"):
+        train_quality_classifier(remote, remote.y == 1, epochs=0)
+
+
+def test_trained_model_rows_roundtrip(spark, labeled_docs):
+    """to_rows/from_rows is lossless for weights + intercept (history
+    deliberately does not survive); duplicate buckets SUM on rebuild
+    (the family's hash-collision contract)."""
+    from blaze_spark.pipeline import (TrainedQualityModel,
+                                      train_quality_classifier)
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2)
+    back = TrainedQualityModel.from_rows(m.to_rows(), m.n_buckets, m.n)
+    assert back.weights == m.weights
+    assert back.intercept_milli == m.intercept_milli
+    dup = TrainedQualityModel.from_rows(
+        [[-1, 5], [-1, 7], [3, 10], [3, -10], [4, 2]], 64)
+    assert dup.intercept_milli == 12
+    assert dup.weights == {4: 2}  # bucket 3 summed to zero and dropped

@@ -1260,3 +1260,35 @@ def test_compute_timeout_knob(spark, star):
         assert len(rt.head(3).compute()) == 3
     finally:
         srv.stop()
+
+
+def test_remote_classifier_training_runs_server_side(spark, star):
+    """r14 (VERDICT r13 #2): train_quality_classifier over blaze:// —
+    ONE round trip runs the whole epoch loop where the corpus lives
+    (the fit is eager, so per-epoch wire transfers would multiply the
+    model relation by epochs); only the fitted bounded model crosses
+    back, and the rebuilt model is byte-equal to the local fit.  The
+    remote model then classifies the REMOTE corpus through the
+    existing quality_classifier wire form."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import train_quality_classifier
+    from blaze_spark.server import BlazeSparkServer
+
+    docs = star["documents"]
+    srv = BlazeSparkServer({"documents": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                  spark=spark)
+        local = train_quality_classifier(docs, docs.lang == "en",
+                                         n_buckets=256, epochs=2)
+        remote = train_quality_classifier(rt, rt.lang == "en",
+                                          n_buckets=256, epochs=2)
+        assert remote.weights == local.weights
+        assert remote.intercept_milli == local.intercept_milli
+        want = sorted(map(tuple, local.classify(docs).collect()))
+        got = sorted(map(tuple, remote.classify(rt).compute()
+                         .itertuples(index=False)))
+        assert got == want
+    finally:
+        srv.stop()
