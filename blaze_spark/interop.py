@@ -598,6 +598,10 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     "normalized_dedup": (frozenset({"text_col", "id_col"}), "unary"),
     "cross_doc_dup_lines": (
         frozenset({"text_col", "id_col", "min_chars", "scrub"}), "unary"),
+    # r14: maximal duplicated spans (the auditor view of the
+    # exact-substring family) — a pure literal-args lazy plan
+    "cross_doc_dup_spans": (
+        frozenset({"n", "min_docs", "text_col", "id_col"}), "unary"),
     "top_ngram_share": (frozenset({"n", "text_col", "id_col"}), "unary"),
     "source_mix": (
         frozenset({"text_col", "source_col", "tokenizer"}), "unary"),

@@ -11,6 +11,7 @@ deployment would call image/audio codecs.
 from .dedup import (  # noqa: F401
     cross_doc_dup_lines,
     cross_doc_dup_ngrams,
+    cross_doc_dup_spans,
     exact_dedup,
     edit_distance_pairs,
     exact_jaccard_pairs,
