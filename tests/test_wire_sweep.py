@@ -82,6 +82,15 @@ def test_dedup_family_over_wire(spark, sweep_docs, sweep_srv):
                       cross_doc_dup_lines(sweep_docs, scrub=True).df,
                       ["doc_id", "clean_text"])
     assert got == want and len(got) > 0
+    # r14: maximal spans — the islands merge serializes as the same
+    # literal-args unary shape
+    from blaze_spark.pipeline import cross_doc_dup_spans
+
+    got, want = _vals(cross_doc_dup_spans(rt, n=3),
+                      cross_doc_dup_spans(sweep_docs, n=3).df,
+                      ["doc_id", "span_start", "span_len", "n_windows",
+                       "n_docs"])
+    assert got == want and len(got) > 0
 
 
 def test_curation_reports_over_wire(spark, sweep_docs, sweep_srv):
