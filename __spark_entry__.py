@@ -3482,6 +3482,54 @@ def blaze_client_lm(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def blaze_client_store_lm(spark, sf_dir):
+    """Store-fed REMOTE LM scoring (r14, ROADMAP #11 closed): three
+    batch ingests build a persisted LM counts store; the server
+    registers it by NAME (``BlazeSparkServer(stores=...)`` — wire
+    trees can never carry raw paths) and the client points scoring at
+    it with a ``read_lm_counts('blaze://…::lm')`` leaf chained as
+    ``counts=`` on the same-server corpus.  The whole score runs where
+    the store lives — the fit relation never crosses the wire as
+    literal rows; only the scored rows come back.  Because the store's
+    3-ingest sum equals the one-shot fit EXACTLY (the incremental-
+    counts contract, pinned in tests), the result is byte-identical to
+    plain corpus scoring and the oracle is the same DuckDB LM twin as
+    ngram_lm_docs."""
+    import shutil
+    import tempfile
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import ngram_lm_logprob
+    from blaze_spark.server import BlazeSparkServer
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_lm_counts_batch, read_lm_counts)
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="blaze_lm_store_")
+    try:
+        store = f"{tmp}/lm"
+        for bid in range(3):
+            ingest_lm_counts_batch(d[d.doc_id % 3 == bid], store,
+                                   n_buckets=1024, n=2, batch_id=bid)
+        srv = BlazeSparkServer({"documents": d}, spark,
+                               stores={"lm": store})
+        srv.start(port=0)
+        try:
+            url = f"blaze://127.0.0.1:{srv.port}"
+            rt = data(f"{url}::documents", spark=spark)
+            leaf = read_lm_counts(spark, f"{url}::lm",
+                                  n_buckets=1024, n=2)
+            expr = ngram_lm_logprob(rt, counts=leaf, n_buckets=1024,
+                                    n=2).sort("doc_id")
+            pdf = expr.compute()
+            schema = expr.df.schema
+        finally:
+            srv.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def dup_ngram_spans_docs(spark, sf_dir):
     """Cross-document duplicated n-gram spans (pipeline/dedup.
     cross_doc_dup_ngrams — Lee et al. 2021 exact-substring dedup at
@@ -3669,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report under the word-piece vocabulary, DuckDB-rederivable);
         # corpus_curation_pipeline (green r12 row, unchanged code)
         # rotates below the boundary for it.
+        "blaze_client_store_lm": blaze_client_store_lm,
         "dup_maximal_spans_docs": dup_maximal_spans_docs,
         "train_quality_classifier_docs": train_quality_classifier_docs,
         "tokenizer_stats_docs": tokenizer_stats_docs,
@@ -5765,6 +5814,48 @@ def oracle_sql() -> dict[str, str]:
         # md5-first-8-hex convention; ctx = the gram minus its final
         # token (regexp strip — both engines return '' on no match).
         # Exact integer counts; ln()/exp() only behind round-4 exports.
+        # store-fed remote scoring: the 3-ingest store sums EXACTLY to
+        # the one-shot fit, so the oracle is the same LM twin as
+        # ngram_lm_docs (the store/ingest machinery is pinned in
+        # pytest; what the oracle checks is the scored values)
+        "blaze_client_store_lm": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(COALESCE(cg.c, 0) + 1)
+                           - ln(COALESCE(cc.c2, 0) + 1024)) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.ng, 0) AS INT) AS n_grams,
+                   round(COALESCE(sc.s, 0.0), 4) + 0.0 AS logp,
+                   CASE WHEN sc.ng > 0
+                        THEN round(sc.s / sc.ng, 4) + 0.0 END AS avg_logp,
+                   CASE WHEN sc.ng > 0
+                        THEN round(exp(-sc.s / sc.ng), 4) + 0.0 END AS ppl
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "ngram_lm_docs": r"""
             WITH tk AS (
                 SELECT doc_id,

@@ -179,20 +179,28 @@ _RED_ALGEBRA = {
 
 def from_tree(tree: dict, *, spark: SparkSession | None = None,
               datasets: dict[str, Table] | None = None,
-              allow_data_uris: bool = True) -> Table:
+              allow_data_uris: bool = True,
+              stores: dict[str, str] | None = None) -> Table:
     """Rebuild a Table from a serialized expression tree.
 
-    Leaves: ``{'op': 'data', 'args': [uri]}`` (resolved via sources.data)
-    or ``{'op': 'symbol', 'args': [name]}`` (resolved from ``datasets`` —
-    the server's registered-dataset namespace).
+    Leaves: ``{'op': 'data', 'args': [uri]}`` (resolved via sources.data),
+    ``{'op': 'symbol', 'args': [name]}`` (resolved from ``datasets`` —
+    the server's registered-dataset namespace), or (r14) a counts-store
+    leaf ``{'op': 'read_lm_counts'|'read_bucket_counts', 'args': [name,
+    {kw}]}`` resolved from ``stores`` — the server's registered
+    counts-store namespace (name → store root), so a client can score
+    against persisted server-side counts without literal-rows transfer
+    (ROADMAP #11).
 
     ``allow_data_uris=False`` (the server-side default) rejects ``data``
     leaves: a deserialized tree may then only name pre-registered datasets,
     never read arbitrary local/remote URIs (round-1 advice — the op
     whitelist bounds which OPERATORS run, this bounds which RESOURCES are
-    readable).
+    readable).  Store leaves follow the same posture: names resolve ONLY
+    from the registry — a tree can never carry a raw filesystem path.
     """
     datasets = datasets or {}
+    stores = stores or {}
 
     _TABLE_OPS = {"symbol", "data", "projection", "selection", "head",
                   "tail", "slice", "drop_field",
@@ -241,7 +249,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # and the bounded query block ride as literal
                   # relations, the code scan runs where the store
                   # lives.  Fits stay non-serializable (eager/random).
-                  "pq_topk", "ivf_pq_topk"}
+                  "pq_topk", "ivf_pq_topk",
+                  # r14 (ROADMAP #11): store-fed counts leaves — a
+                  # client names a REGISTERED server-side counts store
+                  # and the bounded total relation materializes where
+                  # the store lives (LM scoring / DSIR without
+                  # literal-rows transfer)
+                  "read_lm_counts", "read_bucket_counts"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -258,6 +272,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                     "'data' leaves are disabled; reference registered "
                     "datasets by name ('symbol') instead")
             return data(args[0], spark=spark)
+        if op in ("read_lm_counts", "read_bucket_counts"):
+            return _store_leaf(op, args, spark, stores)
         child = walk(args[0])
         if op == "projection":
             return child[args[1]]
@@ -414,6 +430,37 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         raise ValueError(f"unknown table op: {op}")
 
     return walk(tree)
+
+
+def _store_leaf(op: str, args: list, spark, stores: dict):
+    """Resolve a counts-store leaf (r14): the name maps through the
+    server's registered-store namespace ONLY (the symbol posture —
+    trees never carry raw paths); keyword args re-validate through the
+    local readers, which also enforce the store's format stamp, so a
+    geometry/tokenizer mismatch fails exactly like a bad local read."""
+    from .streaming.incremental_counts import (read_bucket_counts,
+                                               read_lm_counts)
+
+    _arity(op, args, 2)
+    name = args[0] if args else None
+    if not isinstance(name, str) or name not in stores:
+        known = sorted(stores)
+        raise KeyError(
+            f"unknown counts store: {name!r} — store leaves resolve "
+            f"only from the server's registered stores {known}")
+    allowed = ({"n_buckets", "n", "unigrams", "tokenizer"}
+               if op == "read_lm_counts" else {"n_buckets", "n"})
+    kw = dict(args[1]) if len(args) > 1 and args[1] else {}
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    if "tokenizer" in kw and kw["tokenizer"] is not None:
+        from .pipeline.tokenizer import tokenizer_from_wire
+        kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
+    fn = read_lm_counts if op == "read_lm_counts" else read_bucket_counts
+    return Table(fn(spark, stores[name], **kw), name)
 
 
 def _arity(op: str, args: list, max_args: int):

@@ -1023,7 +1023,13 @@ def _literal_lm_counts(counts, client, fn_name="ngram_lm_logprob"):
     cnt) frame collects (duplicates summed, kinds validated) into
     sorted literal rows."""
     if isinstance(counts, Table):
-        if _client_of(counts) is not client:
+        ca = _client_of(counts)
+        # identity OR same normalized URL (the _same_server precedent):
+        # a read_lm_counts('blaze://...::store') leaf carries its own
+        # Client instance for the same server (r14)
+        if ca is None or (ca is not client
+                          and getattr(ca, "url", None)
+                          != getattr(client, "url", object())):
             raise TypeError(
                 "counts is a table from a different server (or a "
                 "local Table) — fit relations must live on the same "

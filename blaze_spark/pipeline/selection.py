@@ -912,7 +912,13 @@ def _literal_counts(df, side: str, client):
     expression rides as its subtree; a local bounded (bucket, cnt)
     frame collects (duplicates summed) into sorted literal rows."""
     if isinstance(df, Table):
-        if _client_of(df) is not client:
+        ca = _client_of(df)
+        # identity OR same normalized URL (the _same_server precedent):
+        # a read_bucket_counts('blaze://...::store') leaf carries its
+        # own Client instance for the same server (r14)
+        if ca is None or (ca is not client
+                          and getattr(ca, "url", None)
+                          != getattr(client, "url", object())):
             raise TypeError(
                 f"{side} is a table from a different server (or a "
                 "local Table) — counts tables must live on the same "

@@ -73,8 +73,13 @@ class BlazeSparkServer:
                  allow_data_uris: bool = False,
                  auth_token: str | None = None,
                  allow_add: bool = False,
-                 allow_profiler: bool = False):
+                 allow_profiler: bool = False,
+                 stores: dict[str, str] | None = None):
         self.datasets = dict(datasets)
+        # registered counts-store namespace (r14, ROADMAP #11): name ->
+        # store root.  Same posture as datasets — wire trees name
+        # stores, never paths; the operator decides what is reachable.
+        self.stores = dict(stores or {})
         self.spark = spark
         self.allow_data_uris = allow_data_uris
         self.auth_token = auth_token
@@ -148,7 +153,8 @@ class BlazeSparkServer:
         t0 = tic()
         t = from_tree(payload["expr"], spark=self.spark,
                       datasets=self.datasets,
-                      allow_data_uris=self.allow_data_uris)
+                      allow_data_uris=self.allow_data_uris,
+                      stores=self.stores)
         if prof is not None:
             prof["parse_s"] = tic() - t0
             t1 = tic()

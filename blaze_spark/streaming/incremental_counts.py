@@ -43,6 +43,33 @@ __all__ = ["counts_format", "ingest_counts_batch", "read_bucket_counts",
            "read_lm_counts", "incremental_lm_counts"]
 
 
+def _remote_counts_leaf(spark, store_uri: str, op: str, kw: dict,
+                        schema: str) -> Table:
+    """A ``blaze://host:port::store_name`` counts read (r14, ROADMAP
+    #11): returns a RemoteTable whose tree is the store leaf — feed it
+    straight to ``ngram_lm_logprob(counts=...)`` /
+    ``dsir_log_weights(raw_counts=...)`` on a same-server corpus and
+    the scoring runs entirely server-side against the persisted store,
+    no literal-rows transfer.  The name resolves from the SERVER's
+    registered-store namespace (``BlazeSparkServer(stores={...})``);
+    geometry/tokenizer kwargs re-validate server-side against the
+    store's format stamp, so a mismatch fails as loudly as a local
+    read.  ``.compute()`` fetches the bounded total relation when the
+    client wants it locally."""
+    from ..client import Client, RemoteTable
+
+    head, _, name = store_uri.rpartition("::")
+    if not name or any(c in name for c in ":]/"):
+        raise ValueError(
+            f"remote counts store URI must be "
+            f"'blaze://host:port::store_name', got {store_uri!r}")
+    client = Client(head, spark=spark)
+    empty = spark.createDataFrame([], schema)
+    rt = RemoteTable(empty, name, client=client)
+    rt._tree = {"op": op, "args": [name, kw]}
+    return rt
+
+
 def counts_format(n_buckets: int, n: int) -> str:
     """Store identity: counts are only additive within ONE feature
     space (same bucket count, same n-gram order)."""
@@ -80,10 +107,19 @@ def ingest_counts_batch(batch: Table, store_path: str,
 
 
 def read_bucket_counts(spark, store_path: str, n_buckets: int = 4096,
-                       n: int = 1) -> DataFrame:
+                       n: int = 1):
     """The store's total (bucket, cnt) relation — complete ingests
     only, summed; validates the feature space matches.  Feed directly
-    to ``dsir_log_weights(raw_counts=..., target_counts=...)``."""
+    to ``dsir_log_weights(raw_counts=..., target_counts=...)``.
+
+    A ``blaze://host:port::store_name`` path returns the REMOTE leaf
+    instead (r14): the relation materializes where the store lives —
+    chain it into same-server DSIR scoring, or ``.compute()`` it."""
+    if store_path.startswith("blaze://"):
+        return _remote_counts_leaf(
+            spark, store_path, "read_bucket_counts",
+            {"n_buckets": int(n_buckets), "n": int(n)},
+            "bucket long, cnt long")
     root = resolve_store_root(spark, store_path)
     complete = _ingest_ids(spark, root, complete_only=True)
     if not complete:
@@ -186,10 +222,25 @@ def ingest_lm_counts_batch(batch: Table, store_path: str,
 
 def read_lm_counts(spark, store_path: str, n_buckets: int = 4096,
                    n: int = 2, unigrams: bool = False,
-                   tokenizer=None) -> DataFrame:
+                   tokenizer=None):
     """The store's total (kind, bucket, cnt) relation — complete
     ingests only, summed; validates the feature space.  Feed directly
-    to ``ngram_lm_logprob(counts=...)`` / ``perplexity_filter``."""
+    to ``ngram_lm_logprob(counts=...)`` / ``perplexity_filter``.
+
+    A ``blaze://host:port::store_name`` path returns the REMOTE leaf
+    instead (r14, ROADMAP #11): pass it as ``counts=`` on a
+    same-server corpus and scoring runs against the persisted store
+    server-side — the counts never cross the wire as literal rows."""
+    if store_path.startswith("blaze://"):
+        kw = {"n_buckets": int(n_buckets), "n": int(n)}
+        if unigrams:
+            kw["unigrams"] = True
+        if tokenizer is not None:
+            from ..pipeline.tokenizer import _tokenizer_wire
+            kw["tokenizer"] = _tokenizer_wire(tokenizer)
+        return _remote_counts_leaf(spark, store_path, "read_lm_counts",
+                                   kw, "kind string, bucket long, "
+                                       "cnt long")
     root = resolve_store_root(spark, store_path)
     complete = _ingest_ids(spark, root, complete_only=True)
     if not complete:

@@ -1292,3 +1292,93 @@ def test_remote_classifier_training_runs_server_side(spark, star):
         assert got == want
     finally:
         srv.stop()
+
+
+def test_remote_store_fed_lm_scoring(spark, tmp_path):
+    """r14 (ROADMAP #11): store-fed REMOTE scoring — the client names
+    a server-registered counts store (read_lm_counts over blaze://)
+    and chains it as counts= on a same-server corpus: the whole score
+    runs server-side against the persisted store, no literal-rows
+    transfer.  Remote == local byte-for-byte; unknown store names and
+    geometry mismatches fail loudly; the DSIR flat-store leaf works
+    the same way."""
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import (dsir_log_weights, ngram_lm_fit,
+                                      ngram_lm_logprob)
+    from blaze_spark.server import BlazeSparkServer
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_counts_batch, ingest_lm_counts_batch, read_bucket_counts,
+        read_lm_counts)
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared words here plus "
+                f"tok{i % 5}") for i in range(30)]
+    corpus = data(rows, spark=spark, schema="doc_id long, text string",
+                  name="sfcorp")
+    lm_store = str(tmp_path / "lm_store")
+    flat_store = str(tmp_path / "flat_store")
+    for bid, lo in enumerate((0, 10, 20)):
+        b = data(rows[lo:lo + 10], spark=spark,
+                 schema="doc_id long, text string", name=f"sfb{bid}")
+        ingest_lm_counts_batch(b, lm_store, n_buckets=256, n=2,
+                               batch_id=bid)
+        ingest_counts_batch(b, flat_store, n_buckets=256,
+                            batch_id=bid)
+
+    srv = BlazeSparkServer({"sfcorp": corpus}, spark,
+                           stores={"lm": lm_store, "flat": flat_store})
+    srv.start(port=0)
+    try:
+        url = f"blaze://127.0.0.1:{srv.port}"
+        rt = data(f"{url}::sfcorp", spark=spark)
+
+        # the leaf itself computes the bounded total relation
+        leaf = read_lm_counts(spark, f"{url}::lm", n_buckets=256, n=2)
+        got = sorted(map(tuple,
+                         leaf.compute().itertuples(index=False)))
+        want = sorted(map(tuple,
+                          ngram_lm_fit(corpus, n_buckets=256,
+                                       n=2).collect()))
+        assert got == want
+
+        # chained store-fed scoring == local one-shot scoring
+        want = sorted(map(tuple, ngram_lm_logprob(
+            corpus, n_buckets=256, n=2).collect()))
+        got = sorted(map(tuple, ngram_lm_logprob(
+            rt, counts=read_lm_counts(spark, f"{url}::lm",
+                                      n_buckets=256, n=2),
+            n_buckets=256, n=2).compute().itertuples(index=False)))
+        assert got == want
+
+        # DSIR: the flat-store leaf feeds raw_counts server-side
+        want = sorted(map(tuple, dsir_log_weights(
+            corpus, target_filter=corpus.doc_id < 10,
+            n_buckets=256).collect()))
+        flat = read_bucket_counts(spark, f"{url}::flat", n_buckets=256)
+        got = sorted(map(tuple, dsir_log_weights(
+            rt, raw_counts=flat,
+            target=rt[rt.doc_id < 10],
+            n_buckets=256).compute().itertuples(index=False)))
+        # target fit differs (subset fit vs dual-count) — compare the
+        # store-fed form against ITS local twin instead
+        want = sorted(map(tuple, dsir_log_weights(
+            corpus, raw_counts=read_bucket_counts(spark, flat_store,
+                                                  n_buckets=256),
+            target=corpus[corpus.doc_id < 10],
+            n_buckets=256).collect()))
+        assert got == want
+
+        # unknown store name: loud, lists the registry
+        bad = read_lm_counts(spark, f"{url}::nope", n_buckets=256, n=2)
+        with _pytest.raises(Exception, match="unknown counts store"):
+            bad.compute()
+        # geometry mismatch fails through the store's format stamp
+        bad = read_lm_counts(spark, f"{url}::lm", n_buckets=512, n=2)
+        with _pytest.raises(Exception, match="feature space"):
+            bad.compute()
+        # raw paths never ride: the leaf requires a store NAME
+        with _pytest.raises(ValueError, match="store_name"):
+            read_lm_counts(spark, f"{url}::bad/path", n_buckets=256)
+    finally:
+        srv.stop()
