@@ -3720,6 +3720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_store_lm": blaze_client_store_lm,
         "dup_maximal_spans_docs": dup_maximal_spans_docs,
         "train_quality_classifier_docs": train_quality_classifier_docs,
+        "q03_shipping_priority": q03_shipping_priority,
+        "left_join_counts": left_join_counts,
+        "datetime_parts": datetime_parts,
+        "slice_step": slice_step,
+        "tail_orders": tail_orders,
         "tokenizer_stats_docs": tokenizer_stats_docs,
         "bloom_two_phase_decontam_docs": bloom_two_phase_decontam_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
@@ -3728,16 +3733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_interp_docs": ngram_lm_interp_docs,
         "pack_sep_docs": pack_sep_docs,
         "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
-        "pack_tokenized_docs": pack_tokenized_docs,
-        "chunk_tokenized_docs": chunk_tokenized_docs,
-        "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
-        "upsample_mix_docs": upsample_mix_docs,
         "blaze_client_dedup": blaze_client_dedup,
         "blaze_client_contamination": blaze_client_contamination,
         "blaze_client_packing": blaze_client_packing,
         "blaze_client_mix": blaze_client_mix,
-        "edit_distance_verify_docs": edit_distance_verify_docs,
-        "temperature_mix_docs": temperature_mix_docs,
         "ngram_lm_docs": ngram_lm_docs,
         "perplexity_filter_docs": perplexity_filter_docs,
         "dup_ngram_spans_docs": dup_ngram_spans_docs,
@@ -3754,12 +3753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
         "cross_doc_scrub_docs": cross_doc_scrub_docs,
-        "multimodal_video_frames": multimodal_video_frames,
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
-        "embedding_quantization": embedding_quantization,
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
-        "pack_sequences_string_key": pack_sequences_string_key,
         "pack_sequences_docs": pack_sequences_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "training_shards_pipeline": training_shards_pipeline,
@@ -3772,15 +3768,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "corpus_curation_pipeline": corpus_curation_pipeline,
         # ==== driver sample boundary (50) — corpus_curation_pipeline
-        # is entry #50; r13 second half rotated tail_orders,
-        # slice_offset, slice_step and crosslingual_dedup_docs (green
-        # r12 rows, unchanged code) below it for ngram_lm_kn_docs,
-        # word_frequencies_docs, train_vocab_tokens_docs and
-        # bloom_two_phase_decontam_docs.
+        # is entry #50.  r14 head: blaze_client_store_lm (NEW —
+        # store-fed remote LM scoring, ROADMAP #11),
+        # dup_maximal_spans_docs (NEW — maximal duplicated spans,
+        # VERDICT r13 missing #2) and train_quality_classifier_docs
+        # (NEW — in-engine logistic classifier training, VERDICT r13
+        # missing #1), plus a deliberate COUNTER-rotation (VERDICT r13
+        # next-round #7): q03_shipping_priority, left_join_counts,
+        # datetime_parts, slice_step and tail_orders (core §2
+        # relational rows, green r12/r13, unchanged code) return to
+        # the window so the external gate exercises the relational
+        # engine again — the r13 window had drifted to 100%
+        # pipeline/client entries.  To keep the sample at exactly 50,
+        # nine green-r13 rows with unchanged plans rotate below:
+        # pack_sequences_string_key (its sibling pack_sequences_docs
+        # stays), pack_tokenized_docs, chunk_tokenized_docs,
+        # ngram_lm_backoff_docs (its 3-order/JM/KN superiors stay),
+        # upsample_mix_docs, edit_distance_verify_docs,
+        # temperature_mix_docs, multimodal_video_frames and
+        # embedding_quantization.  Nothing failing rotated out (r13
+        # had zero failures).
+        "pack_sequences_string_key": pack_sequences_string_key,
+        "pack_tokenized_docs": pack_tokenized_docs,
+        "chunk_tokenized_docs": chunk_tokenized_docs,
+        "ngram_lm_backoff_docs": ngram_lm_backoff_docs,
+        "upsample_mix_docs": upsample_mix_docs,
+        "edit_distance_verify_docs": edit_distance_verify_docs,
+        "temperature_mix_docs": temperature_mix_docs,
+        "multimodal_video_frames": multimodal_video_frames,
+        "embedding_quantization": embedding_quantization,
+        # r13 second half had rotated tail_orders, slice_offset,
+        # slice_step and crosslingual_dedup_docs below for
+        # ngram_lm_kn_docs, word_frequencies_docs,
+        # train_vocab_tokens_docs and bloom_two_phase_decontam_docs
+        # (tail_orders and slice_step counter-rotated back up in r14).
         "crosslingual_dedup_docs": crosslingual_dedup_docs,
-        "tail_orders": tail_orders,
         "slice_offset": slice_offset,
-        "slice_step": slice_step,
         "sample_orders": sample_orders,
         "hash_sample_orders": hash_sample_orders,
         # ==== (former boundary position) — below here: green driver rows
@@ -3814,16 +3837,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": string_funcs,
         "string_predicates": string_predicates,
         "math_parts": math_parts,
-        "datetime_parts": datetime_parts,
         "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
-        "q03_shipping_priority": q03_shipping_priority,
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
-        "left_join_counts": left_join_counts,
         "full_outer_activity": full_outer_activity,
         "intersect_except_customers": intersect_except_customers,
         # r9 rotated out
