@@ -175,9 +175,21 @@ NEW_QUERIES_R13 = [
     "tokenizer_stats_docs",
 ]
 
+# r14: the in-engine logistic fit (2 epochs = 2 corpus scans + 2
+# bounded gradient collects, timed whole), maximal dup spans (the
+# scoring-mode aggregations + one per-doc islands window), and
+# store-fed remote LM scoring (3 store ingests + HTTP server + remote
+# chained score per rep — the whole train-of-custody timed, like
+# blaze_client_packing).
+NEW_QUERIES_R14 = [
+    "train_quality_classifier_docs",
+    "dup_maximal_spans_docs",
+    "blaze_client_store_lm",
+]
+
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
                  + NEW_QUERIES_R11 + NEW_QUERIES_R12
-                 + NEW_QUERIES_R13)
+                 + NEW_QUERIES_R13 + NEW_QUERIES_R14)
 
 
 def main():
@@ -277,6 +289,8 @@ def main():
                                    for n in NEW_QUERIES_R12), 3),
         "value_new_r13": round(sum(timings_min[n]
                                    for n in NEW_QUERIES_R13), 3),
+        "value_new_r14": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R14), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,

@@ -341,7 +341,8 @@ class BPETokenizer(Tokenizer):
 
     def __init__(self, merges, lowercase: bool = False,
                  byte_level: bool = False,
-                 add_prefix_space: bool = False):
+                 add_prefix_space: bool = False,
+                 space_marker: str = ""):
         merges = [(str(a), str(b)) for a, b in merges]
         if len(merges) > _MAX_BUCKETS:
             raise ValueError(
@@ -351,10 +352,20 @@ class BPETokenizer(Tokenizer):
             raise ValueError(
                 "add_prefix_space is a byte-level (GPT-2/RoBERTa) "
                 "pre-tokenizer option — pass byte_level=True")
+        if space_marker and byte_level:
+            raise ValueError(
+                "space_marker is the SentencePiece word-marker scheme "
+                "(char symbols) — mutually exclusive with the GPT-2 "
+                "byte-level scheme")
         self.merges = merges
         self.lowercase = bool(lowercase)
         self.byte_level = bool(byte_level)
         self.add_prefix_space = bool(add_prefix_space)
+        # SentencePiece convention (r14): each word applies as
+        # marker+word (▁the) with the marker as an ordinary character
+        # symbol, so an SP-BPE merge table applies VERBATIM — the
+        # UnigramTokenizer.space_marker analogue
+        self.space_marker = str(space_marker)
 
     @staticmethod
     def _apply_word(word: str, ranks: dict) -> list[str]:
@@ -378,6 +389,7 @@ class BPETokenizer(Tokenizer):
         lower = self.lowercase
         byte_level = self.byte_level
         prefix_space = self.add_prefix_space
+        marker = self.space_marker
         b2u = _bytes_to_unicode() if byte_level else None
         contractions = _CONTRACTIONS
 
@@ -462,6 +474,8 @@ class BPETokenizer(Tokenizer):
                     text = " " + text
                 return ["".join(b2u[b] for b in u.encode("utf-8"))
                         for u in pretok(text)]
+            if marker:
+                return [marker + w for w in text.split()]
             return text.split()
 
         def _tok(s):
@@ -515,6 +529,12 @@ class BPETokenizer(Tokenizer):
         as U+FFFD, pinned in pytest.  Non-byte-level keeps the lossy
         space join."""
         if not self.byte_level:
+            if self.space_marker:
+                # the marker form is exactly invertible (the Unigram
+                # detokenize scheme): concatenate, markers -> spaces
+                return F.trim(F.replace(
+                    F.array_join(pieces, ""),
+                    F.lit(self.space_marker), F.lit(" ")))
             return super().detokenize(pieces)
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -546,6 +566,10 @@ class BPETokenizer(Tokenizer):
             enc["byte_level"] = True
         if self.add_prefix_space:
             enc["add_prefix_space"] = True
+        if self.space_marker:
+            # emitted only when set: pre-r14 servers reject loudly
+            # instead of silently applying without the marker space
+            enc["space_marker"] = self.space_marker
         return enc
 
     @classmethod
@@ -628,6 +652,66 @@ class BPETokenizer(Tokenizer):
         return cls(merges, lowercase=lowercase, byte_level=byte_level,
                    add_prefix_space=add_prefix_space)
 
+    @classmethod
+    def from_sentencepiece(cls, path: str,
+                           lowercase: bool | None = None):
+        """Load a SentencePiece BPE ``.model`` (r14 — the companion of
+        ``UnigramTokenizer.from_sentencepiece``; same hand-rolled
+        ModelProto walker, no package dependency).  SP-BPE stores no
+        explicit merge list — but it doesn't need to: the trainer
+        appends each newly merged symbol to the piece table IN MERGE
+        ORDER, so file order IS the merge ranking.  The merge list is
+        reconstructed the way HF's converter does it: for each
+        multi-char piece (in file order), the split into two earlier
+        pieces with the lowest (left rank, right rank) is its merge.
+        Exact whenever each merged piece has a unique split into two
+        existing pieces (the overwhelmingly common case); an ambiguous
+        piece resolves to the lowest-rank split, matching the public
+        extractor.  O(Σ piece-length) splits tried — never O(V²).
+
+        Pieces apply in SentencePiece marker space: each word segments
+        as ``▁word`` with ``▁`` an ordinary character symbol
+        (``space_marker`` mode), so the artifact's merges apply
+        VERBATIM.  CONTROL/UNKNOWN/UNUSED/BYTE pieces never merge and
+        are excluded from the reconstruction."""
+        raw, model_type, norm_name = _parse_sentencepiece(path)
+        if model_type != 2:
+            names = {1: "UNIGRAM", 3: "WORD", 4: "CHAR"}
+            got = names.get(model_type, model_type)
+            hint = ("use UnigramTokenizer.from_sentencepiece"
+                    if model_type == 1 else
+                    "only UNIGRAM and BPE SentencePiece models load")
+            raise ValueError(
+                f"{path}: model_type is {got} — this is the BPE "
+                f"importer ({hint})")
+        rank: dict = {}
+        for piece, _score, ptype in raw:
+            if ptype in (1, 4) and piece not in rank:
+                rank[piece] = len(rank)
+        if not rank:
+            raise ValueError(
+                f"{path}: no NORMAL/USER_DEFINED pieces found — not a "
+                "SentencePiece model?")
+        merges = []
+        for piece in rank:
+            if len(piece) < 2:
+                continue
+            best = None
+            for i in range(1, len(piece)):
+                left, right = piece[:i], piece[i:]
+                rl, rr = rank.get(left), rank.get(right)
+                if rl is None or rr is None:
+                    continue
+                if best is None or (rl, rr) < best[:2]:
+                    best = (rl, rr, left, right)
+            if best is not None:
+                merges.append((best[2], best[3]))
+        marker = "▁" if any("▁" in p for p in rank) else ""
+        if lowercase is None:
+            lowercase = norm_name.endswith("_cf")
+        return cls(merges, lowercase=bool(lowercase),
+                   space_marker=marker)
+
 
 def _spec_lowercase(spec: dict) -> bool:
     """Detect a lowercasing normalizer in a tokenizer.json spec: a
@@ -679,11 +763,13 @@ def tokenizer_from_wire(enc) -> Tokenizer | None:
             lowercase=lower)
     if kind == "bpe":
         _expect_keys(enc, {"kind", "merges", "lowercase",
-                           "byte_level", "add_prefix_space"})
+                           "byte_level", "add_prefix_space",
+                           "space_marker"})
         return BPETokenizer(
             enc["merges"], lowercase=lower,
             byte_level=bool(enc.get("byte_level", False)),
-            add_prefix_space=bool(enc.get("add_prefix_space", False)))
+            add_prefix_space=bool(enc.get("add_prefix_space", False)),
+            space_marker=str(enc.get("space_marker", "")))
     if kind == "unigram":
         _expect_keys(enc, {"kind", "vocab", "lowercase", "unk_logp",
                            "space_marker"})
@@ -1165,53 +1251,23 @@ class UnigramTokenizer(Tokenizer):
         ``nmt_nfkc_cf``).  The ``▁`` word marker is detected from the
         pieces exactly like the HF importer, so segmentation runs in
         marker space and the artifact applies VERBATIM."""
-        import struct
-
-        with open(path, "rb") as f:
-            buf = f.read()
-        pieces: list = []
-        unk_logp = -20.0
-        model_type = 1          # proto default: UNIGRAM
-        norm_name = ""
-        try:
-            for fn, wt, v in _pb_fields(buf):
-                if fn == 1 and wt == 2:          # SentencePiece
-                    piece = None
-                    score = 0.0
-                    ptype = 1                    # proto default NORMAL
-                    for f2, w2, v2 in _pb_fields(v):
-                        if f2 == 1 and w2 == 2:
-                            piece = v2.decode("utf-8")
-                        elif f2 == 2 and w2 == 5:
-                            score = struct.unpack("<f", v2)[0]
-                        elif f2 == 3 and w2 == 0:
-                            ptype = v2
-                    if piece is None:
-                        continue
-                    if ptype == 2:               # UNKNOWN
-                        unk_logp = min(float(score), -1e-9)
-                    elif ptype in (1, 4):        # NORMAL, USER_DEFINED
-                        pieces.append((piece, min(float(score), 0.0)))
-                elif fn == 2 and wt == 2:        # TrainerSpec
-                    for f2, w2, v2 in _pb_fields(v):
-                        if f2 == 3 and w2 == 0:
-                            model_type = v2
-                elif fn == 3 and wt == 2:        # NormalizerSpec
-                    for f2, w2, v2 in _pb_fields(v):
-                        if f2 == 1 and w2 == 2:
-                            norm_name = v2.decode("utf-8", "replace")
-        except (IndexError, UnicodeDecodeError) as e:
-            raise ValueError(
-                f"{path} is not a SentencePiece model (truncated or "
-                f"malformed protobuf: {e})") from None
+        raw, model_type, norm_name = _parse_sentencepiece(path)
         if model_type != 1:
             names = {2: "BPE", 3: "WORD", 4: "CHAR"}
+            got = names.get(model_type, model_type)
+            hint = ("use BPETokenizer.from_sentencepiece"
+                    if model_type == 2 else
+                    "only UNIGRAM and BPE SentencePiece models load")
             raise ValueError(
-                f"{path}: model_type is "
-                f"{names.get(model_type, model_type)} — only UNIGRAM "
-                "SentencePiece models load here (SP-BPE encodes its "
-                "merges implicitly; export tokenizer.json and use "
-                "BPETokenizer.from_tokenizer_json)")
+                f"{path}: model_type is {got} — this is the UNIGRAM "
+                f"importer ({hint})")
+        pieces: list = []
+        unk_logp = -20.0
+        for piece, score, ptype in raw:
+            if ptype == 2:                       # UNKNOWN
+                unk_logp = min(float(score), -1e-9)
+            elif ptype in (1, 4):                # NORMAL, USER_DEFINED
+                pieces.append((piece, min(float(score), 0.0)))
         if not pieces:
             raise ValueError(
                 f"{path}: no NORMAL/USER_DEFINED pieces found — not a "
@@ -1221,6 +1277,54 @@ class UnigramTokenizer(Tokenizer):
             lowercase = norm_name.endswith("_cf")
         return cls(pieces, lowercase=bool(lowercase),
                    unk_logp=unk_logp, space_marker=marker)
+
+
+def _parse_sentencepiece(path: str) -> tuple:
+    """Parse a SentencePiece ``.model`` (serialized ModelProto) with
+    the hand-rolled protobuf walker: returns (pieces, model_type,
+    normalizer_name) where pieces is the FILE-ORDER list of (piece,
+    score, type) triples — file order IS merge/vocab order, which the
+    BPE importer's merge reconstruction depends on.  Field map per the
+    public sentencepiece_model.proto: ModelProto.pieces=1
+    (SentencePiece{piece=1, score=2 float, type=3 enum: NORMAL=1,
+    UNKNOWN=2, CONTROL=3, USER_DEFINED=4, UNUSED=5, BYTE=6}),
+    trainer_spec=2 (model_type=3: UNIGRAM=1/BPE=2/WORD=3/CHAR=4),
+    normalizer_spec=3 (name=1)."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    pieces: list = []
+    model_type = 1              # proto default: UNIGRAM
+    norm_name = ""
+    try:
+        for fn, wt, v in _pb_fields(buf):
+            if fn == 1 and wt == 2:              # SentencePiece
+                piece = None
+                score = 0.0
+                ptype = 1                        # proto default NORMAL
+                for f2, w2, v2 in _pb_fields(v):
+                    if f2 == 1 and w2 == 2:
+                        piece = v2.decode("utf-8")
+                    elif f2 == 2 and w2 == 5:
+                        score = struct.unpack("<f", v2)[0]
+                    elif f2 == 3 and w2 == 0:
+                        ptype = v2
+                if piece is not None:
+                    pieces.append((piece, float(score), ptype))
+            elif fn == 2 and wt == 2:            # TrainerSpec
+                for f2, w2, v2 in _pb_fields(v):
+                    if f2 == 3 and w2 == 0:
+                        model_type = v2
+            elif fn == 3 and wt == 2:            # NormalizerSpec
+                for f2, w2, v2 in _pb_fields(v):
+                    if f2 == 1 and w2 == 2:
+                        norm_name = v2.decode("utf-8", "replace")
+    except (IndexError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"{path} is not a SentencePiece model (truncated or "
+            f"malformed protobuf: {e})") from None
+    return pieces, model_type, norm_name
 
 
 def _pb_varint(buf: bytes, i: int) -> tuple:

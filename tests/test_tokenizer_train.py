@@ -650,3 +650,78 @@ def test_sentencepiece_guards_and_normalizer(tmp_path):
     assert UnigramTokenizer.from_sentencepiece(str(cf)).lowercase
     assert not UnigramTokenizer.from_sentencepiece(
         str(cf), lowercase=False).lowercase
+
+
+def test_sentencepiece_bpe_import(tmp_path):
+    """SP-BPE .model loads by RECONSTRUCTING the merge list (file
+    order = merge order; best split by lowest component ranks — the
+    public extractor's algorithm) and applies in ▁-marker space, so a
+    hand-built artifact segments exactly like the equivalent
+    directly-built marker BPETokenizer."""
+    from blaze_spark.pipeline import BPETokenizer
+
+    # alphabet + merges in creation order: (▁,t)->▁t, (▁t,he)->▁the
+    # needs he first: (h,e)->he
+    p = tmp_path / "bpe.model"
+    p.write_bytes(_sp_encode([
+        ("<unk>", 0.0, 2),
+        ("▁", -1.0, 1), ("t", -2.0, 1), ("h", -3.0, 1),
+        ("e", -4.0, 1), ("c", -5.0, 1), ("a", -6.0, 1),
+        ("he", -7.0, 1),       # merge 0: (h, e)
+        ("▁t", -8.0, 1),       # merge 1: (▁, t)
+        ("▁the", -9.0, 1),     # merge 2: (▁t, he)
+        ("at", -10.0, 1),      # merge 3: (a, t)
+        ("<s>", 0.0, 3),
+    ], model_type=2))
+    tok = BPETokenizer.from_sentencepiece(str(p))
+    assert tok.space_marker == "▁" and not tok.byte_level
+    assert tok.merges == [("h", "e"), ("▁", "t"), ("▁t", "he"),
+                          ("a", "t")]
+    ranks = {m: i for i, m in enumerate(tok.merges)}
+    assert BPETokenizer._apply_word("▁the", ranks) == ["▁the"]
+    assert BPETokenizer._apply_word("▁cat", ranks) == ["▁", "c", "at"]
+    # wire roundtrip keeps the marker
+    from blaze_spark.pipeline.tokenizer import tokenizer_from_wire
+
+    back = tokenizer_from_wire(tok.to_wire())
+    assert back.merges == tok.merges
+    assert back.space_marker == "▁"
+    # cross-importer redirects name the right entry point
+    import pytest as _pytest
+
+    from blaze_spark.pipeline import UnigramTokenizer
+
+    with _pytest.raises(ValueError, match="BPETokenizer"):
+        UnigramTokenizer.from_sentencepiece(str(p))
+    uni = tmp_path / "uni.model"
+    uni.write_bytes(_sp_encode([("▁a", -1.0, 1)], model_type=1))
+    with _pytest.raises(ValueError, match="UnigramTokenizer"):
+        BPETokenizer.from_sentencepiece(str(uni))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        BPETokenizer([("a", "b")], byte_level=True, space_marker="▁")
+
+
+def test_sp_bpe_marker_apply_and_detokenize(spark, tmp_path):
+    """The marker-space BPE applies through the Spark UDF path
+    (pieces + n_tokens) and detokenize is exactly invertible — the
+    Unigram marker scheme on the BPE family."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import BPETokenizer
+
+    tok = BPETokenizer([("h", "e"), ("▁", "t"), ("▁t", "he"),
+                        ("a", "t")], space_marker="▁")
+    t = data([(0, "the cat"), (1, "that"), (2, None)],
+             spark=spark, schema="doc_id long, text string",
+             name="spbpe_docs")
+    rows = {r.doc_id: (r.p, r.n) for r in t.df.select(
+        "doc_id", tok.pieces(F.col("text")).alias("p"),
+        tok.n_tokens(F.col("text")).alias("n")).collect()}
+    assert rows[0] == (["▁the", "▁", "c", "at"], 4)
+    assert rows[1] == (["▁t", "h", "at"], 3)
+    assert rows[2] == ([], 0)
+    got = (t.df.filter("doc_id = 0")
+           .select(tok.detokenize(tok.pieces(F.col("text")))
+                   .alias("back")).collect()[0].back)
+    assert got == "the cat"
