@@ -214,3 +214,60 @@ def test_word_frequencies_plan_bounded_topn(star):
     assert "Sort " not in plan.replace("TakeOrdered", ""), plan
     assert exchange_count(q) == 1, plan
     assert scan_columns(q) == ["text"], plan
+
+
+def test_dup_spans_window_is_per_document(star):
+    """r14: cross_doc_dup_spans' islands merge must run as a
+    PER-DOCUMENT window (partition spec carries doc_id) — an empty
+    partition spec would be the single-task global sort that cannot
+    survive 100 TB — and both running-max/running-sum windows share
+    ONE doc_id partitioning (no extra exchange between them)."""
+    from blaze_spark.pipeline import cross_doc_dup_spans
+
+    q = cross_doc_dup_spans(star["documents"], n=5)
+    plan = physical_plan(q)
+    assert "windowspecdefinition(doc_id" in plan, plan
+    # every window in the plan is doc-partitioned
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("doc_id"), plan
+    # exchange budget: gram hash (join build) + distinct(doc,key) +
+    # per-key count + doc_id window partitioning = 4; the per-island
+    # aggregate rides the window's partitioning
+    assert exchange_count(q) <= 4, plan
+
+
+def test_classifier_training_epoch_plan(spark, star):
+    """r14: one training epoch is ONE job whose gradient aggregation
+    partial-combines map-side on the bounded bucket key space — pin
+    by plan shape on the epoch's gradient frame: scoring is a
+    shuffle-free projection (the literal-map path: zero exchanges
+    below the gradient groupBy's single exchange)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from blaze_spark.pipeline.selection import ngram_buckets
+
+    d = star["documents"]
+    # the epoch-2 gradient frame shape (nonzero literal-map model)
+    m = F.map_from_arrays(F.lit([3, 7]), F.lit([10, -5]))
+    feats = d.df.select(
+        F.coalesce(ngram_buckets(F.col("text"), 1024),
+                   F.array().cast(T.ArrayType(T.LongType())))
+        .alias("bks"))
+    score = F.aggregate(
+        F.col("bks"), F.lit(0).cast(T.LongType()),
+        lambda acc, b: acc + F.coalesce(
+            F.try_element_at(m, b), F.lit(0).cast(T.LongType())))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score.cast("double")
+                                         / F.lit(1000.0)))
+    r = F.round(p * 1e6).cast(T.LongType())
+    grad = (feats.select(r.alias("r"),
+                         F.explode(F.concat(
+                             F.array(F.lit(-1).cast(T.LongType())),
+                             F.col("bks"))).alias("bucket"))
+            .groupBy("bucket").agg(F.sum("r").alias("g")))
+    plan = grad._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in plan, plan
