@@ -443,7 +443,15 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
     intercept uses the same rule with x = 1 (carried as pseudo-bucket
     -1 so the whole gradient is ONE aggregation).  The default
     ``lr=4.0`` suits milli-scale separable text features; tune per
-    corpus as usual.
+    corpus as usual.  Convergence guidance (measured on the fixture
+    corpus): a strongly separable label (disjoint vocabularies)
+    separates in 2-3 epochs; a WEAK signal (one informative token
+    among dozens, imbalanced classes) needs ~100 epochs at lr 1-2 —
+    use ``persist=True`` so that costs one tokenization, not one per
+    epoch.  Quantization floor: an update smaller than 0.5 milli
+    rounds to ZERO, so an lr far below ~0.5 can stall the fit
+    entirely rather than converge slowly — prefer more epochs over a
+    smaller step.
 
     Scale shape (100 TB): each epoch is ONE corpus scan — a shuffle-
     free codegen projection scores every doc against the ≤ n_buckets
