@@ -308,6 +308,15 @@ def _bounded_lm_counts(counts: DataFrame,
     path reach this too).  Returns kind → {bucket: cnt}; kinds beyond
     'gram'/'ctx' ('uni' and the intermediate 'gram{k}'/'ctx{k}'
     orders) are present only for ``unigrams=True`` (backoff) fits."""
+    if isinstance(counts, Table):
+        # a read_lm_counts('blaze://…::store') leaf (or any remote
+        # expression) fed to a LOCAL corpus: route loudly — the
+        # store-fed form needs the corpus on the same server
+        raise TypeError(
+            f"{fn_name}: counts is a Table/remote expression but the "
+            "corpus is local — register the corpus on the same server "
+            "for store-fed scoring, or materialize the counts locally "
+            "first (spark.createDataFrame(leaf.compute()))")
     types = dict(counts.dtypes)
     integral = ("tinyint", "smallint", "int", "bigint")
     if (types.get("kind") != "string"

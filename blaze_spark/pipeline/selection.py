@@ -614,6 +614,16 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     # per-token rows instead of (bucket, cnt)) into a loud error
     # instead of an unbounded driver collect
     def _bounded(df: DataFrame, side: str) -> dict:
+        if isinstance(df, Table):
+            # a read_bucket_counts('blaze://…::store') leaf (or any
+            # remote expression) fed to a LOCAL corpus: route loudly —
+            # the store-fed form needs the corpus on the same server
+            raise TypeError(
+                f"dsir_log_weights: {side} is a Table/remote "
+                "expression but the corpus is local — register the "
+                "corpus on the same server for store-fed scoring, or "
+                "materialize the counts locally first "
+                "(spark.createDataFrame(leaf.compute()))")
         types = dict(df.dtypes)
         integral = ("tinyint", "smallint", "int", "bigint")
         if (types.get("bucket") not in integral

@@ -1382,3 +1382,27 @@ def test_remote_store_fed_lm_scoring(spark, tmp_path):
             read_lm_counts(spark, f"{url}::bad/path", n_buckets=256)
     finally:
         srv.stop()
+
+
+def test_remote_counts_leaf_with_local_corpus_routes_loudly(spark,
+                                                            tmp_path):
+    """A store leaf chained onto a LOCAL corpus is a routing mistake —
+    both scoring families name the fix instead of dying inside a
+    dtypes access."""
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import dsir_log_weights, ngram_lm_logprob
+    from blaze_spark.streaming.incremental_counts import (
+        read_bucket_counts, read_lm_counts)
+
+    local = data([(0, "some words")], spark=spark,
+                 schema="doc_id long, text string", name="loc_corp")
+    lm_leaf = read_lm_counts(spark, "blaze://127.0.0.1:1::nostore")
+    with _pytest.raises(TypeError, match="same server"):
+        ngram_lm_logprob(local, counts=lm_leaf)
+    flat_leaf = read_bucket_counts(spark, "blaze://127.0.0.1:1::ns")
+    tgt = spark.createDataFrame([(1, 2)], "bucket long, cnt long")
+    with _pytest.raises(TypeError, match="same server"):
+        dsir_log_weights(local, raw_counts=flat_leaf,
+                         target_counts=tgt)
