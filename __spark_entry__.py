@@ -3530,6 +3530,27 @@ def blaze_client_store_lm(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def cluster_mix_docs(spark, sf_dir):
+    """Topic-balanced mixture over embedding clusters (r14,
+    pipeline/similarity.assign_clusters): k-means cells become the
+    UNSUPERVISED source label — the cluster-reweighting shape for
+    corpora with no source metadata — and the existing mixture pair
+    flattens the cell shares (α=0.5) and keeps a deterministic
+    md5-keyed subset.  Rows-only: the k-means fit is seeded-random and
+    not SQL-expressible; the one-hot-geometry equivalence to the fully
+    oracled source-mix chain is pinned in pytest
+    (test_assign_clusters_mirrors_sources_on_onehot_geometry)."""
+    from blaze_spark.pipeline import (apply_source_mix, assign_clusters,
+                                      temperature_source_mix)
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    tagged = assign_clusters(d, e, k_cells=8, seed=42)
+    w = temperature_source_mix(tagged, alpha=0.5, source_col="cell")
+    kept = apply_source_mix(tagged, w, source_col="cell")
+    return kept.df.select("doc_id", "cell").orderBy("doc_id")
+
+
 def dup_ngram_spans_docs(spark, sf_dir):
     """Cross-document duplicated n-gram spans (pipeline/dedup.
     cross_doc_dup_ngrams — Lee et al. 2021 exact-substring dedup at
@@ -3832,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_unigram_docs": train_unigram_docs,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "cluster_mix_docs": cluster_mix_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
         "string_funcs": string_funcs,

@@ -27,6 +27,7 @@ from .recall import (  # noqa: F401
     topk_recall,
 )
 from .similarity import (  # noqa: F401
+    assign_clusters,
     ann_topk,
     batched_topk,
     cosine_topk,

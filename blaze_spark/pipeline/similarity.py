@@ -984,9 +984,57 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
     return Table(ranked, "semantic_dedup")
 
 
+def assign_clusters(docs: Table, embeddings: Table,
+                    k_cells: int = 16, doc_id_col: str = "doc_id",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    kmeans_iters: int = 5, seed: int = 42,
+                    centroids=None) -> Table:
+    """Tag documents with their embedding-space k-means cell (r14) —
+    the UNSUPERVISED 'source' label for topic-balanced mixing.  When a
+    corpus has no source labels (one big crawl), chain the result into
+    the existing mixture machinery with the cell as the group key:
+
+        tagged = assign_clusters(docs, embeddings, k_cells=64)
+        w = temperature_source_mix(tagged, alpha=0.3,
+                                   source_col="cell")
+        kept = apply_source_mix(tagged, w, source_col="cell")
+
+    — the cluster-reweighting shape (DoReMi-style domain balancing
+    with k-means domains; SemDeDup's cells reused as mixture strata).
+
+    A document with NO embedding row lands in cell ``-1`` (a real
+    mixture stratum — silently dropping unembedded docs would skew
+    every share downstream; filter ``cell != -1`` to exclude them
+    deliberately).  Pass ``centroids=`` (a persisted codebook from
+    ``kmeans_fit``/``load_centroids``) to skip the fit.
+
+    Plan shape: the fit is the bounded ``kmeans_fit``; assignment is
+    ONE Arrow pass over the embeddings projected to (id, cell); the
+    join back to documents carries id+cell only — vectors ride
+    neither the join nor any shuffle.  Local-only (the fit is
+    eager/seeded-random): remote inputs raise at entry."""
+    if k_cells < 1:
+        raise ValueError(f"k_cells must be >= 1, got {k_cells}")
+    from .ivf import ivf_assign, kmeans_fit
+
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k=k_cells,
+                               iters=kmeans_iters, vec_col=vec_col,
+                               id_col=id_col, seed=seed)
+    cells = (ivf_assign(embeddings, centroids, vec_col).df
+             .select(F.col(id_col).alias("__aid"),
+                     F.col("cell").cast("int").alias("cell")))
+    out = (docs.df
+           .join(cells, F.col(doc_id_col) == F.col("__aid"), "left")
+           .drop("__aid")
+           .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1))))
+    return Table(out, "assign_clusters")
+
+
 from ..core import _localize_guard as _lg  # noqa: E402
 
 cosine_topk = _lg(cosine_topk)
+assign_clusters = _lg(assign_clusters)
 neardup_pairs = _lg(neardup_pairs)
 embedding_neardup_pairs = _lg(embedding_neardup_pairs)
 lsh_cosine_topk = _lg(lsh_cosine_topk)

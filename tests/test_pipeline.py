@@ -2335,3 +2335,63 @@ def test_cross_doc_dup_spans_gap_splits_islands(spark):
         cross_doc_dup_spans(t, min_docs=1)
     with _pytest.raises(ValueError, match="n must be"):
         cross_doc_dup_spans(t, n=0)
+
+
+def test_assign_clusters_mirrors_sources_on_onehot_geometry(spark):
+    """r14: assign_clusters is the unsupervised source label — with
+    one-hot centroids that mirror the sources exactly, the whole
+    cluster-mix chain (assign → temperature mix by cell → apply)
+    keeps byte-identically the same documents as the source-mix
+    chain, and unembedded docs land in cell -1 (a real stratum, never
+    silently dropped)."""
+    import numpy as np
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import (apply_source_mix, assign_clusters,
+                                      temperature_source_mix)
+
+    rng = np.random.default_rng(3)
+    docs, vecs = [], []
+    for i in range(90):
+        src = i % 3
+        docs.append((i, "w " * (5 + i % 17), f"src{src}"))
+        if i != 77:                       # doc 77 has no embedding
+            v = (rng.normal(0, 0.05, 3) + np.eye(3)[src]).tolist()
+            vecs.append((i, [float(x) for x in v]))
+    d = data(docs, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="cm_docs")
+    e = data(vecs, spark=spark,
+             schema="vec_id bigint, embedding array<float>",
+             name="cm_vecs")
+    cents = np.eye(3, dtype=np.float32)
+    tagged = assign_clusters(d, e, centroids=cents)
+    rows = {r.doc_id: r.cell for r in tagged.df.collect()}
+    assert rows[77] == -1
+    for i, _t, src in docs:
+        if i != 77:
+            assert rows[i] == int(src[-1])
+    # drop doc 77 so the strata match exactly, then the two chains
+    # keep the same docs
+    t2 = data([r for r in docs if r[0] != 77], spark=spark,
+              schema="doc_id bigint, text string, source string",
+              name="cm_docs2")
+    tag2 = assign_clusters(t2, e, centroids=cents)
+    wc = temperature_source_mix(tag2, alpha=0.3, source_col="cell")
+    kept_c = sorted(r.doc_id for r in apply_source_mix(
+        tag2, wc, source_col="cell").df.select("doc_id").collect())
+    ws = temperature_source_mix(t2, alpha=0.3)
+    kept_s = sorted(r.doc_id for r in apply_source_mix(
+        t2, ws, source_col="source").df.select("doc_id").collect())
+    assert kept_c == kept_s and len(kept_c) > 0
+    # determinism: same seed, same fitted assignment
+    a = sorted(map(tuple, assign_clusters(
+        t2, e, k_cells=3, seed=5).df.select("doc_id", "cell")
+        .collect()))
+    b = sorted(map(tuple, assign_clusters(
+        t2, e, k_cells=3, seed=5).df.select("doc_id", "cell")
+        .collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k_cells"):
+        assign_clusters(t2, e, k_cells=0)
