@@ -759,3 +759,69 @@ def test_trained_model_rows_roundtrip(spark, labeled_docs):
         [[-1, 5], [-1, 7], [3, 10], [3, -10], [4, 2]], 64)
     assert dup.intercept_milli == 12
     assert dup.weights == {4: 2}  # bucket 3 summed to zero and dropped
+
+
+def test_train_classifier_matches_pure_python_reference(spark):
+    """Differential pin over random corpora (the train_bpe
+    incremental==naive discipline): the distributed fit must be
+    BYTE-IDENTICAL to a from-scratch pure-Python implementation of
+    the documented algorithm — md5 bucketing, integer micro residual
+    quantization, half-away-from-zero updates — across random docs,
+    labels, bucket counts, epochs and learning rates."""
+    import hashlib
+    import math
+    import random
+
+    from blaze_spark.pipeline import train_quality_classifier
+
+    def ref_fit(docs, n_buckets, epochs, lr):
+        def rha(x):
+            return (int(math.floor(x + 0.5)) if x >= 0
+                    else -int(math.floor(-x + 0.5)))
+
+        w: dict = {}
+        b0 = 0
+        for _ in range(epochs):
+            g: dict = {}
+            g0 = 0
+            for toks, y in docs:
+                bks = [int(hashlib.md5(t.encode()).hexdigest()[:8],
+                           16) % n_buckets for t in toks]
+                s = b0 + sum(w.get(b, 0) for b in bks)
+                p = 1.0 / (1.0 + math.exp(-s / 1000.0))
+                # Spark's ROUND on doubles: half away from zero
+                r = rha((p - y) * 1e6)
+                g0 += r
+                for b in bks:
+                    g[b] = g.get(b, 0) + r
+            n = len(docs)
+            b0 -= rha(lr * g0 / (1000.0 * n))
+            for b, gb in g.items():
+                nw = w.get(b, 0) - rha(lr * gb / (1000.0 * n))
+                if nw:
+                    w[b] = nw
+                else:
+                    w.pop(b, None)
+        return w, b0
+
+    rng = random.Random(1414)
+    vocab = [f"w{j}" for j in range(40)]
+    for case in range(6):
+        n_buckets = rng.choice([16, 64, 256])
+        epochs = rng.randint(1, 3)
+        lr = rng.choice([0.5, 2.0, 4.0, 9.0])
+        docs = []
+        for i in range(rng.randint(5, 40)):
+            toks = [rng.choice(vocab)
+                    for _ in range(rng.randint(1, 12))]
+            docs.append((toks, rng.randint(0, 1)))
+        t = data([(i, " ".join(tk), y)
+                  for i, (tk, y) in enumerate(docs)],
+                 spark=spark,
+                 schema="doc_id long, text string, y int",
+                 name=f"difftrain{case}")
+        m = train_quality_classifier(t, "y = 1", n_buckets=n_buckets,
+                                     epochs=epochs, lr=lr)
+        ew, eb0 = ref_fit(docs, n_buckets, epochs, lr)
+        assert m.weights == ew, (case, n_buckets, epochs, lr)
+        assert m.intercept_milli == eb0, (case, n_buckets, epochs, lr)

@@ -725,3 +725,39 @@ def test_sp_bpe_marker_apply_and_detokenize(spark, tmp_path):
            .select(tok.detokenize(tok.pieces(F.col("text")))
                    .alias("back")).collect()[0].back)
     assert got == "the cat"
+
+
+def test_sp_bpe_roundtrip_through_trained_tokenizer(spark, tmp_path):
+    """Behavioral roundtrip: a tokenizer TRAINED here, exported as a
+    SentencePiece-shaped piece table (alphabet + merged symbols in
+    merge order — exactly how SP-BPE serializes), re-imported through
+    from_sentencepiece, segments every training word identically.
+    Pins the merge-reconstruction algorithm against a real trained
+    artifact rather than only hand-built fixtures."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import BPETokenizer, train_bpe
+
+    rows = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "wide wider widest",
+         "low low low new new wide", "newest lowest widest"] * 4)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="spbpe_rt")
+    trained = train_bpe(t, num_merges=25, min_pair_count=1)
+    # SP-BPE serialization shape: alphabet first, then each merged
+    # symbol in merge creation order
+    alphabet = sorted({c for _, txt in rows for w in txt.split()
+                       for c in w})
+    pieces = [("<unk>", 0.0, 2)]
+    pieces += [(c, -1.0 * i, 1) for i, c in enumerate(alphabet)]
+    base = len(alphabet)
+    pieces += [(a + b, -1.0 * (base + i), 1)
+               for i, (a, b) in enumerate(trained.merges)]
+    p = tmp_path / "trained.model"
+    p.write_bytes(_sp_encode(pieces, model_type=2))
+    back = BPETokenizer.from_sentencepiece(str(p))
+    ranks_a = {m: i for i, m in enumerate(trained.merges)}
+    ranks_b = {m: i for i, m in enumerate(back.merges)}
+    words = sorted({w for _, txt in rows for w in txt.split()})
+    for w in words:
+        assert (BPETokenizer._apply_word(w, ranks_a)
+                == BPETokenizer._apply_word(w, ranks_b)), w
