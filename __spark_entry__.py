@@ -3565,6 +3565,21 @@ def dup_ngram_spans_docs(spark, sf_dir):
     return cross_doc_dup_ngrams(d, n=5).df.orderBy("doc_id")
 
 
+def dup_span_popularity_docs(spark, sf_dir):
+    """The min_docs threshold sweep for the exact-substring family
+    (pipeline/dedup.dup_span_popularity, ROADMAP #10): one corpus pass
+    → cumulative at-threshold counts of duplicated 5-grams, their
+    window occurrences, and affected documents (per-doc MAX level, so
+    the distinct count is summable), per observed duplication level —
+    the mass curve an auditor picks min_docs from.  Fully
+    SQL-expressible: histograms + one reverse running sum over the
+    bounded level relation."""
+    from blaze_spark.pipeline import dup_span_popularity
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_popularity(d, n=5).df.orderBy("min_docs")
+
+
 def dup_maximal_spans_docs(spark, sf_dir):
     """MAXIMAL duplicated spans (pipeline/dedup.cross_doc_dup_spans —
     VERDICT r13 missing #2, the auditor's granularity of Lee et al.'s
@@ -3739,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_curation_pipeline (green r12 row, unchanged code)
         # rotates below the boundary for it.
         "blaze_client_store_lm": blaze_client_store_lm,
+        "dup_span_popularity_docs": dup_span_popularity_docs,
         "dup_maximal_spans_docs": dup_maximal_spans_docs,
         "train_quality_classifier_docs": train_quality_classifier_docs,
         "q03_shipping_priority": q03_shipping_priority,
@@ -3784,7 +3800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
         "text_token_stats": text_token_stats,
-        "training_set_prep": training_set_prep,
         "repetition_filter_docs": repetition_filter_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "corpus_curation_pipeline": corpus_curation_pipeline,
@@ -3801,7 +3816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window so the external gate exercises the relational
         # engine again — the r13 window had drifted to 100%
         # pipeline/client entries.  To keep the sample at exactly 50,
-        # nine green-r13 rows with unchanged plans rotate below:
+        # (second half: dup_span_popularity_docs also enters at the
+        # head; training_set_prep — green r12 row, unchanged code —
+        # rotates below for it, keeping the sample at exactly 50.)
+        # Nine green-r13 rows with unchanged plans rotate below:
         # pack_sequences_string_key (its sibling pack_sequences_docs
         # stays), pack_tokenized_docs, chunk_tokenized_docs,
         # ngram_lm_backoff_docs (its 3-order/JM/KN superiors stay),
@@ -3809,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature_mix_docs, multimodal_video_frames and
         # embedding_quantization.  Nothing failing rotated out (r13
         # had zero failures).
+        "training_set_prep": training_set_prep,
         "pack_sequences_string_key": pack_sequences_string_key,
         "pack_tokenized_docs": pack_tokenized_docs,
         "chunk_tokenized_docs": chunk_tokenized_docs,
@@ -5775,6 +5794,50 @@ def oracle_sql() -> dict[str, str]:
         # maximal spans: the same duplicated windows, merged per doc by
         # a running-max gaps-and-islands window (coverage overlap OR
         # touch; a window's coverage is [i, i+4] at n=5)
+        # the threshold sweep: histograms per duplication level + one
+        # reverse running sum over the bounded level relation
+        "dup_span_popularity_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       md5(array_to_string(toks[i:i+4], ' ')) AS key
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS i
+                      FROM tk)),
+            dup AS (
+                SELECT key, count(DISTINCT doc_id) AS ndocs
+                FROM g GROUP BY key
+                HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT g.doc_id, dup.ndocs
+                FROM g JOIN dup USING (key)),
+            gram_h AS (SELECT ndocs, count(*) AS ng FROM dup GROUP BY 1),
+            win_h AS (SELECT ndocs, count(*) AS nw FROM hits GROUP BY 1),
+            doc_h AS (
+                SELECT ndocs, count(*) AS nd
+                FROM (SELECT doc_id, max(ndocs) AS ndocs
+                      FROM hits GROUP BY doc_id)
+                GROUP BY 1),
+            m AS (
+                SELECT ndocs,
+                       COALESCE(ng, 0) AS ng, COALESCE(nw, 0) AS nw,
+                       COALESCE(nd, 0) AS nd
+                FROM gram_h
+                FULL JOIN win_h USING (ndocs)
+                FULL JOIN doc_h USING (ndocs))
+            SELECT CAST(ndocs AS INT) AS min_docs,
+                   CAST(SUM(ng) OVER w AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(nw) OVER w AS BIGINT) AS n_dup_windows,
+                   CAST(SUM(nd) OVER w AS BIGINT) AS n_docs
+            FROM m
+            WINDOW w AS (ORDER BY ndocs DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+            ORDER BY min_docs
+        """,
         "dup_maximal_spans_docs": r"""
             WITH tk AS (
                 SELECT doc_id,

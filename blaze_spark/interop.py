@@ -649,6 +649,8 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
     # exact-substring family) — a pure literal-args lazy plan
     "cross_doc_dup_spans": (
         frozenset({"n", "min_docs", "text_col", "id_col"}), "unary"),
+    "dup_span_popularity": (
+        frozenset({"n", "text_col", "id_col"}), "unary"),
     "top_ngram_share": (frozenset({"n", "text_col", "id_col"}), "unary"),
     "source_mix": (
         frozenset({"text_col", "source_col", "tokenizer"}), "unary"),

@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     cross_doc_dup_lines,
     cross_doc_dup_ngrams,
     cross_doc_dup_spans,
+    dup_span_popularity,
     exact_dedup,
     edit_distance_pairs,
     exact_jaccard_pairs,

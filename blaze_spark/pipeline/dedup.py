@@ -502,6 +502,72 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
     return Table(out, t._name)
 
 
+def dup_span_popularity(t: Table, n: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> Table:
+    """The ``min_docs`` threshold sweep for the exact-substring family
+    (ROADMAP #10) — ONE corpus pass answering "what would each
+    popularity threshold remove?" so an auditor picks ``min_docs``
+    from the mass curve instead of guessing: one row per observed
+    duplication level with the CUMULATIVE-at-threshold view —
+    ``n_dup_grams`` (distinct duplicated n-grams repeating in ≥
+    min_docs documents), ``n_dup_windows`` (their window occurrences)
+    and ``n_docs`` (documents containing at least one such window).
+
+    Shape: the family's two hash aggregations once, then three tiny
+    histograms (per-gram level, per-window level, per-doc MAX level —
+    a doc counts at threshold k iff its strongest duplication level
+    reaches k, which makes the distinct-doc count summable) and one
+    reverse-running-sum window over the merged histogram.  That final
+    window is a single partition ON PURPOSE: its input is one row per
+    DISTINCT duplication level — bounded by the corpus' multiplicity
+    spectrum, thousands at worst — never a per-document or per-gram
+    relation."""
+    from pyspark.sql import Window
+
+    from .curation import _tokens
+    from .lm import _gram_at, _gram_index
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tk = _tokens(F.col(text_col))
+    pos = (t.df.select(F.col(id_col), tk.alias("__tk"))
+           .select(F.col(id_col), F.col("__tk"),
+                   F.explode(_gram_index(F.col("__tk"), n)).alias("__i"))
+           .select(F.col(id_col),
+                   F.md5(F.encode(
+                       _gram_at(F.col("__tk"), F.col("__i"), n),
+                       "UTF-8")).alias("__key")))
+    dup_keys = (pos.select("__key", F.col(id_col).alias("__doc"))
+                .distinct()
+                .groupBy("__key")
+                .agg(F.count(F.lit(1)).alias("__ndocs"))
+                .filter(F.col("__ndocs") >= 2))
+    hits = pos.join(dup_keys, "__key")
+    gram_h = (dup_keys.groupBy("__ndocs")
+              .agg(F.count(F.lit(1)).alias("__g")))
+    win_h = (hits.groupBy("__ndocs")
+             .agg(F.count(F.lit(1)).alias("__w")))
+    doc_h = (hits.groupBy(id_col)
+             .agg(F.max("__ndocs").alias("__ndocs"))
+             .groupBy("__ndocs")
+             .agg(F.count(F.lit(1)).alias("__d")))
+    merged = (gram_h
+              .join(win_h, "__ndocs", "full")
+              .join(doc_h, "__ndocs", "full")
+              .select(F.col("__ndocs"),
+                      F.coalesce("__g", F.lit(0)).alias("__g"),
+                      F.coalesce("__w", F.lit(0)).alias("__w"),
+                      F.coalesce("__d", F.lit(0)).alias("__d")))
+    w = (Window.orderBy(F.col("__ndocs").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = merged.select(
+        F.col("__ndocs").cast("int").alias("min_docs"),
+        F.sum("__g").over(w).cast("long").alias("n_dup_grams"),
+        F.sum("__w").over(w).cast("long").alias("n_dup_windows"),
+        F.sum("__d").over(w).cast("long").alias("n_docs"))
+    return Table(out, t._name)
+
+
 def minhash_signatures(t: Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 32, shingle_k: int = 5,
                        seed: int = 42,
@@ -959,6 +1025,7 @@ _local_exact_dedup = exact_dedup
 _local_normalized_dedup = normalized_dedup
 _local_cross_doc_dup_lines = cross_doc_dup_lines
 _local_cross_doc_dup_spans = cross_doc_dup_spans
+_local_dup_span_popularity = dup_span_popularity
 
 
 def _sweep_node(t: Table, op: str, local_plan: Table, kw: dict,
@@ -984,6 +1051,19 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
         _local_cross_doc_dup_spans(t, n, min_docs, text_col, id_col),
         {"n": int(n), "min_docs": int(min_docs), "text_col": text_col,
          "id_col": id_col})
+
+
+@functools.wraps(_local_dup_span_popularity)
+def dup_span_popularity(t: Table, n: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> Table:
+    if _client_of(t) is None:
+        return _local_dup_span_popularity(t, n, text_col, id_col)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return _sweep_node(
+        t, "dup_span_popularity",
+        _local_dup_span_popularity(t, n, text_col, id_col),
+        {"n": int(n), "text_col": text_col, "id_col": id_col})
 
 
 @functools.wraps(_local_exact_dedup)

@@ -2395,3 +2395,30 @@ def test_assign_clusters_mirrors_sources_on_onehot_geometry(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k_cells"):
         assign_clusters(t2, e, k_cells=0)
+
+
+def test_dup_span_popularity_profile(spark):
+    """r14 (ROADMAP #10): the min_docs threshold sweep — cumulative
+    at-threshold counts, hand-verified: a 10-token run shared by 3
+    docs (6 windows each) + a 5-token run shared by 2 docs, and the
+    per-doc count uses each document's MAX duplication level (doc 0
+    holds both runs but counts once per threshold)."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import dup_span_popularity
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"alpha {shared} beta pair only gram here repeated"),
+        (1, f"{shared} x"), (2, f"{shared} y"),
+        (3, "pair only gram here repeated words too"),
+    ]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="popdocs2")
+    got = {r.min_docs: (r.n_dup_grams, r.n_dup_windows, r.n_docs)
+           for r in dup_span_popularity(t, n=5).df.collect()}
+    # ndocs=3: the 10-token run = 6 windows in each of docs 0,1,2;
+    # ndocs=2: adds the 5-token run (1 window in docs 0 and 3)
+    assert got == {3: (6, 18, 3), 2: (7, 20, 4)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        dup_span_popularity(t, n=0)

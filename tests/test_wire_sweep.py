@@ -91,6 +91,13 @@ def test_dedup_family_over_wire(spark, sweep_docs, sweep_srv):
                       ["doc_id", "span_start", "span_len", "n_windows",
                        "n_docs"])
     assert got == want and len(got) > 0
+    from blaze_spark.pipeline import dup_span_popularity
+
+    got, want = _vals(dup_span_popularity(rt, n=3),
+                      dup_span_popularity(sweep_docs, n=3).df,
+                      ["min_docs", "n_dup_grams", "n_dup_windows",
+                       "n_docs"])
+    assert got == want and len(got) > 0
 
 
 def test_curation_reports_over_wire(spark, sweep_docs, sweep_srv):
