@@ -54,6 +54,9 @@ from .curation import _tokens, ngram_array
 # hashed-feature models in published pipelines (DSIR uses 10k).
 _MAX_BUCKETS = 65_536
 
+# saved-model artifact version (TrainedQualityModel.save/load)
+_QCLS_FORMAT = "qcls1"
+
 
 def token_buckets(col: Column, n_buckets: int) -> Column:
     """Hashed feature buckets of a text column: ``array<long>`` with one
@@ -392,6 +395,48 @@ class TrainedQualityModel:
                 w[b] = w.get(b, 0) + wm
         return cls({b: wm for b, wm in w.items() if wm}, b0,
                    n_buckets, n, [])
+
+    def save(self, spark, path: str) -> None:
+        """Persist the model as a parquet artifact (fit once, score
+        many — the counts-store discipline applied to a model): the
+        bounded (bucket, weight_milli) relation with the intercept at
+        pseudo-bucket -1 and the geometry SELF-DESCRIBED at
+        pseudo-buckets -2 (n_buckets) and -3 (n), plus a
+        ``_QCLS_FORMAT`` stamp so a different artifact version (or a
+        counts store pointed here by mistake) fails loudly."""
+        rows = (self.to_rows()
+                + [[-2, int(self.n_buckets)], [-3, int(self.n)]])
+        (spark.createDataFrame(rows, "bucket long, weight_milli long")
+         .repartition(1).write.mode("overwrite").parquet(path))
+        from ..streaming.incremental_dedup import _check_sig_format
+        _check_sig_format(spark, path, has_existing=False,
+                          expected=_QCLS_FORMAT,
+                          marker_name="_QCLS_FORMAT",
+                          what="quality-classifier model",
+                          fmt_label="model format")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "TrainedQualityModel":
+        """Rebuild a :meth:`save`d model; the artifact is
+        self-describing (geometry rides at pseudo-buckets -2/-3), so
+        no kwargs to mismatch."""
+        from ..streaming.incremental_dedup import _check_sig_format
+        _check_sig_format(spark, path, has_existing=True,
+                          expected=_QCLS_FORMAT,
+                          marker_name="_QCLS_FORMAT",
+                          what="quality-classifier model",
+                          fmt_label="model format")
+        rows = spark.read.parquet(path).collect()
+        meta = {int(r["bucket"]): int(r["weight_milli"])
+                for r in rows if r["bucket"] in (-2, -3)}
+        if set(meta) != {-2, -3}:
+            raise ValueError(
+                f"{path} is not a saved quality-classifier model — "
+                "the geometry rows (pseudo-buckets -2/-3) are missing")
+        return cls.from_rows(
+            [(r["bucket"], r["weight_milli"]) for r in rows
+             if r["bucket"] not in (-2, -3)],
+            n_buckets=meta[-2], n=meta[-3])
 
     def classify(self, t: Table, text_col: str = "text",
                  id_col: str = "doc_id",

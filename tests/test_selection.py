@@ -825,3 +825,38 @@ def test_train_classifier_matches_pure_python_reference(spark):
         ew, eb0 = ref_fit(docs, n_buckets, epochs, lr)
         assert m.weights == ew, (case, n_buckets, epochs, lr)
         assert m.intercept_milli == eb0, (case, n_buckets, epochs, lr)
+
+
+def test_trained_model_save_load_roundtrip(spark, labeled_docs,
+                                           tmp_path):
+    """Model persistence (fit once, score many): save/load roundtrips
+    weights + intercept + geometry (self-described in the artifact),
+    the loaded model classifies byte-identically, and a mis-stamped
+    directory fails loudly."""
+    from blaze_spark.pipeline import train_quality_classifier
+    from blaze_spark.pipeline.selection import TrainedQualityModel
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2)
+    path = str(tmp_path / "qcls_model")
+    m.save(spark, path)
+    back = TrainedQualityModel.load(spark, path)
+    assert back.weights == m.weights
+    assert back.intercept_milli == m.intercept_milli
+    assert back.n_buckets == 512 and back.n == 1
+    assert (sorted(map(tuple, back.classify(labeled_docs).collect()))
+            == sorted(map(tuple, m.classify(labeled_docs).collect())))
+    # a counts store (different stamp) pointed here fails loudly
+    from blaze_spark.streaming.incremental_counts import (
+        ingest_counts_batch)
+
+    store = str(tmp_path / "not_a_model")
+    ingest_counts_batch(labeled_docs, store, n_buckets=64, batch_id=0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="model format|_QCLS"):
+        TrainedQualityModel.load(spark, store)
+    # a plain parquet without the geometry rows fails loudly too
+    plain = str(tmp_path / "plain")
+    m.weights_df(spark).write.parquet(plain)
+    with _pytest.raises(ValueError):
+        TrainedQualityModel.load(spark, plain)
