@@ -249,7 +249,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # and the bounded query block ride as literal
                   # relations, the code scan runs where the store
                   # lives.  Fits stay non-serializable (eager/random).
-                  "pq_topk", "ivf_pq_topk",
+                  "pq_topk", "ivf_pq_topk", "assign_clusters",
                   # r14 (ROADMAP #11): store-fed counts leaves — a
                   # client names a REGISTERED server-side counts store
                   # and the bounded total relation materializes where
@@ -385,6 +385,24 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return _pipeline_node(op, args, child, walk)
         if op == "pq_topk":
             return _pq_node(op, args, child, walk)
+        if op == "assign_clusters":
+            # r14: trained-codebook APPLICATION (the pq_topk posture —
+            # the k-means fit itself never serializes); args =
+            # [docs_tree, embeddings_tree, centroids_enc, {kw}]
+            from .pipeline.pq import centroids_from_wire
+            from .pipeline.similarity import assign_clusters as _ac
+
+            _arity(op, args, 4)
+            allowed = {"doc_id_col", "id_col", "vec_col"}
+            kw = dict(args[3]) if len(args) > 3 and args[3] else {}
+            bad = set(kw) - allowed
+            if bad:
+                raise ValueError(
+                    f"{op} wire node carries unknown keyword(s) "
+                    f"{sorted(bad)} — re-serialize with a matching "
+                    "client version")
+            return _ac(child, walk(args[1]),
+                       centroids=centroids_from_wire(args[2]), **kw)
         if op == "ivf_pq_topk":
             return _ivf_pq_node(op, args, child, walk)
         if op == "hypertable_rollup":

@@ -18,6 +18,7 @@ import numpy as np
 
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..core import Table
 
@@ -1032,9 +1033,52 @@ def assign_clusters(docs: Table, embeddings: Table,
 
 
 from ..core import _localize_guard as _lg  # noqa: E402
+from .selection import (_client_of, _require_tree,  # noqa: E402
+                        _same_server, _wire_result)
+
+_local_assign_clusters = assign_clusters
+
+
+def assign_clusters(docs: Table, embeddings: Table,
+                    k_cells: int = 16, doc_id_col: str = "doc_id",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    kmeans_iters: int = 5, seed: int = 42,
+                    centroids=None) -> Table:
+    if _client_of(docs) is None and _client_of(embeddings) is None:
+        return _local_assign_clusters(docs, embeddings, k_cells,
+                                      doc_id_col, id_col, vec_col,
+                                      kmeans_iters, seed, centroids)
+    # remote form (r14): a TRAINED codebook APPLIES over the wire —
+    # the pq_topk/ivf_pq_topk trained-artifact posture; the k-means
+    # FIT itself stays local-only (eager, seeded-random)
+    if centroids is None:
+        raise TypeError(
+            "assign_clusters over blaze://: the k-means fit is eager "
+            "and does not serialize — fit locally (kmeans_fit / "
+            "load_centroids) and pass centroids=")
+    if _client_of(docs) is None or not _same_server(docs, embeddings):
+        raise TypeError(
+            "assign_clusters over blaze://: docs and embeddings must "
+            "live on the SAME server (register both there)")
+    from .pq import centroids_to_wire
+
+    node = {"op": "assign_clusters",
+            "args": [_require_tree(docs, "assign_clusters"),
+                     _require_tree(embeddings,
+                                   "assign_clusters embeddings"),
+                     centroids_to_wire(centroids),
+                     {"doc_id_col": doc_id_col, "id_col": id_col,
+                      "vec_col": vec_col}]}
+    spark = docs.df.sparkSession
+    empty = spark.createDataFrame([], T.StructType(
+        list(docs.df.schema.fields)
+        + [T.StructField("cell", T.IntegerType())]))
+    return _wire_result(docs, empty, node)
+
+
+assign_clusters.__doc__ = _local_assign_clusters.__doc__
 
 cosine_topk = _lg(cosine_topk)
-assign_clusters = _lg(assign_clusters)
 neardup_pairs = _lg(neardup_pairs)
 embedding_neardup_pairs = _lg(embedding_neardup_pairs)
 lsh_cosine_topk = _lg(lsh_cosine_topk)

@@ -1406,3 +1406,54 @@ def test_remote_counts_leaf_with_local_corpus_routes_loudly(spark,
     with _pytest.raises(TypeError, match="same server"):
         dsir_log_weights(local, raw_counts=flat_leaf,
                          target_counts=tgt)
+
+
+def test_remote_cluster_assignment_applies_trained_codebook(spark):
+    """r14: assign_clusters over blaze:// — a trained codebook APPLIES
+    server-side (the pq_topk trained-artifact posture; centroids ride
+    as the bounded literal), remote == local byte-for-byte; the fit
+    itself refuses to serialize, and mixed-server inputs fail
+    loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import assign_clusters
+    from blaze_spark.server import BlazeSparkServer
+
+    rng = np.random.default_rng(9)
+    docs, vecs = [], []
+    for i in range(60):
+        src = i % 3
+        docs.append((i, f"doc {i} words"))
+        v = (rng.normal(0, 0.05, 3) + np.eye(3)[src]).tolist()
+        vecs.append((i, [float(x) for x in v]))
+    d = data(docs, spark=spark, schema="doc_id bigint, text string",
+             name="rc_docs")
+    e = data(vecs, spark=spark,
+             schema="vec_id bigint, embedding array<float>",
+             name="rc_vecs")
+    cents = np.eye(3, dtype=np.float64)
+    srv = BlazeSparkServer({"rc_docs": d, "rc_vecs": e}, spark)
+    srv.start(port=0)
+    try:
+        url = f"blaze://127.0.0.1:{srv.port}"
+        rd = data(f"{url}::rc_docs", spark=spark)
+        re_ = data(f"{url}::rc_vecs", spark=spark)
+        want = sorted(map(tuple, assign_clusters(
+            d, e, centroids=cents).df.select("doc_id",
+                                             "cell").collect()))
+        out = assign_clusters(rd, re_, centroids=cents)
+        got = sorted(map(tuple,
+                         out.compute()[["doc_id", "cell"]]
+                         .itertuples(index=False)))
+        assert got == want and len(got) == 60
+        # the FIT never serializes
+        with _pytest.raises(TypeError, match="fit locally|does not "
+                                             "serialize"):
+            assign_clusters(rd, re_, k_cells=3)
+        # mixed local/remote fails loudly
+        with _pytest.raises(TypeError, match="SAME server"):
+            assign_clusters(rd, e, centroids=cents)
+    finally:
+        srv.stop()
