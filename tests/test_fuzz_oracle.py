@@ -303,3 +303,55 @@ def test_fuzz_pack_sequences_invariants(spark, budget, lens, parts):
         per[r.shard] += r.n_tokens
     mx = max((r.n_tokens for r in out), default=0)
     assert all(v < budget + mx for v in per.values() if mx)
+
+
+# -- join fuzz (r14): random join type x key x agg, two engines ------------
+
+JOIN_HOWS = ["inner", "left", "right", "outer"]
+
+
+@given(
+    how=st.sampled_from(JOIN_HOWS),
+    frac=st.floats(min_value=0.1, max_value=0.9),
+    agg_price=st.booleans(),
+)
+@SETTINGS
+def test_fuzz_join_agg(spark, sf_dir, duck, how, frac, agg_price):
+    """Random equi-join differential over the real star schema:
+    orders ⋈ customer under every join type, with a data-dependent
+    filter on ONE side (so outer joins produce genuine unmatched
+    rows on both sides), then a per-nation aggregate — Spark engine
+    vs DuckDB, exact."""
+    from blaze_spark import by, data, join
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')")
+    lo, hi = duck.execute(
+        "SELECT min(o_totalprice), max(o_totalprice) FROM orders"
+    ).fetchone()
+    thr = lo + (hi - lo) * frac
+
+    o = data(f"{sf_dir}/orders.parquet", spark=spark, name="orders")
+    c = data(f"{sf_dir}/customer.parquet", spark=spark,
+             name="customer")
+    j = join(o[o.o_totalprice > thr], c, "o_custkey", "c_custkey",
+             how=how)
+    val = j.o_totalprice.sum() if agg_price else \
+        j.o_orderkey.nelements()
+    out = by([j.c_nationkey], v=val)
+    got = {r[0]: (round(r[1], 2) if agg_price and r[1] is not None
+                  else r[1]) for r in out.df.collect()}
+
+    duck_how = {"inner": "JOIN", "left": "LEFT JOIN",
+                "right": "RIGHT JOIN", "outer": "FULL JOIN"}[how]
+    # nelements counts ALL rows (NULLs included — the package's
+    # nelements-vs-count distinction), so the DuckDB twin is count(*)
+    agg_sql = "sum(o_totalprice)" if agg_price else "count(*)"
+    exp = {r[0]: (round(r[1], 2) if agg_price and r[1] is not None
+                  else r[1]) for r in duck.execute(
+        f"SELECT c_nationkey, {agg_sql} FROM "
+        f"(SELECT * FROM orders WHERE o_totalprice > {thr!r}) o "
+        f"{duck_how} customer ON o_custkey = c_custkey "
+        f"GROUP BY c_nationkey").fetchall()}
+    assert got == exp
