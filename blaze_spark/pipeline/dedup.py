@@ -537,17 +537,26 @@ def dup_span_popularity(t: Table, n: int = 5, text_col: str = "text",
                    F.md5(F.encode(
                        _gram_at(F.col("__tk"), F.col("__i"), n),
                        "UTF-8")).alias("__key")))
+    # SCOPED caches keep this at the family's two corpus scans: three
+    # histograms consume dup_keys/hits, and without the cache each
+    # branch re-derives the tokenize+explode subtree (measured: FIVE
+    # parquet scans in the naive plan).  dup_keys caches the one-row-
+    # per-duplicated-gram relation; the per-(doc, level) window counts
+    # cache is ≤ one row per (doc, level) — both far below the
+    # token-window relation, and both released with the result.
     dup_keys = (pos.select("__key", F.col(id_col).alias("__doc"))
                 .distinct()
                 .groupBy("__key")
                 .agg(F.count(F.lit(1)).alias("__ndocs"))
-                .filter(F.col("__ndocs") >= 2))
-    hits = pos.join(dup_keys, "__key")
+                .filter(F.col("__ndocs") >= 2)).persist()
+    per_doc_level = (pos.join(dup_keys, "__key")
+                     .groupBy(id_col, "__ndocs")
+                     .agg(F.count(F.lit(1)).alias("__w"))).persist()
     gram_h = (dup_keys.groupBy("__ndocs")
               .agg(F.count(F.lit(1)).alias("__g")))
-    win_h = (hits.groupBy("__ndocs")
-             .agg(F.count(F.lit(1)).alias("__w")))
-    doc_h = (hits.groupBy(id_col)
+    win_h = (per_doc_level.groupBy("__ndocs")
+             .agg(F.sum("__w").alias("__w")))
+    doc_h = (per_doc_level.groupBy(id_col)
              .agg(F.max("__ndocs").alias("__ndocs"))
              .groupBy("__ndocs")
              .agg(F.count(F.lit(1)).alias("__d")))
@@ -565,6 +574,8 @@ def dup_span_popularity(t: Table, n: int = 5, text_col: str = "text",
         F.sum("__g").over(w).cast("long").alias("n_dup_grams"),
         F.sum("__w").over(w).cast("long").alias("n_dup_windows"),
         F.sum("__d").over(w).cast("long").alias("n_docs"))
+    _retain_cache(out, dup_keys)
+    _retain_cache(out, per_doc_level)
     return Table(out, t._name)
 
 
