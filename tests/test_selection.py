@@ -810,21 +810,31 @@ def test_train_classifier_matches_pure_python_reference(spark):
         n_buckets = rng.choice([16, 64, 256])
         epochs = rng.randint(1, 3)
         lr = rng.choice([0.5, 2.0, 4.0, 9.0])
+        order = rng.choice([1, 1, 2])    # n=2: word-bigram features
         docs = []
         for i in range(rng.randint(5, 40)):
             toks = [rng.choice(vocab)
                     for _ in range(rng.randint(1, 12))]
             docs.append((toks, rng.randint(0, 1)))
+
+        def feats(toks, order=order):
+            if order == 1:
+                return toks
+            return [" ".join(toks[j:j + 2])
+                    for j in range(len(toks) - 1)]
+
         t = data([(i, " ".join(tk), y)
                   for i, (tk, y) in enumerate(docs)],
                  spark=spark,
                  schema="doc_id long, text string, y int",
                  name=f"difftrain{case}")
         m = train_quality_classifier(t, "y = 1", n_buckets=n_buckets,
-                                     epochs=epochs, lr=lr)
-        ew, eb0 = ref_fit(docs, n_buckets, epochs, lr)
-        assert m.weights == ew, (case, n_buckets, epochs, lr)
-        assert m.intercept_milli == eb0, (case, n_buckets, epochs, lr)
+                                     epochs=epochs, lr=lr, n=order)
+        ew, eb0 = ref_fit([(feats(tk), y) for tk, y in docs],
+                          n_buckets, epochs, lr)
+        assert m.weights == ew, (case, n_buckets, epochs, lr, order)
+        assert m.intercept_milli == eb0, (case, n_buckets, epochs,
+                                          lr, order)
 
 
 def test_trained_model_save_load_roundtrip(spark, labeled_docs,
