@@ -1374,3 +1374,107 @@ def _pb_fields(buf: bytes):
         if wt in (1, 5) and len(v) != (8 if wt == 1 else 4):
             raise IndexError("fixed-width field overruns")
         yield fn, wt, v
+
+
+def _pb_varint_enc(v: int) -> bytes:
+    """Encode one base-128 varint (the writer half of _pb_varint)."""
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _pb_ld(field: int, payload: bytes) -> bytes:
+    """One length-delimited protobuf field (wire type 2)."""
+    return (_pb_varint_enc((field << 3) | 2)
+            + _pb_varint_enc(len(payload)) + payload)
+
+
+def _pb_f32(field: int, value: float) -> bytes:
+    """One fixed-32 float field (wire type 5)."""
+    import struct
+
+    return _pb_varint_enc((field << 3) | 5) + struct.pack("<f", value)
+
+
+def _pb_vi(field: int, value: int) -> bytes:
+    """One varint field (wire type 0)."""
+    return _pb_varint_enc((field << 3) | 0) + _pb_varint_enc(value)
+
+
+def _write_sentencepiece(path: str, pieces, model_type: int,
+                         lowercase: bool) -> None:
+    """Serialize a ModelProto (the writer half of
+    :func:`_parse_sentencepiece`; same public field map): ``pieces``
+    is [(text, score, type), ...] in FILE ORDER — which is
+    vocab/merge order, the property the importers' reconstruction
+    depends on.  The normalizer name records case handling
+    (``nmt_nfkc_cf`` ⇄ lowercase, the SentencePiece convention the
+    importer auto-detects)."""
+    buf = b""
+    for text, score, ptype in pieces:
+        sub = _pb_ld(1, text.encode("utf-8")) + _pb_f32(2, float(score))
+        if ptype != 1:            # NORMAL is the proto default
+            sub += _pb_vi(3, int(ptype))
+        buf += _pb_ld(1, sub)
+    buf += _pb_ld(2, _pb_vi(3, int(model_type)))          # TrainerSpec
+    name = "nmt_nfkc_cf" if lowercase else "nmt_nfkc"
+    buf += _pb_ld(3, _pb_ld(1, name.encode()))            # Normalizer
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+def _unigram_to_sentencepiece(self, path: str) -> None:
+    """Export this Unigram model as a SentencePiece ``.model`` (r14 —
+    the import's inverse, closing the artifact loop for SP-ecosystem
+    consumers): ``<unk>`` first carrying ``unk_logp`` as the UNKNOWN
+    piece, then the vocabulary in deterministic (logp DESC, piece ASC)
+    order with NORMAL type.  ``from_sentencepiece(to_sentencepiece(x))``
+    rebuilds an equivalent tokenizer (pinned in pytest) — scores pass
+    through the proto's FLOAT32, SentencePiece's own precision, so
+    float64 log-probs quantize to f32 on the way out (segmentation is
+    unaffected except on sub-f32 ties).  The ▁ marker
+    needs no metadata — it lives in the pieces, exactly how real SP
+    artifacts carry it."""
+    pieces = [("<unk>", float(self.unk_logp), 2)]
+    pieces += [(p, float(lp), 1)
+               for p, lp in sorted(self.vocab.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))]
+    _write_sentencepiece(path, pieces, model_type=1,
+                         lowercase=self.lowercase)
+
+
+UnigramTokenizer.to_sentencepiece = _unigram_to_sentencepiece
+
+
+def _bpe_to_sentencepiece(self, path: str) -> None:
+    """Export this BPE model as a SentencePiece BPE ``.model``:
+    alphabet (every single character appearing in the merge table)
+    first, then each MERGED symbol in merge creation order — the
+    serialization shape SP-BPE itself writes and the importer's
+    reconstruction assumes.  Byte-level (GPT-2) models refuse: SP has
+    no byte-to-unicode mode, and a silent re-interpretation as
+    character BPE would change every count."""
+    if self.byte_level:
+        raise ValueError(
+            "to_sentencepiece: byte-level (GPT-2) BPE has no "
+            "SentencePiece representation — export merges.txt / "
+            "tokenizer.json instead")
+    alphabet = sorted({c for a, b in self.merges for c in a + b})
+    pieces = [("<unk>", 0.0, 2)]
+    score = 0.0
+    for c in alphabet:
+        score -= 1.0
+        pieces.append((c, score, 1))
+    for a, b in self.merges:
+        score -= 1.0
+        pieces.append((a + b, score, 1))
+    _write_sentencepiece(path, pieces, model_type=2,
+                         lowercase=self.lowercase)
+
+
+BPETokenizer.to_sentencepiece = _bpe_to_sentencepiece

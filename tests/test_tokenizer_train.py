@@ -761,3 +761,63 @@ def test_sp_bpe_roundtrip_through_trained_tokenizer(spark, tmp_path):
     for w in words:
         assert (BPETokenizer._apply_word(w, ranks_a)
                 == BPETokenizer._apply_word(w, ranks_b)), w
+
+
+def test_sentencepiece_export_roundtrips(spark, tmp_path):
+    """r14 second half: to_sentencepiece is the import's inverse —
+    Unigram and BPE models roundtrip through a real .model file with
+    identical vocab/merges/marker/lowercase; byte-level BPE refuses
+    (SP has no byte mode)."""
+    import pytest as _pytest
+
+    from blaze_spark.pipeline import BPETokenizer, UnigramTokenizer
+
+    uni = UnigramTokenizer(
+        {"▁the": -1.0, "▁cat": -2.0, "▁c": -3.0, "at": -2.5,
+         "▁": -4.0}, unk_logp=-7.5, space_marker="▁",
+        lowercase=True)
+    p = tmp_path / "uni.model"
+    uni.to_sentencepiece(str(p))
+    back = UnigramTokenizer.from_sentencepiece(str(p))
+    assert back.vocab == uni.vocab
+    assert back.unk_logp == uni.unk_logp
+    assert back.space_marker == "▁"
+    assert back.lowercase is True
+
+    bpe = BPETokenizer([("h", "e"), ("▁", "t"), ("▁t", "he"),
+                        ("a", "t")], space_marker="▁")
+    p2 = tmp_path / "bpe.model"
+    bpe.to_sentencepiece(str(p2))
+    back2 = BPETokenizer.from_sentencepiece(str(p2))
+    # reconstruction may pick a different (equivalent) split for a
+    # merged piece; the behavioral contract is identical segmentation
+    ra = {m: i for i, m in enumerate(bpe.merges)}
+    rb = {m: i for i, m in enumerate(back2.merges)}
+    for w in ("▁the", "▁that", "▁cat", "▁he", "▁tthe"):
+        assert (BPETokenizer._apply_word(w, ra)
+                == BPETokenizer._apply_word(w, rb)), w
+    assert back2.space_marker == "▁"
+
+    gpt2 = BPETokenizer([("a", "b")], byte_level=True)
+    with _pytest.raises(ValueError, match="byte-level"):
+        gpt2.to_sentencepiece(str(tmp_path / "nope.model"))
+
+    # a TRAINED unigram model round-trips too (train → export →
+    # import → identical Viterbi segmentation)
+    from blaze_spark import data
+    from blaze_spark.pipeline import train_unigram
+
+    rows = [(i, "hello world hold held") for i in range(8)]
+    t = data(rows, spark=spark, schema="doc_id long, text string",
+             name="sp_export_docs")
+    trained = train_unigram(t, vocab_size=30)
+    p3 = tmp_path / "trained_uni.model"
+    trained.to_sentencepiece(str(p3))
+    back3 = UnigramTokenizer.from_sentencepiece(str(p3))
+    for w in ("hello", "world", "hold", "held", "helheld"):
+        assert (UnigramTokenizer._apply_word(
+                    trained.space_marker + w, trained.vocab,
+                    trained.unk_logp, trained.max_piece_len)
+                == UnigramTokenizer._apply_word(
+                    back3.space_marker + w, back3.vocab,
+                    back3.unk_logp, back3.max_piece_len))
