@@ -185,6 +185,11 @@ NEW_QUERIES_R14 = [
     "train_quality_classifier_docs",
     "dup_maximal_spans_docs",
     "blaze_client_store_lm",
+    # second half: the threshold sweep (two corpus scans + cached
+    # histograms) and cluster mixing (k-means fit + Arrow assign +
+    # mixture pair, whole chain per rep)
+    "dup_span_popularity_docs",
+    "cluster_mix_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
