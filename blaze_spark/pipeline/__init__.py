@@ -122,6 +122,7 @@ from .lm import (  # noqa: F401
 )
 from .selection import (  # noqa: F401
     calibrate_key_threshold,
+    calibrate_score_threshold,
     dsir_log_weights,
     hashed_bucket_counts,
     model_weights,

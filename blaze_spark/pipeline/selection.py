@@ -854,6 +854,69 @@ def calibrate_key_threshold(t: Table | DataFrame, score_col: str,
     return float(keys[k - 1])
 
 
+def calibrate_score_threshold(scored: Table | DataFrame,
+                              keep_frac: float | None = None,
+                              target_n: int | None = None,
+                              score_col: str = "score_milli",
+                              id_col: str = "doc_id",
+                              max_sample: int = 200_000,
+                              seed: int = 42,
+                              n_rows: int | None = None) -> int:
+    """Pick ``threshold_milli`` for :func:`quality_classifier` /
+    :meth:`TrainedQualityModel.classify` so that ``keep`` retains ≈
+    ``keep_frac`` of the corpus (or ``target_n`` documents) — the
+    CCNet "keep the top X% by model quality" move, calibrated the
+    same way :func:`calibrate_key_threshold` calibrates the sampler:
+    the k-th largest score on a BOUNDED deterministic md5
+    hash-sample (≤ ~``max_sample`` rows; membership salt
+    ``-cal<seed>`` is independent of everything the family hashes).
+    Exact when the sample covers the corpus, binomial-noise-accurate
+    otherwise.  Scores are integers and tie: ``score >= threshold``
+    keeps AT LEAST the target (every tied doc survives — retention
+    never silently undershoots on a spiky score distribution).
+    Driver state ≤ ~``max_sample`` longs; one corpus read (plus the
+    sizing count unless ``n_rows`` is passed)."""
+    if (keep_frac is None) == (target_n is None):
+        raise ValueError(
+            "calibrate_score_threshold: pass exactly one of "
+            "keep_frac= or target_n=")
+    if keep_frac is not None and not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"keep_frac must be in (0, 1], got {keep_frac}")
+    if target_n is not None and target_n < 1:
+        raise ValueError(f"target_n must be >= 1, got {target_n}")
+    if max_sample < 1:
+        raise ValueError(f"max_sample must be >= 1, got {max_sample}")
+    df = scored.df if isinstance(scored, Table) else scored
+    n = n_rows if n_rows is not None else df.count()
+    if n == 0:
+        raise ValueError("calibrate_score_threshold: corpus is empty")
+    want = target_n if target_n is not None \
+        else max(1, round(keep_frac * n))
+    frac = min(1.0, max_sample / n)
+    sdf = df
+    if frac < 1.0:
+        u_cal = (F.conv(F.substring(
+            F.md5(F.concat(
+                F.coalesce(F.col(id_col).cast("string"),
+                           F.lit("__null__")),
+                F.lit(f"-cal{seed}"))), 1, 8), 16, 10)
+            .cast(T.LongType()) / F.lit(float(2 ** 32)))
+        sdf = df.filter(u_cal < F.lit(frac))
+    scores = [r["s"] for r in
+              sdf.select(F.col(score_col).cast(T.LongType())
+                         .alias("s"))
+              .filter(F.col("s").isNotNull()).collect()]
+    m = len(scores)
+    if m == 0:
+        raise ValueError(
+            "calibrate_score_threshold: the calibration sample is "
+            "empty — raise max_sample (or check score_col for NULLs)")
+    k = min(m, max(1, round(want * m / n)))
+    scores.sort(reverse=True)
+    return int(scores[k - 1])
+
+
 def weighted_sample(t: Table | DataFrame, score_col: str,
                     n: int | None = None,
                     key_threshold: float | None = None,
@@ -1196,3 +1259,4 @@ def weighted_sample(t, score_col: str, n: int | None = None,
 from ..core import _localize_guard as _lg  # noqa: E402
 
 calibrate_key_threshold = _lg(calibrate_key_threshold)
+calibrate_score_threshold = _lg(calibrate_score_threshold)

@@ -870,3 +870,43 @@ def test_trained_model_save_load_roundtrip(spark, labeled_docs,
     m.weights_df(spark).write.parquet(plain)
     with _pytest.raises(ValueError):
         TrainedQualityModel.load(spark, plain)
+
+
+def test_calibrate_score_threshold(spark, labeled_docs):
+    """Retention calibration for the classifier: at full-corpus
+    sample the k-th largest score is exact, score >= threshold keeps
+    AT LEAST the target (ties survive), keep_frac and target_n agree,
+    and guards fire."""
+    from blaze_spark.pipeline import (calibrate_score_threshold,
+                                      train_quality_classifier)
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=2)
+    scored = m.classify(labeled_docs)
+    n = scored.count()
+    for frac in (0.1, 0.5, 0.9):
+        thr = calibrate_score_threshold(scored, keep_frac=frac)
+        kept = scored.filter(F.col("score_milli") >= thr).count()
+        want = max(1, round(frac * n))
+        assert kept >= want
+        # never overshoots past the tie block: every kept doc at the
+        # boundary shares the threshold score
+        strictly = scored.filter(F.col("score_milli") > thr).count()
+        assert strictly < want
+    thr_n = calibrate_score_threshold(scored, target_n=25)
+    thr_f = calibrate_score_threshold(scored, keep_frac=25 / n)
+    assert thr_n == thr_f
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        calibrate_score_threshold(scored)
+    with _pytest.raises(ValueError, match="exactly one"):
+        calibrate_score_threshold(scored, keep_frac=0.5, target_n=3)
+    with _pytest.raises(ValueError, match="keep_frac"):
+        calibrate_score_threshold(scored, keep_frac=1.5)
+    # remote inputs refuse (eager collect — the calibrate_key posture)
+    remote = data([(0, "t", 0)], spark=spark,
+                  schema="doc_id bigint, text string, y int",
+                  name="rcal")
+    remote._client = object()
+    with _pytest.raises(Exception):
+        calibrate_score_threshold(remote, keep_frac=0.5)
