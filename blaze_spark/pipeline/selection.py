@@ -353,7 +353,7 @@ class TrainedQualityModel:
     caller can see convergence without extra jobs."""
 
     __slots__ = ("weights", "intercept_milli", "n_buckets", "n",
-                 "history")
+                 "history", "_wdf_cache")
 
     def __init__(self, weights: dict, intercept_milli: int,
                  n_buckets: int, n: int, history: list):
@@ -362,13 +362,25 @@ class TrainedQualityModel:
         self.n_buckets = n_buckets
         self.n = n
         self.history = history
+        self._wdf_cache = None
 
     def weights_df(self, spark) -> DataFrame:
+        # memoized per (model, session): repeated classify() calls
+        # must reuse ONE plan object so quality_classifier's
+        # semantic-hash sizing memo hits — a fresh createDataFrame per
+        # call hashes differently and re-launches the bounded sizing
+        # collect every time (the VERDICT r11 one-job-per-model
+        # discipline, applied to the trained-model wrapper)
+        cached = getattr(self, "_wdf_cache", None)
+        if cached is not None and cached[0] is spark:
+            return cached[1]
         rows = sorted((int(b), int(w)) for b, w in self.weights.items())
-        return spark.createDataFrame(
+        df = spark.createDataFrame(
             rows or [(None, None)],
             "bucket long, weight_milli long").filter(
                 F.col("bucket").isNotNull())
+        self._wdf_cache = (spark, df)
+        return df
 
     def to_rows(self) -> list:
         """The model as a bounded sorted row list with the intercept at

@@ -910,3 +910,20 @@ def test_calibrate_score_threshold(spark, labeled_docs):
     remote._client = object()
     with _pytest.raises(Exception):
         calibrate_score_threshold(remote, keep_frac=0.5)
+
+
+def test_trained_model_classify_reuses_one_plan(spark, labeled_docs):
+    """VERDICT r11's one-sizing-job-per-model discipline, applied to
+    the trained-model wrapper: repeated classify() calls reuse ONE
+    weights plan object, so the classifier's semantic-hash memo hits
+    instead of re-collecting the model per call."""
+    from blaze_spark.pipeline import train_quality_classifier
+    from blaze_spark.pipeline import selection as sel
+
+    m = train_quality_classifier(labeled_docs, "y = 1", n_buckets=512,
+                                 epochs=1)
+    sel._WEIGHT_ROWS_CACHE.clear()
+    for _ in range(5):
+        m.classify(labeled_docs)
+    assert len(sel._WEIGHT_ROWS_CACHE) == 1
+    assert m.weights_df(spark) is m.weights_df(spark)
