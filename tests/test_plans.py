@@ -271,3 +271,19 @@ def test_classifier_training_epoch_plan(spark, star):
     plan = grad._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_dup_popularity_consumers_read_the_scoped_caches(star):
+    """r14 second half: the three histograms must consume the scoped
+    caches, not re-derive the tokenize+explode subtree — the naive
+    plan re-scanned the parquet five times.  Pin: the executed plan
+    carries InMemoryTableScans for the cached relations, and the
+    only windowspecdefinition is the bounded-level reverse cumsum
+    (deliberately single-partition: one row per distinct duplication
+    level)."""
+    from blaze_spark.pipeline import dup_span_popularity
+
+    q = dup_span_popularity(star["documents"], n=5)
+    plan = physical_plan(q)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "windowspecdefinition(__ndocs" in plan, plan
