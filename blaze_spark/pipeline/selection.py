@@ -904,7 +904,7 @@ def calibrate_score_threshold(scored: Table | DataFrame,
     if n == 0:
         raise ValueError("calibrate_score_threshold: corpus is empty")
     want = target_n if target_n is not None \
-        else max(1, round(keep_frac * n))
+        else max(1, _round_half_away(keep_frac * n))
     frac = min(1.0, max_sample / n)
     sdf = df
     if frac < 1.0:
@@ -924,7 +924,7 @@ def calibrate_score_threshold(scored: Table | DataFrame,
         raise ValueError(
             "calibrate_score_threshold: the calibration sample is "
             "empty — raise max_sample (or check score_col for NULLs)")
-    k = min(m, max(1, round(want * m / n)))
+    k = min(m, max(1, _round_half_away(want * m / n)))
     scores.sort(reverse=True)
     return int(scores[k - 1])
 

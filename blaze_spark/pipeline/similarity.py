@@ -1016,6 +1016,12 @@ def assign_clusters(docs: Table, embeddings: Table,
     eager/seeded-random): remote inputs raise at entry."""
     if k_cells < 1:
         raise ValueError(f"k_cells must be >= 1, got {k_cells}")
+    for taken in ("cell", "__aid"):
+        if taken in docs.df.columns:
+            raise ValueError(
+                f"assign_clusters: docs already has a '{taken}' "
+                "column — rename or drop it first (the assignment "
+                "join would produce an ambiguous column)")
     from .ivf import ivf_assign, kmeans_fit
 
     if centroids is None:

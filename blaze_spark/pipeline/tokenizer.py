@@ -696,11 +696,17 @@ class BPETokenizer(Tokenizer):
         for piece in rank:
             if len(piece) < 2:
                 continue
+            rp = rank[piece]
             best = None
             for i in range(1, len(piece)):
                 left, right = piece[:i], piece[i:]
                 rl, rr = rank.get(left), rank.get(right)
                 if rl is None or rr is None:
+                    continue
+                # components must PRECEDE the merged symbol in file
+                # order — a merge at training step t can only combine
+                # symbols that already existed before t
+                if rl >= rp or rr >= rp:
                     continue
                 if best is None or (rl, rr) < best[:2]:
                     best = (rl, rr, left, right)
@@ -1320,7 +1326,7 @@ def _parse_sentencepiece(path: str) -> tuple:
                 for f2, w2, v2 in _pb_fields(v):
                     if f2 == 1 and w2 == 2:
                         norm_name = v2.decode("utf-8", "replace")
-    except (IndexError, UnicodeDecodeError) as e:
+    except (IndexError, UnicodeDecodeError, ValueError) as e:
         raise ValueError(
             f"{path} is not a SentencePiece model (truncated or "
             f"malformed protobuf: {e})") from None

@@ -2422,3 +2422,29 @@ def test_dup_span_popularity_profile(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must be"):
         dup_span_popularity(t, n=0)
+
+
+def test_assign_clusters_refuses_taken_columns(spark):
+    """r15 (ADVICE): docs that already carry a 'cell' (or the
+    internal '__aid') column refuse loudly BEFORE the join — not an
+    opaque ambiguous-column analysis error downstream."""
+    import numpy as np
+    import pytest as _pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import assign_clusters
+
+    e = data([(0, [1.0, 0.0])], spark=spark,
+             schema="vec_id bigint, embedding array<float>",
+             name="acg_vecs")
+    cents = np.eye(2, dtype=np.float32)
+    d_cell = data([(0, "t", 7)], spark=spark,
+                  schema="doc_id bigint, text string, cell int",
+                  name="acg_cell")
+    with _pytest.raises(ValueError, match="'cell'"):
+        assign_clusters(d_cell, e, centroids=cents)
+    d_aid = data([(0, "t", 7)], spark=spark,
+                 schema="doc_id bigint, text string, __aid int",
+                 name="acg_aid")
+    with _pytest.raises(ValueError, match="__aid"):
+        assign_clusters(d_aid, e, centroids=cents)

@@ -927,3 +927,21 @@ def test_trained_model_classify_reuses_one_plan(spark, labeled_docs):
         m.classify(labeled_docs)
     assert len(sel._WEIGHT_ROWS_CACHE) == 1
     assert m.weights_df(spark) is m.weights_df(spark)
+
+
+def test_calibrate_score_threshold_half_away_rounding(spark):
+    """r15 (ADVICE): exact .5 retention boundaries round half AWAY
+    from zero (the family's pinned discipline), not banker's — at
+    n=10 and keep_frac=0.25 the target is 3 documents, so the
+    threshold is the 3rd-highest score."""
+    from blaze_spark.pipeline import calibrate_score_threshold
+
+    rows = [(i, (i + 1) * 10) for i in range(10)]   # scores 10..100
+    scored = data(rows, spark=spark,
+                  schema="doc_id bigint, score_milli bigint",
+                  name="cal_half")
+    # want = round_half_away(0.25 * 10) = 3 (banker's round gives 2)
+    thr = calibrate_score_threshold(scored, keep_frac=0.25)
+    assert thr == 80        # 3rd-highest of 10..100
+    kept = scored.df.filter(F.col("score_milli") >= thr).count()
+    assert kept == 3

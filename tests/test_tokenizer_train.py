@@ -821,3 +821,48 @@ def test_sentencepiece_export_roundtrips(spark, tmp_path):
                 == UnigramTokenizer._apply_word(
                     back3.space_marker + w, back3.vocab,
                     back3.unk_logp, back3.max_piece_len))
+
+
+def test_sentencepiece_bpe_merge_rank_restriction(tmp_path):
+    """r15 (ADVICE): a merge at training step t can only combine
+    symbols that already existed BEFORE t, so the reconstructor must
+    skip candidate splits whose component rank is >= the merged
+    piece's rank.  A vocab where a component symbol appears AFTER the
+    merged symbol must not yield that impossible merge pair."""
+    import pytest as _pytest
+
+    from blaze_spark.pipeline import BPETokenizer
+
+    # 'hello' (rank 3) could split as (he, llo) — but 'llo' has rank
+    # 4 > 3, so that merge could not have existed at step 3; with no
+    # other in-vocab split, 'hello' contributes NO merge at all.
+    p = tmp_path / "late.model"
+    p.write_bytes(_sp_encode([
+        ("h", -1.0, 1), ("e", -2.0, 1),
+        ("he", -3.0, 1),        # merge 0: (h, e)
+        ("hello", -4.0, 1),     # no valid split -> no merge
+        ("llo", -5.0, 1),       # appears AFTER 'hello'
+    ], model_type=2))
+    tok = BPETokenizer.from_sentencepiece(str(p))
+    assert tok.merges == [("h", "e")]
+    assert ("he", "llo") not in tok.merges
+    # sanity: the valid-order twin DOES reconstruct the merge
+    p2 = tmp_path / "early.model"
+    p2.write_bytes(_sp_encode([
+        ("h", -1.0, 1), ("e", -2.0, 1), ("l", -2.5, 1),
+        ("o", -2.7, 1),
+        ("he", -3.0, 1), ("lo", -3.2, 1), ("llo", -3.5, 1),
+        ("hello", -4.0, 1),
+    ], model_type=2))
+    tok2 = BPETokenizer.from_sentencepiece(str(p2))
+    assert ("he", "llo") in tok2.merges
+
+    # r15 (ADVICE): a >64-bit varint inside the file raises the
+    # WRAPPED not-a-model error carrying the file path, not a bare
+    # 'varint longer than 64 bits'
+    bad = tmp_path / "longvarint.model"
+    bad.write_bytes(b"\x08" + b"\xff" * 10 + b"\x01")
+    with _pytest.raises(ValueError, match="SentencePiece"):
+        BPETokenizer.from_sentencepiece(str(bad))
+    with _pytest.raises(ValueError, match="longvarint"):
+        BPETokenizer.from_sentencepiece(str(bad))
