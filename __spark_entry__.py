@@ -3586,10 +3586,13 @@ def dup_maximal_spans_docs(spark, sf_dir):
     suffix-array form): duplicated 5-gram windows merged per document
     when their coverage overlaps or touches (gaps-and-islands over ONE
     per-document window function), one row per contiguous duplicated
-    region with (span_start, span_len, n_windows, n_docs = min window
-    multiplicity, the upper bound on full-span document count).  The
-    oracle re-derives the islands with the same running-max window in
-    DuckDB — exact span boundaries value-checked corpus-wide."""
+    region with (span_start, span_len, n_windows, n_docs).  r15
+    (VERDICT r14 #3): n_docs is the EXACT distinct-document count per
+    span FINGERPRINT — the ordered (relative offset, window md5)
+    sequence that determines the span text — not the former min-window
+    upper bound.  The oracle re-derives islands AND fingerprints from
+    scratch in DuckDB — span boundaries and exact counts value-checked
+    corpus-wide."""
     from blaze_spark.pipeline import cross_doc_dup_spans
 
     d = _t(spark, sf_dir, "documents")
@@ -5850,36 +5853,47 @@ def oracle_sql() -> dict[str, str]:
                              unnest(generate_series(1, len(toks) - 4)) AS i
                       FROM tk)),
             dup AS (
-                SELECT key, count(DISTINCT doc_id) AS ndocs
-                FROM g GROUP BY key
+                SELECT key FROM g GROUP BY key
                 HAVING count(DISTINCT doc_id) >= 2),
             hits AS (
-                SELECT g.doc_id, g.i, dup.ndocs
+                SELECT g.doc_id, g.i, g.key
                 FROM g JOIN dup USING (key)),
             flagged AS (
-                SELECT doc_id, i, ndocs,
+                SELECT doc_id, i, key,
                        MAX(i + 4) OVER (
                            PARTITION BY doc_id ORDER BY i
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev_end
                 FROM hits),
             isl AS (
-                SELECT doc_id, i, ndocs,
+                SELECT doc_id, i, key,
                        SUM(CASE WHEN prev_end IS NULL
                                   OR i > prev_end + 1
                                 THEN 1 ELSE 0 END) OVER (
                            PARTITION BY doc_id ORDER BY i
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS island
-                FROM flagged)
-            SELECT doc_id,
-                   CAST(MIN(i) AS INT) AS span_start,
-                   CAST(MAX(i) + 5 - MIN(i) AS INT) AS span_len,
-                   CAST(COUNT(*) AS INT) AS n_windows,
-                   CAST(MIN(ndocs) AS INT) AS n_docs
-            FROM isl
-            GROUP BY doc_id, island
-            ORDER BY doc_id, span_start
+                FROM flagged),
+            isl2 AS (
+                SELECT doc_id, island, i, key,
+                       MIN(i) OVER (PARTITION BY doc_id, island) AS s
+                FROM isl),
+            spans AS (
+                SELECT doc_id,
+                       CAST(MIN(i) AS INT) AS span_start,
+                       CAST(MAX(i) + 5 - MIN(i) AS INT) AS span_len,
+                       CAST(COUNT(*) AS INT) AS n_windows,
+                       string_agg(CAST(i - s AS VARCHAR) || ':' || key,
+                                  '|' ORDER BY i) AS fp
+                FROM isl2
+                GROUP BY doc_id, island),
+            pop AS (
+                SELECT fp, count(DISTINCT doc_id) AS nd
+                FROM spans GROUP BY fp)
+            SELECT s.doc_id, s.span_start, s.span_len, s.n_windows,
+                   CAST(pop.nd AS INT) AS n_docs
+            FROM spans s JOIN pop USING (fp)
+            ORDER BY s.doc_id, s.span_start
         """,
         # the scrub form: uncovered tokens reassembled in order;
         # fully-covered docs disappear (no kept tokens -> no group)

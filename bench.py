@@ -4,8 +4,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a count-collect (df.count()) so the full
-plan executes without driver-side row transfer dominating the timing.
+Each query is materialized with a projection-FORCING action — a single
+aggregate of bit_xor(xxhash64(<every output column>)) — so the full plan
+executes without driver-side row transfer dominating the timing.  r15
+(VERDICT r14 #1): the previous count() action referenced no columns, so
+Catalyst dropped any join whose right side is unique on the key out of
+the timed plan entirely (BASELINE.md's r14 footnote measured
+dup_ngram_spans_docs' 0.26 s floor as scan+tokenize only); hashing every
+column makes every floor pay the plan users actually run.
 """
 
 from __future__ import annotations
@@ -197,6 +203,22 @@ BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
                  + NEW_QUERIES_R13 + NEW_QUERIES_R14)
 
 
+def _force(df) -> int:
+    """Materialize ``df`` while referencing EVERY output column: one
+    aggregate row of (count, bit_xor(xxhash64(all columns))).  count()
+    lets Catalyst prune unreferenced unique-keyed joins out of the
+    timed plan; this pays the full projection.  bit_xor (not sum)
+    because hash sums overflow long under ANSI mode; map-typed columns
+    cast to string first (hash over maps is undefined order)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") if t.startswith("map<")
+            else F.col(c) for c, t in df.dtypes]
+    row = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()[0]
+    return row["n"]
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -235,9 +257,9 @@ def main():
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     if warm:
         for name in BENCH_QUERIES:
-            qs[name](spark, SF_DIR).count()
+            _force(qs[name](spark, SF_DIR))
     else:
-        qs["q06_revenue_forecast"](spark, SF_DIR).count()
+        _force(qs["q06_revenue_forecast"](spark, SF_DIR))
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
@@ -263,7 +285,7 @@ def main():
         for _ in range(reps):
             _gc()
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()
+            n = _force(fn(spark, SF_DIR))
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
@@ -306,6 +328,12 @@ def main():
         # r6 promoted min-sum to "value" — BENCH_r05's value_min 13.19 is
         # the apples-to-apples predecessor)
         "headline_stat": "min_sum",
+        # r15: floors measured under the projection-forcing action
+        # (bit_xor of xxhash64 over all output columns) — NOT
+        # comparable 1:1 to the count()-actioned BENCH_r01..r14 floors
+        # for any entry whose output plan count() could prune
+        # (BASELINE.md r15 maps old->new)
+        "action": "bit_xor_xxhash64_all_columns",
         "warm": warm,
         "reps": reps,
         "sf": float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str,

@@ -438,18 +438,27 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
 
     Output per span: ``span_start`` (1-based token position),
     ``span_len`` (tokens), ``n_windows`` (constituent duplicated
-    windows), and ``n_docs`` — the MINIMUM distinct-doc count over the
-    span's windows: an upper bound on how many documents carry the
-    ENTIRE span (exact when the span is a single window; a full-span
-    occurrence necessarily contains every window).  Sorted consumers
-    get a deterministic ORDER BY (doc, span_start) from the caller.
+    windows), and ``n_docs`` — the EXACT number of distinct documents
+    carrying this same maximal region (r15, VERDICT r14 #3; previously
+    the min window multiplicity, an upper bound).  Each span gets a
+    FINGERPRINT — the ordered (relative window offset, window md5)
+    sequence of its island, which determines the span text exactly:
+    same fingerprint ⟺ same duplicated region — and ``n_docs`` counts
+    distinct documents per fingerprint.  A document that embeds this
+    region inside a strictly LONGER duplicated region reports the
+    longer span instead (popularity mass is partitioned across span
+    rows, never double-counted).  Sorted consumers get a deterministic
+    ORDER BY (doc, span_start) from the caller.
 
     Topology (100 TB): the same two map-side-combinable hash
     aggregations and co-partitioned join-back as the scoring mode,
     then ONE window function partitioned BY DOCUMENT (running max of
-    window end → island ids → per-island aggregate).  Per-doc windows
-    bound the sort by document length — no global sort, no skew beyond
-    a single document's own window count, no driver materialization.
+    window end → island ids → per-island aggregate; the island
+    aggregate reuses the doc partitioning — no extra exchange), and
+    ONE exchange on the span fingerprint for the distinct-doc count —
+    a window over the BOUNDED span relation (partition size = carriers
+    of one span), never the token-window relation.  No global sort, no
+    driver materialization.
     """
     from pyspark.sql import Window
 
@@ -473,9 +482,10 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
                 .distinct()
                 .groupBy("__key")
                 .agg(F.count(F.lit(1)).alias("__ndocs"))
-                .filter(F.col("__ndocs") >= min_docs))
+                .filter(F.col("__ndocs") >= min_docs)
+                .select("__key"))
     hits = (pos.join(dup_keys, "__key")
-            .select(F.col(id_col), F.col("__i"), F.col("__ndocs")))
+            .select(F.col(id_col), F.col("__i"), F.col("__key")))
     w = Window.partitionBy(id_col).orderBy("__i")
     prev_end = F.max(F.col("__i") + F.lit(n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -483,22 +493,40 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
     # TOUCHES the running covered end (start <= end + 1: adjacent
     # windows produce contiguous covered positions)
     flagged = hits.select(
-        F.col(id_col), F.col("__i"), F.col("__ndocs"),
+        F.col(id_col), F.col("__i"), F.col("__key"),
         F.when(prev_end.isNull()
                | (F.col("__i") > prev_end + 1), 1)
         .otherwise(0).alias("__new"))
     islands = flagged.select(
-        F.col(id_col), F.col("__i"), F.col("__ndocs"),
+        F.col(id_col), F.col("__i"), F.col("__key"),
         F.sum("__new").over(
             w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("__island"))
-    out = (islands.groupBy(id_col, "__island")
-           .agg(F.min("__i").cast("int").alias("span_start"),
-                (F.max("__i") + F.lit(n) - F.min("__i")).cast("int")
-                .alias("span_len"),
-                F.count(F.lit(1)).cast("int").alias("n_windows"),
-                F.min("__ndocs").cast("int").alias("n_docs"))
-           .drop("__island"))
+    agged = (islands.groupBy(id_col, "__island")
+             .agg(F.min("__i").alias("__s"),
+                  F.max("__i").alias("__e"),
+                  F.count(F.lit(1)).cast("int").alias("n_windows"),
+                  F.array_sort(F.collect_list(
+                      F.struct("__i", "__key"))).alias("__wk")))
+    # fingerprint = md5 over the ordered (relative offset, window md5)
+    # sequence — identical fingerprint ⟺ identical span text (the
+    # window hashes at their relative offsets determine every token)
+    spans = agged.select(
+        F.col(id_col),
+        F.col("__s").cast("int").alias("span_start"),
+        (F.col("__e") + F.lit(n) - F.col("__s")).cast("int")
+        .alias("span_len"),
+        F.col("n_windows"),
+        F.md5(F.concat_ws("|", F.transform(
+            "__wk",
+            lambda s: F.concat_ws(
+                ":", (s["__i"] - F.col("__s")).cast("string"),
+                s["__key"])))).alias("__fp"))
+    out = (spans.withColumn(
+               "n_docs",
+               F.size(F.collect_set(F.col(id_col))
+                      .over(Window.partitionBy("__fp"))).cast("int"))
+           .drop("__fp"))
     return Table(out, t._name)
 
 

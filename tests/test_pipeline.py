@@ -2304,15 +2304,19 @@ def test_cross_doc_dup_spans_maximal(spark):
 
 def test_cross_doc_dup_spans_gap_splits_islands(spark):
     """Adjacent coverage merges (contiguous positions), a 1-token gap
-    splits; n_docs is the MIN over constituent windows (the upper
-    bound on full-span multiplicity)."""
+    splits; r15 (VERDICT r14 #3): n_docs is the EXACT distinct-doc
+    count per span fingerprint — doc 1's merged 10-token region
+    exists contiguously ONLY in doc 1 (doc 2 has a gap inside it), so
+    its n_docs is 1, not the former min-window bound of 2; and a doc
+    whose region is embedded in a strictly longer duplicated region
+    reports the longer span (doc 1 doesn't count as a carrier of the
+    bare 5-token spans)."""
     from blaze_spark import data
     from blaze_spark.pipeline import cross_doc_dup_spans
 
-    # 'a b c d e' is in docs 1,2,3 (ndocs=3); 'v w x y z' in 1,2
-    # (ndocs=2); doc 1 holds them back-to-back -> contiguous coverage
-    # merges into ONE 10-token span with n_docs = min(3, 2) = 2;
-    # doc 4 has the first run with a gap before an unrelated tail
+    # 'a b c d e' is in docs 1,2,3; 'v w x y z' in 1,2; doc 1 holds
+    # them back-to-back -> contiguous coverage merges into ONE
+    # 10-token island unique (as a maximal region) to doc 1
     rows = [
         (1, "a b c d e v w x y z"),
         (2, "a b c d e gap1 v w x y z"),
@@ -2324,11 +2328,12 @@ def test_cross_doc_dup_spans_gap_splits_islands(spark):
     assert got == [
         # merged: the two duplicated windows ('a b c d e' covering
         # 1-5, 'v w x y z' covering 6-10) touch, so ONE island even
-        # though the bridging windows are unique to doc 1
-        (1, 1, 10, 2, 2),
-        (2, 1, 5, 1, 3),         # 1-token gap -> two islands
-        (2, 7, 5, 1, 2),
-        (3, 2, 5, 1, 3),
+        # though the bridging windows are unique to doc 1; no other
+        # doc carries this exact maximal region
+        (1, 1, 10, 2, 1),
+        (2, 1, 5, 1, 2),         # 1-token gap -> two islands
+        (2, 7, 5, 1, 1),
+        (3, 2, 5, 1, 2),
     ]
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_docs"):

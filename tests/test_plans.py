@@ -221,21 +221,26 @@ def test_dup_spans_window_is_per_document(star):
     PER-DOCUMENT window (partition spec carries doc_id) — an empty
     partition spec would be the single-task global sort that cannot
     survive 100 TB — and both running-max/running-sum windows share
-    ONE doc_id partitioning (no extra exchange between them)."""
+    ONE doc_id partitioning (no extra exchange between them).  r15:
+    the exact-n_docs count adds ONE window over the BOUNDED span
+    relation, partitioned by the span fingerprint — every window spec
+    must carry doc_id or __fp, never an empty (global) spec."""
     from blaze_spark.pipeline import cross_doc_dup_spans
 
     q = cross_doc_dup_spans(star["documents"], n=5)
     plan = physical_plan(q)
     assert "windowspecdefinition(doc_id" in plan, plan
-    # every window in the plan is doc-partitioned
+    assert "windowspecdefinition(__fp" in plan, plan
+    # every window in the plan is doc- or fingerprint-partitioned
     import re
 
     for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
-        assert m.group(1).startswith("doc_id"), plan
+        assert m.group(1).startswith(("doc_id", "__fp")), plan
     # exchange budget: gram hash (join build) + distinct(doc,key) +
-    # per-key count + doc_id window partitioning = 4; the per-island
-    # aggregate rides the window's partitioning
-    assert exchange_count(q) <= 4, plan
+    # per-key count + doc_id window partitioning + span-fingerprint
+    # partitioning = 5; the per-island aggregate rides the doc
+    # window's partitioning
+    assert exchange_count(q) <= 5, plan
 
 
 def test_classifier_training_epoch_plan(spark, star):
