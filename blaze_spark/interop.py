@@ -519,7 +519,8 @@ def _selection_node(op: str, args: list, child: Table, walk):
                                "intercept_milli", "threshold_milli",
                                "max_map_literal", "n"},
         "train_quality_classifier": {"text_col", "n_buckets", "n",
-                                     "epochs", "lr", "persist"},
+                                     "epochs", "lr", "persist",
+                                     "init_intercept", "lr_decay"},
         "dsir_log_weights": {"text_col", "id_col", "n_buckets",
                              "smoothing", "n", "max_map_literal"},
         "weighted_sample": {"n", "key_threshold", "id_col",

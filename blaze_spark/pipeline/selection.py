@@ -467,7 +467,9 @@ class TrainedQualityModel:
 def train_quality_classifier(t: Table, label, text_col: str = "text",
                              n_buckets: int = 4096, n: int = 1,
                              epochs: int = 3, lr: float = 4.0,
-                             persist: bool = False
+                             persist: bool = False,
+                             init_intercept: bool = False,
+                             lr_decay: float = 1.0
                              ) -> TrainedQualityModel:
     """Fit the :func:`quality_classifier` model IN-ENGINE: a distributed
     full-batch logistic regression over the family's hashed n-gram
@@ -500,15 +502,43 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
     intercept uses the same rule with x = 1 (carried as pseudo-bucket
     -1 so the whole gradient is ONE aggregation).  The default
     ``lr=4.0`` suits milli-scale separable text features; tune per
-    corpus as usual.  Convergence guidance (measured on the fixture
-    corpus): a strongly separable label (disjoint vocabularies)
-    separates in 2-3 epochs; a WEAK signal (one informative token
-    among dozens, imbalanced classes) needs ~100 epochs at lr 1-2 —
-    use ``persist=True`` so that costs one tokenization, not one per
-    epoch.  Quantization floor: an update smaller than 0.5 milli
-    rounds to ZERO, so an lr far below ~0.5 can stall the fit
-    entirely rather than converge slowly — prefer more epochs over a
-    smaller step.
+    corpus as usual.
+
+    Convergence aids (r15, VERDICT r14 #4 — both default OFF so
+    existing fits stay byte-identical):
+
+    - ``init_intercept=True`` starts the intercept at the label
+      BASE-RATE logit, ``round(1000·ln((pos+½)/(neg+½)))`` (the
+      Haldane–Anscombe smoothing keeps it finite on pure labels),
+      from one bounded count pre-pass over the same ``feats``
+      projection.  On an imbalanced corpus (wiki-vs-crawl: few
+      positives) plain GD from the zero model spends most of its
+      early epochs just pushing the intercept toward the base rate —
+      starting there hands every epoch to the FEATURE weights.
+    - ``lr_decay`` < 1 decays the step per epoch (epoch *t* uses
+      ``lr·lr_decay**t``): open big to clear the integer-quantization
+      floor early, anneal so late epochs stop oscillating around the
+      optimum.
+
+    Convergence guidance (measured on the fixture corpora): a
+    strongly separable label (disjoint vocabularies) separates in 2-3
+    epochs; a WEAK signal (one informative token among dozens, ~10%
+    positive class) needs ~100 epochs at lr 1-2 — use ``persist=True``
+    so a long fit costs one tokenization, not one per epoch.  Where
+    the aids pay (pinned fixture): on the 10%-positive mixture corpus
+    the base-rate start reaches a mean-residual at epoch 10 that the
+    zero start needs ~3× the epochs to match — at 100 TB each epoch
+    is a corpus scan, so starting calibrated buys real scans.  Where
+    they DON'T: on corpora with a dense shared vocabulary the zero
+    start is already well-conditioned — the common-token weights
+    learn a distributed intercept within 2-3 epochs (measured), so
+    ``init_intercept`` mostly relocates where the intercept mass
+    lives; and keep@0 separation on a SEPARABLE weak signal is
+    rate-limited by the feature-weight race, which neither aid
+    changes.  Quantization floor: an update smaller than 0.5 milli
+    rounds to ZERO, so an lr far below ~0.5 (or an aggressively
+    decayed one) can stall the fit entirely rather than converge
+    slowly — prefer more epochs over a smaller step.
 
     Scale shape (100 TB): each epoch is ONE corpus scan — a shuffle-
     free codegen projection scores every doc against the ≤ n_buckets
@@ -525,6 +555,8 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     if not lr > 0:
         raise ValueError(f"lr must be > 0, got {lr}")
+    if not 0.0 < lr_decay <= 1.0:
+        raise ValueError(f"lr_decay must be in (0, 1], got {lr_decay}")
     c = F.col(text_col)
     y = F.coalesce(_as_predicate(label).cast(T.IntegerType()),
                    F.lit(0)).alias("y")
@@ -539,7 +571,20 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
     b0 = 0
     history: list = []
     try:
-        for _ in range(epochs):
+        if init_intercept:
+            import math
+
+            row = feats.agg(F.sum("y").alias("pos"),
+                            F.count(F.lit(1)).alias("nn")).collect()[0]
+            ntot = int(row["nn"])
+            if ntot == 0:
+                raise ValueError(
+                    "train_quality_classifier: the corpus is empty — "
+                    "nothing to fit")
+            npos = int(row["pos"] or 0)
+            b0 = _round_half_away(1000.0 * math.log(
+                (npos + 0.5) / (ntot - npos + 0.5)))
+        for _epoch in range(epochs):
             if w:
                 m = F.map_from_arrays(F.lit(list(w.keys())),
                                       F.lit(list(w.values())))
@@ -579,9 +624,10 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
                 "abs_residual_micro": int(sum(
                     row["ga"] for row in rows if row["bucket"] == -1))})
             denom = 1000.0 * n_docs
-            b0 -= _round_half_away(lr * g.pop(-1) / denom)
+            step = lr * (lr_decay ** _epoch)
+            b0 -= _round_half_away(step * g.pop(-1) / denom)
             for b, gb in g.items():
-                nw = w.get(b, 0) - _round_half_away(lr * gb / denom)
+                nw = w.get(b, 0) - _round_half_away(step * gb / denom)
                 if nw:
                     w[b] = nw
                 else:
@@ -1215,10 +1261,13 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
 def train_quality_classifier(t: Table, label, text_col: str = "text",
                              n_buckets: int = 4096, n: int = 1,
                              epochs: int = 3, lr: float = 4.0,
-                             persist: bool = False):
+                             persist: bool = False,
+                             init_intercept: bool = False,
+                             lr_decay: float = 1.0):
     if _client_of(t) is None:
         return _local_train_quality_classifier(
-            t, label, text_col, n_buckets, n, epochs, lr, persist)
+            t, label, text_col, n_buckets, n, epochs, lr, persist,
+            init_intercept, lr_decay)
     # the fit is EAGER (a driver epoch loop), so the remote form is
     # eager too: ONE round trip runs the whole loop where the corpus
     # lives (each epoch's gradient job stays server-side — shipping
@@ -1230,12 +1279,21 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     if not lr > 0:
         raise ValueError(f"lr must be > 0, got {lr}")
+    if not 0.0 < lr_decay <= 1.0:
+        raise ValueError(f"lr_decay must be in (0, 1], got {lr_decay}")
+    kw = {"text_col": text_col, "n_buckets": int(n_buckets),
+          "n": int(n), "epochs": int(epochs),
+          "lr": float(lr), "persist": bool(persist)}
+    # the r15 convergence aids ride the wire only when engaged, so
+    # default-fit trees stay readable by pre-r15 servers
+    if init_intercept:
+        kw["init_intercept"] = True
+    if lr_decay != 1.0:
+        kw["lr_decay"] = float(lr_decay)
     node = {"op": "train_quality_classifier",
             "args": [_require_tree(t, "train_quality_classifier"),
                      _predicate_tree(label, "train_quality_classifier"),
-                     {"text_col": text_col, "n_buckets": int(n_buckets),
-                      "n": int(n), "epochs": int(epochs),
-                      "lr": float(lr), "persist": bool(persist)}]}
+                     kw]}
     pdf = t._client.compute_tree(node)
     return TrainedQualityModel.from_rows(
         zip(pdf["bucket"], pdf["weight_milli"]), n_buckets, n)

@@ -1290,6 +1290,19 @@ def test_remote_classifier_training_runs_server_side(spark, star):
         got = sorted(map(tuple, remote.classify(rt).compute()
                          .itertuples(index=False)))
         assert got == want
+        # r15: the convergence aids ride the wire and fit byte-equal
+        la = train_quality_classifier(docs, docs.lang == "en",
+                                      n_buckets=256, epochs=2,
+                                      init_intercept=True,
+                                      lr_decay=0.5)
+        ra = train_quality_classifier(rt, rt.lang == "en",
+                                      n_buckets=256, epochs=2,
+                                      init_intercept=True,
+                                      lr_decay=0.5)
+        assert ra.weights == la.weights
+        assert ra.intercept_milli == la.intercept_milli
+        assert (la.intercept_milli, la.weights) != \
+            (local.intercept_milli, local.weights)
     finally:
         srv.stop()
 
