@@ -255,7 +255,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # and the bounded total relation materializes where
                   # the store lives (LM scoring / DSIR without
                   # literal-rows transfer)
-                  "read_lm_counts", "read_bucket_counts"}
+                  "read_lm_counts", "read_bucket_counts",
+                  # r15 (VERDICT r14 #5): the registered-store posture
+                  # extended to the bloom and PQ/IVF store families —
+                  # decontamination probes and ANN application resolve
+                  # a server-side NAME instead of shipping packed
+                  # filters / codebooks as literal rows
+                  "bloom_contains", "bloom_contamination"}
 
     def walk(node: dict) -> Table:
         op, args = node["op"], node.get("args", [])
@@ -384,12 +390,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op in _PIPE_WIRE:
             return _pipeline_node(op, args, child, walk)
         if op == "pq_topk":
-            return _pq_node(op, args, child, walk)
+            return _pq_node(op, args, child, walk, stores)
         if op == "assign_clusters":
             # r14: trained-codebook APPLICATION (the pq_topk posture —
             # the k-means fit itself never serializes); args =
-            # [docs_tree, embeddings_tree, centroids_enc, {kw}]
-            from .pipeline.pq import centroids_from_wire
+            # [docs_tree, embeddings_tree, centroids_enc, {kw}].
+            # r15: centroids_enc may be the NAME of a registered
+            # centroid store (the read_lm_counts posture)
             from .pipeline.similarity import assign_clusters as _ac
 
             _arity(op, args, 4)
@@ -402,9 +409,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                     f"{sorted(bad)} — re-serialize with a matching "
                     "client version")
             return _ac(child, walk(args[1]),
-                       centroids=centroids_from_wire(args[2]), **kw)
+                       centroids=_centroids_arg(args[2], stores,
+                                                child), **kw)
         if op == "ivf_pq_topk":
-            return _ivf_pq_node(op, args, child, walk)
+            return _ivf_pq_node(op, args, child, walk, stores)
+        if op in ("bloom_contains", "bloom_contamination"):
+            return _bloom_node(op, args, child, stores)
         if op == "hypertable_rollup":
             # args: [child, ts_col, units, {name: reduction_tree}] —
             # the time-hierarchy continuous aggregate (late r12)
@@ -775,13 +785,111 @@ def _pipeline_node(op: str, args: list, child: Table, walk):
     return out if isinstance(out, Table) else Table(out, op)
 
 
-def _pq_node(op: str, args: list, child: Table, walk):
+def _named_store(name: str, stores: dict, what: str) -> str:
+    """Resolve a registered store NAME to its server-side path (the
+    counts-store posture, r15 extended to bloom/codebook/centroid
+    stores): trees never carry raw paths; the operator decides what
+    is reachable."""
+    if not isinstance(name, str) or name not in stores:
+        known = sorted(stores)
+        raise KeyError(
+            f"unknown {what} store: {name!r} — trained-artifact "
+            "leaves resolve only from the server's registered stores "
+            f"{known}")
+    return stores[name]
+
+
+def _codebooks_arg(enc, stores: dict, child: Table):
+    """A codebooks wire arg: either the bounded literal dict or (r15)
+    the NAME of a registered codebook store, loaded where it lives
+    (load_codebooks validates completeness via the self-described
+    (m, ks) schema)."""
+    from .pipeline.pq import codebooks_from_wire, load_codebooks
+
+    if isinstance(enc, str):
+        return load_codebooks(_named_store(enc, stores, "codebook"),
+                              spark=child.df.sparkSession)
+    return codebooks_from_wire(enc)
+
+
+def _centroids_arg(enc, stores: dict, child: Table):
+    """A coarse-centroids wire arg: literal dict or (r15) a registered
+    centroid store name."""
+    from .pipeline.ivf import load_centroids
+    from .pipeline.pq import centroids_from_wire
+
+    if isinstance(enc, str):
+        return load_centroids(_named_store(enc, stores, "centroid"),
+                              spark=child.df.sparkSession)
+    return centroids_from_wire(enc)
+
+
+def _bloom_node(op: str, args: list, child: Table, stores: dict):
+    """Replay a bloom-store probe node (r15, VERDICT r14 #5): the
+    packed filter NEVER rides the wire as rows — the node names a
+    registered bloom store and the probe materializes where the store
+    lives.  Two store kinds: 'saved' (save_bloom artifact —
+    self-describing, geometry rides in reserved rows) and
+    'incremental' (the streaming ingest store — the client passes the
+    geometry, which read_bloom re-validates against the format
+    stamp)."""
+    from .pipeline.bloom import (bloom_contains, bloom_contamination,
+                                 load_bloom)
+    from .streaming.incremental_bloom import read_bloom
+
+    spark = child.df.sparkSession
+    if op == "bloom_contains":
+        _arity(op, args, 4)          # [child, name, key_col, {kw}]
+        kw = dict(args[3]) if len(args) > 3 and args[3] else {}
+        allowed = {"out_col", "store", "m_bits", "k", "store_n"}
+    else:
+        _arity(op, args, 3)          # [child, name, {kw}]
+        kw = dict(args[2]) if len(args) > 2 and args[2] else {}
+        allowed = {"n", "text_col", "id_col", "threshold",
+                   "store", "m_bits", "k", "store_n"}
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
+            "— re-serialize with a matching client version")
+    path = _named_store(args[1], stores, "bloom")
+    kind = kw.pop("store", "saved")
+    geom = {g: kw.pop(g) for g in ("m_bits", "k", "store_n")
+            if g in kw}
+    if kind == "saved":
+        if geom:
+            raise ValueError(
+                f"{op}: {sorted(geom)} apply only to "
+                "store='incremental' — a saved bloom artifact is "
+                "self-describing")
+        bloom = load_bloom(spark, path)
+    elif kind == "incremental":
+        bloom = read_bloom(
+            spark, path, m_bits=int(geom.get("m_bits", 1 << 23)),
+            k=int(geom.get("k", 7)),
+            n=(None if geom.get("store_n") is None
+               else int(geom["store_n"])))
+    else:
+        raise ValueError(
+            f"{op}: unknown store kind {kind!r} — expected 'saved' "
+            "or 'incremental'")
+    if op == "bloom_contains":
+        if not isinstance(args[2], str):
+            raise ValueError(
+                "bloom_contains wire node expects the key column "
+                "name as args[2]")
+        return Table(bloom_contains(child, bloom, args[2], **kw), op)
+    return Table(bloom_contamination(child, bloom, **kw), op)
+
+
+def _pq_node(op: str, args: list, child: Table, walk, stores: dict):
     """Replay a trained-PQ application node (r13): args = [codes_tree,
     codebooks_enc, queries_enc, {kw}].  The codebooks rebuild from
-    their bounded literal dict; queries arrive as sorted literal
+    their bounded literal dict or (r15) resolve from a registered
+    codebook store by name; queries arrive as sorted literal
     (id, vector) rows or a same-server subtree; keyword args
     re-validate through the local entry point."""
-    from .pipeline.pq import codebooks_from_wire, pq_topk
+    from .pipeline.pq import pq_topk
 
     _arity(op, args, 4)
     allowed = {"k", "id_col", "code_col", "vec_col", "round_to",
@@ -792,7 +900,7 @@ def _pq_node(op: str, args: list, child: Table, walk):
         raise ValueError(
             f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
             "— re-serialize with a matching client version")
-    codebooks = codebooks_from_wire(args[1])
+    codebooks = _codebooks_arg(args[1], stores, child)
     if isinstance(args[2], dict):
         queries = walk(args[2])
     else:
@@ -809,14 +917,15 @@ def _pq_node(op: str, args: list, child: Table, walk):
     return pq_topk(child, queries, codebooks, **kw)
 
 
-def _ivf_pq_node(op: str, args: list, child: Table, walk):
+def _ivf_pq_node(op: str, args: list, child: Table, walk,
+                 stores: dict):
     """Replay an IVF-PQ application node (r13 second half): args =
     [codes_tree, centroids_enc, codebooks_enc, queries_enc, {kw}].
     Same posture as _pq_node plus the coarse centroids as a second
     bounded literal — the nprobe-pruned isin filter then applies at
-    THIS server's scan."""
-    from .pipeline.pq import centroids_from_wire, codebooks_from_wire, \
-        ivf_pq_topk
+    THIS server's scan.  r15: either artifact may instead NAME a
+    registered store."""
+    from .pipeline.pq import ivf_pq_topk
 
     _arity(op, args, 5)
     allowed = {"k", "nprobe", "id_col", "code_col", "vec_col",
@@ -827,8 +936,8 @@ def _ivf_pq_node(op: str, args: list, child: Table, walk):
         raise ValueError(
             f"{op} wire node carries unknown keyword(s) {sorted(bad)} "
             "— re-serialize with a matching client version")
-    centroids = centroids_from_wire(args[1])
-    codebooks = codebooks_from_wire(args[2])
+    centroids = _centroids_arg(args[1], stores, child)
+    codebooks = _codebooks_arg(args[2], stores, child)
     if isinstance(args[3], dict):
         queries = walk(args[3])
     else:

@@ -41,8 +41,12 @@ grams and m = 2^33 (1 GiB packed), k = 6 gives ~1.6% FPR; the packed
 relation is ~134 M rows / 2 GiB serialized — the ceiling of what a
 healthy cluster broadcasts, and the module's hard ``m_bits`` cap.
 
-No wire-dialect form (a bloom is a derived artifact like a trained
-quantizer); remote tables raise via the localize guard.
+Wire dialect (r15, VERDICT r14 #5): the PROBES (``bloom_contains`` /
+``bloom_contamination``) run over blaze:// against a server-REGISTERED
+bloom store named in the node — the packed filter never crosses as
+rows (the read_lm_counts posture).  The BUILDERS stay local-only
+(eager store writes; remote tables raise via the localize guard), and
+a BloomFilter object itself still does not serialize.
 """
 
 from __future__ import annotations
@@ -356,3 +360,133 @@ def load_bloom(spark, path: str) -> BloomFilter:
             "reserved parameter rows) — was it written by save_bloom?")
     return BloomFilter(df.filter(F.col("word_idx") >= 0),
                        int(meta[_META_M]), int(meta[_META_K]))
+
+
+# ---------------------------------------------------------------------
+# wire forms (r15, VERDICT r14 #5): the packed filter NEVER rides the
+# wire as rows — a remote probe NAMES a server-registered bloom store
+# (BlazeSparkServer(stores={name: path})) and the probe materializes
+# where the store lives (the read_lm_counts posture applied to the
+# bloom family).  Two store kinds: 'saved' (save_bloom artifact,
+# self-describing) and 'incremental' (the streaming ingest store —
+# geometry kwargs re-validate against its format stamp).
+
+import functools as _functools  # noqa: E402
+
+_local_bloom_contains = bloom_contains
+_local_bloom_contamination = bloom_contamination
+
+
+def _bw():
+    # lazy: selection's wire helpers would be circular at import time
+    from .selection import _client_of, _require_tree, _wire_result
+    return _client_of, _require_tree, _wire_result
+
+
+def _store_geom_kw(fn_name: str, store: str, m_bits, k, store_n) -> dict:
+    """Validate the store-kind kwargs and encode them for the wire
+    (present only when non-default, the version-skew posture)."""
+    if store == "saved":
+        if m_bits is not None or k is not None or store_n is not None:
+            raise ValueError(
+                f"{fn_name}: m_bits/k/store_n apply only to "
+                "store='incremental' — a saved bloom artifact is "
+                "self-describing")
+        return {}
+    if store == "incremental":
+        kw = {"store": "incremental"}
+        if m_bits is not None:
+            kw["m_bits"] = int(m_bits)
+        if k is not None:
+            kw["k"] = int(k)
+        if store_n is not None:
+            kw["store_n"] = int(store_n)
+        return kw
+    raise ValueError(
+        f"{fn_name}: unknown store kind {store!r} — expected 'saved' "
+        "or 'incremental'")
+
+
+def _bloom_from_path(t, path: str, fn_name: str, store: str,
+                     m_bits, k, store_n) -> "BloomFilter":
+    """Local-string convenience: resolve a store PATH exactly like the
+    server resolves a registered name."""
+    _store_geom_kw(fn_name, store, m_bits, k, store_n)
+    spark = (t.df if isinstance(t, Table) else t).sparkSession
+    if store == "saved":
+        return load_bloom(spark, path)
+    from ..streaming.incremental_bloom import read_bloom
+    return read_bloom(
+        spark, path,
+        m_bits=(1 << 23) if m_bits is None else int(m_bits),
+        k=7 if k is None else int(k),
+        n=None if store_n is None else int(store_n))
+
+
+@_functools.wraps(_local_bloom_contains)
+def bloom_contains(t: Table, bloom, key_col: str,
+                   out_col: str = "bloom_hit", *,
+                   store: str = "saved", m_bits: int | None = None,
+                   k: int | None = None, store_n: int | None = None):
+    _client_of, _require_tree, _wire_result = _bw()
+    if _client_of(t) is None:
+        if isinstance(bloom, str):
+            bloom = _bloom_from_path(t, bloom, "bloom_contains",
+                                     store, m_bits, k, store_n)
+        return _local_bloom_contains(t, bloom, key_col, out_col)
+    if not isinstance(bloom, str):
+        raise TypeError(
+            "bloom_contains over blaze://: a packed filter does not "
+            "ride the wire as rows — register the bloom store on the "
+            "server (BlazeSparkServer(stores={name: path})) and pass "
+            "its NAME")
+    kw = {"out_col": out_col}
+    kw.update(_store_geom_kw("bloom_contains", store, m_bits, k,
+                             store_n))
+    node = {"op": "bloom_contains",
+            "args": [_require_tree(t, "bloom_contains"), bloom,
+                     key_col, kw]}
+    spark = t.df.sparkSession
+    empty = spark.createDataFrame([], T.StructType(
+        list(t.df.schema.fields)
+        + [T.StructField(out_col, T.BooleanType())]))
+    return _wire_result(t, empty, node)
+
+
+@_functools.wraps(_local_bloom_contamination)
+def bloom_contamination(t: Table, bloom, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.2, *,
+                        store: str = "saved",
+                        m_bits: int | None = None,
+                        k: int | None = None,
+                        store_n: int | None = None):
+    _client_of, _require_tree, _wire_result = _bw()
+    if _client_of(t) is None:
+        if isinstance(bloom, str):
+            bloom = _bloom_from_path(t, bloom, "bloom_contamination",
+                                     store, m_bits, k, store_n)
+        return _local_bloom_contamination(t, bloom, n, text_col,
+                                          id_col, threshold)
+    if not isinstance(bloom, str):
+        raise TypeError(
+            "bloom_contamination over blaze://: a packed filter does "
+            "not ride the wire as rows — register the bloom store on "
+            "the server (BlazeSparkServer(stores={name: path})) and "
+            "pass its NAME")
+    kw = {"n": int(n), "text_col": text_col, "id_col": id_col,
+          "threshold": float(threshold)}
+    kw.update(_store_geom_kw("bloom_contamination", store, m_bits, k,
+                             store_n))
+    node = {"op": "bloom_contamination",
+            "args": [_require_tree(t, "bloom_contamination"), bloom,
+                     kw]}
+    spark = t.df.sparkSession
+    empty = spark.createDataFrame([], T.StructType(
+        [t.df.schema[id_col],
+         T.StructField("n_ngrams", T.LongType()),
+         T.StructField("n_contaminated", T.LongType()),
+         T.StructField("contamination_rate", T.DoubleType()),
+         T.StructField("contaminated", T.IntegerType())]))
+    return _wire_result(t, empty, node)

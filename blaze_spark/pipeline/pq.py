@@ -839,6 +839,10 @@ def pq_topk(codes: Table, queries, codebooks, k: int = 5,
                 "pq_topk: REMOTE queries against a LOCAL code store "
                 "mixes engines — compute() the queries first, or "
                 "register the store on the same server")
+        if isinstance(codebooks, str):
+            # r15 symmetry: a local string is a codebook store PATH
+            codebooks = load_codebooks(
+                codebooks, spark=codes.df.sparkSession)
         return _guarded_pq_topk(codes, queries, codebooks, k, id_col,
                                 code_col, vec_col, round_to,
                                 max_queries)
@@ -852,9 +856,14 @@ def pq_topk(codes: Table, queries, codebooks, k: int = 5,
     else:
         q_enc = _queries_wire(queries, id_col, vec_col, max_queries,
                               "pq_topk")
+    # r15 (VERDICT r14 #5): a string codebooks arg NAMES a
+    # server-registered codebook store — the artifact loads where it
+    # lives, no literal-floats transfer
+    cb_enc = codebooks if isinstance(codebooks, str) \
+        else codebooks_to_wire(codebooks)
     node = {"op": "pq_topk",
             "args": [_rt(codes, "pq_topk"),
-                     codebooks_to_wire(codebooks), q_enc,
+                     cb_enc, q_enc,
                      {"k": int(k), "id_col": id_col,
                       "code_col": code_col, "vec_col": vec_col,
                       "round_to": (None if round_to is None
@@ -928,6 +937,13 @@ def ivf_pq_topk(codes: Table, queries, centroids, codebooks,
                 "ivf_pq_topk: REMOTE queries against a LOCAL code "
                 "store mixes engines — compute() the queries first, "
                 "or register the store on the same server")
+        if isinstance(centroids, str):
+            from .ivf import load_centroids
+            centroids = load_centroids(
+                centroids, spark=codes.df.sparkSession)
+        if isinstance(codebooks, str):
+            codebooks = load_codebooks(
+                codebooks, spark=codes.df.sparkSession)
         return _guarded_ivf_pq_topk(codes, queries, centroids,
                                     codebooks, k, nprobe, id_col,
                                     code_col, vec_col, cell_col,
@@ -942,10 +958,14 @@ def ivf_pq_topk(codes: Table, queries, centroids, codebooks,
     else:
         q_enc = _queries_wire(queries, id_col, vec_col, max_queries,
                               "ivf_pq_topk")
+    # r15: string artifact args NAME server-registered stores
+    ce_enc = centroids if isinstance(centroids, str) \
+        else centroids_to_wire(centroids)
+    cb_enc = codebooks if isinstance(codebooks, str) \
+        else codebooks_to_wire(codebooks)
     node = {"op": "ivf_pq_topk",
             "args": [_rt(codes, "ivf_pq_topk"),
-                     centroids_to_wire(centroids),
-                     codebooks_to_wire(codebooks), q_enc,
+                     ce_enc, cb_enc, q_enc,
                      {"k": int(k), "nprobe": int(nprobe),
                       "id_col": id_col, "code_col": code_col,
                       "vec_col": vec_col, "cell_col": cell_col,

@@ -1051,6 +1051,11 @@ def assign_clusters(docs: Table, embeddings: Table,
                     kmeans_iters: int = 5, seed: int = 42,
                     centroids=None) -> Table:
     if _client_of(docs) is None and _client_of(embeddings) is None:
+        if isinstance(centroids, str):
+            # r15 symmetry: a local string is a centroid store PATH
+            from .ivf import load_centroids
+            centroids = load_centroids(
+                centroids, spark=docs.df.sparkSession)
         return _local_assign_clusters(docs, embeddings, k_cells,
                                       doc_id_col, id_col, vec_col,
                                       kmeans_iters, seed, centroids)
@@ -1068,11 +1073,15 @@ def assign_clusters(docs: Table, embeddings: Table,
             "live on the SAME server (register both there)")
     from .pq import centroids_to_wire
 
+    # r15: a string centroids arg NAMES a server-registered centroid
+    # store — the codebook loads where it lives
+    ce_enc = centroids if isinstance(centroids, str) \
+        else centroids_to_wire(centroids)
     node = {"op": "assign_clusters",
             "args": [_require_tree(docs, "assign_clusters"),
                      _require_tree(embeddings,
                                    "assign_clusters embeddings"),
-                     centroids_to_wire(centroids),
+                     ce_enc,
                      {"doc_id_col": doc_id_col, "id_col": id_col,
                       "vec_col": vec_col}]}
     spark = docs.df.sparkSession

@@ -549,3 +549,155 @@ def test_ivf_pq_topk_wire_application(spark):
     bad["args"][1] = {"k_cells": 4}
     with pytest.raises(ValueError, match="centroids wire form"):
         from_tree(bad, spark=spark, datasets={"codes": codes})
+
+
+def test_registered_store_namespace_bloom_and_ann(spark, tmp_path):
+    """r15 (VERDICT r14 #5): the registered-store wire namespace
+    extended to the bloom and PQ/IVF families — decontamination
+    probes and ANN application NAME a server-side store instead of
+    shipping packed filters / codebook floats as literal rows.
+    Remote == local byte-for-byte for every form; unregistered names,
+    hostile kinds and misplaced geometry kwargs refuse loudly; the
+    local string form resolves the same artifact from a path."""
+    import numpy as np
+
+    from blaze_spark import pipeline as pl
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline.bloom import (build_ngram_bloom,
+                                            save_bloom)
+    from blaze_spark.pipeline.ivf import (ivf_assign, kmeans_fit,
+                                          save_centroids)
+    from blaze_spark.pipeline.pq import save_codebooks
+    from blaze_spark.streaming.incremental_bloom import (
+        ingest_bloom_batch, read_bloom)
+
+    docs_rows = [(i, f"alpha beta w{i % 9} gamma delta w{i % 4} end",
+                  f"src{i % 5}") for i in range(40)]
+    docs = data(docs_rows, spark=spark,
+                schema="doc_id bigint, text string, source string",
+                name="nsdocs")
+    ref = Table(docs.df.filter("doc_id % 7 = 0"), "nsref")
+    bl = build_ngram_bloom(ref, n=3, m_bits=1 << 16, k=5)
+    saved = str(tmp_path / "bloom_saved")
+    save_bloom(bl, saved)
+    inc = str(tmp_path / "bloom_inc")
+    ingest_bloom_batch(Table(docs.df.filter("doc_id % 2 = 0"), "ev"),
+                       inc, key_col="source", m_bits=1 << 14, k=4,
+                       batch_id=0)
+
+    erows = [(i, [float((i * 7 + j * 3) % 11) - 5.0
+                  for j in range(16)]) for i in range(60)]
+    emb = data(erows, spark=spark,
+               schema="vec_id bigint, embedding array<float>",
+               name="nsemb")
+    cents = kmeans_fit(emb, k=4, iters=3)
+    cb = pl.pq_fit(emb, m=4, ks=8, iters=3, train_rows=60)
+    codes = pl.pq_encode(ivf_assign(emb, cents), cb)
+    q = Table(emb.df.filter(F.col("vec_id") < 5), "q")
+    cbp = str(tmp_path / "cb")
+    save_codebooks(cb, cbp, spark)
+    cep = str(tmp_path / "ce")
+    save_centroids(cents, cep, spark)
+
+    srv = BlazeSparkServer(
+        {"nsdocs": docs, "codes": codes, "nsemb": emb}, spark,
+        stores={"refbloom": saved, "incbloom": inc,
+                "cb": cbp, "ce": cep})
+    srv.start(port=0)
+    try:
+        url = f"blaze://127.0.0.1:{srv.port}"
+        rt = data(f"{url}::nsdocs", spark=spark)
+        rc = data(f"{url}::codes", spark=spark)
+        re = data(f"{url}::nsemb", spark=spark)
+
+        # 1. decontamination against the SAVED bloom store by name
+        want = sorted(map(tuple, pl.bloom_contamination(
+            docs, bl, n=3).collect()))
+        out = pl.bloom_contamination(rt, "refbloom", n=3)
+        got = sorted(map(tuple,
+                         out.compute().itertuples(index=False)))
+        assert got == want and len(got) == 40
+        bloom_node = out._tree
+
+        # 2. key probe against the INCREMENTAL store (geometry
+        # re-validated against the format stamp server-side)
+        lb = read_bloom(spark, inc, m_bits=1 << 14, k=4)
+        want = sorted(map(tuple, pl.bloom_contains(
+            docs, lb, "source").collect()))
+        got = sorted(map(tuple, pl.bloom_contains(
+            rt, "incbloom", "source", store="incremental",
+            m_bits=1 << 14, k=4).compute().itertuples(index=False)))
+        assert got == want
+
+        # 3. PQ application against the codebook store by name
+        want = sorted(map(tuple,
+                          pl.pq_topk(codes, q, cb, k=4).df.collect()))
+        out = pl.pq_topk(rc, q.df, "cb", k=4)
+        got = sorted(map(tuple, spark.createDataFrame(
+            out.compute(), schema=out.df.schema).collect()))
+        assert got == want and len(got) == 5 * 4
+
+        # 4. IVF-PQ with BOTH artifacts resolved from stores
+        want = sorted(map(tuple, pl.ivf_pq_topk(
+            codes, q, cents, cb, k=4, nprobe=2).df.collect()))
+        out = pl.ivf_pq_topk(rc, q.df, "ce", "cb", k=4, nprobe=2)
+        got = sorted(map(tuple, spark.createDataFrame(
+            out.compute(), schema=out.df.schema).collect()))
+        assert got == want
+
+        # 5. cluster assignment with a named centroid store
+        want = sorted(map(tuple, pl.assign_clusters(
+            docs, emb, centroids=cents).df
+            .select("doc_id", "cell").collect()))
+        out = pl.assign_clusters(rt, re, centroids="ce")
+        got = sorted(map(tuple, out.compute()
+                         [["doc_id", "cell"]].itertuples(index=False)))
+        assert got == want
+
+        # 6. local string form == loaded artifact (path symmetry)
+        a = sorted(map(tuple,
+                       pl.pq_topk(codes, q, cbp, k=4).df.collect()))
+        assert a == sorted(map(tuple, pl.pq_topk(codes, q, cb, k=4)
+                               .df.collect()))
+        b = sorted(map(tuple, pl.bloom_contamination(
+            docs, saved, n=3).collect()))
+        assert b == sorted(map(tuple, pl.bloom_contamination(
+            docs, bl, n=3).collect()))
+
+        # refusals: unregistered names list the registry
+        with pytest.raises(Exception, match="unknown codebook store"):
+            pl.pq_topk(rc, q.df, "nope", k=4).compute()
+        with pytest.raises(Exception, match="unknown bloom store"):
+            pl.bloom_contamination(rt, "nope", n=3).compute()
+        with pytest.raises(Exception, match="unknown centroid store"):
+            pl.assign_clusters(rt, re, centroids="nope").compute()
+        # a packed filter never rides the wire as rows
+        with pytest.raises(TypeError, match="does not ride the wire"):
+            pl.bloom_contamination(rt, bl, n=3)
+        # hostile kind / misplaced geometry refuse client-side
+        with pytest.raises(ValueError, match="store kind"):
+            pl.bloom_contains(rt, "incbloom", "source", store="exotic")
+        with pytest.raises(ValueError, match="self-describing"):
+            pl.bloom_contamination(rt, "refbloom", n=3,
+                                   m_bits=1 << 14)
+        # geometry mismatch fails through the incremental store stamp
+        with pytest.raises(Exception, match="filter geometry"):
+            pl.bloom_contains(rt, "incbloom", "source",
+                              store="incremental", m_bits=1 << 15,
+                              k=4).compute()
+    finally:
+        srv.stop()
+
+    # version skew: unknown keyword on the bloom node rejects
+    import copy
+    bad = copy.deepcopy(bloom_node)
+    bad["args"][2]["future_knob"] = 1
+    with pytest.raises(ValueError, match="matching client version"):
+        from_tree(bad, spark=spark, datasets={"nsdocs": docs},
+                  stores={"refbloom": saved})
+    # a raw path in the node does NOT resolve (names only)
+    bad = copy.deepcopy(bloom_node)
+    bad["args"][1] = saved
+    with pytest.raises(KeyError, match="unknown bloom store"):
+        from_tree(bad, spark=spark, datasets={"nsdocs": docs},
+                  stores={"refbloom": "/elsewhere"})
