@@ -2822,6 +2822,27 @@ def train_quality_classifier_docs(spark, sf_dir):
     return m.classify(d).orderBy("doc_id")
 
 
+def train_classifier_init_docs(spark, sf_dir):
+    """The r15 convergence aids, end-to-end value-checked (VERDICT
+    r14 #4): the same 2-epoch in-engine logistic fit as
+    train_quality_classifier_docs but starting the intercept at the
+    Haldane–Anscombe-smoothed base-rate logit (one bounded count
+    pre-pass) and decaying the step per epoch (lr·0.5**t).  The
+    DuckDB twin adds the init CTE (ROUND(1000·ln((pos+½)/(neg+½))))
+    and unrolls both epochs at their decayed steps — epoch 1's
+    residual now rides through EXP of the init logit instead of the
+    exact-0.5 zero-model shortcut, so the whole aid chain (init →
+    sigmoid → integer micro residual → decayed update) is hash-exact
+    corpus-wide."""
+    from blaze_spark.pipeline import train_quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    m = train_quality_classifier(d, "lang = 'en'", n_buckets=1024,
+                                 epochs=2, lr=4.0, lr_decay=0.5,
+                                 init_intercept=True)
+    return m.classify(d).orderBy("doc_id")
+
+
 def dsir_weights_docs(spark, sf_dir):
     """DSIR importance log-weights (pipeline/selection.dsir_log_weights
     — Xie et al. 2023): per-doc ln-likelihood ratio of the TARGET
@@ -3530,6 +3551,47 @@ def blaze_client_store_lm(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def blaze_client_store_bloom(spark, sf_dir):
+    """Registered bloom-store decontamination over blaze:// (r15,
+    VERDICT r14 #5): a saved reference bloom (every-11th doc's 3-gram
+    filter) registers on the server by NAME and the client's
+    ``bloom_contamination(rt, 'refbloom')`` probe materializes WHERE
+    THE STORE LIVES — the packed filter never crosses the wire as
+    rows; only the per-doc report comes back.  Rows-only BY DESIGN:
+    the filter's bit positions are xxhash64-based (DuckDB has no
+    xxhash64); the remote==local byte-equality and the
+    zero-false-negative membership contract are pinned in
+    tests/test_wire_sweep.py and tests/test_bloom.py."""
+    import shutil
+    import tempfile
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import (bloom_contamination,
+                                      build_ngram_bloom, save_bloom)
+    from blaze_spark.server import BlazeSparkServer
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="blaze_bloom_store_")
+    try:
+        path = f"{tmp}/refbloom"
+        save_bloom(build_ngram_bloom(d[d.doc_id % 11 == 0], n=3,
+                                     m_bits=1 << 18, k=5), path)
+        srv = BlazeSparkServer({"documents": d}, spark,
+                               stores={"refbloom": path})
+        srv.start(port=0)
+        try:
+            rt = data(f"blaze://127.0.0.1:{srv.port}::documents",
+                      spark=spark)
+            expr = bloom_contamination(rt, "refbloom", n=3)
+            pdf = expr.compute()
+            schema = expr.df.schema
+        finally:
+            srv.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema).orderBy("doc_id")
+
+
 def cluster_mix_docs(spark, sf_dir):
     """Topic-balanced mixture over embedding clusters (r14,
     pipeline/similarity.assign_clusters): k-means cells become the
@@ -3756,6 +3818,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report under the word-piece vocabulary, DuckDB-rederivable);
         # corpus_curation_pipeline (green r12 row, unchanged code)
         # rotates below the boundary for it.
+        # r15 head: train_classifier_init_docs (NEW oracle — the
+        # convergence aids unrolled in DuckDB, VERDICT r14 #4) and
+        # blaze_client_store_bloom (NEW rows-only — the registered
+        # bloom-store wire namespace, VERDICT r14 #5).  STANDING
+        # INVARIANT (VERDICT r14 #2): the first-50 window carries
+        # >= 8 core SURVEY-§2 relational rows at all times, rotated
+        # among join/agg/string/datetime/set-op families each round —
+        # this round's ten: q03_shipping_priority, left_join_counts,
+        # datetime_parts, slice_step, tail_orders (carried from r14)
+        # + full_outer_activity, string_funcs, monthly_orders,
+        # merge_columns, intersect_except_customers (rotated up).
+        # Entries whose code changed this round stay for fresh rows:
+        # dup_maximal_spans_docs (exact per-span counts + new oracle),
+        # train_quality_classifier_docs (epoch-loop step schedule),
+        # bloom_two_phase_decontam_docs (bloom wire wrappers),
+        # blaze_client_store_lm (interop store plumbing),
+        # quality_classifier/dsir rows (selection.py touched).  Seven
+        # green LM/tokenizer-family rows with unchanged code rotate
+        # below to keep the sample at exactly 50 (their base siblings
+        # ngram_lm_docs/perplexity_filter_docs/blaze_client_lm stay).
+        # Nothing failing rotated out (r14 had zero failures).
+        "train_classifier_init_docs": train_classifier_init_docs,
+        "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
         "dup_span_popularity_docs": dup_span_popularity_docs,
         "dup_maximal_spans_docs": dup_maximal_spans_docs,
@@ -3765,14 +3850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_parts": datetime_parts,
         "slice_step": slice_step,
         "tail_orders": tail_orders,
-        "tokenizer_stats_docs": tokenizer_stats_docs,
+        "full_outer_activity": full_outer_activity,
+        "string_funcs": string_funcs,
+        "monthly_orders": monthly_orders,
+        "merge_columns": merge_columns,
+        "intersect_except_customers": intersect_except_customers,
         "bloom_two_phase_decontam_docs": bloom_two_phase_decontam_docs,
-        "ngram_lm_kn_docs": ngram_lm_kn_docs,
-        "word_frequencies_docs": word_frequencies_docs,
-        "train_vocab_tokens_docs": train_vocab_tokens_docs,
-        "ngram_lm_interp_docs": ngram_lm_interp_docs,
-        "pack_sep_docs": pack_sep_docs,
-        "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
         "blaze_client_dedup": blaze_client_dedup,
         "blaze_client_contamination": blaze_client_contamination,
         "blaze_client_packing": blaze_client_packing,
@@ -3830,6 +3913,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature_mix_docs, multimodal_video_frames and
         # embedding_quantization.  Nothing failing rotated out (r13
         # had zero failures).
+        # r15 rotated below: seven green-r14 LM/tokenizer-family rows
+        # with unchanged executed code (tokenizer_stats_docs,
+        # ngram_lm_kn_docs, word_frequencies_docs,
+        # train_vocab_tokens_docs, ngram_lm_interp_docs,
+        # pack_sep_docs, ngram_lm_backoff3_docs) made room for the
+        # two r15 heads and the five counter-rotated core rows.
+        "tokenizer_stats_docs": tokenizer_stats_docs,
+        "ngram_lm_kn_docs": ngram_lm_kn_docs,
+        "word_frequencies_docs": word_frequencies_docs,
+        "train_vocab_tokens_docs": train_vocab_tokens_docs,
+        "ngram_lm_interp_docs": ngram_lm_interp_docs,
+        "pack_sep_docs": pack_sep_docs,
+        "ngram_lm_backoff3_docs": ngram_lm_backoff3_docs,
         "training_set_prep": training_set_prep,
         "pack_sequences_string_key": pack_sequences_string_key,
         "pack_tokenized_docs": pack_tokenized_docs,
@@ -3878,18 +3974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mix_docs": cluster_mix_docs,
         "blaze_client_pq": blaze_client_pq,
         "blaze_client_roundtrip": blaze_client_roundtrip,
-        "string_funcs": string_funcs,
         "string_predicates": string_predicates,
         "math_parts": math_parts,
-        "monthly_orders": monthly_orders,
         "strftime_buckets": strftime_buckets,
         "apply_batch_filter": apply_batch_filter,
         "relabel_drop": relabel_drop,
         "coalesce_fill": coalesce_fill,
         "count_values_events": count_values_events,
         "rollup_nation_revenue": rollup_nation_revenue,
-        "full_outer_activity": full_outer_activity,
-        "intersect_except_customers": intersect_except_customers,
         # r9 rotated out
         # merge_columns, scalar_algebra_summary, percentile_prices and
         # trunc_10min_buckets (all green r8 rows, unchanged code) to make
@@ -3904,7 +3996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "rolling_range_user_values": rolling_range_user_values,
         "window_edges_per_user": window_edges_per_user,
-        "merge_columns": merge_columns,
         "scalar_algebra_summary": scalar_algebra_summary,
         "percentile_prices": percentile_prices,
         "trunc_10min_buckets": trunc_10min_buckets,
@@ -5591,6 +5682,81 @@ def oracle_sql() -> dict[str, str]:
             w2 AS (SELECT g2.bucket,
                           COALESCE(w1.wm, 0)
                           - CAST(ROUND(4.0 * g2.g
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS wm
+                   FROM g2 LEFT JOIN w1 USING (bucket)),
+            sf AS (SELECT d.doc_id,
+                          (SELECT b0 FROM b2)
+                          + COALESCE(SUM(w2.wm), 0) AS score
+                   FROM docs d
+                   LEFT JOIN tb ON tb.doc_id = d.doc_id
+                   LEFT JOIN w2 USING (bucket)
+                   GROUP BY d.doc_id)
+            SELECT d.doc_id,
+                   CAST(len(d.toks) AS INT) AS n_tokens,
+                   CAST(sf.score AS BIGINT) AS score_milli,
+                   CAST(sf.score >= 0 AS INT) AS keep
+            FROM docs d JOIN sf USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # r15 aids twin: base-rate intercept init (smoothed logit,
+        # half-away milli rounding) + per-epoch decayed steps (4.0
+        # then 2.0); epoch 1's residual rides through EXP of the init
+        # logit instead of the exact-0.5 zero-model shortcut
+        "train_classifier_init_docs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       COALESCE(CAST(lang = 'en' AS INT), 0) AS y,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks
+                FROM documents),
+            nd AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM docs),
+            bi AS (SELECT CAST(ROUND(1000.0 * ln(
+                              ((SELECT pos FROM nd) + 0.5)
+                              / ((SELECT n FROM nd)
+                                 - (SELECT pos FROM nd) + 0.5)))
+                          AS BIGINT) AS b0),
+            tb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8))
+                            AS BIGINT) % 1024 AS bucket
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)),
+            r1 AS (SELECT doc_id,
+                          CAST(ROUND((1.0 / (1.0 + EXP(
+                              -(SELECT b0 FROM bi) / 1000.0))
+                                      - y) * 1e6) AS BIGINT) AS r
+                   FROM docs),
+            g1 AS (SELECT tb.bucket, SUM(r1.r) AS g
+                   FROM tb JOIN r1 USING (doc_id) GROUP BY 1),
+            b1 AS (SELECT (SELECT b0 FROM bi)
+                          - CAST(ROUND(4.0 * (SELECT SUM(r) FROM r1)
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS b0),
+            w1 AS (SELECT bucket,
+                          CAST(0 - ROUND(4.0 * g
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS wm
+                   FROM g1),
+            s2 AS (SELECT d.doc_id, d.y,
+                          (SELECT b0 FROM b1)
+                          + COALESCE(SUM(w1.wm), 0) AS score
+                   FROM docs d
+                   LEFT JOIN tb ON tb.doc_id = d.doc_id
+                   LEFT JOIN w1 USING (bucket)
+                   GROUP BY d.doc_id, d.y),
+            r2 AS (SELECT doc_id,
+                          CAST(ROUND((1.0 / (1.0 + EXP(-score/1000.0))
+                                      - y) * 1e6) AS BIGINT) AS r
+                   FROM s2),
+            g2 AS (SELECT tb.bucket, SUM(r2.r) AS g
+                   FROM tb JOIN r2 USING (doc_id) GROUP BY 1),
+            b2 AS (SELECT (SELECT b0 FROM b1)
+                          - CAST(ROUND(2.0 * (SELECT SUM(r) FROM r2)
+                                   / (1000.0 * (SELECT n FROM nd)))
+                              AS BIGINT) AS b0),
+            w2 AS (SELECT g2.bucket,
+                          COALESCE(w1.wm, 0)
+                          - CAST(ROUND(2.0 * g2.g
                                    / (1000.0 * (SELECT n FROM nd)))
                               AS BIGINT) AS wm
                    FROM g2 LEFT JOIN w1 USING (bucket)),
