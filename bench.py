@@ -198,9 +198,19 @@ NEW_QUERIES_R14 = [
     "cluster_mix_docs",
 ]
 
+# r15: the convergence-aided trainer (init count pre-pass + 2 decayed
+# epochs + classify, whole chain per rep) and the registered bloom-
+# store service (filter build + save + HTTP server + remote probe,
+# whole chain per rep — the blaze_client_store_lm posture).
+NEW_QUERIES_R15 = [
+    "train_classifier_init_docs",
+    "blaze_client_store_bloom",
+]
+
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10
                  + NEW_QUERIES_R11 + NEW_QUERIES_R12
-                 + NEW_QUERIES_R13 + NEW_QUERIES_R14)
+                 + NEW_QUERIES_R13 + NEW_QUERIES_R14
+                 + NEW_QUERIES_R15)
 
 
 def _force(df) -> int:
@@ -318,6 +328,8 @@ def main():
                                    for n in NEW_QUERIES_R13), 3),
         "value_new_r14": round(sum(timings_min[n]
                                    for n in NEW_QUERIES_R14), 3),
+        "value_new_r15": round(sum(timings_min[n]
+                                   for n in NEW_QUERIES_R15), 3),
         "value_full": round(sum(timings_min.values()), 3),
         "unit": "sec",
         "queries": timings_min,
