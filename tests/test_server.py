@@ -1039,16 +1039,25 @@ def test_pipeline_ops_reject_remote_tables(spark, served):
     # computed bounded relation via word_freq=)
     guarded += [pl.train_bpe, pl.train_wordpiece,
                 pl.train_vocab, pl.train_unigram]
-    # bloom filters are derived artifacts like trained quantizers —
-    # no wire node; remote inputs raise instead of probing an empty
-    # frame (r13 second half)
+    # bloom BUILDERS are eager store writes — still guarded; the
+    # PROBES left this set in r15 (they serialize against a
+    # REGISTERED store name — a packed BloomFilter object still
+    # refuses, with a pointer to the registry, below)
     guarded += [pl.build_bloom, pl.build_ngram_bloom,
-                pl.bloom_contains, pl.bloom_contamination,
                 pl.bloom_two_phase_contamination]
 
     for fn in guarded:
         with pytest.raises(TypeError, match="wire dialect"):
             fn(rt)
+    # r15: the probes refuse a literal filter on a remote corpus —
+    # the registered-store form is the only wire path
+    from blaze_spark.pipeline.bloom import BloomFilter
+    fake = BloomFilter(spark.createDataFrame(
+        [], "word_idx long, bits long"), 1 << 10, 3)
+    with pytest.raises(TypeError, match="does not ride the wire"):
+        pl.bloom_contains(rt, fake, "source")
+    with pytest.raises(TypeError, match="does not ride the wire"):
+        pl.bloom_contamination(rt, fake)
     # mixed-engine binary inputs are caught too (the late-r12 extension
     # joins serialize, but only with BOTH sides on one server)
     local = data("/root/testdata/sf0.001/orders.parquet", spark=spark)
