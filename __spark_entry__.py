@@ -3474,6 +3474,41 @@ def temperature_mix_docs(spark, sf_dir):
     return kept.df.select("doc_id", "source").orderBy("doc_id")
 
 
+def unimax_weights_docs(spark, sf_dir):
+    """UniMax language-sampling plan (r15, pipeline/curation.
+    unimax_source_mix — Chung et al. 2023): distribute a 20k-token
+    budget across the corpus languages as uniformly as the 2-epoch
+    repetition cap allows.  The closed-form water-filling runs as two
+    global windows over the bounded per-language relation (the
+    source_mix topology); the oracle recomputes the ordered running
+    sum, the water-level rank selection, and every round-4 export —
+    allocations, caps, and sampling weights are byte-checked."""
+    from blaze_spark.pipeline import unimax_source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    w = unimax_source_mix(d, budget_tokens=20_000, max_epochs=2.0,
+                          source_col="lang")
+    return w.orderBy("lang")
+
+
+def unimax_mix_docs(spark, sf_dir):
+    """UniMax plan EXECUTION (r15): the water-filling weights feed
+    apply_source_mix's deterministic upsampling path — head languages
+    thin under their md5 keep decisions, tail languages repeat with a
+    0-based copy_idx when the 2-epoch cap engages.  The oracle
+    value-checks the exact output multiset (doc_id, lang, copy_idx):
+    E[copies] = weight with no randomness anywhere."""
+    from blaze_spark.pipeline import apply_source_mix, unimax_source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    w = unimax_source_mix(d, budget_tokens=20_000, max_epochs=2.0,
+                          source_col="lang")
+    kept = apply_source_mix(d, w, source_col="lang",
+                            allow_upsample=True)
+    return (kept.df.select("doc_id", "lang", "copy_idx")
+            .orderBy("doc_id", "copy_idx"))
+
+
 def blaze_client_lm(spark, sf_dir):
     """Remote LM perplexity filtering (r11): the CCNet band filter runs
     SERVER-side over ``blaze://`` — fit + score + band + projection all
@@ -3839,6 +3874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below to keep the sample at exactly 50 (their base siblings
         # ngram_lm_docs/perplexity_filter_docs/blaze_client_lm stay).
         # Nothing failing rotated out (r14 had zero failures).
+        # Late r15: unimax_weights_docs + unimax_mix_docs (NEW oracle —
+        # UniMax water-filling language sampling, Chung et al. 2023,
+        # plan and execution both byte-checked); text_language_id and
+        # text_fingerprint (green r8-era rows, unchanged code; their
+        # siblings text_quality/text_token_stats stay) rotate below
+        # the boundary to keep the sample at exactly 50.
+        "unimax_weights_docs": unimax_weights_docs,
+        "unimax_mix_docs": unimax_mix_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
         "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
@@ -3882,9 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "training_shards_pipeline": training_shards_pipeline,
-        "text_language_id": text_language_id,
         "text_quality": text_quality,
-        "text_fingerprint": text_fingerprint,
         "text_token_stats": text_token_stats,
         "repetition_filter_docs": repetition_filter_docs,
         "pii_scrub_docs": pii_scrub_docs,
@@ -3919,6 +3960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train_vocab_tokens_docs, ngram_lm_interp_docs,
         # pack_sep_docs, ngram_lm_backoff3_docs) made room for the
         # two r15 heads and the five counter-rotated core rows.
+        # Late r15: text_language_id + text_fingerprint rotated below
+        # for the two UniMax entries.
+        "text_language_id": text_language_id,
+        "text_fingerprint": text_fingerprint,
         "tokenizer_stats_docs": tokenizer_stats_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "word_frequencies_docs": word_frequencies_docs,
@@ -5886,6 +5931,88 @@ def oracle_sql() -> dict[str, str]:
                   < lower(lpad(to_hex(CAST(floor(w.sample_weight
                                 * 4294967296.0) AS BIGINT)), 8, '0'))
             ORDER BY q.doc_id
+        """,
+        # UniMax water-filling (r15): the ordered running sum, the
+        # first-valid-rank water level, and every round-4 export are
+        # recomputed from scratch — byte-strict on the doubles because
+        # both engines take the identical IEEE operation sequence
+        # (long counts -> ordered cumsum -> one division per rank)
+        "unimax_weights_docs": r"""
+            WITH q AS (SELECT doc_id, lang,
+                              len(regexp_split_to_array(trim(text),
+                                                        '\s+')) AS nt
+                       FROM documents),
+            s AS (SELECT lang, count(*) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS tt
+                  FROM q GROUP BY lang),
+            c AS (SELECT *, tt * 2.0 AS cap FROM s),
+            r AS (SELECT *, row_number() OVER (ORDER BY cap, lang) AS i,
+                         count(*) OVER () AS n,
+                         coalesce(sum(cap) OVER (ORDER BY cap, lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0.0) AS cumb
+                  FROM c),
+            t1 AS (SELECT *, (20000.0 - cumb) / (n - i + 1) AS theta_i
+                   FROM r),
+            t2 AS (SELECT *, min(CASE WHEN theta_i <= cap THEN i END)
+                                OVER () AS fi FROM t1),
+            t3 AS (SELECT *, max(CASE WHEN i = fi THEN theta_i END)
+                                OVER () AS theta FROM t2)
+            SELECT lang, n_docs, tt AS total_tokens,
+                   round(cap, 4) + 0.0 AS cap_tokens,
+                   round(CASE WHEN theta IS NULL THEN cap
+                              ELSE least(cap, theta) END, 4) + 0.0
+                       AS alloc_tokens,
+                   round((CASE WHEN theta IS NULL THEN cap
+                               ELSE least(cap, theta) END) / tt, 4) + 0.0
+                       AS sample_weight
+            FROM t3 ORDER BY lang
+        """,
+        # ... and its deterministic upsampling EXECUTION: the same
+        # round-4 weights drive the md5 keep decision / copy explode
+        # of apply_source_mix (the upsample_mix_docs machinery)
+        "unimax_mix_docs": r"""
+            WITH q AS (SELECT doc_id, lang,
+                              len(regexp_split_to_array(trim(text),
+                                                        '\s+')) AS nt
+                       FROM documents),
+            s AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS tt
+                  FROM q GROUP BY lang),
+            c AS (SELECT *, tt * 2.0 AS cap FROM s),
+            r AS (SELECT *, row_number() OVER (ORDER BY cap, lang) AS i,
+                         count(*) OVER () AS n,
+                         coalesce(sum(cap) OVER (ORDER BY cap, lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0.0) AS cumb
+                  FROM c),
+            t1 AS (SELECT *, (20000.0 - cumb) / (n - i + 1) AS theta_i
+                   FROM r),
+            t2 AS (SELECT *, min(CASE WHEN theta_i <= cap THEN i END)
+                                OVER () AS fi FROM t1),
+            t3 AS (SELECT *, max(CASE WHEN i = fi THEN theta_i END)
+                                OVER () AS theta FROM t2),
+            w AS (SELECT lang,
+                         round((CASE WHEN theta IS NULL THEN cap
+                                     ELSE least(cap, theta) END) / tt,
+                               4) AS sample_weight
+                  FROM t3),
+            idx AS (SELECT unnest(generate_series(0,
+                        (SELECT CAST(floor(max(sample_weight)) AS BIGINT)
+                         FROM w))) AS copy_idx)
+            SELECT q.doc_id, q.lang,
+                   CAST(idx.copy_idx AS INT) AS copy_idx
+            FROM q JOIN w USING (lang)
+                 JOIN idx ON idx.copy_idx
+                             <= CAST(floor(w.sample_weight) AS BIGINT)
+            WHERE w.sample_weight > 0
+              AND (idx.copy_idx < floor(w.sample_weight)
+                   OR substr(md5(coalesce(CAST(q.doc_id AS VARCHAR),
+                                          '__null__') || '-42'), 1, 8)
+                      < lower(lpad(to_hex(CAST(floor((w.sample_weight
+                                    - floor(w.sample_weight))
+                                    * 4294967296.0) AS BIGINT)),
+                               8, '0')))
+            ORDER BY q.doc_id, copy_idx
         """,
         # the remote LM chain computes the SAME band filter server-side
         # — one oracle definition, exercised through real HTTP

@@ -236,6 +236,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # scoring/scrub and the mixture-plan pair (weights
                   # as literal rows or a same-server subtree)
                   "cross_doc_dup_ngrams", "temperature_source_mix",
+                  "unimax_source_mix",
                   "apply_source_mix",
                   # r12 sweep (VERDICT r11 #3/#4): the remaining
                   # literal-args pipeline ops — exact/normalized/line
@@ -385,7 +386,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   "perplexity_filter"):
             return _lm_node(op, args, child, walk)
         if op in ("cross_doc_dup_ngrams", "temperature_source_mix",
-                  "apply_source_mix"):
+                  "unimax_source_mix", "apply_source_mix"):
             return _mix_dedup_node(op, args, child, walk)
         if op in _PIPE_WIRE:
             return _pipeline_node(op, args, child, walk)
@@ -959,7 +960,7 @@ def _mix_dedup_node(op: str, args: list, child: Table, walk):
     scoring/scrub, temperature mixture weights, or mixture execution
     (weights as bounded literal rows or a same-server subtree)."""
     from .pipeline import (apply_source_mix, cross_doc_dup_ngrams,
-                           temperature_source_mix)
+                           temperature_source_mix, unimax_source_mix)
 
     def _kw(raw_kw: dict, allowed: set) -> dict:
         bad = set(raw_kw) - allowed
@@ -984,6 +985,19 @@ def _mix_dedup_node(op: str, args: list, child: Table, walk):
             kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
         return Table(temperature_source_mix(child, **kw),
                      "temperature_source_mix")
+    if op == "unimax_source_mix":
+        _arity(op, args, 2)
+        kw = _kw(args[1], {"budget_tokens", "max_epochs", "text_col",
+                           "source_col", "tokenizer"})
+        if "budget_tokens" not in kw:
+            raise ValueError(
+                "unimax_source_mix wire node is missing the required "
+                "budget_tokens keyword")
+        if "tokenizer" in kw:
+            from .pipeline.tokenizer import tokenizer_from_wire
+            kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
+        return Table(unimax_source_mix(child, **kw),
+                     "unimax_source_mix")
     # apply_source_mix — args: [child, weights_enc, {kw}]
     _arity(op, args, 3)
     kw = _kw(args[2], {"source_col", "id_col", "seed",

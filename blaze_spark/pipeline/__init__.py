@@ -64,6 +64,7 @@ from .curation import (  # noqa: F401
     repetition_features,
     source_mix,
     temperature_source_mix,
+    unimax_source_mix,
     token_commonness,
     top_ngram_share,
 )

@@ -404,6 +404,97 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
     )
 
 
+def unimax_source_mix(t: Table, budget_tokens: int,
+                      max_epochs: float = 1.0,
+                      text_col: str = "text",
+                      source_col: str = "lang",
+                      tokenizer=None) -> DataFrame:
+    """UniMax mixture weights (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total token ``budget_tokens`` across
+    sources (languages) as UNIFORMLY as possible subject to a per-source
+    repetition cap of ``max_epochs`` passes over its own data.  Unlike
+    temperature sampling (:func:`temperature_source_mix`), which still
+    over-samples head languages and over-repeats tail ones, UniMax is
+    the water-filling solution: every source gets the same token
+    allocation θ except those too small to absorb it, which saturate at
+    ``max_epochs`` epochs — ``alloc_s = min(total_tokens_s·E, θ)`` with
+    θ chosen so Σ alloc = budget.
+
+    The closed form needs no iteration: with sources sorted by cap
+    ascending, θ is the first rank i where
+    ``(budget − Σ_{j<i} cap_j) / (n − i + 1) ≤ cap_i`` — computable with
+    two global windows over the ~#sources-row relation, exactly the
+    :func:`source_mix` topology (one map-side-combinable aggregation on
+    the low-cardinality key, windows over a bounded relation; the corpus
+    scan never shuffles on anything else).  If the budget exceeds the
+    total available under the epoch cap (Σ cap ≤ budget) every source
+    saturates and the budget is simply unreachable — allocations report
+    what the cap permits, mirroring the paper's N > |D|·E regime.
+
+    Output: ``(source, n_docs, total_tokens, cap_tokens, alloc_tokens,
+    sample_weight)`` with ``sample_weight = alloc/total_tokens`` ∈
+    (0, max_epochs] — round-4 exports like the temperature plan, and the
+    same contract: execute with :func:`apply_source_mix` (pass
+    ``allow_upsample=True`` whenever ``max_epochs > 1``, since tail
+    sources then repeat).  ``tokenizer=`` accounts shares in true
+    tokenizer tokens; ``None`` keeps the whitespace count.
+
+    Every arithmetic step (long token counts, an ordered running sum,
+    one division per rank) is IEEE-deterministic in a DuckDB window
+    twin, so the whole plan — and its md5-keyed execution — stays
+    oracle-checkable byte-for-byte.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive, got {budget_tokens}")
+    if not 0.0 < float(max_epochs) <= _MAX_UPSAMPLE:
+        raise ValueError(
+            f"max_epochs must be in (0, {_MAX_UPSAMPLE}], got "
+            f"{max_epochs}: the cap bounds how often a tail source "
+            "repeats — 0 allocates nothing, and anything past the "
+            "upsample bound is a corrupt plan, not a mixture")
+    feats = quality_features(t, text_col).df
+    if tokenizer is not None:
+        feats = feats.withColumn(
+            "n_tokens", tokenizer.n_tokens(F.col(text_col)))
+    per_source = feats.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.sum("n_tokens").cast(T.LongType()).alias("total_tokens"),
+    )
+    from pyspark.sql.window import Window
+    cap = F.col("total_tokens") * F.lit(float(max_epochs))
+    ranked = per_source.withColumn("cap", cap)
+    # sorted-by-cap windows; ties broken on the source name so the
+    # running sum visits rows in the same order on every engine
+    order = Window.partitionBy().orderBy("cap", source_col)
+    glob = Window.partitionBy()
+    cum_before = F.coalesce(
+        F.sum("cap").over(order.rowsBetween(Window.unboundedPreceding,
+                                            -1)),
+        F.lit(0.0))
+    i = F.row_number().over(order)
+    n = F.count(F.lit(1)).over(glob)
+    theta_i = (F.lit(float(budget_tokens)) - cum_before) / (n - i + 1)
+    staged = ranked.select(
+        source_col, "n_docs", "total_tokens", "cap",
+        i.alias("i"), theta_i.alias("theta_i"),
+        (theta_i <= F.col("cap")).alias("valid"))
+    first_valid = F.min(F.when(F.col("valid"), F.col("i"))).over(glob)
+    with_fi = staged.withColumn("fi", first_valid)
+    theta = F.max(F.when(F.col("i") == F.col("fi"),
+                         F.col("theta_i"))).over(glob)
+    with_theta = with_fi.withColumn("theta", theta)
+    alloc = F.when(F.col("theta").isNull(), F.col("cap")) \
+             .otherwise(F.least(F.col("cap"), F.col("theta")))
+    return with_theta.select(
+        source_col, "n_docs", "total_tokens",
+        F.round(F.col("cap"), 4).alias("cap_tokens"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("total_tokens"), 4).alias("sample_weight"),
+    )
+
+
 URL_PATTERN = r"https?://[^\s]+"
 DOMAIN_PATTERN = r"https?://([^/\s:?#]+)"
 
@@ -719,6 +810,7 @@ _MAX_UPSAMPLE = 10_000
 import functools  # noqa: E402
 
 _local_temperature_source_mix = temperature_source_mix
+_local_unimax_source_mix = unimax_source_mix
 _local_apply_source_mix = apply_source_mix
 
 
@@ -762,6 +854,42 @@ def temperature_source_mix(t: Table, alpha: float = 0.3,
          T.StructField("total_tokens", T.LongType()),
          T.StructField("token_share", T.DoubleType()),
          T.StructField("target_share", T.DoubleType()),
+         T.StructField("sample_weight", T.DoubleType())])
+    return _wire_result(t, spark.createDataFrame([], schema), node)
+
+
+@functools.wraps(_local_unimax_source_mix)
+def unimax_source_mix(t: Table, budget_tokens: int,
+                      max_epochs: float = 1.0,
+                      text_col: str = "text",
+                      source_col: str = "lang",
+                      tokenizer=None):
+    _MAX_BUCKETS, _client_of, _require_tree, _wire_result = _wire()
+    if _client_of(t) is None:
+        return _local_unimax_source_mix(t, budget_tokens, max_epochs,
+                                        text_col, source_col, tokenizer)
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive, got {budget_tokens}")
+    if not 0.0 < float(max_epochs) <= _MAX_UPSAMPLE:
+        raise ValueError(
+            f"max_epochs must be in (0, {_MAX_UPSAMPLE}], got "
+            f"{max_epochs}")
+    kw = {"budget_tokens": int(budget_tokens),
+          "max_epochs": float(max_epochs),
+          "text_col": text_col, "source_col": source_col}
+    if tokenizer is not None:
+        from .tokenizer import _tokenizer_wire
+        kw["tokenizer"] = _tokenizer_wire(tokenizer)
+    node = {"op": "unimax_source_mix",
+            "args": [_require_tree(t, "unimax_source_mix"), kw]}
+    spark = t.df.sparkSession
+    schema = T.StructType(
+        [t.df.schema[source_col],
+         T.StructField("n_docs", T.LongType()),
+         T.StructField("total_tokens", T.LongType()),
+         T.StructField("cap_tokens", T.DoubleType()),
+         T.StructField("alloc_tokens", T.DoubleType()),
          T.StructField("sample_weight", T.DoubleType())])
     return _wire_result(t, spark.createDataFrame([], schema), node)
 

@@ -227,6 +227,157 @@ def test_mixture_pair_over_wire(spark):
         srv.stop()
 
 
+def test_unimax_water_filling_formula(spark):
+    """UniMax (Chung et al. 2023) closed-form water-filling: hand-computed
+    allocations on a 3-source fixture, the budget-unreachable regime, the
+    natural-corpus regime, and the validation raises."""
+    from blaze_spark.pipeline import unimax_source_mix
+
+    t = data([(1, "w " * 30, "s1"), (2, "w " * 6, "s2"),
+              (3, "w w", "s3")],
+             spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="um")
+    # caps at E=2: s1=60, s2=12, s3=4.  budget=20: sorted [4,12,60];
+    # rank1 theta=20/3>4 invalid at cap 4?  20/3=6.67>4 -> s3 saturates;
+    # rank2 theta=(20-4)/2=8<=12 -> water level 8.
+    out = {r.source: r for r in
+           unimax_source_mix(t, budget_tokens=20, max_epochs=2.0,
+                             source_col="source").collect()}
+    assert out["s3"].alloc_tokens == 4.0      # saturated at the cap
+    assert out["s2"].alloc_tokens == 8.0      # water level
+    assert out["s1"].alloc_tokens == 8.0
+    assert out["s3"].sample_weight == 2.0     # = max_epochs
+    assert out["s2"].sample_weight == round(8 / 6, 4)
+    assert out["s1"].sample_weight == round(8 / 30, 4)
+    # allocations exhaust the budget exactly
+    assert sum(r.alloc_tokens for r in out.values()) == 20.0
+
+    # budget >= total cap: everything saturates (the paper's N > |D|*E
+    # regime — the budget is unreachable, allocations report the cap)
+    sat = {r.source: r.sample_weight for r in
+           unimax_source_mix(t, budget_tokens=100, max_epochs=2.0,
+                             source_col="source").collect()}
+    assert sat == {"s1": 2.0, "s2": 2.0, "s3": 2.0}
+
+    # E=1 with an unreachable budget = the natural corpus, one epoch
+    nat = {r.source: r.sample_weight for r in
+           unimax_source_mix(t, budget_tokens=10_000, max_epochs=1.0,
+                             source_col="source").collect()}
+    assert nat == {"s1": 1.0, "s2": 1.0, "s3": 1.0}
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        unimax_source_mix(t, budget_tokens=0, source_col="source")
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_source_mix(t, budget_tokens=10, max_epochs=0.0,
+                          source_col="source")
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_source_mix(t, budget_tokens=10, max_epochs=1e9,
+                          source_col="source")
+
+
+def test_unimax_uniform_when_budget_small(spark):
+    """Below every cap the allocation is exactly budget/n per source —
+    the fairness property temperature sampling lacks."""
+    from blaze_spark.pipeline import unimax_source_mix
+
+    rows = [(i, "w " * (10 if i % 5 else 200), f"s{i % 5}")
+            for i in range(50)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="um2")
+    out = unimax_source_mix(t, budget_tokens=50, max_epochs=1.0,
+                            source_col="source").collect()
+    assert {r.alloc_tokens for r in out} == {10.0}   # 50 / 5 sources
+
+
+def test_unimax_composes_with_apply(spark):
+    """A max_epochs>1 UniMax plan executes through apply_source_mix's
+    upsampling path: tail sources repeat deterministically, the head
+    source thins, and a re-run keeps the identical multiset."""
+    from blaze_spark.pipeline import apply_source_mix, unimax_source_mix
+
+    rows = [(i, "w " * (4 if i % 4 else 40),
+             "big" if i % 4 == 0 else f"s{i % 3}") for i in range(80)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="um3")
+    w = unimax_source_mix(t, budget_tokens=800, max_epochs=3.0,
+                          source_col="source")
+    kept = apply_source_mix(t, w, source_col="source",
+                            allow_upsample=True)
+    got = sorted((r.doc_id, r.copy_idx) for r in kept.df.collect())
+    assert len(got) > 0
+    again = apply_source_mix(
+        t, unimax_source_mix(t, budget_tokens=800, max_epochs=3.0,
+                             source_col="source"),
+        source_col="source", allow_upsample=True)
+    assert got == sorted((r.doc_id, r.copy_idx)
+                         for r in again.df.collect())
+    # the plan rebalances: head source loses docs, some tail doc repeats
+    weights = {r.source: r.sample_weight for r in w.collect()}
+    assert weights["big"] < 1.0
+    assert max(w_ for s, w_ in weights.items() if s != "big") > 1.0
+
+
+def test_unimax_partitioning_invariance(spark):
+    """The ordered running sum and the water-level selection are
+    byte-identical under adversarial input partitioning (the windows run
+    over the bounded per-source relation, whose global sort is pinned by
+    (cap, source))."""
+    from blaze_spark.pipeline import unimax_source_mix
+
+    rows = [(i, "tok " * (1 + i % 7), f"s{i % 6}") for i in range(60)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="um4")
+    base = sorted(map(tuple, unimax_source_mix(
+        t, budget_tokens=111, max_epochs=2.5,
+        source_col="source").collect()))
+    shuffled = Table(t.df.repartition(13), "um4b")
+    assert sorted(map(tuple, unimax_source_mix(
+        shuffled, budget_tokens=111, max_epochs=2.5,
+        source_col="source").collect())) == base
+
+
+def test_unimax_over_wire(spark):
+    """unimax_source_mix serializes over blaze:// and matches the local
+    plan byte-for-byte; the weights subtree feeds remote execution."""
+    from blaze_spark.pipeline import apply_source_mix
+    from blaze_spark.pipeline import unimax_source_mix as usm
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(i, "w " * (2 if i % 3 else 20), f"s{i % 3}")
+            for i in range(40)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, source string",
+             name="wumix")
+    srv = BlazeSparkServer({"wumix": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::wumix", spark=spark)
+        wr = usm(rt, budget_tokens=100, max_epochs=2.0,
+                 source_col="source")
+        got_w = sorted(map(tuple, spark.createDataFrame(
+            wr.compute(), schema=wr.df.schema).collect()))
+        want_w = sorted(map(tuple, usm(
+            t, budget_tokens=100, max_epochs=2.0,
+            source_col="source").collect()))
+        assert got_w == want_w
+        kept_ids = sorted(
+            (r.doc_id, r.copy_idx) for _, r in apply_source_mix(
+                rt, wr, source_col="source",
+                allow_upsample=True).compute().iterrows())
+        local_ids = sorted(
+            (r.doc_id, r.copy_idx) for r in apply_source_mix(
+                t, usm(t, budget_tokens=100, max_epochs=2.0,
+                       source_col="source"),
+                source_col="source", allow_upsample=True).df.collect())
+        assert kept_ids == local_ids and len(kept_ids) > 0
+    finally:
+        srv.stop()
+
+
 def test_dup_ngrams_over_wire(spark):
     from blaze_spark.pipeline import cross_doc_dup_ngrams
     from blaze_spark.server import BlazeSparkServer
