@@ -3013,6 +3013,23 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def perplexity_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail split (r15, pipeline/lm.
+    perplexity_buckets — Wenzek et al. 2020): per-LANGUAGE perplexity
+    terciles under the corpus bigram LM, each language ranked against
+    itself.  The thresholds are exact interpolated percentiles of the
+    round-4 ppl export (Spark percentile ≙ DuckDB quantile_cont, the
+    percentile_prices precedent) computed per language over the
+    persisted skinny score relation and broadcast back; the oracle
+    value-checks every document's bucket assignment."""
+    from blaze_spark.pipeline import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(d, n_buckets=1024, n=2, by_col="lang")
+    return out.select("doc_id", "lang", "n_grams", "ppl",
+                      "ppl_bucket").orderBy("doc_id")
+
+
 def ngram_lm_backoff_docs(spark, sf_dir):
     """Stupid-backoff LM band filter (r12, VERDICT r11 #1 —
     pipeline/lm.py backoff=λ, Brants et al. 2007): per-gram
@@ -3876,12 +3893,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Nothing failing rotated out (r14 had zero failures).
         # Late r15: unimax_weights_docs + unimax_mix_docs (NEW oracle —
         # UniMax water-filling language sampling, Chung et al. 2023,
-        # plan and execution both byte-checked); text_language_id and
-        # text_fingerprint (green r8-era rows, unchanged code; their
-        # siblings text_quality/text_token_stats stay) rotate below
-        # the boundary to keep the sample at exactly 50.
+        # plan and execution both byte-checked) and
+        # perplexity_buckets_docs (NEW oracle — CCNet per-language
+        # head/middle/tail terciles, Wenzek et al. 2020);
+        # text_language_id, text_fingerprint and cross_doc_scrub_docs
+        # (green r8/r9-era rows, unchanged code; their siblings
+        # text_quality/text_token_stats/cross_doc_dup_lines_docs stay)
+        # rotate below the boundary to keep the sample at exactly 50.
         "unimax_weights_docs": unimax_weights_docs,
         "unimax_mix_docs": unimax_mix_docs,
+        "perplexity_buckets_docs": perplexity_buckets_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
         "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
@@ -3918,7 +3939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_fk_hop": blaze_client_fk_hop,
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
-        "cross_doc_scrub_docs": cross_doc_scrub_docs,
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
@@ -3961,9 +3981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sep_docs, ngram_lm_backoff3_docs) made room for the
         # two r15 heads and the five counter-rotated core rows.
         # Late r15: text_language_id + text_fingerprint rotated below
-        # for the two UniMax entries.
+        # for the two UniMax entries; cross_doc_scrub_docs for the
+        # CCNet bucket entry.
         "text_language_id": text_language_id,
         "text_fingerprint": text_fingerprint,
+        "cross_doc_scrub_docs": cross_doc_scrub_docs,
         "tokenizer_stats_docs": tokenizer_stats_docs,
         "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "word_frequencies_docs": word_frequencies_docs,
@@ -6305,6 +6327,55 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(exp(-sc.s / sc.ng), 4) + 0.0 END AS ppl
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # the same LM, then CCNet's per-language head/middle/tail
+        # terciles (r15): quantile_cont thresholds over the round-4
+        # ppl multiset, every document's bucket value-checked
+        "perplexity_buckets_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            gb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS g,
+                       CAST(concat('0x', substr(md5(
+                           regexp_extract(gram, '^(.*) [^ ]+$', 1)), 1, 8))
+                           AS BIGINT) % 1024 AS c
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1))
+                                       AS i
+                            FROM tk))),
+            cg AS (SELECT g AS b, count(*) AS c FROM gb GROUP BY 1),
+            cc AS (SELECT c AS b, count(*) AS c2 FROM gb GROUP BY 1),
+            sc AS (
+                SELECT gb.doc_id,
+                       SUM(ln(COALESCE(cg.c, 0) + 1)
+                           - ln(COALESCE(cc.c2, 0) + 1024)) AS s,
+                       count(*) AS ng
+                FROM gb LEFT JOIN cg ON gb.g = cg.b
+                        LEFT JOIN cc ON gb.c = cc.b
+                GROUP BY 1),
+            j AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(sc.ng AS INT) AS n_grams,
+                       round(exp(-sc.s / sc.ng), 4) + 0.0 AS ppl
+                FROM documents d JOIN sc USING (doc_id)
+                WHERE sc.ng > 0),
+            thr AS (
+                SELECT lang,
+                       quantile_cont(ppl, 1.0/3.0) AS t1,
+                       quantile_cont(ppl, 2.0/3.0) AS t2
+                FROM j GROUP BY lang)
+            SELECT j.doc_id, j.lang, j.n_grams, j.ppl,
+                   CASE WHEN j.ppl <= thr.t1 THEN 'head'
+                        WHEN j.ppl <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM j JOIN thr USING (lang)
+            ORDER BY j.doc_id
         """,
         # the same LM, then the CCNet band filter on the round-4 ppl
         # export (membership value-checked: WHICH docs survive)

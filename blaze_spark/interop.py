@@ -231,7 +231,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # ≤ 2·n_buckets fit relation rides as literal rows,
                   # the reference corpus as a same-server subtree
                   "ngram_lm_fit", "ngram_lm_logprob",
-                  "perplexity_filter",
+                  "perplexity_filter", "perplexity_buckets",
                   # mid-r11 literal-args table ops: dup-span
                   # scoring/scrub and the mixture-plan pair (weights
                   # as literal rows or a same-server subtree)
@@ -383,7 +383,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   "train_quality_classifier"):
             return _selection_node(op, args, child, walk)
         if op in ("ngram_lm_fit", "ngram_lm_logprob",
-                  "perplexity_filter"):
+                  "perplexity_filter", "perplexity_buckets"):
             return _lm_node(op, args, child, walk)
         if op in ("cross_doc_dup_ngrams", "temperature_source_mix",
                   "unimax_source_mix", "apply_source_mix"):
@@ -610,7 +610,7 @@ def _lm_node(op: str, args: list, child: Table, walk):
     subtree; keyword args re-validate through the local entry points,
     so a hostile node fails the same way a bad local call does."""
     from .pipeline import ngram_lm_fit, ngram_lm_logprob, \
-        perplexity_filter
+        perplexity_buckets, perplexity_filter
 
     spark = child.df.sparkSession
 
@@ -649,6 +649,8 @@ def _lm_node(op: str, args: list, child: Table, walk):
     allowed = {"text_col", "id_col", "n_buckets", "n", "smoothing",
                "backoff", "interpolate", "tokenizer", "kneser_ney"}
     allowed |= ({"prefer_literal"} if op == "ngram_lm_logprob"
+                else {"quantiles", "labels", "by_col", "persist"}
+                if op == "perplexity_buckets"
                 else {"max_ppl", "min_ppl"})
     kw = dict(args[3])
     bad = set(kw) - allowed
@@ -659,6 +661,13 @@ def _lm_node(op: str, args: list, child: Table, walk):
     if "tokenizer" in kw:
         from .pipeline.tokenizer import tokenizer_from_wire
         kw["tokenizer"] = tokenizer_from_wire(kw["tokenizer"])
+    if op == "perplexity_buckets":
+        if "quantiles" in kw:
+            kw["quantiles"] = tuple(kw["quantiles"])
+        if "labels" in kw:
+            kw["labels"] = tuple(kw["labels"])
+        return Table(perplexity_buckets(child, reference, counts, **kw),
+                     op)
     fn = (ngram_lm_logprob if op == "ngram_lm_logprob"
           else perplexity_filter)
     return Table(fn(child, reference, counts, **kw), op)

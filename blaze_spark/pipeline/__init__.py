@@ -119,6 +119,7 @@ from .pq import (  # noqa: F401
 from .lm import (  # noqa: F401
     ngram_lm_fit,
     ngram_lm_logprob,
+    perplexity_buckets,
     perplexity_filter,
 )
 from .selection import (  # noqa: F401

@@ -1005,6 +1005,102 @@ def perplexity_filter(t: Table, reference: Table | None = None,
     return t.df.join(kept, id_col, "inner")
 
 
+def perplexity_buckets(t: Table, reference: Table | None = None,
+                       counts: DataFrame | None = None,
+                       quantiles: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                       labels: tuple = ("head", "middle", "tail"),
+                       by_col: str | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 4096, n: int = 2,
+                       smoothing: float = 1.0,
+                       backoff: float | None = None,
+                       tokenizer=None,
+                       interpolate: float | None = None,
+                       kneser_ney=None,
+                       persist: bool = True) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document's perplexity under the reference LM, then bucket by the
+    corpus' own ppl quantiles — ``by_col="lang"`` reproduces the paper's
+    PER-LANGUAGE terciles (each language is ranked against itself, so a
+    morphologically complex language's naturally higher perplexities
+    don't banish its whole corpus to "tail").  Unlike
+    :func:`perplexity_filter`'s fixed band, the thresholds are
+    data-derived: exact interpolated percentiles of the round-4 ``ppl``
+    export, computed per group and broadcast back.
+
+    Output: ``t``'s columns + the four LM exports + ``ppl_bucket``
+    (first label = lowest-perplexity slice).  Documents shorter than
+    ``n`` tokens carry no evidence and are DROPPED (NULL ppl — the
+    :func:`perplexity_filter` posture).
+
+    Scale shape: the scorer's one corpus scan produces a SKINNY
+    (id, exports) relation that is persisted (``persist=True``, scoped
+    to the result's lifetime) because two consumers read it — the
+    per-group percentile aggregation (shuffles only (group, ppl) pairs
+    onto a ≤ #groups key space) and the final join back onto ``t``.
+    The thresholds relation is #groups rows and broadcasts; bucketing
+    itself is a projection.  Nothing driver-side grows with the corpus.
+
+    Byte-strict oracle parity: the thresholds interpolate over the
+    SAME round-4 ppl multiset on both engines (Spark ``percentile`` ≙
+    DuckDB ``quantile_cont``, the percentile_prices precedent), and the
+    bucket comparisons then see identical doubles on both sides."""
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not 0.0 < q < 1.0 for q in qs) \
+            or any(b <= a for a, b in zip(qs, qs[1:])):
+        raise ValueError(
+            f"perplexity_buckets: quantiles must be strictly "
+            f"increasing within (0, 1), got {tuple(quantiles)}")
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"perplexity_buckets: {len(qs)} quantile cut(s) define "
+            f"{len(qs) + 1} buckets but {len(labels)} label(s) were "
+            "passed")
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"perplexity_buckets: duplicate bucket labels {labels}")
+    if by_col is not None and by_col not in t.df.columns:
+        raise ValueError(
+            f"perplexity_buckets: by_col {by_col!r} is not a column of "
+            f"the corpus ({t.df.columns})")
+    scores = _local_ngram_lm_logprob(
+        t, reference=reference, counts=counts, text_col=text_col,
+        id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,
+        backoff=backoff, tokenizer=tokenizer, interpolate=interpolate,
+        kneser_ney=kneser_ney, _fn_name="perplexity_buckets")
+    scored = scores.filter(F.col("ppl").isNotNull())
+    if persist:
+        scored = scored.persist()
+    if by_col is not None:
+        keyed = t.df.select(id_col, by_col).join(scored, id_col)
+        thr = (keyed.groupBy(by_col)
+               .agg(F.percentile("ppl", qs).alias("__thr")))
+    else:
+        thr = scored.groupBy().agg(
+            F.percentile("ppl", qs).alias("__thr"))
+    joined = t.df.join(scored, id_col, "inner")
+    joined = (joined.join(F.broadcast(thr), by_col)
+              if by_col is not None
+              else joined.crossJoin(F.broadcast(thr)))
+    bucket = F.when(F.col("ppl") <= F.col("__thr")[0],
+                    F.lit(labels[0]))
+    for i in range(1, len(qs)):
+        bucket = bucket.when(F.col("ppl") <= F.col("__thr")[i],
+                             F.lit(labels[i]))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    # pin the output order (joins reorder around their keys): the id,
+    # the corpus' remaining columns, the four LM exports, the bucket —
+    # the perplexity_filter convention + ppl_bucket
+    cols = ([id_col]
+            + [c for c in t.df.columns if c != id_col]
+            + [name for name, _ in _LM_SCHEMA] + ["ppl_bucket"])
+    out = joined.withColumn("ppl_bucket", bucket).select(*cols)
+    if persist:
+        from .dedup import _retain_cache
+        _retain_cache(out, scored)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Wire dialect: the LM family serializes over blaze:// (the selection
 # family's r11 closure pattern — VERDICT r10 established the posture:
@@ -1021,6 +1117,7 @@ from .selection import _client_of, _require_tree, _wire_result  # noqa: E402
 _local_ngram_lm_fit = ngram_lm_fit
 _local_ngram_lm_logprob = ngram_lm_logprob
 _local_perplexity_filter = perplexity_filter
+_local_perplexity_buckets = perplexity_buckets
 
 _LM_SCHEMA = ("n_grams", T.IntegerType()), ("logp", T.DoubleType()), \
     ("avg_logp", T.DoubleType()), ("ppl", T.DoubleType())
@@ -1229,4 +1326,50 @@ def perplexity_filter(t: Table, reference: Table | None = None,
         [t.df.schema[id_col]]
         + [f for f in t.df.schema.fields if f.name != id_col]
         + [T.StructField(c, dt) for c, dt in _LM_SCHEMA]))
+    return _wire_result(t, empty, node)
+
+
+@functools.wraps(_local_perplexity_buckets)
+def perplexity_buckets(t: Table, reference: Table | None = None,
+                       counts=None,
+                       quantiles: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                       labels: tuple = ("head", "middle", "tail"),
+                       by_col: str | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 4096, n: int = 2,
+                       smoothing: float = 1.0,
+                       backoff: float | None = None, tokenizer=None,
+                       interpolate: float | None = None,
+                       kneser_ney=None, persist: bool = True):
+    if _client_of(t) is None:
+        return _local_perplexity_buckets(
+            t, reference, counts, quantiles, labels, by_col, text_col,
+            id_col, n_buckets, n, smoothing, backoff, tokenizer,
+            interpolate, kneser_ney, persist)
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not 0.0 < q < 1.0 for q in qs) \
+            or any(b <= a for a, b in zip(qs, qs[1:])):
+        raise ValueError(
+            f"perplexity_buckets: quantiles must be strictly "
+            f"increasing within (0, 1), got {tuple(quantiles)}")
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"perplexity_buckets: {len(qs)} quantile cut(s) define "
+            f"{len(qs) + 1} buckets but {len(labels)} label(s) were "
+            "passed")
+    args = _lm_wire_args(t, reference, counts, text_col, id_col,
+                         n_buckets, n, smoothing, "perplexity_buckets",
+                         backoff, tokenizer, interpolate, kneser_ney)
+    args[3]["quantiles"] = qs
+    args[3]["labels"] = [str(x) for x in labels]
+    if by_col is not None:
+        args[3]["by_col"] = by_col
+    if not persist:
+        args[3]["persist"] = False
+    node = {"op": "perplexity_buckets", "args": args}
+    empty = t.df.sparkSession.createDataFrame([], T.StructType(
+        [t.df.schema[id_col]]
+        + [f for f in t.df.schema.fields if f.name != id_col]
+        + [T.StructField(c, dt) for c, dt in _LM_SCHEMA]
+        + [T.StructField("ppl_bucket", T.StringType())]))
     return _wire_result(t, empty, node)

@@ -1075,3 +1075,148 @@ def test_kn_composes_with_tokenizer(spark, ldocs):
     assert via_counts != plain          # pieces changed the grams
     for row in inline:
         assert all(v == v for v in row if isinstance(v, float))
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets — CCNet head/middle/tail (r15)
+
+
+@pytest.fixture(scope="module")
+def bdocs(spark):
+    """9 docs per 'language' with increasingly out-of-model bigrams, so
+    per-group perplexities are distinct and ordered by i."""
+    rows = []
+    for lang in ("aa", "bb"):
+        for i in range(9):
+            # common mass + i rare bigrams; the bb corpus reuses the
+            # same shape so the groups have comparable spreads
+            text = ("the cat sat " * 6
+                    + " ".join(f"rare{lang}{i}x{j}" for j in range(i + 1)))
+            rows.append((len(rows), text, lang))
+    return data(rows, spark=spark,
+                schema="doc_id bigint, text string, lang string",
+                name="bdocs")
+
+
+def test_perplexity_buckets_terciles(spark, bdocs):
+    """Per-group terciles on 9 distinct scores split 3/3/3, with head =
+    the three LOWEST perplexities of that group."""
+    from blaze_spark.pipeline import ngram_lm_logprob, perplexity_buckets
+
+    out = perplexity_buckets(bdocs, n_buckets=B, n=2, by_col="lang")
+    rows = out.select("doc_id", "lang", "ppl", "ppl_bucket").collect()
+    assert len(rows) == 18
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.ppl_bucket] += 1
+        assert counts == {"head": 3, "middle": 3, "tail": 3}, lang
+        ranked = sorted(rs, key=lambda r: r.ppl)
+        assert [r.ppl_bucket for r in ranked] == \
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # scores match the plain scorer (the bucket column is additive)
+    ppl = {r.doc_id: r.ppl for r in
+           ngram_lm_logprob(bdocs, n_buckets=B, n=2).collect()}
+    for r in rows:
+        assert r.ppl == ppl[r.doc_id]
+
+
+def test_perplexity_buckets_corpus_wide_and_custom(spark, bdocs):
+    """by_col=None ranks the whole corpus together; custom quantile
+    cuts and labels (quartiles) are honored."""
+    from blaze_spark.pipeline import perplexity_buckets
+
+    out = perplexity_buckets(
+        bdocs, n_buckets=B, n=2,
+        quantiles=(0.25, 0.5, 0.75),
+        labels=("q1", "q2", "q3", "q4"))
+    rows = out.select("doc_id", "ppl", "ppl_bucket").collect()
+    assert len(rows) == 18
+    ranked = sorted(rows, key=lambda r: (r.ppl, r.doc_id))
+    got = [r.ppl_bucket for r in ranked]
+    # 18 values, cuts at interpolated positions 4.25/8.5/12.75:
+    # <=t1 catches ranks 0-4 iff ties allow — on distinct-ish scores
+    # expect a 5/4/4/5 or neighboring split; assert monotone blocks
+    assert got == sorted(got, key=["q1", "q2", "q3", "q4"].index)
+    assert {g for g in got} == {"q1", "q2", "q3", "q4"}
+
+
+def test_perplexity_buckets_boundary_tie(spark):
+    """A document whose round-4 ppl EQUALS the threshold lands in the
+    lower bucket (<=), and identical scores land in the same bucket on
+    both sides of the cut when the quantile hits a data point."""
+    from blaze_spark.pipeline import perplexity_buckets
+
+    # 3 docs with IDENTICAL text -> identical ppl; plus 3 distinct
+    rows = [(i, "the cat sat the cat sat", "xx") for i in range(3)]
+    rows += [(3 + j, "the cat sat " + " ".join(f"z{j}w{k}"
+                                               for k in range(j + 1)),
+              "xx") for j in range(3)]
+    t = data(rows, spark=spark,
+             schema="doc_id bigint, text string, lang string",
+             name="tiedocs")
+    out = perplexity_buckets(t, n_buckets=B, n=2, by_col="lang")
+    got = {r.doc_id: (r.ppl, r.ppl_bucket)
+           for r in out.select("doc_id", "ppl", "ppl_bucket").collect()}
+    # the three tied docs share one bucket
+    assert len({got[i] for i in (0, 1, 2)}) == 1
+
+
+def test_perplexity_buckets_validation(spark, bdocs):
+    from blaze_spark.pipeline import perplexity_buckets
+
+    with pytest.raises(ValueError, match="strictly"):
+        perplexity_buckets(bdocs, quantiles=(0.5, 0.5))
+    with pytest.raises(ValueError, match="strictly"):
+        perplexity_buckets(bdocs, quantiles=(0.0, 0.5))
+    with pytest.raises(ValueError, match="label"):
+        perplexity_buckets(bdocs, quantiles=(0.5,),
+                           labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="duplicate"):
+        perplexity_buckets(bdocs, quantiles=(0.5,), labels=("a", "a"))
+    with pytest.raises(ValueError, match="by_col"):
+        perplexity_buckets(bdocs, by_col="nope")
+
+
+def test_perplexity_buckets_partitioning_and_persist(spark, bdocs):
+    """Adversarial input partitioning and persist=False both leave the
+    assignment byte-identical."""
+    from blaze_spark.core import Table
+    from blaze_spark.pipeline import perplexity_buckets
+
+    base = sorted(map(tuple, perplexity_buckets(
+        bdocs, n_buckets=B, n=2, by_col="lang")
+        .select("doc_id", "ppl", "ppl_bucket").collect()))
+    shuf = Table(bdocs.df.repartition(7), "bdocs_r")
+    assert sorted(map(tuple, perplexity_buckets(
+        shuf, n_buckets=B, n=2, by_col="lang")
+        .select("doc_id", "ppl", "ppl_bucket").collect())) == base
+    assert sorted(map(tuple, perplexity_buckets(
+        bdocs, n_buckets=B, n=2, by_col="lang", persist=False)
+        .select("doc_id", "ppl", "ppl_bucket").collect())) == base
+
+
+def test_perplexity_buckets_wire_roundtrip(spark, bdocs):
+    """perplexity_buckets over blaze:// matches the local run; unknown
+    keywords on an old-style node reject loudly."""
+    from blaze_spark.pipeline import perplexity_buckets
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"bdocs": bdocs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::bdocs", spark=spark)
+        pb_r = perplexity_buckets(rt, n_buckets=B, n=2, by_col="lang")
+        got = sorted(map(tuple, spark.createDataFrame(
+            pb_r.compute(), schema=pb_r.df.schema).collect()))
+        want = sorted(map(tuple, perplexity_buckets(
+            bdocs, n_buckets=B, n=2, by_col="lang")
+            .select(*pb_r.df.columns).collect()))
+        assert got == want and len(got) == 18
+        with pytest.raises(ValueError, match="quantiles"):
+            perplexity_buckets(rt, quantiles=(0.9, 0.1))
+    finally:
+        srv.stop()
