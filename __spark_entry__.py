@@ -3013,6 +3013,35 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def c4_clean_docs(spark, sf_dir):
+    """C4 line-level cleaning (r15, pipeline/curation.c4_clean —
+    Raffel et al. 2020 §2.2): terminal-punctuation / ≥3-word /
+    no-javascript line survival, the cleaned text as a first-class
+    column, plus the lorem-ipsum / brace / minimum-sentence document
+    drops — one shuffle-free projection.  The synthetic docs are
+    single-line word salad, so structure is planted deterministically
+    in-query on BOTH engines: every ' table ' becomes a sentence
+    boundary + newline; every 11th doc gains a lorem-ipsum tail, every
+    13th a brace, every 5th swaps ' scan ' for ' javascript ' (line
+    drops).  ``min_sentences=3`` keeps the pass decision non-vacuous at
+    the gate SFs.  The oracle value-checks the CLEANED TEXT itself,
+    every counter and every flag."""
+    from blaze_spark.pipeline import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    planted = d.transform(text=F.when(
+        F.col("doc_id") % 11 == 0, F.concat(base, F.lit(" lorem ipsum")))
+        .when(F.col("doc_id") % 13 == 0, F.concat(base, F.lit(" {x}")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.replace(base, F.lit(" scan "), F.lit(" javascript ")))
+        .otherwise(base))
+    out = c4_clean(planted, min_sentences=3)
+    return out[["doc_id", "text_clean", "n_lines", "n_kept_lines",
+                "n_sentences", "has_lorem_ipsum", "has_brace",
+                "c4_pass"]].df.orderBy("doc_id")
+
+
 def perplexity_buckets_docs(spark, sf_dir):
     """CCNet head/middle/tail split (r15, pipeline/lm.
     perplexity_buckets — Wenzek et al. 2020): per-LANGUAGE perplexity
@@ -3903,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_weights_docs": unimax_weights_docs,
         "unimax_mix_docs": unimax_mix_docs,
         "perplexity_buckets_docs": perplexity_buckets_docs,
+        "c4_clean_docs": c4_clean_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
         "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
@@ -3949,9 +3979,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "repetition_filter_docs": repetition_filter_docs,
         "pii_scrub_docs": pii_scrub_docs,
-        "corpus_curation_pipeline": corpus_curation_pipeline,
-        # ==== driver sample boundary (50) — corpus_curation_pipeline
-        # is entry #50.  r14 head: blaze_client_store_lm (NEW —
+        # ==== driver sample boundary (50) — pii_scrub_docs is entry
+        # #50.  Late r15: c4_clean_docs (NEW oracle — C4 line-level
+        # cleaning, Raffel et al. 2020) enters the head;
+        # corpus_curation_pipeline (green r8-era composite of rows
+        # that all still sit in the window individually) rotates below
+        # the boundary to keep the sample at exactly 50.
+        # r14 head: blaze_client_store_lm (NEW —
         # store-fed remote LM scoring, ROADMAP #11),
         # dup_maximal_spans_docs (NEW — maximal duplicated spans,
         # VERDICT r13 missing #2) and train_quality_classifier_docs
@@ -3982,7 +4016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two r15 heads and the five counter-rotated core rows.
         # Late r15: text_language_id + text_fingerprint rotated below
         # for the two UniMax entries; cross_doc_scrub_docs for the
-        # CCNet bucket entry.
+        # CCNet bucket entry; corpus_curation_pipeline for the C4
+        # cleaning entry.
+        "corpus_curation_pipeline": corpus_curation_pipeline,
         "text_language_id": text_language_id,
         "text_fingerprint": text_fingerprint,
         "cross_doc_scrub_docs": cross_doc_scrub_docs,
@@ -4796,6 +4832,59 @@ def oracle_sql() -> dict[str, str]:
                         AND af >= 0.8 AND stops >= 1 AS INT)
                        AS gopher_pass
             FROM raw
+        """,
+        # C4 line-level cleaning (r15): the same in-query planting on
+        # both engines, then the cleaned text ITSELF plus every
+        # counter/flag value-checked
+        "c4_clean_docs": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       replace(text, ' table ', '.' || chr(10)) AS b
+                FROM documents),
+            planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN b || ' lorem ipsum'
+                            WHEN doc_id % 13 = 0 THEN b || ' {x}'
+                            WHEN doc_id % 5 = 0
+                                THEN replace(b, ' scan ', ' javascript ')
+                            ELSE b END AS text
+                FROM base),
+            sig AS (
+                SELECT doc_id, text,
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)) AS lines
+                FROM planted),
+            k AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines, x ->
+                           regexp_matches(x, '[.!?"]$')
+                           AND len(regexp_split_to_array(x, '\s+')) >= 3
+                           AND NOT contains(lower(x), 'javascript'))
+                           AS kept
+                FROM sig),
+            o AS (
+                -- array_to_string on an EMPTY list is NULL in DuckDB
+                -- but '' under Spark's array_join: coalesce
+                SELECT doc_id, text, lines, kept,
+                       COALESCE(array_to_string(kept, chr(10)), '')
+                           AS text_clean,
+                       len(regexp_extract_all(
+                           COALESCE(array_to_string(kept, chr(10)), ''),
+                           '[.!?]')) AS ns
+                FROM k)
+            SELECT doc_id, text_clean,
+                   CAST(len(list_filter(lines, x -> length(x) > 0))
+                        AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept_lines,
+                   CAST(ns AS INT) AS n_sentences,
+                   CAST(contains(lower(text), 'lorem ipsum') AS INT)
+                       AS has_lorem_ipsum,
+                   CAST(contains(text, '{') AS INT) AS has_brace,
+                   CAST(NOT contains(lower(text), 'lorem ipsum')
+                        AND NOT contains(text, '{')
+                        AND ns >= 3 AS INT) AS c4_pass
+            FROM o
+            ORDER BY doc_id
         """,
         "token_commonness_docs": r"""
             WITH toks AS (

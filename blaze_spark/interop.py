@@ -215,7 +215,7 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # passes on registered datasets without shipping code
                   "language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
-                  "gopher_rules", "hash_sample",
+                  "gopher_rules", "c4_clean", "hash_sample",
                   # model-based selection family (r11): the bounded
                   # model/counts relations ride as literal row lists
                   # inside the node; corpora ride as subtrees
@@ -432,12 +432,13 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
             return _ht(child, args[1], tuple(units), **reds)
         if op in ("language_id", "quality_features", "fingerprint",
                   "repetition_features", "pii_scrub", "token_stats",
-                  "gopher_rules"):
+                  "gopher_rules", "c4_clean"):
             from . import pipeline as _pl
             fn = getattr(_pl, op)
             # optional args[1] = text column name; pii_scrub also takes
             # args[2] = list of kinds; token_stats args[2] = group_col;
-            # gopher_rules args[2] = its 9 thresholds, positional
+            # gopher_rules args[2] = its 9 thresholds, positional;
+            # c4_clean args[2] = its 2 thresholds, positional
             kw = {}
             if len(args) > 1 and args[1]:
                 kw["text_col"] = args[1]
@@ -455,6 +456,12 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                      "max_mean_word_len", "max_symbol_word_ratio",
                      "max_bullet_line_frac", "max_ellipsis_line_frac",
                      "min_alpha_word_frac", "min_stop_hits"), thr))
+            if op == "c4_clean" and len(args) > 2 and args[2]:
+                thr = args[2]
+                if len(thr) != 2:
+                    raise ValueError(
+                        "c4_clean wire node expects 2 thresholds")
+                kw.update(zip(("min_line_words", "min_sentences"), thr))
             return fn(child, **kw)
         raise ValueError(f"unknown table op: {op}")
 

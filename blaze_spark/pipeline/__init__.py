@@ -54,6 +54,7 @@ from .text import (  # noqa: F401
 from .curation import (  # noqa: F401
     apply_source_mix,
     blocklist_filter,
+    c4_clean,
     contamination_report,
     corpus_report,
     domain_mix,

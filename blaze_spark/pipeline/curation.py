@@ -302,6 +302,76 @@ def gopher_rules(t: Table, text_col: str = "text",
     )
 
 
+def c4_clean(t: Table, text_col: str = "text",
+             min_line_words: int = 3,
+             min_sentences: int = 5) -> Table:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, §2.2 — the
+    rules that built the T5 pre-training corpus), complementing the
+    document-level batteries (:func:`gopher_rules`,
+    :func:`repetition_features`): C4 is the one standard filter that
+    REWRITES the text rather than just scoring it, so it gets its own
+    pass with the cleaned text as a first-class output column.
+
+    Line rules (a line survives iff ALL hold, judged on the trimmed
+    line):
+
+    - ends in a terminal punctuation mark — period, exclamation mark,
+      question mark, or closing double quote (the paper's list);
+    - has at least ``min_line_words`` whitespace words;
+    - does not contain the word "javascript" (case-insensitive) — the
+      boilerplate "enable Javascript" banner rule.
+
+    Document signals: ``text_clean`` (surviving trimmed lines re-joined
+    with newlines), ``n_lines`` (non-blank input lines),
+    ``n_kept_lines``, ``n_sentences`` (terminal ``.!?`` marks in the
+    cleaned text — the paper's sentence proxy), ``has_lorem_ipsum`` and
+    ``has_brace`` (the "lorem ipsum" placeholder-text and '{' code-page
+    drops), and ``c4_pass`` (0/1: no lorem ipsum, no brace, and the
+    CLEANED page keeps at least ``min_sentences`` sentences).  The
+    badword rule is deliberately NOT duplicated here — compose with
+    :func:`blocklist_filter`, which already implements the
+    word-boundary matching C4's list needs.
+
+    Everything is one shuffle-free projection of built-in Column
+    expressions (split / filter / array_join / regexp counts), so a
+    100 TB scan stays in whole-stage codegen and ``c4_pass = 1`` pushes
+    down.  All exports are ints/strings — no float drift surface — and
+    every regex is anchored-simple so Java and RE2/DuckDB agree."""
+    if min_line_words < 1:
+        raise ValueError(
+            f"c4_clean: min_line_words must be >= 1, got {min_line_words}")
+    if min_sentences < 0:
+        raise ValueError(
+            f"c4_clean: min_sentences must be >= 0, got {min_sentences}")
+    c = F.col(text_col)
+    trimmed = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    n_lines = F.size(F.filter(trimmed, lambda x: F.length(x) > 0))
+    kept = F.filter(
+        trimmed,
+        lambda x: (x.rlike('[.!?"]$')
+                   & (F.size(F.split(x, r"\s+")) >= min_line_words)
+                   & ~F.lower(x).contains("javascript")))
+    text_clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(text_clean, F.lit("[.!?]"),
+                                         F.lit(0)))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    ok = (~has_lorem & ~has_brace & (n_sent >= min_sentences))
+    return _unary_pass(
+        t,
+        t.df.withColumns({
+            "text_clean": text_clean,
+            "n_lines": n_lines.cast(T.IntegerType()),
+            "n_kept_lines": F.size(kept).cast(T.IntegerType()),
+            "n_sentences": n_sent.cast(T.IntegerType()),
+            "has_lorem_ipsum": has_lorem.cast(T.IntegerType()),
+            "has_brace": has_brace.cast(T.IntegerType()),
+            "c4_pass": ok.cast(T.IntegerType()),
+        }),
+        "c4_clean", text_col, [min_line_words, min_sentences],
+    )
+
+
 def source_mix(t: Table, text_col: str = "text",
                source_col: str = "source",
                tokenizer=None) -> DataFrame:

@@ -1127,3 +1127,98 @@ def test_pack_sequences_sep_tokens_wire(spark):
         assert "sep_tokens" not in to_tree(plain)["args"][1]
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# c4_clean — the C4 line-level cleaning pass (r15)
+
+
+def test_c4_clean_line_rules(spark):
+    """Hand-computed C4 line survival (Raffel et al. 2020 §2.2):
+    terminal punctuation (incl. closing quote), >=3 words, no
+    'javascript', blanks never counted as kept."""
+    from blaze_spark.pipeline import c4_clean
+
+    text = ('This line is clean.\n'
+            'short.\n'
+            'Please enable JavaScript to view.\n'
+            'no punctuation here\n'
+            '\n'
+            '  Trailing spaces okay!  \n'
+            'He said "quoted line."')
+    t = data([(0, text)], spark=spark,
+             schema="doc_id bigint, text string", name="c4docs")
+    r = c4_clean(t).df.collect()[0]
+    assert r.n_lines == 6                     # blanks excluded
+    assert r.n_kept_lines == 3
+    assert r.text_clean == ('This line is clean.\n'
+                            'Trailing spaces okay!\n'
+                            'He said "quoted line."')
+    assert r.n_sentences == 3                 # . ! .  ('"' is not one)
+    assert r.c4_pass == 0                     # default min_sentences=5
+    r3 = c4_clean(t, min_sentences=3).df.collect()[0]
+    assert r3.c4_pass == 1
+    # the word bound is judged on the TRIMMED line
+    r1 = c4_clean(t, min_line_words=1).df.collect()[0]
+    assert r1.n_kept_lines == 4               # 'short.' now survives
+
+
+def test_c4_clean_doc_rules(spark):
+    """Document drops: lorem ipsum placeholder, '{' code pages, and the
+    minimum-sentence floor counted over the CLEANED text."""
+    from blaze_spark.pipeline import c4_clean
+
+    five = ('One two three. Four five six. Seven eight nine. '
+            'Ten eleven twelve. Thirteen fourteen fifteen.')
+    rows = [
+        (0, five),
+        (1, 'Lorem Ipsum dolor sit amet. ' + five),
+        (2, 'function f() { return 1; }. ' + five),
+        (3, 'One two three. Four five six.'),
+    ]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="c4docs2")
+    out = {r.doc_id: r for r in c4_clean(t).df.collect()}
+    assert out[0].c4_pass == 1 and out[0].n_sentences == 5
+    assert out[1].has_lorem_ipsum == 1 and out[1].c4_pass == 0
+    assert out[2].has_brace == 1 and out[2].c4_pass == 0
+    assert out[3].c4_pass == 0                # 2 sentences < 5
+    with pytest.raises(ValueError, match="min_line_words"):
+        c4_clean(t, min_line_words=0)
+    with pytest.raises(ValueError, match="min_sentences"):
+        c4_clean(t, min_sentences=-1)
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    """The whole pass is one projection: zero exchanges."""
+    from blaze_spark.pipeline import c4_clean
+    from blaze_spark.plans import exchange_count
+
+    t = data([(1, "the cat sat.")], spark=spark,
+             schema="doc_id bigint, text string", name="c4plan")
+    assert exchange_count(c4_clean(t).df) == 0
+
+
+def test_c4_clean_wire_node_roundtrip(spark):
+    """c4_clean serializes as a unary tree op with its 2 thresholds;
+    malformed threshold vectors reject loudly."""
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline import c4_clean
+
+    t = data([(1, "One two three. Four five six.\nzz qq")],
+             spark=spark, schema="doc_id bigint, text string",
+             name="c4wire")
+    local = c4_clean(t, min_line_words=2, min_sentences=2)
+    tree = {"op": "c4_clean",
+            "args": [{"op": "symbol", "args": ["c4wire"]}, "text",
+                     [2, 2]]}
+    got = from_tree(tree, spark=spark, datasets={"c4wire": t},
+                    allow_data_uris=False)
+    assert sorted(got.df.columns) == sorted(local.df.columns)
+    assert [tuple(r) for r in got.df.collect()] == \
+        [tuple(r) for r in local.df.collect()]
+    bad = {"op": "c4_clean",
+           "args": [{"op": "symbol", "args": ["c4wire"]}, "text", [2]]}
+    with pytest.raises(ValueError, match="2 thresholds"):
+        from_tree(bad, spark=spark, datasets={"c4wire": t},
+                  allow_data_uris=False)
