@@ -3013,6 +3013,23 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 keyword retrieval (r15, pipeline/retrieval.bm25_topk —
+    Robertson & Zaragoza 2009, Lucene's non-negative idf variant):
+    top-10 documents for three fixed keyword queries over the
+    documents table.  Per-term contributions quantize to an integer
+    micro-unit before the per-(query, doc) sum (order-free — the
+    trainer discipline) and the top-k is the salted two-stage window,
+    so the DuckDB twin — which computes the global rank directly —
+    must agree byte-for-byte on scores, membership AND rank cut."""
+    from blaze_spark.pipeline import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["table scan fast", "spark stream window",
+                        "customer order query"], k=10)
+    return out.df.orderBy("query_id", "doc_id")
+
+
 def c4_clean_docs(spark, sf_dir):
     """C4 line-level cleaning (r15, pipeline/curation.c4_clean —
     Raffel et al. 2020 §2.2): terminal-punctuation / ≥3-word /
@@ -3933,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix_docs": unimax_mix_docs,
         "perplexity_buckets_docs": perplexity_buckets_docs,
         "c4_clean_docs": c4_clean_docs,
+        "bm25_topk_docs": bm25_topk_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
         "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
@@ -3973,7 +3991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blaze_client_curation": blaze_client_curation,
         "blaze_client_scalar_chain": blaze_client_scalar_chain,
         "pack_sequences_docs": pack_sequences_docs,
-        "chunk_documents_docs": chunk_documents_docs,
         "training_shards_pipeline": training_shards_pipeline,
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
@@ -3981,10 +3998,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         # ==== driver sample boundary (50) — pii_scrub_docs is entry
         # #50.  Late r15: c4_clean_docs (NEW oracle — C4 line-level
-        # cleaning, Raffel et al. 2020) enters the head;
-        # corpus_curation_pipeline (green r8-era composite of rows
-        # that all still sit in the window individually) rotates below
-        # the boundary to keep the sample at exactly 50.
+        # cleaning, Raffel et al. 2020) and bm25_topk_docs (NEW oracle
+        # — BM25 lexical retrieval, the sparse complement to the ANN
+        # family) enter the head; corpus_curation_pipeline (green
+        # r8-era composite of rows that all still sit in the window
+        # individually) and chunk_documents_docs (green r8 row,
+        # unchanged code; siblings pack_sequences_docs +
+        # training_shards_pipeline stay) rotate below the boundary to
+        # keep the sample at exactly 50.
         # r14 head: blaze_client_store_lm (NEW —
         # store-fed remote LM scoring, ROADMAP #11),
         # dup_maximal_spans_docs (NEW — maximal duplicated spans,
@@ -4017,8 +4038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Late r15: text_language_id + text_fingerprint rotated below
         # for the two UniMax entries; cross_doc_scrub_docs for the
         # CCNet bucket entry; corpus_curation_pipeline for the C4
-        # cleaning entry.
+        # cleaning entry; chunk_documents_docs for the BM25 entry.
         "corpus_curation_pipeline": corpus_curation_pipeline,
+        "chunk_documents_docs": chunk_documents_docs,
         "text_language_id": text_language_id,
         "text_fingerprint": text_fingerprint,
         "cross_doc_scrub_docs": cross_doc_scrub_docs,
@@ -4832,6 +4854,69 @@ def oracle_sql() -> dict[str, str]:
                         AND af >= 0.8 AND stops >= 1 AS INT)
                        AS gopher_pass
             FROM raw
+        """,
+        # BM25 retrieval (r15): the twin computes the global rank
+        # directly (no salting) — scores, membership AND rank cut must
+        # agree byte-for-byte.  Float literals are spelled as the SAME
+        # arithmetic Spark evaluates ((1.2 + 1.0), (1.0 - 0.75)) so
+        # both engines see identical doubles at every step; per-term
+        # contributions quantize to BIGINT micro-units before the sum.
+        "bm25_topk_docs": r"""
+            WITH q(query_id, query) AS (
+                VALUES (0, 'table scan fast'),
+                       (1, 'spark stream window'),
+                       (2, 'customer order query')),
+            qt AS (
+                SELECT DISTINCT query_id, term
+                FROM (SELECT query_id,
+                             unnest(regexp_split_to_array(
+                                 trim(lower(query)), '\s+')) AS term
+                      FROM q)
+                WHERE length(term) > 0),
+            tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(toks)) AS DOUBLE) / count(*)
+                           AS avgdl
+                FROM tk),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+                FROM tk),
+            hit AS (
+                SELECT h.doc_id, h.term,
+                       count(*) AS tf, any_value(h.dl) AS dl
+                FROM tok h
+                JOIN (SELECT DISTINCT term FROM qt) USING (term)
+                GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM hit GROUP BY 1),
+            sc AS (
+                SELECT qt.query_id, hit.doc_id,
+                       SUM(CAST(round(
+                           ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                    / (dfreq.df + 0.5))
+                           * hit.tf * (1.2 + 1.0)
+                           / (hit.tf + 1.2 * ((1.0 - 0.75)
+                              + 0.75 * hit.dl / stats.avgdl))
+                           * 1000000) AS BIGINT)) AS s_micro
+                FROM hit
+                JOIN dfreq USING (term)
+                JOIN qt USING (term)
+                CROSS JOIN stats
+                GROUP BY 1, 2),
+            r AS (
+                SELECT query_id, doc_id, s_micro,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s_micro DESC,
+                                                   doc_id) AS rk
+                FROM sc)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(s_micro / 1000000.0, 6) + 0.0 AS score
+            FROM r WHERE rk <= 10
+            ORDER BY query_id, doc_id
         """,
         # C4 line-level cleaning (r15): the same in-query planting on
         # both engines, then the cleaned text ITSELF plus every

@@ -201,10 +201,17 @@ NEW_QUERIES_R14 = [
 # r15: the convergence-aided trainer (init count pre-pass + 2 decayed
 # epochs + classify, whole chain per rep) and the registered bloom-
 # store service (filter build + save + HTTP server + remote probe,
-# whole chain per rep — the blaze_client_store_lm posture).
+# whole chain per rep — the blaze_client_store_lm posture).  Late r15:
+# the UniMax mixer (per-language token census + water-filling plan +
+# budgeted keep pass) and the CCNet bucket split (LM fit + score +
+# per-language percentile thresholds + join-back, whole chain per rep).
 NEW_QUERIES_R15 = [
     "train_classifier_init_docs",
     "blaze_client_store_bloom",
+    "unimax_mix_docs",
+    "perplexity_buckets_docs",
+    "c4_clean_docs",
+    "bm25_topk_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

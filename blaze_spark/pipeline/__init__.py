@@ -69,6 +69,9 @@ from .curation import (  # noqa: F401
     token_commonness,
     top_ngram_share,
 )
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+)
 from .packing import (  # noqa: F401
     chunk_documents,
     pack_sequences,

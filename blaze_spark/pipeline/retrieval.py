@@ -1,0 +1,182 @@
+"""Lexical retrieval over the document corpus: BM25 top-k keyword
+search — the sparse complement to the dense embedding ANN family
+(``pipeline/similarity.py``).  A curation pipeline reaches for this
+constantly: targeted corpus audits ("show me the docs that best match
+this benchmark prompt"), seed-set expansion for classifier training,
+and decontamination triage all start from a keyword query, not an
+embedding.
+
+Reference parity: the reference engine has no retrieval operator — this
+extends its text surface the way ``pipeline/selection.py`` extends
+model-based filtering (green-field, SURVEY §2 "beyond the reference"
+charter).
+
+Scale shape (the 100 TB contract):
+
+- The QUERY side is small and bounded (``max_queries`` guard, the
+  ``cosine_topk`` posture) — per-query state broadcasts, never
+  shuffles the corpus.
+- TWO corpus scans, both column-pruned to (id, text): one scalar
+  aggregation for (N, avgdl), one tokenize→explode→filter pass whose
+  explode output is cut down to QUERY-TERM hits by a broadcast join
+  BEFORE the only corpus-keyed shuffle (docs × query-vocabulary rows,
+  not docs × vocabulary).
+- Document frequencies aggregate from the already-filtered hits
+  (≤ #query-terms keys) and broadcast back.
+- Per-(query, doc) score sums are ORDER-FREE: each term's BM25
+  contribution is quantized to an integer micro-unit (×1e6, SQL
+  ROUND) before aggregation — the ``train_quality_classifier``
+  discipline — so the sum is byte-reproducible under any partitioning
+  and exactly mirrored by the DuckDB oracle.
+- Top-k is two-stage: a salted local window (``xxhash64(doc) mod 32``
+  sub-partitions per query) followed by a global window over the
+  ≤ 32·k survivors per query — a single query matching millions of
+  documents never lands one window partition with millions of rows
+  (the plan shape ``test_plans.py`` pins AGAINST elsewhere).  Exact:
+  every global top-k row is its salt bucket's local top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..core import Table
+from .curation import _tokens
+
+_SALT = 32          # top-k pre-aggregation fan-in per query
+_MICRO = 1_000_000  # integer quantization unit for order-free sums
+
+
+def _query_relation(queries, spark, query_id_col: str,
+                    query_text_col: str) -> DataFrame:
+    """Normalize the query side: a Table/DataFrame with
+    (query_id, query) columns passes through; a plain list of strings
+    gets deterministic ids 0..n-1 in list order."""
+    if isinstance(queries, Table):
+        qdf = queries.df
+    elif isinstance(queries, DataFrame):
+        qdf = queries
+    elif isinstance(queries, (list, tuple)):
+        if not queries or not all(isinstance(q, str) for q in queries):
+            raise ValueError(
+                "bm25_topk: a query list must be non-empty strings")
+        qdf = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)],
+            schema=T.StructType([
+                T.StructField(query_id_col, T.LongType()),
+                T.StructField(query_text_col, T.StringType())]))
+    else:
+        raise TypeError(
+            f"bm25_topk: queries must be a Table, DataFrame or list of "
+            f"strings, got {type(queries).__name__}")
+    for c in (query_id_col, query_text_col):
+        if c not in qdf.columns:
+            raise ValueError(
+                f"bm25_topk: query relation is missing column {c!r} "
+                f"(has {qdf.columns})")
+    return qdf
+
+
+def bm25_topk(corpus: Table, queries, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query",
+              max_queries: int = 10_000,
+              round_to: int = 6) -> Table:
+    """Exact BM25 top-k documents per keyword query (Robertson &
+    Zaragoza 2009, the Okapi ``k1``/``b`` form with the non-negative
+    "plus-one" idf ``ln(1 + (N − df + ½)/(df + ½))`` — Lucene's
+    variant, so scores are never negative for ultra-common terms).
+
+    ``queries`` is a small relation (Table/DataFrame with
+    ``(query_id, query)``) or a plain list of strings (ids assigned in
+    list order).  Queries and documents tokenize identically
+    (lower/trim/whitespace — the shared ``pipeline`` tokenization);
+    duplicate terms within one query count once (classic BM25 ignores
+    query-term frequency).  Output: ``(query_id, doc_id, score)`` —
+    ≤ ``k`` rows per query, rank ties broken by ``doc_id`` ascending,
+    ``score`` rounded to ``round_to``.  Queries sharing no term with
+    any document return no rows; documents only score on terms they
+    contain (missing terms contribute exactly 0, never a NULL).
+
+    Two corpus scans (stats, hits), one corpus-keyed shuffle of
+    query-term hits only, integer-quantized order-free score sums, and
+    a salted two-stage top-k — see the module docstring for why each
+    of those survives 100 TB.  The brute-force corpus×queries shape of
+    the dense baseline does NOT appear here: cost is corpus×1 scan +
+    (matching tokens)×1 shuffle, so BM25 stays cheap even where
+    :func:`~blaze_spark.pipeline.similarity.cosine_topk` needs its
+    ANN escape hatch."""
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    if k1 <= 0:
+        raise ValueError(f"bm25_topk: k1 must be > 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"bm25_topk: b must be in [0, 1], got {b}")
+    spark = corpus.df.sparkSession
+    qdf = _query_relation(queries, spark, query_id_col, query_text_col)
+    if max_queries is not None:
+        probe = qdf.select(query_id_col).limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"bm25_topk query side exceeds max_queries="
+                f"{max_queries}: per-query terms broadcast, so the "
+                "query relation must stay bounded; batch the queries, "
+                "or pass max_queries=None to force.")
+    qterms = (qdf.select(F.col(query_id_col).alias("query_id"),
+                         F.explode(_tokens(F.col(query_text_col)))
+                         .alias("term"))
+              .filter(F.length("term") > 0).distinct())
+
+    toks = _tokens(F.col(text_col))
+    # scan 1: corpus size and average document length, broadcast as a
+    # 1-row relation (no driver collect; the domain_mix scalar posture)
+    stats = (corpus.df.select(F.size(toks).alias("dl"))
+             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+                  (F.sum("dl").cast(T.DoubleType())
+                   / F.count(F.lit(1))).alias("avgdl")))
+    # scan 2: explode to tokens, cut to query-term hits via broadcast
+    # join BEFORE the shuffle, then tf per (doc, term) with dl carried
+    # (first() — constant per doc, map-side combinable)
+    hits = (corpus.df
+            .select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
+            .join(F.broadcast(qterms.select("term").distinct()), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("tf"),
+                 F.first("dl").alias("dl")))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + F.lit(k1)
+                  * (F.lit(1.0 - b)
+                     + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    scored = (hits.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("c_micro",
+                          F.round(contrib * _MICRO, 0)
+                          .cast(T.LongType()))
+              .join(F.broadcast(qterms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c_micro").alias("s_micro")))
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(_SALT))).orderBy(
+        F.col("s_micro").desc(), F.col("doc_id"))
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("s_micro").desc(), F.col("doc_id"))
+    out = (scored
+           .withColumn("__lr", F.row_number().over(local_w))
+           .filter(F.col("__lr") <= k)
+           .withColumn("__r", F.row_number().over(final_w))
+           .filter(F.col("__r") <= k)
+           .select("query_id", "doc_id",
+                   (F.round(F.col("s_micro") / F.lit(float(_MICRO)),
+                            round_to) + F.lit(0.0)).alias("score")))
+    return Table(out, "bm25_topk")
