@@ -235,6 +235,10 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
                   # mid-r11 literal-args table ops: dup-span
                   # scoring/scrub and the mixture-plan pair (weights
                   # as literal rows or a same-server subtree)
+                  # r15: BM25 retrieval — corpus as a subtree, the
+                  # bounded query side as literal [id, text] rows or a
+                  # same-server subtree
+                  "bm25_topk",
                   "cross_doc_dup_ngrams", "temperature_source_mix",
                   "unimax_source_mix",
                   "apply_source_mix",
@@ -388,6 +392,8 @@ def from_tree(tree: dict, *, spark: SparkSession | None = None,
         if op in ("cross_doc_dup_ngrams", "temperature_source_mix",
                   "unimax_source_mix", "apply_source_mix"):
             return _mix_dedup_node(op, args, child, walk)
+        if op == "bm25_topk":
+            return _bm25_node(args, child, walk)
         if op in _PIPE_WIRE:
             return _pipeline_node(op, args, child, walk)
         if op == "pq_topk":
@@ -969,6 +975,44 @@ def _ivf_pq_node(op: str, args: list, child: Table, walk,
             [(int(q), [float(x) for x in v]) for q, v in args[3]],
             f"{id_col} long, {vec_col} array<double>"), "queries")
     return ivf_pq_topk(child, queries, centroids, codebooks, **kw)
+
+
+def _bm25_node(args: list, child: Table, walk):
+    """Replay a BM25 retrieval node (r15): corpus as the walked child,
+    the bounded query side as literal [query_id, query] rows or a
+    same-server subtree.  Keyword args re-validate through the local
+    entry point, so a hostile node fails like a bad local call."""
+    from .pipeline import bm25_topk
+
+    _arity("bm25_topk", args, 3)
+    allowed = {"k", "k1", "b", "text_col", "id_col", "query_id_col",
+               "query_text_col", "max_queries", "round_to"}
+    kw = dict(args[2])
+    bad = set(kw) - allowed
+    if bad:
+        raise ValueError(
+            f"bm25_topk wire node carries unknown keyword(s) "
+            f"{sorted(bad)} — re-serialize with a matching client "
+            "version")
+    if isinstance(args[1], dict):
+        queries = walk(args[1])
+    else:
+        if (not isinstance(args[1], list) or not args[1]
+                or not all(isinstance(p, list) and len(p) == 2
+                           and isinstance(p[0], int)
+                           and isinstance(p[1], str)
+                           for p in args[1])):
+            raise ValueError(
+                "bm25_topk wire node expects literal [query_id, query] "
+                "rows or a subtree as args[1]")
+        spark = child.df.sparkSession
+        qid = kw.get("query_id_col", "query_id")
+        qtx = kw.get("query_text_col", "query")
+        queries = spark.createDataFrame(
+            [(int(i), q) for i, q in args[1]],
+            T.StructType([T.StructField(qid, T.LongType()),
+                          T.StructField(qtx, T.StringType())]))
+    return bm25_topk(child, queries, **kw)
 
 
 def _mix_dedup_node(op: str, args: list, child: Table, walk):

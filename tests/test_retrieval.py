@@ -125,3 +125,49 @@ def test_bm25_guards(spark, docs):
     # and the escape hatch
     assert bm25_topk(docs, ["apple", "banana", "cherry"],
                      max_queries=None, k=1).df.count() == 3
+
+
+def test_bm25_wire_roundtrip(spark, docs):
+    """bm25_topk over blaze:// matches the local run (real HTTP);
+    scalar guards fire BEFORE the POST; malformed nodes reject."""
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree
+    from blaze_spark.server import BlazeSparkServer
+
+    srv = BlazeSparkServer({"bm_docs": docs}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::bm_docs", spark=spark)
+        r = bm25_topk(rt, ["apple banana", "cherry"], k=3)
+        got = sorted(map(tuple, spark.createDataFrame(
+            r.compute(), schema=r.df.schema).collect()))
+        want = sorted(map(tuple, bm25_topk(
+            docs, ["apple banana", "cherry"], k=3).df.collect()))
+        assert got == want and len(got) == 4
+        with pytest.raises(ValueError, match="k1 must be"):
+            bm25_topk(rt, ["apple"], k1=0)
+        # a remote query relation cannot apply to a LOCAL corpus
+        with pytest.raises(TypeError, match="mixes engines"):
+            bm25_topk(docs, rt.relabel(doc_id="query_id",
+                                       text="query"))
+    finally:
+        srv.stop()
+    # refusal matrix on the raw node (no server needed)
+    sym = {"op": "symbol", "args": ["bm_docs"]}
+    with pytest.raises(ValueError, match="unknown keyword"):
+        from_tree({"op": "bm25_topk",
+                   "args": [sym, [[0, "apple"]], {"evil": 1}]},
+                  spark=spark, datasets={"bm_docs": docs},
+                  allow_data_uris=False)
+    with pytest.raises(ValueError, match=r"literal \[query_id"):
+        from_tree({"op": "bm25_topk",
+                   "args": [sym, [["x", "y"]], {}]},
+                  spark=spark, datasets={"bm_docs": docs},
+                  allow_data_uris=False)
+    # a well-formed literal node replays to the local result
+    ok = from_tree({"op": "bm25_topk",
+                    "args": [sym, [[0, "apple banana"]], {"k": 3}]},
+                   spark=spark, datasets={"bm_docs": docs},
+                   allow_data_uris=False)
+    assert sorted(map(tuple, ok.df.collect())) == sorted(map(
+        tuple, bm25_topk(docs, ["apple banana"], k=3).df.collect()))
