@@ -986,7 +986,7 @@ def _bm25_node(args: list, child: Table, walk):
 
     _arity("bm25_topk", args, 3)
     allowed = {"k", "k1", "b", "text_col", "id_col", "query_id_col",
-               "query_text_col", "max_queries", "round_to"}
+               "query_text_col", "max_queries", "round_to", "persist"}
     kw = dict(args[2])
     bad = set(kw) - allowed
     if bad:

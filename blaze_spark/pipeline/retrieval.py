@@ -86,7 +86,8 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
               query_id_col: str = "query_id",
               query_text_col: str = "query",
               max_queries: int = 10_000,
-              round_to: int = 6) -> Table:
+              round_to: int = 6,
+              persist: bool = True) -> Table:
     """Exact BM25 top-k documents per keyword query (Robertson &
     Zaragoza 2009, the Okapi ``k1``/``b`` form with the non-negative
     "plus-one" idf ``ln(1 + (N − df + ½)/(df + ½))`` — Lucene's
@@ -110,7 +111,17 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
     the dense baseline does NOT appear here: cost is corpus×1 scan +
     (matching tokens)×1 shuffle, so BM25 stays cheap even where
     :func:`~blaze_spark.pipeline.similarity.cosine_topk` needs its
-    ANN escape hatch."""
+    ANN escape hatch.
+
+    ``persist=True`` (default) caches the skinny hits relation between
+    its two consumers (df aggregation, scoring join); without it Spark
+    re-executes the whole tokenize→explode subtree — a THIRD corpus
+    scan, which at 100 TB is a second full read of the corpus.  The
+    trade is measured and honest: at the gate SFs the recompute is
+    CHEAPER than the cache materialization (sf0.1 interleaved A/B:
+    ~1.9 s no-persist vs ~2.2 s persist min-floors — the corpus is
+    40 MB there), so small-corpus callers can pass ``persist=False``;
+    the default serves the scale the engine is built for."""
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
     if k1 <= 0:
@@ -149,6 +160,14 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("tf"),
                  F.first("dl").alias("dl")))
+    # TWO consumers read hits (dfreq and the scoring join); without a
+    # persist Spark re-executes the whole explode+join+agg subtree —
+    # plan-measured as a THIRD corpus scan and a second corpus-keyed
+    # shuffle.  hits is the skinny (doc, term, tf, dl) relation
+    # (docs × query-vocabulary, not docs × vocabulary), scoped to the
+    # result's lifetime (the perplexity_buckets posture).
+    if persist:
+        hits = hits.persist()
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("df"))
     idf = F.log(F.lit(1.0)
@@ -179,6 +198,9 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
            .select("query_id", "doc_id",
                    (F.round(F.col("s_micro") / F.lit(float(_MICRO)),
                             round_to) + F.lit(0.0)).alias("score")))
+    if persist:
+        from .dedup import _retain_cache
+        _retain_cache(out, hits)
     return Table(out, "bm25_topk")
 
 
@@ -202,7 +224,8 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
               query_id_col: str = "query_id",
               query_text_col: str = "query",
               max_queries: int = 10_000,
-              round_to: int = 6) -> Table:
+              round_to: int = 6,
+              persist: bool = True) -> Table:
     from .selection import _client_of, _require_tree, _wire_result
 
     if _client_of(corpus) is None:
@@ -213,7 +236,7 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
                 "first (or register the corpus on the same server)")
         return _local_bm25_topk(corpus, queries, k, k1, b, text_col,
                                 id_col, query_id_col, query_text_col,
-                                max_queries, round_to)
+                                max_queries, round_to, persist)
     # guard-before-POST: scalar contract errors surface locally
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
@@ -264,6 +287,8 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
           "query_text_col": query_text_col, "round_to": int(round_to)}
     if max_queries is None:
         kw["max_queries"] = None
+    if not persist:
+        kw["persist"] = False
     node = {"op": "bm25_topk",
             "args": [_require_tree(corpus, "bm25_topk"), enc, kw]}
     empty = corpus.df.sparkSession.createDataFrame([], T.StructType([
