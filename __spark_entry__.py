@@ -3013,6 +3013,35 @@ def perplexity_filter_docs(spark, sf_dir):
                       "avg_logp", "ppl").orderBy("doc_id")
 
 
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowing fingerprints (r15, pipeline/dedup.winnow_fingerprints
+    — Schleimer et al. 2003, the MOSS algorithm): leftmost-min of the
+    packed (hash·2^20 + pos) long over every full w=4 window of k=3
+    gram hashes, distinct selections per document.  The hash is the
+    family's portable md5-first-8-hex LONG, so the DuckDB twin
+    recomputes the exact selection — every (doc, pos, hash) triple
+    value-checks."""
+    from blaze_spark.pipeline import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(d, k=3, w=4)
+    return out.df.orderBy("doc_id", "pos", "gram_hash")
+
+
+def winnow_candidates_docs(spark, sf_dir):
+    """Winnowing candidate pairs (r15): documents sharing >= 2
+    selected fingerprint hashes, hot buckets (> 1000 selections)
+    blacklisted before the gather — the LSH/SimHash generator
+    topology with the paper's detection guarantee.  The DuckDB twin
+    recomputes the winnow + the distinct-hash pair join from
+    scratch."""
+    from blaze_spark.pipeline import winnow_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    out = winnow_candidates(d, k=3, w=4, min_shared=2, max_bucket=1000)
+    return out.df.orderBy("doc_a", "doc_b")
+
+
 def bm25_topk_docs(spark, sf_dir):
     """BM25 keyword retrieval (r15, pipeline/retrieval.bm25_topk —
     Robertson & Zaragoza 2009, Lucene's non-negative idf variant):
@@ -3951,6 +3980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_docs": perplexity_buckets_docs,
         "c4_clean_docs": c4_clean_docs,
         "bm25_topk_docs": bm25_topk_docs,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "winnow_candidates_docs": winnow_candidates_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
         "blaze_client_store_bloom": blaze_client_store_bloom,
         "blaze_client_store_lm": blaze_client_store_lm,
@@ -3988,8 +4019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness_docs": token_commonness_docs,
         "url_domain_stats": url_domain_stats,
         "cross_doc_dup_lines_docs": cross_doc_dup_lines_docs,
-        "blaze_client_curation": blaze_client_curation,
-        "blaze_client_scalar_chain": blaze_client_scalar_chain,
         "pack_sequences_docs": pack_sequences_docs,
         "training_shards_pipeline": training_shards_pipeline,
         "text_quality": text_quality,
@@ -3998,14 +4027,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         # ==== driver sample boundary (50) — pii_scrub_docs is entry
         # #50.  Late r15: c4_clean_docs (NEW oracle — C4 line-level
-        # cleaning, Raffel et al. 2020) and bm25_topk_docs (NEW oracle
+        # cleaning, Raffel et al. 2020), bm25_topk_docs (NEW oracle
         # — BM25 lexical retrieval, the sparse complement to the ANN
-        # family) enter the head; corpus_curation_pipeline (green
-        # r8-era composite of rows that all still sit in the window
-        # individually) and chunk_documents_docs (green r8 row,
-        # unchanged code; siblings pack_sequences_docs +
-        # training_shards_pipeline stay) rotate below the boundary to
-        # keep the sample at exactly 50.
+        # family) and winnow_fingerprints/candidates_docs (NEW oracles
+        # — Schleimer et al. 2003 MOSS winnowing, the third approximate
+        # dedup member, exact-selection DuckDB twin) enter the head;
+        # corpus_curation_pipeline (green r8-era composite of rows
+        # that all still sit in the window individually),
+        # chunk_documents_docs (green r8 row, unchanged code; siblings
+        # pack_sequences_docs + training_shards_pipeline stay) and the
+        # blaze_client_curation/scalar_chain pair (green r8-era wire
+        # rows; eight other client rows stay) rotate below the
+        # boundary to keep the sample at exactly 50.
         # r14 head: blaze_client_store_lm (NEW —
         # store-fed remote LM scoring, ROADMAP #11),
         # dup_maximal_spans_docs (NEW — maximal duplicated spans,
@@ -4038,7 +4071,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Late r15: text_language_id + text_fingerprint rotated below
         # for the two UniMax entries; cross_doc_scrub_docs for the
         # CCNet bucket entry; corpus_curation_pipeline for the C4
-        # cleaning entry; chunk_documents_docs for the BM25 entry.
+        # cleaning entry; chunk_documents_docs for the BM25 entry;
+        # blaze_client_curation + blaze_client_scalar_chain (green
+        # r8-era wire rows; eight other blaze_client_* rows stay in
+        # the window) for the two winnowing entries.
+        "blaze_client_curation": blaze_client_curation,
+        "blaze_client_scalar_chain": blaze_client_scalar_chain,
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "chunk_documents_docs": chunk_documents_docs,
         "text_language_id": text_language_id,
@@ -4854,6 +4892,81 @@ def oracle_sql() -> dict[str, str]:
                         AND af >= 0.8 AND stops >= 1 AS INT)
                        AS gopher_pass
             FROM raw
+        """,
+        # Winnowing (r15): the twin recomputes the exact leftmost-min
+        # selection over the packed (hash*2^20 + pos) long — every
+        # (doc, pos, hash) triple value-checks
+        "winnow_fingerprints_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(toks[i:i+2], ' ')), 1, 8))
+                           AS BIGINT) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2))
+                                 AS i
+                      FROM tk)),
+            p AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY doc_id) AS n,
+                       min(h * 1048576 + pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS m
+                FROM g)
+            SELECT DISTINCT doc_id,
+                   CAST(m % 1048576 AS INT) AS pos,
+                   m // 1048576 AS gram_hash
+            FROM p WHERE pos + 4 <= n
+            ORDER BY doc_id, pos, gram_hash
+        """,
+        # ... and the candidate pairs: distinct-hash-per-doc join with
+        # the >1000-selections hot-bucket blacklist replicated
+        "winnow_candidates_docs": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(toks[i:i+2], ' ')), 1, 8))
+                           AS BIGINT) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2))
+                                 AS i
+                      FROM tk)),
+            p AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY doc_id) AS n,
+                       min(h * 1048576 + pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS m
+                FROM g),
+            fp AS (
+                SELECT DISTINCT doc_id,
+                       CAST(m % 1048576 AS INT) AS pos,
+                       m // 1048576 AS gram_hash
+                FROM p WHERE pos + 4 <= n),
+            hot AS (
+                SELECT gram_hash FROM fp GROUP BY 1
+                HAVING count(*) > 1000),
+            dd AS (
+                SELECT DISTINCT gram_hash, doc_id FROM fp
+                WHERE gram_hash NOT IN (SELECT gram_hash FROM hot))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM dd a JOIN dd b
+                ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
         """,
         # BM25 retrieval (r15): the twin computes the global rank
         # directly (no salting) — scores, membership AND rank cut must

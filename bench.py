@@ -212,6 +212,7 @@ NEW_QUERIES_R15 = [
     "perplexity_buckets_docs",
     "c4_clean_docs",
     "bm25_topk_docs",
+    "winnow_candidates_docs",
 ]
 
 BENCH_QUERIES = (LEGACY_QUERIES + NEW_QUERIES_R9 + NEW_QUERIES_R10

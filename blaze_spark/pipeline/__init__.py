@@ -22,6 +22,8 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_candidates,
     ngram_jaccard_pairs,
+    winnow_fingerprints,
+    winnow_candidates,
 )
 from .recall import (  # noqa: F401
     pair_recall,

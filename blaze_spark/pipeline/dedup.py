@@ -995,6 +995,126 @@ def simhash_candidates(t: Table, text_col: str = "text", id_col: str = "doc_id",
 # at entry instead of computing over the empty schema-only frame.
 # (r12: exact_dedup / normalized_dedup / cross_doc_dup_lines left this
 # list — they serialize now, wire forms below.)
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local fingerprinting algorithm): the third member of the approximate
+# dedup family, with a GUARANTEE the probabilistic two lack.
+
+_WINNOW_POS_LIMIT = 1 << 20  # position packing bound (tokens per doc)
+
+
+def winnow_fingerprints(t: Table, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003): hash every token ``k``-gram, slide a window of ``w``
+    consecutive hashes, select each window's minimal hash — ties to the
+    LEFTMOST position (deterministic and engine-identical; the paper
+    picks rightmost, and either choice preserves the theorems).
+
+    The paper's guarantees, both pinned by tests: any shared token run
+    of length >= ``w + k - 1`` between two documents shares at least
+    one selected fingerprint (detection), and no shared run shorter
+    than ``k`` is ever detected (noise floor).  Expected density is
+    ``2/(w+1)`` of positions — unlike MinHash/SimHash this is a LOCAL
+    sketch (fingerprints carry positions), so matches localize to
+    regions, the `cross_doc_dup_spans` granularity with sub-linear
+    storage.  The flip side of the guarantee: a document shorter than
+    ``w + k - 1`` tokens has no full window and selects NOTHING — use
+    :func:`exact_dedup` for tiny documents (the paper's own caveat).
+
+    Output: distinct ``(doc_id, pos, gram_hash)`` selections (pos =
+    0-based k-gram start).  One corpus scan → positioned explode
+    (bounded by document length) → ONE doc-partitioned running-min
+    window (skew bound = one document's own grams; the min is over the
+    packed ``hash·2^20 + pos`` long, so "smallest hash, leftmost
+    position" is a single LONG min — order-free and DuckDB-exact) →
+    distinct.  Documents beyond 2^20 tokens would corrupt the packing
+    and raise loudly executor-side.  The hash is the family's portable
+    md5-first-8-hex LONG (`selection.py:68`), so the whole operator is
+    oracle-checkable byte-for-byte."""
+    if k < 1:
+        raise ValueError(f"winnow_fingerprints: k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"winnow_fingerprints: w must be >= 1, got {w}")
+    from pyspark.sql import Window
+
+    from .curation import ngram_array
+
+    grams = ngram_array(F.col(text_col), k)
+    pos = (t.df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(grams).alias("pos", "gram")))
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10) \
+        .cast(T.LongType())
+    packed = F.when(
+        F.col("pos") < _WINNOW_POS_LIMIT,
+        h * F.lit(_WINNOW_POS_LIMIT) + F.col("pos")).otherwise(
+        F.raise_error(F.lit(
+            f"winnow_fingerprints: document longer than "
+            f"{_WINNOW_POS_LIMIT} tokens overflows the position "
+            "packing — chunk it first (chunk_documents)")))
+    win = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    total = Window.partitionBy("doc_id")
+    sel = (pos.select("doc_id", "pos", packed.alias("ph"))
+           .withColumn("__min", F.min("ph").over(win))
+           .withColumn("__n", F.count(F.lit(1)).over(total))
+           # only FULL windows select (the last w-1 starts are partial)
+           .filter(F.col("pos") + w <= F.col("__n"))
+           .select("doc_id",
+                   (F.col("__min") % _WINNOW_POS_LIMIT)
+                   .cast(T.IntegerType()).alias("pos"),
+                   F.floor(F.col("__min") / F.lit(_WINNOW_POS_LIMIT))
+                   .cast(T.LongType()).alias("gram_hash"))
+           .distinct())
+    return Table(sel, "winnow_fingerprints")
+
+
+def winnow_candidates(t: Table, k: int = 5, w: int = 4,
+                      min_shared: int = 2,
+                      max_bucket: int = 1000,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> Table:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints: documents selecting the same ``gram_hash`` land in
+    one bucket; pairs sharing >= ``min_shared`` fingerprints surface
+    as ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``.
+
+    Same scale topology as the LSH/SimHash generators: the fingerprint
+    relation persists between its two consumers (hot-bucket count +
+    pair generation), hash buckets larger than ``max_bucket`` are
+    dropped via a BROADCAST blacklist before the bucket gather
+    (corpus-common grams — boilerplate — would go quadratic), and the
+    i<j pairs generate inside each bounded bucket array.  Chain into
+    :func:`ngram_jaccard_pairs` / :func:`edit_distance_pairs` for
+    exact verification, like the other candidate generators."""
+    if min_shared < 1:
+        raise ValueError(
+            f"winnow_candidates: min_shared must be >= 1, got {min_shared}")
+    if max_bucket < 2:
+        raise ValueError(
+            f"winnow_candidates: max_bucket must be >= 2, got {max_bucket}")
+    fps = winnow_fingerprints(t, k, w, text_col, id_col).df.persist()
+    hot = (fps.groupBy("gram_hash")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > max_bucket).select("gram_hash"))
+    cold = fps.join(F.broadcast(hot), "gram_hash", "left_anti")
+    grouped = (cold.select("gram_hash", "doc_id").distinct()
+               .groupBy("gram_hash")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+               .filter(F.size("docs") >= 2))
+    pair_arr = F.flatten(F.transform(
+        F.col("docs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    pairs = (grouped.select(F.explode(pair_arr).alias("pr"))
+             .groupBy("pr.doc_a", "pr.doc_b")
+             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return scoped_persist(Table(pairs, "winnow_candidates"), fps)
+
+
 from ..core import _localize_guard as _lg  # noqa: E402
 
 minhash_signatures = _lg(minhash_signatures)
@@ -1008,6 +1128,8 @@ edit_distance_pairs = _lg(edit_distance_pairs)
 exact_jaccard_pairs = _lg(exact_jaccard_pairs)
 simhash = _lg(simhash)
 simhash_candidates = _lg(simhash_candidates)
+winnow_fingerprints = _lg(winnow_fingerprints)
+winnow_candidates = _lg(winnow_candidates)
 
 
 # ---------------------------------------------------------------------------

@@ -2453,3 +2453,99 @@ def test_assign_clusters_refuses_taken_columns(spark):
                  name="acg_aid")
     with _pytest.raises(ValueError, match="__aid"):
         assign_clusters(d_aid, e, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003) — r15
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set:
+    """Pure-Python winnowing twin: leftmost-min per window over the
+    family's md5-first-8-hex gram hashes."""
+    import hashlib
+
+    toks = text.lower().split()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    lim = 1 << 20
+    out = set()
+    for j in range(len(hs) - w + 1):
+        m = min(hs[j + o] * lim + (j + o) for o in range(w))
+        out.add((m % lim, m // lim))
+    return out
+
+
+def test_winnow_matches_reference(spark):
+    """Selected (pos, hash) sets equal the from-first-principles Python
+    twin on varied texts; sub-(w+k-1) docs select nothing."""
+    from blaze_spark import data
+    from blaze_spark.pipeline import winnow_fingerprints
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs very quickly today"),
+        (2, "the the the the the the the the"),          # degenerate ties
+        (3, "too short"),                                 # < w+k-1
+    ]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="win_docs")
+    got = {}
+    for r in winnow_fingerprints(t, k=3, w=4).df.collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for d, txt in rows:
+        assert got.get(d, set()) == _ref_winnow(txt, 3, 4), d
+
+
+def test_winnow_detection_guarantee(spark):
+    """The paper's theorem, pinned: a shared token run of length
+    >= w+k-1 always yields a shared fingerprint (and a candidate
+    pair); below-k overlaps never do."""
+    from blaze_spark import Table, data
+    from blaze_spark.pipeline import winnow_candidates
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 = w+k-1
+    rows = [
+        (0, "one two three " + shared + " four five six"),
+        (1, "seven eight " + shared + " nine ten"),
+        # only a k-1 = 2-token overlap with doc 0 -> must NOT pair
+        (2, "one two eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="win_g")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in winnow_candidates(t, k=3, w=4,
+                                        min_shared=1).df.collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # partitioning invariance
+    shuf = Table(t.df.repartition(7), "win_g_r")
+    assert {(r.doc_a, r.doc_b) for r in winnow_candidates(
+        shuf, k=3, w=4, min_shared=1).df.collect()} == pairs
+
+
+def test_winnow_candidates_hot_bucket_and_guards(spark):
+    """Corpus-common fingerprints blacklist before the bucket gather;
+    guard matrix."""
+    import pytest
+
+    from blaze_spark import data
+    from blaze_spark.pipeline import winnow_candidates, winnow_fingerprints
+
+    boiler = "this boilerplate footer text repeats on every single page here"
+    rows = [(i, f"unique{i} words{i} " + boiler) for i in range(8)]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="win_hot")
+    # every pair shares the boilerplate; max_bucket=4 < 8 docs kills
+    # those buckets, so only fingerprints surviving the blacklist pair
+    few = winnow_candidates(t, k=3, w=4, min_shared=1, max_bucket=4)
+    assert few.df.count() == 0
+    many = winnow_candidates(t, k=3, w=4, min_shared=1, max_bucket=100)
+    assert many.df.count() == 8 * 7 // 2
+    with pytest.raises(ValueError, match="k must be"):
+        winnow_fingerprints(t, k=0)
+    with pytest.raises(ValueError, match="w must be"):
+        winnow_fingerprints(t, w=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_candidates(t, min_shared=0)
+    with pytest.raises(ValueError, match="max_bucket"):
+        winnow_candidates(t, max_bucket=1)
