@@ -703,6 +703,13 @@ _PIPE_WIRE: dict[str, tuple[frozenset, str]] = {
         frozenset({"n", "min_docs", "text_col", "id_col"}), "unary"),
     "dup_span_popularity": (
         frozenset({"n", "text_col", "id_col"}), "unary"),
+    # r15: winnowing (MOSS) — md5-hash fingerprints are portable, so
+    # unlike the xxhash64 MinHash/SimHash generators these serialize
+    "winnow_fingerprints": (
+        frozenset({"k", "w", "text_col", "id_col"}), "unary"),
+    "winnow_candidates": (
+        frozenset({"k", "w", "min_shared", "max_bucket", "text_col",
+                   "id_col"}), "unary"),
     "top_ngram_share": (frozenset({"n", "text_col", "id_col"}), "unary"),
     "source_mix": (
         frozenset({"text_col", "source_col", "tokenizer"}), "unary"),

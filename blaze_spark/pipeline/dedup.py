@@ -1128,8 +1128,6 @@ edit_distance_pairs = _lg(edit_distance_pairs)
 exact_jaccard_pairs = _lg(exact_jaccard_pairs)
 simhash = _lg(simhash)
 simhash_candidates = _lg(simhash_candidates)
-winnow_fingerprints = _lg(winnow_fingerprints)
-winnow_candidates = _lg(winnow_candidates)
 
 
 # ---------------------------------------------------------------------------
@@ -1187,6 +1185,8 @@ _local_normalized_dedup = normalized_dedup
 _local_cross_doc_dup_lines = cross_doc_dup_lines
 _local_cross_doc_dup_spans = cross_doc_dup_spans
 _local_dup_span_popularity = dup_span_popularity
+_local_winnow_fingerprints = winnow_fingerprints
+_local_winnow_candidates = winnow_candidates
 
 
 def _sweep_node(t: Table, op: str, local_plan: Table, kw: dict,
@@ -1211,6 +1211,46 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
         t, "cross_doc_dup_spans",
         _local_cross_doc_dup_spans(t, n, min_docs, text_col, id_col),
         {"n": int(n), "min_docs": int(min_docs), "text_col": text_col,
+         "id_col": id_col})
+
+
+@functools.wraps(_local_winnow_fingerprints)
+def winnow_fingerprints(t: Table, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> Table:
+    if _client_of(t) is None:
+        return _local_winnow_fingerprints(t, k, w, text_col, id_col)
+    if k < 1:
+        raise ValueError(f"winnow_fingerprints: k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"winnow_fingerprints: w must be >= 1, got {w}")
+    return _sweep_node(
+        t, "winnow_fingerprints",
+        _local_winnow_fingerprints(t, k, w, text_col, id_col),
+        {"k": int(k), "w": int(w), "text_col": text_col,
+         "id_col": id_col})
+
+
+@functools.wraps(_local_winnow_candidates)
+def winnow_candidates(t: Table, k: int = 5, w: int = 4,
+                      min_shared: int = 2, max_bucket: int = 1000,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> Table:
+    if _client_of(t) is None:
+        return _local_winnow_candidates(t, k, w, min_shared,
+                                        max_bucket, text_col, id_col)
+    if min_shared < 1:
+        raise ValueError(
+            f"winnow_candidates: min_shared must be >= 1, got {min_shared}")
+    if max_bucket < 2:
+        raise ValueError(
+            f"winnow_candidates: max_bucket must be >= 2, got {max_bucket}")
+    return _sweep_node(
+        t, "winnow_candidates",
+        _local_winnow_candidates(t, k, w, min_shared, max_bucket,
+                                 text_col, id_col),
+        {"k": int(k), "w": int(w), "min_shared": int(min_shared),
+         "max_bucket": int(max_bucket), "text_col": text_col,
          "id_col": id_col})
 
 

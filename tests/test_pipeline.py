@@ -2549,3 +2549,40 @@ def test_winnow_candidates_hot_bucket_and_guards(spark):
         winnow_candidates(t, min_shared=0)
     with pytest.raises(ValueError, match="max_bucket"):
         winnow_candidates(t, max_bucket=1)
+
+
+def test_winnow_over_wire(spark):
+    """Both winnow ops serialize as unary sweep nodes (md5 hashes are
+    portable, unlike the xxhash64 generators): remote == local over
+    real HTTP; unknown keywords reject loudly."""
+    import pytest
+
+    from blaze_spark import data
+    from blaze_spark.interop import from_tree
+    from blaze_spark.pipeline import winnow_candidates, winnow_fingerprints
+    from blaze_spark.server import BlazeSparkServer
+
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "iota kappa alpha beta gamma delta epsilon zeta nu")]
+    t = data(rows, spark=spark, schema="doc_id bigint, text string",
+             name="win_wire")
+    srv = BlazeSparkServer({"win_wire": t}, spark)
+    srv.start(port=0)
+    try:
+        rt = data(f"blaze://127.0.0.1:{srv.port}::win_wire", spark=spark)
+        for fn, kw in ((winnow_fingerprints, {"k": 3, "w": 4}),
+                       (winnow_candidates,
+                        {"k": 3, "w": 4, "min_shared": 1})):
+            r = fn(rt, **kw)
+            got = sorted(map(tuple, spark.createDataFrame(
+                r.compute(), schema=r.df.schema).collect()))
+            want = sorted(map(tuple, fn(t, **kw).df.collect()))
+            assert got == want and got, fn.__name__
+    finally:
+        srv.stop()
+    bad = {"op": "winnow_fingerprints",
+           "args": [{"op": "symbol", "args": ["win_wire"]},
+                    {"k": 3, "evil": 1}]}
+    with pytest.raises(ValueError, match="unknown keyword|unexpected"):
+        from_tree(bad, spark=spark, datasets={"win_wire": t},
+                  allow_data_uris=False)
