@@ -1063,6 +1063,18 @@ def perplexity_buckets(t: Table, reference: Table | None = None,
         raise ValueError(
             f"perplexity_buckets: by_col {by_col!r} is not a column of "
             f"the corpus ({t.df.columns})")
+    if by_col == id_col:
+        raise ValueError(
+            f"perplexity_buckets: by_col == id_col ({id_col!r}) — "
+            "per-document groups would make every document its own "
+            "tercile; group on a coarser column (e.g. lang)")
+    # loud guard instead of an opaque ambiguous-column analysis error
+    # (the assign_clusters posture, ADVICE r14)
+    taken = {"__thr", "ppl_bucket"} & set(t.df.columns)
+    if taken:
+        raise ValueError(
+            f"perplexity_buckets: the corpus already carries "
+            f"{sorted(taken)} — rename or drop before bucketing")
     scores = _local_ngram_lm_logprob(
         t, reference=reference, counts=counts, text_col=text_col,
         id_col=id_col, n_buckets=n_buckets, n=n, smoothing=smoothing,

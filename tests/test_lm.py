@@ -1220,3 +1220,18 @@ def test_perplexity_buckets_wire_roundtrip(spark, bdocs):
             perplexity_buckets(rt, quantiles=(0.9, 0.1))
     finally:
         srv.stop()
+
+
+def test_perplexity_buckets_collision_guards(spark, bdocs):
+    """by_col == id_col and pre-existing output-name columns fail
+    loudly (the assign_clusters guard posture), never with an
+    ambiguous-column analysis error."""
+    from blaze_spark.core import Table
+    from blaze_spark.pipeline import perplexity_buckets
+
+    with pytest.raises(ValueError, match="by_col == id_col"):
+        perplexity_buckets(bdocs, by_col="doc_id")
+    carrying = Table(bdocs.df.withColumn("ppl_bucket", F.lit("x")),
+                     "bdocs_c")
+    with pytest.raises(ValueError, match="already carries"):
+        perplexity_buckets(carrying, by_col="lang")
