@@ -59,6 +59,7 @@ from pyspark.sql import types as T
 
 from ..core import Table, _localize_guard
 from .curation import ngram_array
+from .dedup import _retain_cache, _spread
 
 __all__ = ["BloomFilter", "build_bloom", "build_ngram_bloom",
            "bloom_contains", "bloom_contamination",
@@ -178,7 +179,10 @@ def build_ngram_bloom(t: Table, n: int = 3, text_col: str = "text",
     shuffle-free."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    grams = t.df.select(
+    # tokenize + n-gram is the per-row-heavy step (interpreted HOFs):
+    # spread a small/single-file scan across the cores first (no-op at
+    # scale — _spread is metadata-gated; guide §2.5 input-skew fix)
+    grams = _spread(t.df, text_col).select(
         F.explode(ngram_array(F.col(text_col), n)).alias("g"))
     return build_bloom(Table(grams, "ngrams"), "g", m_bits, k)
 
@@ -251,7 +255,7 @@ def bloom_contamination(t: Table, bloom, n: int = 3,
     report, run ``contamination_report`` on just the flagged subset
     (a tiny fraction of the corpus) — the two-phase rescue."""
     bloom = _require_bloom(bloom)
-    grams = t.df.select(
+    grams = _spread(t.df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(
             ngram_array(F.col(text_col), n))).alias("g"))
@@ -302,36 +306,44 @@ def bloom_two_phase_contamination(t: Table, reference: Table,
     if bloom is None:
         bloom = build_ngram_bloom(reference, n, text_col, m_bits, k)
     bloom = _require_bloom(bloom)
-    grams = t.df.select(
+    grams = _spread(t.df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(
             ngram_array(F.col(text_col), n))).alias("g"))
-    probed = _hit_expr(grams, bloom, F.col("g"))
-    per_doc = (probed.groupBy(id_col)
-               .agg(F.count(F.lit(1)).cast(T.LongType())
-                    .alias("n_ngrams")))
-    flagged = probed.filter(F.col("_bloom_hit")) \
-        .select(F.col(id_col), F.col("g"))
-    hitset = flagged.select("g").distinct()
-    ref_g = reference.df.select(
+    # The probe pass feeds BOTH phase-2 consumers (the hit-gram set that
+    # prunes the reference scan, and the per-doc recount) — without a
+    # persist Spark re-executes the corpus explode + k probe joins once
+    # per consumer (r15 measured the un-persisted plan at 14 parquet
+    # scans / 13 broadcast builds; guide §2.4/§5).
+    probed = _hit_expr(grams, bloom, F.col("g")).persist()
+    hitset = probed.filter(F.col("_bloom_hit")).select("g").distinct()
+    ref_g = _spread(reference.df, text_col).select(
         F.explode(F.array_distinct(
             ngram_array(F.col(text_col), n))).alias("g"))
     true_g = (ref_g.join(F.broadcast(hitset), "g", "left_semi")
               .distinct().withColumn("_in_ref", F.lit(1)))
-    exact = (flagged.join(F.broadcast(true_g), "g", "left")
-             .groupBy(id_col)
-             .agg(F.sum(F.coalesce(F.col("_in_ref"), F.lit(0)))
-                  .alias("_n_exact")))
-    out = per_doc.join(exact, id_col, "left")
+    # One aggregation covers what used to be two doc-keyed aggregations
+    # plus a doc-keyed join-back: a gram can only be in ``true_g`` if it
+    # hit the bloom (zero false negatives), so joining ALL probed grams
+    # against the broadcast verified set and summing ``_in_ref`` counts
+    # exactly the flagged-and-verified grams, while count(*) is the
+    # per-doc gram total — byte-identical output, one Exchange fewer.
+    out = (probed.join(F.broadcast(true_g), "g", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_ngrams"),
+                F.sum(F.coalesce(F.col("_in_ref"), F.lit(0)))
+                .alias("_n_exact")))
     n_cont = F.coalesce(F.col("_n_exact"), F.lit(0)) \
         .cast(T.LongType())
-    return out.select(
+    final = out.select(
         F.col(id_col), F.col("n_ngrams"),
         n_cont.alias("n_contaminated"),
         F.round(n_cont / F.col("n_ngrams"), 4)
         .alias("contamination_rate"),
         (n_cont / F.col("n_ngrams") >= threshold)
         .cast(T.IntegerType()).alias("contaminated"))
+    _retain_cache(final, probed)
+    return final
 
 
 # two reserved word_idx rows carry the probe parameters, so a saved

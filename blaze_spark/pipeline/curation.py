@@ -149,10 +149,15 @@ def contamination_report(train: Table, test: Table, n: int = 3,
     Output: (doc_id, n_ngrams, n_contaminated, contamination_rate,
     contaminated) with ``contaminated`` as 0/1 on ``rate >= threshold``.
     """
+    from .dedup import _spread
+
     c = F.col(text_col)
 
     def distinct_grams(df: DataFrame) -> DataFrame:
-        return df.select(
+        # tokenize + n-gram is per-row-heavy (interpreted HOFs): spread
+        # a small/single-file scan across the cores first (metadata-
+        # gated no-op at scale; guide §2.5)
+        return _spread(df, id_col).select(
             F.col(id_col),
             F.explode(F.array_distinct(ngram_array(c, n))).alias("ngram"))
 
