@@ -2817,8 +2817,10 @@ def train_quality_classifier_docs(spark, sf_dir):
     from blaze_spark.pipeline import train_quality_classifier
 
     d = _t(spark, sf_dir, "documents")
+    # persist=True: one tokenization pass feeds both epochs (execution
+    # plan only — the fitted weights are pinned identical either way)
     m = train_quality_classifier(d, "lang = 'en'", n_buckets=1024,
-                                 epochs=2, lr=4.0)
+                                 epochs=2, lr=4.0, persist=True)
     return m.classify(d).orderBy("doc_id")
 
 
@@ -2837,9 +2839,11 @@ def train_classifier_init_docs(spark, sf_dir):
     from blaze_spark.pipeline import train_quality_classifier
 
     d = _t(spark, sf_dir, "documents")
+    # persist=True: one tokenization pass feeds the init count + both
+    # epochs (execution plan only — weights pinned identical)
     m = train_quality_classifier(d, "lang = 'en'", n_buckets=1024,
                                  epochs=2, lr=4.0, lr_decay=0.5,
-                                 init_intercept=True)
+                                 init_intercept=True, persist=True)
     return m.classify(d).orderBy("doc_id")
 
 
@@ -2906,6 +2910,10 @@ def targeted_corpus_build(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     g = gopher_rules(d, min_words=5, min_stop_hits=1)
+    # r15: measured persist-vs-recompute for the gated/kept reuses —
+    # at this corpus scale the cache fills serialize the DAG and LOSE
+    # (3.11 s persisted vs 1.46 s recomputed, min-of-3); the gate is a
+    # cheap projection, so recompute wins and the persists stay out
     gated = Table(g.df.filter(F.col("gopher_pass") == 1)
                   .select("doc_id", "text", "source"), "gated_docs")
     lex = [("the", 10), ("a", 10), ("of", 10), ("and", 10), ("to", 10),
@@ -2918,8 +2926,11 @@ def targeted_corpus_build(spark, sf_dir):
     kept = Table(gated.df.join(
         qc.filter(F.col("keep") == 1).select("doc_id"), "doc_id"),
         "kept_docs")
-    target = kept[kept.source.isin(["src0", "src1", "src2"])]
-    w = dsir_log_weights(kept, target, n_buckets=1024)
+    # target_filter= runs the DSIR fit as ONE dual-count pass instead
+    # of two corpus tokenizations (pinned equal to the two-fit form)
+    w = dsir_log_weights(
+        kept, target_filter=kept.source.isin(["src0", "src1", "src2"]),
+        n_buckets=1024)
     sampled = weighted_sample(w, "logw", n=150, temperature=0.5)
     out = train_val_test_split(Table(sampled, "sampled"),
                                fractions=(0.8, 0.1, 0.1), salt=7)

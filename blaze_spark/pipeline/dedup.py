@@ -123,6 +123,12 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     spark = df.sparkSession
     npart = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
+    if not files:
+        # no file scan under this plan (in-memory relation, empty wire
+        # schema frame): nothing to respread — local relations evaluate
+        # where they are, and adding an Exchange only breaks the
+        # shuffle-free pins of literal-map scoring paths (r15)
+        return df
     if len(files) >= npart:
         return df
     try:

@@ -104,9 +104,17 @@ def _positioned(df: DataFrame, text_col: str, n: int,
     — the n-grams are then over TRUE tokens (note the default path
     lowercases via ``_tokens``; a tokenizer's casing is its own
     ``lowercase=`` knob)."""
+    from .dedup import _spread
+
     tk = (_tokens(F.col(text_col)) if tokenizer is None
           else tokenizer.pieces(F.col(text_col)))
-    base = df.select(*keep, tk.alias("tk"))
+    # tokenize + positioned explode is the family's per-row-heavy step:
+    # spread a small/single-file scan across the cores first (metadata-
+    # gated no-op at scale; guide §2.5 input-skew fix).  Key on the
+    # first carried column (the id in every scoring call) or the text
+    # itself for id-less fit passes — both deterministic.
+    base = _spread(df, keep[0] if keep else text_col) \
+        .select(*keep, tk.alias("tk"))
     n_grams = F.greatest(F.size(F.col("tk")) - F.lit(n - 1),
                          F.lit(0)).cast(T.IntegerType())
     return base.select(*keep, n_grams.alias("n_grams"), F.col("tk"),

@@ -147,10 +147,12 @@ def hashed_bucket_counts(t: Table, text_col: str = "text",
     ``filter`` semantics).  At corpus scale the fit pass is the
     expensive half — this halves it."""
     # explode raw strings, hash post-explode in codegen (_bucket_of)
+    from .dedup import _spread
+
     _validate_features(n_buckets, n)
     c = F.col(text_col)
     if target_filter is None:
-        return (t.df
+        return (_spread(t.df, text_col)
                 .select(F.explode(_feature_array(c, n)).alias("feat"))
                 .select(_bucket_of(F.col("feat"), n_buckets)
                         .alias("bucket"))
@@ -158,7 +160,7 @@ def hashed_bucket_counts(t: Table, text_col: str = "text",
                 .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
     flag = F.when(_as_predicate(target_filter),
                   F.lit(1)).otherwise(F.lit(0))
-    return (t.df
+    return (_spread(t.df, text_col)
             .select(F.explode(_feature_array(c, n)).alias("feat"),
                     flag.alias("is_t"))
             .select(_bucket_of(F.col("feat"), n_buckets).alias("bucket"),
@@ -304,18 +306,23 @@ def quality_classifier(t: Table, weights: DataFrame,
                     F.try_element_at(m, b), F.lit(0).cast(T.LongType())))
         else:
             score = F.lit(intercept_milli).cast(T.LongType())
+        from .dedup import _spread
+
         # two-step select: `keep` references the scored column, and
         # CollapseProject keeps the non-cheap HOF aggregate from being
         # inlined (and so evaluated) twice per row
-        keyed = t.df.select(F.col(id_col), n_tokens.alias("n_tokens"),
-                            score.alias("score_milli"))
+        keyed = _spread(t.df, id_col) \
+            .select(F.col(id_col), n_tokens.alias("n_tokens"),
+                    score.alias("score_milli"))
         return keyed.select(
             F.col(id_col), F.col("n_tokens"), F.col("score_milli"),
             (F.col("score_milli") >= threshold_milli)
             .cast(T.IntegerType()).alias("keep"))
     # raw strings explode, md5 bucket computed post-explode in codegen
     # (the PLANS.md r5 HOF placement rule — see _bucket_of)
-    exploded = t.df.select(
+    from .dedup import _spread
+
+    exploded = _spread(t.df, id_col).select(
         F.col(id_col), n_tokens.alias("n_tokens"),
         F.explode_outer(_feature_array(c, n)).alias("feat"))
     exploded = exploded.select(
@@ -560,9 +567,14 @@ def train_quality_classifier(t: Table, label, text_col: str = "text",
     c = F.col(text_col)
     y = F.coalesce(_as_predicate(label).cast(T.IntegerType()),
                    F.lit(0)).alias("y")
+    from .dedup import _spread
+
     # NULL text still carries label evidence for the intercept: treat
-    # it as an empty feature array, not a dropped row
-    feats = t.df.select(y, F.coalesce(
+    # it as an empty feature array, not a dropped row.  The tokenize +
+    # bucket projection is the per-row-heavy step: spread a small/
+    # single-file scan across the cores first (metadata-gated no-op at
+    # scale; guide §2.5)
+    feats = _spread(t.df, text_col).select(y, F.coalesce(
         ngram_buckets(c, n_buckets, n),
         F.array().cast(T.ArrayType(T.LongType()))).alias("bks"))
     if persist:
@@ -801,7 +813,9 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
                     F.try_element_at(m, b), F.lit(0.0)))
         else:
             score = F.lit(0.0)
-        keyed = raw.df.select(
+        from .dedup import _spread
+
+        keyed = _spread(raw.df, id_col).select(
             F.col(id_col), n_tokens.alias("n_tokens"),
             n_feats.alias("n_feats"), score.alias("s"))
         # second select so CollapseProject cannot inline (and so
@@ -813,8 +827,10 @@ def dsir_log_weights(raw: Table, target: Table | None = None,
     # > max_map_literal occupied buckets: raw feature STRINGS explode
     # and the md5 bucket is computed on the exploded column in codegen
     # (the PLANS.md r5 HOF placement rule — see _bucket_of)
+    from .dedup import _spread
+
     lr = spark.createDataFrame(lr_rows, "bucket long, lr double")
-    exploded = raw.df.select(
+    exploded = _spread(raw.df, id_col).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_feats.alias("n_feats"),
