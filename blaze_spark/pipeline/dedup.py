@@ -286,6 +286,9 @@ def cross_doc_dup_lines(t: Table, text_col: str = "text",
     for scrub a per-DOC window ordered by line position (bounded by
     document length).  No driver materialization anywhere.
     """
+    # no _spread here: the line split is cheap string work (no
+    # interpreted HOFs) — r15 measured the respread LOSING 0.3 s at
+    # sf0.1 (1.01 -> 1.34 s); the gram-explode siblings keep theirs
     pos_lines = (t.df
                  .select(F.col(id_col), F.col(text_col),
                          F.posexplode(F.split(F.col(text_col), "\n"))
@@ -373,7 +376,7 @@ def cross_doc_dup_ngrams(t: Table, n: int = 5, min_docs: int = 2,
         raise ValueError(
             f"min_docs must be >= 2 (cross-document), got {min_docs}")
     tk = _tokens(F.col(text_col))
-    base = t.df.select(F.col(id_col), tk.alias("__tk"))
+    base = _spread(t.df, id_col).select(F.col(id_col), tk.alias("__tk"))
     pos = base.select(
         F.col(id_col), F.col("__tk"),
         F.explode(_gram_index(F.col("__tk"), n)).alias("__i"))
@@ -477,7 +480,8 @@ def cross_doc_dup_spans(t: Table, n: int = 5, min_docs: int = 2,
         raise ValueError(
             f"min_docs must be >= 2 (cross-document), got {min_docs}")
     tk = _tokens(F.col(text_col))
-    pos = (t.df.select(F.col(id_col), tk.alias("__tk"))
+    pos = (_spread(t.df, id_col)
+           .select(F.col(id_col), tk.alias("__tk"))
            .select(F.col(id_col), F.col("__tk"),
                    F.explode(_gram_index(F.col("__tk"), n)).alias("__i"))
            .select(F.col(id_col), F.col("__i"),
@@ -564,7 +568,8 @@ def dup_span_popularity(t: Table, n: int = 5, text_col: str = "text",
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     tk = _tokens(F.col(text_col))
-    pos = (t.df.select(F.col(id_col), tk.alias("__tk"))
+    pos = (_spread(t.df, id_col)
+           .select(F.col(id_col), tk.alias("__tk"))
            .select(F.col(id_col), F.col("__tk"),
                    F.explode(_gram_index(F.col("__tk"), n)).alias("__i"))
            .select(F.col(id_col),
@@ -1048,8 +1053,9 @@ def winnow_fingerprints(t: Table, k: int = 5, w: int = 4,
     from .curation import ngram_array
 
     grams = ngram_array(F.col(text_col), k)
-    pos = (t.df.select(F.col(id_col).alias("doc_id"),
-                       F.posexplode(grams).alias("pos", "gram")))
+    pos = (_spread(t.df, id_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(grams).alias("pos", "gram")))
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10) \
         .cast(T.LongType())
     packed = F.when(

@@ -146,6 +146,9 @@ def pack_sequences(t: Table, budget: int, text_col: str = "text",
         toks = F.coalesce(tokenizer.n_tokens(F.col(text_col)),
                           F.lit(0)).cast("long")
     spark = t.df.sparkSession
+    # no _spread here: the Arrow-batched tokenizer UDFs amortize well
+    # even single-task at bench scale — r15 measured the respread
+    # losing ~0.2 s on pack_bpe/pack_wordpiece
     base = t.df.withColumn("n_tokens", toks)
     # the budget accounting column: sep_tokens=0 keeps the plan (and
     # every column expression) byte-identical to the pre-knob form

@@ -142,7 +142,12 @@ def word_frequencies(t: Table, text_col: str = "text",
         units = _byte_units_udf(lowercase)(F.col(text_col))
     else:
         units = WhitespaceTokenizer(lowercase).pieces(F.col(text_col))
-    words = t.df.select(F.explode(units).alias("word"))
+    from .dedup import _spread
+
+    # the tokenize + explode is per-row-heavy (byte/piece UDFs): spread
+    # a small/single-file scan across the cores first (metadata-gated
+    # no-op at scale; guide §2.5)
+    words = _spread(t.df, text_col).select(F.explode(units).alias("word"))
     agg = (words.groupBy("word")
            .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
     if min_count > 1:
@@ -686,7 +691,9 @@ def _local_tokenizer_stats(t: Table, tokenizer=None,
     tok = tokenizer if tokenizer is not None else WhitespaceTokenizer()
     words = WhitespaceTokenizer().n_tokens(F.col(text_col))
     toks = tok.n_tokens(F.col(text_col))
-    agg = t.df.agg(
+    from .dedup import _spread
+
+    agg = _spread(t.df, text_col).agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
         F.sum(F.coalesce(words, F.lit(0))).cast(T.LongType())
         .alias("total_words"),

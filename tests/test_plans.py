@@ -212,7 +212,10 @@ def test_word_frequencies_plan_bounded_topn(star):
     plan = physical_plan(q)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.replace("TakeOrdered", ""), plan
-    assert exchange_count(q) == 1, plan
+    # one word-key exchange, plus (r15) the optional scale-adaptive
+    # respread of an under-parallelized single-file scan (_spread —
+    # absent at real scale, where the metadata gate no-ops)
+    assert exchange_count(q) <= 2, plan
     assert scan_columns(q) == ["text"], plan
 
 
