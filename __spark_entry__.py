@@ -2630,17 +2630,34 @@ def streaming_dsir_pipeline(spark, sf_dir):
     from blaze_spark.streaming.incremental_counts import (
         ingest_counts_batch, read_bucket_counts)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _t(spark, sf_dir, "documents")
     tgt_pred = F.col("source").isin(["src0", "src1", "src2"])
     base = tempfile.mkdtemp(prefix="streaming_dsir_")
     raw_store, tgt_store = base + "/raw", base + "/target"
-    for bid in range(3):
+
+    def _ing(job):
+        store, bid, filt = job
         part = d.df.filter(F.col("doc_id") % 3 == bid)
+        if filt:
+            part = part.filter(tgt_pred)
         ingest_counts_batch(Table(part.select("doc_id", "text")),
-                            raw_store, n_buckets=1024, batch_id=bid)
-        ingest_counts_batch(
-            Table(part.filter(tgt_pred).select("doc_id", "text")),
-            tgt_store, n_buckets=1024, batch_id=bid)
+                            store, n_buckets=1024, batch_id=bid)
+
+    # r15 (guide §2.6): the six ingests are independent jobs writing
+    # disjoint ingest=<id> dirs of two stores — overlap them.  Each
+    # store's batch 0 runs in the first wave so its format stamp is
+    # created exactly once, race-free (the two stores are distinct
+    # roots, so the first wave itself can run concurrently).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_ing, [(raw_store, 0, False),
+                             (tgt_store, 0, True)]))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_ing, [(raw_store, 1, False),
+                             (raw_store, 2, False),
+                             (tgt_store, 1, True),
+                             (tgt_store, 2, True)]))
     via_store = weighted_sample(
         Table(dsir_log_weights(
             d, n_buckets=1024,
@@ -2682,14 +2699,24 @@ def streaming_lm_pipeline(spark, sf_dir):
     from blaze_spark.streaming.incremental_counts import (
         ingest_lm_counts_batch, read_lm_counts)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _t(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="streaming_lm_")
     store = base + "/lm"
-    for bid in range(3):
+
+    def _ing(bid):
         part = d.df.filter(F.col("doc_id") % 3 == bid)
         ingest_lm_counts_batch(Table(part.select("doc_id", "text")),
                                store, n_buckets=1024, n=2,
                                batch_id=bid)
+
+    # r15 (guide §2.6): ingests write disjoint ingest=<id> dirs and
+    # are independent jobs — overlap them.  Batch 0 runs alone first
+    # so the format stamp is created exactly once, race-free.
+    _ing(0)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_ing, [1, 2]))
     via_store = perplexity_filter(
         d, counts=read_lm_counts(spark, store, n_buckets=1024, n=2),
         n_buckets=1024, n=2, min_ppl=19.0, max_ppl=37.0)
@@ -3667,9 +3694,17 @@ def blaze_client_store_lm(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="blaze_lm_store_")
     try:
         store = f"{tmp}/lm"
-        for bid in range(3):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _ing(bid):
             ingest_lm_counts_batch(d[d.doc_id % 3 == bid], store,
                                    n_buckets=1024, n=2, batch_id=bid)
+
+        # r15 (guide §2.6): overlap the independent ingests; batch 0
+        # first so the format stamp is created exactly once
+        _ing(0)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_ing, [1, 2]))
         srv = BlazeSparkServer({"documents": d}, spark,
                                stores={"lm": store})
         srv.start(port=0)

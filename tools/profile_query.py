@@ -33,7 +33,31 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--suffix", default="",
                     help="appended to plan file names (e.g. _before)")
+    ap.add_argument("--wait-idle", type=float, default=None,
+                    help="before each timed rep, wait until the 1-min "
+                         "load average drops below this (the sandbox "
+                         "shares a host; external gusts poison floors)")
     args = ap.parse_args()
+
+    def _busy_frac(dt=0.4):
+        def snap():
+            with open("/proc/stat") as fh:
+                f = [int(x) for x in fh.readline().split()[1:]]
+            return sum(f), f[3] + f[4]  # total, idle+iowait
+        t0, i0 = snap()
+        time.sleep(dt)
+        t1, i1 = snap()
+        return 1.0 - (i1 - i0) / max(1, t1 - t0)
+
+    def _idle():
+        # between reps this session runs nothing, so busy CPU == an
+        # external neighbor on the shared host; wait it out (bounded)
+        if args.wait_idle is None:
+            return
+        for _ in range(300):
+            if _busy_frac() < args.wait_idle:
+                return
+            time.sleep(2)
 
     from pyspark.sql import SparkSession
 
@@ -80,6 +104,7 @@ def main():
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+            _idle()
             t0 = time.time()
             n = _force(fn(spark, SF_DIR))
             runs.append(time.time() - t0)
