@@ -109,10 +109,18 @@ def kmeans_fit(corpus: Table, k: int = 16, iters: int = 5,
         for _ in range(iters):
             assigned = vecs.select(
                 "v", _assign_udf(centroids)(F.col("v")).alias("cell"))
-            means = _cell_means(assigned).toPandas()
+            # collect the (cell, pos, mean) relation directly — k·dim
+            # rows — and reassemble driver-side: identical values to
+            # the former _cell_means reassembly aggregation, one
+            # Exchange + one stage fewer per Lloyd iteration (r15)
+            per_pos = (assigned
+                       .select("cell", F.posexplode("v")
+                               .alias("pos", "x"))
+                       .groupBy("cell", "pos")
+                       .agg(F.avg("x").alias("m"))).collect()
             new = centroids.copy()
-            for _, row in means.iterrows():
-                new[int(row.cell)] = np.array(row.centroid)
+            for row in per_pos:
+                new[int(row["cell"])][int(row["pos"])] = row["m"]
             if np.allclose(new, centroids, atol=1e-9):
                 break
             centroids = new
