@@ -152,8 +152,12 @@ def bm25_topk(corpus: Table, queries, k: int = 10,
                    / F.count(F.lit(1))).alias("avgdl")))
     # scan 2: explode to tokens, cut to query-term hits via broadcast
     # join BEFORE the shuffle, then tf per (doc, term) with dl carried
-    # (first() — constant per doc, map-side combinable)
-    hits = (corpus.df
+    # (first() — constant per doc, map-side combinable).  _spread: the
+    # tokenize+explode is per-row-heavy and a small/single-file scan
+    # otherwise runs it in one task (metadata-gated no-op at scale)
+    from .dedup import _spread
+
+    hits = (_spread(corpus.df, id_col)
             .select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"),
                     F.explode(toks).alias("term"))
             .join(F.broadcast(qterms.select("term").distinct()), "term")
