@@ -120,6 +120,11 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     """
     import os
 
+    if df.isStreaming:
+        # streaming logical plans have no resolvable file list
+        # (inputFiles() raises) and micro-batch parallelism is the
+        # source's concern — pass through untouched
+        return df
     spark = df.sparkSession
     npart = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
