@@ -2650,27 +2650,36 @@ def streaming_dsir_pipeline(spark, sf_dir):
     # store's batch 0 runs in the first wave so its format stamp is
     # created exactly once, race-free (the two stores are distinct
     # roots, so the first wave itself can run concurrently).
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(_ing, [(raw_store, 0, False),
-                             (tgt_store, 0, True)]))
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        list(pool.map(_ing, [(raw_store, 1, False),
-                             (raw_store, 2, False),
-                             (tgt_store, 1, True),
-                             (tgt_store, 2, True)]))
-    via_store = weighted_sample(
-        Table(dsir_log_weights(
-            d, n_buckets=1024,
-            raw_counts=read_bucket_counts(spark, raw_store,
-                                          n_buckets=1024),
-            target_counts=read_bucket_counts(spark, tgt_store,
-                                             n_buckets=1024)),
-            "dsir_store"),
-        "logw", n=100, temperature=0.5)
-    one_shot = weighted_sample(
-        Table(dsir_log_weights(d, target_filter=tgt_pred,
-                               n_buckets=1024), "dsir_oneshot"),
-        "logw", n=100, temperature=0.5)
+    # The ONE-SHOT fit never touches either store, so its
+    # construction (dual-count fit job + driver collect) overlaps the
+    # whole ingest phase and the store-fed construction in a second
+    # driver thread (same §2.6 pattern as streaming_lm_pipeline).
+    def _one_shot():
+        return weighted_sample(
+            Table(dsir_log_weights(d, target_filter=tgt_pred,
+                                   n_buckets=1024), "dsir_oneshot"),
+            "logw", n=100, temperature=0.5)
+
+    with ThreadPoolExecutor(max_workers=1) as fit_pool:
+        one_shot_f = fit_pool.submit(_one_shot)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_ing, [(raw_store, 0, False),
+                                 (tgt_store, 0, True)]))
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(_ing, [(raw_store, 1, False),
+                                 (raw_store, 2, False),
+                                 (tgt_store, 1, True),
+                                 (tgt_store, 2, True)]))
+        via_store = weighted_sample(
+            Table(dsir_log_weights(
+                d, n_buckets=1024,
+                raw_counts=read_bucket_counts(spark, raw_store,
+                                              n_buckets=1024),
+                target_counts=read_bucket_counts(spark, tgt_store,
+                                                 n_buckets=1024)),
+                "dsir_store"),
+            "logw", n=100, temperature=0.5)
+        one_shot = one_shot_f.result()
     s = via_store.select("doc_id", "logw", "sample_key")
     o = one_shot.select(F.col("doc_id"),
                         F.col("logw").alias("logw_1"),
@@ -2713,15 +2722,23 @@ def streaming_lm_pipeline(spark, sf_dir):
 
     # r15 (guide §2.6): ingests write disjoint ingest=<id> dirs and
     # are independent jobs — overlap them.  Batch 0 runs alone first
-    # so the format stamp is created exactly once, race-free.
-    _ing(0)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(_ing, [1, 2]))
-    via_store = perplexity_filter(
-        d, counts=read_lm_counts(spark, store, n_buckets=1024, n=2),
-        n_buckets=1024, n=2, min_ppl=19.0, max_ppl=37.0)
-    one_shot = perplexity_filter(d, n_buckets=1024, n=2,
-                                 min_ppl=19.0, max_ppl=37.0)
+    # so the format stamp is created exactly once, race-free.  The
+    # ONE-SHOT fit never touches the store, so its construction (a
+    # full fit job + driver collect) overlaps the whole ingest phase
+    # and the store-fed construction in a second driver thread —
+    # measured 8.6 → 5.9 s warm at sf0.1, output verified identical.
+    with ThreadPoolExecutor(max_workers=1) as fit_pool:
+        one_shot_f = fit_pool.submit(
+            perplexity_filter, d, n_buckets=1024, n=2,
+            min_ppl=19.0, max_ppl=37.0)
+        _ing(0)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_ing, [1, 2]))
+        via_store = perplexity_filter(
+            d, counts=read_lm_counts(spark, store, n_buckets=1024,
+                                     n=2),
+            n_buckets=1024, n=2, min_ppl=19.0, max_ppl=37.0)
+        one_shot = one_shot_f.result()
     s = via_store.select("doc_id", "logp", "ppl")
     o = one_shot.select(F.col("doc_id"),
                         F.col("logp").alias("logp_1"),
