@@ -292,6 +292,111 @@ def ngram_lm_fit(t: Table, text_col: str = "text",
                     .cast(T.LongType()).alias("cnt")))
 
 
+def _score_frame(df: DataFrame, text_col: str, id_col: str,
+                 n_buckets: int, n: int, ladder, with_ub: bool,
+                 tokenizer) -> DataFrame:
+    """The scoring-position frame both explode-path scorers consume:
+    one row per n-gram start with every order's suffix/context md5
+    bucket sliced out in codegen — ``(id, n_grams, ev, gb, cb[,
+    gb{k}, cb{k}…][, ub])``.  ``ladder`` lists the intermediate
+    orders (n−1..2) whose bucket columns ride along (backoff/interp/
+    KN); ``with_ub`` adds the predicted-token bucket."""
+    ex = _positioned(df, text_col, n, id_col, tokenizer=tokenizer)
+    tk, i = F.col("tk"), F.col("i")
+    cols = [
+        F.col(id_col), F.col("n_grams"),
+        # i NULL == the document's single evidence-free marker row
+        i.isNotNull().alias("ev"),
+        _bucket_of(_gram_at(tk, i, n), n_buckets).alias("gb"),
+        _bucket_of(_ctx_at(tk, i, n), n_buckets).alias("cb")]
+    for k in ladder:
+        off = i + F.lit(n - k)
+        cols.append(_bucket_of(_gram_at(tk, off, k),
+                               n_buckets).alias(f"gb{k}"))
+        cols.append(_bucket_of(_ctx_at(tk, off, k),
+                               n_buckets).alias(f"cb{k}"))
+    if with_ub:
+        cols.append(_bucket_of(_uni_at(tk, i, n),
+                               n_buckets).alias("ub"))
+    return ex.select(*cols)
+
+
+def _suffix_bucket_col(j: int, n: int):
+    """The already-computed bucket column of the order-``j`` suffix in
+    a scoring frame: the full gram at j == n, the predicted-token
+    bucket at j == 1, the intermediate ladder column otherwise."""
+    if j == n:
+        return F.col("gb")
+    if j == 1:
+        return F.col("ub")
+    return F.col(f"gb{j}")
+
+
+def _self_fit_counts(ex: DataFrame, n: int, unigrams: bool,
+                     continuations: bool) -> DataFrame:
+    """Derive the ``ngram_lm_fit`` relation FROM the scoring-position
+    frame (r15, guide §2.4 — remove a whole corpus pass): when the
+    model fits on the corpus it scores, the fit's every (kind, bucket)
+    row is a re-hash of a bucket the scoring frame already carries, so
+    a second tokenize+md5 scan computes nothing new.  This reads the
+    persisted frame's bucket columns instead; the expressions are the
+    identical ``_bucket_of`` slices, so every count — event kinds AND
+    the Kneser–Ney distinct-type kinds — matches the two-scan fit
+    exactly and the resolved model is byte-identical."""
+    ev = ex.filter(F.col("ev"))
+    kinds = [
+        F.struct(F.lit("gram").alias("kind"),
+                 F.col("gb").alias("bucket")),
+        F.struct(F.lit("ctx").alias("kind"),
+                 F.col("cb").alias("bucket")),
+    ]
+    if unigrams:
+        for k in range(n - 1, 1, -1):
+            kinds.append(F.struct(F.lit(f"gram{k}").alias("kind"),
+                                  F.col(f"gb{k}").alias("bucket")))
+            kinds.append(F.struct(F.lit(f"ctx{k}").alias("kind"),
+                                  F.col(f"cb{k}").alias("bucket")))
+        kinds.append(F.struct(F.lit("uni").alias("kind"),
+                              F.col("ub").alias("bucket")))
+    if not continuations:
+        pairs = ev.select(F.explode(F.array(*kinds)).alias("kb"))
+        return (pairs.select("kb.kind", "kb.bucket")
+                .groupBy("kind", "bucket")
+                .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt")))
+    # Kneser–Ney type kinds: the k-suffix / (k+1)-suffix TYPE identity
+    # pairs are all bucket columns the frame already carries (the
+    # ngram_lm_fit fusion, re-read instead of re-hashed)
+    null_sub = F.lit(None).cast(T.LongType())
+    trip = [F.struct(kb["kind"].alias("kind"),
+                     kb["bucket"].alias("bucket"),
+                     null_sub.alias("sub")) for kb in kinds]
+
+    def _type_row(kind, lo, hi):
+        trip.append(F.struct(F.lit(kind).alias("kind"),
+                             lo.alias("bucket"), hi.alias("sub")))
+
+    for k in range(1, n):
+        hi = _suffix_bucket_col(k + 1, n)
+        _type_row(f"tcont{k}", _suffix_bucket_col(k, n), hi)
+        if k >= 2:
+            loc = F.col(f"cb{k}")
+            _type_row(f"tden{k}", loc, hi)
+            _type_row(f"tfol{k}", loc, _suffix_bucket_col(k, n))
+    _type_row(f"tfol{n}", F.col("cb"), F.col("gb"))
+    stage1 = (ev.select(F.explode(F.array(*trip)).alias("kb"))
+              .select("kb.kind", "kb.bucket", "kb.sub")
+              .groupBy("kind", "bucket", "sub")
+              .agg(F.count(F.lit(1)).alias("c1")))
+    return (stage1.groupBy("kind", "bucket")
+            .agg(F.sum(F.when(F.col("sub").isNull(),
+                              F.col("c1"))).alias("ec"),
+                 F.count(F.when(F.col("sub").isNotNull(),
+                                F.lit(1))).alias("tc"))
+            .select("kind", "bucket",
+                    F.coalesce(F.col("ec"), F.col("tc"))
+                    .cast(T.LongType()).alias("cnt")))
+
+
 import re as _re
 
 # 'gram'/'ctx' (order n), 'uni', an intermediate backoff order
@@ -683,12 +788,35 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
             f"{_fn_name}: backoff=/interpolate=/kneser_ney= score via "
             "the positioned-index explode path (broadcast joins) — "
             "prefer_literal=True is add-α only")
+    # self-scoring (reference defaults to t, no precomputed counts):
+    # ONE tokenize+bucket corpus scan serves BOTH the fit and the
+    # scoring pass — the fit's every (kind, bucket) row re-hashes a
+    # bucket the scoring frame already computes, so derive the counts
+    # from the persisted frame instead of a second scan (r15, guide
+    # §2.4; the persist is scoped to the result via _retain_cache).
+    # Streaming frames keep the two-pass plan: persist() needs a
+    # batch plan, and the streaming entry points score via counts=.
+    ex = None
+    if counts is None and reference is None and not prefer_literal \
+            and not t.df.isStreaming:
+        ladder_args = backoff is not None or interpolate is not None
+        kn_args = kneser_ney is not None
+        ex = _score_frame(
+            t.df, text_col, id_col, n_buckets, n,
+            range(n - 1, 1, -1) if (ladder_args or kn_args) else (),
+            ladder_args or kn_args, tokenizer).persist()
+        counts = _self_fit_counts(ex, n, ladder_args, kn_args)
     model = _lm_model(t, reference, counts, text_col, n_buckets, n,
                       smoothing, backoff, _fn_name, tokenizer,
                       interpolate, kneser_ney)
+    self_fit = ex is not None
     if model[0] == "kn":
-        return _logprob_kn(t, model, text_col, id_col, n_buckets, n,
-                           smoothing, tokenizer)
+        out = _logprob_kn(t, model, text_col, id_col, n_buckets, n,
+                          smoothing, tokenizer, _ex=ex)
+        if ex is not None:
+            from .dedup import _retain_cache
+            _retain_cache(out, ex)
+        return out
 
     if prefer_literal:
         _, ln_g, ln_c, miss_g, miss_c = model
@@ -705,27 +833,12 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
     lnc = spark.createDataFrame(
         [(int(b), v) for b, v in ln_c.items()],
         "bucket long, lnc double")
-    ex = _positioned(t.df, text_col, n, id_col, tokenizer=tokenizer)
-    cols = [
-        F.col(id_col), F.col("n_grams"),
-        # i NULL == the document's single evidence-free marker row
-        F.col("i").isNotNull().alias("ev"),
-        _bucket_of(_gram_at(F.col("tk"), F.col("i"), n),
-                   n_buckets).alias("gb"),
-        _bucket_of(_ctx_at(F.col("tk"), F.col("i"), n),
-                   n_buckets).alias("cb")]
     laddered = kind in ("backoff", "interp")
     levels = model[5] if laddered else []
-    if laddered:
-        for k, _, _ in levels:
-            off = F.col("i") + F.lit(n - k)
-            cols.append(_bucket_of(_gram_at(F.col("tk"), off, k),
-                                   n_buckets).alias(f"gb{k}"))
-            cols.append(_bucket_of(_ctx_at(F.col("tk"), off, k),
-                                   n_buckets).alias(f"cb{k}"))
-        cols.append(_bucket_of(_uni_at(F.col("tk"), F.col("i"), n),
-                               n_buckets).alias("ub"))
-    ex = ex.select(*cols)
+    if ex is None:
+        ex = _score_frame(t.df, text_col, id_col, n_buckets, n,
+                          [k for k, _, _ in levels], laddered,
+                          tokenizer)
     joined = (ex
               .join(F.broadcast(lng), ex["gb"] == lng["bucket"], "left")
               .drop(lng["bucket"])
@@ -805,8 +918,12 @@ def ngram_lm_logprob(t: Table, reference: Table | None = None,
               .groupBy(id_col, "n_grams")
               .agg(F.sum(F.when(F.col("ev"), per_gram)
                          .otherwise(F.lit(0.0))).alias("s")))
-    return scored.select(F.col(id_col), F.col("n_grams"),
-                         *_lm_exports())
+    out = scored.select(F.col(id_col), F.col("n_grams"),
+                        *_lm_exports())
+    if self_fit:
+        from .dedup import _retain_cache
+        _retain_cache(out, ex)
+    return out
 
 
 def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
@@ -863,7 +980,8 @@ def _logprob_literal(t: Table, ln_g: dict, ln_c: dict,
 
 
 def _logprob_kn(t: Table, model, text_col: str, id_col: str,
-                n_buckets: int, n: int, alpha, tokenizer) -> DataFrame:
+                n_buckets: int, n: int, alpha, tokenizer,
+                _ex: DataFrame | None = None) -> DataFrame:
     """Interpolated Kneser–Ney scoring: the positioned-index explode →
     per-order broadcast joins of the bounded count/type relations
     (the two ctx-keyed relations of each order ride MERGED as one
@@ -873,21 +991,9 @@ def _logprob_kn(t: Table, model, text_col: str, id_col: str,
     is linear; one ln() per gram at the end)."""
     _, gram, top, levels, t1, T, D = model
     spark = t.df.sparkSession
-    ex = _positioned(t.df, text_col, n, id_col, tokenizer=tokenizer)
-    tk, i = F.col("tk"), F.col("i")
-    cols = [
-        F.col(id_col), F.col("n_grams"),
-        F.col("i").isNotNull().alias("ev"),
-        _bucket_of(_gram_at(tk, i, n), n_buckets).alias("gb"),
-        _bucket_of(_ctx_at(tk, i, n), n_buckets).alias("cb")]
-    for k, _, _ in levels:
-        off = i + F.lit(n - k)
-        cols.append(_bucket_of(_gram_at(tk, off, k),
-                               n_buckets).alias(f"gb{k}"))
-        cols.append(_bucket_of(_ctx_at(tk, off, k),
-                               n_buckets).alias(f"cb{k}"))
-    cols.append(_bucket_of(_uni_at(tk, i, n), n_buckets).alias("ub"))
-    ex = ex.select(*cols)
+    ex = _ex if _ex is not None else _score_frame(
+        t.df, text_col, id_col, n_buckets, n,
+        [k for k, _, _ in levels], True, tokenizer)
     gdf = spark.createDataFrame(
         [(int(b), v) for b, v in gram.items()],
         "bucket long, cg double")
@@ -1010,7 +1116,8 @@ def perplexity_filter(t: Table, reference: Table | None = None,
     if min_ppl is not None:
         cond = cond & (key >= min_ppl)
     kept = scores.filter(F.col("ppl").isNotNull() & cond)
-    return t.df.join(kept, id_col, "inner")
+    from .dedup import carry_caches
+    return carry_caches(t.df.join(kept, id_col, "inner"), scores)
 
 
 def perplexity_buckets(t: Table, reference: Table | None = None,
@@ -1115,8 +1222,9 @@ def perplexity_buckets(t: Table, reference: Table | None = None,
             + [c for c in t.df.columns if c != id_col]
             + [name for name, _ in _LM_SCHEMA] + ["ppl_bucket"])
     out = joined.withColumn("ppl_bucket", bucket).select(*cols)
+    from .dedup import _retain_cache, carry_caches
+    carry_caches(out, scores)
     if persist:
-        from .dedup import _retain_cache
         _retain_cache(out, scored)
     return out
 
