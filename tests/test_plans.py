@@ -295,3 +295,44 @@ def test_dup_popularity_consumers_read_the_scoped_caches(star):
     plan = physical_plan(q)
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "windowspecdefinition(__ndocs" in plan, plan
+
+
+def test_lm_self_fit_shares_one_tokenize_scan(star):
+    """r15: when the LM fits on the corpus it scores (reference and
+    counts both defaulted), the fit counts derive FROM the persisted
+    scoring-position frame instead of a second tokenize+md5 corpus
+    scan — the scoring side of the plan reads the cache, and the
+    whole query holds exactly one tokenizing parquet scan of the
+    corpus (guide §2.4: remove a whole pass)."""
+    from blaze_spark.pipeline import ngram_lm_logprob
+
+    out = ngram_lm_logprob(star["documents"], n_buckets=256, n=2)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 1, plan
+    finally:
+        for c in getattr(out, "_blaze_caches", ()):
+            c.unpersist()
+
+
+def test_entry_return_frames_carry_the_scoped_caches(spark, sf_dir):
+    """r15: deriving the oracle order with .df.orderBy(...) returns a
+    frame WITHOUT the Python-side cache holder, so the scoped persists
+    were silently released before the driver's timed action ran (the
+    benched popularity plan re-scanned parquet 5x).  Pin the fix at
+    the driver surface: the ENTRY's returned frame must still carry
+    the caches and its executed plan must read them."""
+    import gc
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dup_span_popularity_docs"](spark, sf_dir)
+    try:
+        gc.collect()
+        assert getattr(df, "_blaze_caches", None), \
+            "entry dropped its scoped caches"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        for c in getattr(df, "_blaze_caches", ()):
+            c.unpersist()
