@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 from ..core import Table
 
 
+# Live registrations per (JVM session identity, canonicalized-plan hash):
+# Spark's CacheManager keys cached data by CANONICALIZED PLAN, so two
+# logically-identical persisted frames (two constructions of the same
+# entry held at once, or two operators persisting the same sub-frame)
+# share ONE JVM cache entry — persist() on the second is a no-op.  A
+# plain per-object finalizer then kills the shared entry when the FIRST
+# frame dies, silently un-caching the survivor (its timed plan degrades
+# to the naive re-derivation — the r15 finding-#9 failure mode, one
+# layer down).  Release therefore refcounts on the plan key and
+# unpersists only when the LAST identical registration dies.
+_CACHE_REFS: dict = {}
+
+
 def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
     """Keep ``cached``'s persisted blocks alive for as long as ``holder``
     is reachable.  ``holder`` must be the object the caller actually keeps
@@ -46,9 +59,11 @@ def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
     Mechanics: ``cached`` rides in ``holder._blaze_caches`` (refcount
     keeps it alive as long as any holder lives; propagated through
     derived results via ``carry_caches``), and the unpersist finalizer is
-    attached to ``cached`` ITSELF, firing exactly once when the last
-    holder drops it — the JVM handle is captured so the callback does not
-    need the Python wrapper it is finalizing."""
+    attached to ``cached`` ITSELF, firing when the last holder drops it —
+    the JVM handle is captured so the callback does not need the Python
+    wrapper it is finalizing.  Because the JVM cache entry is shared
+    across logically-identical frames, the actual unpersist is gated on
+    ``_CACHE_REFS`` reaching zero for the plan's canonical key."""
     caches = getattr(holder, "_blaze_caches", None)
     if caches is None:
         caches = []
@@ -60,9 +75,21 @@ def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
         return  # finalizer already registered by another holder
     try:
         jdf = cached._jdf  # classic py4j session
+        try:
+            key = (jdf.sparkSession().hashCode(),
+                   jdf.queryExecution().analyzed().semanticHash())
+            _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+        except Exception:
+            key = None  # plan hash unavailable: per-object release
 
-        def _release(j=jdf):
+        def _release(j=jdf, k=key):
             try:
+                if k is not None:
+                    live = _CACHE_REFS.get(k, 1) - 1
+                    if live > 0:
+                        _CACHE_REFS[k] = live
+                        return  # an identical frame still holds the entry
+                    _CACHE_REFS.pop(k, None)
                 j.unpersist(False)
             except Exception:
                 pass  # session already stopped

@@ -315,6 +315,44 @@ def test_lm_self_fit_shares_one_tokenize_scan(star):
             c.unpersist()
 
 
+def test_identical_plan_cache_survives_first_holder_release(spark):
+    """r15 late finding: Spark's CacheManager keys cached data by
+    CANONICALIZED PLAN, so two logically-identical scoped persists
+    (two constructions of the same entry held at once) share ONE JVM
+    cache entry — persist() on the second is a no-op.  A per-object
+    unpersist finalizer then killed the shared entry when the FIRST
+    frame died, silently degrading the survivor's plan to the naive
+    re-derivation.  Pin the refcounted release: the survivor still
+    reads its cache, and the LAST release still unpersists (no leak)."""
+    import gc
+
+    from blaze_spark.pipeline.dedup import _retain_cache
+
+    def build():
+        cached = (spark.range(1000)
+                  .selectExpr("id", "id * 37 as cache_race_probe")
+                  .persist())
+        out = cached.groupBy().sum("cache_race_probe")
+        _retain_cache(out, cached)
+        return out
+
+    a = build()
+    b = build()  # persist() no-ops: same canonical plan as a's
+    del a
+    gc.collect()  # a's finalizer fires — must NOT un-cache b
+    try:
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        del b
+        gc.collect()  # last holder gone — entry must actually release
+    fresh = (spark.range(1000)
+             .selectExpr("id", "id * 37 as cache_race_probe")
+             .groupBy().sum("cache_race_probe"))
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, plan  # leaked cache entry
+
+
 def test_entry_return_frames_carry_the_scoped_caches(spark, sf_dir):
     """r15: deriving the oracle order with .df.orderBy(...) returns a
     frame WITHOUT the Python-side cache holder, so the scoped persists
