@@ -97,6 +97,12 @@ def main():
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
             print(f"# plan -> {path}", file=sys.stderr)
+            # release the capture frame BEFORE timing: under the
+            # refcounted scoped-cache release, a live capture frame
+            # would keep the warm rep's cache fill alive and the timed
+            # reps would read it instead of refilling — bench.py reps
+            # always refill, so the floors must too
+            del df
         _force(fn(spark, SF_DIR))  # warm
         runs = []
         for _ in range(args.reps):
