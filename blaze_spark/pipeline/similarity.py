@@ -711,28 +711,45 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
                       or vec_col in codes.df.columns))
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     parts = []
-    for i in range(n_batches):
-        chunk = (corpus if n_batches == 1
-                 else Table(corpus.df.filter(bucket == F.lit(i))))
-        if use_cells:
-            cand, bc = pq_mod._ivf_pq_scored(
-                codes, chunk, centroids, codebooks, nprobe, id_col,
-                "pq_code", vec_col, "cell", None, "pq_neardup_pairs",
-                min_cosine=min_c)
-        else:
-            cand, bc = pq_mod._pq_range_scored(
-                codes, chunk, codebooks, min_c, id_col, "pq_code",
-                vec_col, None, True, "pq_neardup_pairs")
-        if cand is None:
-            continue
-        pairs = cand.select("query_id", "neighbor_id")
-        if n_batches > 1:
-            # freeze this chunk's candidates so its ~160 MB ADC
-            # broadcast can be torn down before the next chunk builds
-            # one — live broadcast memory stays O(1 chunk)
-            pairs = pairs.localCheckpoint(eager=True)
-            bc.destroy()
-        parts.append(pairs)
+    codes_cache = None
+    if n_batches > 1:
+        # guide §5 (r15): every chunk's candidate scan reads the codes
+        # relation, and a DERIVED codes frame (pq_encode over a float
+        # corpus) re-ran the full assign+encode once PER CHUNK — at 22
+        # chunks that is 22 corpus encodes for one dedup pass.  Persist
+        # it for the life of the eager chunk loop; the scope is
+        # construction-only (released in the finally: the returned plan
+        # reads the checkpointed chunk candidates and the float corpus,
+        # never the codes).  Codes are the 32x-smaller-by-design
+        # relation, so the cache is bounded the same way the store is.
+        codes_cache = codes.df.persist()
+        codes = Table(codes_cache, "pq_neardup_codes")
+    try:
+        for i in range(n_batches):
+            chunk = (corpus if n_batches == 1
+                     else Table(corpus.df.filter(bucket == F.lit(i))))
+            if use_cells:
+                cand, bc = pq_mod._ivf_pq_scored(
+                    codes, chunk, centroids, codebooks, nprobe, id_col,
+                    "pq_code", vec_col, "cell", None,
+                    "pq_neardup_pairs", min_cosine=min_c)
+            else:
+                cand, bc = pq_mod._pq_range_scored(
+                    codes, chunk, codebooks, min_c, id_col, "pq_code",
+                    vec_col, None, True, "pq_neardup_pairs")
+            if cand is None:
+                continue
+            pairs = cand.select("query_id", "neighbor_id")
+            if n_batches > 1:
+                # freeze this chunk's candidates so its ~160 MB ADC
+                # broadcast can be torn down before the next chunk
+                # builds one — live broadcast memory stays O(1 chunk)
+                pairs = pairs.localCheckpoint(eager=True)
+                bc.destroy()
+            parts.append(pairs)
+    finally:
+        if codes_cache is not None:
+            codes_cache.unpersist(False)
     if not parts:
         return Table(spark.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"),

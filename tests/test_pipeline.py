@@ -2020,6 +2020,25 @@ def test_pq_range_search_bias_correction_finds_dups(spark, emb):
     assert len(want & raw) < len(want)
 
 
+def test_codes_matrix_decode_is_byte_identical():
+    """r15: the ADC scan kernels decode the m-byte PQ code column with
+    ONE b''.join + frombuffer + reshape pass (the per-row frombuffer +
+    stack loop it replaced ran once per Arrow batch and dominated the
+    whole candidate scan).  Pin byte-identity against the per-row
+    form, including the 1-row and ks=256 (full uint8 range) edges."""
+    import numpy as np
+
+    from blaze_spark.pipeline.pq import _codes_matrix
+
+    rng = np.random.default_rng(7)
+    for n, m in [(1, 8), (17, 8), (1000, 4), (257, 16)]:
+        rows = np.array([bytes(rng.integers(0, 256, m, dtype=np.uint8))
+                         for _ in range(n)], dtype=object)
+        slow = np.stack([np.frombuffer(b, dtype=np.uint8)
+                         for b in rows])
+        assert np.array_equal(_codes_matrix(rows, m), slow)
+
+
 def test_pq_neardup_pairs_matches_exact_truth(spark, emb, tmp_path):
     """r10: corpus self-dedup over the at-rest PQ codes — candidates
     from the bias-corrected ADC range scan, decisions from the exact
