@@ -26,6 +26,7 @@ All-pairs anything is absent by construction.
 from __future__ import annotations
 
 import random
+import threading
 import weakref
 
 from pyspark.sql import Column, DataFrame
@@ -45,7 +46,26 @@ from ..core import Table
 # to the naive re-derivation — the r15 finding-#9 failure mode, one
 # layer down).  Release therefore refcounts on the plan key and
 # unpersists only when the LAST identical registration dies.
+# Mutations are guarded by _CACHE_LOCK: finalize callbacks run on
+# whichever thread triggers GC, so two concurrent releases of identical
+# frames could interleave their read-modify-write and leak the entry
+# (ADVICE r15).
 _CACHE_REFS: dict = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def _cache_key(df: DataFrame):
+    """Refcount key for a persisted frame: (JVM session identity,
+    semanticHash of the analyzed plan, output dtypes).  semanticHash is
+    32-bit — adding the schema shrinks the collision surface between
+    distinct plans sharing one count (ADVICE r15) without changing the
+    sharing behavior for genuinely identical plans (same plan ⇒ same
+    schema).  Raises on Spark Connect frames (no ``_jdf``); callers
+    fall back to per-object release."""
+    jdf = df._jdf
+    return (jdf.sparkSession().hashCode(),
+            jdf.queryExecution().analyzed().semanticHash(),
+            tuple(df.dtypes))
 
 
 def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
@@ -76,20 +96,22 @@ def _retain_cache(holder: DataFrame, cached: DataFrame) -> None:
     try:
         jdf = cached._jdf  # classic py4j session
         try:
-            key = (jdf.sparkSession().hashCode(),
-                   jdf.queryExecution().analyzed().semanticHash())
-            _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+            key = _cache_key(cached)
+            with _CACHE_LOCK:
+                _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
         except Exception:
             key = None  # plan hash unavailable: per-object release
 
         def _release(j=jdf, k=key):
             try:
                 if k is not None:
-                    live = _CACHE_REFS.get(k, 1) - 1
-                    if live > 0:
-                        _CACHE_REFS[k] = live
-                        return  # an identical frame still holds the entry
-                    _CACHE_REFS.pop(k, None)
+                    with _CACHE_LOCK:
+                        live = _CACHE_REFS.get(k, 1) - 1
+                        if live > 0:
+                            # an identical frame still holds the entry
+                            _CACHE_REFS[k] = live
+                            return
+                        _CACHE_REFS.pop(k, None)
                 j.unpersist(False)
             except Exception:
                 pass  # session already stopped
@@ -129,6 +151,48 @@ def scoped_persist(owner: Table, cached: DataFrame) -> Table:
     lineage for the life of the session (ADVICE r1 + VERDICT r2 #1)."""
     _retain_cache(owner.df, cached)
     return owner
+
+
+def acquire_cache(df: DataFrame):
+    """Persist ``df`` for an explicit construction scope and return an
+    idempotent release callable (call it in a ``finally``).
+
+    Registration and release go through the same ``_CACHE_REFS``
+    refcount as :func:`_retain_cache`: Spark's CacheManager keys cached
+    data by canonicalized plan, so a raw ``persist()``/``unpersist()``
+    pair around a frame that is logically identical to one persisted
+    elsewhere (e.g. a scoped-persist holder still alive in the caller)
+    would share THEIR JVM entry and then silently un-cache the survivor
+    on release (ADVICE r15 — the pq_neardup_pairs codes persist).  The
+    refcount is incremented BEFORE ``persist()`` so a concurrent
+    finalizer on the identical plan cannot fire into the gap."""
+    try:
+        key = _cache_key(df)
+    except Exception:
+        key = None  # Spark Connect / no plan hash: per-object release
+    if key is not None:
+        with _CACHE_LOCK:
+            _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+    df.persist()
+    released = []
+
+    def _release():
+        if released:
+            return
+        released.append(True)
+        try:
+            if key is not None:
+                with _CACHE_LOCK:
+                    live = _CACHE_REFS.get(key, 1) - 1
+                    if live > 0:
+                        _CACHE_REFS[key] = live
+                        return  # an identical frame still holds it
+                    _CACHE_REFS.pop(key, None)
+            df.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+
+    return _release
 
 # Mersenne prime 2^31-1: (a*h+b) stays under 2^62 — no 64-bit overflow,
 # safe under ANSI arithmetic.

@@ -152,8 +152,20 @@ def _codes_matrix(rows: np.ndarray, m: int) -> np.ndarray:
     replaced and ~45× faster — the per-row Python loop ran once per
     Arrow batch and dominated the whole ADC candidate scan (r15,
     guide §4.2: per-batch work, not per-row work)."""
-    return np.frombuffer(b"".join(rows), dtype=np.uint8) \
-        .reshape(len(rows), m)
+    buf = b"".join(rows)
+    if len(buf) != len(rows) * m:
+        # np.stack raised on any ragged row; the joined-buffer reshape
+        # needs this explicit total-bytes check to stay loud (ADVICE
+        # r15).  Exactly compensating per-row corruption (one row m+1
+        # bytes, another m−1) still passes — a per-row length loop
+        # would reintroduce per-row Python work in the hottest ADC
+        # kernel for a defensive-depth-only case; codes are fixed-width
+        # by construction (pq_encode emits m bytes per row).
+        raise ValueError(
+            f"PQ code column is not fixed-width: {len(rows)} rows x "
+            f"m={m} subspaces should be {len(rows) * m} bytes, got "
+            f"{len(buf)} (corrupt or mixed-m codes)")
+    return np.frombuffer(buf, dtype=np.uint8).reshape(len(rows), m)
 
 
 def _adc_guard(queries: Table, id_col: str, max_queries: int | None,

@@ -711,7 +711,7 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
                       or vec_col in codes.df.columns))
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     parts = []
-    codes_cache = None
+    codes_release = None
     if n_batches > 1:
         # guide §5 (r15): every chunk's candidate scan reads the codes
         # relation, and a DERIVED codes frame (pq_encode over a float
@@ -722,8 +722,18 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
         # reads the checkpointed chunk candidates and the float corpus,
         # never the codes).  Codes are the 32x-smaller-by-design
         # relation, so the cache is bounded the same way the store is.
-        codes_cache = codes.df.persist()
-        codes = Table(codes_cache, "pq_neardup_codes")
+        # The persist/release rides the refcounted acquire (ADVICE r15):
+        # if the caller already persisted an identical codes frame, the
+        # JVM shares one cache entry and a raw unpersist here would
+        # silently un-cache the caller's survivor.  An already-cached
+        # codes object (caller-owned raw persist, which the refcount
+        # never saw) is left entirely alone — their entry, their
+        # lifetime.
+        from .dedup import acquire_cache
+
+        if not codes.df.is_cached:
+            codes_release = acquire_cache(codes.df)
+        codes = Table(codes.df, "pq_neardup_codes")
     try:
         for i in range(n_batches):
             chunk = (corpus if n_batches == 1
@@ -748,8 +758,8 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
                 bc.destroy()
             parts.append(pairs)
     finally:
-        if codes_cache is not None:
-            codes_cache.unpersist(False)
+        if codes_release is not None:
+            codes_release()
     if not parts:
         return Table(spark.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"),

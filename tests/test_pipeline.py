@@ -2038,6 +2038,45 @@ def test_codes_matrix_decode_is_byte_identical():
                          for b in rows])
         assert np.array_equal(_codes_matrix(rows, m), slow)
 
+    # ADVICE r15: width corruption (a truncated or over-long code cell)
+    # must raise loudly with the total-bytes check, not silently
+    # misalign every later code the way a bare reshape would.  (Exactly
+    # compensating per-row corruption — one row m+1, another m−1 —
+    # still passes the total check by design: a per-row length loop
+    # would reintroduce per-row Python work in the hottest ADC kernel
+    # for a defensive-depth-only case; codes are fixed-width by
+    # construction.)
+    import pytest
+
+    bad = np.array([b"\x01" * 9, b"\x02" * 8, b"\x03" * 8], dtype=object)
+    with pytest.raises(ValueError, match="fixed-width"):
+        _codes_matrix(bad, 8)
+
+
+def test_pq_neardup_chunk_loop_leaves_caller_persist_alone(spark, emb):
+    """ADVICE r15: the multi-chunk loop's construction-scoped codes
+    persist must not un-cache a codes frame the CALLER persisted —
+    a raw unpersist shared the caller's JVM entry (CacheManager keys
+    by canonicalized plan) and silently degraded their survivor.  An
+    already-cached codes object is left alone; a derived (un-cached)
+    codes frame is still persisted for the loop and released after."""
+    from blaze_spark.pipeline import pq_encode, pq_fit, pq_neardup_pairs
+
+    cb = pq_fit(emb, m=8, ks=16, iters=2, train_rows=2000)
+    codes = pq_encode(emb, cb)
+    codes.df.persist()
+    try:
+        pq_neardup_pairs(emb, codes=codes, codebooks=cb, threshold=0.9,
+                         queries_per_batch=100).df.count()
+        assert codes.df.is_cached  # caller-owned cache survived
+    finally:
+        codes.df.unpersist()
+
+    codes2 = pq_encode(emb, cb)
+    pq_neardup_pairs(emb, codes=codes2, codebooks=cb, threshold=0.9,
+                     queries_per_batch=100).df.count()
+    assert not codes2.df.is_cached  # scope released its own persist
+
 
 def test_pq_neardup_pairs_matches_exact_truth(spark, emb, tmp_path):
     """r10: corpus self-dedup over the at-rest PQ codes — candidates

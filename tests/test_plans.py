@@ -353,6 +353,39 @@ def test_identical_plan_cache_survives_first_holder_release(spark):
     assert "InMemoryTableScan" not in plan, plan  # leaked cache entry
 
 
+def test_acquire_cache_scope_shares_the_refcounted_entry(spark):
+    """ADVICE r15: pq_neardup_pairs' construction-scoped codes persist
+    used a raw persist()/unpersist() pair, bypassing the refcounted
+    release — if the caller had persisted an identical codes frame
+    (shared JVM cache entry), the scope's release silently un-cached
+    the caller's survivor.  Pin acquire_cache: a release inside the
+    scope leaves the identically-planned holder's cache readable, and
+    the holder's own release still frees the entry (no leak)."""
+    import gc
+
+    from blaze_spark.pipeline.dedup import _retain_cache, acquire_cache
+
+    def frame():
+        return spark.range(1000).selectExpr(
+            "id", "id * 41 as acquire_scope_probe")
+
+    cached = frame().persist()
+    holder = cached.groupBy().sum("acquire_scope_probe")
+    _retain_cache(holder, cached)
+
+    release = acquire_cache(frame())  # identical plan: shares the entry
+    release()
+    release()  # idempotent
+    plan = holder._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan  # survivor kept its cache
+
+    del holder, cached
+    gc.collect()  # last registration gone — entry must actually release
+    fresh = frame().groupBy().sum("acquire_scope_probe")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, plan  # leaked cache entry
+
+
 def test_entry_return_frames_carry_the_scoped_caches(spark, sf_dir):
     """r15: deriving the oracle order with .df.orderBy(...) returns a
     frame WITHOUT the Python-side cache holder, so the scoped persists
