@@ -3332,9 +3332,11 @@ def semantic_dedup_embeddings(spark, sf_dir):
     k = max(8, e.df.count() // 250)
     out = semantic_dedup(e, threshold=0.98, k_cells=k,
                          kmeans_iters=3)
-    return (out.df.select("vec_id", "cell", "cluster_id",
-                          F.col("keep").cast("int").alias("keep"))
-            .orderBy("vec_id"))
+    # r16: the tagged-corpus cache is scoped to the result — carry it
+    # through the oracle-order derivation so the timed plan reads it
+    return _keep(out.df.select("vec_id", "cell", "cluster_id",
+                               F.col("keep").cast("int").alias("keep"))
+                 .orderBy("vec_id"), out)
 
 
 def bloom_two_phase_decontam_docs(spark, sf_dir):

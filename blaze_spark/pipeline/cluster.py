@@ -59,13 +59,31 @@ def connected_components(edges, src: str = "a", dst: str = "b",
     e = e.filter(F.col("u") != F.col("v"))
     # symmetric closure once; self-loops dropped
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (sym.select(F.col("u").alias("node"))
-              .distinct()
-              .withColumn("comp", F.col("node")))
+    # seed with the first hash-min hop folded into the node census: the
+    # distinct-nodes pass is already a groupBy over sym, so taking
+    # min(node, min(neighbor)) there costs the same shuffle and saves
+    # one full propagation round (r16, guide §2.4 — same fixpoint; the
+    # per-round bound below still limits the join rounds).
+    labels = (sym.groupBy(F.col("u").alias("node"))
+              .agg(F.least(F.col("node"), F.min("v")).alias("comp")))
     if checkpoint:
         sym = sym.localCheckpoint(eager=False)
         labels = labels.localCheckpoint(eager=False)
 
+    # Convergence probe: every comp weakly DECREASES under hash-min, so
+    # the label set is stable iff the exact total is unchanged — one
+    # aggregate per round instead of the join + isEmpty probe, and it
+    # doubles as the job that materializes the lazy checkpoint (r16:
+    # the eager checkpoint + isEmpty shape paid two jobs per round).
+    # decimal(38,0): exact, and safe from long overflow at any corpus
+    # size that fits an exchange.
+    def _total(frame):
+        row = frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        return (row["s"], row["n"])
+
+    prev = _total(labels)
     for _ in range(max_iter):
         # neighbor minimum in one pass: propagate each node's comp to its
         # neighbors, take min(own, incoming) per node
@@ -74,13 +92,12 @@ def connected_components(edges, src: str = "a", dst: str = "b",
         new_labels = (labels.unionByName(prop)
                       .groupBy("node").agg(F.min("comp").alias("comp")))
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")))
+            new_labels = new_labels.localCheckpoint(eager=False)
+        cur = _total(new_labels)
         labels = new_labels
-        if changed.isEmpty():
+        if cur == prev:
             break
+        prev = cur
     return Table(labels.select("node", "comp"), "connected_components")
 
 

@@ -961,41 +961,54 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
         centroids = kmeans_fit(corpus, k=k_cells, iters=kmeans_iters,
                                vec_col=vec_col, id_col=id_col,
                                seed=seed)
-    tagged = ivf_assign(corpus, centroids, vec_col).df
+    # persist the TAGGED corpus (one Arrow assign pass) rather than a
+    # side projection of it: the pair generation, the cosine re-joins,
+    # the label-propagation rounds AND the returned plan all read this
+    # one cache — previously the returned plan re-derived scan + assign
+    # UDF because the projection cache was released at construction
+    # time (r16, guide §5; the r15 finding-#9 pattern one layer down).
+    # Scope: _retain_cache ties the release to the result frame.
+    from .dedup import _retain_cache
+
+    # the norm rides IN the cache (not recomputed per read): av/bv below
+    # each re-read the corpus, and the aggregate-HOF norm is the
+    # expensive projection
+    tagged = (ivf_assign(corpus, centroids, vec_col).df
+              .withColumn("__semdedup_norm", _norm(F.col(vec_col))).persist())
     c = tagged.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).alias("v"),
-                      _norm(F.col(vec_col)).alias("n"),
-                      "cell").persist()
-    try:
-        hot = (c.groupBy("cell")
-               .agg(F.count(F.lit(1)).alias("cnt"))
-               .filter(F.col("cnt") > max_cell).select("cell"))
-        ids = c.select("vid", "cell") \
-            .join(F.broadcast(hot), "cell", "left_anti")
-        pairs = (ids.alias("l").join(ids.alias("r"), "cell")
-                 .filter(F.col("l.vid") < F.col("r.vid"))
-                 .select(F.col("l.vid").alias("vec_a"),
-                         F.col("r.vid").alias("vec_b")))
-        av = c.select(F.col("vid").alias("vec_a"),
-                      F.col("v").alias("va"), F.col("n").alias("na"))
-        bv = c.select(F.col("vid").alias("vec_b"),
-                      F.col("v").alias("vb"), F.col("n").alias("nb"))
-        cos = _dot(F.col("va"), F.col("vb")) / \
-            (F.col("na") * F.col("nb"))
-        dups = (pairs.join(av, "vec_a").join(bv, "vec_b")
-                .withColumn("cosine", cos)
-                .filter(F.col("cosine") >= threshold)
-                .select("vec_a", "vec_b"))
-        # canonical_docs' label propagation runs its eager bounded
-        # rounds HERE, so the persisted frame is consumed before the
-        # finally releases it
-        out = canonical_docs(Table(tagged, "semantic_dedup"), dups,
-                             id_col=id_col, left="vec_a",
-                             right="vec_b", max_iter=max_iter)
-    finally:
-        c.unpersist()
+                      F.col("__semdedup_norm").alias("n"),
+                      "cell")
+    hot = (c.groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .filter(F.col("cnt") > max_cell).select("cell"))
+    ids = c.select("vid", "cell") \
+        .join(F.broadcast(hot), "cell", "left_anti")
+    pairs = (ids.alias("l").join(ids.alias("r"), "cell")
+             .filter(F.col("l.vid") < F.col("r.vid"))
+             .select(F.col("l.vid").alias("vec_a"),
+                     F.col("r.vid").alias("vec_b")))
+    av = c.select(F.col("vid").alias("vec_a"),
+                  F.col("v").alias("va"), F.col("n").alias("na"))
+    bv = c.select(F.col("vid").alias("vec_b"),
+                  F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / \
+        (F.col("na") * F.col("nb"))
+    dups = (pairs.join(av, "vec_a").join(bv, "vec_b")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b"))
+    # canonical_docs' label propagation runs its eager bounded rounds
+    # HERE (reading the cache); the returned join keeps reading it.
+    # __n is cache-internal — drop it from the annotated result.
+    out = canonical_docs(Table(tagged, "semantic_dedup"), dups,
+                         id_col=id_col, left="vec_a",
+                         right="vec_b", max_iter=max_iter)
+    out = Table(out.df.drop("__semdedup_norm"), "semantic_dedup")
     if keep == "min_id":
-        return Table(out.df, "semantic_dedup")
+        res = Table(out.df, "semantic_dedup")
+        _retain_cache(res.df, tagged)
+        return res
     # the paper's rule: within each cluster the survivor is the member
     # FARTHEST from its cell centroid (lowest cosine); one window over
     # cluster_id (clusters are pair-bounded and small)
@@ -1009,7 +1022,9 @@ def semantic_dedup(corpus: Table, threshold: float = 0.95,
     ranked = (ranked
               .withColumn("keep", F.row_number().over(w) == 1)
               .drop("_cc"))
-    return Table(ranked, "semantic_dedup")
+    res = Table(ranked, "semantic_dedup")
+    _retain_cache(res.df, tagged)
+    return res
 
 
 def assign_clusters(docs: Table, embeddings: Table,
