@@ -387,8 +387,16 @@ class BlazeSparkServer:
         port (recorded on ``self.port``)."""
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.port = self._httpd.server_address[1]
-        self._thread = threading.Thread(target=self._httpd.serve_forever,
-                                        daemon=True)
+        # serve_forever's DEFAULT poll_interval is 0.5 s, and shutdown()
+        # blocks until the loop's next poll notices the request — a
+        # measured 0.48 s of pure sleep on every stop() (r16; every
+        # wire round-trip that spins a scoped server paid it).  25 ms
+        # keeps the idle selector wakeup negligible (~40/s on a daemon
+        # thread that lives for one request burst) and makes stop()
+        # effectively immediate.
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever,
+            kwargs={"poll_interval": 0.025}, daemon=True)
         self._thread.start()
         return self
 
