@@ -865,9 +865,9 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
         # store=/codes= routes ignore the float corpus, so counting
         # it there would itself be the wasted job)
         kw["n_vectors"] = corpus.df.count()
-    parts = []
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
-    for i in range(n_batches):
+
+    def _one(i: int):
         chunk = (queries if n_batches == 1
                  else Table(queries.df.filter(bucket == F.lit(i))))
         part = backend(corpus, chunk, k=k, id_col=id_col,
@@ -876,10 +876,27 @@ def batched_topk(corpus: Table | None, queries: Table, k: int = 5,
             # freeze this chunk's ≤ chunk×k rows so the backend's
             # per-chunk broadcasts/query blocks drop their last plan
             # reference and the context cleaner can reclaim them
-            # before the next chunk builds its own (see the docstring
-            # for the lineage-truncation fault-tolerance trade)
+            # while later chunks run (see the docstring for the
+            # lineage-truncation fault-tolerance trade)
             part = part.localCheckpoint(eager=True)
-        parts.append(part)
+        return part
+
+    if n_batches > 1 and materialize_chunks:
+        # guide §2.6 (r16): the chunks are independent jobs — a
+        # two-wide pool lets the next chunk's tasks back-fill the
+        # current chunk's straggler tail.  At most TWO chunks of
+        # backend state are live at once (the bounded-memory promise
+        # weakens from one chunk to two — still O(1) in n_batches);
+        # parts stay indexed by chunk id, so the unioned plan — and
+        # the result — is identical to the sequential build.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            parts = list(pool.map(_one, range(n_batches)))
+    else:
+        # single chunk, or lazy (materialize_chunks=False) construction
+        # — no jobs run in this loop, nothing to overlap
+        parts = [_one(i) for i in range(n_batches)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
