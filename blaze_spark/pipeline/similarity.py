@@ -734,29 +734,46 @@ def pq_neardup_pairs(corpus: Table, threshold: float = 0.9,
         if not codes.df.is_cached:
             codes_release = acquire_cache(codes.df)
         codes = Table(codes.df, "pq_neardup_codes")
+    def _one_chunk(i: int):
+        chunk = (corpus if n_batches == 1
+                 else Table(corpus.df.filter(bucket == F.lit(i))))
+        if use_cells:
+            cand, bc = pq_mod._ivf_pq_scored(
+                codes, chunk, centroids, codebooks, nprobe, id_col,
+                "pq_code", vec_col, "cell", None,
+                "pq_neardup_pairs", min_cosine=min_c)
+        else:
+            cand, bc = pq_mod._pq_range_scored(
+                codes, chunk, codebooks, min_c, id_col, "pq_code",
+                vec_col, None, True, "pq_neardup_pairs")
+        if cand is None:
+            return None
+        pairs = cand.select("query_id", "neighbor_id")
+        if n_batches > 1:
+            # freeze this chunk's candidates so its ~160 MB ADC
+            # broadcast can be torn down as soon as ITS scan lands —
+            # with the two-wide pool below, live broadcast memory is
+            # bounded by TWO chunks (was one; still O(1) in n_batches)
+            pairs = pairs.localCheckpoint(eager=True)
+            bc.destroy()
+        return pairs
+
     try:
-        for i in range(n_batches):
-            chunk = (corpus if n_batches == 1
-                     else Table(corpus.df.filter(bucket == F.lit(i))))
-            if use_cells:
-                cand, bc = pq_mod._ivf_pq_scored(
-                    codes, chunk, centroids, codebooks, nprobe, id_col,
-                    "pq_code", vec_col, "cell", None,
-                    "pq_neardup_pairs", min_cosine=min_c)
-            else:
-                cand, bc = pq_mod._pq_range_scored(
-                    codes, chunk, codebooks, min_c, id_col, "pq_code",
-                    vec_col, None, True, "pq_neardup_pairs")
-            if cand is None:
-                continue
-            pairs = cand.select("query_id", "neighbor_id")
-            if n_batches > 1:
-                # freeze this chunk's candidates so its ~160 MB ADC
-                # broadcast can be torn down before the next chunk
-                # builds one — live broadcast memory stays O(1 chunk)
-                pairs = pairs.localCheckpoint(eager=True)
-                bc.destroy()
-            parts.append(pairs)
+        if n_batches > 1:
+            # guide §2.6 (r16): the chunk scans are independent jobs
+            # over the cached codes relation — a two-wide pool lets the
+            # next chunk's tasks back-fill the current chunk's
+            # straggler tail.  Chunk results stay indexed by chunk id,
+            # and the final pair set is DISTINCT-aggregated, so the
+            # output is identical to the sequential build.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                parts = [p for p in pool.map(_one_chunk,
+                                             range(n_batches))
+                         if p is not None]
+        else:
+            parts = [p for p in (_one_chunk(0),) if p is not None]
     finally:
         if codes_release is not None:
             codes_release()
