@@ -3846,7 +3846,10 @@ def cluster_mix_docs(spark, sf_dir):
     tagged = assign_clusters(d, e, k_cells=8, seed=42)
     w = temperature_source_mix(tagged, alpha=0.5, source_col="cell")
     kept = apply_source_mix(tagged, w, source_col="cell")
-    return kept.df.select("doc_id", "cell").orderBy("doc_id")
+    # r16: the scoped (id, cell) cache rides on tagged — carry it so
+    # both mixture arms of the timed plan read it (not 2 assign UDFs)
+    return _keep(kept.df.select("doc_id", "cell").orderBy("doc_id"),
+                 tagged)
 
 
 def dup_ngram_spans_docs(spark, sf_dir):

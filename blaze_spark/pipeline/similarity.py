@@ -1098,19 +1098,29 @@ def assign_clusters(docs: Table, embeddings: Table,
                 f"assign_clusters: docs already has a '{taken}' "
                 "column — rename or drop it first (the assignment "
                 "join would produce an ambiguous column)")
+    from .dedup import _retain_cache
     from .ivf import ivf_assign, kmeans_fit
 
     if centroids is None:
         centroids = kmeans_fit(embeddings, k=k_cells,
                                iters=kmeans_iters, vec_col=vec_col,
                                id_col=id_col, seed=seed)
+    # persist the skinny (id, cell) relation, scoped to the result:
+    # mixture consumers read the tagged frame in TWO plan arms (the
+    # weights aggregation and the keep execution), and without the
+    # cache each arm re-runs the Arrow assign UDF over the embeddings
+    # (plan-measured: 2 ArrowEvalPython nodes in the benched
+    # cluster_mix plan).  The cache is two columns per embedding row —
+    # bounded the way the at-rest cell index is (r16, guide §5).
     cells = (ivf_assign(embeddings, centroids, vec_col).df
              .select(F.col(id_col).alias("__aid"),
-                     F.col("cell").cast("int").alias("cell")))
+                     F.col("cell").cast("int").alias("cell"))
+             .persist())
     out = (docs.df
            .join(cells, F.col(doc_id_col) == F.col("__aid"), "left")
            .drop("__aid")
            .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1))))
+    _retain_cache(out, cells)
     return Table(out, "assign_clusters")
 
 
